@@ -1,0 +1,65 @@
+"""Register parquet directories/files as Spark temp views.
+
+Utility for the local-catalog connection and for tests: each
+``<dir>/<name>.parquet`` becomes a temp view ``name``, so the Spark-SQL
+connection (Hive semantics, hive/connection.py:322-341) can query it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, data_dir: str, name: str):
+    """Read one testdata parquet table, normalizing nanosecond timestamps.
+
+    Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) columns
+    (events.ts); with ``spark.sql.legacy.parquet.nanosAsLong`` they load as
+    long nanoseconds, which we convert to a microsecond-precision timestamp
+    (Spark's native resolution). DuckDB oracles must CAST the same column
+    to TIMESTAMP (µs) for value parity.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(data_dir, f"{name}.parquet")
+    if name == "events":
+        # left enabled session-wide: the lazy scan re-reads the conf at
+        # execution time, and it only affects NANOS columns (which would
+        # otherwise fail to load at all)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")),
+        )
+    return spark.read.parquet(path)
+
+
+def register_parquet_views(
+    spark: SparkSession,
+    data_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+) -> list[str]:
+    """Create or replace one temp view per parquet table found in data_dir."""
+    registered = []
+    for name in tables:
+        path = os.path.join(data_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            read_table(spark, data_dir, name).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered

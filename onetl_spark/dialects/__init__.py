@@ -1,0 +1,21 @@
+from onetl_spark.dialects.base import Dialect
+from onetl_spark.dialects.jdbc import (
+    ClickhouseDialect,
+    GreenplumDialect,
+    MSSQLDialect,
+    MySQLDialect,
+    OracleDialect,
+    PostgresDialect,
+)
+from onetl_spark.dialects.sparksql import SparkSQLDialect
+
+__all__ = [
+    "Dialect",
+    "SparkSQLDialect",
+    "PostgresDialect",
+    "MySQLDialect",
+    "MSSQLDialect",
+    "OracleDialect",
+    "ClickhouseDialect",
+    "GreenplumDialect",
+]
