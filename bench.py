@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query plan is executed fully via the `noop` sink (no driver collect
+bottleneck, no output I/O), which is what a 1000-executor run would look
+like minus the cluster: timings measure scan + shuffle + compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top_order_per_customer",
+    "window_running_total",
+    "topk_expensive_orders",
+    "agg_rollup_status_priority",
+    "setops_high_value_not_building",
+    "semi_anti_join_customers",
+    "events_daily_stats",
+    "dbreader_projection_filter",
+    "partitioned_scan_hash",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("onetl_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.warehouse.dir", os.path.join(os.path.dirname(__file__), ".scratch", "bench-wh"))
+        .getOrCreate()
+    )
+
+
+def execute_fully(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from onetl_spark.showcase import all_queries
+
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+    # extend with any non-headline showcase queries marked benchable
+    timings: dict[str, float] = {}
+
+    # JVM/codegen warm-up (not timed)
+    execute_fully(queries["q1_pricing_summary"](spark, sf_dir))
+
+    total_start = time.perf_counter()
+    for name in names:
+        start = time.perf_counter()
+        execute_fully(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+    total = round(time.perf_counter() - total_start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            },
+        ),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

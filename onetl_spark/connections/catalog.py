@@ -25,6 +25,26 @@ TESTDATA_TABLES = (
 )
 
 
+def drop_table_completely(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS + remove any orphaned managed-table location.
+
+    With the in-memory catalog, a previous process' managed table survives
+    as a warehouse directory the new session's catalog doesn't know about;
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS. On a real
+    metastore DROP TABLE is sufficient and the rmtree is a no-op.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    parsed = urlparse(warehouse)
+    if parsed.scheme in ("", "file"):
+        path = parsed.path or warehouse
+        if path:
+            shutil.rmtree(os.path.join(path, name.lower()), ignore_errors=True)
+
+
 def read_table(spark: SparkSession, data_dir: str, name: str):
     """Read one testdata parquet table, normalizing nanosecond timestamps.
 

@@ -1,0 +1,33 @@
+"""Showcase queries — the driver-facing correctness surface.
+
+Each module exposes ``SPARK_QUERIES: dict[str, Callable[(spark, sf_dir), DataFrame]]``
+and ``ORACLE_SQL: dict[str, str]`` (DuckDB-runnable ANSI SQL on the same
+parquet views). ``__spark_entry__.py`` merges them.
+"""
+
+from onetl_spark.showcase import operators, tpch
+
+
+def all_queries():
+    out = {}
+    for mod in _modules():
+        out.update(mod.SPARK_QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for mod in _modules():
+        out.update(mod.ORACLE_SQL)
+    return out
+
+
+def _modules():
+    mods = [tpch, operators]
+    try:
+        from onetl_spark.showcase import llm
+
+        mods.append(llm)
+    except ImportError:  # pragma: no cover
+        pass
+    return mods

@@ -1,0 +1,256 @@
+"""Engine-operator showcase — each entry exercises a SURVEY §2 operator
+end-to-end through the public API and has an equivalent DuckDB oracle.
+
+These run the *engine* (DBReader/DBWriter/strategies/dialect rendering),
+not hand-written DataFrame code, so the correctness gate covers the
+operator implementations themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.connections import SparkSQLConnection
+from onetl_spark.db import DBReader
+from onetl_spark.hwm.types import ColumnIntHWM
+from onetl_spark.hwm.window import Edge, Window
+from onetl_spark.showcase.util import ensure_views
+from onetl_spark.strategy import IncrementalBatchStrategy, SnapshotBatchStrategy
+
+
+def dbreader_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBReader with columns (incl. SQL expression) + where pushdown
+    (SURVEY §2.1 DBReader.run, §2.2 projection/filter builders)."""
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    reader = DBReader(
+        conn,
+        source="orders",
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_totalprice * 0.9 AS discounted",
+        ],
+        where="o_totalprice > 150000 AND o_orderstatus = 'F'",
+    )
+    return reader.run()
+
+
+DBREADER_PROJ_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_totalprice * 0.9 AS discounted
+FROM orders
+WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+"""
+
+
+def dbreader_window_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HWM window → predicate rendering: half-open interval (start, stop]
+    (SURVEY §2.2 window→predicate, dialect.py:103-121 semantics)."""
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    window = Window(
+        "o_orderkey",
+        start_from=Edge(500, including=False),
+        stop_at=Edge(1200, including=True),
+    )
+    return conn.read_source_as_df(
+        source="orders",
+        columns=["o_orderkey", "o_totalprice"],
+        where="o_orderstatus <> 'X'",
+        window=window,
+    )
+
+
+DBREADER_WINDOW_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderstatus <> 'X' AND o_orderkey > 500 AND o_orderkey <= 1200
+"""
+
+
+def dbreader_minmax_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX aggregate probe used for HWM planning (SURVEY §2.2)."""
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    lo, hi = conn.get_min_max_values(
+        source="lineitem",
+        window=Window("l_orderkey"),
+        where="l_quantity > 10",
+    )
+    return spark.createDataFrame([(lo, hi)], "min_key BIGINT, max_key BIGINT")
+
+
+DBREADER_MINMAX_SQL = """
+SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+FROM lineitem
+WHERE l_quantity > 10
+"""
+
+
+def snapshot_batch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnapshotBatchStrategy: chunked (current, next] reads over the key
+    range unioned back == full table (SURVEY §2.3)."""
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    reader = DBReader(
+        conn,
+        source="orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        hwm=ColumnIntHWM(name="showcase_snapshot_batch", expression="o_orderkey"),
+    )
+    # step scales with the key range so chunk count stays bounded at any SF
+    lo, hi = conn.get_min_max_values("orders", Window("o_orderkey"))
+    step = max(1, (hi - lo) // 6)
+    parts: list[DataFrame] = []
+    with SnapshotBatchStrategy(step=step) as batches:
+        for _ in batches:
+            parts.append(reader.run())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+SNAPSHOT_BATCH_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
+def incremental_batch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalBatchStrategy first run == full range in chunks; HWM
+    bookkeeping isolated to a throwaway memory store (SURVEY §2.3)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.hwm.store import MemoryHWMStore
+
+    conn = SparkSQLConnection(spark)
+    reader = DBReader(
+        conn,
+        source="lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        where="l_quantity >= 25",
+        hwm=ColumnIntHWM(name="showcase_inc_batch", expression="l_orderkey"),
+    )
+    lo, hi = conn.get_min_max_values("lineitem", Window("l_orderkey"))
+    step = max(1, (hi - lo) // 5)
+    parts: list[DataFrame] = []
+    with MemoryHWMStore():
+        with IncrementalBatchStrategy(step=step) as batches:
+            for _ in batches:
+                parts.append(reader.run())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+INCREMENTAL_BATCH_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity >= 25
+"""
+
+
+def partitioned_scan_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partitioned parallel scan (SURVEY §2.1 'JDBC partitioned scan
+    (hash)'): the dialect synthesizes a hash partition expression, the scan
+    repartitions on it (executor-side co-location), partition column is
+    dropped after load (jdbc_connection/connection.py:228-229 semantics).
+    Result set must be identical to a plain scan."""
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    num_partitions = 8
+    part_expr = conn.dialect.get_partition_column_hash("l_orderkey", num_partitions)
+    alias = "part_col_hash"
+    df = conn.read_source_as_df(
+        source="lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", f"{part_expr} AS {alias}"],
+        where="l_extendedprice > 50000",
+    )
+    return df.repartition(num_partitions, alias).drop(alias)
+
+
+PARTITIONED_HASH_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_extendedprice > 50000
+"""
+
+
+def partitioned_scan_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-partitioned parallel scan (SURVEY §2.1): same contract as hash."""
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    num_partitions = 8
+    part_expr = conn.dialect.get_partition_column_mod("o_orderkey", num_partitions)
+    alias = "part_col_mod"
+    df = conn.read_source_as_df(
+        source="orders",
+        columns=["o_orderkey", "o_totalprice", f"{part_expr} AS {alias}"],
+    )
+    return df.repartition(num_partitions, alias).drop(alias)
+
+
+PARTITIONED_MOD_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+"""
+
+
+def write_roundtrip_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBWriter mode matrix round-trip (SURVEY §2.9): create → append →
+    replace_entire_table, then read back. Oracle = the final state."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.connections.sparksql import SparkSQLWriteOptions
+    from onetl_spark.db import DBWriter
+
+    from onetl_spark.connections.catalog import drop_table_completely
+
+    conn = SparkSQLConnection(spark)
+    target = "showcase_write_roundtrip"
+    drop_table_completely(spark, target)
+
+    nation = spark.table("nation")
+    writer = DBWriter(conn, target)
+    writer.run(nation.filter("n_regionkey = 0"))          # create
+    writer.run(nation.filter("n_regionkey = 1"))          # append
+    DBWriter(
+        conn,
+        target,
+        options=SparkSQLWriteOptions(if_exists="ignore"),
+    ).run(nation)                                          # no-op
+    DBWriter(
+        conn,
+        target,
+        options=SparkSQLWriteOptions(if_exists="replace_entire_table"),
+    ).run(nation.filter("n_regionkey <= 2"))               # replace
+    writer.run(nation.filter("n_regionkey > 2"))           # append again
+    return spark.table(target)
+
+
+WRITE_ROUNDTRIP_SQL = """
+SELECT * FROM nation
+"""
+
+
+SPARK_QUERIES = {
+    "dbreader_projection_filter": dbreader_projection_filter,
+    "dbreader_window_predicate": dbreader_window_predicate,
+    "dbreader_minmax_probe": dbreader_minmax_probe,
+    "snapshot_batch_union": snapshot_batch_union,
+    "incremental_batch_union": incremental_batch_union,
+    "partitioned_scan_hash": partitioned_scan_hash,
+    "partitioned_scan_mod": partitioned_scan_mod,
+    "write_roundtrip_modes": write_roundtrip_modes,
+}
+
+ORACLE_SQL = {
+    "dbreader_projection_filter": DBREADER_PROJ_SQL,
+    "dbreader_window_predicate": DBREADER_WINDOW_SQL,
+    "dbreader_minmax_probe": DBREADER_MINMAX_SQL,
+    "snapshot_batch_union": SNAPSHOT_BATCH_SQL,
+    "incremental_batch_union": INCREMENTAL_BATCH_SQL,
+    "partitioned_scan_hash": PARTITIONED_HASH_SQL,
+    "partitioned_scan_mod": PARTITIONED_MOD_SQL,
+    "write_roundtrip_modes": WRITE_ROUNDTRIP_SQL,
+}
