@@ -29,6 +29,15 @@ HEADLINE = [
     "events_daily_stats",
     "dbreader_projection_filter",
     "partitioned_scan_hash",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "embedding_near_dup_pairs",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point is 100 TB of documents, not 500 rows):
+
+- Shingling / hashing / signatures are per-row JVM array expressions —
+  zero shuffles until the LSH band group-by.
+- MinHash+LSH shuffles once on (band_id, band_hash) — tiny keys — and the
+  candidate-pair self-join happens inside buckets only.
+- The exact-Jaccard verifier is an inverted-index join (explode shingle →
+  join on shingle → count), NOT a cross join: cost is Σ_s df(s)², which is
+  what MapReduce dedup pipelines use at web scale.
+- SimHash is computed entirely per-row (bit counts over the token-hash
+  array) — a map-only job.
+
+Hash parity: ``md5_long % MOD`` and the ``(a·h + b) % MOD`` permutations
+use constants small enough that all arithmetic stays in signed-64 range on
+both Spark and DuckDB, so showcase oracles reproduce signatures exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onetl_spark.llm.text import md5_long, word_tokens
+
+MOD = 1_000_000_007  # all permutation math stays < 2^61, no int64 overflow
+NUM_PERM = 32
+LSH_BANDS = 8
+LSH_ROWS = NUM_PERM // LSH_BANDS
+SHINGLE_N = 3
+SIMHASH_BITS = 48
+
+
+def perm_constants(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for minhash permutations — formula-based
+    so the DuckDB oracle can embed the identical constants."""
+    return [((2 * i + 1) * 40503 % MOD, (i * 69069 + 12345) % MOD) for i in range(num_perm)]
+
+
+def word_shingles(col, n: int = SHINGLE_N):
+    """Distinct n-gram word shingles; documents shorter than n words get a
+    single whole-document shingle."""
+    tokens = word_tokens(col)
+    joined = F.array_join(tokens, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(F.array(joined))
+
+
+def shingle_hashes(col, n: int = SHINGLE_N):
+    """Shingles → 64-bit-ish hashes reduced mod MOD (per-row, JVM)."""
+    return F.transform(word_shingles(col, n), lambda s: md5_long(s) % MOD)
+
+
+def minhash_signature(col, num_perm: int = NUM_PERM):
+    """MinHash signature as an array<long> of length num_perm."""
+    hashes = shingle_hashes(col)
+    sig = [
+        F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MOD))
+        for a, b in perm_constants(num_perm)
+    ]
+    return F.array(*sig)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by raw text: survivor = min id per distinct text."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select(id_col, "n_copies")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + LSH banding, verified
+    with exact shingle Jaccard.
+
+    Returns (a_id, b_id, jaccard) for every candidate pair that shares at
+    least one LSH band AND has exact Jaccard >= threshold.
+    """
+    rows = num_perm // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col)).alias("_shingles"),
+        minhash_signature(F.col(text_col), num_perm).alias("_sig"),
+    ).persist()
+
+    banded = base.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.array_join(F.slice("_sig", b * rows + 1, rows), ","),
+                ),
+            ),
+        ).alias("band_id", "band_key"),
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .distinct()
+    )
+
+    a = base.select(F.col("_id").alias("a_id"), F.col("_shingles").alias("a_sh"))
+    b = base.select(F.col("_id").alias("b_id"), F.col("_shingles").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        candidates.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jaccard", F.round(inter / union, 9))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold via inverted-index join
+    (explode shingle → join on shingle → count common), never a cross join."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_shingles"),
+    ).withColumn("_size", F.size("_shingles"))
+
+    inv = sh.select("_id", "_size", F.explode("_shingles").alias("_s"))
+    l, r = inv.alias("l"), inv.alias("r")
+    common = (
+        l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(
+            F.col("l._id").alias("a_id"),
+            F.col("r._id").alias("b_id"),
+            F.col("l._size").alias("a_size"),
+            F.col("r._size").alias("b_size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("a_size") + F.col("b_size") - F.col("n_common")), 9),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash(col, bits: int = SIMHASH_BITS):
+    """Per-row SimHash over token hashes: bit b is set when more token
+    hashes have bit b set than unset. Map-only (no shuffle)."""
+    hashes = F.transform(word_tokens(col), lambda t: md5_long(t))
+    n = F.size(hashes)
+    terms = []
+    for b in range(bits):
+        set_count = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0))
+        terms.append(F.when(set_count * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    return functools.reduce(operator.add, terms).cast("long")
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))

@@ -1,0 +1,109 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed with Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless the
+optional library imports, and ``extract_features`` uses a deterministic
+fake (md5 digest + byte stats) so the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and testable.
+
+At 100 TB the pattern is: binary payloads stay in parquet/ORC, metadata is
+columnar, and per-batch Python touches each payload exactly once inside
+``mapInPandas`` (no driver collect, no per-row UDF overhead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MULTIMODAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ],
+            ),
+        ),
+    ],
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("head_hex", T.StringType()),
+    ],
+)
+
+
+def decode_image(payload: bytes):
+    """Decode an image payload. STUB: requires an imaging library."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "image decoding requires Pillow; not available in this environment",
+        ) from e
+
+
+def decode_audio(payload: bytes):  # pragma: no cover
+    """Decode an audio payload. STUB: requires an audio library."""
+    raise NotImplementedError("audio decoding requires soundfile/librosa; not available")
+
+
+def with_binary_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Wrap a text column as a binary payload + typed metadata struct —
+    stands in for real image/audio bytes in tests."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The real decode would go where ``_fake_decode`` is; the deterministic
+    fake keeps the pipeline verifiable without media libraries.
+    """
+
+    def _fake_decode(payload: bytes) -> dict:
+        return {
+            "n_bytes": len(payload),
+            "digest": hashlib.md5(payload).hexdigest(),
+            "head_hex": payload[:1].hex() if payload else "",
+        }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pd.Series([f["n_bytes"] for f in feats], dtype="int64"),
+                    "digest": [f["digest"] for f in feats],
+                    "head_hex": [f["head_hex"] for f in feats],
+                },
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)

@@ -1,0 +1,116 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side,
+whole-stage-codegen friendly) — no Python UDFs, so they run at full speed
+over 100 TB of documents. Each has an exact DuckDB-SQL equivalent used by
+the showcase oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small per-language stopword lists for the n-gram/stopword-overlap heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "it", "you", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu"),
+    "es": ("el", "la", "los", "y", "es", "no", "que", "un", "por", "con"),
+    "fr": ("le", "la", "les", "et", "est", "je", "ne", "pas", "vous", "un"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"),
+}
+# deterministic priority order for arg-max ties
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+
+def word_tokens(col: Column | str) -> Column:
+    """Lower-cased whitespace tokens, empties removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(word_tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token counting with a BPE-ish regex: word pieces + punctuation marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio style quality signals."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = word_tokens(c)
+    n_tokens = F.size(tokens)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]-]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(tokens), en_stop))
+    mean_word_len = F.when(n_tokens > 0, (n_chars - n_tokens + 1) / n_tokens).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 9),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 9),
+        "stopword_hits": n_stop.cast("long"),
+        "mean_word_len": F.round(mean_word_len, 9),
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0..1-ish quality score (weights are heuristic but fixed)."""
+    f = quality_features(col)
+    length_score = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_score
+        + 0.3 * f["alpha_ratio"]
+        + 0.2 * F.least(f["stopword_hits"] / F.lit(5.0), F.lit(1.0))
+        + 0.1 * (1 - F.least(f["punct_ratio"] * 5, F.lit(1.0))),
+        9,
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-overlap counts (distinct token hits)."""
+    tokens = F.array_distinct(word_tokens(col))
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.array_intersect(tokens, arr))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """Arg-max language by stopword overlap; ties resolved by the fixed
+    LANG_PRIORITY order; zero overlap everywhere → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    result = F.lit("und")
+    # build reversed CASE chain so earlier-priority languages win ties
+    for lang in reversed(LANG_PRIORITY):
+        result = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(result)
+    return result
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lower, strip non-alnum (keeping
+    unicode letters), collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]", "")
+    collapsed = F.regexp_replace(cleaned, r"\s+", " ")
+    return F.trim(collapsed)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def md5_long(col: Column) -> Column:
+    """64-bit-ish hash from md5 (first 15 hex chars → bigint): identical in
+    DuckDB as ``('0x' || substr(md5(x),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

@@ -1,0 +1,355 @@
+"""LLM-data-pipeline showcase: dedup / similarity / text analysis /
+multimodal over the ``documents`` and ``embeddings`` tables, each paired
+with a DuckDB oracle that reproduces the computation independently
+(identical md5-derived hashing, double-precision arithmetic, rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.llm import dedup, multimodal, similarity, text
+from onetl_spark.llm.dedup import LSH_BANDS, LSH_ROWS, MOD, NUM_PERM, SIMHASH_BITS, perm_constants
+from onetl_spark.showcase.util import ensure_views
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (mirror onetl_spark/llm/text.py exactly)
+
+SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+SQL_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+SQL_MD5LONG = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _sql_sig_entries() -> str:
+    parts = [
+        f"list_min(list_transform(h, x -> ({a} * x + {b}) % {MOD}))"
+        for a, b in perm_constants(NUM_PERM)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       len({SQL_TOKENS}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents")
+    feats = text.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_hits"].alias("stopword_hits"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+_EN = "['the','of','and','to','in','is','it','you','that','for']"
+QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKENS} AS w, length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS n_punct
+  FROM documents
+), f AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         round(n_alpha * 1.0 / greatest(n_chars, 1), 9) AS alpha_ratio,
+         round(n_punct * 1.0 / greatest(n_chars, 1), 9) AS punct_ratio,
+         len(list_intersect(list_distinct(w), {_EN})) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_tokens, alpha_ratio, stopword_hits,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * alpha_ratio
+           + 0.2 * least(stopword_hits / 5.0, 1.0)
+           + 0.1 * (1 - least(punct_ratio * 5, 1.0)), 9) AS quality
+FROM f
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, words in text.LANG_STOPWORDS.items():
+        arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(f"len(list_intersect(dw, {arr})) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in text.LANG_PRIORITY) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in text.LANG_PRIORITY
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang, list_distinct({SQL_TOKENS}) AS dw FROM documents
+), s AS (
+  SELECT doc_id, lang, {', '.join(score_cols)} FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+)
+SELECT doc_id, lang, CASE {cases} ELSE 'und' END AS lang_pred FROM b
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return dedup.exact_dedup(spark.table("documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.5)
+
+
+def _minhash_sql() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
+), hs AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {SQL_MD5LONG.format(x='s')} % {MOD}) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {_sql_sig_entries()} AS sig FROM hs
+), bands AS (
+  SELECT doc_id, b AS band_id,
+         md5(array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], ',')) AS band_key
+  FROM sig, range(0, {LSH_BANDS}) t(b)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), ver AS (
+  SELECT a_id, b_id,
+         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))), 9) AS jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = a_id
+  JOIN sig sb ON sb.doc_id = b_id
+)
+SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(spark.table("documents"), threshold=0.6)
+
+
+NGRAM_JACCARD_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
+), p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+               (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 9) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.6
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return dedup.simhash_signatures(spark.table("documents"))
+
+
+def _simhash_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) > len(h) "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), hs AS (
+  SELECT doc_id, list_transform(w, t -> {SQL_MD5LONG.format(x='t')}) AS h FROM tok
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM hs
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len(a.embedding)+1), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return similarity.bruteforce_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
+ANN_TOPK_SQL = f"""
+SELECT b.vec_id, round({_COS_SQL}, 9) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return similarity.near_dup_pairs_by_label(spark.table("embeddings"), threshold=0.3)
+
+
+NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, round({_COS_SQL}, 9) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_COS_SQL}, 9) >= 0.3
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100TB scale path). Oracle
+    reproduces the identical deterministic hyperplanes."""
+    ensure_views(spark, sf_dir)
+    return similarity.lsh_bucket_topk(spark.table("embeddings"), query_id=0, k=10, n_planes=6)
+
+
+def _lsh_topk_sql() -> str:
+    # identical deterministic hyperplanes, embedded as literals
+    planes = []
+    for p in range(6):
+        comps = [similarity.lsh_plane_component(p, d) for d in range(64)]
+        proj = " + ".join(
+            f"CAST({{e}}.embedding[{d + 1}] AS DOUBLE) * ({comps[d]!r})" for d in range(64)
+        )
+        planes.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(planes)
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, ({bucket.format(e='embeddings')}) AS bucket
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+)
+SELECT b.vec_id,
+       round(list_sum(list_transform(range(1, len(b.embedding)+1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)
+           AS cos_sim
+FROM bucketed b, q
+WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text → binary payload + typed metadata →
+    Arrow-batched mapInPandas feature extraction (decode stubbed)."""
+    ensure_views(spark, sf_dir)
+    payloads = multimodal.with_binary_payload(spark.table("documents"))
+    return multimodal.extract_features(payloads)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       lower(hex(encode(text))[1:2]) AS head_hex
+FROM documents
+"""
+
+
+SPARK_QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprints": text_fingerprints,
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLE_SQL = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality": QUALITY_SQL,
+    "text_lang_id": _lang_sql(),
+    "text_fingerprints": FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_simhash": _simhash_sql(),
+    "ann_cosine_topk": ANN_TOPK_SQL,
+    "ann_lsh_topk": _lsh_topk_sql(),
+    "embedding_near_dup_pairs": NEAR_DUP_SQL,
+    "multimodal_features": MULTIMODAL_SQL,
+}
