@@ -233,6 +233,52 @@ SELECT * FROM nation
 """
 
 
+def filedf_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileDFWriter → FileDFReader round-trip through CSV on SparkLocalFS
+    (SURVEY §2.5/§2.6). Doubles survive via shortest-repr round-trip."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from onetl_spark.file import FileDFReader, FileDFWriter, FileDFWriterOptions
+    from onetl_spark.file.connections import SparkLocalFS
+    from onetl_spark.file.format import CSV
+
+    ensure_views(spark, sf_dir)
+    target = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch", "csv_roundtrip")
+    shutil.rmtree(target, ignore_errors=True)
+
+    local_fs = SparkLocalFS(spark)
+    df = spark.table("orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    FileDFWriter(
+        local_fs,
+        CSV(header=True),
+        target,
+        FileDFWriterOptions(if_exists="replace_entire_directory"),
+    ).run(df)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ],
+    )
+    return FileDFReader(local_fs, CSV(header=True), target, df_schema=schema).run()
+
+
+FILEDF_CSV_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
 SPARK_QUERIES = {
     "dbreader_projection_filter": dbreader_projection_filter,
     "dbreader_window_predicate": dbreader_window_predicate,
@@ -242,6 +288,7 @@ SPARK_QUERIES = {
     "partitioned_scan_hash": partitioned_scan_hash,
     "partitioned_scan_mod": partitioned_scan_mod,
     "write_roundtrip_modes": write_roundtrip_modes,
+    "filedf_csv_roundtrip": filedf_csv_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -253,4 +300,5 @@ ORACLE_SQL = {
     "partitioned_scan_hash": PARTITIONED_HASH_SQL,
     "partitioned_scan_mod": PARTITIONED_MOD_SQL,
     "write_roundtrip_modes": WRITE_ROUNDTRIP_SQL,
+    "filedf_csv_roundtrip": FILEDF_CSV_SQL,
 }
