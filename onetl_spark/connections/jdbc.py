@@ -1,0 +1,454 @@
+"""Generic JDBC connection + per-RDBMS subclasses.
+
+Read path (reference: onetl/connection/db_connection/jdbc_connection/
+connection.py:161-231): render the full SELECT with the dialect, wrap it
+as a subquery ``(q) T`` (connection.py:320-326) and hand it to Spark's
+JDBC source. Parallelism:
+
+- ``range``: Spark-native partitionColumn/lowerBound/upperBound; missing
+  bounds are auto-filled with a MIN/MAX probe (connection.py:340-391).
+- ``hash`` / ``mod``: the dialect synthesizes a server-side partition
+  expression which is SELECTed under a generated alias, used as the
+  partition column over [0, num_partitions), and dropped after load
+  (connection.py:188-210, 228-229).
+
+Write path: mode mapping append/ignore/error/replace_entire_table →
+Spark JDBC writer modes (connection.py:233-255, options.py:83-101).
+
+Driver-side ``fetch``/``execute`` use raw ``java.sql`` over Py4J
+(jdbc_mixin/connection.py:143-282), converting ResultSet → DataFrame with
+a plain JDBC-type mapping (instead of Spark-internal JdbcUtils, which
+moved across versions — SURVEY §7 'hard parts').
+"""
+
+from __future__ import annotations
+
+import logging
+import secrets
+from dataclasses import dataclass, field
+from typing import Any, ClassVar
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from onetl_spark.base import BaseDBConnection
+from onetl_spark.dialects.base import Dialect
+from onetl_spark.dialects.jdbc import (
+    ClickhouseDialect,
+    GreenplumDialect,
+    MSSQLDialect,
+    MySQLDialect,
+    OracleDialect,
+    PostgresDialect,
+)
+from onetl_spark.hwm.window import Window
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class JDBCReadOptions:
+    """Subset of jdbc_connection/options.py with reference defaults."""
+
+    partitioning_mode: str = "range"  # range|hash|mod
+    partition_column: str | None = None
+    num_partitions: int | None = None
+    lower_bound: Any = None
+    upper_bound: Any = None
+    fetchsize: int = 100_000  # explicit override of driver defaults (options.py:200-217)
+    query_timeout: int | None = None
+    session_init_statement: str | None = None
+    options: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class JDBCWriteOptions:
+    if_exists: str = "append"  # append|ignore|error|replace_entire_table
+    batchsize: int = 20_000
+    isolation_level: str | None = None
+    options: dict[str, Any] = field(default_factory=dict)
+
+    MODE_MAP = {
+        "append": "append",
+        "ignore": "ignore",
+        "error": "error",
+        "replace_entire_table": "overwrite",
+    }
+
+
+@dataclass
+class JDBCConnection(BaseDBConnection):
+    spark: SparkSession
+    host: str = ""
+    port: int | None = None
+    user: str | None = None
+    password: str | None = None
+    database: str | None = None
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    DRIVER: ClassVar[str] = ""
+    DEFAULT_PORT: ClassVar[int | None] = None
+    dialect_class: ClassVar[type] = Dialect
+
+    def __post_init__(self):
+        self.dialect = self.dialect_class()
+        if self.port is None:
+            self.port = self.DEFAULT_PORT
+
+    # --- url/options ------------------------------------------------------
+
+    @property
+    def jdbc_url(self) -> str:
+        raise NotImplementedError
+
+    def jdbc_params(self, fetchsize: int | None = None) -> dict[str, str]:
+        params = {
+            "url": self.jdbc_url,
+            "driver": self.DRIVER,
+        }
+        if self.user is not None:
+            params["user"] = str(self.user)
+        if self.password is not None:
+            params["password"] = str(self.password)
+        if fetchsize is not None:
+            params["fetchsize"] = str(fetchsize)
+        return params
+
+    @classmethod
+    def get_packages(cls) -> list[str]:
+        """Maven coordinates for spark.jars.packages."""
+        raise NotImplementedError
+
+    # --- read -------------------------------------------------------------
+
+    def get_read_plan(
+        self,
+        source: str,
+        columns: list[str] | None = None,
+        hint: str | None = None,
+        where: Any = None,
+        window: Window | None = None,
+        limit: int | None = None,
+        options: JDBCReadOptions | None = None,
+    ) -> tuple[str, dict[str, str], str | None]:
+        """Build (query, spark_jdbc_options, alias_to_drop) without touching
+        any server — unit-testable query/option synthesis."""
+        opts = options or JDBCReadOptions()
+        conditions = self.dialect.apply_window(where, window)
+        columns = list(columns) if columns else ["*"]
+        alias: str | None = None
+
+        jdbc_options: dict[str, str] = dict(self.jdbc_params(fetchsize=opts.fetchsize))
+        if opts.session_init_statement:
+            jdbc_options["sessionInitStatement"] = opts.session_init_statement
+        if opts.query_timeout is not None:
+            jdbc_options["queryTimeout"] = str(opts.query_timeout)
+        for k, v in opts.options.items():
+            jdbc_options[k] = str(v)
+
+        if opts.num_partitions and opts.num_partitions > 1:
+            mode = opts.partitioning_mode
+            if not opts.partition_column:
+                raise ValueError("partition_column is required when num_partitions > 1")
+            if mode == "range":
+                jdbc_options.update(
+                    partitionColumn=opts.partition_column,
+                    numPartitions=str(opts.num_partitions),
+                )
+                if opts.lower_bound is not None:
+                    jdbc_options["lowerBound"] = str(opts.lower_bound)
+                if opts.upper_bound is not None:
+                    jdbc_options["upperBound"] = str(opts.upper_bound)
+            elif mode in ("hash", "mod"):
+                fn = (
+                    self.dialect.get_partition_column_hash
+                    if mode == "hash"
+                    else self.dialect.get_partition_column_mod
+                )
+                expr = fn(opts.partition_column, opts.num_partitions)
+                alias = f"part_col_{secrets.token_hex(4)}"
+                columns = columns + [self.dialect.aliased(expr, alias)]
+                jdbc_options.update(
+                    partitionColumn=alias,
+                    numPartitions=str(opts.num_partitions),
+                    lowerBound="0",
+                    upperBound=str(opts.num_partitions),
+                )
+            else:
+                raise ValueError(f"Unknown partitioning_mode {mode!r}")
+
+        query = self.dialect.get_sql_query(
+            table=source,
+            columns=columns,
+            where=conditions,
+            hint=hint,
+            limit=limit,
+        )
+        return query, jdbc_options, alias
+
+    def read_source_as_df(
+        self,
+        source: str,
+        columns: list[str] | None = None,
+        hint: str | None = None,
+        where: Any = None,
+        df_schema: StructType | None = None,
+        window: Window | None = None,
+        limit: int | None = None,
+        options: JDBCReadOptions | None = None,
+    ) -> DataFrame:
+        opts = options or JDBCReadOptions()
+        if (
+            opts.num_partitions
+            and opts.num_partitions > 1
+            and opts.partitioning_mode == "range"
+            and (opts.lower_bound is None or opts.upper_bound is None)
+        ):
+            lo, hi = self.get_min_max_values(
+                source, Window(opts.partition_column), hint=hint, where=where,
+            )
+            opts = JDBCReadOptions(**{**opts.__dict__, "lower_bound": lo, "upper_bound": hi})
+
+        query, jdbc_options, alias = self.get_read_plan(
+            source, columns, hint, where, window, limit, opts,
+        )
+        df = self._load_subquery(query, jdbc_options)
+        if alias:
+            df = df.drop(alias)
+        return df
+
+    def _load_subquery(self, query: str, jdbc_options: dict[str, str]) -> DataFrame:
+        reader = self.spark.read.format("jdbc")
+        for k, v in jdbc_options.items():
+            reader = reader.option(k, v)
+        # subquery wrap, jdbc_connection/connection.py:320-326
+        return reader.option("dbtable", f"({query}) T").load()
+
+    def sql(self, query: str, options: JDBCReadOptions | None = None) -> DataFrame:
+        """Arbitrary SELECT executed on executors via Spark JDBC."""
+        opts = options or JDBCReadOptions()
+        return self._load_subquery(query.rstrip("; \n"), self.jdbc_params(fetchsize=opts.fetchsize))
+
+    def get_df_schema(self, source: str, columns: list[str] | None = None) -> StructType:
+        query = self.dialect.get_sql_query(source, columns=columns, limit=0, compact=True)
+        return self._load_subquery(query, self.jdbc_params()).schema
+
+    def get_min_max_values(
+        self,
+        source: str,
+        window: Window,
+        hint: str | None = None,
+        where: Any = None,
+        options: Any = None,
+    ) -> tuple[Any, Any]:
+        conditions = self.dialect.apply_window(where, window)
+        query = self.dialect.get_min_max_query(source, window.expression, where=conditions)
+        row = self._load_subquery(query, self.jdbc_params()).collect()[0]
+        return row["min"], row["max"]
+
+    def check(self) -> "JDBCConnection":
+        self.fetch("SELECT 1").collect()
+        return self
+
+    # --- write ------------------------------------------------------------
+
+    def write_df_to_target(self, df: DataFrame, target: str, options: Any = None) -> None:
+        opts = options or JDBCWriteOptions()
+        if isinstance(opts, dict):
+            opts = JDBCWriteOptions(**opts)
+        mode = JDBCWriteOptions.MODE_MAP.get(opts.if_exists)
+        if mode is None:
+            raise ValueError(f"Unknown if_exists mode: {opts.if_exists!r}")
+        writer = df.write.format("jdbc")
+        for k, v in self.jdbc_params().items():
+            writer = writer.option(k, v)
+        writer = writer.option("dbtable", target).option("batchsize", str(opts.batchsize))
+        if opts.isolation_level:
+            writer = writer.option("isolationLevel", opts.isolation_level)
+        for k, v in opts.options.items():
+            writer = writer.option(k, str(v))
+        writer.mode(mode).save()
+
+    # --- driver-side fetch/execute (Py4J java.sql) --------------------------
+
+    def _driver_connection(self):
+        jvm = self.spark._jvm
+        props = jvm.java.util.Properties()
+        if self.user is not None:
+            props.setProperty("user", str(self.user))
+        if self.password is not None:
+            props.setProperty("password", str(self.password))
+        jvm.java.lang.Class.forName(self.DRIVER)
+        return jvm.java.sql.DriverManager.getConnection(self.jdbc_url, props)
+
+    def fetch(self, query: str, options: Any = None) -> DataFrame:
+        """SELECT executed on the DRIVER through raw java.sql; ResultSet is
+        converted to a DataFrame via a plain JDBC type mapping."""
+        conn = self._driver_connection()
+        try:
+            stmt = conn.createStatement()
+            rs = stmt.executeQuery(query.rstrip("; \n"))
+            return self._resultset_to_df(rs)
+        finally:
+            conn.close()
+
+    def execute(self, statement: str, options: Any = None) -> DataFrame | None:
+        """DDL/DML/procedure call on the driver; returns a DataFrame iff a
+        resultset came back (jdbc_mixin/connection.py:212-282)."""
+        conn = self._driver_connection()
+        try:
+            statement = statement.rstrip("; \n")
+            if statement.lstrip().lower().startswith("{call") or statement.lstrip().startswith("{?"):
+                stmt = conn.prepareCall(statement)
+                has_rs = stmt.execute()
+            else:
+                stmt = conn.createStatement()
+                has_rs = stmt.execute(statement)
+            if has_rs:
+                return self._resultset_to_df(stmt.getResultSet())
+            return None
+        finally:
+            conn.close()
+
+    _JDBC_TO_SPARK = {
+        -7: "boolean", 16: "boolean",
+        -6: "short", 5: "short",
+        4: "int",
+        -5: "long",
+        6: "double", 8: "double",
+        7: "float",
+        2: "decimal(38,18)", 3: "decimal(38,18)",
+        91: "date",
+        93: "timestamp",
+        -2: "binary", -3: "binary", -4: "binary",
+    }
+
+    def _resultset_to_df(self, rs) -> DataFrame:
+        from datetime import date, datetime
+        from decimal import Decimal
+
+        meta = rs.getMetaData()
+        n = meta.getColumnCount()
+        names = [meta.getColumnLabel(i + 1) for i in range(n)]
+        types = [self._JDBC_TO_SPARK.get(meta.getColumnType(i + 1), "string") for i in range(n)]
+        schema = ", ".join(f"`{name}` {t}" for name, t in zip(names, types))
+
+        rows = []
+        while rs.next():
+            row = []
+            for i, t in enumerate(types):
+                value = rs.getObject(i + 1)
+                if value is None:
+                    row.append(None)
+                elif t in ("int", "long", "short"):
+                    row.append(int(value if not hasattr(value, "longValue") else value.longValue()))
+                elif t in ("double", "float"):
+                    row.append(float(value if not hasattr(value, "doubleValue") else value.doubleValue()))
+                elif t.startswith("decimal"):
+                    row.append(Decimal(str(value)))
+                elif t == "boolean":
+                    row.append(bool(value))
+                elif t == "date":
+                    row.append(date.fromisoformat(str(value)))
+                elif t == "timestamp":
+                    row.append(datetime.fromisoformat(str(value).replace(" ", "T")[:26]))
+                elif t == "binary":
+                    row.append(bytes(value))
+                else:
+                    row.append(str(value))
+            rows.append(tuple(row))
+        return self.spark.createDataFrame(rows, schema)
+
+
+# --- concrete connections ----------------------------------------------------
+
+
+@dataclass
+class Postgres(JDBCConnection):
+    DRIVER = "org.postgresql.Driver"
+    DEFAULT_PORT = 5432
+    dialect_class = PostgresDialect
+
+    @property
+    def jdbc_url(self) -> str:
+        return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
+
+    def jdbc_params(self, fetchsize: int | None = None) -> dict[str, str]:
+        params = super().jdbc_params(fetchsize)
+        # reference forces stringtype=unspecified (postgres/connection.py Extra)
+        params.setdefault("stringtype", "unspecified")
+        for k, v in self.extra.items():
+            params.setdefault(k, str(v))
+        return params
+
+    @classmethod
+    def get_packages(cls) -> list[str]:
+        return ["org.postgresql:postgresql:42.7.4"]
+
+
+@dataclass
+class MySQL(JDBCConnection):
+    DRIVER = "com.mysql.cj.jdbc.Driver"
+    DEFAULT_PORT = 3306
+    dialect_class = MySQLDialect
+
+    @property
+    def jdbc_url(self) -> str:
+        db = f"/{self.database}" if self.database else ""
+        return f"jdbc:mysql://{self.host}:{self.port}{db}"
+
+    @classmethod
+    def get_packages(cls) -> list[str]:
+        return ["com.mysql:mysql-connector-j:9.1.0"]
+
+
+@dataclass
+class MSSQL(JDBCConnection):
+    DRIVER = "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    DEFAULT_PORT = 1433
+    dialect_class = MSSQLDialect
+
+    @property
+    def jdbc_url(self) -> str:
+        props = {"databaseName": self.database, **self.extra}
+        tail = ";".join(f"{k}={v}" for k, v in props.items() if v is not None)
+        return f"jdbc:sqlserver://{self.host}:{self.port};{tail}"
+
+    @classmethod
+    def get_packages(cls) -> list[str]:
+        return ["com.microsoft.sqlserver:mssql-jdbc:12.8.1.jre11"]
+
+
+@dataclass
+class Oracle(JDBCConnection):
+    DRIVER = "oracle.jdbc.driver.OracleDriver"
+    DEFAULT_PORT = 1521
+    dialect_class = OracleDialect
+    sid: str | None = None
+    service_name: str | None = None
+
+    @property
+    def jdbc_url(self) -> str:
+        if self.sid:
+            return f"jdbc:oracle:thin:@{self.host}:{self.port}:{self.sid}"
+        return f"jdbc:oracle:thin:@//{self.host}:{self.port}/{self.service_name}"
+
+    @classmethod
+    def get_packages(cls) -> list[str]:
+        return ["com.oracle.database.jdbc:ojdbc8:23.5.0.24.07"]
+
+
+@dataclass
+class Clickhouse(JDBCConnection):
+    DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
+    DEFAULT_PORT = 8123
+    dialect_class = ClickhouseDialect
+
+    @property
+    def jdbc_url(self) -> str:
+        db = f"/{self.database}" if self.database else ""
+        return f"jdbc:clickhouse://{self.host}:{self.port}{db}"
+
+    @classmethod
+    def get_packages(cls) -> list[str]:
+        return ["com.clickhouse:clickhouse-jdbc:0.6.5", "org.apache.httpcomponents.client5:httpclient5:5.3.1"]
