@@ -1,0 +1,127 @@
+"""Hooks, plugins, metrics, logging."""
+
+import logging
+
+import pytest
+
+from onetl_spark.hooks import resume_all_hooks, slot, stop_all_hooks, support_hooks
+from onetl_spark.metrics import SparkMetricsRecorder, override_job_description
+
+
+@support_hooks
+class Service:
+    def __init__(self):
+        self.calls = []
+
+    @slot
+    def action(self, x):
+        self.calls.append(x)
+        return x * 2
+
+
+@pytest.fixture(autouse=True)
+def fresh_slots():
+    Service.action.hooks.clear()
+    resume_all_hooks()
+    yield
+    Service.action.hooks.clear()
+    resume_all_hooks()
+
+
+def test_before_hook_runs_in_priority_order():
+    order = []
+
+    @Service.action.bind
+    def first(service, x):
+        order.append(("first", x))
+
+    @Service.action.bind(priority=-5)
+    def earlier(service, x):
+        order.append(("earlier", x))
+
+    svc = Service()
+    assert svc.action(3) == 6
+    assert order == [("earlier", 3), ("first", 3)]
+
+
+def test_generator_hook_wraps_and_replaces_result():
+    events = []
+
+    @Service.action.bind
+    def wrapper(service, x):
+        events.append("before")
+        result = yield
+        events.append(f"after:{result}")
+        yield result + 1  # replace
+
+    svc = Service()
+    assert svc.action(5) == 11
+    assert events == ["before", "after:10"]
+
+
+def test_hook_disable_and_global_stop():
+    calls = []
+
+    @Service.action.bind
+    def h(service, x):
+        calls.append(x)
+
+    svc = Service()
+    svc.action(1)
+    h.disable()
+    svc.action(2)
+    h.enable()
+    stop_all_hooks()
+    svc.action(3)
+    resume_all_hooks()
+    svc.action(4)
+    assert calls == [1, 4]
+
+
+def test_skip_hooks_context():
+    calls = []
+
+    @Service.action.bind
+    def h(service, x):
+        calls.append(x)
+
+    svc = Service()
+    with Service.action.skip_hooks():
+        svc.action(1)
+    svc.action(2)
+    assert calls == [2]
+
+
+def test_plugins_no_entry_points():
+    from onetl_spark.plugins import import_plugins
+
+    assert import_plugins() == []
+
+
+def test_metrics_recorder_captures_rows(spark, sf_dir, testdata):
+    with SparkMetricsRecorder(spark) as recorder:
+        spark.table("orders").selectExpr("sum(o_totalprice)").collect()
+    metrics = recorder.metrics()
+    assert metrics.executions >= 1
+    assert metrics.output_rows >= 1  # scan emitted rows
+
+
+def test_override_job_description(spark):
+    sc = spark.sparkContext
+    with override_job_description(spark, "my-etl-job"):
+        assert sc.getLocalProperty("spark.job.description") == "my-etl-job"
+    assert sc.getLocalProperty("spark.job.description") != "my-etl-job"
+
+
+def test_logging_helpers(caplog):
+    from onetl_spark.log import entity_boundary_log, log_collection, log_json, log_with_indent
+
+    logger = logging.getLogger("test-onetl-log")
+    with caplog.at_level(logging.INFO, logger="test-onetl-log"):
+        entity_boundary_log(logger, "start")
+        log_with_indent(logger, "key = %r", "value")
+        log_json(logger, {"a": 1}, name="opts")
+        log_collection(logger, "files", ["x", "y", "z"], max_items=2)
+    text = caplog.text
+    assert "start" in text and "key = 'value'" in text and '"a": 1' in text
+    assert "... 1 more" in text
