@@ -38,6 +38,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "embedding_near_dup_pairs",
     "multimodal_features",
+    "asof_join_events",
+    "range_join_events",
 ]
 
 

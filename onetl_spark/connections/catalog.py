@@ -63,10 +63,8 @@ def read_table(spark: SparkSession, data_dir: str, name: str):
         # otherwise fail to load at all)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")),
-        )
+        # integer division: double division of ns epochs loses µs precision
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
 
 

@@ -1,0 +1,135 @@
+"""Temporal join operators Spark lacks natively: as-of join and range join.
+
+Both are built from shuffle-friendly compositions of stock DataFrame ops
+(SURVEY build-plan rule: composition first, Pandas UDF only if semantics
+demand it):
+
+- ``asof_join`` uses the union-and-carry-forward trick: tag both inputs,
+  union them, and for each right row compute the ``last`` left row earlier
+  than it with a window ordered by time within the join keys. One shuffle
+  on (keys), no per-row range probes, no cross join — this is how as-of
+  joins are done at 100 TB (the sort is the shuffle's sort, amortized).
+- ``range_join`` buckets time into ``bucket_width`` intervals and joins on
+  bucket equality (left row joins buckets floor(lo/w)..floor(hi/w)) before
+  applying the exact range predicate — turning an inequality join (which
+  Spark would execute as a broadcast nested loop) into an equi-join +
+  filter with bounded fan-out.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] = (),
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each LEFT row, attach the most recent RIGHT row with
+    ``right.on <= left.on`` (direction='backward'; 'forward' gives the
+    next ``right.on >= left.on``), optionally matching ``by`` keys.
+
+    Returns all left columns plus every non-key right column suffixed.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = list(by)
+
+    right_cols = [c for c in right.columns if c != on and c not in by]
+    renamed = right
+    for c in right_cols:
+        renamed = renamed.withColumnRenamed(c, c + suffix)
+    right_value_cols = [c + suffix for c in right_cols]
+
+    l_tagged = left.withColumn("_side", F.lit(1)).withColumn(f"{on}{suffix}", F.lit(None).cast(right.schema[on].dataType))
+    r_tagged = (
+        renamed.withColumn("_side", F.lit(0))
+        .withColumn(f"{on}{suffix}", F.col(on))
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in right_value_cols:
+        if c not in l_tagged.columns:
+            l_tagged = l_tagged.withColumn(c, F.lit(None).cast(renamed.schema[c].dataType))
+
+    all_cols = left.columns + [f"{on}{suffix}"] + right_value_cols + ["_side"]
+    unioned = l_tagged.select(*all_cols).unionByName(r_tagged.select(*all_cols))
+
+    if direction == "backward":
+        # right rows sort before left rows at equal time → carry forward
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+    else:
+        w = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).desc(), F.col("_side").asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+
+    carried = unioned.select(
+        *left.columns,
+        F.col("_side"),
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in [f"{on}{suffix}", *right_value_cols]
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lower,
+    left_upper,
+    right_point: str,
+    on: Sequence[str] = (),
+    bucket_width: float | int = None,
+) -> DataFrame:
+    """Join each LEFT interval [left_lower, left_upper] with RIGHT rows
+    whose ``right_point`` falls inside it (inclusive), using time-bucket
+    equi-join + exact filter instead of an inequality join.
+
+    ``left_lower``/``left_upper`` are column names or Columns on left;
+    ``bucket_width`` must be >= the maximum interval width (numeric, in
+    the column's units — seconds for timestamps).
+    """
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("bucket_width (> 0, >= max interval width) is required")
+    on = list(on)
+
+    lo = F.col(left_lower) if isinstance(left_lower, str) else left_lower
+    hi = F.col(left_upper) if isinstance(left_upper, str) else left_upper
+    point = F.col(right_point)
+
+    # timestamp→double cast yields epoch seconds incl. fractional part
+    width = float(bucket_width)
+    l_prep = (
+        left.withColumn("_lo_b", F.floor(lo.cast("double") / width))
+        .withColumn("_hi_b", F.floor(hi.cast("double") / width))
+        # width >= max interval ⇒ at most 2 buckets per left interval
+        .withColumn("_bucket", F.explode(F.sequence(F.col("_lo_b"), F.col("_hi_b"))))
+        .drop("_lo_b", "_hi_b")
+    )
+    r_prep = right.withColumn("_bucket", F.floor(point.cast("double") / width))
+
+    cond = [l_prep["_bucket"] == r_prep["_bucket"]]
+    for key in on:
+        cond.append(l_prep[key] == r_prep[key])
+    joined = l_prep.join(r_prep, cond).filter((point >= lo) & (point <= hi))
+    out = joined.drop(l_prep["_bucket"]).drop(r_prep["_bucket"])
+    for key in on:
+        out = out.drop(r_prep[key])
+    return out

@@ -1,0 +1,92 @@
+"""Temporal operator showcase: as-of join and range join over ``events``.
+
+DuckDB's native ``ASOF JOIN`` and a plain inequality join serve as the
+independent oracles. Events carry nanosecond timestamps in parquet; the
+Spark side reads them truncated to microseconds (catalog.read_table), so
+oracles CAST to TIMESTAMP (µs) for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.operators.temporal import asof_join, range_join
+from onetl_spark.showcase.util import ensure_views
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 'error' event matched to the same user's most recent 'purchase'
+    at or before it (classic as-of enrichment)."""
+    ensure_views(spark, sf_dir)
+    events = spark.table("events")
+    errors = events.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    purchases = events.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    return asof_join(errors, purchases, on="ts", by=["user_id"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("value_right").alias("purchase_value"),
+    )
+
+
+ASOF_SQL = """
+SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+       CAST(r.ts AS TIMESTAMP) AS purchase_ts, r.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+"""
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within one hour after each purchase by the same user —
+    bucketed equi-join instead of an inequality join."""
+    ensure_views(spark, sf_dir)
+    events = spark.table("events")
+    purchases = (
+        events.filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("window_end"),
+        )
+    )
+    errors = events.filter("event_type = 'error'").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("error_ts"),
+    )
+    joined = range_join(
+        purchases,
+        errors,
+        left_lower="purchase_ts",
+        left_upper="window_end",
+        right_point="error_ts",
+        on=["user_id"],
+        bucket_width=3600,
+    )
+    return joined.select("purchase_id", "user_id", "purchase_ts", "error_id", "error_ts").distinct()
+
+
+RANGE_SQL = """
+SELECT DISTINCT p.event_id AS purchase_id, p.user_id,
+       CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+       e.event_id AS error_id, CAST(e.ts AS TIMESTAMP) AS error_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+ AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+"""
+
+
+SPARK_QUERIES = {
+    "asof_join_events": asof_join_events,
+    "range_join_events": range_join_events,
+}
+
+ORACLE_SQL = {
+    "asof_join_events": ASOF_SQL,
+    "range_join_events": RANGE_SQL,
+}

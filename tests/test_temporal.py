@@ -1,0 +1,57 @@
+"""as-of join / range join semantics on crafted data."""
+
+from pyspark.sql import functions as F
+
+from onetl_spark.operators.temporal import asof_join, range_join
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 25), (3, "b", 10), (4, "b", 5)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 100.0), ("a", 20, 200.0), ("b", 7, 700.0)],
+        "k string, t long, v double",
+    )
+    out = {r["id"]: (r["t_right"], r["v_right"]) for r in asof_join(left, right, on="t", by=["k"]).collect()}
+    assert out[1] == (10, 100.0)   # equal time matches
+    assert out[2] == (20, 200.0)   # most recent earlier
+    assert out[3] == (7, 700.0)
+    assert out[4] == (None, None)  # nothing earlier → left join null
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, 10), (2, 30)], "id long, t long")
+    right = spark.createDataFrame([(15, 1.0), (25, 2.0)], "t long, v double")
+    out = {r["id"]: r["v_right"] for r in asof_join(left, right, on="t", direction="forward").collect()}
+    assert out[1] == 1.0   # next value at t>=10 is 15
+    assert out[2] is None  # nothing at or after 30
+
+
+def test_range_join_inclusive_bounds(spark):
+    left = spark.createDataFrame([(1, 10.0, 20.0)], "lid long, lo double, hi double")
+    right = spark.createDataFrame(
+        [(100, 9.99), (101, 10.0), (102, 15.0), (103, 20.0), (104, 20.01)],
+        "rid long, p double",
+    )
+    out = sorted(
+        r["rid"]
+        for r in range_join(left, right, "lo", "hi", "p", bucket_width=10.0).collect()
+    )
+    assert out == [101, 102, 103]
+
+
+def test_range_join_with_keys_no_cross_bucket_dupes(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", 0.0, 50.0), (2, "u2", 0.0, 50.0)],
+        "lid long, k string, lo double, hi double",
+    )
+    right = spark.createDataFrame(
+        [("u1", 25.0), ("u2", 60.0), ("u1", 49.9999)],
+        "k string, p double",
+    )
+    rows = range_join(left, right, "lo", "hi", "p", on=["k"], bucket_width=50.0).collect()
+    assert sorted((r["lid"], r["p"]) for r in rows) == [(1, 25.0), (1, 49.9999)]
+    # output keeps exactly one copy of the key column
+    assert [c for c in rows[0].asDict() if c == "k"] == ["k"]
