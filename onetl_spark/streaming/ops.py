@@ -1,0 +1,119 @@
+"""Streaming operators: watermarked windowed aggregation, streaming dedup,
+and custom stateful operators via ``applyInPandasWithState``.
+
+The stateful path follows the Spark-first rule: built-ins first
+(``window``/``session_window``/``dropDuplicatesWithinWatermark``), and an
+Arrow-batched ``applyInPandasWithState`` only for semantics they can't
+express (arbitrary per-key running state).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_aggregate(
+    df: DataFrame,
+    time_col: str,
+    window_duration: str,
+    aggs: dict[str, Column],
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    group_by: Iterable[str] = (),
+) -> DataFrame:
+    """Tumbling/sliding event-time windows with a late-data watermark."""
+    withmark = df.withWatermark(time_col, watermark)
+    window = F.window(F.col(time_col), window_duration, slide) if slide else F.window(
+        F.col(time_col), window_duration,
+    )
+    grouped = withmark.groupBy(window.alias("win"), *group_by)
+    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *group_by,
+        *aggs.keys(),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    time_col: str,
+    gap: str,
+    aggs: dict[str, Column],
+    group_by: Iterable[str] = (),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) via the built-in ``session_window``."""
+    withmark = df.withWatermark(time_col, watermark)
+    grouped = withmark.groupBy(
+        F.session_window(F.col(time_col), gap).alias("session"),
+        *group_by,
+    )
+    out = grouped.agg(*[c.alias(name) for name, c in aggs.items()])
+    return out.select(
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        *group_by,
+        *aggs.keys(),
+    )
+
+
+def deduplicate_stream(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon — state is
+    bounded by the watermark, so it holds up on unbounded streams."""
+    return df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stateful_running_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum) maintained in
+    ``applyInPandasWithState`` — the pattern for state the built-ins can't
+    express. Emits one row per key per micro-batch with updated totals.
+    """
+    output_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType) for c in key_cols]
+        + [
+            T.StructField("running_count", T.LongType()),
+            T.StructField("running_sum", T.DoubleType()),
+        ],
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("count", T.LongType()),
+            T.StructField("sum", T.DoubleType()),
+        ],
+    )
+
+    def update(key, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            [[*key, count, total]],
+            columns=[*key_cols, "running_count", "running_sum"],
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,145 @@
+"""Structured Streaming extension tests: file-source streams driven with
+availableNow triggers into memory sinks."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from onetl_spark.file.format import JSONLine
+from onetl_spark.streaming import (
+    StreamDFReader,
+    StreamDFWriter,
+    StreamWriteOptions,
+    deduplicate_stream,
+    sessionize,
+    stateful_running_agg,
+    windowed_aggregate,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("user", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ],
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        (1, "u1", "2026-01-01 10:00:00", 1.0),
+        (2, "u1", "2026-01-01 10:02:00", 2.0),
+        (3, "u2", "2026-01-01 10:00:30", 5.0),
+        (2, "u1", "2026-01-01 10:02:00", 2.0),   # duplicate id
+        (4, "u1", "2026-01-01 10:30:00", 4.0),   # new session for u1
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, v) for i, u, t, v in rows], "id long, user string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").json(str(src))
+    return str(src)
+
+
+def run_to_memory(spark, df, name, tmp_path, output_mode="append"):
+    writer = StreamDFWriter(
+        format="memory",
+        options=StreamWriteOptions(
+            output_mode=output_mode,
+            checkpoint_location=str(tmp_path / f"ckpt-{name}"),
+            trigger={"availableNow": True},
+            query_name=name,
+        ),
+    )
+    query = writer.run(df)
+    query.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_read_and_windowed_aggregate(spark, stream_dir, tmp_path):
+    stream = StreamDFReader(spark, JSONLine(), stream_dir, SCHEMA).run()
+    assert stream.isStreaming
+    agg = windowed_aggregate(
+        stream,
+        time_col="ts",
+        window_duration="10 minutes",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+        group_by=["user"],
+        watermark="1 minute",
+    )
+    out = run_to_memory(spark, agg, "win_agg", tmp_path)
+    rows = {(r["user"], str(r["window_start"])): (r["n"], r["total"]) for r in out.collect()}
+    assert rows[("u1", "2026-01-01 10:00:00")] == (3, 5.0)
+    assert rows[("u2", "2026-01-01 10:00:00")] == (1, 5.0)
+    # the 10:30 window is NOT finalized: watermark = max_ts - 1min < window
+    # end, so append mode correctly withholds it until later data arrives
+    assert ("u1", "2026-01-01 10:30:00") not in rows
+
+
+def test_stream_dedup(spark, stream_dir, tmp_path):
+    stream = StreamDFReader(spark, JSONLine(), stream_dir, SCHEMA).run()
+    deduped = deduplicate_stream(stream, keys=["id"], time_col="ts", watermark="1 hour")
+    out = run_to_memory(spark, deduped, "dedup", tmp_path)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 2, 3, 4]
+
+
+def test_sessionize(spark, stream_dir, tmp_path):
+    stream = StreamDFReader(spark, JSONLine(), stream_dir, SCHEMA).run()
+    sessions = sessionize(
+        stream,
+        time_col="ts",
+        gap="5 minutes",
+        aggs={"n_events": F.count(F.lit(1))},
+        group_by=["user"],
+        watermark="1 minute",
+    )
+    out = run_to_memory(spark, sessions, "sessions", tmp_path)
+    rows = sorted((r["user"], r["n_events"]) for r in out.collect())
+    # u1: 10:00/10:02 (+dup) form one closed session; the 10:30 session is
+    # still open at the final watermark (10:29) so it is correctly withheld
+    assert rows == [("u1", 3), ("u2", 1)]
+
+
+def test_stateful_running_agg(spark, stream_dir, tmp_path):
+    stream = StreamDFReader(spark, JSONLine(), stream_dir, SCHEMA).run()
+    running = stateful_running_agg(stream, key_cols=["user"], value_col="value")
+    out = run_to_memory(spark, running, "running", tmp_path, output_mode="update")
+    rows = {r["user"]: (r["running_count"], r["running_sum"]) for r in out.collect()}
+    assert rows["u1"] == (4, 9.0)
+    assert rows["u2"] == (1, 5.0)
+
+
+def test_file_sink_roundtrip(spark, stream_dir, tmp_path):
+    stream = StreamDFReader(spark, JSONLine(), stream_dir, SCHEMA).run()
+    target = str(tmp_path / "out")
+    from onetl_spark.file.format import Parquet
+
+    writer = StreamDFWriter(
+        format=Parquet(),
+        target_path=target,
+        options=StreamWriteOptions(
+            checkpoint_location=str(tmp_path / "ckpt-sink"),
+            trigger={"availableNow": True},
+        ),
+    )
+    query = writer.run(stream)
+    query.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 5
+
+
+def test_writer_rejects_batch_df(spark):
+    with pytest.raises(ValueError):
+        StreamDFWriter(format="memory").run(spark.range(3))
