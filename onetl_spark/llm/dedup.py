@@ -124,27 +124,26 @@ def minhash_lsh_pairs(
     least one LSH band AND has exact Jaccard >= threshold.
     """
     rows = num_perm // bands
-    shingled = df.select(
+    # persist HASHED shingle sets (long arrays ≈ 10× smaller than string
+    # arrays to cache); Jaccard is verified over the hash sets — identical
+    # to string-shingle Jaccard modulo md5 collisions, and the showcase
+    # oracle intersects the same hash lists, so results stay exact
+    hashed = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col)).alias("_shingles"),
+        shingle_hashes(F.col(text_col)).alias("_h"),
     ).persist()
-    # derive hashes from the persisted shingle column — shingling runs once
-    hashes = shingled.select(
-        "_id",
-        F.explode(F.transform("_shingles", lambda s: md5_long(s) % MOD)).alias("_h"),
-    )
+    exploded = hashed.select("_id", F.explode("_h").alias("_hx"))
     aggs = [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MOD).alias(f"_s{i}")
+        F.min((F.lit(a) * F.col("_hx") + F.lit(b)) % MOD).alias(f"_s{i}")
         for i, (a, b) in enumerate(perm_constants(num_perm))
     ]
     sig = (
-        hashes.groupBy("_id")
+        exploded.groupBy("_id")
         .agg(*aggs)
         .select("_id", F.array(*[f"_s{i}" for i in range(num_perm)]).alias("_sig"))
     )
-    base = shingled.join(sig, "_id").persist()
 
-    banded = base.select(
+    banded = sig.select(
         "_id",
         F.posexplode(
             F.transform(
@@ -169,8 +168,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    a = base.select(F.col("_id").alias("a_id"), F.col("_shingles").alias("a_sh"))
-    b = base.select(F.col("_id").alias("b_id"), F.col("_shingles").alias("b_sh"))
+    a = hashed.select(F.col("_id").alias("a_id"), F.col("_h").alias("a_sh"))
+    b = hashed.select(F.col("_id").alias("b_id"), F.col("_h").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
     return (

@@ -90,12 +90,23 @@ def near_dup_pairs_by_label(
     block_col: str = "label",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking groups
-    (block_col keeps the pair join off the full cross product)."""
+    (block_col keeps the pair join off the full cross product).
+
+    Norms are precomputed per ROW before the pair join (computing them
+    inside the pair expression re-evaluates each norm once per pair —
+    O(pairs·d) extra work). ``dot/(na·nb)`` is arithmetically identical.
+    """
     left = embeddings.select(
-        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        norm(F.col(vec_col)).alias("a_norm"),
+        F.col(block_col).alias("_blk"),
     )
     right = embeddings.select(
-        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        norm(F.col(vec_col)).alias("b_norm"),
+        F.col(block_col).alias("_blk"),
     )
     return (
         left.join(right, "_blk")
@@ -103,7 +114,9 @@ def near_dup_pairs_by_label(
         .select(
             "a_id",
             "b_id",
-            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 9).alias("cos_sim"),
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm")), 9,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

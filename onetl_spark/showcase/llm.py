@@ -165,7 +165,7 @@ WITH tok AS (
          list_transform(shingles, s -> {SQL_MD5LONG.format(x='s')} % {MOD}) AS h
   FROM sh
 ), sig AS (
-  SELECT doc_id, shingles, {_sql_sig_entries()} AS sig FROM hs
+  SELECT doc_id, h, {_sql_sig_entries()} AS sig FROM hs
 ), bands AS (
   SELECT doc_id, b AS band_id,
          md5(array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], ',')) AS band_key
@@ -175,10 +175,12 @@ WITH tok AS (
   FROM bands l JOIN bands r
     ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 ), ver AS (
+  -- verification intersects the HASHED shingle sets, mirroring the Spark
+  -- pipeline (which caches long arrays instead of string arrays)
   SELECT a_id, b_id,
-         round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
-               (len(sa.shingles) + len(sb.shingles)
-                - len(list_intersect(sa.shingles, sb.shingles))), 9) AS jaccard
+         round(len(list_intersect(sa.h, sb.h)) * 1.0 /
+               (len(sa.h) + len(sb.h)
+                - len(list_intersect(sa.h, sb.h))), 9) AS jaccard
   FROM cand
   JOIN sig sa ON sa.doc_id = a_id
   JOIN sig sb ON sb.doc_id = b_id

@@ -152,6 +152,40 @@ WHERE l_quantity >= 25
 """
 
 
+def incremental_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IncrementalStrategy resume semantics (SURVEY §2.3): a saved HWM at
+    mid-range makes the next run read only rows PAST it (exclusive start),
+    and the strategy pins the new HWM at the observed max."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.hwm.store import MemoryHWMStore
+    from onetl_spark.strategy import IncrementalStrategy
+
+    conn = SparkSQLConnection(spark)
+    _, hi = conn.get_min_max_values("orders", Window("o_orderkey"))
+    mid = hi // 2
+    reader = DBReader(
+        conn,
+        source="orders",
+        columns=["o_orderkey", "o_totalprice"],
+        hwm=ColumnIntHWM(name="showcase_inc_resume", expression="o_orderkey"),
+    )
+    with MemoryHWMStore() as store:
+        saved = ColumnIntHWM(name="showcase_inc_resume", expression="o_orderkey")
+        saved.update(mid)
+        store.set_hwm(saved)
+        with IncrementalStrategy():
+            df = reader.run()
+        assert store.get_hwm("showcase_inc_resume").value == hi
+    return df
+
+
+INCREMENTAL_RESUME_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_orderkey > (SELECT MAX(o_orderkey) // 2 FROM orders)
+"""
+
+
 def partitioned_scan_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-partitioned parallel scan (SURVEY §2.1 'JDBC partitioned scan
     (hash)'): the dialect synthesizes a hash partition expression, the scan
@@ -285,6 +319,7 @@ SPARK_QUERIES = {
     "dbreader_minmax_probe": dbreader_minmax_probe,
     "snapshot_batch_union": snapshot_batch_union,
     "incremental_batch_union": incremental_batch_union,
+    "incremental_resume": incremental_resume,
     "partitioned_scan_hash": partitioned_scan_hash,
     "partitioned_scan_mod": partitioned_scan_mod,
     "write_roundtrip_modes": write_roundtrip_modes,
@@ -297,6 +332,7 @@ ORACLE_SQL = {
     "dbreader_minmax_probe": DBREADER_MINMAX_SQL,
     "snapshot_batch_union": SNAPSHOT_BATCH_SQL,
     "incremental_batch_union": INCREMENTAL_BATCH_SQL,
+    "incremental_resume": INCREMENTAL_RESUME_SQL,
     "partitioned_scan_hash": PARTITIONED_HASH_SQL,
     "partitioned_scan_mod": PARTITIONED_MOD_SQL,
     "write_roundtrip_modes": WRITE_ROUNDTRIP_SQL,
