@@ -33,7 +33,11 @@ class Avro(FileFormat):
 
     def check_if_supported(self, spark: SparkSession) -> None:
         try:
-            spark._jvm.org.apache.spark.sql.avro.functions  # noqa: B018
+            # resolves the registered data source, not just the class (the
+            # avro shim classes ship with pyspark but the provider doesn't)
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf(),
+            )
         except Exception as e:
             raise RuntimeError(
                 "Avro requires the spark-avro package "

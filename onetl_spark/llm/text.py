@@ -114,3 +114,36 @@ def md5_long(col: Column) -> Column:
     """64-bit-ish hash from md5 (first 15 hex chars → bigint): identical in
     DuckDB as ``('0x' || substr(md5(x),1,15))::BIGINT``."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+    """Top-k TF-IDF terms per document.
+
+    Shuffle structure: explode → (doc, term) count agg → term doc-freq agg
+    (map-side combined) → broadcast of the tiny (term, df) table back —
+    no driver collect, no cross join on data.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    words = df.select(F.col(id_col).alias("_id"), F.explode(word_tokens(text_col)).alias("_w"))
+    tf = words.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "_w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9))
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("_w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_w").alias("term"),
+            "tf",
+            "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -355,3 +355,32 @@ ORACLE_SQL = {
     "embedding_near_dup_pairs": NEAR_DUP_SQL,
     "multimodal_features": MULTIMODAL_SQL,
 }
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return text.tfidf_top_terms(spark.table("documents"), k=3)
+
+
+TFIDF_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w
+), docfreq AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, w, tf, round(tf * ln(n_docs * 1.0 / df), 9) AS tfidf
+  FROM tf JOIN docfreq USING (w) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, w AS term, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+SPARK_QUERIES["text_tfidf_top_terms"] = text_tfidf_top_terms
+ORACLE_SQL["text_tfidf_top_terms"] = TFIDF_SQL

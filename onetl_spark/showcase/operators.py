@@ -338,3 +338,24 @@ ORACLE_SQL = {
     "write_roundtrip_modes": WRITE_ROUNDTRIP_SQL,
     "filedf_csv_roundtrip": FILEDF_CSV_SQL,
 }
+
+
+def dbreader_has_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """has_data probe (SURVEY §2.1): limit-1 existence checks on a
+    populated and a provably-empty filter."""
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    populated = DBReader(conn, "orders", where="o_totalprice > 0").has_data()
+    empty = DBReader(conn, "orders", where="o_totalprice < 0").has_data()
+    return spark.createDataFrame(
+        [(populated, empty)], "has_rows boolean, has_rows_empty boolean",
+    )
+
+
+DBREADER_HAS_DATA_SQL = """
+SELECT (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0) > 0 AS has_rows,
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0) > 0 AS has_rows_empty
+"""
+
+SPARK_QUERIES["dbreader_has_data"] = dbreader_has_data
+ORACLE_SQL["dbreader_has_data"] = DBREADER_HAS_DATA_SQL

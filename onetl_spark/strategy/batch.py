@@ -43,10 +43,6 @@ class BatchHWMStrategy(HWMStrategy):
 
     def __next__(self) -> "BatchHWMStrategy":
         self._iteration += 1
-        if self._iteration >= self.MAX_ITERATIONS:
-            raise StrategyError(
-                f"Batch strategy exceeded MAX_ITERATIONS={self.MAX_ITERATIONS}",
-            )
         if self._iteration == 0:
             # first window is read with whatever bounds the reader computes
             return self
@@ -59,6 +55,12 @@ class BatchHWMStrategy(HWMStrategy):
         self.current_including = False
         if self.is_finished:
             raise StopIteration
+        if self._iteration >= self.MAX_ITERATIONS:
+            # guard AFTER the natural termination checks so a range that
+            # needs exactly MAX_ITERATIONS chunks still completes
+            raise StrategyError(
+                f"Batch strategy exceeded MAX_ITERATIONS={self.MAX_ITERATIONS}",
+            )
         return self
 
     # --- window planning (called by the reader) -------------------------------
