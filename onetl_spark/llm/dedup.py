@@ -254,3 +254,64 @@ def simhash_signatures(
         .join(sig.withColumnRenamed("_id", id_col), id_col, "left")
         .select(id_col, F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected-component dedup: given near-duplicate pairs (a_id, b_id),
+    assign every document the MIN doc id of its duplicate group
+    (``rep_id``); documents not in any pair represent themselves.
+
+    Label propagation: each round every node takes the min label among
+    itself and its neighbours; rounds ≈ component diameter (near-dup
+    groups are tiny, so a handful of small joins — each one a shuffle on
+    the pair edges only, never on the corpus).
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionAll(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; near-dup groups are shallow
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    all_docs = df.select(F.col(id_col))
+    return (
+        all_docs.join(labels, all_docs[id_col] == labels.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("rep_id"),
+        )
+    )

@@ -384,3 +384,35 @@ SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
 
 SPARK_QUERIES["text_tfidf_top_terms"] = text_tfidf_top_terms
 ORACLE_SQL["text_tfidf_top_terms"] = TFIDF_SQL
+
+
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup groups from MinHash-verified pairs: every doc gets
+    the min doc_id of its duplicate component."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.dedup_survivors(docs, pairs)
+
+
+def _survivors_sql() -> str:
+    pairs_sql = _minhash_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+)
+SELECT d.doc_id, coalesce(MIN(reach.r), d.doc_id) AS rep_id
+FROM documents d LEFT JOIN reach ON reach.node = d.doc_id
+GROUP BY d.doc_id
+"""
+
+SPARK_QUERIES["dedup_survivors"] = dedup_survivors
+ORACLE_SQL["dedup_survivors"] = _survivors_sql()
