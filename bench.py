@@ -40,6 +40,8 @@ HEADLINE = [
     "multimodal_features",
     "asof_join_events",
     "range_join_events",
+    "dedup_survivors",
+    "text_tfidf_top_terms",
 ]
 
 

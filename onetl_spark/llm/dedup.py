@@ -260,15 +260,18 @@ def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    collect_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected-component dedup: given near-duplicate pairs (a_id, b_id),
     assign every document the MIN doc id of its duplicate group
     (``rep_id``); documents not in any pair represent themselves.
 
-    Label propagation: each round every node takes the min label among
-    itself and its neighbours; rounds ≈ component diameter (near-dup
-    groups are tiny, so a handful of small joins — each one a shuffle on
-    the pair edges only, never on the corpus).
+    The duplicate-pair graph is orders of magnitude smaller than the
+    corpus, so below ``collect_threshold`` edges we run exact union-find
+    on the driver (one collect of the edge list, microseconds of CPU) and
+    broadcast the mapping back — 3 Spark jobs total. Above the threshold
+    we fall back to distributed min-label propagation (each round joins
+    only the edge set; rounds ≈ component diameter).
     """
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -276,6 +279,37 @@ def dedup_survivors(
         .distinct()
         .persist()
     )
+
+    if edges.count() <= collect_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.collect():
+            a, b = find(row["src"]), find(row["dst"])
+            if a != b:
+                # min id becomes the representative
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        mapping = [(node, find(node)) for node in set(parent) | set(parent.values())]
+        edges.unpersist()
+        all_docs = df.select(F.col(id_col))
+        if not mapping:
+            return all_docs.select(F.col(id_col), F.col(id_col).alias("rep_id"))
+        spark = df.sparkSession
+        map_df = spark.createDataFrame(mapping, f"{id_col}_m BIGINT, rep BIGINT")
+        return (
+            all_docs.join(
+                F.broadcast(map_df), all_docs[id_col] == map_df[f"{id_col}_m"], "left",
+            )
+            .select(F.col(id_col), F.coalesce("rep", F.col(id_col)).alias("rep_id"))
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
