@@ -89,6 +89,9 @@ def main() -> None:
         start = time.perf_counter()
         execute_fully(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
+        # queries are independent runs: drop any operator-internal caches so
+        # one query's persisted intermediates can't thrash the next one
+        spark.catalog.clearCache()
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
     total = round(time.perf_counter() - total_start, 3)
 
