@@ -172,3 +172,65 @@ def lsh_bucket_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroid_filter: str = "vec_id % 64 = 7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids (a fixed id
+    predicate stands in for k-means init — reproducible on any engine).
+
+    Returns (id, centroid_id): every vector assigned to its highest-cosine
+    centroid. The centroid set is tiny → broadcast; assignment is one
+    scan + windowed argmin, no shuffle of the corpus."""
+    from pyspark.sql.window import Window as W
+
+    centroids = embeddings.filter(centroid_filter).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
+    scored = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"),
+    ).join(F.broadcast(centroids))
+    w = W.partitionBy(id_col).orderBy(
+        F.desc("ccos"), F.asc("centroid_id"),
+    )
+    return (
+        scored.withColumn(
+            "ccos",
+            F.round(dot(F.col(vec_col), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), 9),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    centroid_filter: str = "vec_id % 64 = 7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search (nprobe=1): candidates restricted to the query's cluster."""
+    assigned = ivf_assign(embeddings, centroid_filter, id_col, vec_col)
+    clustered = embeddings.join(assigned, id_col)
+    query = clustered.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("centroid_id").alias("_qc"),
+    )
+    return (
+        clustered.join(F.broadcast(query), F.col("centroid_id") == F.col("_qc"))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 9).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -416,3 +416,132 @@ GROUP BY d.doc_id
 
 SPARK_QUERIES["dedup_survivors"] = dedup_survivors
 ORACLE_SQL["dedup_survivors"] = _survivors_sql()
+
+
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composition: quality filter →
+    exact dedup (fingerprint) → near-dup removal (MinHash survivors).
+    The output is the cleaned corpus a pretraining run would consume."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+
+    scored = docs.select(
+        "doc_id", "lang",
+        text.quality_score("text").alias("quality"),
+        text.fingerprint("text").alias("fp"),
+    ).filter(F.col("quality") >= 0.5)
+
+    # exact dedup: survivor = min doc_id per fingerprint
+    fp_survivors = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = scored.join(fp_survivors, ["fp", "doc_id"]).select("doc_id", "lang", "quality")
+
+    # near-dup removal: keep only duplicate-group representatives
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    reps = dedup.dedup_survivors(docs, pairs)
+    return (
+        kept.join(reps, "doc_id")
+        .filter(F.col("rep_id") == F.col("doc_id"))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+def _corpus_pipeline_sql() -> str:
+    pairs_sql = _minhash_sql().strip().rstrip(";")
+    return rf"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+reps AS (
+  SELECT node, MIN(r) AS rep FROM reach GROUP BY node
+),
+qt AS (
+  SELECT doc_id, lang, {SQL_TOKENS} AS w, length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS n_punct,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, fp,
+         round(0.4 * least(len(w) / 100.0, 1.0)
+             + 0.3 * round(n_alpha * 1.0 / greatest(n_chars, 1), 9)
+             + 0.2 * least(len(list_intersect(list_distinct(w), {_EN})) / 5.0, 1.0)
+             + 0.1 * (1 - least(round(n_punct * 1.0 / greatest(n_chars, 1), 9) * 5, 1.0)), 9)
+           AS quality
+  FROM qt
+),
+scored AS (
+  SELECT * FROM q WHERE quality >= 0.5
+),
+fp_surv AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM scored GROUP BY fp
+)
+SELECT s.doc_id, s.lang, s.quality
+FROM scored s
+JOIN fp_surv f ON f.fp = s.fp AND f.doc_id = s.doc_id
+LEFT JOIN reps ON reps.node = s.doc_id
+WHERE coalesce(reps.rep, s.doc_id) = s.doc_id
+"""
+
+SPARK_QUERIES["training_corpus_pipeline"] = training_corpus_pipeline
+ORACLE_SQL["training_corpus_pipeline"] = _corpus_pipeline_sql()
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse centroids, cluster assignment,
+    then exact search within the query's cluster (the 100TB scale path:
+    broadcast centroids, no corpus shuffle, candidate set = one cluster)."""
+    ensure_views(spark, sf_dir)
+    return similarity.ivf_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
+_IVF_COS = (
+    "round(list_sum(list_transform(range(1, len({a}.embedding)+1), "
+    "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform({a}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform({b}.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)"
+)
+
+ANN_IVF_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 64 = 7
+), scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         {_IVF_COS.format(a='v', b='c')} AS ccos
+  FROM embeddings v CROSS JOIN centroids c
+), assigned AS (
+  SELECT vec_id, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+), q AS (
+  SELECT e.embedding AS qvec, a.centroid_id AS qc
+  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+  WHERE e.vec_id = 0
+)
+SELECT v.vec_id,
+       round(list_sum(list_transform(range(1, len(v.embedding)+1),
+             i -> CAST(v.embedding[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)
+         AS cos_sim
+FROM embeddings v
+JOIN assigned a ON a.vec_id = v.vec_id
+CROSS JOIN q
+WHERE a.centroid_id = q.qc AND v.vec_id <> 0
+ORDER BY cos_sim DESC, v.vec_id ASC
+LIMIT 10
+"""
+
+SPARK_QUERIES["ann_ivf_topk"] = ann_ivf_topk
+ORACLE_SQL["ann_ivf_topk"] = ANN_IVF_SQL

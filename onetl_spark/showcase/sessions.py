@@ -1,0 +1,104 @@
+"""Batch sessionization + bucketed-write showcase.
+
+``session_window`` (the streaming operator) also works on batch frames —
+the oracle reproduces it with classic gaps-and-islands SQL (LAG + running
+sum of gap breaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.showcase.util import dsum, ensure_views, sql_dsum
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap: built-in
+    session_window on a batch DataFrame (no state store needed)."""
+    ensure_views(spark, sf_dir)
+    events = spark.table("events")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes").alias("s"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# gaps-and-islands: a session breaks when the gap to the previous event
+# exceeds the threshold; session id = running count of breaks. The window
+# END differs from Spark's session_window (last_ts + gap), so compare on
+# session START + aggregates only.
+SESSIONIZATION_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL {SESSION_GAP_MIN} MINUTE THEN 0 ELSE 1 END AS brk
+  FROM e
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def bucketed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed + sorted managed-table write (SparkSQLWriteOptions
+    bucket_by/sort_by → hive/connection.py:533-568 semantics): co-locates
+    join/agg keys at write time so later joins on the bucket key avoid the
+    shuffle. Read back == source."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.connections import SparkSQLConnection, drop_table_completely
+    from onetl_spark.connections.sparksql import SparkSQLWriteOptions
+    from onetl_spark.db import DBWriter
+
+    conn = SparkSQLConnection(spark)
+    target = "showcase_bucketed_customer"
+    drop_table_completely(spark, target)
+    DBWriter(
+        conn,
+        target,
+        options=SparkSQLWriteOptions(
+            bucket_by=(4, ["c_custkey"]),
+            sort_by=["c_custkey"],
+        ),
+    ).run(spark.table("customer"))
+    return spark.table(target)
+
+
+BUCKETED_SQL = """
+SELECT * FROM customer
+"""
+
+
+SPARK_QUERIES = {
+    "events_sessionization": events_sessionization,
+    "bucketed_write_roundtrip": bucketed_write_roundtrip,
+}
+
+ORACLE_SQL = {
+    "events_sessionization": SESSIONIZATION_SQL,
+    "bucketed_write_roundtrip": BUCKETED_SQL,
+}
