@@ -42,6 +42,9 @@ HEADLINE = [
     "range_join_events",
     "dedup_survivors",
     "text_tfidf_top_terms",
+    "events_sessionization",
+    "ann_ivf_topk",
+    "training_corpus_pipeline",
 ]
 
 
