@@ -13,6 +13,8 @@ MobileTeleSystems/onetl (the reference), re-expressed Spark-first:
 - Driver-side file-transfer operators — ``onetl_spark.file.transfer``.
 - Large-scale training-data operators (dedup, similarity search, text
   analysis, multimodal columns) — ``onetl_spark.llm``.
+- Temporal joins (as-of, range) — ``onetl_spark.operators``.
+- Structured Streaming extension — ``onetl_spark.streaming``.
 
 All execution is delegated to Spark (DataFrame API / Catalyst); engine
 logic is query construction + state + orchestration, as in the reference
@@ -21,4 +23,25 @@ logic is query construction + state + orchestration, as in the reference
 
 from onetl_spark.version import __version__
 
-__all__ = ["__version__"]
+__all__ = [
+    "__version__",
+    "DBReader",
+    "DBWriter",
+    "SnapshotStrategy",
+    "SnapshotBatchStrategy",
+    "IncrementalStrategy",
+    "IncrementalBatchStrategy",
+]
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing pyspark at package import)
+    if name in ("DBReader", "DBWriter"):
+        from onetl_spark import db
+
+        return getattr(db, name)
+    if name.endswith("Strategy"):
+        from onetl_spark import strategy
+
+        return getattr(strategy, name)
+    raise AttributeError(name)

@@ -172,6 +172,31 @@ class Kafka:
         writer = writer.option("includeHeaders", "true" if self.include_headers else "false")
         writer.save()
 
+    def plan_incremental_read(
+        self,
+        topic: str,
+        hwm_value: dict[int, int] | None,
+        latest_offsets: dict[int, int],
+    ) -> tuple[dict[str, str], dict[int, int]]:
+        """Incremental offset-window planning (pure synthesis).
+
+        Given the saved ``KeyValueIntHWM`` value (partition → next offset)
+        and the broker's current end offsets, returns the Spark reader
+        options for the delta window and the NEW HWM value to persist on
+        success — the Kafka equivalent of the column-HWM
+        ``(hwm, max]`` window (kafka/connection.py:264-281 semantics,
+        new partitions start at 0).
+        """
+        from onetl_spark.hwm.window import Edge, Window
+
+        window = Window(
+            "offset",
+            start_from=Edge(dict(hwm_value or {})),
+            stop_at=Edge(dict(latest_offsets)),
+        )
+        options = self.read_options(topic, window, partitions=sorted(latest_offsets))
+        return options, dict(latest_offsets)
+
     @classmethod
     def get_packages(cls, spark_version: str = "4.0.0", scala_version: str = "2.13") -> list[str]:
         return [f"org.apache.spark:spark-sql-kafka-0-10_{scala_version}:{spark_version}"]

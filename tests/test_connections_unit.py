@@ -209,3 +209,27 @@ def test_greenplum_guard(spark):
 
     with pytest.raises(TooManyParallelJobsError):
         g._check_expected_jobs_number(df.repartition(50), action="read")
+
+
+def test_kafka_incremental_read_planning(spark):
+    from onetl_spark.hwm.types import KeyValueIntHWM
+
+    k = Kafka(spark, addresses=["b:9092"])
+    hwm = KeyValueIntHWM(name="topic_hwm")
+    hwm.update({0: 100, 1: 250})
+
+    # broker reports a new partition 2 and fresh data on 0/1
+    latest = {0: 180, 1: 250, 2: 40}
+    opts, new_value = k.plan_incremental_read("events", hwm.value, latest)
+
+    start = json.loads(opts["startingOffsets"])["events"]
+    stop = json.loads(opts["endingOffsets"])["events"]
+    assert start == {"0": 100, "1": 250, "2": 0}  # new partition from 0
+    assert stop == {"0": 180, "1": 250, "2": 40}
+
+    hwm.update(new_value)
+    assert hwm.value == {0: 180, 1: 250, 2: 40}
+
+    # first run ever: no hwm → everything from 0
+    opts2, _ = k.plan_incremental_read("events", None, {0: 10})
+    assert json.loads(opts2["startingOffsets"])["events"] == {"0": 0}
