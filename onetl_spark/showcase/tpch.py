@@ -327,3 +327,133 @@ ORACLE_SQL = {
     "semi_anti_join_customers": SEMI_ANTI_SQL,
     "events_daily_stats": EVENTS_STATS_SQL,
 }
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting revenue change — pure scan+filter+agg, the
+    canonical predicate-pushdown benchmark."""
+    ensure_views(spark, sf_dir)
+    l = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24),
+    )
+    return l.agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 8).alias("revenue"))
+
+
+Q6_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 8)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-ish: top-20 customers by revenue lost to returns."""
+    ensure_views(spark, sf_dir)
+    customer = spark.table("customer")
+    nation = spark.table("nation")
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")),
+    )
+    line = spark.table("lineitem").filter("l_returnflag = 'R'")
+    return (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-ish: share of revenue from promo parts (conditional agg
+    over a broadcast part join)."""
+    ensure_views(spark, sf_dir)
+    part = spark.table("part")
+    line = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")),
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(F.lit(0.0))
+    joined = line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+    return joined.agg(
+        (100.0 * dsum(promo, 8) / dsum(disc, 8)).alias("promo_revenue_pct"),
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * {sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 8)}
+       / {sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-ish: orders whose total quantity exceeds a threshold
+    (agg → semi-join back on the aggregated key)."""
+    ensure_views(spark, sf_dir)
+    line = spark.table("lineitem")
+    big_orders = (
+        line.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    return (
+        big_orders.join(orders, big_orders.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+) b
+JOIN orders   ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+SPARK_QUERIES.update({
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+})
+ORACLE_SQL.update({
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_volume_customers": Q18_SQL,
+})
