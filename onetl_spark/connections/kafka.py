@@ -78,7 +78,9 @@ def offsets_json(topic: str, per_partition: dict[int, int], default: int | str =
 
 def starting_offsets_from_hwm(topic: str, hwm_value: dict[int, int] | None, partitions: list[int]) -> str:
     """HWM offsets → startingOffsets JSON; unseen partitions start at 0."""
-    hwm_value = hwm_value or {}
+    # normalize keys defensively: a store round-trip may stringify them, and
+    # a str-keyed lookup miss would silently re-read whole topics
+    hwm_value = {int(k): int(v) for k, v in (hwm_value or {}).items()}
     return offsets_json(topic, {p: int(hwm_value.get(p, 0)) for p in partitions})
 
 

@@ -51,6 +51,10 @@ class HWM:
     def _coerce(self, value: Any) -> Any:
         return value
 
+    def _restore(self, value: Any) -> Any:
+        """Invert any JSON-safe representation produced by serialize()."""
+        return value
+
     def copy(self) -> "HWM":
         return copy.deepcopy(self)
 
@@ -92,7 +96,7 @@ class HWM:
             entity=data.get("entity"),
             expression=data.get("expression"),
         )
-        hwm.value = value
+        hwm.value = hwm._restore(value)
         mt = data.get("modified_time")
         hwm.modified_time = datetime.fromisoformat(mt) if mt else None
         return hwm
@@ -163,6 +167,12 @@ class KeyValueIntHWM(HWM):
         data["value"] = {str(k): v for k, v in (self.value or {}).items()}
         return data
 
+    def _restore(self, value: Any) -> dict[int, int]:
+        # serialize() stringifies partition keys for JSON/YAML safety;
+        # offsets must come back as int keys or incremental planning
+        # misses every partition and re-reads whole topics.
+        return {int(k): int(v) for k, v in (value or {}).items()}
+
 
 @dataclass
 class FileListHWM(HWM):
@@ -188,6 +198,9 @@ class FileListHWM(HWM):
         data = super().serialize()
         data["value"] = sorted(self.value or ())
         return data
+
+    def _restore(self, value: Any) -> frozenset:
+        return frozenset(value or ())
 
 
 @dataclass

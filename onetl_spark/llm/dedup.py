@@ -20,6 +20,7 @@ both Spark and DuckDB, so showcase oracles reproduce signatures exactly.
 from __future__ import annotations
 
 import functools
+import logging
 import operator
 
 from pyspark.sql import DataFrame
@@ -27,12 +28,15 @@ from pyspark.sql import functions as F
 
 from onetl_spark.llm.text import md5_long, word_tokens
 
+log = logging.getLogger(__name__)
+
 MOD = 1_000_000_007  # all permutation math stays < 2^61, no int64 overflow
 NUM_PERM = 32
 LSH_BANDS = 8
 LSH_ROWS = NUM_PERM // LSH_BANDS
 SHINGLE_N = 3
 SIMHASH_BITS = 48
+LSH_MAX_BUCKET = 1000  # max members per (band_id, band_key) bucket
 
 
 def perm_constants(num_perm: int = NUM_PERM) -> list[tuple[int, int]]:
@@ -116,12 +120,27 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
+    max_bucket_size: int = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding, verified
     with exact shingle Jaccard.
 
     Returns (a_id, b_id, jaccard) for every candidate pair that shares at
     least one LSH band AND has exact Jaccard >= threshold.
+
+    ``max_bucket_size`` caps the membership of a single (band_id, band_key)
+    bucket: a mass-duplicated document (boilerplate, empty pages) would put
+    k copies in one bucket and the self-join would emit k²/2 candidates —
+    the classic LSH blowup at web scale. Buckets above the cap are dropped
+    (standard web-dedup practice; the cap is a recall knob, so the dropped
+    count is logged, never silent). Mass-duplicate groups a cap could hide
+    should be removed by exact dedup BEFORE near-dup detection — see
+    ``training_corpus_pipeline``.
+
+    The returned pairs are eagerly materialized (``localCheckpoint``): the
+    output is orders of magnitude smaller than the corpus, and doing so
+    lets this function release its internal caches deterministically
+    instead of leaking them into executor memory across calls.
     """
     rows = num_perm // bands
     # persist HASHED shingle sets (long arrays ≈ 10× smaller than string
@@ -137,10 +156,13 @@ def minhash_lsh_pairs(
         F.min((F.lit(a) * F.col("_hx") + F.lit(b)) % MOD).alias(f"_s{i}")
         for i, (a, b) in enumerate(perm_constants(num_perm))
     ]
+    # persist signatures too: docs × num_perm longs, compact, and both the
+    # bucket-size audit and the candidate join re-derive banding from it
     sig = (
         exploded.groupBy("_id")
         .agg(*aggs)
         .select("_id", F.array(*[f"_s{i}" for i in range(num_perm)]).alias("_sig"))
+        .persist()
     )
 
     banded = sig.select(
@@ -154,6 +176,25 @@ def minhash_lsh_pairs(
             ),
         ).alias("band_id", "band_key"),
     )
+
+    # bucket-size cap: find over-capacity buckets (few, by construction) and
+    # anti-join them out before the quadratic-in-bucket-size self-join
+    oversized = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .select("band_id", "band_key")
+        .persist()
+    )
+    n_oversized = oversized.count()
+    if n_oversized:
+        log.warning(
+            "minhash_lsh_pairs: dropped %d LSH buckets larger than %d members; "
+            "recall is reduced for mass-duplicated documents — run exact dedup first",
+            n_oversized,
+            max_bucket_size,
+        )
+        banded = banded.join(F.broadcast(oversized), ["band_id", "band_key"], "left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -172,13 +213,18 @@ def minhash_lsh_pairs(
     b = hashed.select(F.col("_id").alias("b_id"), F.col("_h").alias("b_sh"))
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size("a_sh") + F.size("b_sh") - inter
-    return (
+    result = (
         candidates.join(a, "a_id")
         .join(b, "b_id")
         .withColumn("jaccard", F.round(inter / union, 9))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    oversized.unpersist()
+    sig.unpersist()
+    hashed.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(
@@ -341,9 +387,14 @@ def dedup_survivors(
         labels = updated
         if changed == 0:
             break
+    # labels is edge-node-sized (nodes appearing in any pair), far smaller
+    # than the corpus — checkpoint it so edges/labels caches can be released
+    final_map = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
     all_docs = df.select(F.col(id_col))
     return (
-        all_docs.join(labels, all_docs[id_col] == labels.node, "left")
+        all_docs.join(final_map, all_docs[id_col] == final_map.node, "left")
         .select(
             F.col(id_col),
             F.coalesce("label", F.col(id_col)).alias("rep_id"),

@@ -120,8 +120,12 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id", k: int =
     """Top-k TF-IDF terms per document.
 
     Shuffle structure: explode → (doc, term) count agg → term doc-freq agg
-    (map-side combined) → broadcast of the tiny (term, df) table back —
-    no driver collect, no cross join on data.
+    (map-side combined) → shuffle join of tf with (term, df) on the term
+    key — no driver collect, no cross join on data. docfreq is NOT
+    broadcast: the distinct vocabulary of a web-scale corpus is billions
+    of terms, and broadcasting it OOMs the driver/executors; both sides
+    are already keyed by term post-aggregation, so the sort-merge join is
+    the scale-safe plan (only the 1-row n_docs count is broadcast).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as W
@@ -131,7 +135,7 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id", k: int =
     docfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(docfreq), "_w")
+        tf.join(docfreq, "_w")
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 9))
     )

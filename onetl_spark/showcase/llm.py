@@ -10,7 +10,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onetl_spark.llm import dedup, multimodal, similarity, text
-from onetl_spark.llm.dedup import LSH_BANDS, LSH_ROWS, MOD, NUM_PERM, SIMHASH_BITS, perm_constants
+from onetl_spark.llm.dedup import (
+    LSH_BANDS,
+    LSH_MAX_BUCKET,
+    LSH_ROWS,
+    MOD,
+    NUM_PERM,
+    SIMHASH_BITS,
+    perm_constants,
+)
 from onetl_spark.showcase.util import ensure_views
 
 # ---------------------------------------------------------------------------
@@ -154,10 +162,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(spark.table("documents"), threshold=0.5)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(source: str = "documents") -> str:
     return rf"""
 WITH tok AS (
-  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+  SELECT doc_id, {SQL_TOKENS} AS w FROM {source}
 ), sh AS (
   SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
 ), hs AS (
@@ -167,9 +175,11 @@ WITH tok AS (
 ), sig AS (
   SELECT doc_id, h, {_sql_sig_entries()} AS sig FROM hs
 ), bands AS (
+  -- LSH bucket-size cap mirrors minhash_lsh_pairs(max_bucket_size=...)
   SELECT doc_id, b AS band_id,
          md5(array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], ',')) AS band_key
   FROM sig, range(0, {LSH_BANDS}) t(b)
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BUCKET}
 ), cand AS (
   SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
   FROM bands l JOIN bands r
@@ -421,7 +431,14 @@ ORACLE_SQL["dedup_survivors"] = _survivors_sql()
 def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality filter →
     exact dedup (fingerprint) → near-dup removal (MinHash survivors).
-    The output is the cleaned corpus a pretraining run would consume."""
+    The output is the cleaned corpus a pretraining run would consume.
+
+    Near-dup detection runs ONLY on the quality-kept, fingerprint-distinct
+    representatives — mass-duplicated boilerplate is removed by the cheap
+    exact stage first, so it can never blow up an LSH bucket (k identical
+    docs → k²/2 candidate pairs); this is the order a web-scale dedup
+    pipeline must use.
+    """
     ensure_views(spark, sf_dir)
     docs = spark.table("documents")
 
@@ -435,9 +452,10 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp_survivors = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     kept = scored.join(fp_survivors, ["fp", "doc_id"]).select("doc_id", "lang", "quality")
 
-    # near-dup removal: keep only duplicate-group representatives
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
-    reps = dedup.dedup_survivors(docs, pairs)
+    # near-dup removal over the exact-deduped survivors only
+    rep_docs = docs.join(kept.select("doc_id"), "doc_id")
+    pairs = dedup.minhash_lsh_pairs(rep_docs, threshold=0.5)
+    reps = dedup.dedup_survivors(rep_docs, pairs)
     return (
         kept.join(reps, "doc_id")
         .filter(F.col("rep_id") == F.col("doc_id"))
@@ -446,24 +464,12 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_pipeline_sql() -> str:
-    pairs_sql = _minhash_sql().strip().rstrip(";")
+    # mirrors the Spark pipeline: quality filter + fingerprint exact dedup
+    # FIRST, then MinHash near-dup over the kept representatives only
+    pairs_sql = _minhash_sql("kept_docs").strip().rstrip(";")
     return rf"""
-WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (
-  SELECT a_id AS src, b_id AS dst FROM pairs
-  UNION
-  SELECT b_id AS src, a_id AS dst FROM pairs
-),
-reach(node, r) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
-),
-reps AS (
-  SELECT node, MIN(r) AS rep FROM reach GROUP BY node
-),
-qt AS (
-  SELECT doc_id, lang, {SQL_TOKENS} AS w, length(text) AS n_chars,
+WITH RECURSIVE qt AS (
+  SELECT doc_id, lang, text, {SQL_TOKENS} AS w, length(text) AS n_chars,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
          length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS n_punct,
          md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]', '', 'g'),
@@ -471,7 +477,7 @@ qt AS (
   FROM documents
 ),
 q AS (
-  SELECT doc_id, lang, fp,
+  SELECT doc_id, lang, text, fp,
          round(0.4 * least(len(w) / 100.0, 1.0)
              + 0.3 * round(n_alpha * 1.0 / greatest(n_chars, 1), 9)
              + 0.2 * least(len(list_intersect(list_distinct(w), {_EN})) / 5.0, 1.0)
@@ -484,12 +490,29 @@ scored AS (
 ),
 fp_surv AS (
   SELECT fp, MIN(doc_id) AS doc_id FROM scored GROUP BY fp
+),
+kept_docs AS (
+  SELECT s.doc_id, s.lang, s.quality, s.text
+  FROM scored s JOIN fp_surv f ON f.fp = s.fp AND f.doc_id = s.doc_id
+),
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+),
+reps AS (
+  SELECT node, MIN(r) AS rep FROM reach GROUP BY node
 )
-SELECT s.doc_id, s.lang, s.quality
-FROM scored s
-JOIN fp_surv f ON f.fp = s.fp AND f.doc_id = s.doc_id
-LEFT JOIN reps ON reps.node = s.doc_id
-WHERE coalesce(reps.rep, s.doc_id) = s.doc_id
+SELECT k.doc_id, k.lang, k.quality
+FROM kept_docs k
+LEFT JOIN reps ON reps.node = k.doc_id
+WHERE coalesce(reps.rep, k.doc_id) = k.doc_id
 """
 
 SPARK_QUERIES["training_corpus_pipeline"] = training_corpus_pipeline

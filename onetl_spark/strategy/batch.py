@@ -86,7 +86,14 @@ class BatchHWMStrategy(HWMStrategy):
         if self.start is None or self.stop is None:
             return
         try:
-            moved = (self.start + self.step > self.start) == (self.stop >= self.start)
+            # windows are ascending-only, like the reference: a descending
+            # range would invert the (current, next] edges silently
+            if self.stop < self.start:
+                raise IllegalWindowError(
+                    f"stop={self.stop!r} must be >= start={self.start!r}; "
+                    "descending batch ranges are not supported",
+                )
+            moved = self.start + self.step > self.start
         except TypeError:
             return
         if not moved:

@@ -136,3 +136,61 @@ def test_batch_strategy_guard_trips_past_max_iterations(step):
         for _ in strategy:
             if not strategy._bounds_ready:
                 strategy.set_bounds(0, span)
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=128),
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_keyvalue_hwm_store_roundtrip_preserves_int_keys(offsets):
+    """Regression: serialize() stringifies partition keys for YAML/JSON
+    safety; deserialize() must coerce them back to int or Kafka incremental
+    planning misses every partition and re-reads entire topics."""
+    from onetl_spark.connections.kafka import starting_offsets_from_hwm
+    from onetl_spark.hwm.types import KeyValueIntHWM
+
+    hwm = KeyValueIntHWM(name="topic_hwm", entity="t")
+    hwm.update(offsets)
+    restored = HWM.deserialize(hwm.serialize())
+    assert restored.value == offsets
+    assert all(isinstance(k, int) for k in restored.value)
+
+    parts = sorted(set(offsets) | {max(offsets) + 1})
+    import json as _json
+
+    rendered = _json.loads(starting_offsets_from_hwm("t", restored.value, parts))
+    assert rendered["t"] == {str(p): offsets.get(p, 0) for p in parts}
+
+
+def test_keyvalue_hwm_yaml_store_roundtrip(tmp_path):
+    from onetl_spark.hwm.store import YamlHWMStore
+    from onetl_spark.hwm.types import KeyValueIntHWM
+
+    store = YamlHWMStore(str(tmp_path))
+    hwm = KeyValueIntHWM(name="k", entity="topic")
+    hwm.update({0: 5, 1: 7})
+    store.set_hwm(hwm)
+    restored = store.get_hwm("k")
+    assert restored.value == {0: 5, 1: 7}
+
+
+def test_filelist_hwm_deserialize_restores_frozenset():
+    hwm = FileListHWM(name="f")
+    hwm.update(["/a", "/b"])
+    restored = HWM.deserialize(hwm.serialize())
+    assert isinstance(restored.value, frozenset)
+    assert restored == hwm or restored.value == hwm.value
+
+
+def test_batch_strategy_rejects_descending_range():
+    import pytest
+
+    from onetl_spark.exceptions import IllegalWindowError
+
+    strategy = BatchHWMStrategy(step=-10)
+    with pytest.raises(IllegalWindowError):
+        strategy.set_bounds(100, 0)
