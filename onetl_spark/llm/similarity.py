@@ -69,7 +69,15 @@ def topk_per_query(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k corpus neighbours for every query vector (broadcast join +
-    windowed rank). queries must have columns (query_id, qvec)."""
+    two-phase top-k). queries must have columns (query_id, qvec).
+
+    Two-phase shape: phase 1 reduces each scan partition to its local
+    top-k per query (map-side combined collect_list + array_sort + slice),
+    phase 2 ranks the surviving ≤ partitions×k rows per query with a
+    window. A single window over the raw scores would put each query's
+    entire scored corpus on one partition — a single-task sort per query
+    at 100 TB; after phase 1 the window input is bounded and tiny.
+    """
     scored = (
         embeddings.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
         .select(
@@ -78,8 +86,29 @@ def topk_per_query(
             F.round(cosine(F.col(vec_col), F.col("qvec")), 9).alias("cos_sim"),
         )
     )
+    # ascending sort on (-cos_sim, neighbor_id) == desc cos, asc neighbor
+    local = (
+        scored.groupBy("query_id", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cos_sim")).alias("_neg"),
+                            F.col("neighbor_id").alias("neighbor_id"),
+                            F.col("cos_sim").alias("cos_sim"),
+                        ),
+                    ),
+                ),
+                1,
+                k,
+            ).alias("_top"),
+        )
+        .select("query_id", F.explode("_top").alias("_t"))
+        .select("query_id", F.col("_t.neighbor_id"), F.col("_t.cos_sim"))
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def near_dup_pairs_by_label(
@@ -174,40 +203,105 @@ def lsh_bucket_topk(
     )
 
 
-def ivf_assign(
+def ivf_seed_centroids(
     embeddings: DataFrame,
     centroid_filter: str = "vec_id % 64 = 7",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantization with deterministic centroids (a fixed id
-    predicate stands in for k-means init — reproducible on any engine).
-
-    Returns (id, centroid_id): every vector assigned to its highest-cosine
-    centroid. The centroid set is tiny → broadcast; assignment is one
-    scan + windowed argmin, no shuffle of the corpus."""
-    from pyspark.sql.window import Window as W
-
-    centroids = embeddings.filter(centroid_filter).select(
+    """Deterministic IVF seeds (centroid_id, cvec): a fixed id predicate
+    stands in for k-means++ init — reproducible on any engine."""
+    return embeddings.filter(centroid_filter).select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("cnorm"),
     )
-    scored = embeddings.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"),
-    ).join(F.broadcast(centroids))
-    w = W.partitionBy(id_col).orderBy(
-        F.desc("ccos"), F.asc("centroid_id"),
-    )
-    return (
-        scored.withColumn(
-            "ccos",
-            F.round(dot(F.col(vec_col), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), 9),
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroid_filter: str = "vec_id % 64 = 7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantization: every vector assigned to its highest-cosine
+    centroid (ties → smallest centroid_id).
+
+    Returns (id, centroid_id). The centroid set is tiny → broadcast; the
+    argmax is ``max_by`` inside a groupBy, which map-side-combines the
+    N×C expansion down to ONE row per vector before any exchange — unlike
+    a row_number window, which would sort-shuffle all N×C rows."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    cent = centroids.select("centroid_id", "cvec", norm(F.col("cvec")).alias("cnorm"))
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"))
+        .join(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.round(
+                dot(F.col(vec_col), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), 9,
+            ).alias("ccos"),
         )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .select(id_col, "centroid_id")
     )
+    # max of (ccos, -centroid_id) == highest cosine, ties to smallest id
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("_nc")),
+        ).alias("centroid_id"),
+    )
+
+
+def ivf_refine_centroids(
+    embeddings: DataFrame,
+    centroid_filter: str = "vec_id % 64 = 7",
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-iteration refinement of the deterministic seeds.
+
+    Each iteration: assign (broadcast centroids + max_by argmax — no
+    corpus shuffle) → new centroid = element-wise mean of its members
+    (posexplode + map-side-combined per-(centroid, dim) partial sums).
+    Empty clusters keep their previous centroid.
+
+    Mean arithmetic is deterministic cross-engine: components are summed
+    exactly as DECIMAL(38,12) and a single double division by the member
+    count happens at the end (float summation order never matters).
+    """
+    centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    for _ in range(iterations):
+        assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids)
+        members = embeddings.join(assigned, id_col).select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("_d", "_x"),
+        )
+        means = (
+            members.groupBy("centroid_id", "_d")
+            .agg(
+                (
+                    # float → double → decimal: Spark's direct float→decimal
+                    # cast goes through the float's 9-digit shortest string,
+                    # which diverges from engines that widen via double first
+                    F.sum(F.col("_x").cast("double").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_m"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_d"), F.col("_m")))),
+                    lambda s: s["_m"],
+                ).alias("mvec"),
+            )
+        )
+        centroids = (
+            centroids.join(means, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("mvec", "cvec").alias("cvec"))
+        )
+    return centroids
 
 
 def ivf_topk(
@@ -217,15 +311,34 @@ def ivf_topk(
     centroid_filter: str = "vec_id % 64 = 7",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF search (nprobe=1): candidates restricted to the query's cluster."""
-    assigned = ivf_assign(embeddings, centroid_filter, id_col, vec_col)
+    """IVF search: candidates restricted to the vectors assigned to the
+    ``nprobe`` centroids nearest the query vector.
+
+    nprobe=1 searches only the query's own cluster; larger nprobe trades
+    compute for recall. The probe list is centroid-sized (tiny, driver-safe)
+    and broadcast; the corpus is touched once through the assignment join.
+    """
+    if centroids is None:
+        centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids)
     clustered = embeddings.join(assigned, id_col)
-    query = clustered.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec"), F.col("centroid_id").alias("_qc"),
+    qvec = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
+    probes = (
+        centroids.join(F.broadcast(qvec))
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col("cvec"), F.col("_qvec")), 9).alias("_qcos"),
+        )
+        .orderBy(F.desc("_qcos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
     )
     return (
-        clustered.join(F.broadcast(query), F.col("centroid_id") == F.col("_qc"))
+        clustered.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(qvec))
         .filter(F.col(id_col) != query_id)
         .select(
             F.col(id_col),

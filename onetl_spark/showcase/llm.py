@@ -568,3 +568,122 @@ LIMIT 10
 
 SPARK_QUERIES["ann_ivf_topk"] = ann_ivf_topk
 ORACLE_SQL["ann_ivf_topk"] = ANN_IVF_SQL
+
+
+def ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-refined centroids (2 iterations) and nprobe=2:
+    the recall-improved scale path — centroid refinement is broadcast-join
+    + map-side-combined means (never a corpus shuffle), search touches
+    only the 2 clusters nearest the query."""
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    refined = similarity.ivf_refine_centroids(emb, iterations=2)
+    return similarity.ivf_topk(emb, query_id=0, k=10, nprobe=2, centroids=refined)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine between two SQL list expressions, double math, round 9 —
+    identical shape to the Spark zip_with/aggregate fold."""
+    return (
+        f"round(list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)"
+    )
+
+
+def _ivf_nprobe_sql(iterations: int = 2, nprobe: int = 2, k: int = 10) -> str:
+    # unrolled Lloyd iterations: c0 → (assign, means) → c1 → ... → c{n};
+    # final assignment + probe selection mirror similarity.ivf_topk
+    def assign(src_c: str) -> str:
+        return f"""(
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_cos_sql('v.embedding', 'c.cvec')} DESC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings v CROSS JOIN {src_c} c)
+  WHERE rn = 1
+)"""
+
+    def means(src_a: str, src_c: str) -> str:
+        return f"""(
+  SELECT s.centroid_id, coalesce(m.mvec, s.cvec) AS cvec
+  FROM {src_c} s LEFT JOIN (
+    SELECT centroid_id, list(mm ORDER BY d) AS mvec FROM (
+      SELECT a.centroid_id, t.d,
+             CAST(SUM(CAST(CAST(v.embedding[t.d] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*) AS mm
+      FROM {src_a} a
+      JOIN embeddings v ON v.vec_id = a.vec_id
+      CROSS JOIN range(1, 65) t(d)
+      GROUP BY a.centroid_id, t.d)
+    GROUP BY centroid_id) m ON m.centroid_id = s.centroid_id
+)"""
+
+    ctes = ["c0 AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 64 = 7)"]
+    for i in range(iterations):
+        ctes.append(f"a{i} AS {assign(f'c{i}')}")
+        ctes.append(f"c{i + 1} AS {means(f'a{i}', f'c{i}')}")
+    final_c = f"c{iterations}"
+    ctes.append(f"afinal AS {assign(final_c)}")
+    ctes.append("qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)")
+    ctes.append(
+        f"""probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id, {_cos_sql('c.cvec', 'q.qvec')} AS qcos
+    FROM {final_c} c CROSS JOIN qv q)
+  ORDER BY qcos DESC, centroid_id ASC
+  LIMIT {nprobe}
+)""",
+    )
+    return f"""
+WITH {','.join(ctes)}
+SELECT v.vec_id, {_cos_sql('v.embedding', 'q.qvec')} AS cos_sim
+FROM embeddings v
+JOIN afinal a ON a.vec_id = v.vec_id
+JOIN probes p ON p.centroid_id = a.centroid_id
+CROSS JOIN qv q
+WHERE v.vec_id <> 0
+ORDER BY cos_sim DESC, v.vec_id ASC
+LIMIT {k}
+"""
+
+
+SPARK_QUERIES["ann_ivf_nprobe"] = ann_ivf_nprobe
+ORACLE_SQL["ann_ivf_nprobe"] = _ivf_nprobe_sql()
+
+
+def ann_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN: top-5 neighbours for each of 3 query vectors in one
+    pass (two-phase top-k — no corpus-sized single-partition window)."""
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
+    )
+    out = similarity.topk_per_query(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"),
+    )
+
+
+ANN_TOPK_PER_QUERY_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_cos_sql('v.embedding', 'q.qvec')} AS cos_sim
+  FROM embeddings v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+SPARK_QUERIES["ann_topk_per_query"] = ann_topk_per_query
+ORACLE_SQL["ann_topk_per_query"] = ANN_TOPK_PER_QUERY_SQL
