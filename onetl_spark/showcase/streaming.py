@@ -1,0 +1,240 @@
+"""Streaming showcase — oracle-checked Structured Streaming flows.
+
+Each query reads the events parquet as a FILE STREAM (``StreamDFReader``),
+runs a streaming operator from ``onetl_spark.streaming.ops``, executes it
+to completion with ``Trigger.AvailableNow`` through ``StreamDFWriter``
+into a memory sink, and returns the sink table — so the driver's DuckDB
+oracle can hash-compare it like any batch query. This is the standard way
+to make streaming semantics batch-verifiable: AvailableNow terminates,
+and complete/append output modes below are chosen so the final table is
+independent of micro-batch boundaries.
+
+Scale notes (the operators themselves, not this harness, are the product):
+watermarked state is bounded per key/window; the memory sink is only the
+test harness — production sinks are files/Kafka via the same writer.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from onetl_spark.file.format.parquet import Parquet
+from onetl_spark.showcase.sessions import SESSION_GAP_MIN
+from onetl_spark.showcase.util import dsum, sql_dsum
+from onetl_spark.streaming.ops import (
+    deduplicate_stream,
+    sessionize,
+    stateful_running_agg,
+    windowed_aggregate,
+)
+from onetl_spark.streaming.reader import StreamDFReader
+from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
+
+_SINK_COUNTER = itertools.count()
+
+# events.parquet carries INT64 TIMESTAMP(NANOS) — the file-stream schema
+# loads it as long (with the nanosAsLong legacy conf) and we convert to a
+# µs timestamp exactly like catalog.read_table does for batch
+_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ],
+)
+
+
+def _stage_source_dir(sf_dir: str) -> str:
+    """The file-stream source requires a DIRECTORY; stage the events
+    parquet into a scratch dir (symlink — no data copy) keyed by sf."""
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "stream_src",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(base, exist_ok=True)
+    link = os.path.join(base, "events.parquet")
+    src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.exists(link):
+        try:
+            os.symlink(src, link)
+        except OSError:  # pragma: no cover - fs without symlink support
+            import shutil
+
+            shutil.copyfile(src, link)
+    return base
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = StreamDFReader(
+        spark=spark,
+        format=Parquet(),
+        source_path=_stage_source_dir(sf_dir),
+        df_schema=_EVENTS_STREAM_SCHEMA,
+    ).run()
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming frame to completion (AvailableNow) into a
+    memory sink and return the materialized sink table."""
+    spark = stream_df.sparkSession
+    name = f"stream_sink_{os.getpid()}_{next(_SINK_COUNTER)}"
+    query = StreamDFWriter(
+        format="memory",
+        options=StreamWriteOptions(
+            output_mode=output_mode,
+            trigger={"availableNow": True},
+            query_name=name,
+        ),
+    ).run(stream_df)
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event_type, executed as a
+    real streaming query. Complete output mode: the final table holds
+    every window regardless of where AvailableNow cut the micro-batches."""
+    events = _events_stream(spark, sf_dir)
+    out = windowed_aggregate(
+        events,
+        time_col="ts",
+        window_duration="1 hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": dsum("value"),
+        },
+        watermark="30 minutes",
+        group_by=("event_type",),
+    )
+    return _run_to_table(out, "complete")
+
+
+STREAMING_WINDOWED_AGG_SQL = f"""
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30-min gap) on the event stream — the
+    streaming counterpart of events_sessionization, same oracle shape
+    (session START + aggregates; Spark's session end = last_ts + gap)."""
+    events = _events_stream(spark, sf_dir)
+    out = sessionize(
+        events,
+        time_col="ts",
+        gap=f"{SESSION_GAP_MIN} minutes",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": dsum("value"),
+        },
+        group_by=("user_id",),
+        watermark="30 minutes",
+    )
+    out = out.select("user_id", F.col("session_start"), "n_events", "total_value")
+    return _run_to_table(out, "complete")
+
+
+STREAMING_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL {SESSION_GAP_MIN} MINUTE THEN 0 ELSE 1 END AS brk
+  FROM e
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) within the watermark
+    horizon. The horizon exceeds the dataset's time span here, so the kept
+    key set equals batch DISTINCT — key columns only, making the result
+    independent of which duplicate arrived first."""
+    events = _events_stream(spark, sf_dir)
+    deduped = deduplicate_stream(
+        events,
+        keys=["user_id", "event_type"],
+        time_col="ts",
+        watermark="36500 days",
+    )
+    out = deduped.select("user_id", "event_type")
+    return _run_to_table(out, "append")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-event_type
+    running (count, sum of integral cents). The sink collects one update
+    row per key per micro-batch; the FINAL state per key (max
+    running_count) must equal the batch aggregate. Cents are integral
+    doubles, so accumulation order can't perturb the sum."""
+    events = _events_stream(spark, sf_dir)
+    cents = events.select(
+        "event_type", F.round(F.col("value") * 100).alias("cents"),
+    )
+    updates = stateful_running_agg(cents, key_cols=["event_type"], value_col="cents")
+    sink = _run_to_table(updates, "update")
+    return (
+        sink.groupBy("event_type")
+        .agg(
+            F.max("running_count").alias("running_count"),
+            F.max_by("running_sum", "running_count").alias("running_sum"),
+        )
+    )
+
+
+STREAMING_STATEFUL_SQL = """
+SELECT event_type,
+       COUNT(*) AS running_count,
+       CAST(SUM(round(value * 100)) AS DOUBLE) AS running_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+SPARK_QUERIES = {
+    "streaming_windowed_agg": streaming_windowed_agg,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_dedup_keys": streaming_dedup_keys,
+    "streaming_stateful_totals": streaming_stateful_totals,
+}
+
+ORACLE_SQL = {
+    "streaming_windowed_agg": STREAMING_WINDOWED_AGG_SQL,
+    "streaming_sessionize": STREAMING_SESSIONIZE_SQL,
+    "streaming_dedup_keys": STREAMING_DEDUP_SQL,
+    "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
+}
