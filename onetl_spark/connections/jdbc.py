@@ -246,8 +246,16 @@ class JDBCConnection(BaseDBConnection):
         row = self._load_subquery(query, self.jdbc_params()).collect()[0]
         return row["min"], row["max"]
 
+    CHECK_QUERY = "SELECT 1"
+
     def check(self) -> "JDBCConnection":
-        self.fetch("SELECT 1").collect()
+        """Probe BOTH paths a job will use (ref
+        jdbc_connection/connection.py:90-107): the driver's raw java.sql
+        connection AND an executor-side Spark JDBC scan — a cluster whose
+        executors can't reach the database must fail here, not at the
+        first action."""
+        self.fetch(self.CHECK_QUERY).collect()
+        self.sql(self.CHECK_QUERY).collect()
         return self
 
     # --- write ------------------------------------------------------------
@@ -288,9 +296,22 @@ class JDBCConnection(BaseDBConnection):
         try:
             stmt = conn.createStatement()
             rs = stmt.executeQuery(query.rstrip("; \n"))
-            return self._resultset_to_df(rs)
+            df = self._resultset_to_df(rs)
+            self._log_driver_df_size(df)
+            return df
         finally:
             conn.close()
+
+    @staticmethod
+    def _log_driver_df_size(df: DataFrame) -> None:
+        """Driver-side resultsets live in driver memory — log the estimate
+        so oversized fetch()es are visible (ref jdbc_mixin metrics use,
+        onetl/_util/spark.py:132-147)."""
+        from onetl_spark.spark_utils import estimate_dataframe_size
+
+        size = estimate_dataframe_size(df)
+        if size:
+            log.debug("driver-side resultset estimated in-memory size: %d bytes", size)
 
     def execute(self, statement: str, options: Any = None) -> DataFrame | None:
         """DDL/DML/procedure call on the driver; returns a DataFrame iff a
@@ -424,6 +445,7 @@ class Oracle(JDBCConnection):
     DRIVER = "oracle.jdbc.driver.OracleDriver"
     DEFAULT_PORT = 1521
     dialect_class = OracleDialect
+    CHECK_QUERY = "SELECT 1 FROM DUAL"
     sid: str | None = None
     service_name: str | None = None
 
@@ -436,6 +458,20 @@ class Oracle(JDBCConnection):
     @classmethod
     def get_packages(cls) -> list[str]:
         return ["com.oracle.database.jdbc:ojdbc8:23.5.0.24.07"]
+
+    def execute(self, statement: str, options: Any = None) -> DataFrame | None:
+        """Oracle swallows PL/SQL compile failures — after CREATE/ALTER of
+        a compilable object, surface ALL_ERRORS diagnostics (raising on
+        ERROR severity). Semantics of ref oracle/connection.py:312-449."""
+        from onetl_spark.connections.oracle_errors import check_compile_errors
+
+        result = super().execute(statement, options)
+        check_compile_errors(
+            statement.strip(),
+            default_schema=str(self.user or ""),
+            fetch=lambda sql: [row.asDict() for row in self.fetch(sql).collect()],
+        )
+        return result
 
 
 @dataclass

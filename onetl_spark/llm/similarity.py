@@ -124,6 +124,12 @@ def near_dup_pairs_by_label(
     Norms are precomputed per ROW before the pair join (computing them
     inside the pair expression re-evaluates each norm once per pair —
     O(pairs·d) extra work). ``dot/(na·nb)`` is arithmetically identical.
+
+    CAVEAT: cost is quadratic IN EACH BLOCK (Σ |block|²). Blocking only
+    helps while blocks stay bounded; a hot block (one label holding a
+    large fraction of the corpus) degenerates toward the full cross
+    product. At that point switch to ``lsh_bucket_topk``-style sign-LSH
+    blocking or sub-partition the hot block.
     """
     left = embeddings.select(
         F.col(id_col).alias("a_id"),

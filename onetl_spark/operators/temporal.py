@@ -42,6 +42,18 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by = list(by)
+    if not by:
+        # the carry-forward window partitions on `by`; with no keys the
+        # ENTIRE union lands in one window partition — a single-task sort
+        # at scale. Same spirit as the Greenplum connection guard.
+        import warnings
+
+        warnings.warn(
+            "asof_join with by=() puts the whole dataset in one window "
+            "partition — a single-task sort at scale. Pass entity keys in "
+            "`by` (e.g. user/device id) for a distributed plan.",
+            stacklevel=2,
+        )
 
     right_cols = [c for c in right.columns if c != on and c not in by]
     renamed = right

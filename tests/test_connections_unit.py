@@ -233,3 +233,129 @@ def test_kafka_incremental_read_planning(spark):
     # first run ever: no hwm → everything from 0
     opts2, _ = k.plan_incremental_read("events", None, {0: 10})
     assert json.loads(opts2["startingOffsets"])["events"] == {"0": 0}
+
+
+# ---------------------------------------------------------------------------
+# Oracle PL/SQL compile-error surfacing (ref oracle/connection.py:312-449)
+
+
+def _err_row(seq, line, pos, text, attr="ERROR"):
+    return {
+        "OWNER": "SCOTT", "NAME": "MY_PROC", "TYPE": "PROCEDURE",
+        "SEQUENCE": seq, "LINE": line, "POSITION": pos,
+        "TEXT": text, "ATTRIBUTE": attr,
+    }
+
+
+def test_oracle_parse_compilable_ddl_variants():
+    from onetl_spark.connections.oracle_errors import parse_compilable_ddl
+
+    cases = [
+        ("CREATE PROCEDURE my_proc AS BEGIN NULL; END;", ("PROCEDURE", "scott", "my_proc")),
+        ("CREATE OR REPLACE FUNCTION sc.fn RETURN NUMBER IS BEGIN RETURN 1; END;",
+         ("FUNCTION", "sc", "fn")),
+        ('create package "SC"."PKG" as end;', ("PACKAGE", "SC", "PKG")),
+        ("CREATE OR REPLACE PACKAGE BODY sc.pkg AS END;", ("PACKAGE BODY", "sc", "pkg")),
+        ("ALTER TRIGGER sc.trg COMPILE", ("TRIGGER", "sc", "trg")),
+        ("CREATE TYPE BODY tb AS END;", ("TYPE BODY", "scott", "tb")),
+    ]
+    for stmt, expected in cases:
+        assert parse_compilable_ddl(stmt, "scott") == expected, stmt
+    # non-DDL / non-compilable statements short-circuit
+    assert parse_compilable_ddl("SELECT 1 FROM dual", "scott") is None
+    assert parse_compilable_ddl("INSERT INTO t VALUES (1)", "scott") is None
+    assert parse_compilable_ddl("CREATE TABLE t (a NUMBER)", "scott") is None
+
+
+def test_oracle_compile_errors_query_filters_and_orders():
+    from onetl_spark.connections.oracle_errors import compile_errors_query
+
+    q = compile_errors_query("PACKAGE BODY", "sc", "pkg")
+    assert "UPPER(OWNER) = 'SC'" in q
+    assert "UPPER(NAME) = 'PKG'" in q
+    assert "UPPER(TYPE) = 'PACKAGE BODY'" in q
+    assert q.rstrip().endswith("ORDER BY SEQUENCE, LINE, POSITION")
+
+
+def test_oracle_multirow_messages_merge_and_raise():
+    import pytest
+
+    from onetl_spark.connections.oracle_errors import (
+        OracleCompileError,
+        check_compile_errors,
+    )
+
+    rows = [
+        _err_row(1, 3, 5, "PLS-00103: Encountered the symbol \"END\" "),
+        _err_row(2, 3, 5, "when expecting one of the following:"),
+        _err_row(3, 7, 1, "PLW-05016: shadows a definition", attr="WARNING"),
+    ]
+    queries = []
+
+    def fetch(sql):
+        queries.append(sql)
+        return rows
+
+    with pytest.raises(OracleCompileError) as exc:
+        check_compile_errors("CREATE PROCEDURE my_proc AS BEGIN END;", "scott", fetch)
+    msg = str(exc.value)
+    # split rows merged into one message at the same coordinates
+    assert "PLS-00103" in msg and "when expecting" in msg
+    assert "[ERROR] Line 3, position 5:" in msg
+    assert "[WARNING] Line 7, position 1:" in msg
+    assert len(queries) == 1 and "ALL_ERRORS" in queries[0]
+
+
+def test_oracle_warning_only_compile_does_not_raise():
+    from onetl_spark.connections.oracle_errors import check_compile_errors
+
+    rows = [_err_row(1, 2, 1, "PLW-07203: parameter may benefit from NOCOPY", attr="WARNING")]
+    msg = check_compile_errors("CREATE FUNCTION f RETURN NUMBER IS BEGIN RETURN 1; END;", "scott", lambda q: rows)
+    assert msg is not None and "[WARNING]" in msg
+
+
+def test_oracle_clean_compile_and_noncompilable_skip():
+    from onetl_spark.connections.oracle_errors import check_compile_errors
+
+    calls = []
+    assert check_compile_errors("CREATE PROCEDURE p AS BEGIN NULL; END;", "u", lambda q: calls.append(q) or []) is None
+    assert len(calls) == 1
+    # plain DML never probes ALL_ERRORS
+    assert check_compile_errors("DELETE FROM t", "u", lambda q: (_ for _ in ()).throw(AssertionError)) is None
+
+
+def test_jdbc_check_probes_driver_and_executor_paths():
+    from onetl_spark.connections.jdbc import Postgres
+
+    class Probe(Postgres):
+        def __init__(self):
+            super().__init__(spark=None, host="h", database="d")
+            self.calls = []
+
+        def fetch(self, query, options=None):
+            self.calls.append(("driver", query))
+
+            class _R:
+                def collect(self):
+                    return [1]
+            return _R()
+
+        def sql(self, query, options=None):
+            self.calls.append(("executor", query))
+
+            class _R:
+                def collect(self):
+                    return [1]
+            return _R()
+
+    p = Probe()
+    assert p.check() is p
+    assert ("driver", "SELECT 1") in p.calls
+    assert ("executor", "SELECT 1") in p.calls
+
+
+def test_oracle_check_query_uses_dual():
+    from onetl_spark.connections.jdbc import JDBCConnection, Oracle
+
+    assert Oracle.CHECK_QUERY == "SELECT 1 FROM DUAL"
+    assert JDBCConnection.CHECK_QUERY == "SELECT 1"

@@ -55,3 +55,25 @@ def test_range_join_with_keys_no_cross_bucket_dupes(spark):
     assert sorted((r["lid"], r["p"]) for r in rows) == [(1, 25.0), (1, 49.9999)]
     # output keeps exactly one copy of the key column
     assert [c for c in rows[0].asDict() if c == "k"] == ["k"]
+
+
+def test_asof_join_warns_without_by_keys(spark):
+    import warnings
+
+    from onetl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1,)], "t INT")
+    right = spark.createDataFrame([(0, 10)], "t INT, v INT")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = asof_join(left, right, on="t")
+        assert any("single-task sort" in str(w.message) for w in caught)
+    assert out.collect()[0]["v_right"] == 10
+
+
+def test_estimate_dataframe_size(spark):
+    from onetl_spark.spark_utils import estimate_dataframe_size
+
+    df = spark.range(10).toDF("x")
+    size = estimate_dataframe_size(df)
+    assert isinstance(size, int) and size >= 0
