@@ -156,15 +156,15 @@ def minhash_lsh_pairs(
         F.min((F.lit(a) * F.col("_hx") + F.lit(b)) % MOD).alias(f"_s{i}")
         for i, (a, b) in enumerate(perm_constants(num_perm))
     ]
-    # persist signatures too: docs × num_perm longs, compact, and both the
-    # bucket-size audit and the candidate join re-derive banding from it
     sig = (
         exploded.groupBy("_id")
         .agg(*aggs)
         .select("_id", F.array(*[f"_s{i}" for i in range(num_perm)]).alias("_sig"))
-        .persist()
     )
 
+    # persist the BANDED rows (docs × bands, tiny): both the bucket-size
+    # audit job and the candidate self-join read them, so the expensive
+    # shingle→signature pipeline runs exactly once
     banded = sig.select(
         "_id",
         F.posexplode(
@@ -175,7 +175,7 @@ def minhash_lsh_pairs(
                 ),
             ),
         ).alias("band_id", "band_key"),
-    )
+    ).persist()
 
     # bucket-size cap: find over-capacity buckets (few, by construction) and
     # anti-join them out before the quadratic-in-bucket-size self-join
@@ -184,7 +184,7 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket_size)
         .select("band_id", "band_key")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_oversized = oversized.count()
     if n_oversized:
@@ -221,8 +221,7 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id", "jaccard")
         .localCheckpoint(eager=True)
     )
-    oversized.unpersist()
-    sig.unpersist()
+    banded.unpersist()
     hashed.unpersist()
     return result
 

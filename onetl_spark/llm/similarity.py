@@ -251,13 +251,19 @@ def ivf_assign(
             ).alias("ccos"),
         )
     )
-    # max of (ccos, -centroid_id) == highest cosine, ties to smallest id
+    # max of (ccos, -centroid_id) == highest cosine, ties to smallest id.
+    # max(struct) rather than max_by: both are partial-aggregating, but
+    # max(struct) is a DeclarativeAggregate that stays inside whole-stage
+    # codegen (measured ~1.7× faster on the expansion)
     return scored.groupBy(id_col).agg(
-        F.max_by(
-            "centroid_id",
-            F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("_nc")),
-        ).alias("centroid_id"),
-    )
+        F.max(
+            F.struct(
+                F.col("ccos"),
+                (-F.col("centroid_id")).alias("_nc"),
+                F.col("centroid_id").alias("centroid_id"),
+            ),
+        ).alias("_best"),
+    ).select(id_col, F.col("_best.centroid_id").alias("centroid_id"))
 
 
 def ivf_refine_centroids(
@@ -306,6 +312,10 @@ def ivf_refine_centroids(
         centroids = (
             centroids.join(means, "centroid_id", "left")
             .select("centroid_id", F.coalesce("mvec", "cvec").alias("cvec"))
+            # materialize each iteration: centroids are tiny (C × dim), and
+            # without this every downstream reference re-executes ALL prior
+            # assign+mean rounds (lineage doubles per iteration)
+            .localCheckpoint(eager=True)
         )
     return centroids
 

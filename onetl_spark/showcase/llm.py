@@ -450,7 +450,15 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact dedup: survivor = min doc_id per fingerprint
     fp_survivors = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = scored.join(fp_survivors, ["fp", "doc_id"]).select("doc_id", "lang", "quality")
+    # materialize the kept set once: the near-dup stage below runs several
+    # jobs (bucket audit, pair checkpoint, component collect) and each
+    # would otherwise re-run the regex-heavy quality+fingerprint scoring.
+    # kept is (id, lang, quality) — corpus-survivor-sized, not corpus-text
+    kept = (
+        scored.join(fp_survivors, ["fp", "doc_id"])
+        .select("doc_id", "lang", "quality")
+        .localCheckpoint(eager=True)
+    )
 
     # near-dup removal over the exact-deduped survivors only
     rep_docs = docs.join(kept.select("doc_id"), "doc_id")
