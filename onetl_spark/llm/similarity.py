@@ -69,14 +69,17 @@ def topk_per_query(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k corpus neighbours for every query vector (broadcast join +
-    two-phase top-k). queries must have columns (query_id, qvec).
+    windowed rank). queries must have columns (query_id, qvec).
 
-    Two-phase shape: phase 1 reduces each scan partition to its local
-    top-k per query (map-side combined collect_list + array_sort + slice),
-    phase 2 ranks the surviving ≤ partitions×k rows per query with a
-    window. A single window over the raw scores would put each query's
-    entire scored corpus on one partition — a single-task sort per query
-    at 100 TB; after phase 1 the window input is bounded and tiny.
+    Scale note — this IS two-phase top-k: Catalyst rewrites the
+    ``row_number() <= k`` filter into ``WindowGroupLimit`` with a PARTIAL
+    pass before the exchange (verified in the executed plan:
+    ``WindowGroupLimit ... row_number(), k, Partial`` above the scan,
+    ``Final`` after the shuffle), so every map partition ships only its
+    local top-k per query and the per-query window sees ≤ partitions×k
+    rows — never the scored corpus. A hand-rolled collect_list/slice
+    phase-1 was measured strictly worse: spark_partition_id() is
+    non-deterministic, forcing an extra full shuffle on (query, pid).
     """
     scored = (
         embeddings.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
@@ -86,29 +89,8 @@ def topk_per_query(
             F.round(cosine(F.col(vec_col), F.col("qvec")), 9).alias("cos_sim"),
         )
     )
-    # ascending sort on (-cos_sim, neighbor_id) == desc cos, asc neighbor
-    local = (
-        scored.groupBy("query_id", F.spark_partition_id().alias("_pid"))
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("cos_sim")).alias("_neg"),
-                            F.col("neighbor_id").alias("neighbor_id"),
-                            F.col("cos_sim").alias("cos_sim"),
-                        ),
-                    ),
-                ),
-                1,
-                k,
-            ).alias("_top"),
-        )
-        .select("query_id", F.explode("_top").alias("_t"))
-        .select("query_id", F.col("_t.neighbor_id"), F.col("_t.cos_sim"))
-    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def near_dup_pairs_by_label(
