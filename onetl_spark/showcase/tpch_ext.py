@@ -1,0 +1,335 @@
+"""Extended TPC-H-style coverage (SURVEY §2.10 breadth).
+
+The testdata is TPC-H-ish: no partsupp table, no commit/receipt dates,
+no phone/comment columns — so each classic query keeps its SHAPE
+(EXISTS semi-join, correlated avg subquery, scalar subquery, conditional
+aggregation, disjunctive pushdown, distinct counting, nation-pair joins)
+with predicates adapted to the available columns.
+
+Scale design as in tpch.py: dims broadcast, facts shuffle on join keys,
+partial aggregation everywhere, filters before joins, deterministic
+decimal sums for every hashed double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.showcase.util import davg, dsum, ensure_views, sql_davg, sql_dsum
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: priority distribution of orders having at least one
+    late-shipped lineitem (EXISTS → left-semi join; the testdata lacks
+    commit/receipt dates, so 'late' = shipped >30 days after order)."""
+    ensure_views(spark, sf_dir)
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")),
+    )
+    line = spark.table("lineitem")
+    late = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: shipping volume between nation pairs (supplier nation ≠
+    customer nation), by year. Both nation dims broadcast; one fact
+    shuffle on the orders⋈lineitem key."""
+    ensure_views(spark, sf_dir)
+    line = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")),
+    )
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    supplier = spark.table("supplier")
+    n1 = spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"),
+    )
+    n2 = spark.table("nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"),
+    )
+    return (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), line.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation — per shipping-speed bucket,
+    how many high- vs low-priority orders (no l_shipmode in testdata;
+    bucket = shipped within 30 days of order or not)."""
+    ensure_views(spark, sf_dir)
+    line = spark.table("lineitem")
+    orders = spark.table("orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .filter(F.year("l_shipdate") == 1997)
+        .withColumn(
+            "ship_bucket",
+            F.when(
+                F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 30), F.lit("FAST"),
+            ).otherwise(F.lit("SLOW")),
+        )
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+            THEN 'FAST' ELSE 'SLOW' END AS ship_bucket,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1997
+GROUP BY 1
+"""
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: two-level aggregation — distribution of order counts per
+    customer, including zero-order customers (LEFT join; the classic
+    'not like %special%' filter becomes a priority exclusion)."""
+    ensure_views(spark, sf_dir)
+    customer = spark.table("customer")
+    orders = spark.table("orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: scalar subquery — supplier(s) achieving the maximum
+    quarterly revenue. The revenue view is aggregated once and compared
+    against its own max (broadcast 1-row join)."""
+    ensure_views(spark, sf_dir)
+    line = spark.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")),
+    )
+    revenue = line.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("total_revenue"),
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    supplier = spark.table("supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("_max"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated average subquery — revenue from lineitems
+    whose quantity is below 20% of that part's average quantity, for one
+    brand. Decorrelated to a per-part aggregate joined back (the plan a
+    100 TB run needs: one agg + one broadcast-able join, no per-row
+    subquery execution)."""
+    ensure_views(spark, sf_dir)
+    part = spark.table("part").filter(F.col("p_brand") == "Brand#1")
+    line = spark.table("lineitem")
+    branded = line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (davg("l_quantity")).alias("_avg_qty"),
+    )
+    return (
+        branded.join(avg_qty, branded.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg((dsum("l_extendedprice", 8) / 7.0).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+), avg_qty AS (
+  SELECT l_partkey AS _pk, {sql_davg('l_quantity')} AS _avg_qty
+  FROM branded GROUP BY l_partkey)
+SELECT {sql_dsum('l_extendedprice', 8)} / 7.0 AS avg_yearly
+FROM branded JOIN avg_qty ON l_partkey = _pk
+WHERE l_quantity < 0.2 * _avg_qty
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive predicates over part ⋈
+    lineitem (brand/size/quantity bands). Written as one OR filter after
+    the join so Catalyst can still push the common l_quantity bounds."""
+    ensure_views(spark, sf_dir)
+    part = spark.table("part")
+    line = spark.table("lineitem")
+    j = line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+    band1 = (
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band1 | band2 | band3).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8).alias("revenue"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 8)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar subquery (global average) + NOT EXISTS anti-join —
+    high-balance customers from selected nations with no orders after a
+    cutoff (testdata has no phone column; nation keys play the country
+    codes)."""
+    ensure_views(spark, sf_dir)
+    customer = spark.table("customer").filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("_avg_bal"),
+    )
+    recent = spark.table("orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"),
+    ).select("o_custkey")
+    rich = customer.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("_avg_bal"))
+    return (
+        rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+WITH sel AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
+), avg_bal AS (
+  SELECT {sql_davg('c_acctbal')} AS _avg_bal FROM sel WHERE c_acctbal > 0)
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+       COUNT(*) AS numcust,
+       {sql_dsum('c_acctbal')} AS totacctbal
+FROM sel CROSS JOIN avg_bal
+WHERE c_acctbal > _avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
+SPARK_QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q7_nation_volume": q7_nation_volume,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q13_customer_order_distribution": q13_customer_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q22_inactive_customers": q22_inactive_customers,
+}
+
+ORACLE_SQL = {
+    "q4_order_priority": Q4_SQL,
+    "q7_nation_volume": Q7_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q13_customer_order_distribution": Q13_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "q19_disjunctive_revenue": Q19_SQL,
+    "q22_inactive_customers": Q22_SQL,
+}
