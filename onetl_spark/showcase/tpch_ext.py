@@ -333,3 +333,236 @@ ORACLE_SQL = {
     "q19_disjunctive_revenue": Q19_SQL,
     "q22_inactive_customers": Q22_SQL,
 }
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: market share by year — the fraction of a region's ECONOMY
+    revenue supplied from one nation. Ratio of two deterministic decimal
+    sums evaluated in double, rounded 9."""
+    ensure_views(spark, sf_dir)
+    line = spark.table("lineitem")
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+    )
+    customer = spark.table("customer")
+    supplier = spark.table("supplier")
+    part = spark.table("part").filter(F.col("p_type") == "ECONOMY")
+    cnat = spark.table("nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"),
+    )
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    snat = spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), line.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(snat), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0), 8).alias("nation_volume"),
+            dsum(vol, 8).alias("total_volume"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 9).alias("mkt_share"),
+        )
+    )
+
+
+Q8_SQL = f"""
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN part      ON l_partkey = p_partkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       round({sql_dsum("CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0.0 END", 8)}
+             / {sql_dsum('vol', 8)}, 9) AS mkt_share
+FROM j
+GROUP BY o_year
+"""
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per supplier nation per year over parts matching a
+    name pattern (no partsupp in testdata — supply cost stands in as 10%
+    of p_retailprice × quantity)."""
+    ensure_views(spark, sf_dir)
+    line = spark.table("lineitem")
+    orders = spark.table("orders")
+    supplier = spark.table("supplier")
+    part = spark.table("part").filter(F.col("p_name").contains("gear"))
+    nation = spark.table("nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation"),
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        line.join(orders, line.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), line.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(dsum(amount, 6).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity', 6)}
+         AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counting per part attribute group (no
+    partsupp — the lineitem (partkey, suppkey) pairs ARE the supplies
+    relation at 100 TB, with the count-distinct shuffled on the group)."""
+    ensure_views(spark, sf_dir)
+    part = spark.table("part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)),
+    )
+    supplies = spark.table("lineitem").select("l_partkey", "l_suppkey").distinct()
+    return (
+        supplies.join(F.broadcast(part), supplies.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) s
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: chained semi-joins — suppliers from one nation who moved
+    more than a quantity threshold of promo-named parts in one year."""
+    ensure_views(spark, sf_dir)
+    part = spark.table("part").filter(F.col("p_name").startswith("small"))
+    line = spark.table("lineitem").filter(F.year("l_shipdate") == 1997)
+    qualifying = (
+        line.join(F.broadcast(part), line.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50.0)
+        .select("l_suppkey")
+    )
+    supplier = spark.table("supplier")
+    nation = spark.table("nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        supplier.join(qualifying, supplier.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%' AND year(l_shipdate) = 1997
+    GROUP BY l_suppkey
+    HAVING {sql_dsum('l_quantity')} > 50.0)
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+"""
+
+
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: per-order multi-supplier analysis — for finalized orders
+    involving ≥2 suppliers, count per supplier the orders where THEIR last
+    shipment was the order's overall last (they held the order up). One
+    shuffle on l_orderkey; the per-order stats join back broadcast-free on
+    the same key."""
+    ensure_views(spark, sf_dir)
+    line = spark.table("lineitem")
+    orders = spark.table("orders").filter(F.col("o_orderstatus") == "F")
+    l = line.join(orders, line.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.max("l_shipdate").alias("_max_ship"),
+    )
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("_supp_max"),
+    )
+    supplier = spark.table("supplier")
+    return (
+        per_supp.join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_supp_max") == F.col("_max_ship")))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS _n_supp, MAX(l_shipdate) AS _max_ship
+  FROM l GROUP BY l_orderkey
+), per_supp AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS _supp_max
+  FROM l GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE _n_supp >= 2 AND _supp_max = _max_ship
+GROUP BY s_name
+"""
+
+
+SPARK_QUERIES.update({
+    "q8_market_share": q8_market_share,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_bulk_suppliers": q20_bulk_suppliers,
+    "q21_last_shipper": q21_last_shipper,
+})
+
+ORACLE_SQL.update({
+    "q8_market_share": Q8_SQL,
+    "q9_profit_by_nation_year": Q9_SQL,
+    "q16_supplier_part_counts": Q16_SQL,
+    "q20_bulk_suppliers": Q20_SQL,
+    "q21_last_shipper": Q21_SQL,
+})
