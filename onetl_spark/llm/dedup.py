@@ -121,9 +121,16 @@ def minhash_lsh_pairs(
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
     max_bucket_size: int = LSH_MAX_BUCKET,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash signatures + LSH banding, verified
     with exact shingle Jaccard.
+
+    ``block_col`` (e.g. a language column) salts every band key with the
+    block value, so candidate pairs can only form INSIDE a block: cross-
+    language near-dups are almost always false positives, and blocking
+    both removes them and splits hot LSH buckets across blocks — the
+    standard way multilingual web dedup keeps bucket sizes bounded.
 
     Returns (a_id, b_id, jaccard) for every candidate pair that shares at
     least one LSH band AND has exact Jaccard >= threshold.
@@ -147,9 +154,15 @@ def minhash_lsh_pairs(
     # arrays to cache); Jaccard is verified over the hash sets — identical
     # to string-shingle Jaccard modulo md5 collisions, and the showcase
     # oracle intersects the same hash lists, so results stay exact
+    block_cols = (
+        [F.coalesce(F.col(block_col).cast("string"), F.lit("")).alias("_blk")]
+        if block_col
+        else []
+    )
     hashed = df.select(
         F.col(id_col).alias("_id"),
         shingle_hashes(F.col(text_col)).alias("_h"),
+        *block_cols,
     ).persist()
     exploded = hashed.select("_id", F.explode("_h").alias("_hx"))
     aggs = [
@@ -161,19 +174,23 @@ def minhash_lsh_pairs(
         .agg(*aggs)
         .select("_id", F.array(*[f"_s{i}" for i in range(num_perm)]).alias("_sig"))
     )
+    if block_col:
+        sig = sig.join(hashed.select("_id", "_blk"), "_id")
 
     # persist the BANDED rows (docs × bands, tiny): both the bucket-size
     # audit job and the candidate self-join read them, so the expensive
-    # shingle→signature pipeline runs exactly once
+    # shingle→signature pipeline runs exactly once. The block value is
+    # hashed INTO the band key, so blocking costs nothing extra.
+    def _band_key(b):
+        joined = F.array_join(F.slice("_sig", b * rows + 1, rows), ",")
+        if block_col:
+            joined = F.concat_ws("|", F.col("_blk"), joined)
+        return F.md5(joined)
+
     banded = sig.select(
         "_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.array_join(F.slice("_sig", b * rows + 1, rows), ","),
-                ),
-            ),
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_key),
         ).alias("band_id", "band_key"),
     ).persist()
 

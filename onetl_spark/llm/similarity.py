@@ -139,6 +139,68 @@ def near_dup_pairs_by_label(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q[i] = round(x[i] / scale).
+
+    The 100 TB rationale: quantized vectors are 4× smaller than float32
+    (8× vs float64), which shrinks the scan, the shuffle, AND the cache
+    footprint of every ANN pass; the int dot product below is exact
+    integer arithmetic, so scoring is deterministic across engines and
+    hardware. Returns (id, qvec array<smallint-range ints>, scale).
+    """
+    x = F.col(vec_col)
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(x, lambda v: F.round(v.cast("double") / scale).cast("long")).alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors.
+
+    cos(a,b) ≈ (sa·sb·Σqa[i]qb[i]) / (sa·√Σqa² · sb·√Σqb²) — the scales
+    cancel in the ratio, so the score is a pure INTEGER dot over integer
+    norms: exact, engine-independent arithmetic until the final double
+    division. Candidates never touch the float vectors."""
+    q = quantize_embeddings(embeddings, id_col, vec_col)
+    qnorm = F.sqrt(
+        F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, v: a + v * v).cast("double"),
+    )
+    scored = q.select(F.col(id_col), "qvec", qnorm.alias("qn"))
+    query = scored.filter(F.col(id_col) == query_id).select(
+        F.col("qvec").alias("_qq"), F.col("qn").alias("_qqn"),
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("_qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        scored.join(F.broadcast(query))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col),
+            F.round(idot.cast("double") / (F.col("qn") * F.col("_qqn")), 9).alias("qcos_sim"),
+        )
+        .orderBy(F.desc("qcos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_plane_component(p: int, d: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     md5-derived, no RNG state — any engine can reproduce it."""

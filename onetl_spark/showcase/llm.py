@@ -695,3 +695,90 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 SPARK_QUERIES["ann_topk_per_query"] = ann_topk_per_query
 ORACLE_SQL["ann_topk_per_query"] = ANN_TOPK_PER_QUERY_SQL
+
+
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings — 4× smaller scan/shuffle than
+    float32, integer dot products (exact cross-engine arithmetic)."""
+    ensure_views(spark, sf_dir)
+    return similarity.quantized_topk(spark.table("embeddings"), query_id=0, k=10)
+
+
+# per-vector symmetric int8: scale = max|x|/127, q = round(x/scale);
+# cosine over the INTEGER vectors (scales cancel in the ratio)
+ANN_QUANTIZED_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) /
+                (greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)
+                 / 127.0)) AS BIGINT)) AS qvec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qvec,
+         sqrt(CAST(list_sum(list_transform(qvec, v -> v * v)) AS DOUBLE)) AS qn
+  FROM q
+), qq AS (
+  SELECT qvec AS _qq, qn AS _qqn FROM n WHERE vec_id = 0
+)
+SELECT b.vec_id,
+       round(CAST(list_sum(list_transform(range(1, len(b.qvec)+1),
+                 i -> b.qvec[i] * qq._qq[i])) AS DOUBLE) / (b.qn * qq._qqn), 9) AS qcos_sim
+FROM n b CROSS JOIN qq
+WHERE b.vec_id <> 0
+ORDER BY qcos_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+SPARK_QUERIES["ann_quantized_topk"] = ann_quantized_topk
+ORACLE_SQL["ann_quantized_topk"] = ANN_QUANTIZED_SQL
+
+
+def dedup_minhash_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-blocked MinHash near-dup pairs: the lang column is hashed
+    into every LSH band key, so candidates only form within a language —
+    fewer false positives AND bounded bucket sizes on multilingual data."""
+    ensure_views(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        spark.table("documents"), threshold=0.5, block_col="lang",
+    )
+
+
+def _minhash_by_lang_sql() -> str:
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, coalesce(CAST(lang AS VARCHAR), '') AS _blk, {SQL_TOKENS} AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, _blk, {SQL_SHINGLES} AS shingles FROM tok
+), hs AS (
+  SELECT doc_id, _blk,
+         list_transform(shingles, s -> {SQL_MD5LONG.format(x='s')} % {MOD}) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, _blk, h, {_sql_sig_entries()} AS sig FROM hs
+), bands AS (
+  SELECT doc_id, b AS band_id,
+         md5(_blk || '|' ||
+             array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], ',')) AS band_key
+  FROM sig, range(0, {LSH_BANDS}) t(b)
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), ver AS (
+  SELECT a_id, b_id,
+         round(len(list_intersect(sa.h, sb.h)) * 1.0 /
+               (len(sa.h) + len(sb.h)
+                - len(list_intersect(sa.h, sb.h))), 9) AS jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = a_id
+  JOIN sig sb ON sb.doc_id = b_id
+)
+SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5
+"""
+
+
+SPARK_QUERIES["dedup_minhash_by_lang"] = dedup_minhash_by_lang
+ORACLE_SQL["dedup_minhash_by_lang"] = _minhash_by_lang_sql()
