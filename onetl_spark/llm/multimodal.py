@@ -107,3 +107,71 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("resized_digest", T.StringType()),
+    ],
+)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize plumbing over binary payloads (Arrow-batched mapInPandas).
+
+    The real decode+resample belongs where the digest is computed — the
+    deterministic fake (md5 of payload + target geometry) keeps the
+    1-row-in/1-row-out batch shape, schema, and partitioning verifiable
+    without media libraries. Payloads never leave the executor batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f":{width}x{height}".encode()
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int64"),
+                    "height": pd.Series([height] * len(pdf), dtype="int64"),
+                    "resized_digest": [
+                        hashlib.md5(bytes(p) + tag).hexdigest() for p in pdf["payload"]
+                    ],
+                },
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("frame_hex", T.StringType()),
+    ],
+)
+
+
+def sample_frames(df: DataFrame, frame_size: int = 256, every: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: chunk each payload into ``frame_size``-byte
+    frames, keep every ``every``-th one, emit one ROW PER FRAME — the
+    1-in/N-out mapInPandas shape a video pipeline needs (a real decoder
+    would pull keyframes where the byte slicing happens)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every):
+                    chunk = b[i * frame_size : (i + 1) * frame_size]
+                    rows.append((int(doc_id), i, len(chunk), chunk[:8].hex()))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "frame_id", "n_frame_bytes", "frame_hex"],
+                )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

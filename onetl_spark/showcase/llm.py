@@ -336,6 +336,43 @@ FROM documents
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: 1-in/1-out mapInPandas over binary payloads
+    (decode stubbed — digest proves each payload crossed the Arrow batch
+    exactly once with the target geometry)."""
+    ensure_views(spark, sf_dir)
+    payloads = multimodal.with_binary_payload(spark.table("documents"))
+    return multimodal.resize_images(payloads, width=64, height=64)
+
+
+RESIZE_SQL = """
+SELECT doc_id, 64 AS width, 64 AS height,
+       md5(text || ':64x64') AS resized_digest
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: 1-in/N-out mapInPandas — every 2nd 256-byte frame
+    of each payload becomes its own row (the video-keyframe shape)."""
+    ensure_views(spark, sf_dir)
+    payloads = multimodal.with_binary_payload(spark.table("documents"))
+    return multimodal.sample_frames(payloads, frame_size=256, every=2)
+
+
+# byte-accurate chunking through the hex encoding (DuckDB has no BLOB
+# slicing): byte k of the payload = hex chars [2k+1, 2k+2]
+FRAME_SAMPLE_SQL = """
+WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents)
+SELECT doc_id,
+       i AS frame_id,
+       CAST(length(substring(hx, CAST(i * 512 + 1 AS BIGINT), 512)) / 2 AS BIGINT)
+         AS n_frame_bytes,
+       lower(substring(hx, CAST(i * 512 + 1 AS BIGINT), 16)) AS frame_hex
+FROM h, unnest(range(0, CAST(ceil(length(hx) / 512.0) AS BIGINT), 2)) t(i)
+"""
+
+
 SPARK_QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -782,3 +819,9 @@ SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5
 
 SPARK_QUERIES["dedup_minhash_by_lang"] = dedup_minhash_by_lang
 ORACLE_SQL["dedup_minhash_by_lang"] = _minhash_by_lang_sql()
+
+SPARK_QUERIES["multimodal_resize"] = multimodal_resize
+ORACLE_SQL["multimodal_resize"] = RESIZE_SQL
+
+SPARK_QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
+ORACLE_SQL["multimodal_frame_sample"] = FRAME_SAMPLE_SQL
