@@ -53,3 +53,23 @@ class KafkaStreamReader:
         for k, v in {**opts, **self.options}.items():
             reader = reader.option(k, str(v))
         return reader.load()
+
+    @classmethod
+    def from_hwm(cls, connection: Any, topic: str, hwm: Any, partitions: list[int], **kwargs):
+        """Resume a stream from a batch-side ``KeyValueIntHWM``: the saved
+        per-partition offsets become startingOffsets for the FIRST run;
+        after that the streaming checkpoint owns progress (Spark ignores
+        startingOffsets once a checkpoint exists). This is the handoff
+        path from incremental batch reads to a continuous stream —
+        partitions unseen by the HWM start at 0, matching the batch
+        planner (kafka.starting_offsets_from_hwm)."""
+        from onetl_spark.connections.kafka import starting_offsets_from_hwm
+
+        return cls(
+            connection=connection,
+            topic=topic,
+            starting_offsets=starting_offsets_from_hwm(
+                topic, getattr(hwm, "value", hwm), partitions,
+            ),
+            **kwargs,
+        )

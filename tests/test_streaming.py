@@ -143,3 +143,30 @@ def test_file_sink_roundtrip(spark, stream_dir, tmp_path):
 def test_writer_rejects_batch_df(spark):
     with pytest.raises(ValueError):
         StreamDFWriter(format="memory").run(spark.range(3))
+
+
+def test_kafka_stream_reader_from_hwm_offsets():
+    """Batch→stream handoff: saved KeyValueIntHWM offsets become the
+    stream's startingOffsets JSON (unseen partitions start at 0), and the
+    YAML-store round-trip keeps partition keys int."""
+    import json
+
+    from onetl_spark.hwm.types import KeyValueIntHWM
+    from onetl_spark.streaming.reader import KafkaStreamReader
+
+    hwm = KeyValueIntHWM(name="t_hwm", entity="events")
+    hwm.update({0: 100, 2: 50})
+    reader = KafkaStreamReader.from_hwm(
+        connection=None, topic="events", hwm=hwm, partitions=[0, 1, 2],
+    )
+    rendered = json.loads(reader.starting_offsets)
+    assert rendered == {"events": {"0": 100, "1": 0, "2": 50}}
+
+    # after a store round-trip (keys stringified on disk) the result is identical
+    from onetl_spark.hwm.types import HWM
+
+    restored = HWM.deserialize(hwm.serialize())
+    reader2 = KafkaStreamReader.from_hwm(
+        connection=None, topic="events", hwm=restored, partitions=[0, 1, 2],
+    )
+    assert json.loads(reader2.starting_offsets) == rendered
