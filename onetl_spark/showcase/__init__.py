@@ -5,7 +5,15 @@ and ``ORACLE_SQL: dict[str, str]`` (DuckDB-runnable ANSI SQL on the same
 parquet views). ``__spark_entry__.py`` merges them.
 """
 
-from onetl_spark.showcase import operators, sessions, streaming, temporal, tpch, tpch_ext
+from onetl_spark.showcase import (
+    analytics,
+    operators,
+    sessions,
+    streaming,
+    temporal,
+    tpch,
+    tpch_ext,
+)
 
 
 def all_queries():
@@ -23,7 +31,7 @@ def all_oracles():
 
 
 def _modules():
-    mods = [tpch, tpch_ext, operators, temporal, sessions, streaming]
+    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming]
     try:
         from onetl_spark.showcase import llm
 

@@ -225,7 +225,89 @@ GROUP BY event_type
 """
 
 
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the most common production stream
+    pattern: each micro-batch joins against a (broadcastable) static dim
+    without any stream-side state. Aggregated per segment in complete
+    mode so the result is batch-comparable."""
+    from onetl_spark.connections.catalog import read_table
+
+    events = _events_stream(spark, sf_dir)
+    profile = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment",
+    )
+    joined = events.join(F.broadcast(profile), "user_id")
+    out = (
+        joined.withWatermark("ts", "30 minutes")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+    return _run_to_table(out, "complete")
+
+
+STREAMING_ENRICHED_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases within
+    1 hour after a click by the same user. Watermarks on BOTH sides plus
+    the time-range condition let Spark expire join state — the unbounded-
+    state trap of naive stream-stream joins. Inner-join output is
+    emit-on-match, so the final table equals the batch join regardless of
+    micro-batch boundaries."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+    )
+    return _run_to_table(joined, "append")
+
+
+STREAMING_CLICK_PURCHASE_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+ AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+"""
+
+
 SPARK_QUERIES = {
+    "streaming_enriched_counts": streaming_enriched_counts,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
     "streaming_windowed_agg": streaming_windowed_agg,
     "streaming_sessionize": streaming_sessionize,
     "streaming_dedup_keys": streaming_dedup_keys,
@@ -233,6 +315,8 @@ SPARK_QUERIES = {
 }
 
 ORACLE_SQL = {
+    "streaming_enriched_counts": STREAMING_ENRICHED_SQL,
+    "streaming_click_purchase_join": STREAMING_CLICK_PURCHASE_SQL,
     "streaming_windowed_agg": STREAMING_WINDOWED_AGG_SQL,
     "streaming_sessionize": STREAMING_SESSIONIZE_SQL,
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
