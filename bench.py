@@ -49,6 +49,11 @@ HEADLINE = [
     "ann_topk_per_query",
     "streaming_windowed_agg",
     "streaming_sessionize",
+    "q7_nation_volume",
+    "q21_last_shipper",
+    "events_pivot_by_type",
+    "ann_quantized_topk",
+    "dedup_minhash_by_lang",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
