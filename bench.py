@@ -54,6 +54,10 @@ HEADLINE = [
     "events_pivot_by_type",
     "ann_quantized_topk",
     "dedup_minhash_by_lang",
+    "q2_min_cost_supplier",
+    "sequence_packing",
+    "doc_repetition_stats",
+    "pii_redaction",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

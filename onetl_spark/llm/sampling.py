@@ -1,0 +1,159 @@
+"""Deterministic sampling, splitting, and sequence packing for training-
+data pipelines.
+
+Everything here is HASH-DRIVEN, not RNG-driven: ``rand()`` samples are
+irreproducible across retries, engines, and partition layouts, which
+breaks both incremental pipelines (a retried task samples different
+rows) and train/test hygiene (the split must be a pure function of the
+example, or examples migrate between splits when the corpus is
+re-sharded). ``md5_long`` (first 15 hex chars of md5 → bigint) is the
+cross-engine hash used everywhere in this package — DuckDB mirrors it as
+``('0x' || substr(md5(x),1,15))::BIGINT``.
+
+Scale notes:
+
+- ``split_by_hash`` / ``sample_by_hash`` are pure per-row projections —
+  ZERO shuffle at any corpus size; the filter/projection pushes down to
+  the scan.
+- ``pack_sequences`` packs WITHIN a shard column (source, date, path —
+  whatever bounds a window partition): one shuffle on the shard key,
+  never a global sort. Global greedy packing is inherently sequential;
+  per-shard packing is what production pipelines do, and the shard
+  boundary waste is at most one under-filled bin per shard.
+
+Reference parity note: the reference EL framework has no sampling
+operators (non-goal per its README); these follow the common web-corpus
+recipes (hash-mod splits, per-stratum rates, greedy context packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from onetl_spark.llm.text import md5_long
+
+#: denominator for mapping the hash to a unit interval; 1e6 buckets keeps
+#: split boundaries exact for fractions with ≤6 decimal places
+UNIT_BUCKETS = 1_000_000
+
+
+def hash_unit(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform value in [0, 1): ``(md5_long(salt||x) %
+    1e6) / 1e6``. Salting yields independent draws from the same key —
+    use a distinct salt per decision (split vs subsample) so one doesn't
+    bias the other."""
+    return (
+        F.pmod(md5_long(F.concat(F.lit(salt), col.cast("string"))), F.lit(UNIT_BUCKETS))
+        / F.lit(float(UNIT_BUCKETS))
+    )
+
+
+def sql_hash_unit(expr: str, salt: str = "") -> str:
+    """DuckDB mirror of :func:`hash_unit` for oracle queries."""
+    salted = f"'{salt}' || CAST({expr} AS VARCHAR)"
+    return (
+        f"(('0x' || substr(md5({salted}), 1, 15))::BIGINT % {UNIT_BUCKETS})"
+        f" / {UNIT_BUCKETS}.0"
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test…) as a pure
+    function of its id. Fractions must sum to 1. Rows keep their split
+    across re-runs, re-sharding, and engines."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = hash_unit(F.col(id_col), salt)
+    expr = None
+    upper = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        upper += splits[name]
+        cond = u < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def sample_by_hash(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff
+    ``hash_unit(id) < fraction[stratum]``. The reproducible counterpart
+    of ``DataFrame.sampleBy`` — no RNG, no shuffle, no per-stratum sort
+    (an exact-count variant would need a rank per stratum: a per-stratum
+    global sort that a 100 TB corpus can't afford; hash thresholding is
+    exact in expectation and each stratum concentrates tightly around
+    fraction·n)."""
+    u = hash_unit(F.col(id_col), salt)
+    rate = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        rate = F.when(cond, F.lit(frac)) if rate is None else rate.when(cond, F.lit(frac))
+    rate = F.lit(default) if rate is None else rate.otherwise(F.lit(default))
+    return df.filter(u < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: Column | str,
+    budget: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous packing of documents into context-window bins.
+
+    Documents are ordered by id within each shard; a document opens a new
+    bin when the tokens accumulated BEFORE it have crossed a multiple of
+    ``budget`` (documents are never split, so a bin may overflow by at
+    most one document — the standard no-split streaming packer).
+
+    Returns one row per (shard, bin_id): n_docs, tokens_total, and the
+    packed doc ids in order. One shuffle on the shard key; the window
+    sort is per-shard, so parallelism is the shard count — pick a shard
+    column with enough distinct values for the cluster (source file,
+    date, path prefix).
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        W.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    staged = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        tok.alias("_tok"),
+    ).withColumn("_cum", F.sum("_tok").over(w))
+    binned = staged.withColumn(
+        "bin_id", F.floor((F.col("_cum") - F.col("_tok")) / F.lit(budget)),
+    )
+    return (
+        binned.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("tokens_total"),
+            F.array_sort(F.collect_list(F.struct(id_col, "_tok"))).alias("_members"),
+        )
+        .select(
+            "shard",
+            "bin_id",
+            "n_docs",
+            "tokens_total",
+            F.transform(F.col("_members"), lambda s: s[id_col]).alias("member_ids"),
+        )
+    )

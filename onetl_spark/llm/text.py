@@ -151,3 +151,78 @@ def tfidf_top_terms(df, text_col: str = "text", id_col: str = "doc_id", k: int =
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+#: PII patterns kept to syntax BOTH Java regex (Spark) and RE2 (DuckDB)
+#: support — no backreferences, no lookaround — so oracle queries can
+#: reproduce the redaction verbatim.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace common PII shapes (emails, international-format phone
+    numbers, IPv4 addresses) with typed placeholder tokens.
+
+    A pure per-row projection: zero shuffle, pushes through any plan.
+    Regex syntax is restricted to the Java∩RE2 subset (see
+    ``PII_PATTERNS``) so external engines can replicate the scrub
+    bit-for-bit — a requirement when redaction runs in more than one
+    system and outputs must reconcile.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document: token_count,
+    distinct-token ratio, top-token fraction, top-bigram fraction.
+    Highly repetitive documents (boilerplate, keyword stuffing, broken
+    scrapes) score low distinct ratios / high top fractions and get
+    culled before training.
+
+    Shape: explode tokens → two (doc, gram) count aggregations → per-doc
+    max/sum — every step partial-aggregates map-side and shuffles only on
+    (doc, gram) / doc keys. No windows, no collects; a doc's grams never
+    need to be co-resident except per aggregation key.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        word_tokens(text_col).alias("_w"),
+    )
+    words = toks.select("_id", F.explode("_w").alias("_t"))
+    unigram = words.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_n"))
+    uni_stats = unigram.groupBy("_id").agg(
+        F.sum("_n").alias("token_count"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.max("_n").alias("_top_n"),
+    )
+    bigrams = toks.select(
+        "_id",
+        F.explode(
+            F.when(F.size("_w") >= 2, F.expr("transform(slice(_w, 1, size(_w)-1), (x, i) -> concat(x, ' ', _w[i+1]))"))
+            .otherwise(F.array()),
+        ).alias("_b"),
+    )
+    bigram_counts = bigrams.groupBy("_id", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    bi_stats = bigram_counts.groupBy("_id").agg(
+        F.sum("_n").alias("_bi_total"),
+        F.max("_n").alias("_bi_top"),
+    )
+    return (
+        uni_stats.join(bi_stats, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "token_count",
+            F.round(F.col("distinct_tokens") / F.col("token_count"), 9).alias("distinct_ratio"),
+            F.round(F.col("_top_n") / F.col("token_count"), 9).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("_bi_top") / F.col("_bi_total"), F.lit(0.0)), 9,
+            ).alias("top_bigram_frac"),
+        )
+    )

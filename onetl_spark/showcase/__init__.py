@@ -8,6 +8,7 @@ parquet views). ``__spark_entry__.py`` merges them.
 from onetl_spark.showcase import (
     analytics,
     operators,
+    sampling,
     sessions,
     streaming,
     temporal,
@@ -31,7 +32,7 @@ def all_oracles():
 
 
 def _modules():
-    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming]
+    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming, sampling]
     try:
         from onetl_spark.showcase import llm
 

@@ -1,0 +1,210 @@
+"""Sampling / splitting / packing / scrubbing showcases over documents.
+
+The training-data-pipeline surface: deterministic train/val/test splits,
+stratified subsampling, context-window packing, PII scrubbing, and
+repetition-based quality signals — each mirrored by a DuckDB oracle
+(hashing is md5-derived on both sides, see ``llm/sampling.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.llm.sampling import (
+    UNIT_BUCKETS,
+    pack_sequences,
+    sample_by_hash,
+    split_by_hash,
+    sql_hash_unit,
+)
+from onetl_spark.llm.text import (
+    PII_PATTERNS,
+    redact_pii,
+    repetition_stats,
+    token_count,
+)
+from onetl_spark.showcase.util import ensure_views
+
+SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test split as a pure function of doc_id — zero
+    shuffle for the assignment itself; the count-by-split is the only
+    exchange."""
+    ensure_views(spark, sf_dir)
+    docs = split_by_hash(spark.table("documents"), "doc_id")
+    return docs.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+CORPUS_SPLIT_SQL = f"""
+SELECT CASE WHEN {sql_hash_unit('doc_id', 'split')} < 0.9 THEN 'train'
+            WHEN {sql_hash_unit('doc_id', 'split')} < 0.95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.3, "zh": 0.8}
+
+
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language subsampling (hash-threshold, the
+    reproducible sampleBy): scan-side filter, no shuffle until the
+    verification count."""
+    ensure_views(spark, sf_dir)
+    kept = sample_by_hash(
+        spark.table("documents"), _SAMPLE_RATES, strata_col="lang", id_col="doc_id",
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_SQL_RATE = (
+    "CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3 WHEN 'zh' THEN 0.8 ELSE 0.0 END"
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_kept
+FROM documents
+WHERE {sql_hash_unit('doc_id', 'sample')} < {_SQL_RATE}
+GROUP BY lang
+"""
+
+
+_PACK_BUDGET = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing of documents into 512-token bins,
+    sharded by source (one window shuffle on the shard key; parallelism
+    = shard count)."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return pack_sequences(
+        docs,
+        token_col=token_count("text"),
+        budget=_PACK_BUDGET,
+        shard_col="source",
+        id_col="doc_id",
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH t AS (
+  SELECT source AS shard, doc_id, len({SQL_TOKENS}) AS tok
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT shard,
+       CAST(floor((cum - tok) / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       SUM(tok) AS tokens_total,
+       list(doc_id ORDER BY doc_id) AS member_ids
+FROM c
+GROUP BY 1, 2
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub verification: graft synthetic emails/phones/IPs onto each
+    document, redact, and emit a digest of the scrubbed text. Pure
+    projection — the scrub adds zero exchanges to any plan."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-867-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" at 192.168.0.1"),
+        ).alias("_dirty"),
+    )
+    clean = dirty.select("doc_id", redact_pii("_dirty").alias("_clean"))
+    return clean.select(
+        "doc_id",
+        F.md5(F.col("_clean").cast("binary")).alias("digest"),
+        F.length("_clean").alias("clean_len"),
+        (F.length("_clean") - F.length(F.regexp_replace("_clean", "<EMAIL>|<PHONE>|<IP>", ""))).alias("redacted_chars"),
+    )
+
+
+def _pii_sql() -> str:
+    dirty = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or +1-555-867-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 192.168.0.1'"
+    )
+    clean = dirty
+    for pattern, token in PII_PATTERNS:
+        escaped = pattern.replace("'", "''")
+        clean = f"regexp_replace({clean}, '{escaped}', '{token}', 'g')"
+    return f"""
+WITH c AS (SELECT doc_id, {clean} AS clean FROM documents)
+SELECT doc_id, md5(clean) AS digest, length(clean) AS clean_len,
+       length(clean) - length(regexp_replace(clean, '<EMAIL>|<PHONE>|<IP>', '', 'g')) AS redacted_chars
+FROM c
+"""
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document."""
+    ensure_views(spark, sf_dir)
+    return repetition_stats(spark.table("documents"))
+
+
+REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), uni AS (
+  SELECT doc_id, tok, COUNT(*) AS n
+  FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+  GROUP BY 1, 2
+), us AS (
+  SELECT doc_id, SUM(n) AS token_count, COUNT(*) AS distinct_tokens, MAX(n) AS top_n
+  FROM uni GROUP BY 1
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS b
+  FROM t
+), bc AS (
+  SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2
+), bs AS (
+  SELECT doc_id, SUM(n) AS bi_total, MAX(n) AS bi_top FROM bc GROUP BY 1
+)
+SELECT us.doc_id,
+       token_count,
+       round(CAST(distinct_tokens AS DOUBLE) / token_count, 9) AS distinct_ratio,
+       round(CAST(top_n AS DOUBLE) / token_count, 9) AS top_token_frac,
+       round(COALESCE(CAST(bi_top AS DOUBLE) / bi_total, 0.0), 9) AS top_bigram_frac
+FROM us LEFT JOIN bs USING (doc_id)
+"""
+
+
+SPARK_QUERIES = {
+    "corpus_split_counts": corpus_split_counts,
+    "stratified_sample_counts": stratified_sample_counts,
+    "sequence_packing": sequence_packing,
+    "pii_redaction": pii_redaction,
+    "doc_repetition_stats": doc_repetition_stats,
+}
+
+ORACLE_SQL = {
+    "corpus_split_counts": CORPUS_SPLIT_SQL,
+    "stratified_sample_counts": STRATIFIED_SAMPLE_SQL,
+    "sequence_packing": SEQUENCE_PACKING_SQL,
+    "pii_redaction": _pii_sql(),
+    "doc_repetition_stats": REPETITION_SQL,
+}

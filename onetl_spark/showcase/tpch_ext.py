@@ -566,3 +566,118 @@ ORACLE_SQL.update({
     "q20_bulk_suppliers": Q20_SQL,
     "q21_last_shipper": Q21_SQL,
 })
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: minimum-cost supplier per part within a region (no
+    partsupp table — the observed per-(part, supplier) minimum unit price
+    in lineitem stands in for ps_supplycost). Correlated-MIN subquery
+    expressed as an extra aggregation on the part key joined back on
+    equality; supplier/nation/region dims broadcast, the supplies
+    relation shuffles once on its grouping key."""
+    ensure_views(spark, sf_dir)
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    nation = spark.table("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supplier = spark.table("supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    part = spark.table("part").filter(F.col("p_size") == 15)
+    cost = (
+        spark.table("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias("unit_cost"))
+    )
+    offers = (
+        cost.join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name", "n_name")),
+            cost.l_suppkey == F.col("s_suppkey"),
+        )
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("_min_cost"),
+    )
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best._pk) & (offers.unit_cost == best._min_cost),
+        )
+        .select("s_name", "n_name", F.col("l_partkey").alias("p_partkey"), "p_type", "unit_cost")
+    )
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), offers AS (
+  SELECT s.s_name, n.n_name, c.l_partkey, p.p_type, c.unit_cost
+  FROM cost c
+  JOIN part p ON c.l_partkey = p.p_partkey AND p.p_size = 15
+  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+)
+SELECT s_name, n_name, l_partkey AS p_partkey, p_type, unit_cost
+FROM offers o
+WHERE unit_cost = (SELECT MIN(unit_cost) FROM offers i WHERE i.l_partkey = o.l_partkey)
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose shipped value from one nation's suppliers
+    exceeds a fraction of that nation's total (HAVING against a scalar
+    subquery). The global total is a 1-row aggregate cross-joined
+    broadcast; both aggregates partial-combine map-side. Decimal sums
+    keep the threshold comparison bit-identical across engines."""
+    ensure_views(spark, sf_dir)
+    nation = spark.table("nation").filter(F.col("n_name") == "NATION_5")
+    supplier = spark.table("supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    shipped = (
+        spark.table("lineitem")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    per_part = shipped.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"),
+    )
+    total = shipped.agg(
+        (dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * F.lit(0.001)).alias("_cut"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_cut"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+    )
+
+
+Q11_SQL = f"""
+WITH shipped AS (
+  SELECT l_partkey, l_extendedprice, l_discount
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5')
+)
+SELECT l_partkey AS p_partkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS part_value
+FROM shipped
+GROUP BY l_partkey
+HAVING {sql_dsum('l_extendedprice * (1 - l_discount)')} >
+       (SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} * 0.001 FROM shipped)
+"""
+
+
+SPARK_QUERIES.update({
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_parts": q11_important_parts,
+})
+
+ORACLE_SQL.update({
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_parts": Q11_SQL,
+})

@@ -1,0 +1,101 @@
+"""Unit tests for deterministic sampling / splitting / packing
+(onetl_spark.llm.sampling) and PII redaction (llm.text)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from onetl_spark.llm.sampling import pack_sequences, sample_by_hash, split_by_hash
+from onetl_spark.llm.text import redact_pii
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shard"), (F.col("id") % 4).cast("string")).alias("source"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de").otherwise("zh").alias("lang"),
+        (F.col("id") % 7 + 1).alias("tokens"),
+    )
+
+
+def test_split_is_deterministic_and_total(docs):
+    a = split_by_hash(docs, "doc_id")
+    b = split_by_hash(docs, "doc_id")
+    rows_a = {r["doc_id"]: r["split"] for r in a.collect()}
+    rows_b = {r["doc_id"]: r["split"] for r in b.collect()}
+    assert rows_a == rows_b
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000
+    # 90/5/5 within loose tolerance on 1000 rows
+    assert 850 <= counts["train"] <= 950
+    assert set(counts) == {"train", "val", "test"}
+
+
+def test_split_fractions_must_sum_to_one(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_split_is_stable_under_resharding(docs):
+    base = {r["doc_id"]: r["split"] for r in split_by_hash(docs, "doc_id").collect()}
+    reshuffled = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(docs.repartition(13), "doc_id").collect()
+    }
+    assert base == reshuffled
+
+
+def test_sample_by_hash_rates_and_subset(docs):
+    kept = sample_by_hash(docs, {"en": 1.0, "de": 0.0}, strata_col="lang", id_col="doc_id")
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang.get("en") == docs.filter(F.col("lang") == "en").count()
+    assert "de" not in by_lang
+    assert "zh" not in by_lang  # default rate 0.0
+    # sampling twice with the same salt keeps the identical row set
+    ids1 = {r["doc_id"] for r in sample_by_hash(docs, {"en": 0.4}).select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in sample_by_hash(docs, {"en": 0.4}).select("doc_id").collect()}
+    assert ids1 == ids2
+    # a higher rate strictly grows the kept set (nested samples property)
+    ids_big = {r["doc_id"] for r in sample_by_hash(docs, {"en": 0.8}).select("doc_id").collect()}
+    assert ids1 <= ids_big
+
+
+def test_pack_sequences_structure(docs):
+    packed = pack_sequences(docs, token_col="tokens", budget=20, shard_col="source", id_col="doc_id")
+    rows = packed.collect()
+    # every doc lands in exactly one bin
+    assert sum(r["n_docs"] for r in rows) == 1000
+    for r in rows:
+        assert r["tokens_total"] == sum(
+            1 + (i % 7) for i in r["member_ids"]
+        )
+        # no-split greedy: a bin exceeds budget by at most its last doc (<= max token len 7)
+        assert r["tokens_total"] < 20 + 7
+    # bins within a shard are contiguous in doc order
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["bin_id"])
+        flat = [i for r in shard_rows for i in r["member_ids"]]
+        assert flat == sorted(flat)
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co.uk please"),
+            (2, "call +1-555-867-5309 or 44 20 7946 0958 now"),
+            (3, "server at 10.0.0.1 responded"),
+            (4, "nothing sensitive here"),
+        ],
+        ["id", "t"],
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", redact_pii("t").alias("c")).collect()}
+    assert out[1] == "mail me at <EMAIL> please"
+    assert "<PHONE>" in out[2]
+    assert "5309" not in out[2]
+    assert out[3] == "server at <IP> responded"
+    assert out[4] == "nothing sensitive here"
