@@ -164,18 +164,20 @@ def minhash_lsh_pairs(
         shingle_hashes(F.col(text_col)).alias("_h"),
         *block_cols,
     ).persist()
-    exploded = hashed.select("_id", F.explode("_h").alias("_hx"))
+    # the block value rides through the explode + groupBy as an extra
+    # grouping key (one value per id → same groups), so no corpus-wide
+    # join is needed to recover it for the band keys
+    sig_keys = ["_id", "_blk"] if block_col else ["_id"]
+    exploded = hashed.select(*sig_keys, F.explode("_h").alias("_hx"))
     aggs = [
         F.min((F.lit(a) * F.col("_hx") + F.lit(b)) % MOD).alias(f"_s{i}")
         for i, (a, b) in enumerate(perm_constants(num_perm))
     ]
     sig = (
-        exploded.groupBy("_id")
+        exploded.groupBy(*sig_keys)
         .agg(*aggs)
-        .select("_id", F.array(*[f"_s{i}" for i in range(num_perm)]).alias("_sig"))
+        .select(*sig_keys, F.array(*[f"_s{i}" for i in range(num_perm)]).alias("_sig"))
     )
-    if block_col:
-        sig = sig.join(hashed.select("_id", "_blk"), "_id")
 
     # persist the BANDED rows (docs × bands, tiny): both the bucket-size
     # audit job and the candidate self-join read them, so the expensive

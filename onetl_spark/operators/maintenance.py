@@ -1,0 +1,138 @@
+"""Table/directory maintenance operators for large-scale pipelines.
+
+A 100 TB corpus that's written incrementally (per-batch appends, Kafka
+micro-batches, per-day partitions) rots into millions of small files:
+every scan pays an open/footer cost per file, drivers choke on listing,
+and shuffle planning degrades. These operators are the counterweight:
+
+- :func:`compact_directory` — rewrite a directory (or its partitions)
+  into size-targeted files, then atomically swap.
+- :func:`range_partitioned_write` — write sorted, range-partitioned
+  files so min/max statistics actually prune (a parquet file whose
+  sort column spans the whole domain prunes nothing).
+
+Both are driver-light: sizing decisions come from file-system metadata
+(listing), never from scanning data.
+"""
+
+from __future__ import annotations
+
+import logging
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger(__name__)
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _fs_for(spark: SparkSession, url: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(url)
+    return path.getFileSystem(conf), path, jvm
+
+
+def directory_stats(spark: SparkSession, url: str) -> tuple[int, int]:
+    """(total_bytes, n_files) for every data file under ``url``
+    (recursive, dotfiles/_SUCCESS excluded). Pure namenode metadata —
+    no data read."""
+    fs, path, _ = _fs_for(spark, url)
+    total = 0
+    count = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        total += status.getLen()
+        count += 1
+    return total, count
+
+
+def compact_directory(
+    spark: SparkSession,
+    url: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Rewrite the files under ``url`` into ≈``target_file_bytes`` files.
+
+    The output file count is computed from the CURRENT on-disk size
+    (metadata listing, no scan), the data is rewritten with a single
+    ``coalesce`` (no shuffle — compaction only narrows partitioning) into
+    a staging directory next to the target, and the swap is two renames —
+    the windows where readers see a partial state are the rename calls,
+    which are atomic per-directory on HDFS-like stores. Returns a report
+    dict (files/bytes before → after).
+
+    Partitioned layouts: run per partition directory (the caller iterates
+    partitions — compacting independent partitions is embarrassingly
+    parallel across many calls and keeps each rename window small).
+    """
+    before_bytes, before_files = directory_stats(spark, url)
+    if before_files < min_files_to_compact:
+        log.info("compact_directory: %s has %d files, skipping", url, before_files)
+        return {
+            "url": url,
+            "compacted": False,
+            "files_before": before_files,
+            "bytes_before": before_bytes,
+        }
+    n_out = max(1, -(-before_bytes // target_file_bytes))  # ceil
+    fs, target, jvm = _fs_for(spark, url)
+    staging = jvm.org.apache.hadoop.fs.Path(f"{url}__compact_{uuid.uuid4().hex[:12]}")
+    backup = jvm.org.apache.hadoop.fs.Path(f"{url}__precompact_{uuid.uuid4().hex[:12]}")
+
+    df = spark.read.format(fmt).load(url)
+    # coalesce, not repartition: narrowing file count needs no exchange
+    df.coalesce(int(n_out)).write.format(fmt).mode("errorifexists").save(str(staging))
+
+    if not fs.rename(target, backup):
+        raise OSError(f"compact_directory: could not move {url} aside")
+    if not fs.rename(staging, target):
+        fs.rename(backup, target)  # roll back
+        raise OSError(f"compact_directory: could not install compacted {url}")
+    fs.delete(backup, True)
+
+    after_bytes, after_files = directory_stats(spark, url)
+    report = {
+        "url": url,
+        "compacted": True,
+        "files_before": before_files,
+        "files_after": after_files,
+        "bytes_before": before_bytes,
+        "bytes_after": after_bytes,
+    }
+    log.info("compact_directory: %s", report)
+    return report
+
+
+def range_partitioned_write(
+    df: DataFrame,
+    url: str,
+    sort_cols: list[str],
+    num_files: int,
+    fmt: str = "parquet",
+    mode: str = "errorifexists",
+) -> None:
+    """Write ``df`` as ``num_files`` files range-partitioned AND sorted on
+    ``sort_cols`` — the layout that makes parquet min/max statistics
+    prune: each file owns a disjoint slice of the sort-key domain, so a
+    point or range predicate on the leading sort column touches O(1)
+    files instead of all of them.
+
+    ``repartitionByRange`` samples the key distribution (one extra
+    sampling pass, negligible) to build balanced ranges even under skew;
+    ``sortWithinPartitions`` costs a per-partition sort, no exchange.
+    """
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.format(fmt)
+        .mode(mode)
+        .save(url)
+    )

@@ -1,0 +1,89 @@
+"""Tests for compaction and range-partitioned writes."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from onetl_spark.operators.maintenance import (
+    compact_directory,
+    directory_stats,
+    range_partitioned_write,
+)
+
+
+def _data_files(path: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(p).startswith(("_", "."))
+    ]
+
+
+def test_compact_directory_reduces_files(spark, tmp_path):
+    target = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(target)
+    assert len(_data_files(target)) == 40
+    before_bytes, before_files = directory_stats(spark, target)
+    assert before_files == 40
+
+    report = compact_directory(spark, target, target_file_bytes=max(before_bytes // 2, 1))
+    assert report["compacted"]
+    assert report["files_before"] == 40
+    assert report["files_after"] <= 3
+    # data survived intact
+    df = spark.read.parquet(target)
+    assert df.count() == 4000
+    assert df.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(4000))
+    # no staging/backup leftovers
+    assert not glob.glob(str(tmp_path / "frag__*"))
+
+
+def test_compact_directory_skips_single_file(spark, tmp_path):
+    target = str(tmp_path / "single")
+    spark.range(0, 10).coalesce(1).write.parquet(target)
+    report = compact_directory(spark, target)
+    assert not report["compacted"]
+    assert spark.read.parquet(target).count() == 10
+
+
+def test_range_partitioned_write_prunes(spark, tmp_path):
+    target = str(tmp_path / "ranged")
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v"),
+    )
+    range_partitioned_write(df, target, sort_cols=["k"], num_files=8)
+
+    files = _data_files(target)
+    assert len(files) == 8
+    # each file owns a disjoint slice of the sort-key domain
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap — no pruning possible"
+
+    # a point predicate scans 1 of 8 files (Spark prunes via footer stats)
+    hit = spark.read.parquet(target).filter(F.col("k") == 12_345)
+    assert hit.count() == 1
+
+
+@pytest.mark.parametrize("bad_mode", ["overwrite"])
+def test_range_partitioned_write_mode_passthrough(spark, tmp_path, bad_mode):
+    target = str(tmp_path / "modes")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    range_partitioned_write(df, target, ["k"], 2)
+    range_partitioned_write(df, target, ["k"], 2, mode=bad_mode)
+    assert spark.read.parquet(target).count() == 100
