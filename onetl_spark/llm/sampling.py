@@ -157,3 +157,36 @@ def pack_sequences(
             F.transform(F.col("_members"), lambda s: s[id_col]).alias("member_ids"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row gets key ``u^(1/w)`` with u a hash-derived
+    uniform, and the k largest keys per stratum are the sample — exactly
+    equivalent to sequential weighted draws without replacement, but
+    embarrassingly parallel and reproducible (no RNG state).
+
+    Rows with non-positive weight are excluded. Catalyst executes the
+    per-stratum top-k as ``WindowGroupLimit`` (partial pre-shuffle
+    heap), so a giant stratum never lands on one task as a full sort.
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = hash_unit(F.col(id_col), salt)
+    keyed = (
+        df.filter(wcol > 0)
+        .withColumn("_wkey", F.round(F.pow(u, F.lit(1.0) / wcol), 12))
+    )
+    parts = [strata_col] if strata_col else []
+    w = W.partitionBy(*parts).orderBy(F.desc("_wkey"), F.asc(id_col))
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

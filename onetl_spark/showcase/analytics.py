@@ -108,3 +108,78 @@ ORACLE_SQL = {
     "agg_cube_status_priority": CUBE_SQL,
     "events_value_percentiles": PERCENTILES_SQL,
 }
+
+
+def events_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user sketch (KMV, k=64): deterministic,
+    engine-reproducible approximate count-distinct — one distinct
+    shuffle + a WindowGroupLimit top-k, never the full value set per
+    group post-shuffle (contrast exact COUNT(DISTINCT) at 100 TB)."""
+    from onetl_spark.operators.sketches import kmv_distinct_estimate
+
+    ensure_views(spark, sf_dir)
+    return kmv_distinct_estimate(
+        spark.table("events"), group_cols=["event_type"], value_col="user_id", k=64,
+    )
+
+
+def _kmv_sql() -> str:
+    from onetl_spark.operators.sketches import sql_kmv_distinct_estimate
+
+    return sql_kmv_distinct_estimate("events", ["event_type"], "user_id", k=64)
+
+
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup in ONE pass: daily and hourly
+    aggregates via GROUPING SETS — the hypertable continuous-aggregate
+    shape. Spark evaluates both granularities from a single scan with
+    partial aggregation; resolution is disambiguated by the grouping
+    flag, not a second job."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return (
+        ev.groupingSets([["day"], ["day", "hour"]], "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            # hour is NULL on the daily grouping set; fold the two
+            # granularities into one non-null bucket column + resolution
+            F.coalesce("hour", "day").alias("bucket_start"),
+            F.when(F.col("hour").isNull(), "1d").otherwise("1h").alias("resolution"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+MULTIRES_SQL = f"""
+SELECT CAST(COALESCE(CASE WHEN GROUPING(date_trunc('hour', CAST(ts AS TIMESTAMP))) = 0
+                              THEN date_trunc('hour', CAST(ts AS TIMESTAMP)) END,
+                         date_trunc('day', CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS bucket_start,
+       CASE WHEN GROUPING(date_trunc('hour', CAST(ts AS TIMESTAMP))) = 1
+            THEN '1d' ELSE '1h' END AS resolution,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', CAST(ts AS TIMESTAMP))),
+  (date_trunc('day', CAST(ts AS TIMESTAMP)), date_trunc('hour', CAST(ts AS TIMESTAMP)))
+)
+"""
+
+
+SPARK_QUERIES.update({
+    "events_distinct_users_kmv": events_distinct_users_kmv,
+    "events_multires_rollup": events_multires_rollup,
+})
+
+ORACLE_SQL.update({
+    "events_distinct_users_kmv": _kmv_sql(),
+    "events_multires_rollup": MULTIRES_SQL,
+})

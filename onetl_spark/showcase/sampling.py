@@ -208,3 +208,36 @@ ORACLE_SQL = {
     "pii_redaction": _pii_sql(),
     "doc_repetition_stats": REPETITION_SQL,
 }
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (A-ES): 20 documents per language,
+    selection probability proportional to document length."""
+    from onetl_spark.llm.sampling import weighted_sample_topk
+
+    ensure_views(spark, sf_dir)
+    out = weighted_sample_topk(
+        spark.table("documents"),
+        weight_col="n_chars",
+        k=20,
+        strata_col="lang",
+        id_col="doc_id",
+    )
+    return out.select("lang", "doc_id", F.col("_wkey").alias("wkey"))
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT lang, doc_id, wkey
+FROM (
+  SELECT lang, doc_id,
+         round(pow({sql_hash_unit('doc_id', 'wsample')}, 1.0 / n_chars), 12) AS wkey,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY round(pow({sql_hash_unit('doc_id', 'wsample')}, 1.0 / n_chars), 12) DESC,
+                                     doc_id ASC) AS rn
+  FROM documents
+  WHERE n_chars > 0)
+WHERE rn <= 20
+"""
+
+SPARK_QUERIES["weighted_doc_sample"] = weighted_doc_sample
+ORACLE_SQL["weighted_doc_sample"] = WEIGHTED_SAMPLE_SQL

@@ -99,3 +99,47 @@ def test_redact_pii(spark):
     assert "5309" not in out[2]
     assert out[3] == "server at <IP> responded"
     assert out[4] == "nothing sensitive here"
+
+
+def test_kmv_estimate_accuracy(spark):
+    from onetl_spark.operators.sketches import kmv_distinct_estimate
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2).alias("g"),
+        # group 0: 10000 distinct values; group 1: 100 distinct values
+        F.when(F.col("id") % 2 == 0, F.col("id")).otherwise(F.col("id") % 200).alias("v"),
+    )
+    out = {r["g"]: r for r in kmv_distinct_estimate(df, ["g"], "v", k=256).collect()}
+    # small group: below k → exact
+    assert out[1]["estimate"] == out[1]["n_kept"] == 100
+    # large group: within 20% at k=256 (theoretical rel-err ~1/sqrt(k-2) ≈ 6%)
+    assert out[0]["n_kept"] == 256
+    assert abs(out[0]["estimate"] - 10000) / 10000 < 0.2
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from onetl_spark.operators.sketches import kmv_distinct_estimate
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct_estimate(spark.range(1).select(F.col("id").alias("g"), F.col("id").alias("v")), ["g"], "v", k=1)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from onetl_spark.llm.sampling import weighted_sample_topk
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        # half the rows carry 50× the weight
+        F.when(F.col("id") < 1000, 50.0).otherwise(1.0).alias("w"),
+    )
+    kept = weighted_sample_topk(df, "w", k=200, id_col="doc_id")
+    rows = kept.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r["doc_id"] < 1000)
+    assert heavy > 150  # heavy rows dominate the sample
+    # deterministic across invocations
+    again = {r["doc_id"] for r in weighted_sample_topk(df, "w", k=200, id_col="doc_id").collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # zero/negative weights never sampled
+    df2 = df.withColumn("w", F.when(F.col("doc_id") < 1900, F.lit(0.0)).otherwise(F.lit(-1.0)))
+    assert weighted_sample_topk(df2, "w", k=10, id_col="doc_id").count() == 0
