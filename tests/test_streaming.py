@@ -170,3 +170,98 @@ def test_kafka_stream_reader_from_hwm_offsets():
         connection=None, topic="events", hwm=restored, partitions=[0, 1, 2],
     )
     assert json.loads(reader2.starting_offsets) == rendered
+
+
+class TestForeachBatchSink:
+    def _events_files(self, spark, tmp_path, n_files=3):
+        src = str(tmp_path / "src")
+        for i in range(n_files):
+            spark.range(i * 10, (i + 1) * 10).selectExpr(
+                "id", "id * 2 AS v",
+            ).coalesce(1).write.mode("append").parquet(src)
+        return src
+
+    def test_foreach_batch_receives_all_rows(self, spark, tmp_path):
+        from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
+
+        src = self._events_files(spark, tmp_path)
+        out = str(tmp_path / "out")
+
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(out)
+
+        stream = spark.readStream.schema("id LONG, v LONG").parquet(src)
+        q = StreamDFWriter(
+            foreach_batch=sink,
+            options=StreamWriteOptions(
+                trigger={"availableNow": True},
+                checkpoint_location=str(tmp_path / "ckpt"),
+            ),
+        ).run(stream)
+        q.awaitTermination()
+        got = spark.read.parquet(out)
+        assert got.count() == 30
+        assert got.agg({"v": "sum"}).collect()[0][0] == 2 * sum(range(30))
+
+    def test_idempotent_sink_skips_replayed_epoch(self, spark, tmp_path):
+        from onetl_spark.streaming.ops import idempotent_batch_sink
+
+        calls = []
+
+        def sink(df, batch_id):
+            calls.append((batch_id, df.count()))
+
+        wrapped = idempotent_batch_sink(sink, str(tmp_path / "ledger"))
+        df = spark.range(5)
+        wrapped(df, 0)
+        wrapped(df, 1)
+        wrapped(df, 0)  # replay after simulated crash — must be a no-op
+        assert calls == [(0, 5), (1, 5)]
+
+    def test_idempotent_sink_no_marker_on_failure(self, spark, tmp_path):
+        import os
+
+        from onetl_spark.streaming.ops import idempotent_batch_sink
+
+        ledger = str(tmp_path / "ledger2")
+        attempts = []
+
+        def flaky(df, batch_id):
+            attempts.append(batch_id)
+            if len(attempts) == 1:
+                raise RuntimeError("sink outage")
+
+        wrapped = idempotent_batch_sink(flaky, ledger)
+        with pytest.raises(RuntimeError):
+            wrapped(spark.range(3), 7)
+        assert not os.listdir(ledger)  # failed epoch left uncommitted
+        wrapped(spark.range(3), 7)  # replay succeeds and commits
+        assert attempts == [7, 7]
+        assert os.path.exists(os.path.join(ledger, "epoch-7.committed"))
+
+    def test_idempotent_sink_through_streaming_query(self, spark, tmp_path):
+        from onetl_spark.streaming.ops import idempotent_batch_sink
+        from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
+
+        src = self._events_files(spark, tmp_path)
+        out = str(tmp_path / "out2")
+
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(out)
+
+        wrapped = idempotent_batch_sink(sink, str(tmp_path / "ledger3"))
+        stream = spark.readStream.schema("id LONG, v LONG").parquet(src)
+
+        def run_once():
+            q = StreamDFWriter(
+                foreach_batch=wrapped,
+                options=StreamWriteOptions(
+                    trigger={"availableNow": True},
+                    checkpoint_location=str(tmp_path / "ckpt2"),
+                ),
+            ).run(stream)
+            q.awaitTermination()
+
+        run_once()
+        run_once()  # second run: checkpoint says everything is consumed
+        assert spark.read.parquet(out).count() == 30  # no duplicates
