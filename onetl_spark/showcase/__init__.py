@@ -7,6 +7,7 @@ parquet views). ``__spark_entry__.py`` merges them.
 
 from onetl_spark.showcase import (
     analytics,
+    cdc,
     operators,
     sampling,
     sessions,
@@ -32,7 +33,7 @@ def all_oracles():
 
 
 def _modules():
-    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming, sampling]
+    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming, sampling, cdc]
     try:
         from onetl_spark.showcase import llm
 

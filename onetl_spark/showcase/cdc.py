@@ -1,0 +1,105 @@
+"""CDC showcase: changelog apply, SCD2 history, and MERGE upsert.
+
+``events`` doubles as an I/U/D changelog (key ``user_id``, order
+``(ts, event_id)``, 'error' events standing in for deletes); ``orders``
+is the MERGE target with a deterministically derived delta. Oracles use
+the textbook window/row_number formulations so the partial-aggregating
+Spark plans are checked against an independent definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.operators.cdc import cdc_latest_snapshot, merge_upsert, scd2_history
+from onetl_spark.showcase.util import ensure_views
+
+_ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest state per user from the events changelog; users whose final
+    event is an 'error' (the stand-in delete op) drop out."""
+    ensure_views(spark, sf_dir)
+    return cdc_latest_snapshot(
+        spark.table("events"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        op_col="event_type",
+        delete_ops=("error",),
+    ).select("user_id", "event_id", "ts", "value", "props")
+
+
+CDC_LATEST_SQL = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals over each user's purchase events."""
+    ensure_views(spark, sf_dir)
+    purchases = spark.table("events").filter("event_type = 'purchase'")
+    return scd2_history(
+        purchases, key_cols=["user_id"], ts_col="ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, value,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a derived delta into orders: every 7th key gets +10.0 on
+    totalprice, every 101st key is deleted, everything else passes through."""
+    ensure_views(spark, sf_dir)
+    orders = spark.table("orders")
+    source = orders.filter("o_orderkey % 7 = 0").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        (F.col("o_orderkey") % 101 == 0).alias("is_delete"),
+    )
+    return merge_upsert(orders, source, key_cols=["o_orderkey"], delete_col="is_delete")
+
+
+MERGE_SQL = f"""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         (o_orderkey % 101 = 0) AS is_delete
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT {_ORDER_COLS} FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+UNION ALL
+SELECT {_ORDER_COLS} FROM src WHERE NOT is_delete
+"""
+
+
+SPARK_QUERIES = {
+    "cdc_latest_state": cdc_latest_state,
+    "scd2_purchase_history": scd2_purchase_history,
+    "merge_upsert_orders": merge_upsert_orders,
+}
+
+ORACLE_SQL = {
+    "cdc_latest_state": CDC_LATEST_SQL,
+    "scd2_purchase_history": SCD2_SQL,
+    "merge_upsert_orders": MERGE_SQL,
+}

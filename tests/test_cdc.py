@@ -1,0 +1,85 @@
+"""Unit tests for CDC operators: changelog apply, SCD2, merge upsert."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from onetl_spark.operators.cdc import cdc_latest_snapshot, merge_upsert, scd2_history
+
+
+def _changes(spark):
+    rows = [
+        # key, ts, seq, op, payload
+        (1, 10, 0, "I", "a"),
+        (1, 20, 0, "U", "b"),
+        (2, 10, 0, "I", "c"),
+        (2, 30, 0, "D", None),
+        (3, 10, 0, "I", "d"),
+        (3, 10, 1, "U", "e"),  # same ts — seq breaks the tie
+    ]
+    return spark.createDataFrame(rows, "k int, ts int, seq int, op string, v string")
+
+
+def test_cdc_latest_snapshot_applies_updates_and_deletes(spark):
+    out = cdc_latest_snapshot(
+        _changes(spark), key_cols=["k"], order_cols=["ts", "seq"], op_col="op"
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "b", 3: "e"}  # key 2 deleted; key 3 tie broken by seq
+    assert "op" not in out.columns
+
+
+def test_cdc_latest_snapshot_keeps_deletes_without_op_col(spark):
+    out = cdc_latest_snapshot(_changes(spark), key_cols=["k"], order_cols=["ts", "seq"])
+    assert out.count() == 3
+
+
+def test_cdc_latest_snapshot_validates_args(spark):
+    with pytest.raises(ValueError):
+        cdc_latest_snapshot(_changes(spark), key_cols=[], order_cols=["ts"])
+    with pytest.raises(ValueError):
+        cdc_latest_snapshot(_changes(spark), key_cols=["k"], order_cols=[])
+
+
+def test_scd2_history_intervals(spark):
+    out = scd2_history(
+        _changes(spark), key_cols=["k"], ts_col="ts", tiebreak_cols=["seq"]
+    )
+    rows = {(r["k"], r["ts"], r["seq"]): r for r in out.collect()}
+    assert rows[(1, 10, 0)]["valid_to"] == 20 and not rows[(1, 10, 0)]["is_current"]
+    assert rows[(1, 20, 0)]["valid_to"] is None and rows[(1, 20, 0)]["is_current"]
+    # same-ts versions ordered by seq
+    assert rows[(3, 10, 0)]["valid_to"] == 10
+    assert rows[(3, 10, 1)]["is_current"]
+
+
+def test_merge_upsert_updates_inserts_deletes(spark):
+    target = spark.createDataFrame(
+        [(1, "old"), (2, "keep"), (3, "gone")], "k int, v string"
+    )
+    source = spark.createDataFrame(
+        [(1, "new", False), (3, None, True), (4, "ins", False)],
+        "k int, v string, is_delete boolean",
+    )
+    out = merge_upsert(target, source, key_cols=["k"], delete_col="is_delete")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "new", 2: "keep", 4: "ins"}
+    assert out.columns == target.columns
+
+
+def test_merge_upsert_schema_mismatch_raises(spark):
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    source = spark.createDataFrame([(1, "a", 2)], "k int, v string, extra int")
+    with pytest.raises(ValueError, match="extra"):
+        merge_upsert(target, source, key_cols=["k"])
+
+
+def test_scd2_with_timestamps(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    df = spark.createDataFrame([(1, t0, "x"), (1, t1, "y")], "k int, ts timestamp, v string")
+    out = scd2_history(df, key_cols=["k"], ts_col="ts")
+    cur = {r["v"]: r["is_current"] for r in out.collect()}
+    assert cur == {"x": False, "y": True}
