@@ -418,3 +418,51 @@ def dedup_survivors(
             F.coalesce("label", F.col(id_col)).alias("rep_id"),
         )
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Flag corpus documents whose n-gram shingles overlap a benchmark set
+    (training-data decontamination, the GPT-3/FLAN n-gram-overlap recipe).
+
+    Returns (doc_id, matched_shingles, total_shingles, overlap_ratio,
+    contaminated) for every corpus document.
+
+    Scale shape: the benchmark side (eval sets, a few MB–GB) collapses to a
+    DISTINCT hashed-shingle set and is explicitly broadcast — the 100-TB
+    corpus is never shuffled; each task left-joins its exploded shingles
+    against the in-memory benchmark set and the per-doc counts map-side
+    combine. If the benchmark ever outgrows broadcast range, drop the hint
+    and the same plan degrades gracefully to a shuffle join.
+    """
+    bench = (
+        benchmark.select(F.explode(shingle_hashes(F.col(text_col), n)).alias("_g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("_g"),
+    )
+    counts = (
+        grams.join(F.broadcast(bench), "_g", "left")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("matched_shingles"),
+            F.count(F.lit(1)).alias("total_shingles"),
+        )
+    )
+    ratio = F.round(F.col("matched_shingles") / F.col("total_shingles"), 9)
+    return counts.select(
+        F.col("_id").alias(id_col),
+        "matched_shingles",
+        "total_shingles",
+        ratio.alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )

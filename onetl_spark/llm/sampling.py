@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from onetl_spark.llm.text import md5_long
+from onetl_spark.llm.text import md5_long, word_tokens
 
 #: denominator for mapping the hash to a unit interval; 1e6 buckets keeps
 #: split boundaries exact for fractions with ≤6 decimal places
@@ -189,4 +189,47 @@ def weighted_sample_topk(
         keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional overlap
+    (the concatenate-free variant of training-window construction: one
+    sample per window, stride = chunk_tokens - overlap).
+
+    Returns (doc_id, chunk_idx, n_tokens, chunk_text); the trailing window
+    may be shorter than ``chunk_tokens``. Zero-token documents produce no
+    rows. Pure per-row array expressions (sequence → slice → posexplode):
+    narrow, no shuffle, codegen-friendly — output partitioning follows the
+    input, which is exactly what a downstream pack/shuffle step wants.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tokens = word_tokens(F.col(text_col))
+    # sequence() raises on inverted bounds, so zero-token docs take the
+    # empty branch (CASE WHEN evaluates lazily — the sequence never runs)
+    starts = F.when(
+        F.size(tokens) > 0,
+        F.sequence(F.lit(0), F.size(tokens) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.slice(tokens, s + 1, chunk_tokens))
+    return (
+        df.select(F.col(id_col), chunks.alias("_chunks"))
+        .filter(F.size("_chunks") > 0)
+        .select(F.col(id_col), F.posexplode("_chunks").alias("chunk_idx", "_toks"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_toks").alias("n_tokens"),
+            F.array_join("_toks", " ").alias("chunk_text"),
+        )
     )

@@ -226,3 +226,32 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def corpus_stats(
+    df,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang",),
+):
+    """Per-group corpus report: doc counts, token totals, length quantiles.
+
+    The dashboard query a data-mixture owner runs before reweighting. One
+    token-count projection (JVM expressions) and one hash-aggregate keyed
+    by the group columns; ``percentile`` is Spark's exact linear-
+    interpolation aggregate, which map-side combines its buffer, so even
+    the quantiles need only the single group-key shuffle.
+    """
+    toks = token_count(F.col(text_col))
+    staged = df.select(*group_cols, toks.alias("_nt"))
+    return (
+        staged.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            (F.sum("_nt") / F.count(F.lit(1))).alias("avg_tokens"),
+            F.round(F.expr("percentile(_nt, 0.5)"), 9).alias("p50_tokens"),
+            F.round(F.expr("percentile(_nt, 0.9)"), 9).alias("p90_tokens"),
+            F.min("_nt").alias("min_tokens"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )

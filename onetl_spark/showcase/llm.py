@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from onetl_spark.llm import dedup, multimodal, similarity, text
+from onetl_spark.llm import dedup, multimodal, sampling, similarity, text
 from onetl_spark.llm.dedup import (
     LSH_BANDS,
     LSH_MAX_BUCKET,
@@ -825,3 +825,92 @@ ORACLE_SQL["multimodal_resize"] = RESIZE_SQL
 
 SPARK_QUERIES["multimodal_frame_sample"] = multimodal_frame_sample
 ORACLE_SQL["multimodal_frame_sample"] = FRAME_SAMPLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination, corpus stats, document chunking
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 17th document plays the benchmark/eval set; the rest of the
+    corpus is scored for n-gram overlap against it."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.filter("doc_id % 17 = 0")
+    corpus = docs.filter("doc_id % 17 <> 0")
+    return dedup.benchmark_contamination(corpus, bench, threshold=0.2)
+
+
+DECONTAM_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
+), hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {SQL_MD5LONG.format(x='s')} % {MOD}) AS h
+  FROM sh
+), bench AS (
+  SELECT DISTINCT unnest(h) AS g FROM hs WHERE doc_id % 17 = 0
+), grams AS (
+  SELECT doc_id, unnest(h) AS g FROM hs WHERE doc_id % 17 <> 0
+), counts AS (
+  SELECT grams.doc_id,
+         SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS matched_shingles,
+         COUNT(*) AS total_shingles
+  FROM grams LEFT JOIN bench ON grams.g = bench.g
+  GROUP BY grams.doc_id
+)
+SELECT doc_id, matched_shingles, total_shingles,
+       round(matched_shingles * 1.0 / total_shingles, 9) AS overlap_ratio,
+       round(matched_shingles * 1.0 / total_shingles, 9) >= 0.2 AS contaminated
+FROM counts
+"""
+
+
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return text.corpus_stats(spark.table("documents"), group_cols=("lang",))
+
+
+CORPUS_STATS_SQL = rf"""
+WITH t AS (SELECT lang, len({SQL_TOKENS}) AS n FROM documents)
+SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+       SUM(n) * 1.0 / COUNT(*) AS avg_tokens,
+       round(quantile_cont(n, 0.5), 9) AS p50_tokens,
+       round(quantile_cont(n, 0.9), 9) AS p90_tokens,
+       MIN(n) AS min_tokens, MAX(n) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token training windows with 16-token overlap (stride 48)."""
+    ensure_views(spark, sf_dir)
+    return sampling.chunk_documents(
+        spark.table("documents"), chunk_tokens=64, overlap=16
+    )
+
+
+CHUNKS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), s AS (
+  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 48)) AS st
+  FROM tok WHERE len(w) > 0
+)
+SELECT doc_id, st // 48 AS chunk_idx,
+       len(w[st + 1 : st + 64]) AS n_tokens,
+       array_to_string(w[st + 1 : st + 64], ' ') AS chunk_text
+FROM s
+"""
+
+
+SPARK_QUERIES["benchmark_decontamination"] = benchmark_decontamination
+ORACLE_SQL["benchmark_decontamination"] = DECONTAM_SQL
+
+SPARK_QUERIES["corpus_stats_by_lang"] = corpus_stats_by_lang
+ORACLE_SQL["corpus_stats_by_lang"] = CORPUS_STATS_SQL
+
+SPARK_QUERIES["document_chunks"] = document_chunks
+ORACLE_SQL["document_chunks"] = CHUNKS_SQL

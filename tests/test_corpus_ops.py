@@ -1,0 +1,78 @@
+"""Unit tests: benchmark decontamination, corpus stats, document chunking."""
+
+from __future__ import annotations
+
+import pytest
+
+from onetl_spark.llm.dedup import benchmark_contamination
+from onetl_spark.llm.sampling import chunk_documents
+from onetl_spark.llm.text import corpus_stats
+
+
+def test_contamination_full_and_none(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),  # identical → ratio 1.0
+            (2, "completely different words entirely here now"),  # disjoint → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in benchmark_contamination(corpus, bench).collect()}
+    assert out[1]["overlap_ratio"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["overlap_ratio"] == 0.0 and not out[2]["contaminated"]
+    assert out[1]["total_shingles"] == out[1]["matched_shingles"]
+
+
+def test_contamination_partial_overlap(spark):
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    # doc shares shingle "a b c" and "b c d" but also has unseen shingles
+    corpus = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    row = benchmark_contamination(corpus, bench, threshold=0.4).collect()[0]
+    # shingles: "a b c","b c d","c d e","d e f" → 2 of 4 matched
+    assert row["matched_shingles"] == 2 and row["total_shingles"] == 4
+    assert row["overlap_ratio"] == 0.5 and row["contaminated"]
+
+
+def test_chunk_documents_windows(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 2 over 10 tokens → starts 0,2,4,6,8
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t2 t3 t4 t5"
+    assert rows[-1]["chunk_text"] == "t8 t9"  # trailing partial window
+    assert rows[-1]["n_tokens"] == 2
+
+
+def test_chunk_documents_short_and_empty(spark):
+    df = spark.createDataFrame([(1, "only three words"), (2, "")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=64).collect()
+    assert len(rows) == 1  # empty doc emits nothing
+    assert rows[0]["chunk_text"] == "only three words"
+
+
+def test_chunk_documents_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_corpus_stats_basic(spark):
+    df = spark.createDataFrame(
+        [("en", "one two"), ("en", "one two three four"), ("fr", "un")],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r for r in corpus_stats(df).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["total_tokens"] == 6
+    assert out["en"]["avg_tokens"] == 3.0
+    assert out["en"]["p50_tokens"] == 3.0  # interpolated between 2 and 4
+    assert out["fr"]["min_tokens"] == out["fr"]["max_tokens"] == 1
