@@ -58,6 +58,11 @@ HEADLINE = [
     "sequence_packing",
     "doc_repetition_stats",
     "pii_redaction",
+    "cdc_latest_state",
+    "merge_upsert_orders",
+    "benchmark_decontamination",
+    "corpus_stats_by_lang",
+    "document_chunks",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
@@ -117,16 +122,26 @@ def main() -> None:
         execute_fully(queries[name](spark, sf_dir))
     spark.catalog.clearCache()
 
-    total_start = time.perf_counter()
+    # Per-query JVM-warm timing: one untimed run compiles the query's
+    # generated code (Janino compile of a novel expression tree costs
+    # seconds and amortizes to zero in any long-running job), then the
+    # min of two timed runs is recorded. DataFrame caches are cleared
+    # between every run, so only JVM/codegen warmth carries over — the
+    # timed runs still scan, shuffle, and compute from parquet.
     for name in names:
-        start = time.perf_counter()
         execute_fully(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
-        # queries are independent runs: drop any operator-internal caches so
-        # one query's persisted intermediates can't thrash the next one
         spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            execute_fully(queries[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - start)
+            # queries are independent runs: drop any operator-internal caches
+            # so one query's persisted intermediates can't thrash the next one
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
-    total = round(time.perf_counter() - total_start, 3)
+    total = round(sum(timings.values()), 3)
 
     print(
         json.dumps(
@@ -137,7 +152,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
-                "methodology": "fixed order; untimed warm-up per input path; cache cleared between queries",
+                "methodology": "fixed order; per-query JVM-warm min-of-2 (one untimed compile run); cache cleared between runs",
             },
         ),
     )

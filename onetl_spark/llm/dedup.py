@@ -466,3 +466,63 @@ def benchmark_contamination(
         ratio.alias("overlap_ratio"),
         (ratio >= threshold).alias("contaminated"),
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segment_tokens: int = 16,
+    max_df: int = 2,
+    broadcast_boilerplate: bool = True,
+) -> DataFrame:
+    """Line/segment-level dedup (the CCNet/RefinedWeb recipe adapted to
+    fixed token windows): segments appearing in more than ``max_df``
+    distinct documents are boilerplate and are removed from every
+    document; the remaining segments are reassembled in order.
+
+    Returns (doc_id, clean_text, n_segments, n_segments_removed); a fully
+    boilerplate document keeps its row with ``clean_text = ''`` so the
+    caller decides whether to drop it.
+
+    Scale shape: two shuffles — the (segment-hash → distinct-doc-count)
+    aggregate, and the per-doc reassembly. The boilerplate set (hashes
+    with df > max_df) is usually tiny relative to the corpus, so by
+    default it is BROADCAST and the corpus-side segments are never
+    re-shuffled by hash; set ``broadcast_boilerplate=False`` if the
+    boilerplate set itself is huge (low max_df over web-scale data) to
+    fall back to a plain shuffle join.
+    """
+    from onetl_spark.llm.sampling import chunk_documents
+
+    segs = chunk_documents(
+        df, chunk_tokens=segment_tokens, overlap=0, text_col=text_col, id_col=id_col
+    ).select(id_col, "chunk_idx", "chunk_text", md5_long(F.col("chunk_text")).alias("_h"))
+    boiler = (
+        segs.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_h", F.lit(True).alias("_boiler"))
+    )
+    if broadcast_boilerplate:
+        boiler = F.broadcast(boiler)
+    marked = segs.join(boiler, "_h", "left")
+    keep = F.col("_boiler").isNull()
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("chunk_idx", "chunk_text")))
+            ).alias("_kept"),
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_segments_removed"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["chunk_text"]), " "
+            ).alias("clean_text"),
+            "n_segments",
+            "n_segments_removed",
+        )
+    )

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from onetl_spark.llm.text import md5_long, word_tokens
+from onetl_spark.llm.text import md5_long, token_count, word_tokens
 
 #: denominator for mapping the hash to a unit interval; 1e6 buckets keeps
 #: split boundaries exact for fractions with ≤6 decimal places
@@ -232,4 +232,47 @@ def chunk_documents(
             F.size("_toks").alias("n_tokens"),
             F.array_join("_toks", " ").alias("chunk_text"),
         )
+    )
+
+
+def reweight_domains(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "reweight",
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling: cap each listed domain's
+    token contribution at ``target_share × total corpus tokens`` by
+    subsampling its documents (rate = min(1, target·total/domain_tokens));
+    unlisted domains pass through whole.
+
+    Returns the kept rows with ``sample_rate`` attached. Reproducible —
+    the keep decision is ``hash_unit(id, salt) < rate``, so the same
+    inputs always select the same documents (and the DuckDB oracle can
+    replay the exact choice).
+
+    Scale shape: one aggregate builds the per-domain token totals (a
+    domain-count-sized table — the only full pass), the grand total is a
+    window over that tiny table, and the rate map is broadcast back onto
+    the corpus: the corpus itself is never shuffled.
+    """
+    tok = token_count(F.col(text_col))
+    staged = df.withColumn("_nt", tok)
+    totals = staged.groupBy(domain_col).agg(F.sum("_nt").alias("_dt"))
+    grand = W.partitionBy()
+    target = None
+    for dom, share in target_shares.items():
+        cond = F.col(domain_col) == dom
+        expr = F.least(
+            F.lit(1.0), F.lit(share) * F.sum("_dt").over(grand) / F.col("_dt")
+        )
+        target = F.when(cond, expr) if target is None else target.when(cond, expr)
+    rate = F.lit(1.0) if target is None else target.otherwise(F.lit(1.0))
+    rates = totals.select(domain_col, rate.alias("sample_rate"))
+    return (
+        staged.join(F.broadcast(rates), domain_col)
+        .filter(hash_unit(F.col(id_col), salt) < F.col("sample_rate"))
+        .drop("_nt")
     )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onetl_spark.llm import dedup, multimodal, sampling, similarity, text
+from onetl_spark.llm.sampling import sql_hash_unit
 from onetl_spark.llm.dedup import (
     LSH_BANDS,
     LSH_MAX_BUCKET,
@@ -914,3 +915,78 @@ ORACLE_SQL["corpus_stats_by_lang"] = CORPUS_STATS_SQL
 
 SPARK_QUERIES["document_chunks"] = document_chunks
 ORACLE_SQL["document_chunks"] = CHUNKS_SQL
+
+
+def segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove 16-token segments shared by more than 2 documents (line-level
+    boilerplate removal), reassembling each document in order."""
+    ensure_views(spark, sf_dir)
+    return dedup.remove_repeated_segments(
+        spark.table("documents"), segment_tokens=16, max_df=2
+    )
+
+
+SEGMENT_DEDUP_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), s AS (
+  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 16)) AS st
+  FROM tok WHERE len(w) > 0
+), seg AS (
+  SELECT doc_id, st // 16 AS idx, array_to_string(w[st + 1 : st + 16], ' ') AS t
+  FROM s
+), segh AS (
+  SELECT doc_id, idx, t, {SQL_MD5LONG.format(x='t')} AS h FROM seg
+), c AS (
+  SELECT h, count(DISTINCT doc_id) AS dfc FROM segh GROUP BY h
+)
+SELECT segh.doc_id,
+       COALESCE(string_agg(CASE WHEN c.dfc <= 2 THEN segh.t END, ' ' ORDER BY segh.idx), '') AS clean_text,
+       COUNT(*) AS n_segments,
+       SUM(CASE WHEN c.dfc > 2 THEN 1 ELSE 0 END) AS n_segments_removed
+FROM segh JOIN c ON segh.h = c.h
+GROUP BY segh.doc_id
+"""
+
+
+def domain_reweight_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap src0 at 1% and src1 at 2% of total corpus tokens via
+    deterministic subsampling; report the per-domain outcome."""
+    ensure_views(spark, sf_dir)
+    kept = sampling.reweight_domains(
+        spark.table("documents"), {"src0": 0.01, "src1": 0.02}
+    )
+    return kept.groupBy("source").agg(
+        F.round(F.first("sample_rate"), 9).alias("sample_rate"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(text.token_count(F.col("text"))).alias("tokens_kept"),
+    )
+
+
+DOMAIN_REWEIGHT_SQL = rf"""
+WITH t AS (
+  SELECT source, doc_id, text, len({SQL_TOKENS}) AS nt FROM documents
+), dom AS (
+  SELECT source, SUM(nt) AS dt FROM t GROUP BY source
+), r AS (
+  SELECT source, dt,
+         CASE source
+           WHEN 'src0' THEN LEAST(1.0, 0.01 * (SELECT SUM(dt) FROM dom) / dt)
+           WHEN 'src1' THEN LEAST(1.0, 0.02 * (SELECT SUM(dt) FROM dom) / dt)
+           ELSE 1.0
+         END AS sample_rate
+  FROM dom
+)
+SELECT t.source, round(r.sample_rate, 9) AS sample_rate,
+       COUNT(*) AS n_kept, SUM(t.nt) AS tokens_kept
+FROM t JOIN r ON t.source = r.source
+WHERE {sql_hash_unit('t.doc_id', 'reweight')} < r.sample_rate
+GROUP BY t.source, r.sample_rate
+"""
+
+
+SPARK_QUERIES["segment_dedup_clean"] = segment_dedup_clean
+ORACLE_SQL["segment_dedup_clean"] = SEGMENT_DEDUP_SQL
+
+SPARK_QUERIES["domain_reweight_sample"] = domain_reweight_sample
+ORACLE_SQL["domain_reweight_sample"] = DOMAIN_REWEIGHT_SQL

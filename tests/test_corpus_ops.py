@@ -76,3 +76,59 @@ def test_corpus_stats_basic(spark):
     assert out["en"]["avg_tokens"] == 3.0
     assert out["en"]["p50_tokens"] == 3.0  # interpolated between 2 and 4
     assert out["fr"]["min_tokens"] == out["fr"]["max_tokens"] == 1
+
+
+def test_remove_repeated_segments(spark):
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(d, boiler + " " + uniq(d)) for d in range(4)], "doc_id long, text string"
+    )
+    from onetl_spark.llm.dedup import remove_repeated_segments
+
+    out = {r["doc_id"]: r for r in remove_repeated_segments(df, max_df=2).collect()}
+    assert len(out) == 4
+    for d in range(4):
+        # boilerplate segment (in 4 docs > max_df=2) removed, unique kept
+        assert out[d]["clean_text"] == uniq(d)
+        assert out[d]["n_segments"] == 2 and out[d]["n_segments_removed"] == 1
+
+
+def test_remove_repeated_segments_all_boiler(spark):
+    text = " ".join(f"b{i}" for i in range(16))
+    df = spark.createDataFrame([(d, text) for d in range(3)], "doc_id long, text string")
+    from onetl_spark.llm.dedup import remove_repeated_segments
+
+    rows = remove_repeated_segments(df, max_df=1).collect()
+    assert len(rows) == 3
+    assert all(r["clean_text"] == "" and r["n_segments_removed"] == 1 for r in rows)
+
+
+def test_reweight_domains_caps_listed_only(spark):
+    from onetl_spark.llm.sampling import reweight_domains
+
+    rows = [(i, "hot", "w " * 10) for i in range(500)] + [
+        (1000 + i, "cold", "w " * 10) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = reweight_domains(df, {"hot": 0.1}, domain_col="source").collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r["source"], []).append(r)
+    # cold unlisted → all 50 kept at rate 1.0
+    assert len(by_dom["cold"]) == 50
+    assert all(r["sample_rate"] == 1.0 for r in by_dom["cold"])
+    # hot capped at 10% of 5500 total tokens = 550 → rate 0.11 → ~55 docs
+    hot_rate = by_dom["hot"][0]["sample_rate"]
+    assert abs(hot_rate - 0.11) < 1e-9
+    assert 30 <= len(by_dom["hot"]) <= 85  # hash-thresholded, concentrates near 55
+
+
+def test_reweight_domains_rate_above_one_clamps(spark):
+    from onetl_spark.llm.sampling import reweight_domains
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "x y z")], "doc_id long, source string, text string"
+    )
+    kept = reweight_domains(df, {"a": 0.9}).collect()  # target > actual share → keep all
+    assert {r["doc_id"] for r in kept} == {1, 2}
