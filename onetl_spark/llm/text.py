@@ -255,3 +255,24 @@ def corpus_stats(
             F.max("_nt").alias("max_tokens"),
         )
     )
+
+
+def top_terms(df, text_col: str = "text", group_col: str = "lang", k: int = 10):
+    """Top-k most frequent terms per group (vocabulary heavy hitters).
+
+    Two-phase: the term-count aggregate map-side combines before its
+    shuffle, and Catalyst executes the per-group rank as
+    ``WindowGroupLimit`` — a pre-shuffle partial top-k heap — so a group
+    with a billion distinct terms never lands on one task as a full sort.
+    Ties break lexicographically for determinism.
+    """
+    from pyspark.sql.window import Window as W
+
+    words = df.select(F.col(group_col), F.explode(word_tokens(F.col(text_col))).alias("term"))
+    counts = words.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = W.partitionBy(group_col).orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "term", "n_occurrences", "rank")
+    )

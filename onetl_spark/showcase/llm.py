@@ -990,3 +990,26 @@ ORACLE_SQL["segment_dedup_clean"] = SEGMENT_DEDUP_SQL
 
 SPARK_QUERIES["domain_reweight_sample"] = domain_reweight_sample
 ORACLE_SQL["domain_reweight_sample"] = DOMAIN_REWEIGHT_SQL
+
+
+def top_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return text.top_terms(spark.table("documents"), k=10)
+
+
+TOP_TERMS_SQL = rf"""
+WITH words AS (
+  SELECT lang, unnest({SQL_TOKENS}) AS term FROM documents
+), counts AS (
+  SELECT lang, term, COUNT(*) AS n_occurrences FROM words GROUP BY lang, term
+)
+SELECT lang, term, n_occurrences, rank FROM (
+  SELECT lang, term, n_occurrences,
+         row_number() OVER (PARTITION BY lang ORDER BY n_occurrences DESC, term) AS rank
+  FROM counts
+) WHERE rank <= 10
+"""
+
+
+SPARK_QUERIES["top_terms_by_lang"] = top_terms_by_lang
+ORACLE_SQL["top_terms_by_lang"] = TOP_TERMS_SQL

@@ -15,7 +15,7 @@ from onetl_spark.connections import SparkSQLConnection
 from onetl_spark.db import DBReader
 from onetl_spark.hwm.types import ColumnIntHWM
 from onetl_spark.hwm.window import Edge, Window
-from onetl_spark.showcase.util import ensure_views
+from onetl_spark.showcase.util import dsum, ensure_views, sql_dsum
 from onetl_spark.strategy import IncrementalBatchStrategy, SnapshotBatchStrategy
 
 
@@ -359,3 +359,35 @@ SELECT (SELECT COUNT(*) FROM orders WHERE o_totalprice > 0) > 0 AS has_rows,
 
 SPARK_QUERIES["dbreader_has_data"] = dbreader_has_data
 ORACLE_SQL["dbreader_has_data"] = DBREADER_HAS_DATA_SQL
+
+
+def salted_join_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders ⋈ customer through the explicit skew-salted join, aggregated
+    per nation — the oracle's plain join proves salt-invariance."""
+    from onetl_spark.operators.joins import salted_join
+
+    ensure_views(spark, sf_dir)
+    orders = spark.table("orders")
+    customer = spark.table("customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        customer,
+        on=["c_custkey"],
+        salt_buckets=8,
+    )
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("total_price"),
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT c.c_nationkey, COUNT(*) AS n_orders,
+       {sql_dsum('o.o_totalprice', 2)} AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+SPARK_QUERIES["salted_join_order_volume"] = salted_join_order_volume
+ORACLE_SQL["salted_join_order_volume"] = SALTED_JOIN_SQL

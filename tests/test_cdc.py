@@ -83,3 +83,40 @@ def test_scd2_with_timestamps(spark):
     out = scd2_history(df, key_cols=["k"], ts_col="ts")
     cur = {r["v"]: r["is_current"] for r in out.collect()}
     assert cur == {"x": False, "y": True}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from onetl_spark.operators.joins import key_skew_report, salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "a", "b") for i in range({"hot": 50, "a": 3, "b": 0}[k])],
+        "k string, v int",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("hot", 2), ("a", 10), ("c", 99)], "k string, w int"
+    )
+    got = sorted((r["k"], r["v"], r["w"]) for r in salted_join(left, right, ["k"]).collect())
+    want = sorted((r["k"], r["v"], r["w"]) for r in left.join(right, ["k"]).collect())
+    assert got == want and len(got) == 50 * 2 + 3
+
+    got_l = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(left, right, ["k"], how="left").collect()
+    )
+    want_l = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, ["k"], "left").collect()
+    )
+    assert got_l == want_l  # unmatched left rows survive exactly once
+
+    report = key_skew_report(left, ["k"], top=1).collect()
+    assert report[0]["k"] == "hot" and report[0]["n_rows"] == 50
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest as _pytest
+
+    from onetl_spark.operators.joins import salted_join
+
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="outer")
