@@ -63,6 +63,12 @@ HEADLINE = [
     "benchmark_decontamination",
     "corpus_stats_by_lang",
     "document_chunks",
+    "segment_dedup_clean",
+    "domain_reweight_sample",
+    "top_terms_by_lang",
+    "salted_join_order_volume",
+    "incremental_daily_rollup",
+    "semantic_near_dup",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

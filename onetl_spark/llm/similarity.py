@@ -450,3 +450,73 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def multiprobe_assign(
+    embeddings: DataFrame,
+    nprobe: int = 2,
+    centroid_filter: str = "vec_id % 64 = 7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its ``nprobe`` highest-cosine centroids
+    (ties → smaller centroid id). Returns (id, vec, centroid_id) with one
+    row per (vector, probe).
+
+    The rank-limit filter executes as ``WindowGroupLimit``: each task
+    keeps a per-vector heap of size nprobe BEFORE the shuffle, so the
+    N×C expansion collapses to N×nprobe rows on the map side.
+    """
+    from pyspark.sql.window import Window as W
+
+    cent = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    cent = cent.select("centroid_id", "cvec", norm(F.col("cvec")).alias("cnorm"))
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"))
+        .join(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            F.round(
+                dot(F.col(vec_col), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), 9,
+            ).alias("ccos"),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def semantic_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    nprobe: int = 2,
+    centroid_filter: str = "vec_id % 64 = 7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_groups: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs blocked by IVF clusters instead of a
+    metadata label: the scale path when no natural blocking column exists.
+
+    Each vector lands in its ``nprobe`` nearest clusters (multi-probe
+    cuts the boundary-miss rate — a pair split across two clusters still
+    meets if EITHER assignment overlaps); candidate pairs form only
+    inside a cluster, so cost is Σ|cluster|²·nprobe² instead of N².
+    Pairs that meet in several shared clusters are de-duplicated (their
+    cos_sim is identical, so ``distinct`` is exact).
+    """
+    assigned = multiprobe_assign(embeddings, nprobe, centroid_filter, id_col, vec_col)
+    pairs = near_dup_pairs_by_label(
+        assigned,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="centroid_id",
+        salt_groups=salt_groups,
+    )
+    return pairs.distinct()

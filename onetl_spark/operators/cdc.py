@@ -118,3 +118,32 @@ def merge_upsert(
             f"merge_upsert schema mismatch: source missing {sorted(missing)}, extra {sorted(extra)}"
         )
     return keep.unionByName(incoming.select(*target.columns))
+
+
+def merge_aggregate_state(
+    running: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """Merge a delta of ALGEBRAIC partial aggregates into a running
+    aggregate table: the incremental-rollup step that lets a 100 TB
+    pipeline maintain daily/hourly summaries by re-aggregating only new
+    data instead of recomputing history.
+
+    ``measures`` maps column → merge function (``sum``/``min``/``max``;
+    counts merge via ``sum``). Averages must be carried as sum+count and
+    divided at read time; store exact types (decimal for money-like
+    doubles) so merge order can never change the result.
+
+    Cost: one union + one group-key aggregate over (running ∪ delta) —
+    both already one-row-per-key, so the shuffle is summary-sized, never
+    corpus-sized.
+    """
+    allowed = {"sum", "min", "max"}
+    bad = {fn for fn in measures.values() if fn not in allowed}
+    if bad:
+        raise ValueError(f"unsupported merge functions: {sorted(bad)} (use sum/min/max)")
+    merged = running.unionByName(delta)
+    aggs = [getattr(F, fn)(col).alias(col) for col, fn in measures.items()]
+    return merged.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)

@@ -103,3 +103,60 @@ ORACLE_SQL = {
     "scd2_purchase_history": SCD2_SQL,
     "merge_upsert_orders": MERGE_SQL,
 }
+
+
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a daily events summary incrementally: IncrementalBatch
+    reads consume the table in key-range chunks, each chunk aggregates to
+    per-day partials, and merge_aggregate_state folds them into the
+    running summary — proven equal to a full recompute by the oracle.
+    Sums stay DECIMAL through every merge so batch order can't change
+    the double result."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.connections import SparkSQLConnection
+    from onetl_spark.db import DBReader
+    from onetl_spark.hwm.store import MemoryHWMStore
+    from onetl_spark.hwm.types import ColumnIntHWM
+    from onetl_spark.hwm.window import Window
+    from onetl_spark.operators.cdc import merge_aggregate_state
+    from onetl_spark.strategy import IncrementalBatchStrategy
+
+    conn = SparkSQLConnection(spark)
+    reader = DBReader(
+        conn,
+        source="events",
+        columns=["event_id", "ts", "value"],
+        hwm=ColumnIntHWM(name="showcase_rollup_hwm", expression="event_id"),
+    )
+    lo, hi = conn.get_min_max_values("events", Window("event_id"))
+    step = max(1, (hi - lo) // 3)
+
+    def day_partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("_vsum"),
+        )
+
+    running: DataFrame | None = None
+    with MemoryHWMStore():
+        with IncrementalBatchStrategy(step=step) as batches:
+            for _ in batches:
+                delta = day_partials(reader.run())
+                running = delta if running is None else merge_aggregate_state(
+                    running, delta, ["day"], {"n_events": "sum", "_vsum": "sum"}
+                )
+    return running.select(
+        "day", "n_events", F.col("_vsum").cast("double").alias("value_sum")
+    )
+
+
+ROLLUP_SQL = """
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+SPARK_QUERIES["incremental_daily_rollup"] = incremental_daily_rollup
+ORACLE_SQL["incremental_daily_rollup"] = ROLLUP_SQL

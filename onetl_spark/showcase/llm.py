@@ -1013,3 +1013,37 @@ SELECT lang, term, n_occurrences, rank FROM (
 
 SPARK_QUERIES["top_terms_by_lang"] = top_terms_by_lang
 ORACLE_SQL["top_terms_by_lang"] = TOP_TERMS_SQL
+
+
+def semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked embedding near-dups with 2-probe assignment —
+    no metadata label needed."""
+    ensure_views(spark, sf_dir)
+    return similarity.semantic_near_dup_pairs(
+        spark.table("embeddings"), threshold=0.3, nprobe=2
+    )
+
+
+SEMANTIC_NEAR_DUP_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 64 = 7
+), scored AS (
+  SELECT v.vec_id, v.embedding AS vvec, c.centroid_id,
+         {_IVF_COS.format(a='v', b='c')} AS ccos
+  FROM embeddings v CROSS JOIN centroids c
+), assigned AS (
+  SELECT vec_id, vvec AS embedding, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored)
+  WHERE rn <= 2
+)
+SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id, round({_COS_SQL}, 9) AS cos_sim
+FROM assigned a JOIN assigned b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE round({_COS_SQL}, 9) >= 0.3
+"""
+
+
+SPARK_QUERIES["semantic_near_dup"] = semantic_near_dup
+ORACLE_SQL["semantic_near_dup"] = SEMANTIC_NEAR_DUP_SQL

@@ -120,3 +120,28 @@ def test_salted_join_rejects_outer(spark):
     df = spark.createDataFrame([(1, 1)], "k int, v int")
     with _pytest.raises(ValueError):
         salted_join(df, df, ["k"], how="outer")
+
+
+def test_merge_aggregate_state(spark):
+    from onetl_spark.operators.cdc import merge_aggregate_state
+
+    running = spark.createDataFrame(
+        [("a", 2, 10, 1, 5), ("b", 1, 7, 7, 7)], "k string, n long, s long, mn long, mx long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 1, 4, 0, 9), ("c", 3, 3, 1, 2)], "k string, n long, s long, mn long, mx long"
+    )
+    out = {
+        r["k"]: r
+        for r in merge_aggregate_state(
+            running, delta, ["k"], {"n": "sum", "s": "sum", "mn": "min", "mx": "max"}
+        ).collect()
+    }
+    assert out["a"]["n"] == 3 and out["a"]["s"] == 14
+    assert out["a"]["mn"] == 0 and out["a"]["mx"] == 9
+    assert out["b"]["n"] == 1 and out["c"]["n"] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="avg"):
+        merge_aggregate_state(running, delta, ["k"], {"n": "avg"})

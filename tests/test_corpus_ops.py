@@ -132,3 +132,25 @@ def test_reweight_domains_rate_above_one_clamps(spark):
     )
     kept = reweight_domains(df, {"a": 0.9}).collect()  # target > actual share → keep all
     assert {r["doc_id"] for r in kept} == {1, 2}
+
+
+def test_multiprobe_assign_and_semantic_pairs(spark, testdata):
+    from onetl_spark.llm.similarity import multiprobe_assign, semantic_near_dup_pairs
+
+    emb = spark.table("embeddings")
+    a2 = multiprobe_assign(emb, nprobe=2)
+    per_vec = a2.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in per_vec)  # two probes per vector
+
+    p1 = {
+        (r["a_id"], r["b_id"])
+        for r in semantic_near_dup_pairs(emb, threshold=0.3, nprobe=1).collect()
+    }
+    p2 = {
+        (r["a_id"], r["b_id"])
+        for r in semantic_near_dup_pairs(emb, threshold=0.3, nprobe=2).collect()
+    }
+    assert p1 <= p2  # multi-probe can only add boundary pairs
+    # pair list has no duplicates even with shared multi-probe clusters
+    rows = semantic_near_dup_pairs(emb, threshold=0.3, nprobe=2).collect()
+    assert len(rows) == len({(r["a_id"], r["b_id"]) for r in rows})
