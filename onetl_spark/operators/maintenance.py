@@ -136,3 +136,76 @@ def range_partitioned_write(
         .mode(mode)
         .save(url)
     )
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) interleave of pre-bucketed column ranks.
+
+    ``cols`` are integer bucket columns in ``[0, 2^bits)`` (use
+    ``F.width_bucket`` or ntile-style bucketing upstream); the returned
+    column interleaves their bits — bit j of column i lands at position
+    ``j * n_cols + i`` — so sorting by it clusters rows that are close in
+    EVERY dimension. Pure bit arithmetic, whole-stage-codegen friendly.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key requires at least one column")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a signed 64-bit key")
+    cast = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(cast):
+            bit = F.shiftright(c, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    url: str,
+    cluster_cols: list[str],
+    num_files: int,
+    bits: int = 12,
+    fmt: str = "parquet",
+    mode: str = "errorifexists",
+) -> None:
+    """Multi-dimensional clustering write: bucket each cluster column by
+    its min/max range, sort by the Z-order interleave, and write range-
+    partitioned files — so predicates on ANY cluster column (not just the
+    leading one, as with a plain sort) skip most files via parquet
+    min/max stats.
+
+    The min/max probe is one tiny aggregate (2·n_cols scalars to the
+    driver); linear min/max bucketing keeps the key a pure per-row
+    expression. Heavily skewed columns cluster better with quantile
+    bucketing — pre-bucket upstream and call ``zorder_key`` directly.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cluster_cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cluster_cols],
+    ).collect()[0]
+    buckets = []
+    top = (1 << bits) - 1
+    for c in cluster_cols:
+        lo, hi = bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]
+        span = (hi - lo) or 1
+        buckets.append(
+            F.least(
+                F.lit(top),
+                ((F.col(c) - F.lit(lo)) * F.lit(top) / F.lit(span)).cast("long"),
+            )
+        )
+    keyed = df.withColumn("_zkey", zorder_key(buckets, bits))
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.format(fmt)
+        .mode(mode)
+        .save(url)
+    )

@@ -87,3 +87,58 @@ def test_range_partitioned_write_mode_passthrough(spark, tmp_path, bad_mode):
     range_partitioned_write(df, target, ["k"], 2)
     range_partitioned_write(df, target, ["k"], 2, mode=bad_mode)
     assert spark.read.parquet(target).count() == 100
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.maintenance import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "x long, y long")
+    # interleave: bit j of col i → position j*2+i
+    # x=101: bits 0,2 → positions 0,4 ; y=011: bits 0,1 → positions 1,3
+    got = df.select(zorder_key(["x", "y"], bits=3).alias("z")).collect()[0]["z"]
+    assert got == (1 << 0) | (1 << 4) | (1 << 1) | (1 << 3)
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pytest
+
+    from onetl_spark.operators.maintenance import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key([], bits=8)
+    with _pytest.raises(ValueError):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 bits > signed range
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path):
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.maintenance import zorder_write
+
+    # 32×32 grid — under plain x-sort, a filter on y touches every file;
+    # under z-order it should touch a strict subset
+    rows = [(x, y) for x, y in itertools.product(range(32), range(32))]
+    df = spark.createDataFrame(rows, "x long, y long")
+    dest = str(tmp_path / "zordered")
+    zorder_write(df, dest, ["x", "y"], num_files=16, bits=5)
+
+    back = spark.read.parquet(dest).withColumn("_f", F.input_file_name())
+    n_files = back.select("_f").distinct().count()
+    assert n_files > 4
+    # every file should span a bounded sub-rectangle: for each file the
+    # x-range AND y-range must be well under the full domain
+    stats = (
+        back.groupBy("_f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xspan"),
+            (F.max("y") - F.min("y")).alias("yspan"),
+        )
+        .collect()
+    )
+    assert all(r["xspan"] <= 16 and r["yspan"] <= 16 for r in stats)
+    # correctness: nothing lost
+    assert back.count() == 32 * 32
