@@ -145,3 +145,51 @@ def test_merge_aggregate_state(spark):
 
     with _pytest.raises(ValueError, match="avg"):
         merge_aggregate_state(running, delta, ["k"], {"n": "avg"})
+
+
+def test_cdc_snapshot_matches_reference_model_random(spark):
+    import random
+
+    rnd = random.Random(20260813)
+    rows = [
+        (rnd.randrange(30), rnd.randrange(100), i, rnd.choice("IUD"), rnd.randrange(1000))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, seq int, op string, v int")
+    got = {
+        (r["k"]): (r["ts"], r["seq"], r["v"])
+        for r in cdc_latest_snapshot(
+            df, key_cols=["k"], order_cols=["ts", "seq"], op_col="op", delete_ops=("D",)
+        ).collect()
+    }
+    # reference model: plain python max by (ts, seq)
+    want = {}
+    for k, ts, seq, op, v in rows:
+        cur = want.get(k)
+        if cur is None or (ts, seq) > (cur[0], cur[1]):
+            want[k] = (ts, seq, op, v)
+    want = {k: (ts, seq, v) for k, (ts, seq, op, v) in want.items() if op != "D"}
+    assert got == want
+
+
+def test_salted_join_matches_plain_join_random(spark):
+    import random
+
+    from onetl_spark.operators.joins import salted_join
+
+    rnd = random.Random(7)
+    left = spark.createDataFrame(
+        [(rnd.randrange(10), i) for i in range(500)], "k int, v int"
+    )
+    right = spark.createDataFrame(
+        [(rnd.randrange(12), i) for i in range(60)], "k int, w int"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in salted_join(left, right, ["k"], how=how, salt_buckets=5).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["w"]) for r in left.join(right, ["k"], how).collect()
+        )
+        assert got == want, how
