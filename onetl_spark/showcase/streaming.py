@@ -322,3 +322,60 @@ ORACLE_SQL = {
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
 }
+
+
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: the event stream is a changelog merged into a
+    parquet target via foreachBatch + the idempotent epoch ledger.
+
+    The per-batch merge keeps the LATEST row per user including delete
+    markers ('error' events) — latest-wins over (ts, event_id) is
+    associative and commutative across micro-batches, so the final state
+    is identical however AvailableNow splits the input; deletes filter at
+    read time. Same oracle as the batch cdc_latest_state query."""
+    import shutil
+    import uuid
+
+    from onetl_spark.operators.cdc import cdc_latest_snapshot
+    from onetl_spark.streaming.ops import idempotent_batch_sink
+
+    events = _events_stream(spark, sf_dir)
+    run_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "cdc_apply",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex[:8]}",
+    )
+    target = os.path.join(run_dir, "target")
+    staging = os.path.join(run_dir, "staging")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = batch_df
+        if os.path.exists(target):
+            state = spark.read.parquet(target).unionByName(batch_df)
+        snap = cdc_latest_snapshot(state, ["user_id"], ["ts", "event_id"])
+        # parquet can't overwrite its own input mid-read: stage then swap
+        snap.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(staging, target)
+
+    query = StreamDFWriter(
+        foreach_batch=idempotent_batch_sink(merge_batch, os.path.join(run_dir, "ledger")),
+        options=StreamWriteOptions(
+            output_mode="append",
+            trigger={"availableNow": True},
+            checkpoint_location=os.path.join(run_dir, "ckpt"),
+        ),
+    ).run(events)
+    query.awaitTermination()
+    return (
+        spark.read.parquet(target)
+        .filter("event_type <> 'error'")
+        .select("user_id", "event_id", "ts", "value", "props")
+    )
+
+
+SPARK_QUERIES["streaming_cdc_apply"] = streaming_cdc_apply
+
+from onetl_spark.showcase.cdc import CDC_LATEST_SQL as _CDC_SQL
+ORACLE_SQL["streaming_cdc_apply"] = _CDC_SQL

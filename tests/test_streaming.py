@@ -265,3 +265,91 @@ class TestForeachBatchSink:
         run_once()
         run_once()  # second run: checkpoint says everything is consumed
         assert spark.read.parquet(out).count() == 30  # no duplicates
+
+
+def test_streaming_cdc_apply_batch_split_invariant(spark, tmp_path):
+    """Latest-wins CDC merge must produce the same final state whether the
+    changelog arrives as one micro-batch or one file per micro-batch."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from onetl_spark.file.format.parquet import Parquet
+    from onetl_spark.operators.cdc import cdc_latest_snapshot
+    from onetl_spark.streaming.ops import idempotent_batch_sink
+    from onetl_spark.streaming.reader import StreamDFReader
+    from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = tmp_path / "src"
+    batches = [
+        [(1, 10, 0, "I", "a"), (2, 10, 0, "I", "b")],
+        [(1, 20, 0, "U", "a2"), (3, 10, 0, "I", "c")],
+        [(2, 30, 0, "D", None), (1, 20, 1, "U", "a3")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"b{i}")
+        )
+    # flatten: file stream wants one dir of files
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for i in range(len(batches)):
+        for f in (src / f"b{i}").glob("*.parquet"):
+            os.link(f, flat / f"{i:02d}_{n}.parquet")
+            n += 1
+
+    stream = StreamDFReader(
+        spark=spark,
+        format=Parquet(),
+        source_path=str(flat),
+        df_schema=schema,
+        options={"maxFilesPerTrigger": "1"},
+    ).run()
+
+    target = str(tmp_path / "target")
+    staging = str(tmp_path / "staging")
+    seen_batches = []
+
+    def merge(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        state = batch_df
+        if os.path.exists(target):
+            state = spark.read.parquet(target).unionByName(batch_df)
+        snap = cdc_latest_snapshot(state, ["k"], ["ts", "seq"])
+        snap.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(staging, target)
+
+    q = StreamDFWriter(
+        foreach_batch=idempotent_batch_sink(merge, str(tmp_path / "ledger")),
+        options=StreamWriteOptions(
+            output_mode="append",
+            trigger={"availableNow": True},
+            checkpoint_location=str(tmp_path / "ckpt"),
+        ),
+    ).run(stream)
+    q.awaitTermination()
+
+    assert len(seen_batches) >= 2  # genuinely exercised multi-batch merging
+    final = spark.read.parquet(target).filter("op <> 'D'")
+    got = {r["k"]: r["v"] for r in final.collect()}
+    # reference: single-shot CDC over the whole changelog
+    whole = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = {
+        r["k"]: r["v"]
+        for r in cdc_latest_snapshot(whole, ["k"], ["ts", "seq"], op_col="op", delete_ops=("D",)).collect()
+    }
+    assert got == want == {1: "a3", 3: "c"}
