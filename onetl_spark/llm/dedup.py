@@ -526,3 +526,50 @@ def remove_repeated_segments(
             "n_segments_removed",
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Asymmetric near-containment: pairs where one document's shingle set
+    is mostly INSIDE another's (``|Sa ∩ Sb| / |Sa| ≥ threshold``) — the
+    quote/excerpt/subset detector Jaccard misses (a paragraph quoted in a
+    book has tiny Jaccard but containment ≈ 1).
+
+    Same inverted-index join as :func:`ngram_jaccard_pairs` — cost
+    Σ df(shingle)², never a cross join — and each unordered pair is
+    scored once in both directions; a row is emitted per direction that
+    clears the threshold (a_id = the contained document).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_shingles"),
+    ).withColumn("_size", F.size("_shingles"))
+
+    inv = sh.select("_id", "_size", F.explode("_shingles").alias("_s"))
+    l, r = inv.alias("l"), inv.alias("r")
+    common = (
+        l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(
+            F.col("l._id").alias("x_id"),
+            F.col("r._id").alias("y_id"),
+            F.col("l._size").alias("x_size"),
+            F.col("r._size").alias("y_size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    fwd = common.select(
+        F.col("x_id").alias("a_id"),
+        F.col("y_id").alias("b_id"),
+        F.round(F.col("n_common") / F.col("x_size"), 9).alias("containment"),
+    )
+    rev = common.select(
+        F.col("y_id").alias("a_id"),
+        F.col("x_id").alias("b_id"),
+        F.round(F.col("n_common") / F.col("y_size"), 9).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)

@@ -1047,3 +1047,34 @@ WHERE round({_COS_SQL}, 9) >= 0.3
 
 SPARK_QUERIES["semantic_near_dup"] = semantic_near_dup
 ORACLE_SQL["semantic_near_dup"] = SEMANTIC_NEAR_DUP_SQL
+
+
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents whose shingles are ≥60% contained in another document."""
+    ensure_views(spark, sf_dir)
+    return dedup.ngram_containment_pairs(spark.table("documents"), threshold=0.6)
+
+
+NGRAM_CONTAINMENT_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
+), p AS (
+  SELECT a.doc_id AS x_id, b.doc_id AS y_id,
+         len(list_intersect(a.shingles, b.shingles)) AS n_common,
+         len(a.shingles) AS x_size, len(b.shingles) AS y_size
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+)
+SELECT a_id, b_id, containment FROM (
+  SELECT x_id AS a_id, y_id AS b_id, round(n_common * 1.0 / x_size, 9) AS containment FROM p
+  UNION ALL
+  SELECT y_id AS a_id, x_id AS b_id, round(n_common * 1.0 / y_size, 9) AS containment FROM p
+)
+WHERE containment >= 0.6
+"""
+
+
+SPARK_QUERIES["ngram_containment"] = ngram_containment
+ORACLE_SQL["ngram_containment"] = NGRAM_CONTAINMENT_SQL

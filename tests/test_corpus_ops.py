@@ -154,3 +154,19 @@ def test_multiprobe_assign_and_semantic_pairs(spark, testdata):
     # pair list has no duplicates even with shared multi-probe clusters
     rows = semantic_near_dup_pairs(emb, threshold=0.3, nprobe=2).collect()
     assert len(rows) == len({(r["a_id"], r["b_id"]) for r in rows})
+
+
+def test_ngram_containment_detects_quote(spark):
+    from onetl_spark.llm.dedup import ngram_containment_pairs
+
+    quote = "alpha beta gamma delta epsilon"
+    book = quote + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, book), (3, "totally unrelated text here")],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(df, threshold=0.9).collect()
+    got = {(r["a_id"], r["b_id"]): r["containment"] for r in rows}
+    # the quote is fully contained in the book; the book is NOT in the quote
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got and all(3 not in k for k in got)

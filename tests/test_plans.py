@@ -137,3 +137,55 @@ def sf_dir_queries(tables):
 
     qs = all_queries()
     return {name: qs[name](tables, SF_DIR) for name in ["q3_shipping_priority"]}
+
+
+def test_cdc_snapshot_partial_aggregates_no_window(tables):
+    from onetl_spark.operators.cdc import cdc_latest_snapshot
+
+    df = cdc_latest_snapshot(
+        tables.table("events"), ["user_id"], ["ts", "event_id"], op_col="event_type"
+    )
+    plan = executed_plan(df)
+    assert "partial_max_by" in plan or "partial" in plan.lower()
+    assert "Window" not in plan  # the changelog is never sort-shuffled
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decontamination_broadcasts_benchmark_not_corpus(tables):
+    from onetl_spark.llm.dedup import benchmark_contamination
+
+    docs = tables.table("documents")
+    df = benchmark_contamination(
+        docs.filter("doc_id % 17 <> 0"), docs.filter("doc_id % 17 = 0")
+    )
+    plan = executed_plan(df)
+    assert "BroadcastExchange" in plan  # benchmark shingle set
+    # corpus side: explode → broadcast join → ONE aggregate exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_top_terms_partial_topk(tables):
+    from onetl_spark.llm.text import top_terms
+
+    plan = executed_plan(top_terms(tables.table("documents"), k=5))
+    assert "WindowGroupLimit" in plan  # pre-shuffle per-group heap
+
+
+def test_reweight_corpus_never_shuffled(tables):
+    from onetl_spark.llm.sampling import reweight_domains
+
+    df = reweight_domains(tables.table("documents"), {"src0": 0.01})
+    plan = executed_plan(df)
+    assert "BroadcastExchange" in plan  # rate map
+    # the only hash exchanges belong to the tiny totals aggregate
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+
+
+def test_multiprobe_assign_partial_topk(tables):
+    from onetl_spark.llm.similarity import multiprobe_assign
+
+    plan = executed_plan(multiprobe_assign(tables.table("embeddings"), nprobe=2))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan  # centroids
+    assert "CartesianProduct" not in plan
