@@ -175,3 +175,55 @@ def sample_frames(df: DataFrame, frame_size: int = 256, every: int = 2) -> DataF
                 )
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+AHASH_CELLS = 48  # signed-64 safe; same bit budget as SimHash
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ],
+)
+
+
+def ahash_bits(payload: bytes, cells: int = AHASH_CELLS) -> int:
+    """Average-hash over a byte payload: split into ``cells`` contiguous
+    segments; bit i set iff segment i's mean byte value exceeds the whole
+    payload's mean. All comparisons are integer cross-multiplications
+    (``seg_sum·n > total·seg_len``) — no float averaging, so any engine
+    reproduces the exact bits. The 1-D analogue of the 8×8 image aHash;
+    with a real decoder the same code runs on resized pixel rows."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    total = sum(payload)
+    bits = 0
+    for i in range(cells):
+        a, b = (i * n) // cells, ((i + 1) * n) // cells
+        seg = payload[a:b]
+        if sum(seg) * n > total * len(seg):
+            bits |= 1 << i
+    return bits
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual-hash extraction over binary payloads (Arrow-batched).
+
+    Real images would be decoded and downsampled where ``ahash_bits``
+    reads raw bytes; the pipeline shape — one ``mapInPandas`` pass, hash
+    as a join/group key downstream — is the production one. Pair with
+    SimHash-style banding for hamming near-dup search at scale."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "ahash": pd.Series(
+                        [ahash_bits(bytes(p)) for p in pdf["payload"]], dtype="int64"
+                    ),
+                },
+            )
+
+    return df.mapInPandas(batches, schema=AHASH_SCHEMA)

@@ -1078,3 +1078,40 @@ WHERE containment >= 0.6
 
 SPARK_QUERIES["ngram_containment"] = ngram_containment
 ORACLE_SQL["ngram_containment"] = NGRAM_CONTAINMENT_SQL
+
+
+def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over binary payloads via the Arrow-batched
+    multimodal path; bits are integer cross-multiplications so the SQL
+    oracle reproduces them exactly."""
+    ensure_views(spark, sf_dir)
+    payloads = multimodal.with_binary_payload(spark.table("documents"))
+    return multimodal.image_ahash(payloads)
+
+
+def _ahash_sql() -> str:
+    from onetl_spark.llm.multimodal import AHASH_CELLS
+
+    terms = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(c[({i} * n) // {AHASH_CELLS} + 1 : ({i + 1} * n) // {AHASH_CELLS}]), 0) * n"
+        f" > total * ((({i + 1} * n) // {AHASH_CELLS}) - (({i} * n) // {AHASH_CELLS}))"
+        f" THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(AHASH_CELLS)
+    )
+    return rf"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS c,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0
+), t AS (
+  SELECT doc_id, c, n, list_sum(c) AS total FROM codes
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS ahash FROM t
+UNION ALL
+SELECT doc_id, 0 AS ahash FROM documents WHERE length(text) = 0
+"""
+
+
+SPARK_QUERIES["multimodal_ahash"] = multimodal_ahash
+ORACLE_SQL["multimodal_ahash"] = _ahash_sql()

@@ -170,3 +170,21 @@ def test_ngram_containment_detects_quote(spark):
     # the quote is fully contained in the book; the book is NOT in the quote
     assert got.get((1, 2)) == 1.0
     assert (2, 1) not in got and all(3 not in k for k in got)
+
+
+def test_ahash_properties(spark):
+    from onetl_spark.llm.multimodal import ahash_bits, image_ahash, with_binary_payload
+
+    # pure function invariants
+    assert ahash_bits(b"") == 0
+    assert ahash_bits(b"\x00" * 100) == 0  # uniform payload: no cell above mean
+    ramp = bytes(i % 256 for i in range(480))
+    assert ahash_bits(ramp) == ahash_bits(ramp)  # deterministic
+    # distinct content → (almost surely) distinct hashes
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox " * 10), (2, "zzz yyy xxx www vvv " * 10), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["ahash"] for r in image_ahash(with_binary_payload(df)).collect()}
+    assert out[3] == 0
+    assert out[1] != out[2]
