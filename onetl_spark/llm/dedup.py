@@ -573,3 +573,81 @@ def ngram_containment_pairs(
         F.round(F.col("n_common") / F.col("y_size"), 9).alias("containment"),
     )
     return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    hash_col: str = "simhash",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    max_dist: int = 3,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """All pairs within ``max_dist`` Hamming distance of a ``bits``-wide
+    hash column (SimHash, perceptual aHash, …) via multi-index hashing.
+
+    Pigeonhole: split the hash into ``max_dist + 1`` disjoint bands — two
+    hashes differing in ≤ max_dist bits must agree EXACTLY on at least
+    one band, so candidates come from equi-joins on (band_idx, band_bits)
+    and the full N² comparison never happens. Verification is one
+    ``bit_count(xor)`` per candidate. Oversized bands (a constant-ish
+    hash region at web scale) are dropped under the same logged cap as
+    MinHash-LSH buckets.
+    """
+    n_bands = max_dist + 1
+    width = bits // n_bands
+    if width == 0:
+        raise ValueError(f"max_dist {max_dist} too large for {bits}-bit hashes")
+    h = F.col(hash_col)
+    mask = (1 << width) - 1
+    bands = df.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        # final band takes the remainder bits too
+                        F.shiftright(h, b * width)
+                        .bitwiseAND(
+                            F.lit(mask if b < n_bands - 1 else (1 << (bits - b * width)) - 1)
+                        )
+                        .alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ],
+            ),
+        ).alias("_band"),
+    ).select("_id", "_h", "_band.band_idx", "_band.band_bits")
+    from pyspark.sql.window import Window as _W
+
+    sized = bands.withColumn(
+        "_bucket_n", F.count(F.lit(1)).over(_W.partitionBy("band_idx", "band_bits"))
+    )
+    dropped = sized.filter(F.col("_bucket_n") > max_bucket_size)
+    n_dropped = dropped.select("band_idx", "band_bits").distinct().count()
+    if n_dropped:
+        log.warning(
+            "hamming_near_dup_pairs: dropped %d over-capacity bands (> %d members) — "
+            "recall knob, not silent truncation",
+            n_dropped,
+            max_bucket_size,
+        )
+    kept = sized.filter(F.col("_bucket_n") <= max_bucket_size)
+    l, r = kept.alias("l"), kept.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_bits") == F.col("r.band_bits"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a_id"),
+            F.col("r._id").alias("b_id"),
+            F.bit_count(F.col("l._h").bitwiseXOR(F.col("r._h"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_dist)

@@ -1115,3 +1115,26 @@ SELECT doc_id, 0 AS ahash FROM documents WHERE length(text) = 0
 
 SPARK_QUERIES["multimodal_ahash"] = multimodal_ahash
 ORACLE_SQL["multimodal_ahash"] = _ahash_sql()
+
+
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming distance 3 via multi-index banding —
+    the pigeonhole equi-join, never an N² comparison."""
+    ensure_views(spark, sf_dir)
+    sigs = dedup.simhash_signatures(spark.table("documents"))
+    return dedup.hamming_near_dup_pairs(sigs, max_dist=3)
+
+
+def _simhash_near_dup_sql() -> str:
+    sim = _simhash_sql().strip().rstrip(";")
+    return f"""
+WITH sigs AS ({sim})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+SPARK_QUERIES["simhash_near_dup"] = simhash_near_dup
+ORACLE_SQL["simhash_near_dup"] = _simhash_near_dup_sql()

@@ -188,3 +188,41 @@ def test_ahash_properties(spark):
     out = {r["doc_id"]: r["ahash"] for r in image_ahash(with_binary_payload(df)).collect()}
     assert out[3] == 0
     assert out[1] != out[2]
+
+
+def test_hamming_near_dup_pigeonhole_complete(spark):
+    from onetl_spark.llm.dedup import hamming_near_dup_pairs
+
+    base = 0b101010101010101010101010101010101010101010101010
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),            # dist 3 — all flips in band 0
+        (3, base ^ (1 << 47)),        # dist 1 — flip in the last band
+        (4, base ^ ((1 << 13) | (1 << 25) | (1 << 37))),  # dist 3, spread across 3 bands
+        (5, 0),                       # far away
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in hamming_near_dup_pairs(df, max_dist=3).collect()
+    }
+    # exact reference: all pairs with bit_count(xor) <= 3
+    import itertools
+
+    want = {}
+    for (i, hi), (j, hj) in itertools.combinations(rows, 2):
+        d = bin(hi ^ hj).count("1")
+        if d <= 3:
+            want[(min(i, j), max(i, j))] = d
+    assert got == want
+    assert (1, 2) in got and (1, 3) in got and (1, 4) in got
+
+
+def test_hamming_near_dup_validation(spark):
+    import pytest as _pytest
+
+    from onetl_spark.llm.dedup import hamming_near_dup_pairs
+
+    df = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
+    with _pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, bits=4, max_dist=10)
