@@ -520,3 +520,90 @@ def semantic_near_dup_pairs(
         salt_groups=salt_groups,
     )
     return pairs.distinct()
+
+
+def embedding_outlier_scores(
+    embeddings: DataFrame,
+    centroid_filter: str = "vec_id % 64 = 7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector outlier score = 1 − cosine to the nearest coarse
+    centroid: vectors far from every cluster are candidate junk
+    (mis-embedded, corrupted, off-distribution) — the embedding-space
+    analogue of text quality filtering.
+
+    Same partial-aggregating argmax shape as :func:`ivf_assign` — the
+    N×C expansion folds map-side; one shuffle keyed by the vector id.
+    """
+    cent = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    cent = cent.select("centroid_id", "cvec", norm(F.col("cvec")).alias("cnorm"))
+    scored = (
+        embeddings.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"))
+        .join(F.broadcast(cent))
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.round(
+                dot(F.col(vec_col), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")), 9,
+            ).alias("ccos"),
+        )
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("ccos"),
+                (-F.col("centroid_id")).alias("_nc"),
+                F.col("centroid_id").alias("centroid_id"),
+            ),
+        ).alias("_best"),
+    )
+    return best.select(
+        id_col,
+        F.col("_best.centroid_id").alias("centroid_id"),
+        F.round(1.0 - F.col("_best.ccos"), 9).alias("outlier_score"),
+    )
+
+
+def hybrid_filtered_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_id: int,
+    keyword: str,
+    k: int = 10,
+    doc_id_col: str = "doc_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pre-filtered vector search: a metadata/text predicate prunes the
+    candidate set BEFORE any vector math, then exact cosine ranks the
+    survivors (filter-then-rank — the production hybrid-search shape;
+    post-filtering a fixed-k ANN result under-returns when the filter is
+    selective).
+
+    The doc filter is a semi-join (no payload duplication), the query
+    vector broadcasts, and the top-k is ``TakeOrderedAndProject`` — no
+    global sort.
+    """
+    keep = docs.filter(F.col(text_col).contains(keyword)).select(
+        F.col(doc_id_col).alias(id_col)
+    )
+    qvec = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), norm(F.col(vec_col)).alias("_qn")
+    )
+    cand = (
+        embeddings.join(keep, id_col, "semi")
+        .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(qvec))
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv")) / (norm(F.col(vec_col)) * F.col("_qn")), 9,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

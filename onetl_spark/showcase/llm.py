@@ -1138,3 +1138,54 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 SPARK_QUERIES["simhash_near_dup"] = simhash_near_dup
 ORACLE_SQL["simhash_near_dup"] = _simhash_near_dup_sql()
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    return similarity.embedding_outlier_scores(spark.table("embeddings"))
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 64 = 7
+), scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         {_IVF_COS.format(a='v', b='c')} AS ccos
+  FROM embeddings v CROSS JOIN centroids c
+)
+SELECT vec_id, centroid_id, round(1.0 - ccos, 9) AS outlier_score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY ccos DESC, centroid_id ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-prefiltered exact vector search: only documents containing
+    'spark' compete for the top-10 by cosine to query vector 0."""
+    ensure_views(spark, sf_dir)
+    return similarity.hybrid_filtered_topk(
+        spark.table("documents"), spark.table("embeddings"), query_id=0, keyword="spark", k=10
+    )
+
+
+HYBRID_SEARCH_SQL = f"""
+WITH keep AS (
+  SELECT doc_id FROM documents WHERE text LIKE '%spark%'
+), q AS (
+  SELECT embedding FROM embeddings WHERE vec_id = 0
+)
+SELECT b.vec_id, round({_COS_SQL.replace('a.embedding', 'q.embedding').replace('b.embedding', 'b.embedding')}, 9) AS cos_sim
+FROM embeddings b CROSS JOIN q
+WHERE b.vec_id IN (SELECT doc_id FROM keep) AND b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+
+SPARK_QUERIES["embedding_outliers"] = embedding_outliers
+ORACLE_SQL["embedding_outliers"] = EMBEDDING_OUTLIERS_SQL
+
+SPARK_QUERIES["hybrid_search_topk"] = hybrid_search_topk
+ORACLE_SQL["hybrid_search_topk"] = HYBRID_SEARCH_SQL

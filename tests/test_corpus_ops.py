@@ -226,3 +226,31 @@ def test_hamming_near_dup_validation(spark):
     df = spark.createDataFrame([(1, 0)], "doc_id long, simhash long")
     with _pytest.raises(ValueError):
         hamming_near_dup_pairs(df, bits=4, max_dist=10)
+
+
+def test_embedding_outlier_scores_range_and_centroid_zero(spark, testdata):
+    from onetl_spark.llm.similarity import embedding_outlier_scores
+
+    rows = embedding_outlier_scores(spark.table("embeddings")).collect()
+    assert len(rows) == spark.table("embeddings").count()
+    assert all(0.0 <= r["outlier_score"] <= 2.0 for r in rows)
+    # a centroid is its own nearest centroid at distance 0
+    by_id = {r["vec_id"]: r for r in rows}
+    cid = next(i for i in by_id if i % 64 == 7)
+    assert by_id[cid]["outlier_score"] == 0.0 and by_id[cid]["centroid_id"] == cid
+
+
+def test_hybrid_filtered_topk_respects_filter(spark, testdata):
+    from onetl_spark.llm.similarity import hybrid_filtered_topk
+
+    docs = spark.table("documents")
+    out = hybrid_filtered_topk(docs, spark.table("embeddings"), query_id=0, keyword="spark", k=5)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    allowed = {
+        r["doc_id"] for r in docs.filter("text LIKE '%spark%'").select("doc_id").collect()
+    }
+    assert all(r["vec_id"] in allowed and r["vec_id"] != 0 for r in rows)
+    # descending similarity order
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
