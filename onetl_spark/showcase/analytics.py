@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from onetl_spark.showcase.util import dsum, ensure_views, sql_dsum
 
@@ -183,3 +184,38 @@ ORACLE_SQL.update({
     "events_distinct_users_kmv": _kmv_sql(),
     "events_multires_rollup": MULTIRES_SQL,
 })
+
+
+def rolling_24h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling event count/value per user — a RANGE window frame
+    over exact epoch-microsecond keys (integer keys both engines, so
+    frame membership can't drift on fractional seconds). Unlike a ROWS
+    frame, peers at the same instant always aggregate together."""
+    ensure_views(spark, sf_dir)
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-(day_us - 1), 0)
+    )
+    return spark.table("events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double").alias("value_24h"),
+    )
+
+
+ROLLING_24H_SQL = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       COUNT(*) OVER w AS n_24h,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS value_24h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+"""
+
+
+SPARK_QUERIES["rolling_24h_user_value"] = rolling_24h_user_value
+ORACLE_SQL["rolling_24h_user_value"] = ROLLING_24H_SQL

@@ -125,3 +125,28 @@ def test_logging_helpers(caplog):
     text = caplog.text
     assert "start" in text and "key = 'value'" in text and '"a": 1' in text
     assert "... 1 more" in text
+
+
+def test_observe_dataframe_collects_in_flight_metrics(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.metrics import observe_dataframe
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "k int, v string"
+    )
+    observed, obs = observe_dataframe(
+        df,
+        "quality",
+        rows=F.count(F.lit(1)),
+        null_v=F.count_if(F.col("v").isNull()),
+        k_sum=F.sum("k"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got == {"rows": 4, "null_v": 2, "k_sum": 10}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        observe_dataframe(df, "empty")
