@@ -69,6 +69,11 @@ HEADLINE = [
     "salted_join_order_volume",
     "incremental_daily_rollup",
     "semantic_near_dup",
+    "simhash_near_dup",
+    "multimodal_ahash",
+    "hybrid_search_topk",
+    "rolling_24h_user_value",
+    "funnel_signup_view_purchase",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

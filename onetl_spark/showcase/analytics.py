@@ -219,3 +219,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
 
 SPARK_QUERIES["rolling_24h_user_value"] = rolling_24h_user_value
 ORACLE_SQL["rolling_24h_user_value"] = ROLLING_24H_SQL
+
+
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step funnel over events: first signup, first view after it,
+    first purchase after that."""
+    from onetl_spark.operators.funnel import funnel_steps
+
+    ensure_views(spark, sf_dir)
+    return funnel_steps(spark.table("events"), ["signup", "view", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS step_1_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS step_2_ts
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.step_1_ts
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS step_3_ts
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.step_2_ts
+  GROUP BY e.user_id
+)
+SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+       CASE WHEN s3.step_3_ts IS NOT NULL THEN 3
+            WHEN s2.step_2_ts IS NOT NULL THEN 2
+            ELSE 1 END AS steps_completed
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+SPARK_QUERIES["funnel_signup_view_purchase"] = funnel_signup_view_purchase
+ORACLE_SQL["funnel_signup_view_purchase"] = FUNNEL_SQL

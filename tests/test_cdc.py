@@ -193,3 +193,28 @@ def test_salted_join_matches_plain_join_random(spark):
             (r["k"], r["v"], r["w"]) for r in left.join(right, ["k"], how).collect()
         )
         assert got == want, how
+
+
+def test_funnel_steps_semantics(spark):
+    from onetl_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # u1 completes: signup@1, view@3 (after 1), purchase@5 (after 3)
+        (1, 1, "signup"), (1, 2, "purchase"), (1, 3, "view"), (1, 5, "purchase"),
+        # u2 breaks at step 2: view BEFORE signup only
+        (2, 1, "view"), (2, 2, "signup"), (2, 3, "purchase"),
+        # u3 never signs up → absent
+        (3, 1, "view"), (3, 2, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, event_type string")
+    out = {r["user_id"]: r for r in funnel_steps(df, ["signup", "view", "purchase"]).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["step_1_ts"], out[1]["step_2_ts"], out[1]["step_3_ts"]) == (1, 3, 5)
+    assert out[1]["steps_completed"] == 3
+    # u2: purchase@3 exists but requires a view after signup@2 — none
+    assert out[2]["step_2_ts"] is None and out[2]["steps_completed"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_steps(df, [])
