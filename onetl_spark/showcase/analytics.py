@@ -257,3 +257,79 @@ LEFT JOIN s3 ON s1.user_id = s3.user_id
 
 SPARK_QUERIES["funnel_signup_view_purchase"] = funnel_signup_view_purchase
 ORACLE_SQL["funnel_signup_view_purchase"] = FUNNEL_SQL
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary scored
+    1-4 against exact quartile boundaries. The boundaries are three
+    scalars from one percentile aggregate broadcast back as literals —
+    never an ntile over a single global partition (which would sort the
+    whole customer table on one task at scale)."""
+    ensure_views(spark, sf_dir)
+    per_cust = (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", 2).alias("monetary"),
+        )
+    )
+    # quartile boundaries: one tiny aggregate, three scalars per measure
+    b = per_cust.agg(
+        *[
+            F.round(F.expr(f"percentile(frequency, {p})"), 9).alias(f"f{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ],
+        *[
+            F.round(F.expr(f"percentile(monetary, {p})"), 9).alias(f"m{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ],
+    ).collect()[0]
+
+    def score(col, lo, mid, hi):
+        c = F.col(col)
+        return (
+            F.when(c <= F.lit(lo), 1)
+            .when(c <= F.lit(mid), 2)
+            .when(c <= F.lit(hi), 3)
+            .otherwise(4)
+        )
+
+    return per_cust.select(
+        "o_custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        score("frequency", b["f25"], b["f50"], b["f75"]).alias("f_score"),
+        score("monetary", b["m25"], b["m50"], b["m75"]).alias("m_score"),
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         {sql_dsum('o_totalprice', 2)} AS monetary
+  FROM orders GROUP BY o_custkey
+), b AS (
+  SELECT round(quantile_cont(frequency, 0.25), 9) AS f25,
+         round(quantile_cont(frequency, 0.50), 9) AS f50,
+         round(quantile_cont(frequency, 0.75), 9) AS f75,
+         round(quantile_cont(monetary, 0.25), 9) AS m25,
+         round(quantile_cont(monetary, 0.50), 9) AS m50,
+         round(quantile_cont(monetary, 0.75), 9) AS m75
+  FROM per_cust
+)
+SELECT o_custkey, last_order, frequency, monetary,
+       CASE WHEN frequency <= f25 THEN 1 WHEN frequency <= f50 THEN 2
+            WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_score,
+       CASE WHEN monetary <= m25 THEN 1 WHEN monetary <= m50 THEN 2
+            WHEN monetary <= m75 THEN 3 ELSE 4 END AS m_score
+FROM per_cust, b
+"""
+
+
+SPARK_QUERIES["customer_rfm_segments"] = customer_rfm_segments
+ORACLE_SQL["customer_rfm_segments"] = RFM_SQL
