@@ -74,6 +74,7 @@ HEADLINE = [
     "hybrid_search_topk",
     "rolling_24h_user_value",
     "funnel_signup_view_purchase",
+    "customer_rfm_segments",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
