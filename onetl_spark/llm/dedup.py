@@ -334,8 +334,10 @@ def dedup_survivors(
     corpus, so below ``collect_threshold`` edges we run exact union-find
     on the driver (one collect of the edge list, microseconds of CPU) and
     broadcast the mapping back — 3 Spark jobs total. Above the threshold
-    we fall back to distributed min-label propagation (each round joins
-    only the edge set; rounds ≈ component diameter).
+    we run distributed large-star/small-star contraction
+    (:func:`onetl_spark.operators.graph.connected_components`) — each
+    round shuffles only the edge set, and the round count is O(log^2 n)
+    regardless of component diameter.
     """
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -374,48 +376,19 @@ def dedup_survivors(
             )
             .select(F.col(id_col), F.coalesce("rep", F.col(id_col)).alias("rep_id"))
         )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
-    for _ in range(20):  # diameter bound; near-dup groups are shallow
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
-        if changed == 0:
-            break
+    from onetl_spark.operators.graph import connected_components
+
     # labels is edge-node-sized (nodes appearing in any pair), far smaller
-    # than the corpus — checkpoint it so edges/labels caches can be released
-    final_map = labels.localCheckpoint(eager=True)
-    labels.unpersist()
+    # than the corpus; connected_components localCheckpoints internally so
+    # the edges cache can be released immediately
+    final_map = connected_components(edges)
     edges.unpersist()
     all_docs = df.select(F.col(id_col))
     return (
         all_docs.join(final_map, all_docs[id_col] == final_map.node, "left")
         .select(
             F.col(id_col),
-            F.coalesce("label", F.col(id_col)).alias("rep_id"),
+            F.coalesce("rep", F.col(id_col)).alias("rep_id"),
         )
     )
 

@@ -466,6 +466,23 @@ SPARK_QUERIES["dedup_survivors"] = dedup_survivors
 ORACLE_SQL["dedup_survivors"] = _survivors_sql()
 
 
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive dedup groups, but forcing the DISTRIBUTED
+    connected-components path (large-star/small-star contraction,
+    O(log^2 n) rounds independent of component diameter) — the plan a
+    100-TB run uses when the duplicate-pair graph itself exceeds driver
+    memory. Oracle-identical to ``dedup_survivors``: the algorithm choice
+    must never change the answer."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.dedup_survivors(docs, pairs, collect_threshold=0)
+
+
+SPARK_QUERIES["dedup_components_star"] = dedup_components_star
+ORACLE_SQL["dedup_components_star"] = _survivors_sql()
+
+
 def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline composition: quality filter →
     exact dedup (fingerprint) → near-dup removal (MinHash survivors).
