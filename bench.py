@@ -75,6 +75,7 @@ HEADLINE = [
     "rolling_24h_user_value",
     "funnel_signup_view_purchase",
     "customer_rfm_segments",
+    "dedup_components_star",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
