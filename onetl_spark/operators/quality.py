@@ -1,0 +1,123 @@
+"""Data-quality operators: column profiling, k-anonymity risk reports,
+declarative expectation checks.
+
+Reference parity: onETL itself delegates validation to the surrounding
+pipeline; these are the checks its users run around every transfer
+(row-count / null-rate probes before a DBWriter, FK spot checks after).
+Implemented here as first-class one-pass aggregates.
+
+Scale design:
+
+- ``profile`` issues ONE single-column aggregate per profiled column and
+  unions the results. Deliberately NOT one multi-distinct aggregate:
+  Spark expands multiple exact ``count(distinct x_i)`` aggregates into an
+  ``Expand`` node that replicates every input row once per distinct
+  column — k× the scan on 100 TB. Per-column plans each read exactly one
+  column (parquet column pruning), so total I/O ≈ one full-width scan,
+  and the k jobs parallelize across the cluster.
+- ``k_anonymity`` is a single groupBy over the quasi-identifier columns.
+- ``expect`` folds all checks into ONE conditional aggregate pass —
+  never one job per rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: rows, nulls, exact distinct count, min/max.
+
+    Returns one row per column: ``(col_name, n_rows, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str)`` — numeric extrema as doubles,
+    everything else cast to string (ISO formatting for dates/timestamps),
+    so heterogeneous columns union into one stable schema without
+    engine-dependent float→string formatting.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    columns = list(columns or fields)
+    parts = []
+    for c in columns:
+        numeric = isinstance(fields[c], NumericType)
+        col = F.col(c)
+        parts.append(
+            df.select(col).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(col.isNull(), 1)).alias("n_nulls"),
+                F.countDistinct(col).alias("n_distinct"),
+                (F.min(col).cast("double") if numeric else F.lit(None).cast("double")).alias("min_num"),
+                (F.max(col).cast("double") if numeric else F.lit(None).cast("double")).alias("max_num"),
+                (F.lit(None).cast("string") if numeric else F.min(col).cast("string")).alias("min_str"),
+                (F.lit(None).cast("string") if numeric else F.max(col).cast("string")).alias("max_str"),
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def k_anonymity(df: DataFrame, quasi_identifiers: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity report over quasi-identifier columns: every equivalence
+    class with its size and an ``at_risk`` flag (class size below ``k`` —
+    those rows are re-identifiable by the QI combination).
+
+    One shuffle on the QI key; the report is class-count-sized, not
+    row-sized.
+    """
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .withColumn("at_risk", (F.col("class_size") < k).cast("boolean"))
+    )
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """A named row-level predicate (SQL expression string) that should
+    hold for every row, e.g. ``Expectation("positive_price",
+    "o_totalprice > 0")``."""
+
+    name: str
+    predicate: str
+
+
+def expect(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Evaluate all expectations in ONE aggregate pass. Returns one row
+    per expectation: ``(expectation, n_rows, n_failed, pass_rate)``.
+
+    Nulls count as failures (the predicate did not evaluate to true) —
+    the conservative convention for data contracts.
+    """
+    aggs = []
+    for e in expectations:
+        failed = F.coalesce(  # SUM over zero rows is null, not 0
+            F.sum(F.when(F.coalesce(F.expr(e.predicate), F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
+        )
+        aggs.append(failed.alias(f"__f_{e.name}"))
+    totals = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(e.name).alias("expectation"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__f_{e.name}").cast("long").alias("n_failed"),
+            )
+            for e in expectations
+        ]),
+    ).alias("r")
+    return totals.select(rows).select(
+        "r.expectation",
+        "r.n_rows",
+        "r.n_failed",
+        F.round(
+            F.when(F.col("r.n_rows") > 0, 1.0 - F.col("r.n_failed") / F.col("r.n_rows")).otherwise(1.0),
+            9,
+        ).alias("pass_rate"),
+    )

@@ -333,3 +333,144 @@ FROM per_cust, b
 
 SPARK_QUERIES["customer_rfm_segments"] = customer_rfm_segments
 ORACLE_SQL["customer_rfm_segments"] = RFM_SQL
+
+
+def orders_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass-per-column data-quality profile of the orders table
+    (rows / nulls / exact distinct / extrema). Per-column single-column
+    aggregates (parquet prunes each scan to one column) instead of one
+    multi-distinct aggregate, which Spark would expand into an `Expand`
+    node replicating every row once per profiled column."""
+    from onetl_spark.operators.quality import profile
+
+    ensure_views(spark, sf_dir)
+    return profile(
+        spark.table("orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderdate", "o_orderpriority"],
+    )
+
+
+def _profile_col_sql(col: str, numeric: bool) -> str:
+    if numeric:
+        lo, hi = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        slo = shi = "CAST(NULL AS VARCHAR)"
+    else:
+        lo = hi = "CAST(NULL AS DOUBLE)"
+        slo, shi = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+    return f"""
+SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN {col} IS NULL THEN 1 END) AS n_nulls,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       {lo} AS min_num, {hi} AS max_num, {slo} AS min_str, {shi} AS max_str
+FROM orders"""
+
+
+DQ_PROFILE_SQL = " UNION ALL ".join(
+    _profile_col_sql(c, n)
+    for c, n in [
+        ("o_orderkey", True), ("o_custkey", True), ("o_totalprice", True),
+        ("o_orderstatus", False), ("o_orderdate", False), ("o_orderpriority", False),
+    ]
+)
+
+SPARK_QUERIES["orders_dq_profile"] = orders_dq_profile
+ORACLE_SQL["orders_dq_profile"] = DQ_PROFILE_SQL
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk report over (nation, market segment) quasi-
+    identifiers: equivalence classes below k=5 are re-identifiable."""
+    from onetl_spark.operators.quality import k_anonymity
+
+    ensure_views(spark, sf_dir)
+    return k_anonymity(spark.table("customer"), ["c_nationkey", "c_mktsegment"], k=5)
+
+
+K_ANON_SQL = """
+SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+       COUNT(*) < 5 AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+SPARK_QUERIES["customer_k_anonymity"] = customer_k_anonymity
+ORACLE_SQL["customer_k_anonymity"] = K_ANON_SQL
+
+
+def orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract checks folded into ONE aggregate pass
+    (never one job per rule); nulls count as failures."""
+    from onetl_spark.operators.quality import Expectation, expect
+
+    ensure_views(spark, sf_dir)
+    return expect(
+        spark.table("orders"),
+        [
+            Expectation("key_not_null", "o_orderkey IS NOT NULL"),
+            Expectation("positive_price", "o_totalprice > 0"),
+            Expectation("status_domain", "o_orderstatus IN ('F','O','P')"),
+            Expectation("high_value", "o_totalprice >= 50000"),
+        ],
+    )
+
+
+EXPECT_SQL = """
+WITH t AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN COALESCE(o_orderkey IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS f1,
+         SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE) THEN 0 ELSE 1 END) AS f2,
+         SUM(CASE WHEN COALESCE(o_orderstatus IN ('F','O','P'), FALSE) THEN 0 ELSE 1 END) AS f3,
+         SUM(CASE WHEN COALESCE(o_totalprice >= 50000, FALSE) THEN 0 ELSE 1 END) AS f4
+  FROM orders
+)
+SELECT e.expectation, t.n AS n_rows, e.f AS n_failed,
+       ROUND(CASE WHEN t.n > 0 THEN 1.0 - CAST(e.f AS DOUBLE) / t.n ELSE 1.0 END, 9) AS pass_rate
+FROM t, LATERAL (VALUES
+  ('key_not_null', t.f1), ('positive_price', t.f2),
+  ('status_domain', t.f3), ('high_value', t.f4)
+) AS e(expectation, f)
+"""
+
+SPARK_QUERIES["orders_expectations"] = orders_expectations
+ORACLE_SQL["orders_expectations"] = EXPECT_SQL
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention matrix: cohort = month of a user's first
+    event; n_users = distinct users from that cohort active at each month
+    offset. Two aggregations plus one user-keyed join — the join reuses
+    the partitioning the first aggregate established, and the month
+    arithmetic is integer (year*12+month), exact in both engines."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+
+    def midx(c):
+        return F.year(c) * 12 + F.month(c)
+
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.trunc(F.col("first_ts").cast("date"), "month").alias("cohort_month"),
+            (midx(F.col("ts")) - midx(F.col("first_ts"))).cast("long").alias("month_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('month', f.first_ts) AS DATE) AS cohort_month,
+       CAST((YEAR(CAST(e.ts AS TIMESTAMP)) * 12 + MONTH(CAST(e.ts AS TIMESTAMP)))
+          - (YEAR(f.first_ts) * 12 + MONTH(f.first_ts)) AS BIGINT) AS month_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+SPARK_QUERIES["user_retention_cohorts"] = user_retention_cohorts
+ORACLE_SQL["user_retention_cohorts"] = RETENTION_SQL

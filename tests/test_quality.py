@@ -1,0 +1,61 @@
+"""Data-quality operators: profile / k-anonymity / expectations."""
+
+from onetl_spark.operators.quality import Expectation, expect, k_anonymity, profile
+
+
+def test_profile_nulls_distinct_extrema(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 8.5), (3, "b", -1.0)],
+        "k long, s string, v double",
+    )
+    rows = {r["col_name"]: r for r in profile(df).collect()}
+    assert rows["k"]["n_rows"] == 4
+    assert rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 3.0
+    assert rows["k"]["min_str"] is None
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["n_distinct"] == 2  # distinct ignores nulls
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+    assert rows["s"]["min_num"] is None
+    assert rows["v"]["n_nulls"] == 1
+    assert rows["v"]["min_num"] == -1.0 and rows["v"]["max_num"] == 8.5
+
+
+def test_profile_column_subset(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    assert [r["col_name"] for r in profile(df, ["b"]).collect()] == ["b"]
+
+
+def test_k_anonymity_flags_small_classes(spark):
+    df = spark.createDataFrame(
+        [("us", "m")] * 6 + [("us", "f")] * 2 + [("de", "m")],
+        "country string, gender string",
+    )
+    rows = {(r["country"], r["gender"]): r for r in k_anonymity(df, ["country", "gender"], k=5).collect()}
+    assert rows[("us", "m")]["class_size"] == 6 and not rows[("us", "m")]["at_risk"]
+    assert rows[("us", "f")]["at_risk"]
+    assert rows[("de", "m")]["at_risk"]
+
+
+def test_expect_single_pass_null_is_failure(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, v double",
+    )
+    rows = {r["expectation"]: r for r in expect(df, [
+        Expectation("v_positive", "v > 0"),
+        Expectation("id_small", "id <= 3"),
+    ]).collect()}
+    # null v fails v_positive (predicate not true)
+    assert rows["v_positive"]["n_failed"] == 2
+    assert abs(rows["v_positive"]["pass_rate"] - (1 / 3)) < 1e-9
+    assert rows["id_small"]["n_failed"] == 0
+    assert rows["id_small"]["pass_rate"] == 1.0
+
+
+def test_expect_empty_input(spark):
+    df = spark.createDataFrame([], "v double")
+    rows = expect(df, [Expectation("p", "v > 0")]).collect()
+    assert rows[0]["n_rows"] == 0
+    assert rows[0]["n_failed"] == 0
+    assert rows[0]["pass_rate"] == 1.0
