@@ -22,6 +22,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import functools
+import operator
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -147,3 +149,59 @@ def merge_aggregate_state(
     merged = running.unionByName(delta)
     aggs = [getattr(F, fn)(col).alias(col) for col, fn in measures.items()]
     return merged.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table: one row
+    per key that was added, removed, or changed, with the old and new
+    value of every compared column (``old_<c>`` / ``new_<c>``).
+
+    The load-validation primitive around any full-refresh transfer:
+    "what did this reload actually change?" without re-reading history.
+
+    Cost: one full-outer shuffle join on the key — the minimum for a
+    row-level diff; with both snapshots bucketed by the key it is
+    shuffle-free. Change detection is a null-safe comparison per column
+    (NULL→value and value→NULL count as changes); unchanged keys are
+    filtered before any further processing, so the output is
+    change-sized, not table-sized.
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff requires at least one key column")
+    compare_cols = [c for c in (compare_cols or old.columns) if c not in key_cols]
+    o = old.select(*key_cols, *compare_cols).alias("o")
+    n = new.select(*key_cols, *compare_cols).alias("n")
+    cond = functools.reduce(
+        operator.and_, [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols],
+    )
+    joined = o.join(n, cond, "full_outer")
+    old_present = functools.reduce(
+        operator.or_, [F.col(f"o.{k}").isNotNull() for k in key_cols],
+    )
+    new_present = functools.reduce(
+        operator.or_, [F.col(f"n.{k}").isNotNull() for k in key_cols],
+    )
+    same = functools.reduce(
+        operator.and_,
+        [F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")) for c in compare_cols],
+        F.lit(True),
+    )
+    change = (
+        F.when(~old_present, F.lit("added"))
+        .when(~new_present, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        joined.select(
+            *[F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in key_cols],
+            change.alias("change_type"),
+            *[F.col(f"o.{c}").alias(f"old_{c}") for c in compare_cols],
+            *[F.col(f"n.{c}").alias(f"new_{c}") for c in compare_cols],
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

@@ -474,3 +474,120 @@ GROUP BY 1, 2
 
 SPARK_QUERIES["user_retention_cohorts"] = user_retention_cohorts
 ORACLE_SQL["user_retention_cohorts"] = RETENTION_SQL
+
+
+def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily event-value series:
+    7-day trailing window, exact decimal sums feeding identical IEEE
+    double arithmetic in both engines. The window is over the DAY series
+    (one row per day — time-dimension-sized, never event-sized), so the
+    unpartitioned ordered window is a few-thousand-row single task by
+    construction; the heavy lifting is the per-day pre-aggregation, which
+    shuffles once on the date key."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    s = F.sum(F.col("v").cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    mean = s / n
+    # guard the n==1 first row: ANSI mode makes /(n-1) a hard error
+    var = F.when(n > 1, (s2 - (s * s) / n) / (n - 1)).otherwise(F.lit(0.0))
+    z = F.when(var > 0, (F.col("v") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return daily.select(
+        "day",
+        "v",
+        F.round(mean, 9).alias("mean_7d"),
+        F.round(z, 9).alias("zscore"),
+        (F.abs(z) > 2.0).alias("anomaly"),
+    )
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+), roll AS (
+  SELECT day, v,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+         CAST(COUNT(*) OVER w AS DOUBLE) AS n
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+), vv AS (
+  SELECT day, v, s, n,
+         CASE WHEN n > 1 THEN (s2 - (s * s) / n) / (n - 1) ELSE 0.0 END AS var
+  FROM roll
+)
+SELECT day, v,
+       ROUND(s / n, 9) AS mean_7d,
+       ROUND(CASE WHEN var > 0 THEN (v - s / n) / SQRT(var) ELSE 0.0 END, 9) AS zscore,
+       CASE WHEN var > 0 THEN ABS((v - s / n) / SQRT(var)) > 2.0 ELSE FALSE END AS anomaly
+FROM vv
+"""
+
+SPARK_QUERIES["daily_value_anomalies"] = daily_value_anomalies
+ORACLE_SQL["daily_value_anomalies"] = ANOMALY_SQL
+
+
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase attributed to the most
+    recent click by the same user at or before the purchase (as-of
+    backward join — one shuffle on user_id, no window over the full
+    event stream)."""
+    from onetl_spark.operators.temporal import asof_join
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", "value",
+    )
+    # one click per (user, instant): ties at the same timestamp are
+    # ambiguous under as-of semantics — resolve to max event_id in BOTH
+    # engines so the attribution is deterministic
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.coalesce(F.col("click_id_right"), F.lit(-1)).alias("attributed_click_id"),
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))) / F.lit(60_000_000.0)
+        ).alias("mins_since_click"),
+    ).withColumn("mins_since_click", F.round("mins_since_click", 9))
+
+
+ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+), best AS (
+  SELECT p.event_id, MAX(c.ts) AS click_ts
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+  GROUP BY p.event_id
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       COALESCE(c.click_id, -1) AS attributed_click_id,
+       ROUND((epoch_us(p.ts) - epoch_us(best.click_ts)) / 60000000.0, 9) AS mins_since_click
+FROM p
+JOIN best ON p.event_id = best.event_id
+LEFT JOIN c ON c.user_id = p.user_id AND c.ts = best.click_ts
+"""
+
+SPARK_QUERIES["last_touch_attribution"] = last_touch_attribution
+ORACLE_SQL["last_touch_attribution"] = ATTRIBUTION_SQL

@@ -160,3 +160,66 @@ GROUP BY CAST(ts AS DATE)
 
 SPARK_QUERIES["incremental_daily_rollup"] = incremental_daily_rollup
 ORACLE_SQL["incremental_daily_rollup"] = ROLLUP_SQL
+
+
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two deterministic snapshots of orders:
+    the 'new' load drops every 10th key (removed), bumps price on keys
+    divisible by 7 (changed), and adds shifted keys (added). The output
+    is change-sized — unchanged keys never leave the join."""
+    from onetl_spark.operators.cdc import snapshot_diff
+
+    ensure_views(spark, sf_dir)
+    old = spark.table("orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    base = spark.table("orders")
+    new = (
+        base.filter(F.col("o_orderkey") % 10 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionAll(
+            base.filter(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            ),
+        )
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 10 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+              OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'changed'
+       END AS change_type,
+       old.o_totalprice AS old_o_totalprice,
+       old.o_orderstatus AS old_o_orderstatus,
+       new.o_totalprice AS new_o_totalprice,
+       new.o_orderstatus AS new_o_orderstatus
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+WHERE CASE WHEN old.o_orderkey IS NULL THEN 'added'
+           WHEN new.o_orderkey IS NULL THEN 'removed'
+           WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+             OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'changed'
+      END IS NOT NULL
+"""
+
+SPARK_QUERIES["snapshot_diff_orders"] = snapshot_diff_orders
+ORACLE_SQL["snapshot_diff_orders"] = SNAPSHOT_DIFF_SQL

@@ -218,3 +218,35 @@ def test_funnel_steps_semantics(spark):
 
     with _pytest.raises(ValueError):
         funnel_steps(df, [])
+
+
+def test_snapshot_diff_add_remove_change_nullsafe(spark):
+    from onetl_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, None)],
+        "k long, v double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),        # unchanged → absent from output
+         (2, 25.0, "b"),        # changed value
+         (3, 30.0, "c"),        # NULL → value counts as change
+         (5, 50.0, "e")],       # added; key 4 removed
+        "k long, v double, s string",
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(rows) == {2, 3, 4, 5}
+    assert rows[2]["change_type"] == "changed" and rows[2]["new_v"] == 25.0
+    assert rows[3]["change_type"] == "changed" and rows[3]["old_v"] is None
+    assert rows[4]["change_type"] == "removed" and rows[4]["new_v"] is None
+    assert rows[5]["change_type"] == "added" and rows[5]["old_v"] is None
+
+
+def test_snapshot_diff_requires_keys(spark):
+    import pytest
+
+    from onetl_spark.operators.cdc import snapshot_diff
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, [])
