@@ -76,6 +76,11 @@ HEADLINE = [
     "funnel_signup_view_purchase",
     "customer_rfm_segments",
     "dedup_components_star",
+    "snapshot_diff_orders",
+    "user_retention_cohorts",
+    "last_touch_attribution",
+    "daily_value_anomalies",
+    "events_json_props",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -591,3 +591,69 @@ LEFT JOIN c ON c.user_id = p.user_id AND c.ts = best.click_ts
 
 SPARK_QUERIES["last_touch_attribution"] = last_touch_attribution
 ORACLE_SQL["last_touch_attribution"] = ATTRIBUTION_SQL
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the props payload column with
+    ``from_json`` (JVM-side, schema-directed — never a Python UDF or a
+    per-row regex), aggregated per event type."""
+    ensure_views(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        spark.table("events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_k"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) IS NULL THEN 1 END) AS n_null_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_max,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+FROM events
+GROUP BY event_type
+"""
+
+SPARK_QUERIES["events_json_props"] = events_json_props
+ORACLE_SQL["events_json_props"] = JSON_PROPS_SQL
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of event values (integer bucket arithmetic —
+    a single aggregate pass; the bucket count is fixed up front so the
+    result is bucket-sized regardless of input scale)."""
+    ensure_views(spark, sf_dir)
+    width = 50.0
+    bucket = F.floor(F.col("value") / width).cast("long")
+    return (
+        spark.table("events")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(dsum("value"), 6).alias("total_value"),
+        )
+        .withColumn("bucket_lo", F.round(F.col("bucket") * width, 6))
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value,
+       ROUND(CAST(CAST(FLOOR(value / 50.0) AS BIGINT) * 50.0 AS DOUBLE), 6) AS bucket_lo
+FROM events
+GROUP BY 1
+"""
+
+SPARK_QUERIES["events_value_histogram"] = events_value_histogram
+ORACLE_SQL["events_value_histogram"] = HISTOGRAM_SQL
