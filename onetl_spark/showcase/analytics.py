@@ -657,3 +657,135 @@ GROUP BY 1
 
 SPARK_QUERIES["events_value_histogram"] = events_value_histogram
 ORACLE_SQL["events_value_histogram"] = HISTOGRAM_SQL
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over each user's event sequence: count
+    and probability of event_type → next event_type. One shuffle on
+    user_id for the lead window; the probability window runs over the
+    25-row transition table, not the events."""
+    ensure_views(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    pairs = (
+        spark.table("events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", nxt)
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 9).alias("p"),
+    )
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type), 9) AS p
+FROM counts
+"""
+
+SPARK_QUERIES["event_transition_matrix"] = event_transition_matrix
+ORACLE_SQL["event_transition_matrix"] = TRANSITION_SQL
+
+
+def chi2_type_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis of event type vs customer market
+    segment: observed vs expected counts and per-cell chi2 contribution.
+    The events→customer join broadcasts the dimension; every window runs
+    over the cell table (|segments|×|types| rows), never the events."""
+    ensure_views(spark, sf_dir)
+    j = (
+        spark.table("events")
+        .join(
+            F.broadcast(spark.table("customer").select("c_custkey", "c_mktsegment")),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_seg = W.partitionBy("c_mktsegment")
+    w_typ = W.partitionBy("event_type")
+    w_all = W.partitionBy()
+    rt = F.sum("n").over(w_seg).cast("double")
+    ct = F.sum("n").over(w_typ).cast("double")
+    g = F.sum("n").over(w_all).cast("double")
+    exp = rt * ct / g
+    nd = F.col("n").cast("double")
+    return j.select(
+        "c_mktsegment",
+        "event_type",
+        "n",
+        F.round(exp, 9).alias("expected"),
+        F.round((nd - exp) * (nd - exp) / exp, 9).alias("chi2_contrib"),
+    )
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+  GROUP BY c.c_mktsegment, e.event_type
+)
+SELECT c_mktsegment, event_type, n,
+       ROUND(CAST(SUM(n) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+             * CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+             / CAST(SUM(n) OVER () AS DOUBLE), 9) AS expected,
+       ROUND(POWER(CAST(n AS DOUBLE)
+               - CAST(SUM(n) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                 * CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / CAST(SUM(n) OVER () AS DOUBLE), 2)
+             / (CAST(SUM(n) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                * CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+                / CAST(SUM(n) OVER () AS DOUBLE)), 9) AS chi2_contrib
+FROM cells
+"""
+
+SPARK_QUERIES["chi2_type_by_segment"] = chi2_type_by_segment
+ORACLE_SQL["chi2_type_by_segment"] = CHI2_SQL
+
+
+def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type statistics: exact median and median absolute
+    deviation. Two aggregate passes (median, then median of |x−median|)
+    with the 5-row median table broadcast back — the robust-stats recipe
+    that never sorts the full column on one task."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 9).alias("median"),
+            F.round(F.expr("percentile(abs(value - med), 0.5)"), 9).alias("mad"),
+        )
+    )
+
+
+MAD_SQL = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       ROUND(MIN(m.med), 9) AS median,
+       ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 9) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+"""
+
+SPARK_QUERIES["event_value_mad"] = event_value_mad
+ORACLE_SQL["event_value_mad"] = MAD_SQL
