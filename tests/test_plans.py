@@ -189,3 +189,49 @@ def test_multiprobe_assign_partial_topk(tables):
     assert "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan  # centroids
     assert "CartesianProduct" not in plan
+
+
+def test_profile_prunes_each_scan_to_one_column(tables):
+    from onetl_spark.operators.quality import profile
+
+    df = profile(
+        tables.table("orders"), ["o_orderkey", "o_totalprice", "o_orderstatus"],
+    )
+    plan = executed_plan(df)
+    schemas = [s.splitlines()[0] for s in plan.split("ReadSchema: struct<")[1:]]
+    assert len(schemas) == 3
+    # every scan reads exactly one column — no Expand multi-distinct
+    assert all(s.split(">")[0].count(",") == 0 for s in schemas), schemas
+    assert "Expand" not in plan
+
+
+def test_snapshot_diff_is_single_outer_join(tables):
+    from onetl_spark.operators.cdc import snapshot_diff
+
+    orders = tables.table("orders").select("o_orderkey", "o_totalprice")
+    df = snapshot_diff(orders, orders.limit(100), ["o_orderkey"])
+    plan = executed_plan(df)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_chi2_broadcasts_customer_dim(tables):
+    from onetl_spark.showcase.analytics import chi2_type_by_segment
+
+    plan = executed_plan(chi2_type_by_segment(tables, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_connected_components_shuffles_only_edges(tables):
+    from onetl_spark.operators.graph import connected_components
+
+    edges = tables.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long",
+    )
+    out = connected_components(edges)
+    plan = executed_plan(out)
+    # the final mapping is derived from checkpointed edge-set-sized data:
+    # no scan of any corpus table can appear in the plan
+    assert "parquet" not in plan.lower()
+    assert "CartesianProduct" not in plan
