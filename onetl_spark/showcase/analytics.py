@@ -789,3 +789,65 @@ GROUP BY e.event_type
 
 SPARK_QUERIES["event_value_mad"] = event_value_mad
 ORACLE_SQL["event_value_mad"] = MAD_SQL
+
+
+def events_unpivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt/unpivot round-trip: the wide per-user pivot table back to
+    long (user_id, event_type, n) — Spark's native ``unpivot`` (an
+    Expand over the already-aggregated wide table, never the raw
+    events)."""
+    ensure_views(spark, sf_dir)
+    wide = events_pivot_by_type(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in EVENT_TYPES],
+            "event_type",
+            "n",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .filter(F.col("n") > 0)
+    )
+
+
+UNPIVOT_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+"""
+
+SPARK_QUERIES["events_unpivot_counts"] = events_unpivot_counts
+ORACLE_SQL["events_unpivot_counts"] = UNPIVOT_SQL
+
+
+def topk_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority top-5 orders by price with RANK ties kept — Catalyst
+    still plans a WindowGroupLimit partial top-k before the shuffle, so
+    no partition ever materializes its full order list."""
+    ensure_views(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"),
+    )
+    return (
+        spark.table("orders")
+        .select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+TOPK_TIES_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+)
+WHERE rnk <= 5
+"""
+
+SPARK_QUERIES["topk_orders_with_ties"] = topk_orders_with_ties
+ORACLE_SQL["topk_orders_with_ties"] = TOPK_TIES_SQL
