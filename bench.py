@@ -81,6 +81,9 @@ HEADLINE = [
     "last_touch_attribution",
     "daily_value_anomalies",
     "events_json_props",
+    "supplier_triangle_counts",
+    "supplier_pagerank",
+    "user_purchase_daily_ffill",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -76,6 +76,149 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts as ``(node, triangles)`` for an undirected
+    edge set, via degree-ordered orientation (the MapReduce-standard
+    algorithm, cf. Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer", WWW'11).
+
+    Each undirected edge is oriented from its lower-degree endpoint to the
+    higher-degree one (ties by node id), which bounds every node's
+    out-degree by O(sqrt(m)); the wedge join (out-edges ⋈ out-edges on
+    their shared pivot) therefore generates O(m^1.5) candidates TOTAL no
+    matter how skewed the degree distribution — a naive neighbor join on a
+    web-scale graph with a celebrity node generates d(v)^2 ≈ 10^14 wedges
+    from that one node alone. Three bounded shuffles: degree groupBy,
+    wedge self-join, closing-edge join.
+    """
+    canon = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    both = canon.unionAll(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "node")
+
+    # orient lower(deg, id) → higher(deg, id); each unordered pair appears once
+    d1 = deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_src"))
+    d2 = deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_dst"))
+    with_deg = canon.join(d1, "src").join(d2, "dst")
+    fwd = F.struct("deg_src", "src") < F.struct("deg_dst", "dst")
+    oriented = with_deg.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    )
+
+    # wedges around each pivot: pairs of out-neighbors, one per unordered pair
+    o1 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("b"))
+    o2 = oriented.select(F.col("lo").alias("pivot"), F.col("hi").alias("c"))
+    wedges = o1.join(o2, "pivot").filter(F.col("b") < F.col("c"))
+
+    # a triangle closes iff the (b, c) pair is itself an edge; the oriented
+    # set holds each unordered pair exactly once under SOME orientation, so
+    # probe the canonical (greater, lesser) key
+    closing = canon.select(F.col("src").alias("cb"), F.col("dst").alias("cc"))
+    tris = wedges.join(
+        closing,
+        (F.greatest("b", "c") == F.col("cb")) & (F.least("b", "c") == F.col("cc")),
+    ).select("pivot", "b", "c")
+
+    per_node = (
+        tris.select(F.explode(F.array("pivot", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    # nodes in no triangle still appear, with 0
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select("node", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge set as ``(node, rank_fp)`` — ranks in
+    FIXED-POINT integer arithmetic (units of 1/``scale``), so the result is
+    bit-identical across engines, partition counts, and cluster sizes.
+
+    Floating-point PageRank sums contributions in shuffle order, making the
+    low bits run-dependent — a real lineage/reproducibility problem for a
+    pipeline that feeds dedup or ranking decisions. Here every operation is
+    integer (``div`` truncation, exact ``sum``), so a 1000-executor run and
+    a laptop run agree exactly, and a DuckDB oracle can reproduce the
+    numbers.
+
+    Per iteration: one groupBy(dst) shuffle over the edge set for
+    contributions, a node-sized join, and a scalar aggregate for dangling
+    mass. ``localCheckpoint`` cuts lineage so plans stay constant-size.
+    Total mass drifts by ≤ nodes×iterations units of 1/scale from
+    truncation — documented, deterministic.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
+
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = (damping_den - damping_num) * scale // (damping_den * n)
+
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank_fp"))
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["src"], "left",
+        ).select("node", "rank_fp", "out_deg")
+        # dangling nodes spread their mass uniformly; scalar-sized agg
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("out_deg").isNotNull()),
+                e["src"] == with_deg["node"],
+            )
+            .select("dst", F.expr("rank_fp div out_deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.coalesce(F.col("in_mass"), F.lit(0)) + F.lit(dangling // n)).alias("in_total"),
+            )
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + ({damping_num} * in_total) div {damping_den} AS LONG)"
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -8,6 +8,7 @@ parquet views). ``__spark_entry__.py`` merges them.
 from onetl_spark.showcase import (
     analytics,
     cdc,
+    graphs,
     operators,
     sampling,
     sessions,
@@ -33,7 +34,7 @@ def all_oracles():
 
 
 def _modules():
-    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming, sampling, cdc]
+    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming, sampling, cdc, graphs]
     try:
         from onetl_spark.showcase import llm
 

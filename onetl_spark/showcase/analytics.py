@@ -851,3 +851,65 @@ WHERE rnk <= 5
 
 SPARK_QUERIES["topk_orders_with_ties"] = topk_orders_with_ties
 ORACLE_SQL["topk_orders_with_ties"] = TOPK_TIES_SQL
+
+
+def user_purchase_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: each user's sparse purchase history becomes
+    a dense daily series over their active span (calendar via
+    ``sequence``/``explode`` — span-bounded, no cross join against a
+    global calendar), with gaps forward-filled by the last observed daily
+    total (``last(..., ignorenulls=True)`` running window). One shuffle on
+    user_id covers the daily aggregate, the span aggregate, and the fill
+    window."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(dsum("value"), 6).alias("day_value"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"),
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNotNull().cast("int").alias("observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
+
+
+FFILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS day_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+cal AS (
+  SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT c.user_id, c.day,
+       CASE WHEN d.day_value IS NULL THEN 0 ELSE 1 END AS observed,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+"""
+
+SPARK_QUERIES["user_purchase_daily_ffill"] = user_purchase_daily_ffill
+ORACLE_SQL["user_purchase_daily_ffill"] = FFILL_SQL

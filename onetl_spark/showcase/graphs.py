@@ -1,0 +1,117 @@
+"""Graph-analytics showcases over the supplier co-occurrence graph.
+
+Edges connect suppliers that ship line items in the same order — per-order
+supplier counts are bounded (TPC-H orders have ≤7 line items), so building
+the pair set is a linear self-join, never quadratic in suppliers.
+
+``supplier_triangle_counts`` exercises degree-ordered triangle counting
+(`operators/graph.py triangle_count`); ``supplier_pagerank`` exercises the
+deterministic fixed-point PageRank (`pagerank_fixed_point`) whose integer
+arithmetic lets a DuckDB oracle reproduce the ranks bit-for-bit — the
+floating-point formulation could only ever be compared approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.operators.graph import pagerank_fixed_point, triangle_count
+from onetl_spark.showcase.util import ensure_views
+
+SPARK_QUERIES = {}
+ORACLE_SQL = {}
+
+_PR_SCALE = 10**12
+
+_EDGES_SQL = """
+li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+ed AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+       FROM li a JOIN li b USING (l_orderkey)
+       WHERE a.l_suppkey < b.l_suppkey)
+"""
+
+
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def supplier_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles per supplier in the co-occurrence graph (clustering
+    signal: how interconnected each supplier's trading neighborhood is)."""
+    return triangle_count(_supplier_edges(spark, sf_dir))
+
+
+TRIANGLES_SQL = f"""
+WITH {_EDGES_SQL},
+tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM ed e1
+         JOIN ed e2 ON e1.u = e2.u AND e1.v < e2.v
+         JOIN ed e3 ON e3.u = e1.v AND e3.v = e2.v),
+pn AS (SELECT node, COUNT(*) AS triangles FROM (
+         SELECT a AS node FROM tris
+         UNION ALL SELECT b FROM tris
+         UNION ALL SELECT c FROM tris)
+       GROUP BY node),
+nodes AS (SELECT u AS node FROM ed UNION SELECT v FROM ed)
+SELECT nodes.node, COALESCE(pn.triangles, 0) AS triangles
+FROM nodes LEFT JOIN pn USING (node)
+"""
+
+SPARK_QUERIES["supplier_triangle_counts"] = supplier_triangle_counts
+ORACLE_SQL["supplier_triangle_counts"] = TRIANGLES_SQL
+
+
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration fixed-point PageRank over the undirected co-occurrence
+    graph (both edge directions fed to the directed operator)."""
+    e = _supplier_edges(spark, sf_dir)
+    undirected = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    return pagerank_fixed_point(undirected, iterations=3)
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+i{cur} AS (SELECT d.dst AS node, SUM(r{prev}.r // od.od) AS m
+           FROM dir d
+           JOIN r{prev} ON r{prev}.node = d.src
+           JOIN od ON od.src = d.src
+           GROUP BY d.dst),
+r{cur} AS (SELECT nodes.node,
+                  (15 * {_PR_SCALE}) // (100 * nn.n)
+                  + (85 * COALESCE(i{cur}.m, 0)) // 100 AS r
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN i{cur} ON i{cur}.node = nodes.node)
+"""
+
+
+PAGERANK_SQL = f"""
+WITH {_EDGES_SQL},
+dir AS (SELECT u AS src, v AS dst FROM ed
+        UNION ALL SELECT v AS src, u AS dst FROM ed),
+nodes AS (SELECT DISTINCT src AS node FROM dir),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+od AS (SELECT src, COUNT(*) AS od FROM dir GROUP BY src),
+r0 AS (SELECT node, {_PR_SCALE} // nn.n AS r FROM nodes, nn),
+{_pr_iter_sql("0", "1")},
+{_pr_iter_sql("1", "2")},
+{_pr_iter_sql("2", "3")}
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+"""
+
+SPARK_QUERIES["supplier_pagerank"] = supplier_pagerank
+ORACLE_SQL["supplier_pagerank"] = PAGERANK_SQL

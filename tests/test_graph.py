@@ -82,3 +82,94 @@ def test_dedup_survivors_distributed_path_matches_driver_path(spark):
     assert dist[8] == 0 and dist[4] == 0 and dist[5] == 1 and dist[17] == 13
     # untouched docs represent themselves
     assert dist[2] == 2
+
+
+# --- triangle_count ---------------------------------------------------------
+
+from itertools import combinations
+
+from onetl_spark.operators.graph import pagerank_fixed_point, triangle_count
+
+
+def _brute_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] += 1
+    return counts
+
+
+def _run_triangles(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+
+
+def test_triangle_known_shapes(spark):
+    # K4 (every node in 3 triangles) + a pendant + an isolated edge
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = k4 + [(4, 5), (10, 11)]
+    got = _run_triangles(spark, edges)
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 10: 0, 11: 0}
+
+
+def test_triangle_random_vs_brute(spark):
+    rng = random.Random(7)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(80)})
+    # duplicates + reversed orientations must not change counts
+    noisy = edges + [(b, a) for a, b in edges[:20]] + edges[:10]
+    assert _run_triangles(spark, noisy) == _brute_triangles(edges)
+
+
+# --- pagerank_fixed_point ---------------------------------------------------
+
+
+def _brute_pagerank(edges, iterations=3, scale=10**12):
+    out = {}
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        out.setdefault(a, set()).add(b)
+        nodes.update((a, b))
+    n = len(nodes)
+    base = 15 * scale // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if not out.get(v))
+        mass = {v: dangling // n for v in nodes}
+        for u, nbrs in out.items():
+            share = r[u] // len(nbrs)
+            for v in nbrs:
+                mass[v] += share
+        r = {v: base + (85 * mass[v]) // 100 for v in nodes}
+    return r
+
+
+def _run_pagerank(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(df, **kw).collect()}
+
+
+def test_pagerank_star_is_deterministic_and_ordered(spark):
+    # hub receives from 4 spokes; hub must outrank every spoke, and the
+    # fixed-point values must match the exact integer recurrence
+    edges = [(i, 0) for i in range(1, 5)] + [(0, 1)]
+    got = _run_pagerank(spark, edges)
+    assert got == _brute_pagerank(edges)
+    assert got[0] > max(v for k, v in got.items() if k != 0)
+
+
+def test_pagerank_with_dangling_nodes_vs_brute(spark):
+    rng = random.Random(11)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(30)})
+    edges = [e for e in edges if e[0] != e[1]]
+    # ensure at least one dangling node: strip all out-edges of node 0
+    edges = [e for e in edges if e[0] != 0] + [(1, 0)]
+    assert _run_pagerank(spark, edges) == _brute_pagerank(edges)
