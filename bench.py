@@ -84,6 +84,7 @@ HEADLINE = [
     "supplier_triangle_counts",
     "supplier_pagerank",
     "user_purchase_daily_ffill",
+    "leakage_safe_split_counts",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
@@ -162,6 +163,13 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # release Py4J refs to per-query DataFrames so the ContextCleaner
+        # can drop their localCheckpoint blocks — otherwise checkpointed
+        # RDDs from iterative queries accumulate in executor memory and
+        # later queries pay their GC pressure
+        import gc
+
+        gc.collect()
     total = round(sum(timings.values()), 3)
 
     print(

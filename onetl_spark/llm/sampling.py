@@ -159,6 +159,28 @@ def pack_sequences(
     )
 
 
+def split_leakage_safe(
+    df: DataFrame,
+    fingerprint_col: str,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/val/test split: every row sharing a
+    ``fingerprint_col`` value receives the split of the cluster
+    REPRESENTATIVE (min ``id_col``), so duplicates can never straddle
+    train and test — per-row hash splits leak verbatim copies of training
+    documents into eval sets, silently inflating benchmark scores.
+
+    Cost beyond :func:`split_by_hash`: one fingerprint-keyed groupBy and
+    one shuffle join back (both on the dedup key, which is exactly how
+    exact-dedup already partitions the corpus — co-partitioned, no extra
+    exchange when chained after it)."""
+    reps = df.groupBy(fingerprint_col).agg(F.min(id_col).alias("_cluster_rep"))
+    out = split_by_hash(df.join(reps, fingerprint_col), "_cluster_rep", splits, salt)
+    return out.drop("_cluster_rep")
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight_col: Column | str,

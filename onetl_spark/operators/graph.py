@@ -94,8 +94,15 @@ def triangle_count(
     web-scale graph with a celebrity node generates d(v)^2 ≈ 10^14 wedges
     from that one node alone. Three bounded shuffles: degree groupBy,
     wedge self-join, closing-edge join.
+
+    The canonical edge set is ``localCheckpoint``-ed: it feeds the degree
+    aggregate, the orientation join, and the closing-edge probe, and
+    re-deriving the upstream (often an expensive pair-generation join)
+    three times would triple the dominant cost.
     """
-    canon = _canonical(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
+    canon = _canonical(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+    ).localCheckpoint(eager=True)
     both = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )
@@ -168,6 +175,9 @@ def pagerank_fixed_point(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        # every iteration joins the edge set; without materialization the
+        # upstream (e.g. a pair-generation self-join) re-runs per iteration
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -179,7 +189,11 @@ def pagerank_fixed_point(
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
 
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
     base = (damping_den - damping_num) * scale // (damping_den * n)
 
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank_fp"))

@@ -1,8 +1,12 @@
 """Graph-analytics showcases over the supplier co-occurrence graph.
 
-Edges connect suppliers that ship line items in the same order — per-order
-supplier counts are bounded (TPC-H orders have ≤7 line items), so building
-the pair set is a linear self-join, never quadratic in suppliers.
+Edges connect suppliers that co-ship in at least ``_MIN_COOCCUR`` orders —
+per-order supplier counts are bounded (TPC-H orders have ≤7 line items),
+so building the pair set is a linear self-join, never quadratic in
+suppliers, and the support threshold keeps the graph from densifying as
+the order count grows (without it, every supplier pair eventually co-ships
+once and the graph converges to a clique — the threshold is the standard
+support cut any co-occurrence graph needs at scale).
 
 ``supplier_triangle_counts`` exercises degree-ordered triangle counting
 (`operators/graph.py triangle_count`); ``supplier_pagerank`` exercises the
@@ -24,11 +28,15 @@ ORACLE_SQL = {}
 
 _PR_SCALE = 10**12
 
-_EDGES_SQL = """
+_MIN_COOCCUR = 5
+
+_EDGES_SQL = f"""
 li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
-ed AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+ed AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
        FROM li a JOIN li b USING (l_orderkey)
-       WHERE a.l_suppkey < b.l_suppkey)
+       WHERE a.l_suppkey < b.l_suppkey
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= {_MIN_COOCCUR})
 """
 
 
@@ -40,11 +48,13 @@ def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "l_orderkey")
         .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .select(
+        .groupBy(
             F.col("a.l_suppkey").alias("src"),
             F.col("b.l_suppkey").alias("dst"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_COOCCUR)
+        .select("src", "dst")
     )
 
 

@@ -16,6 +16,7 @@ from onetl_spark.llm.sampling import (
     pack_sequences,
     sample_by_hash,
     split_by_hash,
+    split_leakage_safe,
     sql_hash_unit,
 )
 from onetl_spark.llm.text import (
@@ -241,3 +242,46 @@ WHERE rn <= 20
 
 SPARK_QUERIES["weighted_doc_sample"] = weighted_doc_sample
 ORACLE_SQL["weighted_doc_sample"] = WEIGHTED_SAMPLE_SQL
+
+
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware 90/5/5 split: documents sharing a fingerprint (md5 of
+    the first 64 chars — the cheap boilerplate/near-dup key; swap in the
+    full-text hash or a MinHash cluster id for stricter notions) follow
+    their cluster representative into one split, so no training doc's
+    copy lands in test. Per-split doc/cluster/char totals; tests assert
+    zero fingerprints straddle splits."""
+    ensure_views(spark, sf_dir)
+    docs = (
+        spark.table("documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.substring("text", 1, 64).cast("binary")).alias("fp"),
+        )
+    )
+    split = split_leakage_safe(docs, "fp")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_clusters"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+LEAKAGE_SPLIT_SQL = f"""
+WITH fp AS (SELECT doc_id, n_chars, md5(substr(text, 1, 64)) AS fp FROM documents),
+reps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+assigned AS (
+  SELECT f.doc_id, f.n_chars, f.fp,
+         CASE WHEN {sql_hash_unit('rep', 'split')} < 0.9 THEN 'train'
+              WHEN {sql_hash_unit('rep', 'split')} < 0.95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM fp f JOIN reps USING (fp)
+)
+SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_clusters,
+       SUM(n_chars) AS total_chars
+FROM assigned GROUP BY 1
+"""
+
+SPARK_QUERIES["leakage_safe_split_counts"] = leakage_safe_split_counts
+ORACLE_SQL["leakage_safe_split_counts"] = LEAKAGE_SPLIT_SQL

@@ -235,3 +235,40 @@ def test_connected_components_shuffles_only_edges(tables):
     # no scan of any corpus table can appear in the plan
     assert "parquet" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_no_unbounded_joins(tables):
+    from onetl_spark.showcase.graphs import supplier_triangle_counts
+
+    df = supplier_triangle_counts(tables, SF_DIR)
+    plan = executed_plan(df)
+    # degree-ordered orientation keeps every join an equi-join on a
+    # bounded key; a cartesian/nested-loop here means the orientation or
+    # the closing-edge probe regressed to an inequality join (the edge
+    # set is checkpointed, so the lineitem scan lives in the edge plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    from onetl_spark.showcase.graphs import _supplier_edges
+
+    edge_plan = executed_plan(_supplier_edges(tables, SF_DIR))
+    assert "CartesianProduct" not in edge_plan
+    # lineitem scan must prune to the two graph columns
+    read_schema = edge_plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_suppkey" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_pagerank_iterations_checkpointed(tables):
+    from onetl_spark.operators.graph import pagerank_fixed_point
+
+    edges = tables.createDataFrame(
+        [(i, (i * 7 + 1) % 40) for i in range(40)], "src long, dst long",
+    )
+    out = pagerank_fixed_point(edges, iterations=4)
+    plan = executed_plan(out)
+    # localCheckpoint per iteration: the final plan reads checkpointed
+    # node/contribution data, it does NOT replay 4 iterations of joins
+    # (plan growth with iteration count is the classic iterative-Spark bug)
+    assert plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3
+    assert "CartesianProduct" not in plan

@@ -143,3 +143,35 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # zero/negative weights never sampled
     df2 = df.withColumn("w", F.when(F.col("doc_id") < 1900, F.lit(0.0)).otherwise(F.lit(-1.0)))
     assert weighted_sample_topk(df2, "w", k=10, id_col="doc_id").count() == 0
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from onetl_spark.llm.sampling import split_by_hash, split_leakage_safe
+
+    # 300 clusters; cluster i has i%4+1 member docs sharing a fingerprint
+    rows = []
+    doc_id = 0
+    for c in range(300):
+        for _ in range(c % 4 + 1):
+            rows.append((doc_id, f"fp-{c}"))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    out = split_leakage_safe(df, "fp").collect()
+
+    by_fp = {}
+    for r in out:
+        by_fp.setdefault(r["fp"], set()).add(r["split"])
+    assert len(out) == len(rows)
+    # the invariant per-row splits violate: no cluster straddles splits
+    assert all(len(s) == 1 for s in by_fp.values())
+    # each cluster's split equals the per-id split of its representative
+    reps = {fp: min(r["doc_id"] for r in out if r["fp"] == fp) for fp in by_fp}
+    rep_df = spark.createDataFrame(
+        [(v,) for v in reps.values()], "doc_id long",
+    )
+    rep_split = {r["doc_id"]: r["split"] for r in split_by_hash(rep_df, "doc_id").collect()}
+    assert {fp: rep_split[rep] for fp, rep in reps.items()} == {
+        fp: next(iter(s)) for fp, s in by_fp.items()
+    }
+    # all three splits actually populated at this size
+    assert {r["split"] for r in out} == {"train", "val", "test"}
