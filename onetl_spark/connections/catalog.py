@@ -46,15 +46,18 @@ def drop_table_completely(spark: SparkSession, name: str) -> None:
 
 
 def read_table(spark: SparkSession, data_dir: str, name: str):
-    """Read one testdata parquet table, normalizing nanosecond timestamps.
+    """Read one testdata parquet table, normalizing the events timestamp.
 
-    Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) columns
-    (events.ts); with ``spark.sql.legacy.parquet.nanosAsLong`` they load as
-    long nanoseconds, which we convert to a microsecond-precision timestamp
-    (Spark's native resolution). DuckDB oracles must CAST the same column
-    to TIMESTAMP (µs) for value parity.
+    Handles both generations of the testdata: ``events.ts`` was originally
+    an INT64 TIMESTAMP(NANOS) column (rejected by Spark's parquet reader
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case it
+    loads as long nanoseconds we convert to a µs timestamp) and is now a
+    plain µs TIMESTAMP, which may surface as TIMESTAMP_NTZ. We normalize to
+    session-local TIMESTAMP so downstream date arithmetic and the DuckDB
+    oracles (whose TIMESTAMP is µs, no zone) agree.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     path = os.path.join(data_dir, f"{name}.parquet")
     if name == "events":
@@ -63,8 +66,13 @@ def read_table(spark: SparkSession, data_dir: str, name: str):
         # otherwise fail to load at all)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer division: double division of ns epochs loses µs precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer division: double division of ns epochs loses µs precision
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -172,13 +172,32 @@ def split_leakage_safe(
     train and test — per-row hash splits leak verbatim copies of training
     documents into eval sets, silently inflating benchmark scores.
 
+    Rows with a NULL ``fingerprint_col`` are treated as SINGLETON clusters
+    (keyed by their own ``id_col``), not dropped: a plain equi-join on the
+    fingerprint would never match NULL keys and those documents would land
+    in no split at all.
+
     Cost beyond :func:`split_by_hash`: one fingerprint-keyed groupBy and
     one shuffle join back (both on the dedup key, which is exactly how
     exact-dedup already partitions the corpus — co-partitioned, no extra
     exchange when chained after it)."""
-    reps = df.groupBy(fingerprint_col).agg(F.min(id_col).alias("_cluster_rep"))
-    out = split_by_hash(df.join(reps, fingerprint_col), "_cluster_rep", splits, salt)
-    return out.drop("_cluster_rep")
+    fp = "__osk_fp"
+    rep = "__osk_cluster_rep"
+    for internal in (fp, rep):
+        if internal in df.columns:
+            raise ValueError(f"input already has internal column {internal!r}")
+    # NULL fingerprint → singleton cluster keyed by the row's own id; the
+    # "\x00id:" prefix cannot collide with a real md5/text fingerprint
+    keyed = df.withColumn(
+        fp,
+        F.coalesce(
+            F.col(fingerprint_col).cast("string"),
+            F.concat(F.lit("\x00id:"), F.col(id_col).cast("string")),
+        ),
+    )
+    reps = keyed.groupBy(fp).agg(F.min(id_col).alias(rep))
+    out = split_by_hash(keyed.join(reps, fp), rep, splits, salt)
+    return out.drop(fp, rep)
 
 
 def weighted_sample_topk(

@@ -269,14 +269,18 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEAKAGE_SPLIT_SQL = f"""
-WITH fp AS (SELECT doc_id, n_chars, md5(substr(text, 1, 64)) AS fp FROM documents),
-reps AS (SELECT fp, MIN(doc_id) AS rep FROM fp GROUP BY fp),
+WITH fp AS (
+  SELECT doc_id, n_chars, md5(substr(text, 1, 64)) AS fp,
+         COALESCE(md5(substr(text, 1, 64)),
+                  chr(0) || 'id:' || CAST(doc_id AS VARCHAR)) AS fpk
+  FROM documents),
+reps AS (SELECT fpk, MIN(doc_id) AS rep FROM fp GROUP BY fpk),
 assigned AS (
   SELECT f.doc_id, f.n_chars, f.fp,
          CASE WHEN {sql_hash_unit('rep', 'split')} < 0.9 THEN 'train'
               WHEN {sql_hash_unit('rep', 'split')} < 0.95 THEN 'val'
               ELSE 'test' END AS split
-  FROM fp f JOIN reps USING (fp)
+  FROM fp f JOIN reps USING (fpk)
 )
 SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_clusters,
        SUM(n_chars) AS total_chars

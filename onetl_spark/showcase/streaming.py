@@ -37,19 +37,23 @@ from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
 
 _SINK_COUNTER = itertools.count()
 
-# events.parquet carries INT64 TIMESTAMP(NANOS) — the file-stream schema
-# loads it as long (with the nanosAsLong legacy conf) and we convert to a
-# µs timestamp exactly like catalog.read_table does for batch
-_EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ],
-)
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """File streams require an explicit schema; probe the batch reader for
+    the actual on-disk type of ``ts`` (older testdata: INT64 TIMESTAMP(NANOS)
+    loaded as long under the nanosAsLong conf; current testdata: µs
+    timestamp) so the stream schema matches either generation."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", probed["ts"].dataType),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ],
+    )
 
 
 def _stage_source_dir(sf_dir: str) -> str:
@@ -75,14 +79,19 @@ def _stage_source_dir(sf_dir: str) -> str:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_stream_schema(spark, sf_dir)
     raw = StreamDFReader(
         spark=spark,
         format=Parquet(),
         source_path=_stage_source_dir(sf_dir),
-        df_schema=_EVENTS_STREAM_SCHEMA,
+        df_schema=schema,
     ).run()
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
