@@ -124,6 +124,43 @@ def execute_fully(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _current_round() -> int:
+    """Round number = newest committed CORRECTNESS file + 1 (bench runs
+    before the driver writes this round's file)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+_FAMILY_PREFIXES = [
+    ("streaming", "streaming_"),
+    ("dedup", "dedup_"),
+    ("ann", "ann_"),
+    ("text", "text_"),
+    ("multimodal", "multimodal_"),
+    ("events", "events_"),
+    ("cdc", ("cdc_", "merge_", "snapshot_diff", "incremental_daily", "scd2_")),
+    ("graph", ("supplier_triangle", "supplier_pagerank", "dedup_components")),
+    ("tpch", tuple(f"q{i}_" for i in range(1, 23))),
+]
+
+
+def _family(name: str) -> str:
+    for fam, prefixes in _FAMILY_PREFIXES:
+        if isinstance(prefixes, str):
+            prefixes = (prefixes,)
+        if any(name.startswith(p) for p in prefixes):
+            return fam
+    return "other"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -172,8 +209,15 @@ def main() -> None:
         gc.collect()
     total = round(sum(timings.values()), 3)
 
-    print(
-        json.dumps(
+    # Full per-query timings go to a committed side file: the driver keeps
+    # only a 2000-char stdout tail, which a 68-query dict overflows (r1-r3
+    # all recorded parsed:null). The printed line stays ~500 chars —
+    # totals + per-family subtotals + the side-file pointer — so the
+    # driver's last-line JSON parse always succeeds.
+    full_name = f"BENCH_r{_current_round():02d}_full.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
+    with open(full_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
@@ -183,6 +227,27 @@ def main() -> None:
                 "cpus": cpus,
                 "methodology": "fixed order; per-query JVM-warm min-of-2 (one untimed compile run); cache cleared between runs",
             },
+            f,
+            indent=1,
+        )
+
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = _family(name)
+        families[fam] = round(families.get(fam, 0.0) + sec, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": families,
+                "n_queries": len(timings),
+                "sf": sf,
+                "cpus": cpus,
+                "full": full_name,
+            },
+            separators=(",", ":"),
         ),
     )
     spark.stop()

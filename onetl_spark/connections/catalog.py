@@ -55,6 +55,11 @@ def read_table(spark: SparkSession, data_dir: str, name: str):
     plain µs TIMESTAMP, which may surface as TIMESTAMP_NTZ. We normalize to
     session-local TIMESTAMP so downstream date arithmetic and the DuckDB
     oracles (whose TIMESTAMP is µs, no zone) agree.
+
+    The TIMESTAMP_NTZ→TIMESTAMP cast interprets the wall-clock in
+    ``spark.sql.session.timeZone`` — callers MUST run with a UTC session
+    (the bench, tests, and driver all pin it) or instants shift relative
+    to the zone-naive DuckDB oracle, and DST-gap wall-clocks can move.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -175,7 +175,9 @@ def split_leakage_safe(
     Rows with a NULL ``fingerprint_col`` are treated as SINGLETON clusters
     (keyed by their own ``id_col``), not dropped: a plain equi-join on the
     fingerprint would never match NULL keys and those documents would land
-    in no split at all.
+    in no split at all. ``id_col`` must be non-null for such rows — a row
+    with BOTH columns NULL has no stable key, and the job fails fast
+    (``raise_error``) instead of silently dropping the row at the join.
 
     Cost beyond :func:`split_by_hash`: one fingerprint-keyed groupBy and
     one shuffle join back (both on the dedup key, which is exactly how
@@ -187,12 +189,25 @@ def split_leakage_safe(
         if internal in df.columns:
             raise ValueError(f"input already has internal column {internal!r}")
     # NULL fingerprint → singleton cluster keyed by the row's own id; the
-    # "\x00id:" prefix cannot collide with a real md5/text fingerprint
+    # "\x00id:" prefix cannot collide with a real md5/text fingerprint.
+    # CASE WHEN (not coalesce) so the raise_error branch is evaluated
+    # lazily, only for rows where BOTH keys are NULL.
     keyed = df.withColumn(
         fp,
-        F.coalesce(
-            F.col(fingerprint_col).cast("string"),
+        F.when(
+            F.col(fingerprint_col).isNotNull(), F.col(fingerprint_col).cast("string")
+        )
+        .when(
+            F.col(id_col).isNotNull(),
             F.concat(F.lit("\x00id:"), F.col(id_col).cast("string")),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"split_leakage_safe: row with NULL {fingerprint_col!r} "
+                    f"and NULL {id_col!r} has no stable split key"
+                )
+            )
         ),
     )
     reps = keyed.groupBy(fp).agg(F.min(id_col).alias(rep))

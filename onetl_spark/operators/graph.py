@@ -153,6 +153,7 @@ def pagerank_fixed_point(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    edge_weight: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge set as ``(node, rank_fp)`` — ranks in
     FIXED-POINT integer arithmetic (units of 1/``scale``), so the result is
@@ -165,20 +166,34 @@ def pagerank_fixed_point(
     a laptop run agree exactly, and a DuckDB oracle can reproduce the
     numbers.
 
+    **Multigraph semantics**: with ``edge_weight=None`` (default), parallel
+    edges are collapsed to one (``.distinct()``) — SIMPLE-graph PageRank,
+    where a node linking to the same target five times counts once. To make
+    edge multiplicity matter, pass ``edge_weight``: an integer column whose
+    values are summed per (src, dst); a node's mass then splits
+    proportionally to summed weight (share = rank·w div Σw). Weights must
+    be positive integers with ``max(rank_fp)·max(w) < 2^63`` (i.e. total
+    per-source weight below ~9·10^6 at the default scale) — fixed-point
+    exactness is preserved because every operation stays integer.
+
     Per iteration: one groupBy(dst) shuffle over the edge set for
     contributions, a node-sized join, and a scalar aggregate for dangling
     mass. ``localCheckpoint`` cuts lineage so plans stay constant-size.
     Total mass drifts by ≤ nodes×iterations units of 1/scale from
     truncation — documented, deterministic.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        # every iteration joins the edge set; without materialization the
-        # upstream (e.g. a pair-generation self-join) re-runs per iteration
-        .localCheckpoint(eager=True)
-    )
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.lit(1) if edge_weight is None else F.col(edge_weight)).cast("long").alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    if edge_weight is None:
+        e = e.distinct()
+    else:
+        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # every iteration joins the edge set; without materialization the
+    # upstream (e.g. a pair-generation self-join) re-runs per iteration
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -191,7 +206,7 @@ def pagerank_fixed_point(
 
     out_deg = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .agg(F.sum("w").alias("out_deg"))
         .localCheckpoint(eager=True)
     )
     base = (damping_den - damping_num) * scale // (damping_den * n)
@@ -212,7 +227,7 @@ def pagerank_fixed_point(
                 with_deg.filter(F.col("out_deg").isNotNull()),
                 e["src"] == with_deg["node"],
             )
-            .select("dst", F.expr("rank_fp div out_deg").alias("share"))
+            .select("dst", F.expr("(rank_fp * w) div out_deg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("in_mass"))
         )

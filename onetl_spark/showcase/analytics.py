@@ -36,11 +36,11 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events
 GROUP BY user_id
 """
@@ -423,7 +423,7 @@ WITH t AS (
          SUM(CASE WHEN COALESCE(o_totalprice >= 50000, FALSE) THEN 0 ELSE 1 END) AS f4
   FROM orders
 )
-SELECT e.expectation, t.n AS n_rows, e.f AS n_failed,
+SELECT e.expectation, t.n AS n_rows, CAST(e.f AS BIGINT) AS n_failed,
        ROUND(CASE WHEN t.n > 0 THEN 1.0 - CAST(e.f AS DOUBLE) / t.n ELSE 1.0 END, 9) AS pass_rate
 FROM t, LATERAL (VALUES
   ('key_not_null', t.f1), ('positive_price', t.f2),

@@ -874,7 +874,8 @@ WITH tok AS (
   SELECT doc_id, unnest(h) AS g FROM hs WHERE doc_id % 17 <> 0
 ), counts AS (
   SELECT grams.doc_id,
-         SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS matched_shingles,
+         CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS matched_shingles,
          COUNT(*) AS total_shingles
   FROM grams LEFT JOIN bench ON grams.g = bench.g
   GROUP BY grams.doc_id
@@ -893,7 +894,7 @@ def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_STATS_SQL = rf"""
 WITH t AS (SELECT lang, len({SQL_TOKENS}) AS n FROM documents)
-SELECT lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        SUM(n) * 1.0 / COUNT(*) AS avg_tokens,
        round(quantile_cont(n, 0.5), 9) AS p50_tokens,
        round(quantile_cont(n, 0.9), 9) AS p90_tokens,
@@ -960,7 +961,7 @@ WITH tok AS (
 SELECT segh.doc_id,
        COALESCE(string_agg(CASE WHEN c.dfc <= 2 THEN segh.t END, ' ' ORDER BY segh.idx), '') AS clean_text,
        COUNT(*) AS n_segments,
-       SUM(CASE WHEN c.dfc > 2 THEN 1 ELSE 0 END) AS n_segments_removed
+       CAST(SUM(CASE WHEN c.dfc > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_segments_removed
 FROM segh JOIN c ON segh.h = c.h
 GROUP BY segh.doc_id
 """
@@ -995,7 +996,7 @@ WITH t AS (
   FROM dom
 )
 SELECT t.source, round(r.sample_rate, 9) AS sample_rate,
-       COUNT(*) AS n_kept, SUM(t.nt) AS tokens_kept
+       COUNT(*) AS n_kept, CAST(SUM(t.nt) AS BIGINT) AS tokens_kept
 FROM t JOIN r ON t.source = r.source
 WHERE {sql_hash_unit('t.doc_id', 'reweight')} < r.sample_rate
 GROUP BY t.source, r.sample_rate

@@ -47,7 +47,7 @@ SELECT CASE WHEN {sql_hash_unit('doc_id', 'split')} < 0.9 THEN 'train'
             WHEN {sql_hash_unit('doc_id', 'split')} < 0.95 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 """
@@ -110,7 +110,7 @@ WITH t AS (
 SELECT shard,
        CAST(floor((cum - tok) / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
-       SUM(tok) AS tokens_total,
+       CAST(SUM(tok) AS BIGINT) AS tokens_total,
        list(doc_id ORDER BY doc_id) AS member_ids
 FROM c
 GROUP BY 1, 2
@@ -186,7 +186,7 @@ WITH t AS (
   SELECT doc_id, SUM(n) AS bi_total, MAX(n) AS bi_top FROM bc GROUP BY 1
 )
 SELECT us.doc_id,
-       token_count,
+       CAST(token_count AS BIGINT) AS token_count,
        round(CAST(distinct_tokens AS DOUBLE) / token_count, 9) AS distinct_ratio,
        round(CAST(top_n AS DOUBLE) / token_count, 9) AS top_token_frac,
        round(COALESCE(CAST(bi_top AS DOUBLE) / bi_total, 0.0), 9) AS top_bigram_frac
@@ -283,7 +283,7 @@ assigned AS (
   FROM fp f JOIN reps USING (fpk)
 )
 SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_clusters,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM assigned GROUP BY 1
 """
 

@@ -37,23 +37,23 @@ from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
 
 _SINK_COUNTER = itertools.count()
 
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    """File streams require an explicit schema; probe the batch reader for
-    the actual on-disk type of ``ts`` (older testdata: INT64 TIMESTAMP(NANOS)
-    loaded as long under the nanosAsLong conf; current testdata: µs
-    timestamp) so the stream schema matches either generation."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    return T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", probed["ts"].dataType),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ],
-    )
+    """File streams require an explicit schema; probe the batch reader and
+    use its WHOLE schema (not just ``ts``) so a future testdata generation
+    changing any column keeps the stream in lockstep with the batch path.
+    The ``ts`` column may probe as long (older INT64 TIMESTAMP(NANOS) data
+    under the nanosAsLong conf), TIMESTAMP_NTZ, or µs TIMESTAMP —
+    ``_events_stream`` normalizes all three. Probe is one parquet-footer
+    read, cached per sf_dir."""
+    if sf_dir not in _SCHEMA_CACHE:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _SCHEMA_CACHE[sf_dir] = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")
+        ).schema
+    return _SCHEMA_CACHE[sf_dir]
 
 
 def _stage_source_dir(sf_dir: str) -> str:

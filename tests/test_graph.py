@@ -173,3 +173,38 @@ def test_pagerank_with_dangling_nodes_vs_brute(spark):
     # ensure at least one dangling node: strip all out-edges of node 0
     edges = [e for e in edges if e[0] != 0] + [(1, 0)]
     assert _run_pagerank(spark, edges) == _brute_pagerank(edges)
+
+
+def test_pagerank_multigraph_semantics(spark):
+    # 1 links to 2 five times and to 3 once; 2 and 3 link back.
+    multi = [(1, 2)] * 5 + [(1, 3), (2, 1), (3, 1)]
+    df = spark.createDataFrame(multi, "src long, dst long")
+
+    # default: SIMPLE-graph — parallel edges collapse, 2 and 3 tie exactly
+    simple = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(df).collect()}
+    assert simple == _brute_pagerank(multi)  # brute also dedups via set
+    assert simple[2] == simple[3]
+
+    # weighted: multiplicity carried in an integer weight column; node 2
+    # draws 5/6 of node 1's mass, and total mass is conserved up to the
+    # documented truncation drift (≤ nodes × iterations units)
+    wdf = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 1), (2, 1, 1), (3, 1, 1)], "src long, dst long, w long"
+    )
+    weighted = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(wdf, edge_weight="w").collect()
+    }
+    assert weighted[2] > weighted[3]
+    scale = 10**12
+    assert abs(sum(weighted.values()) - scale) <= 3 * 3  # nodes × iterations
+
+    # pre-aggregated weights == parallel-edge multiset fed through SUM
+    wdf2 = spark.createDataFrame(
+        [(s, d, 1) for s, d in multi], "src long, dst long, w long"
+    )
+    weighted2 = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank_fixed_point(wdf2, edge_weight="w").collect()
+    }
+    assert weighted2 == weighted

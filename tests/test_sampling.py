@@ -175,3 +175,50 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     }
     # all three splits actually populated at this size
     assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_null_fingerprints_are_singletons(spark):
+    from onetl_spark.llm.sampling import split_by_hash, split_leakage_safe
+
+    # 40 docs share one fingerprint, 60 docs have NULL fingerprints
+    rows = [(i, "fp-shared") for i in range(40)]
+    rows += [(100 + i, None) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, fp string")
+    out = split_leakage_safe(df, "fp").collect()
+
+    # no row dropped at the join — the bug singleton keying prevents
+    assert len(out) == len(rows)
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+    # each row lands in exactly one split, internal columns dropped
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    assert "__osk_fp" not in split_leakage_safe(df, "fp").columns
+    # the shared cluster stays together
+    shared = {r["split"] for r in out if r["fp"] == "fp-shared"}
+    assert len(shared) == 1
+    # each NULL-fp doc is keyed by its OWN id: split == per-id hash split
+    null_ids = [r["doc_id"] for r in out if r["fp"] is None]
+    per_id = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(
+            spark.createDataFrame([(i,) for i in null_ids], "doc_id long"), "doc_id"
+        ).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in out if r["fp"] is None} == per_id
+
+
+def test_leakage_safe_split_null_fp_and_null_id_raises(spark):
+    from onetl_spark.llm.sampling import split_leakage_safe
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame([(1, "fp-a"), (None, None)], "doc_id long, fp string")
+    with pytest.raises((Py4JJavaError, PySparkException), match="no stable split key"):
+        split_leakage_safe(df, "fp").collect()
+
+
+def test_leakage_safe_split_rejects_internal_column_collision(spark):
+    from onetl_spark.llm.sampling import split_leakage_safe
+
+    df = spark.createDataFrame([(1, "a", "x")], "doc_id long, fp string, __osk_fp string")
+    with pytest.raises(ValueError, match="__osk_fp"):
+        split_leakage_safe(df, "fp")
