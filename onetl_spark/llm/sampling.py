@@ -215,6 +215,83 @@ def split_leakage_safe(
     return out.drop(fp, rep)
 
 
+def trim_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: Column | str,
+    id_col: str = "doc_id",
+    buckets: int = 32,
+) -> DataFrame:
+    """Keep the best-scoring documents whose cumulative token count fits a
+    global ``budget`` — the data-mixing primitive ("give me the top-quality
+    X-billion-token slice of this corpus").
+
+    Semantically this is ``SUM(tokens) OVER (ORDER BY score DESC, id)``
+    filtered to ``cum <= budget`` — but a partition-less window is a
+    single-task global sort, the canonical 100-TB scale-killer. Instead:
+
+    1. score quantile boundaries via ``approxQuantile`` (Greenwald–Khanna:
+       deterministic for a given dataset, no RNG) define ``buckets``
+       score ranges — one small driver-side pass;
+    2. per-bucket token totals (map-side combined, ≤ ``buckets`` rows to
+       the driver) become exclusive prefix offsets for each bucket;
+    3. a window partitioned BY BUCKET (orderBy score DESC, id) plus the
+       bucket's offset reconstructs the exact global running sum, and
+       ``cum <= budget`` keeps exactly the ranked prefix.
+
+    The kept set equals the single-sort definition no matter where the
+    quantile boundaries land (offsets correct for any split), so the
+    result is deterministic and DuckDB-reproducible. Equal scores always
+    share a bucket (bucketing is on score alone; ties order by ``id``
+    inside the window). Cost: one stats pass + one tiny shuffle + ONE
+    full shuffle (the bucket window) — same exchange count as a
+    distributed ORDER BY, minus its global merge.
+
+    Returns the kept rows with their ``cum_tokens`` running total.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    t = df.withColumn("_tok", tok.cast("long"))
+
+    qs = [i / buckets for i in range(1, buckets)]
+    # approxQuantile ignores NULL scores; treat NULL as the worst score
+    # (excluded unless budget admits the whole corpus)
+    bounds = sorted(set(t.na.fill({score_col: float("-inf")}).stat.approxQuantile(score_col, qs, 0.001)))
+    score = F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
+    # bucket 0 = highest scores; boundary b_i splits descending ranges
+    bucket = F.lit(len(bounds))
+    for i, b in enumerate(bounds):
+        bucket = bucket - F.when(score > F.lit(b), 1).otherwise(0)
+    t = t.withColumn("_bucket", bucket.cast("int"))
+
+    totals = {
+        r["_bucket"]: r["s"]
+        for r in t.groupBy("_bucket").agg(F.sum("_tok").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for b in range(len(bounds) + 1):
+        offsets[b] = acc
+        acc += totals.get(b, 0)
+
+    off = F.lit(0)
+    for b, v in offsets.items():
+        if v:
+            off = F.when(F.col("_bucket") == b, F.lit(v)).otherwise(off)
+    w = (
+        W.partitionBy("_bucket")
+        .orderBy(F.col(score_col).desc_nulls_last(), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("_tok").over(w) + off)
+        .filter(F.col("cum_tokens") <= budget)
+        .drop("_tok", "_bucket")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     weight_col: Column | str,

@@ -18,9 +18,11 @@ from onetl_spark.llm.sampling import (
     split_by_hash,
     split_leakage_safe,
     sql_hash_unit,
+    trim_to_token_budget,
 )
 from onetl_spark.llm.text import (
     PII_PATTERNS,
+    quality_score,
     redact_pii,
     repetition_stats,
     token_count,
@@ -289,3 +291,61 @@ FROM assigned GROUP BY 1
 
 SPARK_QUERIES["leakage_safe_split_counts"] = leakage_safe_split_counts
 ORACLE_SQL["leakage_safe_split_counts"] = LEAKAGE_SPLIT_SQL
+
+
+_TRIM_BUDGET = 10_000
+
+
+def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-quality 10k-token slice of the corpus (data-mixing primitive):
+    global quality ranking with an exact running token sum, computed via
+    quantile-bucketed prefix offsets — never a single-partition global
+    window. Per-lang outcome of the kept prefix."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        quality_score("text").alias("q"),
+        token_count("text").alias("tok"),
+    )
+    kept = trim_to_token_budget(
+        docs, budget=_TRIM_BUDGET, score_col="q", token_col="tok"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("tok").alias("tokens_kept"),
+        F.max("cum_tokens").alias("max_cum"),
+        F.min("q").alias("min_quality"),
+    )
+
+
+_EN_SQL = "['the','of','and','to','in','is','it','you','that','for']"
+
+BUDGET_TRIM_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, {SQL_TOKENS} AS w, length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS n_punct
+  FROM documents
+), f AS (
+  SELECT doc_id, lang, len(w) AS tok,
+         round(0.4 * least(len(w) / 100.0, 1.0)
+             + 0.3 * round(n_alpha * 1.0 / greatest(n_chars, 1), 9)
+             + 0.2 * least(len(list_intersect(list_distinct(w), {_EN_SQL})) / 5.0, 1.0)
+             + 0.1 * (1 - least(round(n_punct * 1.0 / greatest(n_chars, 1), 9) * 5, 1.0)),
+           9) AS q
+  FROM t
+), c AS (
+  SELECT doc_id, lang, tok, q,
+         SUM(tok) OVER (ORDER BY q DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM f
+)
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(tok) AS BIGINT) AS tokens_kept,
+       CAST(MAX(cum) AS BIGINT) AS max_cum, MIN(q) AS min_quality
+FROM c WHERE cum <= {_TRIM_BUDGET}
+GROUP BY lang
+"""
+
+SPARK_QUERIES["corpus_budget_trim"] = corpus_budget_trim
+ORACLE_SQL["corpus_budget_trim"] = BUDGET_TRIM_SQL

@@ -80,6 +80,22 @@ def test_weighted_sample_uses_window_group_limit(tables):
     assert "WindowGroupLimit" in plan
 
 
+def test_budget_trim_has_no_global_window(tables):
+    # the running sum must ride a bucket-partitioned window (hash
+    # exchange), never a partition-less window (SinglePartition exchange
+    # = one-task global sort — the 100-TB killer this operator avoids)
+    from onetl_spark.llm.sampling import trim_to_token_budget
+
+    docs = tables.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", F.col("n_chars").cast("double").alias("score"), F.lit(10).alias("tok")
+    )
+    df = trim_to_token_budget(docs, 1000, "score", "tok")
+    plan = executed_plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(_bucket" in plan
+
+
 def test_sample_by_hash_is_scan_side(tables):
     from onetl_spark.llm.sampling import sample_by_hash
 

@@ -216,6 +216,47 @@ def test_leakage_safe_split_null_fp_and_null_id_raises(spark):
         split_leakage_safe(df, "fp").collect()
 
 
+def test_trim_to_token_budget_matches_global_sort(spark):
+    import random
+
+    from onetl_spark.llm.sampling import trim_to_token_budget
+
+    rng = random.Random(7)
+    # scores from a tiny value set force heavy ties; a few NULL scores
+    rows = [
+        (
+            i,
+            rng.choice([0.1, 0.25, 0.25, 0.5, 0.9, None]),
+            rng.randrange(1, 50),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, tok long")
+    budget = 3000
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in trim_to_token_budget(df, budget, "score", "tok").collect()
+    }
+
+    # brute force: global sort (score DESC NULLS LAST, id), ranked prefix
+    ranked = sorted(rows, key=lambda r: (-(r[1] if r[1] is not None else float("-inf")), r[0]))
+    cum = 0
+    want = {}
+    for i, s, t in ranked:
+        cum += t
+        if cum > budget:
+            break
+        want[i] = cum
+    assert got == want
+
+    # degenerate budgets
+    assert trim_to_token_budget(df, 0, "score", "tok").count() == 0
+    total = sum(t for _, _, t in rows)
+    assert trim_to_token_budget(df, total, "score", "tok").count() == len(rows)
+    with pytest.raises(ValueError, match="budget"):
+        trim_to_token_budget(df, -1, "score", "tok")
+
+
 def test_leakage_safe_split_rejects_internal_column_collision(spark):
     from onetl_spark.llm.sampling import split_leakage_safe
 
