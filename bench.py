@@ -85,6 +85,7 @@ HEADLINE = [
     "supplier_pagerank",
     "user_purchase_daily_ffill",
     "leakage_safe_split_counts",
+    "corpus_budget_trim",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -179,6 +179,45 @@ def redact_pii(col: Column | str) -> Column:
     return c
 
 
+#: Encoding-health patterns, Java∩RE2 subset (character classes with
+#: ``\x{...}`` hex escapes — both engines accept them; no lookaround) so
+#: DuckDB oracles reproduce every count bit-for-bit.
+#: Mojibake: UTF-8 multibyte sequences mis-decoded as Latin-1 surface as
+#: 'Ã'/'Â'/'â' followed by a Latin-1-supplement or typographic character
+#: (e.g. 'Ã©' for 'é', 'â€™' for a right single quote).
+MOJIBAKE_PATTERN = (
+    r"[\x{00C2}\x{00C3}\x{00E2}]"
+    r"[\x{0080}-\x{00BF}\x{20AC}\x{2018}\x{2019}\x{201C}\x{201D}\x{2013}\x{2014}\x{2122}]"
+)
+#: C0 controls except tab (09), LF (0A), CR (0D)
+CONTROL_PATTERN = r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]"
+REPLACEMENT_CHAR = r"\x{FFFD}"
+
+
+def encoding_quality(col: Column | str) -> dict[str, Column]:
+    """Encoding-health signals per document — the standard corpus-cleaning
+    pre-filter (bad decodes poison tokenizers and inflate vocab):
+
+    - ``n_replacement``: count of U+FFFD (the scar a failed decode leaves);
+    - ``n_control``: C0 control characters other than tab/newline/CR;
+    - ``n_mojibake``: UTF-8-read-as-Latin-1 digraphs ('Ã©', 'â€™', …);
+    - ``enc_clean``: true iff all three are zero.
+
+    Pure JVM per-row projections (``regexp_count``) — zero shuffle, the
+    filter pushes to the scan like any scalar predicate.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_repl = F.regexp_count(c, F.lit(REPLACEMENT_CHAR))
+    n_ctrl = F.regexp_count(c, F.lit(CONTROL_PATTERN))
+    n_moji = F.regexp_count(c, F.lit(MOJIBAKE_PATTERN))
+    return {
+        "n_replacement": n_repl.cast("long"),
+        "n_control": n_ctrl.cast("long"),
+        "n_mojibake": n_moji.cast("long"),
+        "enc_clean": (n_repl + n_ctrl + n_moji) == 0,
+    }
+
+
 def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     """Gopher-style repetition signals per document: token_count,
     distinct-token ratio, top-token fraction, top-bigram fraction.

@@ -1003,6 +1003,63 @@ GROUP BY t.source, r.sample_rate
 """
 
 
+def encoding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health per document: graft deterministic mojibake /
+    replacement-char / control-char corruption onto doc_id-selected
+    subsets (the clean synthetic corpus has none), then measure — pure
+    per-row JVM regexp projections, zero shuffle."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" cafÃ© aâ€™s")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" bad�char")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ctl\x07x")).otherwise(F.lit("")),
+        ).alias("_t"),
+    )
+    feats = text.encoding_quality("_t")
+    return dirty.select(
+        "doc_id", *[v.alias(k) for k, v in feats.items()]
+    )
+
+
+ENCODING_SQL = (
+    """
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© aâ€™s' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' bad' || chr(65533) || 'char' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ctl' || chr(7) || 'x' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '"""
+    + text.REPLACEMENT_CHAR
+    + """')) AS BIGINT) AS n_replacement,
+       CAST(len(regexp_extract_all(t, '"""
+    + text.CONTROL_PATTERN
+    + """')) AS BIGINT) AS n_control,
+       CAST(len(regexp_extract_all(t, '"""
+    + text.MOJIBAKE_PATTERN
+    + """')) AS BIGINT) AS n_mojibake,
+       len(regexp_extract_all(t, '"""
+    + text.REPLACEMENT_CHAR
+    + """')) + len(regexp_extract_all(t, '"""
+    + text.CONTROL_PATTERN
+    + """')) + len(regexp_extract_all(t, '"""
+    + text.MOJIBAKE_PATTERN
+    + """')) = 0 AS enc_clean
+FROM d
+"""
+)
+
+SPARK_QUERIES["encoding_quality_stats"] = encoding_quality_stats
+ORACLE_SQL["encoding_quality_stats"] = ENCODING_SQL
+
+
 SPARK_QUERIES["segment_dedup_clean"] = segment_dedup_clean
 ORACLE_SQL["segment_dedup_clean"] = SEGMENT_DEDUP_SQL
 

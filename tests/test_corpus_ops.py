@@ -254,3 +254,26 @@ def test_hybrid_filtered_topk_respects_filter(spark, testdata):
     # descending similarity order
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_encoding_quality_signals(spark):
+    from onetl_spark.llm.text import encoding_quality
+
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "failed decode � here � too"),        # 2 replacement chars
+        (3, "bell \x07 and null-ish \x01 controls"),        # 2 control chars
+        (4, "tab\tand\nnewline\rare fine"),                 # exempt controls
+        (5, "mojibake cafÃ© and aâ€™s quote"),  # 2 digraphs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    feats = encoding_quality("t")
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in feats.items()]).collect()
+    }
+    assert out[1]["enc_clean"] and out[4]["enc_clean"]
+    assert out[2]["n_replacement"] == 2 and not out[2]["enc_clean"]
+    assert out[3]["n_control"] == 2 and not out[3]["enc_clean"]
+    assert out[4]["n_control"] == 0
+    assert out[5]["n_mojibake"] == 2 and not out[5]["enc_clean"]

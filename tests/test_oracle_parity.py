@@ -76,9 +76,16 @@ def test_query_matches_oracle(spark, sf_dir, name, fn, oracle):
         return
 
     con = duckdb_con(sf_dir)
-    result = con.execute(oracle)
-    oracle_cols = [d[0] for d in result.description]
-    oracle_rows = result.fetchall()
+    # Arrow fetch, NOT fetchall(): fetchall() returns DuckDB HUGEINT (SUM
+    # over integers) as a Python int, silently matching Spark's bigint —
+    # the driver's fetch degrades HUGEINT to float/string and flags it.
+    # Arrow reproduces the driver-visible typing (r3's three "red" rows
+    # passed this file under fetchall while failing the driver).
+    tbl = con.execute(oracle).arrow()
+    oracle_cols = tbl.column_names
+    oracle_rows = list(zip(*(tbl.column(c).to_pylist() for c in oracle_cols)))
+    if not oracle_cols:
+        oracle_rows = []
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
