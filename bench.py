@@ -86,6 +86,7 @@ HEADLINE = [
     "user_purchase_daily_ffill",
     "leakage_safe_split_counts",
     "corpus_budget_trim",
+    "encoding_quality_stats",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
