@@ -245,34 +245,88 @@ def minhash_lsh_pairs(
     return result
 
 
+def _shingle_inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int | None,
+    op_name: str,
+):
+    """Shared exploded (doc, shingle) index for the exact pair operators.
+
+    With ``max_df`` set, shingles appearing in more than ``max_df``
+    documents are removed from the shingle UNIVERSE (from intersections
+    AND set sizes — consistent "similarity over informative shingles"
+    semantics, exactly mirrorable in SQL). The inverted-index join costs
+    Σ df(shingle)²; without a cap one boilerplate shingle shared by a
+    million documents is a 10¹²-row join — the same failure mode the LSH
+    bucket cap guards, and the same remedy: drop the hot keys and LOG it
+    (a recall knob, not a silent truncation). Hot shingles carry almost
+    no signal anyway — ubiquitous boilerplate is what you deliberately
+    don't want deciding near-duplication.
+
+    Returns ``(inv, sizes)``: the (possibly filtered) index and per-doc
+    set sizes over the same universe. Shingles are distinct per document
+    (see :func:`word_shingles`), so with ``max_df=None`` the sizes equal
+    ``F.size(shingles)`` and semantics match the uncapped definition.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_shingles"),
+    )
+    inv = sh.select("_id", F.explode("_shingles").alias("_s"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_s")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = hot.count()
+        if n_hot:
+            log.warning(
+                "%s: dropped %d shingles with document frequency > %d; "
+                "similarity is computed over the remaining (informative) "
+                "shingles — run exact dedup first for mass-duplicated text",
+                op_name,
+                n_hot,
+                max_df,
+            )
+            inv = inv.join(F.broadcast(hot), "_s", "left_anti")
+    sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_size"))
+    return inv, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
     n: int = SHINGLE_N,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold via inverted-index join
-    (explode shingle → join on shingle → count common), never a cross join."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).withColumn("_size", F.size("_shingles"))
-
-    inv = sh.select("_id", "_size", F.explode("_shingles").alias("_s"))
+    (explode shingle → join on shingle → count common), never a cross
+    join. ``max_df`` caps hot-shingle fan-out (see
+    :func:`_shingle_inverted_index`) — mandatory at web scale."""
+    inv, sizes = _shingle_inverted_index(df, text_col, id_col, n, max_df, "ngram_jaccard_pairs")
     l, r = inv.alias("l"), inv.alias("r")
     common = (
         l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
         .groupBy(
             F.col("l._id").alias("a_id"),
             F.col("r._id").alias("b_id"),
-            F.col("l._size").alias("a_size"),
-            F.col("r._size").alias("b_size"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    sa = sizes.select(F.col("_id").alias("a_id"), F.col("_size").alias("a_size"))
+    sb = sizes.select(F.col("_id").alias("b_id"), F.col("_size").alias("b_size"))
     return (
-        common.withColumn(
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("a_size") + F.col("b_size") - F.col("n_common")), 9),
         )
@@ -507,6 +561,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     n: int = SHINGLE_N,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-containment: pairs where one document's shingle set
     is mostly INSIDE another's (``|Sa ∩ Sb| / |Sa| ≥ threshold``) — the
@@ -516,25 +571,24 @@ def ngram_containment_pairs(
     Same inverted-index join as :func:`ngram_jaccard_pairs` — cost
     Σ df(shingle)², never a cross join — and each unordered pair is
     scored once in both directions; a row is emitted per direction that
-    clears the threshold (a_id = the contained document).
+    clears the threshold (a_id = the contained document). ``max_df``
+    caps hot-shingle fan-out (see :func:`_shingle_inverted_index`).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).withColumn("_size", F.size("_shingles"))
-
-    inv = sh.select("_id", "_size", F.explode("_shingles").alias("_s"))
+    inv, sizes = _shingle_inverted_index(
+        df, text_col, id_col, n, max_df, "ngram_containment_pairs"
+    )
     l, r = inv.alias("l"), inv.alias("r")
     common = (
         l.join(r, (F.col("l._s") == F.col("r._s")) & (F.col("l._id") < F.col("r._id")))
         .groupBy(
             F.col("l._id").alias("x_id"),
             F.col("r._id").alias("y_id"),
-            F.col("l._size").alias("x_size"),
-            F.col("r._size").alias("y_size"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    sx = sizes.select(F.col("_id").alias("x_id"), F.col("_size").alias("x_size"))
+    sy = sizes.select(F.col("_id").alias("y_id"), F.col("_size").alias("y_size"))
+    common = common.join(sx, "x_id").join(sy, "y_id")
     fwd = common.select(
         F.col("x_id").alias("a_id"),
         F.col("y_id").alias("b_id"),

@@ -1124,10 +1124,18 @@ SPARK_QUERIES["semantic_near_dup"] = semantic_near_dup
 ORACLE_SQL["semantic_near_dup"] = SEMANTIC_NEAR_DUP_SQL
 
 
+_CONTAINMENT_MAX_DF = 64
+
+
 def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents whose shingles are ≥60% contained in another document."""
+    """Documents whose shingles are ≥60% contained in another document,
+    over the informative-shingle universe (document frequency ≤ 64 — the
+    hot-shingle cap that keeps the Σdf² inverted-index join bounded at
+    corpus scale)."""
     ensure_views(spark, sf_dir)
-    return dedup.ngram_containment_pairs(spark.table("documents"), threshold=0.6)
+    return dedup.ngram_containment_pairs(
+        spark.table("documents"), threshold=0.6, max_df=_CONTAINMENT_MAX_DF
+    )
 
 
 NGRAM_CONTAINMENT_SQL = rf"""
@@ -1135,17 +1143,27 @@ WITH tok AS (
   SELECT doc_id, {SQL_TOKENS} AS w FROM documents
 ), sh AS (
   SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), keep AS (
+  -- mirror max_df={_CONTAINMENT_MAX_DF}: drop hot shingles from the universe
+  SELECT doc_id, s FROM ex
+  QUALIFY COUNT(*) OVER (PARTITION BY s) <= {_CONTAINMENT_MAX_DF}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM keep GROUP BY doc_id
 ), p AS (
-  SELECT a.doc_id AS x_id, b.doc_id AS y_id,
-         len(list_intersect(a.shingles, b.shingles)) AS n_common,
-         len(a.shingles) AS x_size, len(b.shingles) AS y_size
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+  SELECT a.doc_id AS x_id, b.doc_id AS y_id, COUNT(*) AS n_common
+  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT a_id, b_id, containment FROM (
-  SELECT x_id AS a_id, y_id AS b_id, round(n_common * 1.0 / x_size, 9) AS containment FROM p
+  SELECT p.x_id AS a_id, p.y_id AS b_id,
+         round(p.n_common * 1.0 / sx.sz, 9) AS containment
+  FROM p JOIN sizes sx ON sx.doc_id = p.x_id
   UNION ALL
-  SELECT y_id AS a_id, x_id AS b_id, round(n_common * 1.0 / y_size, 9) AS containment FROM p
+  SELECT p.y_id AS a_id, p.x_id AS b_id,
+         round(p.n_common * 1.0 / sy.sz, 9) AS containment
+  FROM p JOIN sizes sy ON sy.doc_id = p.y_id
 )
 WHERE containment >= 0.6
 """

@@ -172,6 +172,36 @@ def test_ngram_containment_detects_quote(spark):
     assert (2, 1) not in got and all(3 not in k for k in got)
 
 
+def test_ngram_pairs_max_df_drops_hot_shingles(spark):
+    from onetl_spark.llm.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    boiler = "subscribe to our newsletter now"
+    rows = [(i, f"unique{i} body{i} text{i} " + boiler) for i in range(20)]
+    # two genuinely near-identical docs on top of the boilerplate
+    rows += [(100, "the quick brown fox jumps high"), (101, "the quick brown fox jumps high today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # uncapped: the shared boilerplate shingles relate all 20 docs pairwise
+    uncapped = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert len(uncapped) > 50
+    # capped at df<=2: boilerplate (df=20) leaves the universe; only the
+    # genuine near-dup pair (and its boilerplate-free similarity) remains
+    capped = {(r["a_id"], r["b_id"]) for r in ngram_jaccard_pairs(df, threshold=0.3, max_df=2).collect()}
+    assert capped == {(100, 101)}
+
+    # max_df=None keeps exact uncapped semantics bit-for-bit
+    again = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, uncapped))
+
+    # containment: capped universe, the quote pair survives, boiler pairs don't
+    cont = {
+        (r["a_id"], r["b_id"]): r["containment"]
+        for r in ngram_containment_pairs(df, threshold=0.9, max_df=2).collect()
+    }
+    assert cont.get((100, 101)) == 1.0
+    assert all(a == 100 or a == 101 for a, _ in cont)
+
+
 def test_ahash_properties(spark):
     from onetl_spark.llm.multimodal import ahash_bits, image_ahash, with_binary_payload
 
