@@ -9,6 +9,7 @@ from onetl_spark.connections.jdbc import (
     MSSQL,
     Oracle,
     Clickhouse,
+    Derby,
 )
 from onetl_spark.connections.greenplum import Greenplum
 from onetl_spark.connections.kafka import Kafka
@@ -28,6 +29,7 @@ __all__ = [
     "MSSQL",
     "Oracle",
     "Clickhouse",
+    "Derby",
     "Greenplum",
     "Kafka",
     "MongoDB",

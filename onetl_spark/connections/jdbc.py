@@ -35,6 +35,7 @@ from onetl_spark.base import BaseDBConnection
 from onetl_spark.dialects.base import Dialect
 from onetl_spark.dialects.jdbc import (
     ClickhouseDialect,
+    DerbyDialect,
     GreenplumDialect,
     MSSQLDialect,
     MySQLDialect,
@@ -488,3 +489,35 @@ class Clickhouse(JDBCConnection):
     @classmethod
     def get_packages(cls) -> list[str]:
         return ["com.clickhouse:clickhouse-jdbc:0.6.5", "org.apache.httpcomponents.client5:httpclient5:5.3.1"]
+
+
+@dataclass
+class Derby(JDBCConnection):
+    """Embedded Apache Derby — the zero-dependency live JDBC target.
+
+    Spark bundles the Derby jars for its Hive metastore, so this
+    connection needs no extra packages and no server: the database is a
+    directory, the driver runs inside the Spark JVM. It exists to
+    integration-test the REAL generic-JDBC code paths (executor-side
+    scans with pushdown, partitioned reads, the 4 write modes,
+    driver-side fetch/execute) that the networked stores can only
+    exercise against a live service — and it's a usable lightweight
+    store in its own right.
+
+    ``path`` is the database directory (created on first connect).
+    """
+
+    DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+    dialect_class = DerbyDialect
+    # aliased: Derby names a bare `SELECT 1` column in a way Spark's
+    # re-projection of the subquery can't reference
+    CHECK_QUERY = "SELECT 1 AS ONE FROM SYSIBM.SYSDUMMY1"
+    path: str = ""
+
+    @property
+    def jdbc_url(self) -> str:
+        return f"jdbc:derby:{self.path};create=true"
+
+    @classmethod
+    def get_packages(cls) -> list[str]:
+        return []  # bundled with Spark (metastore jars)

@@ -132,6 +132,46 @@ class OracleDialect(Dialect):
         return query  # handled in get_sql_query
 
 
+class DerbyDialect(Dialect):
+    """Apache Derby (embedded). Not part of the reference's store matrix —
+    included because Spark bundles the Derby jars (metastore), making it
+    the zero-dependency LIVE target for integration-testing the generic
+    JDBC read/write/fetch/execute machinery (tests/test_jdbc_derby.py).
+    """
+
+    name = "derby"
+
+    def _serialize_datetime(self, value: datetime) -> str:
+        return f"TIMESTAMP('{value.strftime('%Y-%m-%d %H:%M:%S.%f')}')"
+
+    def _serialize_date(self, value: date) -> str:
+        return f"DATE('{value.isoformat()}')"
+
+    def get_partition_column_mod(self, partition_column: str, num_partitions: int) -> str:
+        # Derby has no % operator; MOD() of a possibly-negative int stays
+        # negative, so shift into [0, N)
+        return f"ABS(MOD({partition_column}, {num_partitions}))"
+
+    def get_sql_query(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        where: str | Iterable[str] | None = None,
+        hint: str | None = None,
+        limit: int | None = None,
+        compact: bool = False,
+    ) -> str:
+        # Derby rejects a bare `*` mixed with other select items (as the
+        # hash/mod partition-column injection produces): qualify it
+        if columns and len(columns) > 1:
+            columns = [f"{table}.*" if c == "*" else c for c in columns]
+        return super().get_sql_query(table, columns, where, hint, limit, compact)
+
+    def _apply_limit(self, query: str, limit: int, compact: bool) -> str:
+        sep = " " if compact else chr(10)
+        return f"{query}{sep}FETCH FIRST {limit} ROWS ONLY"
+
+
 class ClickhouseDialect(Dialect):
     name = "clickhouse"
 

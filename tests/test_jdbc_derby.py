@@ -1,0 +1,150 @@
+"""LIVE JDBC integration tests against embedded Apache Derby.
+
+Spark bundles the Derby jars (Hive metastore), so these run with zero
+extra dependencies and exercise the REAL generic-JDBC code paths the
+networked stores (Postgres/MySQL/MSSQL/Oracle/Clickhouse) can only
+exercise against a live server: executor-side Spark-JDBC scans with the
+rendered-SQL subquery wrap, pushdown of columns/where/limit, partitioned
+reads (mod + range with auto bound-fill), the 4-mode write matrix,
+driver-side ``fetch``/``execute`` over raw java.sql, and the full
+DBReader + IncrementalStrategy + HWM loop over a JDBC source.
+
+Mirrors the reference's tests_integration JDBC suites
+(tests_db_connection_integration/) in intent; Derby quirks (FETCH FIRST
+instead of LIMIT, MOD() instead of %, qualified `tbl.*`) live in
+DerbyDialect.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from onetl_spark.connections import Derby, JDBCReadOptions, JDBCWriteOptions
+from onetl_spark.db import DBReader, DBWriter
+from onetl_spark.hwm.store import HWMStoreStackManager
+from onetl_spark.hwm.types import ColumnIntHWM
+from onetl_spark.hwm.window import Window
+from onetl_spark.strategy import IncrementalStrategy
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    path = os.path.join(str(tmp_path_factory.mktemp("derby")), "db")
+    return Derby(spark=spark, path=path)
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, derby):
+    """100-row table with uppercase columns (Derby folds unquoted
+    identifiers to upper case; Spark's JDBC writer quotes the DataFrame
+    names verbatim)."""
+    df = spark.range(0, 100).selectExpr(
+        "id AS ID", "id * 2 AS V", "CAST(id % 5 AS INT) AS GRP"
+    )
+    derby.write_df_to_target(df, "SEEDED", JDBCWriteOptions(if_exists="replace_entire_table"))
+    return df
+
+
+def test_check_probes_driver_and_executor_paths(derby):
+    assert derby.check() is derby
+
+
+def test_read_pushdown_columns_where_limit(derby, seeded):
+    df = derby.read_source_as_df("SEEDED", columns=["ID", "V"], where="V > 100")
+    assert sorted(df.columns) == ["ID", "V"]
+    rows = df.collect()
+    assert len(rows) == 49 and all(r["V"] > 100 for r in rows)
+
+    # Derby has no LIMIT keyword — DerbyDialect renders FETCH FIRST
+    assert derby.read_source_as_df("SEEDED", limit=7).count() == 7
+    # limit=0 → WHERE 1=0 sentinel (schema probe shape)
+    assert derby.read_source_as_df("SEEDED", limit=0).count() == 0
+    assert [f.name for f in derby.get_df_schema("SEEDED", ["ID"])] == ["ID"]
+
+
+def test_partitioned_scan_mod_covers_all_rows(derby, seeded):
+    df = derby.read_source_as_df(
+        "SEEDED",
+        options=JDBCReadOptions(
+            num_partitions=4, partition_column="ID", partitioning_mode="mod"
+        ),
+    )
+    assert df.rdd.getNumPartitions() == 4
+    # injected partition column is dropped; every row exactly once
+    assert sorted(df.columns) == ["GRP", "ID", "V"]
+    assert sorted(r["ID"] for r in df.collect()) == list(range(100))
+
+
+def test_partitioned_scan_range_autofills_bounds(derby, seeded):
+    df = derby.read_source_as_df(
+        "SEEDED",
+        options=JDBCReadOptions(
+            num_partitions=3, partition_column="ID", partitioning_mode="range"
+        ),
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 100
+
+
+def test_min_max_probe(derby, seeded):
+    assert derby.get_min_max_values("SEEDED", Window("ID")) == (0, 99)
+
+
+def test_write_mode_matrix(spark, derby):
+    df = spark.range(0, 10).selectExpr("id AS ID")
+    derby.write_df_to_target(df, "MODES", JDBCWriteOptions(if_exists="replace_entire_table"))
+    derby.write_df_to_target(df, "MODES", JDBCWriteOptions(if_exists="append"))
+    assert derby.read_source_as_df("MODES").count() == 20
+    # ignore: table exists → silently no-op
+    derby.write_df_to_target(df, "MODES", JDBCWriteOptions(if_exists="ignore"))
+    assert derby.read_source_as_df("MODES").count() == 20
+    # error: table exists → raise
+    with pytest.raises(Exception, match="MODES|exists"):
+        derby.write_df_to_target(df, "MODES", JDBCWriteOptions(if_exists="error"))
+    # replace: back to 10
+    derby.write_df_to_target(df, "MODES", JDBCWriteOptions(if_exists="replace_entire_table"))
+    assert derby.read_source_as_df("MODES").count() == 10
+
+
+def test_fetch_and_execute_roundtrip(derby):
+    assert derby.execute("CREATE TABLE EXEC_T (A INT, S VARCHAR(20), D DOUBLE)") is None
+    assert derby.execute("INSERT INTO EXEC_T VALUES (1, 'one', 1.5), (2, NULL, NULL)") is None
+    out = derby.fetch("SELECT A, S, D FROM EXEC_T ORDER BY A")
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(1, "one", 1.5), (2, None, None)]
+    # execute returning a resultset → DataFrame
+    rs = derby.execute("SELECT COUNT(*) AS N FROM EXEC_T")
+    assert rs is not None and rs.collect()[0]["N"] == 2
+    derby.execute("DROP TABLE EXEC_T")
+
+
+def test_sql_executor_side(derby, seeded):
+    df = derby.sql("SELECT GRP, COUNT(*) AS N FROM SEEDED GROUP BY GRP")
+    assert {(r["GRP"], r["N"]) for r in df.collect()} == {(g, 20) for g in range(5)}
+
+
+def test_dbreader_incremental_over_live_jdbc(spark, derby):
+    """The flagship loop: DBWriter seeds a JDBC table, DBReader +
+    IncrementalStrategy reads it twice through the HWM store — the
+    second run must see only rows above the saved watermark."""
+    conn = derby
+    df1 = spark.range(1, 51).selectExpr("id AS ID_INT")
+    conn.write_df_to_target(df1, "INC_J", JDBCWriteOptions(if_exists="replace_entire_table"))
+    reader = DBReader(conn, "INC_J", hwm=ColumnIntHWM(name="inc_jdbc_hwm", expression="ID_INT"))
+
+    with IncrementalStrategy():
+        assert reader.run().count() == 50
+    assert HWMStoreStackManager.get_current().get_hwm("inc_jdbc_hwm").value == 50
+
+    with IncrementalStrategy():
+        assert reader.run().count() == 0
+
+    DBWriter(conn, "INC_J", options=JDBCWriteOptions(if_exists="append")).run(
+        spark.range(51, 61).selectExpr("id AS ID_INT")
+    )
+    with IncrementalStrategy():
+        got = sorted(r["ID_INT"] for r in reader.run().collect())
+    assert got == list(range(51, 61))
+    assert HWMStoreStackManager.get_current().get_hwm("inc_jdbc_hwm").value == 60
