@@ -391,3 +391,126 @@ GROUP BY c.c_nationkey
 
 SPARK_QUERIES["salted_join_order_volume"] = salted_join_order_volume
 ORACLE_SQL["salted_join_order_volume"] = SALTED_JOIN_SQL
+
+
+def _derby_scratch(sf_dir: str, name: str) -> str:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(
+        repo, ".scratch", "derby_showcase",
+        os.path.basename(os.path.normpath(sf_dir)), name,
+    )
+
+
+def jdbc_live_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE JDBC loop, oracle-checked: an orders slice is written into
+    embedded Derby (replace mode), read back through DBReader with
+    column/where pushdown over a 4-way MOD-partitioned JDBC scan, and
+    aggregated per status. The oracle computes the same aggregate
+    straight from the parquet — proving the rendered-SQL write → scan →
+    pushdown loop is value-preserving, not just runnable (SURVEY §2.1
+    scan/write, §2.2 fragment builders, on a real database)."""
+    from onetl_spark.connections import Derby, JDBCReadOptions, JDBCWriteOptions
+
+    ensure_views(spark, sf_dir)
+    conn = Derby(spark=spark, path=_derby_scratch(sf_dir, "roundtrip"))
+    src = (
+        spark.table("orders")
+        .filter("o_orderkey % 10 = 0")
+        .select(
+            F.col("o_orderkey").alias("OKEY"),
+            F.col("o_orderstatus").alias("STATUS"),
+            F.col("o_totalprice").alias("PRICE"),
+        )
+    )
+    conn.write_df_to_target(src, "ORDERS_RT", JDBCWriteOptions(if_exists="replace_entire_table"))
+    reader = DBReader(
+        conn,
+        source="ORDERS_RT",
+        columns=["STATUS", "PRICE"],
+        where="PRICE > 50000",
+        options=JDBCReadOptions(
+            num_partitions=4, partition_column="OKEY", partitioning_mode="mod",
+        ),
+    )
+    return (
+        reader.run()
+        .groupBy(F.col("STATUS").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("PRICE", 2).alias("total_price"),
+        )
+    )
+
+
+JDBC_LIVE_ROUNDTRIP_SQL = f"""
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS total_price
+FROM orders
+WHERE o_orderkey % 10 = 0 AND o_totalprice > 50000
+GROUP BY 1
+"""
+
+SPARK_QUERIES["jdbc_live_roundtrip"] = jdbc_live_roundtrip
+ORACLE_SQL["jdbc_live_roundtrip"] = JDBC_LIVE_ROUNDTRIP_SQL
+
+
+def jdbc_live_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE incremental-strategy loop over JDBC, oracle-checked: batch 1
+    (even orderkeys) is written and incrementally read (HWM saved at its
+    max), batch 2 (odd orderkeys above the watermark) is appended, and
+    the second incremental run must return EXACTLY the above-watermark
+    delta. A fresh in-memory HWM store scopes the run, so the query is
+    deterministic under re-execution."""
+    from onetl_spark.connections import Derby, JDBCReadOptions, JDBCWriteOptions
+    from onetl_spark.hwm.store import MemoryHWMStore
+
+    ensure_views(spark, sf_dir)
+    conn = Derby(spark=spark, path=_derby_scratch(sf_dir, "incremental"))
+    orders = spark.table("orders").select(
+        F.col("o_orderkey").alias("OKEY"),
+        F.col("o_totalprice").alias("PRICE"),
+    )
+    batch1 = orders.filter("OKEY % 2 = 0")
+    conn.write_df_to_target(batch1, "ORDERS_INC", JDBCWriteOptions(if_exists="replace_entire_table"))
+
+    from onetl_spark.strategy import IncrementalStrategy
+
+    reader = DBReader(
+        conn,
+        source="ORDERS_INC",
+        hwm=ColumnIntHWM(name="jdbc_live_inc_hwm", expression="OKEY"),
+    )
+    def _materialize(df):
+        # the table is mutated between runs, and a lazy plan would scan
+        # Derby at collect time — pin each run's result eagerly
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), dsum("PRICE", 2).alias("total"),
+        ).collect()[0]
+        return int(row["n"]), float(row["total"])
+
+    with MemoryHWMStore():
+        with IncrementalStrategy():
+            n1, t1 = _materialize(reader.run())
+        batch2 = orders.filter("OKEY % 2 = 1")
+        conn.write_df_to_target(batch2, "ORDERS_INC", JDBCWriteOptions(if_exists="append"))
+        with IncrementalStrategy():
+            n2, t2 = _materialize(reader.run())
+    return spark.createDataFrame(
+        [(1, n1, t1), (2, n2, t2)], "run int, n long, total double",
+    )
+
+
+JDBC_LIVE_INCREMENTAL_SQL = f"""
+SELECT 1 AS run, COUNT(*) AS n, {sql_dsum('o_totalprice', 2)} AS total
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT 2 AS run, COUNT(*) AS n, {sql_dsum('o_totalprice', 2)} AS total
+FROM orders
+WHERE o_orderkey % 2 = 1
+  AND o_orderkey > (SELECT MAX(o_orderkey) FROM orders WHERE o_orderkey % 2 = 0)
+"""
+
+SPARK_QUERIES["jdbc_live_incremental"] = jdbc_live_incremental
+ORACLE_SQL["jdbc_live_incremental"] = JDBC_LIVE_INCREMENTAL_SQL
