@@ -120,6 +120,18 @@ def test_fetch_and_execute_roundtrip(derby):
     derby.execute("DROP TABLE EXEC_T")
 
 
+def test_execute_callable_statement(derby):
+    # {call ...} routes through prepareCall — exercised live against a
+    # Derby built-in system procedure (set + read back a db property)
+    derby.execute(
+        "{call SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('onetl.probe', 'ok')}"
+    )
+    val = derby.fetch(
+        "VALUES SYSCS_UTIL.SYSCS_GET_DATABASE_PROPERTY('onetl.probe')"
+    ).collect()[0][0]
+    assert val == "ok"
+
+
 def test_sql_executor_side(derby, seeded):
     df = derby.sql("SELECT GRP, COUNT(*) AS N FROM SEEDED GROUP BY GRP")
     assert {(r["GRP"], r["N"]) for r in df.collect()} == {(g, 20) for g in range(5)}
