@@ -215,6 +215,51 @@ def split_leakage_safe(
     return out.drop(fp, rep)
 
 
+def shuffle_into_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training export: assign each row a
+    ``shard`` (hash of salted id, mod ``n_shards``) and a within-shard
+    ``pos`` (rank of a SECOND independent hash) — a reproducible
+    pseudorandom permutation of the corpus, the standard prerequisite for
+    training-order randomization without an irreproducible ``rand()``.
+
+    Scale shape: one exchange on the shard key, then a per-shard window
+    sort — never a global sort; parallelism = ``n_shards``, so pick it at
+    least as large as the cluster's core count (it is also the natural
+    output-file count). Re-running on re-sharded/re-partitioned input
+    yields the identical permutation, because both hashes are pure
+    functions of the id.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sid = F.col(id_col).cast("string")
+    shard = F.pmod(md5_long(F.concat(F.lit(f"{salt}|s|"), sid)), F.lit(n_shards))
+    order_key = md5_long(F.concat(F.lit(f"{salt}|p|"), sid))
+    w = W.partitionBy("shard").orderBy("_ord", id_col)
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("_ord", order_key)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_ord")
+    )
+
+
+def sql_shuffle_shards(
+    n_shards: int, id_expr: str = "doc_id", salt: str = "shuffle"
+) -> tuple[str, str]:
+    """DuckDB mirror of :func:`shuffle_into_shards`: returns the
+    (shard expression, within-shard order-key expression) pair."""
+    sid = f"CAST({id_expr} AS VARCHAR)"
+    h = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+    shard = h.format(x=f"'{salt}|s|' || {sid}") + f" % {n_shards}"
+    order_key = h.format(x=f"'{salt}|p|' || {sid}")
+    return shard, order_key
+
+
 def trim_to_token_budget(
     df: DataFrame,
     budget: int,

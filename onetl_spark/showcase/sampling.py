@@ -349,3 +349,37 @@ GROUP BY lang
 
 SPARK_QUERIES["corpus_budget_trim"] = corpus_budget_trim
 ORACLE_SQL["corpus_budget_trim"] = BUDGET_TRIM_SQL
+
+
+_N_SHUFFLE_SHARDS = 8
+
+
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document lands in one
+    of 8 shards with a reproducible pseudorandom within-shard position —
+    one shard-key exchange + per-shard window sort, never a global sort."""
+    from onetl_spark.llm.sampling import shuffle_into_shards
+
+    ensure_views(spark, sf_dir)
+    out = shuffle_into_shards(
+        spark.table("documents").select("doc_id"), _N_SHUFFLE_SHARDS
+    )
+    return out.select("doc_id", "shard", "pos")
+
+
+def _shuffle_sql() -> str:
+    from onetl_spark.llm.sampling import sql_shuffle_shards
+
+    shard, order_key = sql_shuffle_shards(_N_SHUFFLE_SHARDS)
+    return f"""
+WITH k AS (
+  SELECT doc_id, {shard} AS shard, {order_key} AS o FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY o, doc_id) AS BIGINT) AS pos
+FROM k
+"""
+
+
+SPARK_QUERIES["training_shuffle_shards"] = training_shuffle_shards
+ORACLE_SQL["training_shuffle_shards"] = _shuffle_sql()

@@ -263,3 +263,36 @@ def test_leakage_safe_split_rejects_internal_column_collision(spark):
     df = spark.createDataFrame([(1, "a", "x")], "doc_id long, fp string, __osk_fp string")
     with pytest.raises(ValueError, match="__osk_fp"):
         split_leakage_safe(df, "fp")
+
+
+def test_shuffle_into_shards_is_deterministic_permutation(spark):
+    from onetl_spark.llm.sampling import shuffle_into_shards
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = shuffle_into_shards(df, 8).collect()
+    # every doc exactly once, positions are 1..n per shard with no gaps
+    assert sorted(r["doc_id"] for r in out) == list(range(1000))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # shards are roughly balanced (hash-uniform: 125 expected per shard)
+    sizes = [len(v) for v in by_shard.values()]
+    assert min(sizes) > 80 and max(sizes) < 180
+    # deterministic across re-execution and re-partitioning
+    again = shuffle_into_shards(df.repartition(13), 8).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    # the permutation actually shuffles (not identity order within shard)
+    first_shard = sorted(by_shard.keys())[0]
+    docs_in_order = [
+        r["doc_id"] for r in sorted(out, key=lambda r: (r["shard"], r["pos"]))
+        if r["shard"] == first_shard
+    ]
+    assert docs_in_order != sorted(docs_in_order)
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_into_shards(df, 0)
