@@ -27,7 +27,15 @@ def windowed_aggregate(
     watermark: str = "10 minutes",
     group_by: Iterable[str] = (),
 ) -> DataFrame:
-    """Tumbling/sliding event-time windows with a late-data watermark."""
+    """Tumbling/sliding event-time windows with a late-data watermark.
+
+    Watermark timing (pinned by
+    ``test_watermark_drops_late_rows_across_microbatches``): Spark's
+    late-row filter uses the watermark computed through the PREVIOUS
+    micro-batch, and state eviction merges the current batch's rows
+    first — a late row landing in the same batch that finalizes its
+    window is still included; rows arriving in later batches are dropped
+    (``numRowsDroppedByWatermark``)."""
     withmark = df.withWatermark(time_col, watermark)
     window = F.window(F.col(time_col), window_duration, slide) if slide else F.window(
         F.col(time_col), window_duration,

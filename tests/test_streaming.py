@@ -353,3 +353,81 @@ def test_streaming_cdc_apply_batch_split_invariant(spark, tmp_path):
         for r in cdc_latest_snapshot(whole, ["k"], ["ts", "seq"], op_col="op", delete_ops=("D",)).collect()
     }
     assert got == want == {1: "a3", 3: "c"}
+
+
+def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
+    """The core watermark semantic, over four REAL micro-batches
+    (maxFilesPerTrigger=1): a row arriving after the watermark has passed
+    its window must be DROPPED (numRowsDroppedByWatermark), the finalized
+    window must exclude it, and no duplicate window row may be emitted.
+
+    Timing note this test pins: Spark's late-data filter uses the
+    watermark computed through the PREVIOUS batch, and eviction merges
+    the current batch's rows first — so a late row landing in the same
+    batch that finalizes its window is still included; only rows arriving
+    in later batches are dropped. Hence the spacer batches."""
+    from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
+
+    src = tmp_path / "late-src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "id long, user string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        d = tmp_path / f"stage-{name}"
+        df.coalesce(1).write.mode("overwrite").json(str(d))
+        part = next(p for p in d.glob("part-*.json"))
+        target = src / f"{name}.json"
+        os.link(part, target)
+        os.utime(target, (mtime, mtime))
+
+    write_file("00", [(1, "u1", "2026-01-01 10:00:00", 1.0),
+                      (2, "u1", "2026-01-01 10:20:00", 2.0)], 1_000_000_000)
+    # advances the watermark to 11:29 (past the 10:00-11:00 window)...
+    write_file("01", [(3, "u1", "2026-01-01 11:30:00", 7.0)], 1_000_000_100)
+    # ...which takes effect here; the 10:00 window is finalized with n=2
+    write_file("02", [(5, "u1", "2026-01-01 12:30:00", 9.0)], 1_000_000_200)
+    # late row for the long-closed window: must be dropped
+    write_file("03", [(4, "u1", "2026-01-01 10:10:00", 100.0)], 1_000_000_300)
+
+    stream = StreamDFReader(
+        spark=spark,
+        format=JSONLine(),
+        source_path=str(src),
+        df_schema=SCHEMA,
+        options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+    ).run()
+    agg = windowed_aggregate(
+        stream,
+        time_col="ts",
+        window_duration="1 hour",
+        watermark="1 minute",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+    )
+    query = StreamDFWriter(
+        format="memory",
+        options=StreamWriteOptions(
+            output_mode="append",
+            checkpoint_location=str(tmp_path / "ckpt-late"),
+            trigger={"availableNow": True},
+            query_name="late_drop_sink",
+        ),
+    ).run(agg)
+    query.awaitTermination(180)
+
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in query.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+    out = spark.table("late_drop_sink").collect()
+    by_start = {}
+    for r in out:
+        by_start.setdefault(r["window_start"].isoformat(), []).append(r)
+    # exactly ONE row for the 10:00 window (no late re-emission), late row excluded
+    ten = by_start["2026-01-01T10:00:00"]
+    assert len(ten) == 1
+    assert ten[0]["n"] == 2 and ten[0]["total"] == 3.0
