@@ -431,3 +431,76 @@ def test_watermark_drops_late_rows_across_microbatches(spark, tmp_path):
     ten = by_start["2026-01-01T10:00:00"]
     assert len(ten) == 1
     assert ten[0]["n"] == 2 and ten[0]["total"] == 3.0
+
+
+def test_session_merge_across_microbatches(spark, tmp_path):
+    """Session windows must MERGE across micro-batches: activity arriving
+    in a later batch within the gap extends the open session (one merged
+    row, not two), while a quiet user's session closes at the watermark
+    and is emitted once. Needs real multi-batch execution — a single
+    AvailableNow batch can't exercise the session-state merge."""
+    from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
+
+    src = tmp_path / "sess-src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "id long, user string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        d = tmp_path / f"sess-stage-{name}"
+        df.coalesce(1).write.mode("overwrite").json(str(d))
+        part = next(p for p in d.glob("part-*.json"))
+        target = src / f"{name}.json"
+        os.link(part, target)
+        os.utime(target, (mtime, mtime))
+
+    # batch 0: u1 active 10:00-10:02; u2 active 10:00
+    write_file("00", [(1, "u1", "2026-01-01 10:00:00", 1.0),
+                      (2, "u1", "2026-01-01 10:02:00", 2.0),
+                      (3, "u2", "2026-01-01 10:00:00", 5.0)], 1_000_000_000)
+    # batch 1: u1 continues at 10:05 (within the 10-min gap -> same session)
+    write_file("01", [(4, "u1", "2026-01-01 10:05:00", 3.0)], 1_000_000_100)
+    # batch 2: far-future row closes every session via the watermark
+    write_file("02", [(9, "u3", "2026-01-01 12:00:00", 0.0)], 1_000_000_200)
+    # batch 3: spacer so the watermark from batch 2 takes effect
+    write_file("03", [(10, "u3", "2026-01-01 12:30:00", 0.0)], 1_000_000_300)
+
+    stream = StreamDFReader(
+        spark=spark,
+        format=JSONLine(),
+        source_path=str(src),
+        df_schema=SCHEMA,
+        options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+    ).run()
+    sessions = sessionize(
+        stream,
+        time_col="ts",
+        gap="10 minutes",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+        group_by=("user",),
+        watermark="1 minute",
+    )
+    query = StreamDFWriter(
+        format="memory",
+        options=StreamWriteOptions(
+            output_mode="append",
+            checkpoint_location=str(tmp_path / "ckpt-sess"),
+            trigger={"availableNow": True},
+            query_name="sess_sink",
+        ),
+    ).run(sessions)
+    query.awaitTermination(180)
+
+    rows = {
+        (r["user"], r["session_start"].isoformat()): r
+        for r in spark.table("sess_sink").collect()
+    }
+    # u1: ONE merged session 10:00 -> 10:15 (last event 10:05 + 10-min gap)
+    u1 = rows[("u1", "2026-01-01T10:00:00")]
+    assert u1["n"] == 3 and u1["total"] == 6.0
+    assert u1["session_end"].isoformat() == "2026-01-01T10:15:00"
+    assert sum(1 for (u, _) in rows if u == "u1") == 1
+    # u2: single-event session, closed and emitted exactly once
+    u2 = rows[("u2", "2026-01-01T10:00:00")]
+    assert u2["n"] == 1 and u2["total"] == 5.0
