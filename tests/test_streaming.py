@@ -504,3 +504,107 @@ def test_session_merge_across_microbatches(spark, tmp_path):
     # u2: single-event session, closed and emitted exactly once
     u2 = rows[("u2", "2026-01-01T10:00:00")]
     assert u2["n"] == 1 and u2["total"] == 5.0
+
+
+def _write_batch_file(spark, tmp_path, src, name, rows, mtime):
+    df = spark.createDataFrame(
+        rows, "id long, user string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = tmp_path / f"bstage-{name}"
+    df.coalesce(1).write.mode("overwrite").json(str(d))
+    part = next(p for p in d.glob("part-*.json"))
+    target = src / f"{name}.json"
+    os.link(part, target)
+    os.utime(target, (mtime, mtime))
+
+
+def _file_stream(spark, src):
+    return StreamDFReader(
+        spark=spark,
+        format=JSONLine(),
+        source_path=str(src),
+        df_schema=SCHEMA,
+        options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+    ).run()
+
+
+def _run_append(df, tmp_path, name, output_mode="append"):
+    from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
+
+    query = StreamDFWriter(
+        format="memory",
+        options=StreamWriteOptions(
+            output_mode=output_mode,
+            checkpoint_location=str(tmp_path / f"ckpt-{name}"),
+            trigger={"availableNow": True},
+            query_name=name,
+        ),
+    ).run(df)
+    query.awaitTermination(180)
+    return query
+
+
+def test_stream_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batches: a duplicate id
+    arriving in a LATER batch within the watermark horizon is suppressed;
+    once the watermark expires the key's state, the same id is emitted
+    again (the documented within-horizon contract that bounds state on
+    unbounded streams)."""
+    src = tmp_path / "dd-src"
+    src.mkdir()
+    _write_batch_file(spark, tmp_path, src, "00",
+                      [(1, "u1", "2026-01-01 10:00:00", 1.0)], 1_000_000_000)
+    # same id, later batch, within the 10-min horizon → suppressed
+    _write_batch_file(spark, tmp_path, src, "01",
+                      [(1, "u1", "2026-01-01 10:01:00", 1.0)], 1_000_000_100)
+    # advance event time far beyond the horizon (expires id=1 state)
+    _write_batch_file(spark, tmp_path, src, "02",
+                      [(2, "u2", "2026-01-01 13:00:00", 2.0)], 1_000_000_200)
+    _write_batch_file(spark, tmp_path, src, "03",
+                      [(3, "u2", "2026-01-01 13:01:00", 2.0)], 1_000_000_300)
+    # id=1 reappears AFTER its state expired → emitted a second time
+    _write_batch_file(spark, tmp_path, src, "04",
+                      [(1, "u1", "2026-01-01 13:02:00", 1.0)], 1_000_000_400)
+
+    deduped = deduplicate_stream(
+        _file_stream(spark, src), keys=["id"], time_col="ts", watermark="10 minutes"
+    )
+    _run_append(deduped, tmp_path, "dd_sink")
+    out = spark.table("dd_sink").collect()
+    ids = sorted(r["id"] for r in out)
+    # id=1 twice (horizon expired between), ids 2 and 3 once each
+    assert ids == [1, 1, 2, 3]
+    times_for_1 = sorted(r["ts"].isoformat() for r in out if r["id"] == 1)
+    assert times_for_1 == ["2026-01-01T10:00:00", "2026-01-01T13:02:00"]
+
+
+def test_stateful_running_agg_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state ALIVE across
+    micro-batches: each batch emits the key's updated running totals,
+    accumulated over every batch seen so far — the property a
+    batch-scoped aggregate can't provide."""
+    src = tmp_path / "ra-src"
+    src.mkdir()
+    _write_batch_file(spark, tmp_path, src, "00",
+                      [(1, "u1", "2026-01-01 10:00:00", 1.0),
+                       (2, "u1", "2026-01-01 10:01:00", 2.0)], 1_000_000_000)
+    _write_batch_file(spark, tmp_path, src, "01",
+                      [(3, "u1", "2026-01-01 10:02:00", 4.0),
+                       (4, "u2", "2026-01-01 10:02:00", 10.0)], 1_000_000_100)
+    _write_batch_file(spark, tmp_path, src, "02",
+                      [(5, "u1", "2026-01-01 10:03:00", 8.0)], 1_000_000_200)
+
+    agg = stateful_running_agg(_file_stream(spark, src), ["user"], "value")
+    # applyInPandasWithState(update) requires Update output mode; the
+    # memory sink then keeps every per-batch emission, which is exactly
+    # what this test wants to observe
+    _run_append(agg, tmp_path, "ra_sink", output_mode="update")
+    # one emission per key per batch containing that key; totals accumulate
+    u1 = sorted(
+        (r["running_count"], r["running_sum"])
+        for r in spark.table("ra_sink").collect() if r["user"] == "u1"
+    )
+    assert u1 == [(2, 3.0), (3, 7.0), (4, 15.0)]
+    u2 = [(r["running_count"], r["running_sum"])
+          for r in spark.table("ra_sink").collect() if r["user"] == "u2"]
+    assert u2 == [(1, 10.0)]
