@@ -32,10 +32,17 @@ def asof_join(
     by: Sequence[str] = (),
     direction: str = "backward",
     suffix: str = "_right",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """For each LEFT row, attach the most recent RIGHT row with
     ``right.on <= left.on`` (direction='backward'; 'forward' gives the
     next ``right.on >= left.on``), optionally matching ``by`` keys.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics) rejects a match
+    farther than the given distance — the right columns become NULL, a
+    nearer row is never substituted. Pass a SQL interval string (e.g.
+    ``"2 hours"``) for timestamp/date ``on`` columns, or a number for
+    numeric ones. A pure post-projection: zero extra shuffles.
 
     Returns all left columns plus every non-key right column suffixed.
     """
@@ -98,7 +105,26 @@ def asof_join(
             for c in [f"{on}{suffix}", *right_value_cols]
         ],
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        delta = (
+            F.lit(tolerance)
+            if isinstance(tolerance, (int, float))
+            else F.expr(f"INTERVAL {tolerance}")
+        )
+        on_r = F.col(f"{on}{suffix}")
+        if direction == "backward":
+            within = on_r >= F.col(on) - delta
+        else:
+            within = on_r <= F.col(on) + delta
+        out = out.select(
+            *left.columns,
+            *[
+                F.when(within, F.col(c)).alias(c)
+                for c in [f"{on}{suffix}", *right_value_cols]
+            ],
+        )
+    return out
 
 
 def range_join(

@@ -40,6 +40,37 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purcha
 """
 
 
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment with a 2-hour tolerance (pandas ``merge_asof``
+    semantics): a purchase older than 2h does NOT match — the columns go
+    NULL, a nearer row is never substituted."""
+    ensure_views(spark, sf_dir)
+    events = spark.table("events")
+    errors = events.filter("event_type = 'error'").select("event_id", "user_id", "ts")
+    purchases = events.filter("event_type = 'purchase'").select("user_id", "ts", "value")
+    return asof_join(
+        errors, purchases, on="ts", by=["user_id"], tolerance="2 hours"
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("value_right").alias("purchase_value"),
+    )
+
+
+ASOF_TOLERANCE_SQL = """
+SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+       CASE WHEN CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+            THEN CAST(r.ts AS TIMESTAMP) END AS purchase_ts,
+       CASE WHEN CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 2 HOUR
+            THEN r.value END AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+"""
+
+
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Errors within one hour after each purchase by the same user —
     bucketed equi-join instead of an inequality join."""
@@ -83,10 +114,12 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') e
 
 SPARK_QUERIES = {
     "asof_join_events": asof_join_events,
+    "asof_join_tolerance": asof_join_tolerance,
     "range_join_events": range_join_events,
 }
 
 ORACLE_SQL = {
     "asof_join_events": ASOF_SQL,
+    "asof_join_tolerance": ASOF_TOLERANCE_SQL,
     "range_join_events": RANGE_SQL,
 }

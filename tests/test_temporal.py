@@ -77,3 +77,51 @@ def test_estimate_dataframe_size(spark):
     df = spark.range(10).toDF("x")
     size = estimate_dataframe_size(df)
     assert isinstance(size, int) and size >= 0
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    from onetl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 210), (3, "b", 500)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 90, "near"), ("a", 10, "far"), ("b", 100, "veryfar")],
+        "k string, t long, v string",
+    )
+    # numeric tolerance 50: id=1 matches t=90 (gap 10); id=2's best match is
+    # ALSO t=90 (gap 120 > 50) -> nulled, NOT replaced by anything; id=3's
+    # best is t=100 (gap 400) -> nulled
+    out = {
+        r["id"]: (r["t_right"], r["v_right"])
+        for r in asof_join(left, right, on="t", by=["k"], tolerance=50).collect()
+    }
+    assert out[1] == (90, "near")
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)
+    # without tolerance the same rows DO match (sanity that only the
+    # post-filter differs)
+    loose = {
+        r["id"]: r["v_right"]
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    assert loose == {1: "near", 2: "near", 3: "veryfar"}
+
+
+def test_asof_tolerance_forward_interval(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", "2026-01-01 10:00:00")], "id long, k string, t string"
+    ).withColumn("t", F.to_timestamp("t"))
+    right = spark.createDataFrame(
+        [("a", "2026-01-01 13:00:00", 9.0)], "k string, t string, v double"
+    ).withColumn("t", F.to_timestamp("t"))
+    near = asof_join(left, right, on="t", by=["k"], direction="forward",
+                     tolerance="4 hours").collect()[0]
+    assert near["v_right"] == 9.0
+    far = asof_join(left, right, on="t", by=["k"], direction="forward",
+                    tolerance="1 hour").collect()[0]
+    assert far["v_right"] is None and far["t_right"] is None
