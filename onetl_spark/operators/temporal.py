@@ -36,7 +36,9 @@ def asof_join(
 ) -> DataFrame:
     """For each LEFT row, attach the most recent RIGHT row with
     ``right.on <= left.on`` (direction='backward'; 'forward' gives the
-    next ``right.on >= left.on``), optionally matching ``by`` keys.
+    next ``right.on >= left.on``; 'nearest' picks whichever of the two
+    is closer, ties to backward — full pandas ``merge_asof`` surface),
+    optionally matching ``by`` keys.
 
     ``tolerance`` (pandas ``merge_asof`` semantics) rejects a match
     farther than the given distance — the right columns become NULL, a
@@ -44,10 +46,14 @@ def asof_join(
     ``"2 hours"``) for timestamp/date ``on`` columns, or a number for
     numeric ones. A pure post-projection: zero extra shuffles.
 
+    Cost: one union + one partitioned window sort ('nearest' evaluates
+    two window passes over the same hash partitioning — one extra sort,
+    no extra exchange).
+
     Returns all left columns plus every non-key right column suffixed.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     by = list(by)
     if not by:
         # the carry-forward window partitions on `by`; with no keys the
@@ -83,29 +89,51 @@ def asof_join(
     all_cols = left.columns + [f"{on}{suffix}"] + right_value_cols + ["_side"]
     unioned = l_tagged.select(*all_cols).unionByName(r_tagged.select(*all_cols))
 
-    if direction == "backward":
-        # right rows sort before left rows at equal time → carry forward
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("_side").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+    carry_cols = [f"{on}{suffix}", *right_value_cols]
+    # right rows sort before left rows at equal time → carry forward
+    w_back = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+    if direction in ("backward", "forward"):
+        w = w_back if direction == "backward" else w_fwd
+        carried = unioned.select(
+            *left.columns,
+            F.col("_side"),
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry_cols],
         )
+        out = carried.filter(F.col("_side") == 1).drop("_side")
     else:
-        w = (
-            W.partitionBy(*by)
-            .orderBy(F.col(on).desc(), F.col("_side").asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        # nearest: both passes share the hash partitioning (one exchange,
+        # two sorts); per row pick the closer match, ties to backward
+        carried = unioned.select(
+            *left.columns,
+            F.col("_side"),
+            *[F.last(c, ignorenulls=True).over(w_back).alias(c + "__b") for c in carry_cols],
+            *[F.last(c, ignorenulls=True).over(w_fwd).alias(c + "__f") for c in carry_cols],
+        )
+        rows = carried.filter(F.col("_side") == 1)
+        on_b = F.col(f"{on}{suffix}__b").cast("double")
+        on_f = F.col(f"{on}{suffix}__f").cast("double")
+        here = F.col(on).cast("double")
+        take_b = F.col(f"{on}{suffix}__f").isNull() | (
+            F.col(f"{on}{suffix}__b").isNotNull() & ((here - on_b) <= (on_f - here))
+        )
+        out = rows.select(
+            *left.columns,
+            *[
+                F.when(take_b, F.col(c + "__b")).otherwise(F.col(c + "__f")).alias(c)
+                for c in carry_cols
+            ],
         )
 
-    carried = unioned.select(
-        *left.columns,
-        F.col("_side"),
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(c)
-            for c in [f"{on}{suffix}", *right_value_cols]
-        ],
-    )
-    out = carried.filter(F.col("_side") == 1).drop("_side")
     if tolerance is not None:
         delta = (
             F.lit(tolerance)
@@ -115,14 +143,13 @@ def asof_join(
         on_r = F.col(f"{on}{suffix}")
         if direction == "backward":
             within = on_r >= F.col(on) - delta
-        else:
+        elif direction == "forward":
             within = on_r <= F.col(on) + delta
+        else:
+            within = (on_r >= F.col(on) - delta) & (on_r <= F.col(on) + delta)
         out = out.select(
             *left.columns,
-            *[
-                F.when(within, F.col(c)).alias(c)
-                for c in [f"{on}{suffix}", *right_value_cols]
-            ],
+            *[F.when(within, F.col(c)).alias(c) for c in carry_cols],
         )
     return out
 

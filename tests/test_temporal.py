@@ -125,3 +125,37 @@ def test_asof_tolerance_forward_interval(spark):
     far = asof_join(left, right, on="t", by=["k"], direction="forward",
                     tolerance="1 hour").collect()[0]
     assert far["v_right"] is None and far["t_right"] is None
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    from onetl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 198), (3, "a", 50), (4, "b", 10)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("a", 90, "b90"), ("a", 200, "f200")], "k string, t long, v string"
+    )
+    out = {
+        r["id"]: (r["t_right"], r["v_right"])
+        for r in asof_join(left, right, on="t", by=["k"], direction="nearest").collect()
+    }
+    assert out[1] == (90, "b90")    # 10 behind beats 100 ahead
+    assert out[2] == (200, "f200")  # 2 ahead beats 108 behind
+    assert out[3] == (90, "b90")    # nothing behind t=50 -> forward match (t=90)
+    assert out[4] == (None, None)   # key with no right rows at all
+
+    # exact tie goes backward
+    left_tie = spark.createDataFrame([(9, "a", 145)], "id long, k string, t long")
+    tie = asof_join(left_tie, right, on="t", by=["k"], direction="nearest").collect()[0]
+    assert (tie["t_right"], tie["v_right"]) == (90, "b90")  # |145-90|=55 == |200-145|=55
+
+    # tolerance applies on the CHOSEN side, both-sided
+    tol = {
+        r["id"]: r["v_right"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], direction="nearest", tolerance=20
+        ).collect()
+    }
+    assert tol == {1: "b90", 2: "f200", 3: None, 4: None}
