@@ -150,3 +150,38 @@ def test_observe_dataframe_collects_in_flight_metrics(spark):
 
     with _pytest.raises(ValueError):
         observe_dataframe(df, "empty")
+
+
+def test_debt_ordered_registry_rotation(tmp_path, monkeypatch):
+    """The driver oracle-checks only the first 50 queries() entries, so the
+    registry orders by verification debt: never-green first, then oldest
+    green round, ties by registry order. Computed from committed
+    CORRECTNESS_r*.json — this test pins the contract with synthetic
+    history files."""
+    import json
+    import os
+
+    import onetl_spark.showcase as sc
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"hash_match": True},
+        "b": {"hash_match": False},   # checked but red -> still max debt
+        "c": {"hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "c": {"hash_match": True},    # c green again in r2 -> freshest
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text("not json")  # ignored
+
+    queries = {"a": 1, "b": 2, "c": 3, "d": 4}
+
+    import glob as glob_mod
+
+    def fake_glob(pattern):
+        return sorted(str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))
+
+    monkeypatch.setattr(glob_mod, "glob", fake_glob)
+    ordered = list(sc._debt_ordered(queries))
+    # b (red, never green) and d (never checked) lead in registry order;
+    # then a (green r1, stale), then c (green r2, freshest)
+    assert ordered == ["b", "d", "a", "c"]
