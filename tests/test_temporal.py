@@ -159,3 +159,60 @@ def test_asof_nearest_picks_closer_side(spark):
         ).collect()
     }
     assert tol == {1: "b90", 2: "f200", 3: None, 4: None}
+
+
+def test_asof_join_matches_pandas_merge_asof_random(spark):
+    """Randomized equivalence against pandas.merge_asof — the reference
+    implementation of as-of semantics — across all three directions and
+    with/without tolerance. Right keys are unique per (k, t): duplicate
+    right timestamps make the winner order-dependent in every engine."""
+    import random
+
+    import pandas as pd
+
+    from onetl_spark.operators.temporal import asof_join
+
+    rng = random.Random(13)
+    for trial in range(6):
+        keys = ["a", "b", "c"]
+        left_rows = [
+            (i, rng.choice(keys), rng.randrange(0, 300))
+            for i in range(rng.randrange(5, 40))
+        ]
+        right_pairs = set()
+        while len(right_pairs) < rng.randrange(3, 25):
+            right_pairs.add((rng.choice(keys), rng.randrange(0, 300)))
+        right_rows = [(k, t, f"v{k}{t}") for k, t in sorted(right_pairs)]
+
+        ldf = spark.createDataFrame(left_rows, "id long, k string, t long")
+        rdf = spark.createDataFrame(right_rows, "k string, t long, v string")
+        lpd = pd.DataFrame(left_rows, columns=["id", "k", "t"]).sort_values("t")
+        # merge_asof does not emit the matched right-on value; carry it as
+        # an explicit column so t_right can be compared too
+        rpd = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t")
+        rpd["rt"] = rpd["t"]
+
+        for direction in ("backward", "forward", "nearest"):
+            for tol in (None, rng.randrange(5, 80)):
+                got = {
+                    r["id"]: (r["t_right"], r["v_right"])
+                    for r in asof_join(
+                        ldf, rdf, on="t", by=["k"],
+                        direction=direction, tolerance=tol,
+                    ).collect()
+                }
+                ref_df = pd.merge_asof(
+                    lpd, rpd, on="t", by="k", direction=direction,
+                    suffixes=("", "_right"),
+                    tolerance=tol,
+                )
+                ref = {}
+                for rec in ref_df.to_dict("records"):
+                    if pd.isna(rec["v"]):
+                        ref[rec["id"]] = (None, None)
+                    else:
+                        ref[rec["id"]] = (int(rec["rt"]), rec["v"])
+                assert got == ref, (
+                    f"trial={trial} direction={direction} tol={tol}: "
+                    f"{ {k: (got.get(k), ref.get(k)) for k in set(got) | set(ref) if got.get(k) != ref.get(k)} }"
+                )
