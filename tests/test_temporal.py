@@ -216,3 +216,41 @@ def test_asof_join_matches_pandas_merge_asof_random(spark):
                     f"trial={trial} direction={direction} tol={tol}: "
                     f"{ {k: (got.get(k), ref.get(k)) for k in set(got) | set(ref) if got.get(k) != ref.get(k)} }"
                 )
+
+
+def test_range_join_matches_brute_force_random(spark):
+    """Randomized equivalence of the bucketed range join against the
+    brute-force nested-loop definition, across bucket widths that do and
+    don't divide the interval lengths."""
+    import random
+
+    from onetl_spark.operators.temporal import range_join
+
+    rng = random.Random(29)
+    for trial in range(4):
+        keys = ["u1", "u2"]
+        left_rows = []
+        for i in range(rng.randrange(4, 15)):
+            lo = rng.uniform(0, 100)
+            left_rows.append((i, rng.choice(keys), lo, lo + rng.uniform(0, 30)))
+        right_rows = [
+            (j, rng.choice(keys), rng.uniform(-10, 140))
+            for j in range(rng.randrange(5, 40))
+        ]
+        ldf = spark.createDataFrame(left_rows, "lid long, k string, lo double, hi double")
+        rdf = spark.createDataFrame(right_rows, "rid long, k string, p double")
+
+        for width in (7.3, 25.0, 200.0):
+            got = sorted(
+                (r["lid"], r["rid"])
+                for r in range_join(
+                    ldf, rdf, "lo", "hi", "p", on=["k"], bucket_width=width
+                ).collect()
+            )
+            want = sorted(
+                (lid, rid)
+                for lid, lk, lo, hi in left_rows
+                for rid, rk, p in right_rows
+                if lk == rk and lo <= p <= hi
+            )
+            assert got == want, f"trial={trial} width={width}"
