@@ -250,3 +250,40 @@ def test_snapshot_diff_requires_keys(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         snapshot_diff(df, df, [])
+
+
+def test_scd2_matches_reference_model_random(spark):
+    """Randomized SCD2 vs a Python reference model: per key, versions
+    ordered by (ts, seq) chain valid_from -> next ts; exactly one current
+    version per key; intervals tile the key's history with no gaps."""
+    import random
+
+    rng = random.Random(41)
+    for trial in range(4):
+        rows = []
+        for k in range(rng.randrange(2, 8)):
+            n = rng.randrange(1, 6)
+            ts_list = sorted(rng.sample(range(0, 50), n))
+            for seq_dup in range(rng.randrange(1, 3)):
+                for i, ts in enumerate(ts_list):
+                    rows.append((k, ts, seq_dup, f"v{k}-{ts}-{seq_dup}"))
+        df = spark.createDataFrame(rows, "k long, ts long, seq long, v string")
+        got = {
+            (r["k"], r["ts"], r["seq"]): (r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_history(df, key_cols=["k"], ts_col="ts", tiebreak_cols=["seq"]).collect()
+        }
+        # reference: sort each key's rows by (ts, seq); valid_to = next ts
+        by_key = {}
+        for k, ts, seq, _ in rows:
+            by_key.setdefault(k, []).append((ts, seq))
+        want = {}
+        for k, versions in by_key.items():
+            versions.sort()
+            for i, (ts, seq) in enumerate(versions):
+                nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+                want[(k, ts, seq)] = (ts, nxt, nxt is None)
+        assert got == want, f"trial={trial}"
+        # invariants: one current per key; intervals tile without gaps
+        for k, versions in by_key.items():
+            currents = [v for key, v in got.items() if key[0] == k and v[2]]
+            assert len(currents) == 1
