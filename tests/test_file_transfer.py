@@ -150,3 +150,63 @@ def test_mover_overwrite(conn, remote_tree, tmp_path):
     assert result.successful_count == 1
     with open(os.path.join(target, "a.csv")) as f:
         assert f.read() == "1,2,3"
+
+
+def test_walk_filters_match_reference_model_random(conn, tmp_path):
+    """Randomized directory trees: walk + Glob/Regexp/ExcludeDir/size
+    filter combinations must match a plain os.walk reference model."""
+    import fnmatch
+    import random
+    import re
+
+    rng = random.Random(57)
+    for trial in range(3):
+        root = tmp_path / f"tree{trial}"
+        dirs = [root]
+        for d in range(rng.randrange(2, 6)):
+            parent = rng.choice(dirs)
+            nd = parent / f"d{d}"
+            nd.mkdir(parents=True, exist_ok=True)
+            dirs.append(nd)
+        exts = [".csv", ".txt", ".json"]
+        for i in range(rng.randrange(5, 25)):
+            f = rng.choice(dirs) / f"f{i}{rng.choice(exts)}"
+            f.write_text("x" * rng.randrange(0, 50))
+
+        # reference model over os.walk
+        all_files = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                all_files.append(os.path.join(dirpath, fn))
+
+        # Glob
+        pat = rng.choice(["*.csv", "*.txt", "f1*"])
+        got = sorted(str(f) for f in conn.walk(str(root), [Glob(pat)]))
+        want = sorted(p for p in all_files if fnmatch.fnmatch(os.path.basename(p), pat))
+        assert got == want, f"glob {pat}"
+
+        # Regexp over the path relative to root
+        rx = rng.choice([r"\.csv$", r"d1/.*", r"f[02468].*"])
+        got = sorted(str(f) for f in conn.walk(str(root), [Regexp(rx)]))
+        cre = re.compile(rx)
+        want = sorted(p for p in all_files if cre.search(os.path.relpath(p, root)))
+        assert got == want, f"regexp {rx}"
+
+        # ExcludeDir on a random subdir
+        excl = rng.choice(dirs)
+        got = sorted(str(f) for f in conn.walk(str(root), [ExcludeDir(str(excl))]))
+        want = sorted(
+            p for p in all_files
+            if not os.path.commonpath([p, str(excl)]) == str(excl)
+        )
+        assert got == want, f"exclude {excl}"
+
+        # size range + combination with glob (AND semantics)
+        got = sorted(
+            str(f) for f in conn.walk(str(root), [Glob("*.csv"), FileSizeRange(min=10)])
+        )
+        want = sorted(
+            p for p in all_files
+            if fnmatch.fnmatch(os.path.basename(p), "*.csv") and os.path.getsize(p) >= 10
+        )
+        assert got == want, "glob+size"
