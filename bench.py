@@ -87,6 +87,8 @@ HEADLINE = [
     "leakage_safe_split_counts",
     "corpus_budget_trim",
     "encoding_quality_stats",
+    "training_shuffle_shards",
+    "asof_join_tolerance",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
