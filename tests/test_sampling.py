@@ -296,3 +296,21 @@ def test_shuffle_into_shards_is_deterministic_permutation(spark):
 
     with pytest.raises(ValueError, match="n_shards"):
         shuffle_into_shards(df, 0)
+
+
+def test_trim_to_token_budget_degenerate_uniform_scores(spark):
+    """All-identical scores collapse every approxQuantile boundary into
+    one bucket — the result must still equal the ranked-prefix definition
+    (ordering degrades to pure id order), and totals stay exact."""
+    from onetl_spark.llm.sampling import trim_to_token_budget
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "CAST(0.5 AS DOUBLE) AS score", "CAST(10 AS LONG) AS tok"
+    )
+    out = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in trim_to_token_budget(df, 1005, "score", "tok").collect()
+    )
+    # ties order by doc_id: first 100 docs fit (1000 <= 1005), doc 100 would
+    # overflow to 1010 and is excluded
+    assert out == [(i, (i + 1) * 10) for i in range(100)]
