@@ -87,15 +87,33 @@ _PACK_BUDGET = 512
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy context-window packing of documents into 512-token bins,
     sharded by source (one window shuffle on the shard key; parallelism
-    = shard count)."""
+    = shard count).
+
+    The bin membership is emitted as canonicalizer-safe scalars — first /
+    last doc id plus an order-sensitive md5 digest of the member list —
+    because the driver's result canonicalizer cannot sort rows containing
+    array columns (pandas ``sort_values`` raises on lists)."""
     ensure_views(spark, sf_dir)
     docs = spark.table("documents")
-    return pack_sequences(
+    packed = pack_sequences(
         docs,
         token_col=token_count("text"),
         budget=_PACK_BUDGET,
         shard_col="source",
         id_col="doc_id",
+    )
+    return packed.select(
+        "shard",
+        "bin_id",
+        "n_docs",
+        "tokens_total",
+        F.element_at("member_ids", 1).alias("first_doc"),
+        F.element_at("member_ids", -1).alias("last_doc"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("member_ids", lambda x: x.cast("string")),
+            ),
+        ).alias("members_md5"),
     )
 
 
@@ -113,7 +131,9 @@ SELECT shard,
        CAST(floor((cum - tok) / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
        CAST(SUM(tok) AS BIGINT) AS tokens_total,
-       list(doc_id ORDER BY doc_id) AS member_ids
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS members_md5
 FROM c
 GROUP BY 1, 2
 """

@@ -67,6 +67,17 @@ def _all_cases():
 @pytest.mark.parametrize("name,fn,oracle", _all_cases(), ids=[c[0] for c in _all_cases()])
 def test_query_matches_oracle(spark, sf_dir, name, fn, oracle):
     df = fn(spark, sf_dir)
+    # The driver's canonicalizer sorts result rows via pandas sort_values,
+    # which raises "unhashable type: 'list'" on array/struct/map output
+    # columns (the r4 sequence_packing crash) — ban them structurally.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, f"canonicalizer-unsafe output columns: {complex_cols}"
     spark_rows = df.collect()
     spark_cols = df.columns
     assert len(set(spark_cols)) == len(spark_cols), f"duplicate column names: {spark_cols}"

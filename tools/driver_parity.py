@@ -12,6 +12,13 @@ would hide the HUGEINT artifact; pandas ``.df()`` would break dates/NULLs
 that the driver demonstrably accepts.
 
 Usage: python tools/driver_parity.py [N] [--sf /root/testdata/sf0.01]
+       python tools/driver_parity.py --sweep-complex-types
+
+The sweep mode builds EVERY registered query's DataFrame (lazy — plan
+analysis only, no execution) and fails if any output column is an
+array/struct/map: the driver's canonicalizer sorts result rows with
+pandas ``sort_values``, which raises ``TypeError: unhashable type:
+'list'`` on such columns (the r4 ``sequence_packing`` crash class).
 """
 
 from __future__ import annotations
@@ -76,17 +83,49 @@ def multiset(cols, rows):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+def complex_type_fields(df):
+    """Names of output columns the driver's canonicalizer cannot sort."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+def sweep_complex_types(spark, mod, sf_dir):
+    """Build every registered query lazily and flag complex output columns."""
+    queries = mod.queries()
+    bad = []
+    for name, fn in queries.items():
+        try:
+            fields = complex_type_fields(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"build error: {type(e).__name__}: {e}"))
+            continue
+        if fields:
+            bad.append((name, f"complex output columns: {fields}"))
+    for name, detail in bad:
+        print(f"!! {name}: {detail[:300]}")
+    print(f"\n{len(queries) - len(bad)}/{len(queries)} queries canonicalizer-safe")
+    return bad
+
+
 def main():
     n = 50
     sf_dir = "/root/testdata/sf0.01"
     args = sys.argv[1:]
     only = None
+    sweep = False
     while args:
         a = args.pop(0)
         if a == "--sf":
             sf_dir = args.pop(0)
         elif a == "--only":
             only = set(args.pop(0).split(","))
+        elif a == "--sweep-complex-types":
+            sweep = True
         else:
             n = int(a)
 
@@ -105,6 +144,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     mod = load_entry()
+    if sweep:
+        bad = sweep_complex_types(spark, mod, sf_dir)
+        spark.stop()
+        sys.exit(1 if bad else 0)
     queries = mod.queries()
     oracles = mod.oracle_sql()
     names = list(queries)[:n]
@@ -118,6 +161,12 @@ def main():
         detail = ""
         try:
             df = queries[name](spark, sf_dir)
+            complex_cols = complex_type_fields(df)
+            if complex_cols:
+                raise TypeError(
+                    f"canonicalizer-unsafe output columns {complex_cols} "
+                    "(driver sort_values crashes on array/struct/map)"
+                )
             s_rows = [tuple(r) for r in df.collect()]
             s_cols = df.columns
             sql = oracles.get(name)
