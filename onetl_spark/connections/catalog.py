@@ -76,6 +76,18 @@ def read_table(spark: SparkSession, data_dir: str, name: str):
             # integer division: double division of ns epochs loses µs precision
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         if isinstance(ts_type, T.TimestampNTZType):
+            # The NTZ→TIMESTAMP cast reads the session zone AT ACTION TIME
+            # (lazy plan), so quietly flipping the conf here could shift
+            # instants under a caller who later restores their zone. Fail
+            # loudly instead — the contract is a UTC session.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                raise ValueError(
+                    "events.ts is TIMESTAMP_NTZ; casting it to TIMESTAMP uses "
+                    f"spark.sql.session.timeZone={tz!r}, which would shift "
+                    "instants relative to the zone-naive oracles. Set the "
+                    "session timezone to UTC before reading events."
+                )
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)

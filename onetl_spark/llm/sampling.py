@@ -298,7 +298,12 @@ def trim_to_token_budget(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    t = df.withColumn("_tok", tok.cast("long"))
+    # NULL token counts would poison the bucket totals (SUM → NULL →
+    # TypeError when accumulating offsets) and give their rows a NULL
+    # running sum that the <= budget filter silently drops. Treat unknown
+    # length as 0 tokens: the row still competes by score but costs
+    # nothing against the budget.
+    t = df.withColumn("_tok", F.coalesce(tok.cast("long"), F.lit(0)))
 
     qs = [i / buckets for i in range(1, buckets)]
     # approxQuantile ignores NULL scores; treat NULL as the worst score
@@ -319,7 +324,7 @@ def trim_to_token_budget(
     acc = 0
     for b in range(len(bounds) + 1):
         offsets[b] = acc
-        acc += totals.get(b, 0)
+        acc += totals.get(b) or 0
 
     off = F.lit(0)
     for b, v in offsets.items():

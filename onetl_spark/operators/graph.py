@@ -190,6 +190,17 @@ def pagerank_fixed_point(
     if edge_weight is None:
         e = e.distinct()
     else:
+        # Enforce the documented positive-integer contract loudly: a NULL
+        # weight would survive the per-(src,dst) sum and turn the node's
+        # share NULL — rank mass silently vanishing breaks the conserved-
+        # mass invariant; zero/negative weights corrupt shares the same
+        # way. limit(1) short-circuits the probe.
+        bad = e.filter(F.col("w").isNull() | (F.col("w") < 1)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"edge_weight must be a positive integer; found {bad[0]['w']!r} "
+                f"on edge ({bad[0]['src']!r}, {bad[0]['dst']!r})"
+            )
         e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     # every iteration joins the edge set; without materialization the
     # upstream (e.g. a pair-generation self-join) re-runs per iteration

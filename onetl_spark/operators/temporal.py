@@ -120,9 +120,17 @@ def asof_join(
             *[F.last(c, ignorenulls=True).over(w_fwd).alias(c + "__f") for c in carry_cols],
         )
         rows = carried.filter(F.col("_side") == 1)
-        on_b = F.col(f"{on}{suffix}__b").cast("double")
-        on_f = F.col(f"{on}{suffix}__f").cast("double")
-        here = F.col(on).cast("double")
+        # DATE → DOUBLE is not a valid Spark cast; compare dates as
+        # days-since-epoch instead so 'nearest' works on date columns too
+        # (timestamps and numerics cast to double directly).
+        on_dtype = dict(left.dtypes).get(on, "")
+
+        def _as_num(c: Column) -> Column:
+            return F.unix_date(c) if on_dtype == "date" else c.cast("double")
+
+        on_b = _as_num(F.col(f"{on}{suffix}__b"))
+        on_f = _as_num(F.col(f"{on}{suffix}__f"))
+        here = _as_num(F.col(on))
         take_b = F.col(f"{on}{suffix}__f").isNull() | (
             F.col(f"{on}{suffix}__b").isNotNull() & ((here - on_b) <= (on_f - here))
         )

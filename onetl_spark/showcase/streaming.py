@@ -37,7 +37,7 @@ from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
 
 _SINK_COUNTER = itertools.count()
 
-_SCHEMA_CACHE: dict[str, T.StructType] = {}
+_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
 
 
 def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -47,13 +47,15 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     The ``ts`` column may probe as long (older INT64 TIMESTAMP(NANOS) data
     under the nanosAsLong conf), TIMESTAMP_NTZ, or µs TIMESTAMP —
     ``_events_stream`` normalizes all three. Probe is one parquet-footer
-    read, cached per sf_dir."""
-    if sf_dir not in _SCHEMA_CACHE:
+    read, cached per (sf_dir, file mtime): testdata is regenerated in
+    place between rounds, so a path-only key would hand a long-lived
+    process a stale schema for the new data."""
+    path = os.path.join(sf_dir, "events.parquet")
+    key = (sf_dir, os.path.getmtime(path))
+    if key not in _SCHEMA_CACHE:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _SCHEMA_CACHE[sf_dir] = spark.read.parquet(
-            os.path.join(sf_dir, "events.parquet")
-        ).schema
-    return _SCHEMA_CACHE[sf_dir]
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
 
 
 def _stage_source_dir(sf_dir: str) -> str:

@@ -185,3 +185,54 @@ def test_debt_ordered_registry_rotation(tmp_path, monkeypatch):
     # b (red, never green) and d (never checked) lead in registry order;
     # then a (green r1, stale), then c (green r2, freshest)
     assert ordered == ["b", "d", "a", "c"]
+
+
+def test_read_table_ntz_requires_utc_session(spark, tmp_path):
+    """events.ts as TIMESTAMP_NTZ: the NTZ→TIMESTAMP cast reads the
+    session zone at action time, so read_table fails fast under a
+    non-UTC session instead of silently shifting instants."""
+    import pytest
+
+    from onetl_spark.connections.catalog import read_table
+
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        df = spark.sql("SELECT 1 AS event_id, TIMESTAMP'2024-01-02 03:04:05' AS ts")
+        df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    finally:
+        spark.conf.set("spark.sql.timestampType", "TIMESTAMP_LTZ")
+
+    out = read_table(spark, str(tmp_path), "events")
+    assert out.schema["ts"].dataType.typeName() == "timestamp"
+    assert str(out.collect()[0]["ts"]) == "2024-01-02 03:04:05"
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="UTC"):
+            read_table(spark, str(tmp_path), "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_events_stream_schema_cache_keyed_by_mtime(spark, tmp_path):
+    """The probed stream schema must re-probe after an in-place testdata
+    regeneration (same path, new mtime) — a path-only cache would hand a
+    long-lived process a stale schema."""
+    import os
+
+    from onetl_spark.showcase import streaming as S
+
+    p = tmp_path / "events.parquet"
+    spark.range(1).selectExpr("id AS event_id", "CAST(id AS STRING) AS etype").write.mode(
+        "overwrite"
+    ).parquet(str(p))
+    s1 = S._events_stream_schema(spark, str(tmp_path))
+    assert "etype" in s1.fieldNames()
+
+    # regenerate in place with a different schema and a bumped mtime
+    spark.range(1).selectExpr("id AS event_id", "id AS amount").write.mode(
+        "overwrite"
+    ).parquet(str(p))
+    os.utime(str(p), (os.path.getmtime(str(p)) + 10, os.path.getmtime(str(p)) + 10))
+    s2 = S._events_stream_schema(spark, str(tmp_path))
+    assert "amount" in s2.fieldNames() and "etype" not in s2.fieldNames()

@@ -208,3 +208,15 @@ def test_pagerank_multigraph_semantics(spark):
         for r in pagerank_fixed_point(wdf2, edge_weight="w").collect()
     }
     assert weighted2 == weighted
+
+
+def test_pagerank_rejects_null_and_nonpositive_weights(spark):
+    import pytest
+
+    base = [(1, 2, 1), (2, 1, 1)]
+    for bad_w in (None, 0, -3):
+        wdf = spark.createDataFrame(
+            base + [(1, 3, bad_w)], "src long, dst long, w long"
+        )
+        with pytest.raises(ValueError, match="edge_weight must be a positive"):
+            pagerank_fixed_point(wdf, edge_weight="w")

@@ -314,3 +314,25 @@ def test_trim_to_token_budget_degenerate_uniform_scores(spark):
     # ties order by doc_id: first 100 docs fit (1000 <= 1005), doc 100 would
     # overflow to 1010 and is excluded
     assert out == [(i, (i + 1) * 10) for i in range(100)]
+
+
+def test_trim_to_token_budget_null_tokens(spark):
+    """NULL token counts: treated as 0-cost rows (still rank by score),
+    never a TypeError from a NULL bucket total, never silently dropped."""
+    from onetl_spark.llm.sampling import trim_to_token_budget
+
+    rows = [(1, 0.9, None), (2, 0.8, 100), (3, 0.7, None), (4, 0.6, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, tok long")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in trim_to_token_budget(df, 150, "score", "tok", buckets=2).collect()
+    }
+    # ranked by score: 1 (0 tok, cum 0), 2 (cum 100), 3 (cum 100), 4 would
+    # push cum to 200 > 150 and is trimmed
+    assert got == {1: 0, 2: 100, 3: 100}
+
+    # all-NULL tokens: every row fits any budget >= 0 at cum 0
+    all_null = spark.createDataFrame(
+        [(i, float(i), None) for i in range(8)], "doc_id long, score double, tok long"
+    )
+    assert trim_to_token_budget(all_null, 0, "score", "tok", buckets=2).count() == 8

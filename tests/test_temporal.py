@@ -254,3 +254,27 @@ def test_range_join_matches_brute_force_random(spark):
                 if lk == rk and lo <= p <= hi
             )
             assert got == want, f"trial={trial} width={width}"
+
+
+def test_asof_nearest_on_date_column(spark):
+    """'nearest' on a DATE on-column: DATE→DOUBLE is not a valid Spark
+    cast, so distances must be compared as days-since-epoch."""
+    import datetime as dt
+
+    from onetl_spark.operators.temporal import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, "a", d(2024, 1, 10)), (2, "a", d(2024, 1, 20))],
+        "id long, k string, t date",
+    )
+    right = spark.createDataFrame(
+        [("a", d(2024, 1, 8), "early"), ("a", d(2024, 1, 21), "late")],
+        "k string, t date, v string",
+    )
+    out = {
+        r["id"]: r["v_right"]
+        for r in asof_join(left, right, on="t", by=["k"], direction="nearest").collect()
+    }
+    # Jan 10: 2 days behind (Jan 8) beats 11 ahead; Jan 20: 1 ahead beats 12 behind
+    assert out == {1: "early", 2: "late"}
