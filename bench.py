@@ -165,6 +165,55 @@ def _family(name: str) -> str:
     return "other"
 
 
+def _testdata_fingerprint(sf_dir: str) -> dict:
+    """Distribution fingerprint of the input generation, recorded in the
+    full bench JSON so cross-round deltas are interpretable: every round
+    runs on a freshly regenerated /root/testdata, and r3's 2-3x spikes
+    turned out to be a generation effect (BENCH_NOTES.md) — without a
+    committed fingerprint that diagnosis took a round to establish."""
+    import duckdb
+
+    fp: dict = {}
+    con = duckdb.connect()
+    try:
+        for name in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                continue
+            fp[f"{name}_rows"] = con.execute(
+                f"SELECT count(*) FROM read_parquet('{path}')"
+            ).fetchone()[0]
+            fp[f"{name}_mtime"] = int(os.path.getmtime(path))
+        doc = os.path.join(sf_dir, "documents.parquet")
+        if os.path.exists(doc):
+            r = con.execute(
+                f"""SELECT count(DISTINCT md5(text)),
+                           round(avg(length(text)), 1),
+                           round(avg(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), 1),
+                           count(DISTINCT substr(text, 1, 64))
+                    FROM read_parquet('{doc}')"""
+            ).fetchone()
+            fp["documents_distinct_text_md5"] = r[0]
+            fp["documents_avg_chars"] = r[1]
+            fp["documents_avg_tokens"] = r[2]
+            fp["documents_distinct_prefix64"] = r[3]
+        emb = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.exists(emb):
+            r = con.execute(
+                f"""SELECT round(avg(n), 4), round(min(n), 4), round(max(n), 4)
+                    FROM (SELECT sqrt(list_sum(list_transform(embedding, x -> x*x))) AS n
+                          FROM read_parquet('{emb}'))"""
+            ).fetchone()
+            fp["embeddings_norm_avg"], fp["embeddings_norm_min"], fp["embeddings_norm_max"] = r
+    except Exception as e:  # noqa: BLE001 — fingerprint is diagnostics, never fail the bench
+        fp["error"] = f"{type(e).__name__}: {e}"
+    finally:
+        con.close()
+    return fp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -230,6 +279,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "methodology": "fixed order; per-query JVM-warm min-of-2 (one untimed compile run); cache cleared between runs",
+                "testdata_fingerprint": _testdata_fingerprint(sf_dir),
             },
             f,
             indent=1,

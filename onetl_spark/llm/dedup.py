@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from onetl_spark.llm.text import md5_long, word_tokens
+from onetl_spark.spark_utils import widen_small_scan
 
 log = logging.getLogger(__name__)
 
@@ -159,7 +160,10 @@ def minhash_lsh_pairs(
         if block_col
         else []
     )
-    hashed = df.select(
+    # widen a scan-starved input first: the per-doc md5 shingle hashing
+    # and the 32-permutation signature aggregation below are CPU-bound
+    # and inherit the scan's task count (see spark_utils.widen_small_scan)
+    hashed = widen_small_scan(df).select(
         F.col(id_col).alias("_id"),
         shingle_hashes(F.col(text_col)).alias("_h"),
         *block_cols,
@@ -271,7 +275,7 @@ def _shingle_inverted_index(
     (see :func:`word_shingles`), so with ``max_df=None`` the sizes equal
     ``F.size(shingles)`` and semantics match the uncapped definition.
     """
-    sh = df.select(
+    sh = widen_small_scan(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
     )
@@ -348,7 +352,7 @@ def simhash_signatures(
     token (a per-row expression tree would re-expand the hash 48×), and
     the bit counts combine map-side before the shuffle.
     """
-    tokens = df.select(
+    tokens = widen_small_scan(df).select(
         F.col(id_col).alias("_id"),
         F.explode(word_tokens(F.col(text_col))).alias("_t"),
     ).select("_id", md5_long(F.col("_t")).alias("_h"))

@@ -22,3 +22,25 @@ def estimate_dataframe_size(df: DataFrame) -> int:
         return int(jvm.org.apache.spark.util.SizeEstimator.estimate(df._jdf))
     except Exception:
         return 0
+
+
+def widen_small_scan(df: DataFrame, min_rows_per_task: int = 0) -> DataFrame:
+    """Repartition ``df`` up to the session's default parallelism when the
+    source offers fewer partitions than cores.
+
+    CPU-heavy per-row pipelines (shingle hashing, signature aggregation)
+    inherit the SCAN's partitioning: a small table stored as a single
+    parquet row group is one task, so the expensive compute serializes on
+    one core no matter how wide the cluster is. AQE never splits
+    partitions (it only coalesces), so this is the one knob Catalyst
+    doesn't turn. At production scale the input has more splits than the
+    cluster has cores and this is a no-op — the extra exchange only ever
+    fires on scan-starved inputs, where shuffling the (by definition
+    small) data costs microseconds against the serialized compute it
+    unlocks.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -288,3 +288,44 @@ def test_pagerank_iterations_checkpointed(tables):
     # (plan growth with iteration count is the classic iterative-Spark bug)
     assert plan.count("ShuffledHashJoin") + plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_widen_small_scan_parallelizes_starved_input_only(tables):
+    from onetl_spark.spark_utils import widen_small_scan
+
+    cores = tables.sparkContext.defaultParallelism
+    starved = tables.range(1000).coalesce(1)
+    widened = widen_small_scan(starved)
+    assert widened.rdd.getNumPartitions() == cores
+    # values survive the round-robin exchange
+    assert widened.count() == 1000
+
+    # already-wide input: no extra exchange is inserted
+    wide = tables.range(1000).repartition(cores + 4)
+    assert widen_small_scan(wide) is wide
+
+
+def test_minhash_widens_single_partition_scan(tables):
+    """The shingle/signature pipeline must not serialize on a scan-starved
+    input: with a 1-partition source the hashing stage is widened to
+    session parallelism, and the pairs are identical to the wide-input
+    run (the result plan itself is a checkpoint scan, so the widening is
+    asserted on the staged frame plus result-equivalence)."""
+    from onetl_spark.llm.dedup import minhash_lsh_pairs, shingle_hashes
+    from onetl_spark.spark_utils import widen_small_scan
+
+    docs = tables.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 7}") for i in range(300)],
+        "doc_id long, text string",
+    ).coalesce(1)
+    staged = widen_small_scan(docs).select("doc_id", shingle_hashes("text"))
+    assert staged.rdd.getNumPartitions() == tables.sparkContext.defaultParallelism
+
+    narrow = {tuple(r) for r in minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    wide = {
+        tuple(r)
+        for r in minhash_lsh_pairs(
+            docs.repartition(8, "doc_id"), threshold=0.9
+        ).collect()
+    }
+    assert narrow == wide and narrow
