@@ -160,3 +160,50 @@ def test_dbreader_incremental_over_live_jdbc(spark, derby):
         got = sorted(r["ID_INT"] for r in reader.run().collect())
     assert got == list(range(51, 61))
     assert HWMStoreStackManager.get_current().get_hwm("inc_jdbc_hwm").value == 60
+
+
+def test_execute_user_defined_function(derby):
+    """CREATE FUNCTION backed by a JVM static method (Derby EXTERNAL NAME),
+    then use it through every surface: driver-side fetch, executor-side
+    sql scan, and DDL teardown — pinning that execute() returns None for
+    DDL and the function round-trips through rendered SQL (reference
+    jdbc_mixin/connection.py:447-472 return-shape contract)."""
+    assert (
+        derby.execute(
+            "CREATE FUNCTION F_ABS(X DOUBLE) RETURNS DOUBLE "
+            "PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA "
+            "EXTERNAL NAME 'java.lang.Math.abs'"
+        )
+        is None
+    )
+    got = derby.fetch("VALUES F_ABS(-2.5)")
+    assert [r[0] for r in got.collect()] == [2.5]
+    # executor-side: the function evaluates inside a Spark JDBC scan
+    df = derby.sql("SELECT F_ABS(-3.0E0) AS A FROM SYSIBM.SYSDUMMY1")
+    assert [r["A"] for r in df.collect()] == [3.0]
+    assert derby.execute("DROP FUNCTION F_ABS") is None
+
+
+def test_execute_callable_resultset_dispatch(derby):
+    """{call ...} that RETURNS a result set must come back as a DataFrame
+    (CallableStatement resultset branch), while a void call returns None —
+    the execute() DataFrame-vs-None dispatch, live."""
+    derby.execute("CREATE TABLE CALL_PROBE_T (A INT)")
+    try:
+        # SYSIBM.SQLTABLES is Derby's metadata procedure: returns the
+        # table list as a result set through prepareCall
+        out = derby.execute(
+            "{call SYSIBM.SQLTABLES(NULL, NULL, 'CALL_PROBE_T', NULL, NULL)}"
+        )
+        assert out is not None, "resultset-returning call must yield a DataFrame"
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["TABLE_NAME"] == "CALL_PROBE_T"
+        # void call through the same dispatch returns None
+        assert (
+            derby.execute(
+                "{call SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('onetl.probe2', 'v')}"
+            )
+            is None
+        )
+    finally:
+        derby.execute("DROP TABLE CALL_PROBE_T")
