@@ -1,6 +1,7 @@
 from onetl_spark.dialects.base import Dialect
 from onetl_spark.dialects.jdbc import (
     ClickhouseDialect,
+    DerbyDialect,
     GreenplumDialect,
     MSSQLDialect,
     MySQLDialect,
@@ -18,4 +19,5 @@ __all__ = [
     "OracleDialect",
     "ClickhouseDialect",
     "GreenplumDialect",
+    "DerbyDialect",
 ]

@@ -100,3 +100,26 @@ def test_min_max_query():
     assert q == 'SELECT MIN(id) AS "min", MAX(id) AS "max" FROM t WHERE (a = 1)'
     qc = ClickhouseDialect().get_min_max_query("t", "id")
     assert "minOrNull(id)" in qc and "maxOrNull(id)" in qc
+
+
+def test_dialect_sql_matches_golden_file():
+    """Verbatim golden-file pin of the full (dialect x operation) rendered-
+    SQL matrix (tools/dialect_golden.py): the sandbox cannot integration-
+    test named dialects against live servers, so the rendered SQL IS the
+    per-dialect contract. Regenerate intentionally with
+    `python tools/dialect_golden.py --write`."""
+    import importlib.util
+    import json
+    import os
+
+    here = os.path.dirname(__file__)
+    spec = importlib.util.spec_from_file_location(
+        "dialect_golden", os.path.join(here, "..", "tools", "dialect_golden.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    with open(os.path.join(here, "golden", "dialect_sql.json")) as f:
+        want = json.load(f)
+    got = mod.render_matrix()
+    assert got == want, "rendered dialect SQL drifted from tests/golden/dialect_sql.json"
