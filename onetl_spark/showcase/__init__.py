@@ -8,6 +8,7 @@ parquet views). ``__spark_entry__.py`` merges them.
 from onetl_spark.showcase import (
     analytics,
     cdc,
+    file_transfer,
     graphs,
     operators,
     sampling,
@@ -67,7 +68,7 @@ def all_oracles():
 
 
 def _modules():
-    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming, sampling, cdc, graphs]
+    mods = [tpch, tpch_ext, analytics, operators, temporal, sessions, streaming, sampling, cdc, graphs, file_transfer]
     try:
         from onetl_spark.showcase import llm
 
