@@ -236,3 +236,20 @@ def test_events_stream_schema_cache_keyed_by_mtime(spark, tmp_path):
     os.utime(str(p), (os.path.getmtime(str(p)) + 10, os.path.getmtime(str(p)) + 10))
     s2 = S._events_stream_schema(spark, str(tmp_path))
     assert "amount" in s2.fieldNames() and "etype" not in s2.fieldNames()
+
+
+def test_debt_rotation_is_healthy():
+    """Every never-green or stale (>=3 rounds since green) query must sit
+    inside the driver's next 50-query oracle window, and the due backlog
+    must fit in one window — otherwise some query would never be
+    re-verified (tools/debt_check.py)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "debt_check",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "debt_check.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.check() == []
