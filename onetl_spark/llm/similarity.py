@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from onetl_spark.spark_utils import widen_small_scan
+
 
 def dot(a, b):
     return F.aggregate(
@@ -82,7 +84,8 @@ def topk_per_query(
     non-deterministic, forcing an extra full shuffle on (query, pid).
     """
     scored = (
-        embeddings.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+        widen_small_scan(embeddings)
+        .join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
@@ -174,7 +177,7 @@ def quantize_embeddings(
     # row; inlining it in the transform lambda would re-run the array_max
     # fold for every element (O(d²) per row, and higher-order functions
     # run interpreted — measured 3× slower at d=64)
-    staged = embeddings.select(
+    staged = widen_small_scan(embeddings).select(
         F.col(id_col),
         x.alias("_x"),
         (F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)).alias("scale"),
@@ -314,8 +317,11 @@ def ivf_assign(
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
     cent = centroids.select("centroid_id", "cvec", norm(F.col("cvec")).alias("cnorm"))
+    # the N×C scoring expansion below is the hot loop — widen a
+    # scan-starved corpus first (no-op on production inputs)
     scored = (
-        embeddings.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"))
+        widen_small_scan(embeddings)
+        .select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"))
         .join(F.broadcast(cent))
         .select(
             F.col(id_col),
@@ -539,7 +545,8 @@ def embedding_outlier_scores(
     cent = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
     cent = cent.select("centroid_id", "cvec", norm(F.col("cvec")).alias("cnorm"))
     scored = (
-        embeddings.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"))
+        widen_small_scan(embeddings)
+        .select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("vnorm"))
         .join(F.broadcast(cent))
         .select(
             F.col(id_col),
