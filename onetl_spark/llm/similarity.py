@@ -614,3 +614,135 @@ def hybrid_filtered_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def two_stage_rerank_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieve-then-rerank: a cheap int8-quantized pass selects
+    ``candidates`` coarse winners, then exact float cosine reranks only
+    those down to the final top-k — the canonical production ANN shape
+    (coarse quantizer + exact refinement, as in Faiss IndexIVF + refine).
+
+    The 100 TB rationale: the expensive exact scoring touches only
+    ``candidates`` rows instead of the corpus. Stage 1 scans the 4×-smaller
+    quantized representation and reduces via ``TakeOrderedAndProject``
+    (per-partition heap, driver merges ``candidates`` rows); stage 2 is a
+    broadcast semi-join of that tiny winner set back to the float vectors.
+    Candidate selection ties break on id, so the result is deterministic
+    cross-engine.
+    """
+    coarse = quantized_topk(embeddings, query_id, k=candidates, id_col=id_col, vec_col=vec_col)
+    winner_ids = coarse.select(id_col)
+    qvec = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), norm(F.col(vec_col)).alias("_qn"),
+    )
+    return (
+        embeddings.join(F.broadcast(winner_ids), id_col, "semi")
+        .join(F.broadcast(qvec))
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv")) / (norm(F.col(vec_col)) * F.col("_qn")), 9,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss style dense random projection to ``out_dim``
+    dimensions using the same deterministic md5-derived hyperplanes as
+    :func:`sign_lsh_bucket` (components in [-1, 1), no RNG state — any
+    engine reproduces them bit-for-bit).
+
+    The 100 TB rationale: an 8×-smaller vector column shrinks every
+    downstream scan, shuffle, and cache; the projection itself is a pure
+    per-row multiply-add chain over Python-precomputed literal constants —
+    whole-stage-codegen arithmetic, zero UDFs, zero shuffles.
+
+    Janino caps generated methods at 64 KB, and a ``out_dim×in_dim`` term
+    chain beyond ~1024 terms overflows it (Spark then silently re-runs the
+    expression interpreted — correct but slow). Past that size the planes
+    are emitted as ONE literal matrix and each component folds via
+    ``zip_with``+``aggregate``: higher-order functions are interpreted
+    per-element, but the expression stays small, so the surrounding
+    pipeline keeps codegen. Both paths produce bit-identical doubles
+    (same left-to-right add order).
+    """
+    src = widen_small_scan(embeddings)
+    if out_dim * in_dim <= 1024:
+        comps = []
+        for p in range(out_dim):
+            proj = None
+            for d in range(in_dim):
+                term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(
+                    lsh_plane_component(p, d)
+                )
+                proj = term if proj is None else proj + term
+            comps.append(proj)
+        return src.select(F.col(id_col), F.array(*comps).alias(out_col))
+    planes = F.array(
+        *[
+            F.array(*[F.lit(lsh_plane_component(p, d)) for d in range(in_dim)])
+            for p in range(out_dim)
+        ],
+    )
+    comp = F.transform(
+        planes,
+        lambda plane: F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda v, c: v.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return src.select(F.col(id_col), comp.alias(out_col))
+
+
+def projected_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k in the random-projection space — the
+    reduced-dimension approximation of full-vector search (JL preserves
+    pairwise angles to within epsilon, so projected cosine rank-correlates
+    with true cosine).
+
+    Same scale shape as :func:`bruteforce_topk`: broadcast single-row
+    query, embarrassingly-parallel scan over the (now 8× narrower)
+    vectors, partial-heap ``TakeOrderedAndProject`` top-k.
+    """
+    proj = random_projection(embeddings, out_dim, in_dim, id_col, vec_col)
+    query = proj.filter(F.col(id_col) == query_id).select(
+        F.col("proj").alias("_qp"), norm(F.col("proj")).alias("_qn"),
+    )
+    return (
+        proj.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(query))
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(F.col("proj"), F.col("_qp")) / (norm(F.col("proj")) * F.col("_qn")), 9,
+            ).alias("pcos_sim"),
+        )
+        .orderBy(F.desc("pcos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1282,3 +1282,97 @@ ORACLE_SQL["embedding_outliers"] = EMBEDDING_OUTLIERS_SQL
 
 SPARK_QUERIES["hybrid_search_topk"] = hybrid_search_topk
 ORACLE_SQL["hybrid_search_topk"] = HYBRID_SEARCH_SQL
+
+
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank: int8-quantized coarse top-50, exact float
+    cosine rerank to top-10 — the production coarse+refine ANN shape."""
+    ensure_views(spark, sf_dir)
+    return similarity.two_stage_rerank_topk(
+        spark.table("embeddings"), query_id=0, k=10, candidates=50,
+    )
+
+
+ANN_TWO_STAGE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) /
+                (greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)
+                 / 127.0)) AS BIGINT)) AS qvec
+  FROM embeddings
+), n AS (
+  SELECT vec_id, qvec,
+         sqrt(CAST(list_sum(list_transform(qvec, v -> v * v)) AS DOUBLE)) AS qn
+  FROM q
+), qq AS (
+  SELECT qvec AS _qq, qn AS _qqn FROM n WHERE vec_id = 0
+), coarse AS (
+  SELECT b.vec_id,
+         round(CAST(list_sum(list_transform(range(1, len(b.qvec)+1),
+                   i -> b.qvec[i] * qq._qq[i])) AS DOUBLE) / (b.qn * qq._qqn), 9) AS qcos_sim
+  FROM n b CROSS JOIN qq
+  WHERE b.vec_id <> 0
+  ORDER BY qcos_sim DESC, b.vec_id ASC
+  LIMIT 50
+), fq AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+)
+SELECT b.vec_id,
+       round(list_sum(list_transform(range(1, len(b.embedding)+1),
+                 i -> CAST(b.embedding[i] AS DOUBLE) * CAST(fq.qvec[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(fq.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)
+           AS cos_sim
+FROM embeddings b CROSS JOIN fq
+WHERE b.vec_id IN (SELECT vec_id FROM coarse)
+ORDER BY cos_sim DESC, b.vec_id ASC
+LIMIT 10
+"""
+
+SPARK_QUERIES["ann_two_stage_rerank"] = ann_two_stage_rerank
+ORACLE_SQL["ann_two_stage_rerank"] = ANN_TWO_STAGE_SQL
+
+
+def ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k in an 8-dim Johnson-Lindenstrauss random projection of
+    the 64-dim embeddings — an 8x narrower scan/shuffle for approximate
+    angular search."""
+    ensure_views(spark, sf_dir)
+    return similarity.projected_topk(
+        spark.table("embeddings"), query_id=0, k=10, out_dim=8, in_dim=64,
+    )
+
+
+def _projected_topk_sql(out_dim: int = 8, in_dim: int = 64, k: int = 10) -> str:
+    # identical deterministic hyperplanes, embedded as literals (same
+    # left-to-right multiply-add order as the Spark column expression so
+    # the doubles agree bit-for-bit)
+    comps = []
+    for p in range(out_dim):
+        terms = " + ".join(
+            f"CAST(e.embedding[{d + 1}] AS DOUBLE) * ({similarity.lsh_plane_component(p, d)!r})"
+            for d in range(in_dim)
+        )
+        comps.append(f"({terms})")
+    proj_list = "[" + ", ".join(comps) + "]"
+    return f"""
+WITH proj AS (
+  SELECT e.vec_id, {proj_list} AS p FROM embeddings e
+), q AS (
+  SELECT p AS qp, sqrt(list_sum(list_transform(p, x -> x * x))) AS qn
+  FROM proj WHERE vec_id = 0
+)
+SELECT b.vec_id,
+       round(list_sum(list_transform(range(1, len(b.p)+1),
+                 i -> b.p[i] * q.qp[i])) /
+             (sqrt(list_sum(list_transform(b.p, x -> x * x))) * q.qn), 9) AS pcos_sim
+FROM proj b CROSS JOIN q
+WHERE b.vec_id <> 0
+ORDER BY pcos_sim DESC, b.vec_id ASC
+LIMIT {k}
+"""
+
+
+SPARK_QUERIES["ann_projected_topk"] = ann_projected_topk
+ORACLE_SQL["ann_projected_topk"] = _projected_topk_sql()

@@ -307,3 +307,98 @@ def test_encoding_quality_signals(spark):
     assert out[3]["n_control"] == 2 and not out[3]["enc_clean"]
     assert out[4]["n_control"] == 0
     assert out[5]["n_mojibake"] == 2 and not out[5]["enc_clean"]
+
+
+def test_two_stage_rerank_matches_bruteforce_head(spark, testdata):
+    """With a generous candidate pool the rerank result must equal exact
+    brute-force top-k (the coarse stage only prunes, never reorders the
+    survivors — stage 2 is exact)."""
+    from onetl_spark.llm.similarity import bruteforce_topk, two_stage_rerank_topk
+
+    emb = spark.table("embeddings")
+    exact = [r["vec_id"] for r in bruteforce_topk(emb, query_id=0, k=5).collect()]
+    staged = two_stage_rerank_topk(emb, query_id=0, k=5, candidates=200).collect()
+    assert [r["vec_id"] for r in staged] == exact
+    # scores are the TRUE cosines, not the quantized approximations
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in staged)
+
+
+def test_two_stage_rerank_narrow_candidates_subset(spark, testdata):
+    """k results always come back even from a tight candidate pool, and
+    every result is a member of the coarse candidate set."""
+    from onetl_spark.llm.similarity import quantized_topk, two_stage_rerank_topk
+
+    emb = spark.table("embeddings")
+    coarse_ids = {r["vec_id"] for r in quantized_topk(emb, query_id=0, k=12).collect()}
+    out = two_stage_rerank_topk(emb, query_id=0, k=10, candidates=12).collect()
+    assert len(out) == 10
+    assert {r["vec_id"] for r in out} <= coarse_ids
+
+
+def test_random_projection_shape_and_determinism(spark, testdata):
+    from onetl_spark.llm.similarity import random_projection
+
+    emb = spark.table("embeddings").limit(20)
+    a = {r["vec_id"]: r["proj"] for r in random_projection(emb, out_dim=4).collect()}
+    b = {r["vec_id"]: r["proj"] for r in random_projection(emb, out_dim=4).collect()}
+    assert a == b  # md5-derived planes: no RNG state anywhere
+    assert all(len(v) == 4 for v in a.values())
+
+
+def test_random_projection_matches_numpy(spark, testdata):
+    """The Spark column-expression projection must agree with a numpy
+    matmul over the same md5-derived plane matrix (both via float64)."""
+    import numpy as np
+
+    from onetl_spark.llm.similarity import lsh_plane_component, random_projection
+
+    emb = spark.table("embeddings").limit(10)
+    planes = np.array(
+        [[lsh_plane_component(p, d) for d in range(64)] for p in range(8)]
+    )
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    got = {r["vec_id"]: r["proj"] for r in random_projection(emb, out_dim=8).collect()}
+    for vid, vec in rows.items():
+        expect = planes @ vec
+        assert np.allclose(got[vid], expect, rtol=0, atol=1e-9), vid
+
+
+def test_random_projection_hof_path_matches_chain_path(spark, testdata):
+    """Above the codegen-size cutoff the implementation switches to a
+    literal-matrix zip_with/aggregate fold; both paths must produce
+    bit-identical doubles (same left-to-right add order)."""
+    from onetl_spark.llm import similarity as S
+
+    emb = spark.table("embeddings").limit(10)
+    chain = {r["vec_id"]: r["proj"] for r in S.random_projection(emb, out_dim=8).collect()}
+    # force the HOF path for the same 8 planes by lying about the cutoff
+    import pyspark.sql.functions as F
+
+    planes = F.array(
+        *[F.array(*[F.lit(S.lsh_plane_component(p, d)) for d in range(64)]) for p in range(8)]
+    )
+    comp = F.transform(
+        planes,
+        lambda plane: F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda v, c: v.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    hof = {r["vec_id"]: r["p"] for r in emb.select("vec_id", comp.alias("p")).collect()}
+    assert chain == hof
+
+
+def test_projected_topk_shape(spark, testdata):
+    """Structural guard: k rows, scores in [-1, 1], descending order with
+    id tie-breaks. (Approximation *quality* is data-dependent — the
+    synthetic embeddings are near-random, so recall vs exact top-k is not
+    a meaningful invariant; cross-engine determinism is pinned by the
+    driver oracle instead.)"""
+    from onetl_spark.llm.similarity import projected_topk
+
+    out = projected_topk(spark.table("embeddings"), query_id=0, k=10, out_dim=8).collect()
+    assert len(out) == 10
+    assert all(-1.0 <= r["pcos_sim"] <= 1.0 for r in out)
+    keys = [(-r["pcos_sim"], r["vec_id"]) for r in out]
+    assert keys == sorted(keys)

@@ -329,3 +329,35 @@ def test_minhash_widens_single_partition_scan(tables):
         ).collect()
     }
     assert narrow == wide and narrow
+
+
+def test_two_stage_rerank_broadcasts_candidates_and_heap_topk(tables):
+    """Stage 2 must touch only the candidate set: the coarse winners and
+    the query vector join broadcast (no corpus shuffle), and both stage
+    top-ks reduce via TakeOrderedAndProject partial heaps — never a
+    global Sort of the corpus."""
+    from onetl_spark.llm.similarity import two_stage_rerank_topk
+
+    df = two_stage_rerank_topk(tables.table("embeddings"), query_id=0, k=5, candidates=20)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # no full-corpus sort: every Sort in the plan must sit under a
+    # TakeOrdered limit, which renders as TakeOrderedAndProject (no
+    # standalone global Sort node)
+    assert "\nSort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_projected_topk_single_scan_no_shuffle_before_topk(tables):
+    """The projection is a pure per-row expression: the only wide
+    operation in the whole plan is the final top-k heap merge."""
+    from onetl_spark.llm.similarity import projected_topk
+
+    df = projected_topk(tables.table("embeddings"), query_id=0, k=5, out_dim=8)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # one broadcast (the single-row query projection); zero shuffle
+    # exchanges of the corpus
+    assert "Exchange hashpartitioning" not in plan
