@@ -682,3 +682,26 @@ def hamming_near_dup_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_dist)
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup after canonical normalization (lower-case, strip
+    punctuation, collapse whitespace — :func:`onetl_spark.llm.text.
+    normalize_text`): catches the re-encoded / re-punctuated / re-cased
+    copies that raw-byte dedup misses, at the same map-side cost.
+
+    Groups by the md5 fingerprint of the normalized text rather than the
+    normalized text itself — the shuffle key is 32 bytes instead of the
+    document body, which at 100 TB is the difference between shuffling
+    hashes and shuffling the corpus. Survivor = min id per group.
+    """
+    from onetl_spark.llm.text import fingerprint
+
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "fp", "n_copies")
+    )

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from onetl_spark.llm.text import md5_long, token_count, word_tokens
+from onetl_spark.llm.text import bpe_ish_token_count, md5_long, token_count, word_tokens
 
 #: denominator for mapping the hash to a unit interval; 1e6 buckets keeps
 #: split boundaries exact for fractions with ≤6 decimal places
@@ -458,4 +458,73 @@ def reweight_domains(
         staged.join(F.broadcast(rates), domain_col)
         .filter(hash_unit(F.col(id_col), salt) < F.col("sample_rate"))
         .drop("_nt")
+    )
+
+
+def quantile_threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    q: float = 0.75,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep rows whose score is at or above the corpus ``q``-quantile —
+    the "train on the best X% of the corpus" selection step.
+
+    ``exact=True`` uses Spark's exact linear-interpolation ``percentile``
+    aggregate (map-side-combined buffer, one scalar out); prefer INTEGER
+    score columns with it — integer lo/hi and dyadic q make the
+    interpolated threshold exact in binary, so the boundary comparison is
+    deterministic cross-engine. At 100 TB exact percentile of a double
+    column is still one aggregate pass, but ``exact=False`` switches to
+    ``percentile_approx`` (a fixed-size QuantileSummaries sketch) when a
+    ±ε threshold is acceptable — same plan shape, bounded memory.
+
+    The threshold is a 1-row broadcast join — the corpus is never
+    shuffled; the subsequent filter is a scan-side predicate.
+    """
+    fn = "percentile" if exact else "percentile_approx"
+    arg = f"{score_col}, {q!r}" if exact else f"{score_col}, {q!r}, {accuracy}"
+    thr = df.select(F.round(F.expr(f"{fn}({arg})"), 9).alias("_thr"))
+    return df.join(F.broadcast(thr)).filter(F.col(score_col) >= F.col("_thr"))
+
+
+#: power-of-two padded-sequence sizes for batch shape bucketing
+LENGTH_BUCKETS: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def length_bucket(token_col: Column | str, buckets: tuple[int, ...] = LENGTH_BUCKETS) -> Column:
+    """Smallest bucket >= the token count (overflow clamps to the largest)
+    — the padded sequence length this document would occupy in a fixed-
+    shape training batch. A pure CASE chain over integer literals: no
+    floats, no log2, bit-identical in any engine."""
+    c = F.col(token_col) if isinstance(token_col, str) else token_col
+    expr = F.lit(buckets[-1])
+    for b in reversed(buckets):
+        expr = F.when(c <= b, F.lit(b)).otherwise(expr)
+    return expr.cast("long")
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: tuple[int, ...] = LENGTH_BUCKETS,
+) -> DataFrame:
+    """Padding-waste report per power-of-two length bucket: how many
+    documents land in each padded batch shape, and what fraction of the
+    padded tokens would be waste. The query a pipeline owner runs before
+    choosing packing vs padding (compare with :func:`pack_sequences`).
+
+    One projection + one tiny hash aggregate keyed by bucket (≤ a dozen
+    groups, map-side combined) — a map-only pass at any corpus size.
+    """
+    nt = bpe_ish_token_count(F.col(text_col))
+    staged = df.select(nt.alias("_nt"), length_bucket(nt, buckets).alias("bucket"))
+    return staged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("actual_tokens"),
+        (F.col("bucket") * F.count(F.lit(1))).alias("padded_tokens"),
+        F.round(
+            1.0 - F.sum("_nt") / (F.col("bucket") * F.count(F.lit(1))), 9,
+        ).alias("waste_ratio"),
     )

@@ -315,3 +315,57 @@ def top_terms(df, text_col: str = "text", group_col: str = "lang", k: int = 10):
         .filter(F.col("rank") <= k)
         .select(group_col, "term", "n_occurrences", "rank")
     )
+
+
+def gopher_rules(
+    col: Column | str,
+    min_words: int = 20,
+    max_words: int = 80,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1.2):
+    hard per-document heuristics that cull machine-generated or broken
+    text before any model-based filtering.
+
+    - ``r_word_count``: token count within [min_words, max_words];
+    - ``r_mean_word_len``: mean word length within bounds (word salad and
+      minified blobs fall outside);
+    - ``r_alpha_words``: ≥ ratio of words containing a letter (tables of
+      numbers / markup fail);
+    - ``r_stopwords``: ≥ N distinct function-word hits (real prose has
+      them; keyword lists don't);
+    - ``r_symbol_ratio``: '#'/'…' symbols per word below a cap (markup,
+      truncated scrapes);
+    - ``keep``: conjunction of all rules.
+
+    All pure JVM per-row projections in the Java∩RE2 regex subset — zero
+    shuffle, the ``keep`` predicate pushes to the scan; at 100 TB this is
+    a map-only pass over the corpus.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = word_tokens(c)
+    n_words = F.size(tokens)
+    n_nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    mean_len = n_nonspace / F.greatest(n_words, F.lit(1))
+    n_alpha_words = F.size(F.filter(tokens, lambda x: x.rlike("[a-z]")))
+    alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(tokens), en_stop))
+    n_symbols = F.regexp_count(c, F.lit(r"[#\x{2026}]"))
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len),
+        "r_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "r_stopwords": stop_hits >= min_stopword_hits,
+        "r_symbol_ratio": symbol_ratio < max_symbol_ratio,
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else keep & r
+    rules["keep"] = keep
+    return rules

@@ -1376,3 +1376,141 @@ LIMIT {k}
 
 SPARK_QUERIES["ann_projected_topk"] = ann_projected_topk
 ORACLE_SQL["ann_projected_topk"] = _projected_topk_sql()
+
+
+def gopher_rules_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality rules, reported per source: total docs,
+    docs kept, and per-rule violation counts."""
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents")
+    r = text.gopher_rules("text")
+    flagged = d.select(
+        "source",
+        *[v.alias(k) for k, v in r.items()],
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum((~F.col("r_word_count")).cast("long")).alias("v_word_count"),
+        F.sum((~F.col("r_mean_word_len")).cast("long")).alias("v_mean_word_len"),
+        F.sum((~F.col("r_alpha_words")).cast("long")).alias("v_alpha_words"),
+        F.sum((~F.col("r_stopwords")).cast("long")).alias("v_stopwords"),
+        F.sum((~F.col("r_symbol_ratio")).cast("long")).alias("v_symbol_ratio"),
+    )
+
+
+_EN10 = "['the','of','and','to','in','is','it','you','that','for']"
+GOPHER_RULES_SQL = rf"""
+WITH t AS (
+  SELECT source, {SQL_TOKENS} AS w,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         len(regexp_extract_all(text, '[#…]')) AS n_symbols
+  FROM documents
+), r AS (
+  SELECT source,
+         len(w) BETWEEN 20 AND 80 AS r_word_count,
+         (n_nonspace * 1.0 / greatest(len(w), 1)) BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+         (len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(w), 1)) >= 0.8 AS r_alpha_words,
+         len(list_intersect(list_distinct(w), {_EN10})) >= 2 AS r_stopwords,
+         (n_symbols * 1.0 / greatest(len(w), 1)) < 0.1 AS r_symbol_ratio
+  FROM t
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len AND r_alpha_words
+                 AND r_stopwords AND r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS v_word_count,
+       CAST(SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS v_mean_word_len,
+       CAST(SUM(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha_words,
+       CAST(SUM(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS v_stopwords,
+       CAST(SUM(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS v_symbol_ratio
+FROM r GROUP BY source
+"""
+
+SPARK_QUERIES["gopher_rules_filter"] = gopher_rules_filter
+ORACLE_SQL["gopher_rules_filter"] = GOPHER_RULES_SQL
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the canonical (lower/punct-stripped/whitespace-
+    collapsed) fingerprint — catches re-cased and re-punctuated copies
+    raw-text dedup misses; the shuffle key is the 32-byte md5, not the
+    document body."""
+    ensure_views(spark, sf_dir)
+    return dedup.normalized_dedup(spark.table("documents"))
+
+
+DEDUP_NORMALIZED_SQL = r"""
+SELECT MIN(doc_id) AS doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY fp
+"""
+
+SPARK_QUERIES["dedup_normalized"] = dedup_normalized
+ORACLE_SQL["dedup_normalized"] = DEDUP_NORMALIZED_SQL
+
+
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents at or above the corpus P75 of BPE-ish token count
+    (integer scores + dyadic q → the interpolated threshold is exact in
+    binary, so the boundary is deterministic cross-engine); report the
+    surviving slice per source."""
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "source", text.bpe_ish_token_count("text").cast("long").alias("n_bpe"),
+    )
+    kept = sampling.quantile_threshold_filter(d, "n_bpe", q=0.75, exact=True)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_keep"),
+        F.sum("n_bpe").alias("kept_tokens"),
+        F.min("n_bpe").alias("min_tokens"),
+    )
+
+
+QUALITY_QUANTILE_SQL = r"""
+WITH s AS (
+  SELECT source, len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+  FROM documents
+), thr AS (
+  SELECT round(quantile_cont(n_bpe, 0.75), 9) AS t FROM s
+)
+SELECT source, COUNT(*) AS n_keep, CAST(SUM(n_bpe) AS BIGINT) AS kept_tokens, MIN(n_bpe) AS min_tokens
+FROM s, thr WHERE n_bpe >= thr.t GROUP BY source
+"""
+
+SPARK_QUERIES["quality_quantile_filter"] = quality_quantile_filter
+ORACLE_SQL["quality_quantile_filter"] = QUALITY_QUANTILE_SQL
+
+
+def length_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report per power-of-two sequence-length bucket — the
+    padded-batch-shape planning query (compare against sequence_packing)."""
+    ensure_views(spark, sf_dir)
+    return sampling.length_bucket_stats(spark.table("documents"))
+
+
+_BUCKET_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_bpe <= {b} THEN {b}" for b in (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+    )
+    + " ELSE 8192 END"
+)
+LENGTH_BUCKET_SQL = rf"""
+WITH s AS (
+  SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+  FROM documents
+), b AS (
+  SELECT n_bpe, {_BUCKET_CASE} AS bucket FROM s
+)
+SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_bpe) AS BIGINT) AS actual_tokens,
+       CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+       round(1.0 - SUM(n_bpe) * 1.0 / (bucket * COUNT(*)), 9) AS waste_ratio
+FROM b GROUP BY bucket
+"""
+
+SPARK_QUERIES["length_bucket_stats"] = length_bucket_stats
+ORACLE_SQL["length_bucket_stats"] = LENGTH_BUCKET_SQL

@@ -402,3 +402,78 @@ def test_projected_topk_shape(spark, testdata):
     assert all(-1.0 <= r["pcos_sim"] <= 1.0 for r in out)
     keys = [(-r["pcos_sim"], r["vec_id"]) for r in out]
     assert keys == sorted(keys)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from onetl_spark.llm.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and it was then very "
+        "nice indeed to watch them play for hours"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # passes everything (21 words, stopwords, alpha)
+            (2, "word " * 5),  # too short → r_word_count
+            (3, ("the of and to in is it you that for " * 3) + "a b c d e f g h i j"),
+            (4, "the of and to in " + " ".join(["12345"] * 20)),  # numeric words → r_alpha_words
+            (5, "zebra quilt mango " + " ".join(f"w{i}" for i in range(20))),  # no stopwords
+            (6, "the of and is it " + " ".join(["###"] * 20)),  # symbol ratio + alpha
+        ],
+        "doc_id long, text string",
+    )
+    r = gopher_rules("text")
+    out = {row["doc_id"]: row for row in docs.select("doc_id", *[v.alias(k) for k, v in r.items()]).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["r_word_count"] and not out[2]["keep"]
+    assert not out[4]["r_alpha_words"]
+    assert not out[5]["r_stopwords"]
+    assert not out[6]["r_symbol_ratio"]
+
+
+def test_normalized_dedup_collapses_case_and_punct(spark):
+    from onetl_spark.llm.dedup import normalized_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),
+            (3, "HELLO   world."),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalized_dedup(docs).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_copies"] == 3 and out[4]["n_copies"] == 1
+
+
+def test_quantile_threshold_filter_integer_boundary(spark):
+    from onetl_spark.llm.sampling import quantile_threshold_filter
+
+    df = spark.createDataFrame([(i, i) for i in range(1, 101)], "id long, score long")
+    kept = quantile_threshold_filter(df, "score", q=0.75).collect()
+    # exact percentile of 1..100 at 0.75 = 75.25 → keep 76..100
+    assert sorted(r["score"] for r in kept) == list(range(76, 101))
+    approx = quantile_threshold_filter(df, "score", q=0.75, exact=False).count()
+    assert approx >= 25  # sketch threshold is within epsilon of exact
+
+
+def test_length_bucket_clamps_and_stats(spark):
+    from onetl_spark.llm.sampling import length_bucket_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 10)),  # 10 tokens → bucket 16
+            (2, " ".join(["w"] * 16)),  # boundary → 16
+            (3, " ".join(["w"] * 17)),  # → 32
+            (4, " ".join(["w"] * 9000)),  # overflow clamps → 8192
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in length_bucket_stats(docs).collect()}
+    assert out[16]["n_docs"] == 2 and out[16]["actual_tokens"] == 26
+    assert out[16]["padded_tokens"] == 32
+    assert out[32]["n_docs"] == 1
+    assert out[8192]["n_docs"] == 1 and out[8192]["actual_tokens"] == 9000
+    assert abs(out[16]["waste_ratio"] - (1 - 26 / 32)) < 1e-9
