@@ -89,6 +89,15 @@ HEADLINE = [
     "encoding_quality_stats",
     "training_shuffle_shards",
     "asof_join_tolerance",
+    "ann_two_stage_rerank",
+    "ann_projected_topk",
+    "gopher_rules_filter",
+    "dedup_normalized",
+    "quality_quantile_filter",
+    "length_bucket_stats",
+    "unigram_logprob_quality",
+    "knn_label_vote",
+    "dedup_incremental_batch",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

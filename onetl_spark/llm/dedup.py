@@ -705,3 +705,34 @@ def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         )
         .select(id_col, "fp", "n_copies")
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingestion-time dedup: keep only the rows of ``new_batch`` whose
+    normalized fingerprint appears neither in the ``existing`` corpus nor
+    earlier (min id) within the batch itself — the operator every
+    continuously-crawled corpus runs on each increment so the stored
+    corpus never needs re-deduplication.
+
+    Scale shape: the existing corpus contributes ONLY its fingerprint
+    column (32-byte keys; in production this is a pre-materialized
+    fingerprint table, not a rescan) to a left ANTI join keyed by hash —
+    no payloads move. The intra-batch survivor pass is the same
+    min-id-per-fingerprint aggregate as :func:`normalized_dedup`, keyed
+    on the batch side only.
+    """
+    from onetl_spark.llm.text import fingerprint
+
+    seen = existing.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    staged = new_batch.withColumn("fp", fingerprint(F.col(text_col)))
+    fresh = staged.join(seen, "fp", "anti")
+    survivors = fresh.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(survivors, [id_col, "fp"], "semi")
+        .drop("fp")
+    )

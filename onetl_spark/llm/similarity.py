@@ -670,31 +670,20 @@ def random_projection(
     engine reproduces them bit-for-bit).
 
     The 100 TB rationale: an 8×-smaller vector column shrinks every
-    downstream scan, shuffle, and cache; the projection itself is a pure
-    per-row multiply-add chain over Python-precomputed literal constants —
-    whole-stage-codegen arithmetic, zero UDFs, zero shuffles.
+    downstream scan, shuffle, and cache; the projection is a pure per-row
+    expression over Python-precomputed literal constants — zero UDFs,
+    zero shuffles.
 
-    Janino caps generated methods at 64 KB, and a ``out_dim×in_dim`` term
-    chain beyond ~1024 terms overflows it (Spark then silently re-runs the
-    expression interpreted — correct but slow). Past that size the planes
-    are emitted as ONE literal matrix and each component folds via
-    ``zip_with``+``aggregate``: higher-order functions are interpreted
-    per-element, but the expression stays small, so the surrounding
-    pipeline keeps codegen. Both paths produce bit-identical doubles
-    (same left-to-right add order).
+    The planes are emitted as ONE literal matrix folded with
+    ``zip_with``+``aggregate`` rather than an unrolled ``out_dim×in_dim``
+    multiply-add chain. Measured at 8×64 on 50k rows: the unrolled chain
+    generates a codegen method so large that Janino takes ~7 s to compile
+    it AND HotSpot refuses to JIT it (huge-method bailout), making it 2×
+    slower than the higher-order-function fold even steady-state (0.19 s
+    vs 0.09 s/run). Both shapes produce bit-identical doubles (same
+    left-to-right add order — pinned by a test).
     """
     src = widen_small_scan(embeddings)
-    if out_dim * in_dim <= 1024:
-        comps = []
-        for p in range(out_dim):
-            proj = None
-            for d in range(in_dim):
-                term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(
-                    lsh_plane_component(p, d)
-                )
-                proj = term if proj is None else proj + term
-            comps.append(proj)
-        return src.select(F.col(id_col), F.array(*comps).alias(out_col))
     planes = F.array(
         *[
             F.array(*[F.lit(lsh_plane_component(p, d)) for d in range(in_dim)])
@@ -745,4 +734,55 @@ def projected_topk(
         )
         .orderBy(F.desc("pcos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbour label vote: for each query vector, the
+    majority label among its k highest-cosine neighbours (ties →
+    smallest label). The label-propagation / auto-labeling primitive for
+    semi-supervised corpus curation.
+
+    Scale shape: the query set broadcasts against one corpus scan; the
+    per-query top-k runs as ``WindowGroupLimit`` (pre-shuffle partial
+    heap per partition, then one shuffle keyed by query id); the vote is
+    a count aggregate over ≤ ``len(query_ids)×k`` rows. Neighbour ties
+    at rank k break on (cos desc, id asc), vote ties on (votes desc,
+    label asc) — fully deterministic.
+    """
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        widen_small_scan(embeddings)
+        .join(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid"),
+            F.col(id_col),
+            F.col(label_col),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv")) / (norm(F.col(vec_col)) * F.col("_qn")), 9,
+            ).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc(id_col))
+    neighbours = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    votes = neighbours.groupBy("_qid", label_col).agg(F.count(F.lit(1)).alias("votes"))
+    best = votes.groupBy("_qid").agg(
+        F.max(F.struct(F.col("votes"), (-F.col(label_col)).alias("_nl"), F.col(label_col).alias("_lbl"))).alias("_b"),
+    )
+    return best.select(
+        F.col("_qid").alias(id_col),
+        F.col("_b._lbl").alias("knn_label"),
+        F.col("_b.votes").alias("votes"),
     )

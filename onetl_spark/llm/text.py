@@ -369,3 +369,58 @@ def gopher_rules(
         keep = r if keep is None else keep & r
     rules["keep"] = keep
     return rules
+
+
+def unigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 9,
+) -> "DataFrame":
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the cheap proxy for LM-perplexity filtering
+    (CCNet-style): documents made of globally-rare tokens score low
+    (noise, mangled encodings), documents of only ultra-common tokens
+    score high (boilerplate); both tails get culled.
+
+    Shuffle structure mirrors :func:`tfidf_top_terms`: explode → (doc,
+    term) tf aggregate → corpus term-frequency aggregate → term-keyed
+    sort-merge join (the vocabulary of a web corpus is too big to
+    broadcast) → per-doc weighted mean. The 1-row total-token count is
+    the only broadcast. log-probs are summed as fixed-scale decimals so
+    the mean is order-independent — bit-stable across engines and
+    partitionings.
+    """
+    from pyspark.sql import functions as F
+
+    words = df.select(F.col(id_col).alias("_id"), F.explode(word_tokens(text_col)).alias("_w"))
+    tf = words.groupBy("_id", "_w").agg(F.count(F.lit(1)).alias("tf"))
+    corpus_freq = tf.groupBy("_w").agg(F.sum("tf").alias("cf"))
+    total = corpus_freq.select(F.sum("cf").alias("n_total"))
+    scored = (
+        tf.join(corpus_freq, "_w")
+        .join(F.broadcast(total))
+        .select(
+            "_id",
+            "tf",
+            # round BEFORE summing: both engines then add identical decimals
+            F.round(F.log(F.col("cf") / F.col("n_total")), scale).alias("_lp"),
+        )
+    )
+    return scored.groupBy("_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            (
+                # bounded precisions: decimal(20,s) × decimal(10,0) fits in
+                # 38 digits, so the product keeps scale s exactly — a
+                # decimal(38,s) × bigint product would overflow precision
+                # and make Spark silently REDUCE the scale
+                F.sum(
+                    F.col("_lp").cast(f"decimal(20,{scale})")
+                    * F.col("tf").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("tf")
+            ),
+            scale,
+        ).alias("mean_logprob"),
+    ).select(F.col("_id").alias(id_col), "n_tokens", "mean_logprob")

@@ -1514,3 +1514,102 @@ FROM b GROUP BY bucket
 
 SPARK_QUERIES["length_bucket_stats"] = length_bucket_stats
 ORACLE_SQL["length_bucket_stats"] = LENGTH_BUCKET_SQL
+
+
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM — the CCNet-style perplexity-proxy quality signal."""
+    ensure_views(spark, sf_dir)
+    return text.unigram_logprob_scores(spark.table("documents"))
+
+
+UNIGRAM_LOGPROB_SQL = rf"""
+WITH words AS (
+  SELECT doc_id AS _id, unnest({SQL_TOKENS}) AS _w FROM documents
+), tf AS (
+  SELECT _id, _w, COUNT(*) AS tf FROM words GROUP BY _id, _w
+), cf AS (
+  SELECT _w, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY _w
+), total AS (
+  SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM cf
+), scored AS (
+  SELECT tf._id, tf.tf, round(ln(cf.cf * 1.0 / total.n_total), 9) AS _lp
+  FROM tf JOIN cf ON tf._w = cf._w CROSS JOIN total
+)
+SELECT _id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(_lp AS DECIMAL(20,9)) * CAST(tf AS DECIMAL(10,0))) AS DOUBLE) / SUM(tf), 9) AS mean_logprob
+FROM scored GROUP BY _id
+"""
+
+SPARK_QUERIES["unigram_logprob_quality"] = unigram_logprob_quality
+ORACLE_SQL["unigram_logprob_quality"] = UNIGRAM_LOGPROB_SQL
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote for the first 10 vectors: majority label among the
+    10 highest-cosine neighbours — the auto-labeling primitive."""
+    ensure_views(spark, sf_dir)
+    return similarity.knn_classify(
+        spark.table("embeddings"), query_ids=list(range(10)), k=10,
+    )
+
+
+KNN_VOTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.qid, b.vec_id, b.label,
+         round({_COS_SQL.replace('a.embedding', 'q.qv').replace('b.embedding', 'b.embedding')}, 9) AS c
+  FROM embeddings b CROSS JOIN q
+  WHERE b.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, label,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rk
+  FROM scored
+), votes AS (
+  SELECT qid, label, COUNT(*) AS votes FROM ranked WHERE rk <= 10 GROUP BY qid, label
+), best AS (
+  SELECT qid, label, votes,
+         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT qid AS vec_id, label AS knn_label, votes FROM best WHERE vr = 1
+"""
+
+SPARK_QUERIES["knn_label_vote"] = knn_label_vote
+ORACLE_SQL["knn_label_vote"] = KNN_VOTE_SQL
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: odd-id docs arrive as the new batch, even-id
+    docs are the already-ingested corpus; only fingerprint-fresh batch
+    docs (first copy within the batch) survive."""
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents")
+    new_batch = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    out = dedup.incremental_dedup(new_batch, existing)
+    return out.select("doc_id", "source")
+
+
+DEDUP_INCREMENTAL_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), new_batch AS (
+  SELECT * FROM fp WHERE doc_id % 2 = 1
+), old AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0
+), fresh AS (
+  SELECT n.* FROM new_batch n WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.fp = n.fp)
+), surv AS (
+  SELECT fp, MIN(doc_id) AS m FROM fresh GROUP BY fp
+)
+SELECT f.doc_id, f.source
+FROM fresh f JOIN surv s ON f.fp = s.fp AND f.doc_id = s.m
+"""
+
+SPARK_QUERIES["dedup_incremental_batch"] = dedup_incremental_batch
+ORACLE_SQL["dedup_incremental_batch"] = DEDUP_INCREMENTAL_SQL

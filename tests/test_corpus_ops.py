@@ -363,29 +363,29 @@ def test_random_projection_matches_numpy(spark, testdata):
         assert np.allclose(got[vid], expect, rtol=0, atol=1e-9), vid
 
 
-def test_random_projection_hof_path_matches_chain_path(spark, testdata):
-    """Above the codegen-size cutoff the implementation switches to a
-    literal-matrix zip_with/aggregate fold; both paths must produce
-    bit-identical doubles (same left-to-right add order)."""
+def test_random_projection_matches_unrolled_chain(spark, testdata):
+    """The literal-matrix zip_with/aggregate fold must produce doubles
+    bit-identical to an unrolled multiply-add chain (the shape the DuckDB
+    oracle SQL uses) — same left-to-right add order on both."""
+    import pyspark.sql.functions as F
+
     from onetl_spark.llm import similarity as S
 
     emb = spark.table("embeddings").limit(10)
-    chain = {r["vec_id"]: r["proj"] for r in S.random_projection(emb, out_dim=8).collect()}
-    # force the HOF path for the same 8 planes by lying about the cutoff
-    import pyspark.sql.functions as F
-
-    planes = F.array(
-        *[F.array(*[F.lit(S.lsh_plane_component(p, d)) for d in range(64)]) for p in range(8)]
-    )
-    comp = F.transform(
-        planes,
-        lambda plane: F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda v, c: v.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    hof = {r["vec_id"]: r["p"] for r in emb.select("vec_id", comp.alias("p")).collect()}
+    hof = {r["vec_id"]: r["proj"] for r in S.random_projection(emb, out_dim=8).collect()}
+    comps = []
+    for p in range(8):
+        proj = None
+        for d in range(64):
+            term = F.element_at(F.col("embedding"), d + 1).cast("double") * F.lit(
+                S.lsh_plane_component(p, d)
+            )
+            proj = term if proj is None else proj + term
+        comps.append(proj)
+    chain = {
+        r["vec_id"]: r["p"]
+        for r in emb.select("vec_id", F.array(*comps).alias("p")).collect()
+    }
     assert chain == hof
 
 
@@ -477,3 +477,68 @@ def test_length_bucket_clamps_and_stats(spark):
     assert out[32]["n_docs"] == 1
     assert out[8192]["n_docs"] == 1 and out[8192]["actual_tokens"] == 9000
     assert abs(out[16]["waste_ratio"] - (1 - 26 / 32)) < 1e-9
+
+
+def test_unigram_logprob_orders_rare_docs_low(spark):
+    from onetl_spark.llm.text import unigram_logprob_scores
+
+    # "common common" tokens dominate the corpus; doc 3 is all-rare
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare common"),
+            (3, "unique singular oddity rarity"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    # every token of doc 1 is the modal token → highest mean logprob
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"] > out[3]["mean_logprob"]
+    import math
+
+    # doc 1: every token is "common", cf=7 of 12 corpus tokens → ln(7/12)
+    assert abs(out[1]["mean_logprob"] - round(math.log(7 / 12), 9)) < 1e-9
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from onetl_spark.llm.similarity import knn_classify
+
+    # neighbours by closeness to query 0: two label-7, then two label-3,
+    # then a far label-1
+    rows = [
+        (0, [1.0, 0.0], 99),
+        (1, [0.99, 0.1], 7),
+        (2, [0.98, 0.12], 7),
+        (3, [0.97, 0.14], 3),
+        (4, [0.96, 0.16], 3),
+        (5, [0.4, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # k=3: labels 7,7,3 → clear majority 7 with 2 votes
+    out3 = knn_classify(df, query_ids=[0], k=3).collect()
+    assert len(out3) == 1
+    assert out3[0]["knn_label"] == 7 and out3[0]["votes"] == 2
+    # k=4: labels 7,7,3,3 → 2-2 tie broken to the smaller label
+    out4 = knn_classify(df, query_ids=[0], k=4).collect()[0]
+    assert out4["votes"] == 2 and out4["knn_label"] == 3
+
+
+def test_incremental_dedup_against_existing_and_within_batch(spark):
+    from onetl_spark.llm.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(1, "Already ingested doc."), (2, "another old one")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "already ingested doc"),  # dup of existing (normalized)
+            (11, "brand new document"),
+            (12, "Brand NEW document!"),  # dup of 11 within the batch
+            (13, "wholly distinct entry"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in incremental_dedup(batch, existing).collect())
+    assert kept == [11, 13]

@@ -361,3 +361,34 @@ def test_projected_topk_single_scan_no_shuffle_before_topk(tables):
     # one broadcast (the single-row query projection); zero shuffle
     # exchanges of the corpus
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_knn_classify_partial_topk_and_broadcast_queries(tables):
+    """The query set broadcasts against one corpus scan and the per-query
+    top-k runs as WindowGroupLimit with a Partial pre-shuffle pass — the
+    corpus is never globally sorted."""
+    from onetl_spark.llm.similarity import knn_classify
+
+    df = knn_classify(tables.table("embeddings"), query_ids=[0, 1, 2], k=5)
+    plan = executed_plan(df)
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_no_vocab_broadcast(tables):
+    """The corpus term-frequency table joins term-keyed (sort-merge /
+    shuffled-hash) — a web corpus vocabulary must NOT be broadcast; only
+    the 1-row total-token count is."""
+    from onetl_spark.llm.text import unigram_logprob_scores
+
+    df = unigram_logprob_scores(tables.table("documents"))
+    assert "CartesianProduct" not in executed_plan(df)
+    # the vocabulary-sized cf side must NOT carry a broadcast HINT (AQE
+    # may still broadcast it at toy scale when it fits — that's correct
+    # runtime behavior; the hint is what would force it at 100 TB). Only
+    # the 1-row total aggregate is explicitly broadcast.
+    import re
+
+    hints = re.findall(r"ResolvedHint.*", optimized_plan(df))
+    assert all("broadcast" not in h.lower() or "n_total" in h for h in hints)
