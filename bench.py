@@ -98,6 +98,9 @@ HEADLINE = [
     "unigram_logprob_quality",
     "knn_label_vote",
     "dedup_incremental_batch",
+    "streaming_sliding_window",
+    "temperature_mix_sample",
+    "dedup_keep_longest",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

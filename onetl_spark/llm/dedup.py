@@ -736,3 +736,48 @@ def incremental_dedup(
         fresh.join(survivors, [id_col, "fp"], "semi")
         .drop("fp")
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    score_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: within each normalized-
+    fingerprint duplicate group, keep the row with the HIGHEST score
+    (ties → smallest id) instead of the arbitrary min-id copy — the
+    curation policy when duplicates differ in truncation or cleanliness
+    (keep-longest is ``score_col=length(text)``).
+
+    Same single map-side-combined aggregate as :func:`normalized_dedup`
+    — the argmax rides a ``max(struct)`` DeclarativeAggregate (stays in
+    whole-stage codegen, partial-aggregates before the one fingerprint-
+    keyed exchange; a per-group window sort would shuffle whole rows).
+    """
+    from onetl_spark.llm.text import fingerprint
+
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    staged = df.select(
+        fingerprint(F.col(text_col)).alias("fp"),
+        score.cast("double").alias("_score"),
+        F.col(id_col),
+    )
+    return (
+        staged.groupBy("fp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_score"),
+                    (-F.col(id_col)).alias("_ni"),
+                    F.col(id_col).alias("_id"),
+                ),
+            ).alias("_best"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col("_best._id").alias(id_col),
+            F.col("_best._score").alias("best_score"),
+            "n_copies",
+        )
+    )

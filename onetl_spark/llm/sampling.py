@@ -528,3 +528,56 @@ def length_bucket_stats(
             1.0 - F.sum("_nt") / (F.col("bucket") * F.count(F.lit(1))), 9,
         ).alias("waste_ratio"),
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    temperature: float = 2.0,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual-training
+    recipe: p_i ∝ n_i^(1/T) over domain token counts — T>1 flattens the
+    mixture toward low-resource domains, T=1 is proportional).
+
+    Rates are normalized by the binding constraint K = min_i(n_i / p_i)
+    (the kept-token total at which the scarcest domain is exhausted), so
+    no domain ever needs upsampling: rate_i = p_i·K/n_i ≤ 1 with equality
+    for the binding domain. Returns one row per domain with its token
+    count, tempered share, and sampling rate (rounded to 9 so the
+    boundary comparison in :func:`apply_mix_rates` is engine-exact).
+
+    Scale shape: ONE aggregate over the corpus builds the domain-count-
+    sized totals table; the share/rate arithmetic is windows over that
+    tiny table. The corpus itself is read once and never shuffled.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    alpha = 1.0 / temperature
+    totals = df.groupBy(domain_col).agg(F.sum(token_count(F.col(text_col))).alias("n_tokens"))
+    over = W.partitionBy()
+    tempered = totals.withColumn("_p", F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)))
+    share = F.col("_p") / F.sum("_p").over(over)
+    staged = tempered.withColumn("share", share)
+    k = F.min(F.col("n_tokens") / F.col("share")).over(over)
+    return staged.select(
+        domain_col,
+        "n_tokens",
+        F.round("share", 9).alias("share"),
+        F.round(F.col("share") * k / F.col("n_tokens"), 9).alias("rate"),
+    )
+
+
+def apply_mix_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Deterministically subsample each domain at its mixture rate:
+    keep iff hash_unit(id, salt) < rate. The rates table is domain-count
+    sized → broadcast; the corpus filter is scan-side."""
+    return df.join(F.broadcast(rates.select(domain_col, "rate")), domain_col).filter(
+        hash_unit(F.col(id_col), salt) < F.col("rate"),
+    )

@@ -1613,3 +1613,80 @@ FROM fresh f JOIN surv s ON f.fp = s.fp AND f.doc_id = s.m
 
 SPARK_QUERIES["dedup_incremental_batch"] = dedup_incremental_batch
 ORACLE_SQL["dedup_incremental_batch"] = DEDUP_INCREMENTAL_SQL
+
+
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivors: within each normalized-fingerprint
+    group the LONGEST copy wins (ties to smallest id) — the keep-best
+    curation policy, not arbitrary min-id."""
+    ensure_views(spark, sf_dir)
+    return dedup.dedup_keep_best(spark.table("documents"), score_col=F.length("text"))
+
+
+DEDUP_KEEP_LONGEST_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS score,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), ranked AS (
+  SELECT doc_id, score, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY score DESC, doc_id ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY fp) AS n_copies
+  FROM fp
+)
+SELECT doc_id, score AS best_score, CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rk = 1
+"""
+
+SPARK_QUERIES["dedup_keep_longest"] = dedup_keep_longest
+ORACLE_SQL["dedup_keep_longest"] = DEDUP_KEEP_LONGEST_SQL
+
+
+def temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-2.0 domain mixture: tempered shares flatten the source
+    distribution toward low-resource domains; rates normalized so the
+    binding domain keeps everything; deterministic hash subsample."""
+    ensure_views(spark, sf_dir)
+    d = spark.table("documents")
+    rates = sampling.temperature_mix_rates(d, temperature=2.0)
+    kept = sampling.apply_mix_rates(d, rates).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "share",
+            "rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+TEMPERATURE_MIX_SQL = rf"""
+WITH totals AS (
+  SELECT source, CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tempered AS (
+  SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS _p FROM totals
+), shares AS (
+  SELECT source, n_tokens, _p / SUM(_p) OVER () AS share FROM tempered
+), rates AS (
+  SELECT source, n_tokens, round(share, 9) AS share,
+         round(share * (MIN(n_tokens / share) OVER ()) / n_tokens, 9) AS rate
+  FROM shares
+), kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r ON d.source = r.source
+  WHERE {sql_hash_unit('doc_id', 'tempmix')} < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_tokens, r.share, r.rate,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+SPARK_QUERIES["temperature_mix_sample"] = temperature_mix_sample
+ORACLE_SQL["temperature_mix_sample"] = TEMPERATURE_MIX_SQL

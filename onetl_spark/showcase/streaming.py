@@ -390,3 +390,44 @@ SPARK_QUERIES["streaming_cdc_apply"] = streaming_cdc_apply
 
 from onetl_spark.showcase.cdc import CDC_LATEST_SQL as _CDC_SQL
 ORACLE_SQL["streaming_cdc_apply"] = _CDC_SQL
+
+
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows — 1-hour windows every 30
+    minutes per event_type, executed as a real streaming query. Each event
+    lands in exactly two windows; state per key is bounded by the
+    watermark horizon exactly as in the tumbling case."""
+    events = _events_stream(spark, sf_dir)
+    out = windowed_aggregate(
+        events,
+        time_col="ts",
+        window_duration="1 hour",
+        slide="30 minutes",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": dsum("value"),
+        },
+        watermark="30 minutes",
+        group_by=("event_type",),
+    )
+    return _run_to_table(out, "complete")
+
+
+# every event belongs to exactly the two 30-minute-grid starts within
+# (ts - 1h, ts]: its own bucket and the previous one
+STREAMING_SLIDING_SQL = f"""
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 30 MINUTES, CAST(ts AS TIMESTAMP))
+           - o.off * INTERVAL 30 MINUTES AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+SPARK_QUERIES["streaming_sliding_window"] = streaming_sliding_window
+ORACLE_SQL["streaming_sliding_window"] = STREAMING_SLIDING_SQL

@@ -542,3 +542,29 @@ def test_incremental_dedup_against_existing_and_within_batch(spark):
     )
     kept = sorted(r["doc_id"] for r in incremental_dedup(batch, existing).collect())
     assert kept == [11, 13]
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    from onetl_spark.llm.dedup import dedup_keep_best
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "Hello, World!"),      # same fingerprint, longer raw text
+            (3, "HELLO world"),        # same fingerprint, mid length
+            (4, "another doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_keep_best(docs, score_col=F.length("text")).collect()}
+    # survivor of the duplicate group is the LONGEST copy (id 2, 13 chars)
+    assert set(out) == {2, 4}
+    assert out[2]["n_copies"] == 3 and out[2]["best_score"] == 13.0
+    # score tie → smallest id: equal-length variants
+    docs2 = spark.createDataFrame(
+        [(5, "aa bb"), (6, "AA BB")], "doc_id long, text string",
+    )
+    out2 = dedup_keep_best(docs2, score_col=F.length("text")).collect()
+    assert len(out2) == 1 and out2[0]["doc_id"] == 5

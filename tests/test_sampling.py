@@ -336,3 +336,44 @@ def test_trim_to_token_budget_null_tokens(spark):
         [(i, float(i), None) for i in range(8)], "doc_id long, score double, tok long"
     )
     assert trim_to_token_budget(all_null, 0, "score", "tok", buckets=2).count() == 8
+
+
+def test_temperature_mix_rates_flatten_and_bind(spark):
+    from onetl_spark.llm.sampling import temperature_mix_rates
+
+    rows = [(i, "big", "w " * 16) for i in range(90)] + [
+        (1000 + i, "small", "w " * 16) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in temperature_mix_rates(df, temperature=2.0).collect()}
+    import math
+
+    p_big, p_small = math.sqrt(90 * 16), math.sqrt(10 * 16)
+    share_big = p_big / (p_big + p_small)
+    assert abs(out["big"]["share"] - round(share_big, 9)) < 1e-9
+    # T=2 flattens: big's tempered share (0.75) < raw share (0.9)
+    assert out["big"]["share"] < 0.9
+    # the binding (scarcest-relative) domain keeps everything
+    assert out["small"]["rate"] == 1.0
+    assert 0 < out["big"]["rate"] < 1.0
+    # T=1 degenerates to proportional shares → every rate is 1
+    prop = {r["source"]: r for r in temperature_mix_rates(df, temperature=1.0).collect()}
+    assert prop["big"]["rate"] == 1.0 and prop["small"]["rate"] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mix_rates(df, temperature=0)
+
+
+def test_apply_mix_rates_deterministic(spark):
+    from onetl_spark.llm.sampling import apply_mix_rates, temperature_mix_rates
+
+    rows = [(i, "big", "w " * 16) for i in range(90)] + [
+        (1000 + i, "small", "w " * 16) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = temperature_mix_rates(df, temperature=2.0)
+    a = sorted(r["doc_id"] for r in apply_mix_rates(df, rates).collect())
+    b = sorted(r["doc_id"] for r in apply_mix_rates(df.repartition(7), rates).collect())
+    assert a == b  # hash-driven: identical under re-partitioning
+    assert set(a) >= {1000 + i for i in range(10)}  # binding domain all kept
