@@ -781,3 +781,51 @@ def dedup_keep_best(
             "n_copies",
         )
     )
+
+
+def duplicate_ngram_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-substring signal: the fraction of each
+    document's distinct n-gram shingles that occur in at least
+    ``min_docs`` documents corpus-wide, as ``(id, n_shingles,
+    n_dup_shingles, dup_frac)``.
+
+    This is the aggregate form of exact-substring dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array substring criterion recast per-shingle): documents whose
+    shingles are mostly shared elsewhere are boilerplate or near-copies
+    even when no single pair passes a Jaccard threshold (N-way partial
+    overlap that pairwise dedup misses).
+
+    Scale shape: explode to the (doc, shingle) inverted index, partial-agg
+    the per-shingle document frequency, join back on the shingle key, and
+    re-aggregate per doc — two shuffles keyed by shingle, one by doc id,
+    output one row per document. NO pair join anywhere, so unlike the
+    pairwise operators this needs no hot-shingle cap: a shingle shared by
+    a million docs contributes a million index rows (linear), not 10^12
+    join rows (quadratic).
+    """
+    inv = widen_small_scan(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_s"),
+    )
+    docfreq = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        inv.join(docfreq, "_s")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") >= min_docs).cast("long")).alias("n_dup_shingles"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 9).alias("dup_frac"),
+        )
+    )

@@ -307,3 +307,58 @@ def connected_components(
         .select("node", F.col("node").alias("rep"))
     )
     return non_roots.unionAll(roots)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first hop distance over an undirected graph:
+    ``(node, hops)`` for every node within ``max_hops`` of any source
+    (sources themselves at hop 0); unreachable nodes are absent.
+
+    Frontier expansion, the textbook distributed BFS: hop ``h`` joins the
+    hop-``h-1`` frontier with the adjacency list (one edge-set-sized
+    shuffle), anti-joins the visited set, and stops early when a frontier
+    empties. Per-hop ``localCheckpoint`` keeps the plan constant-size and
+    the emptiness probe is a bounded driver scalar (one per hop, at most
+    ``max_hops`` of them). Work per hop is O(edges incident to the
+    frontier); the visited set only grows, so total shuffled volume is
+    O(max_hops x |edges|) worst-case — never quadratic in nodes. Unlike
+    :func:`connected_components` (which only needs membership and so can
+    use O(log^2 n) star contraction), hop DISTANCE is order-sensitive and
+    needs the level-synchronous rounds.
+    """
+    nbrs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nbrs = (
+        nbrs.unionAll(nbrs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(nbrs, frontier["node"] == nbrs["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.limit(1).count():
+            log.info("bfs_hops frontier empty after %d hop(s)", h - 1)
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -125,3 +125,45 @@ SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
 
 SPARK_QUERIES["supplier_pagerank"] = supplier_pagerank
 ORACLE_SQL["supplier_pagerank"] = PAGERANK_SQL
+
+
+_BFS_SEEDS = 3
+_BFS_MAX_HOPS = 4
+
+
+def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the 3 lowest-id suppliers in the co-occurrence
+    graph (multi-source BFS, level-synchronous frontier expansion —
+    `operators/graph.py bfs_hops`). The DuckDB oracle reproduces it with
+    a recursive CTE, so the iterative DataFrame rounds are hash-checked
+    against a declarative fixpoint formulation."""
+    from onetl_spark.operators.graph import bfs_hops
+
+    e = _supplier_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(_BFS_SEEDS)
+    return bfs_hops(e, seeds, max_hops=_BFS_MAX_HOPS)
+
+
+BFS_HOPS_SQL = f"""
+WITH RECURSIVE {_EDGES_SQL},
+dir AS (SELECT u AS src, v AS dst FROM ed
+        UNION ALL SELECT v AS src, u AS dst FROM ed),
+nodes AS (SELECT DISTINCT src AS node FROM dir),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {_BFS_SEEDS}),
+walk(node, d) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT dir.dst, walk.d + 1
+  FROM walk JOIN dir ON dir.src = walk.node
+  WHERE walk.d < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+SPARK_QUERIES["supplier_bfs_hops"] = supplier_bfs_hops
+ORACLE_SQL["supplier_bfs_hops"] = BFS_HOPS_SQL

@@ -1690,3 +1690,33 @@ FROM rates r LEFT JOIN kept k ON r.source = k.source
 
 SPARK_QUERIES["temperature_mix_sample"] = temperature_mix_sample
 ORACLE_SQL["temperature_mix_sample"] = TEMPERATURE_MIX_SQL
+
+
+def duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-shingle coverage per document — the
+    exact-substring dedup signal (fraction of a doc's shingles shared
+    with >= 2 docs). Inverted-index aggregation, no pair join."""
+    ensure_views(spark, sf_dir)
+    return dedup.duplicate_ngram_coverage(spark.table("documents"))
+
+
+DUP_NGRAM_COVERAGE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), dfq AS (
+  SELECT s, COUNT(*) AS dfn FROM inv GROUP BY s
+)
+SELECT inv.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN dfn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles,
+       round(SUM(CASE WHEN dfn >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS dup_frac
+FROM inv JOIN dfq USING (s)
+GROUP BY inv.doc_id
+"""
+
+SPARK_QUERIES["duplicate_ngram_coverage"] = duplicate_ngram_coverage
+ORACLE_SQL["duplicate_ngram_coverage"] = DUP_NGRAM_COVERAGE_SQL

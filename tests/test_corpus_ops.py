@@ -568,3 +568,38 @@ def test_dedup_keep_best_prefers_high_score(spark):
     )
     out2 = dedup_keep_best(docs2, score_col=F.length("text")).collect()
     assert len(out2) == 1 and out2[0]["doc_id"] == 5
+
+
+def test_duplicate_ngram_coverage_known_overlap(spark):
+    from onetl_spark.llm.dedup import duplicate_ngram_coverage
+
+    # doc 1 and 2 share the first 5 words (3 shared trigram shingles);
+    # doc 3 is fully unique; doc 4 duplicates doc 1 exactly.
+    rows = [
+        (1, "alpha beta gamma delta epsilon one two"),
+        (2, "alpha beta gamma delta epsilon nine ten"),
+        (3, "completely different words entirely here now"),
+        (4, "alpha beta gamma delta epsilon one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_ngram_coverage(df).collect()}
+    # 7 tokens -> 5 trigrams each
+    assert got[1]["n_shingles"] == 5 and got[4]["n_shingles"] == 5
+    assert got[1]["n_dup_shingles"] == 5  # all shared with doc 4 (3 also with 2)
+    assert got[4]["n_dup_shingles"] == 5
+    assert got[2]["n_dup_shingles"] == 3  # the 3 shingles inside the shared prefix
+    assert got[3]["n_dup_shingles"] == 0 and got[3]["dup_frac"] == 0.0
+    assert got[1]["dup_frac"] == 1.0
+    assert abs(got[2]["dup_frac"] - 0.6) < 1e-9
+
+
+def test_duplicate_ngram_coverage_short_docs_whole_shingle(spark):
+    from onetl_spark.llm.dedup import duplicate_ngram_coverage
+
+    # docs shorter than n words fall back to one whole-document shingle
+    rows = [(1, "hi there"), (2, "hi there"), (3, "bye now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicate_ngram_coverage(df).collect()}
+    assert got[1]["n_shingles"] == got[2]["n_shingles"] == 1
+    assert got[1]["n_dup_shingles"] == got[2]["n_dup_shingles"]
+    assert got[1]["n_dup_shingles"] == 1 and got[3]["n_dup_shingles"] == 0

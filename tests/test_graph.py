@@ -220,3 +220,57 @@ def test_pagerank_rejects_null_and_nonpositive_weights(spark):
         )
         with pytest.raises(ValueError, match="edge_weight must be a positive"):
             pagerank_fixed_point(wdf, edge_weight="w")
+
+
+def test_bfs_hops_chain_and_disconnected(spark):
+    from onetl_spark.operators.graph import bfs_hops
+
+    # chain 0-1-2-3-4 plus a disconnected pair (10, 11)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4 beyond max_hops; 10/11 unreachable
+
+
+def test_bfs_hops_multi_source_min_distance(spark):
+    from onetl_spark.operators.graph import bfs_hops
+
+    # two seeds racing toward the middle of a cycle: distance is the MIN
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(edges, seeds, max_hops=6).collect()}
+    assert got == {0: 0, 3: 0, 1: 1, 5: 1, 2: 1, 4: 1}
+
+
+def test_bfs_hops_matches_python_bfs_random(spark):
+    from collections import deque
+
+    from onetl_spark.operators.graph import bfs_hops
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+        edges = [(a, b) for a, b in edges if a != b]
+        seeds = sorted(rng.sample(range(n), 2))
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {s: 0 for s in seeds if s in adj or True}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        dist = {k: v for k, v in dist.items() if v <= 5}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+        got = {r["node"]: r["hops"] for r in bfs_hops(df, sdf, max_hops=5).collect()}
+        assert got == dist, f"trial {trial}"
