@@ -829,3 +829,121 @@ def duplicate_ngram_coverage(
             F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 9).alias("dup_frac"),
         )
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Estimator-quality report for the MinHash/LSH stack: over every LSH
+    candidate pair, compare the SIGNATURE-estimated Jaccard (matching
+    permutation fraction) against the EXACT hashed-shingle Jaccard, micro-
+    averaged per exact-similarity decile.
+
+    This is the operational knob-tuning query for web-scale dedup: before
+    committing a threshold/band configuration to a 100-TB run, measure on
+    a sample how biased and how noisy the estimator actually is per
+    similarity band (recall loss concentrates where the estimate straddles
+    the threshold). All bucket statistics are INTEGER sums (matching
+    positions, intersection and union sizes, and the cross-multiplied
+    absolute error ``|matches*union - inter*num_perm|``), so results are
+    bit-exact and engine-portable — no float accumulation ordering to
+    drift between Spark and an oracle. The two micro-averaged ratios are
+    single divisions over those sums.
+
+    Cost shape: identical to :func:`minhash_lsh_pairs` (signatures via
+    map-side-combined explode aggregation, banded candidate join with the
+    bucket-size cap) plus one decile groupBy over the pair set.
+    """
+    rows = num_perm // bands
+    hashed = widen_small_scan(df).select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes(F.col(text_col)).alias("_h"),
+    ).persist()
+    exploded = hashed.select("_id", F.explode("_h").alias("_hx"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_hx") + F.lit(b)) % MOD).alias(f"_s{i}")
+        for i, (a, b) in enumerate(perm_constants(num_perm))
+    ]
+    sig = (
+        exploded.groupBy("_id")
+        .agg(*aggs)
+        .select("_id", F.array(*[f"_s{i}" for i in range(num_perm)]).alias("_sig"))
+        .persist()
+    )
+    banded = sig.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.array_join(F.slice("_sig", b * rows + 1, rows), ",")),
+            ),
+        ).alias("band_id", "band_key"),
+    )
+    oversized = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .select("band_id", "band_key")
+        .localCheckpoint(eager=True)
+    )
+    if oversized.count():
+        log.warning("minhash_calibration: dropped oversized LSH buckets (cap %d)", max_bucket_size)
+        banded = banded.join(F.broadcast(oversized), ["band_id", "band_key"], "left_anti")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .distinct()
+    )
+    a_sh = hashed.select(F.col("_id").alias("a_id"), F.col("_h").alias("a_sh"))
+    b_sh = hashed.select(F.col("_id").alias("b_id"), F.col("_h").alias("b_sh"))
+    a_sig = sig.select(F.col("_id").alias("a_id"), F.col("_sig").alias("a_sig"))
+    b_sig = sig.select(F.col("_id").alias("b_id"), F.col("_sig").alias("b_sig"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    matches = F.size(
+        F.filter(F.zip_with("a_sig", "b_sig", lambda x, y: x == y), lambda v: v)
+    )
+    # decile bucket by integer arithmetic: floor(10*inter/union) is exact
+    # here (numerators and denominators are small ints, so the double
+    # quotient is never within an ulp of the wrong integer); DuckDB mirrors
+    # it with `//` integer division
+    pairs = (
+        cand.join(a_sh, "a_id").join(b_sh, "b_id")
+        .join(a_sig, "a_id").join(b_sig, "b_id")
+        .select(
+            F.least(F.floor((inter * 10).cast("long") / union), F.lit(9)).cast("long").alias("bucket"),
+            matches.cast("long").alias("_m"),
+            inter.cast("long").alias("_i"),
+            union.cast("long").alias("_u"),
+        )
+    )
+    out = (
+        pairs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_m").alias("sum_matches"),
+            F.sum("_i").alias("sum_inter"),
+            F.sum("_u").alias("sum_union"),
+            F.sum(F.abs(F.col("_m") * F.col("_u") - F.col("_i") * F.lit(num_perm))).alias("sum_abs_err_scaled"),
+        )
+        .select(
+            "bucket", "n_pairs", "sum_matches", "sum_inter", "sum_union", "sum_abs_err_scaled",
+            F.round(F.col("sum_matches") / (F.col("n_pairs") * num_perm), 9).alias("micro_est_jaccard"),
+            F.round(F.col("sum_inter") / F.col("sum_union"), 9).alias("micro_exact_jaccard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sig.unpersist()
+    hashed.unpersist()
+    return out

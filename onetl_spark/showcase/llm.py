@@ -1720,3 +1720,56 @@ GROUP BY inv.doc_id
 
 SPARK_QUERIES["duplicate_ngram_coverage"] = duplicate_ngram_coverage
 ORACLE_SQL["duplicate_ngram_coverage"] = DUP_NGRAM_COVERAGE_SQL
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated-vs-exact Jaccard calibration of the MinHash/LSH stack,
+    micro-averaged per exact-similarity decile — integer-sum statistics,
+    bit-exact across engines."""
+    ensure_views(spark, sf_dir)
+    return dedup.minhash_calibration(spark.table("documents"))
+
+
+MINHASH_CALIBRATION_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
+), hs AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> {SQL_MD5LONG.format(x='s')} % {MOD}) AS h
+  FROM sh
+), sig AS (
+  SELECT doc_id, h, {_sql_sig_entries()} AS sig FROM hs
+), bands AS (
+  SELECT doc_id, b AS band_id,
+         md5(array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], ',')) AS band_key
+  FROM sig, range(0, {LSH_BANDS}) t(b)
+  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+), p AS (
+  SELECT a_id, b_id,
+         len(list_intersect(sa.h, sb.h)) AS i,
+         len(sa.h) + len(sb.h) - len(list_intersect(sa.h, sb.h)) AS u,
+         len(list_filter(range(1, {NUM_PERM} + 1), k -> sa.sig[k] = sb.sig[k])) AS m
+  FROM cand
+  JOIN sig sa ON sa.doc_id = a_id
+  JOIN sig sb ON sb.doc_id = b_id
+)
+SELECT least(CAST(i * 10 // u AS BIGINT), 9) AS bucket,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(m) AS BIGINT) AS sum_matches,
+       CAST(SUM(i) AS BIGINT) AS sum_inter,
+       CAST(SUM(u) AS BIGINT) AS sum_union,
+       CAST(SUM(abs(m * u - i * {NUM_PERM})) AS BIGINT) AS sum_abs_err_scaled,
+       round(SUM(m) * 1.0 / (COUNT(*) * {NUM_PERM}), 9) AS micro_est_jaccard,
+       round(SUM(i) * 1.0 / SUM(u), 9) AS micro_exact_jaccard
+FROM p
+GROUP BY 1
+"""
+
+SPARK_QUERIES["minhash_calibration"] = minhash_calibration
+ORACLE_SQL["minhash_calibration"] = MINHASH_CALIBRATION_SQL

@@ -514,3 +514,46 @@ WHERE o_orderkey % 2 = 1
 
 SPARK_QUERIES["jdbc_live_incremental"] = jdbc_live_incremental
 ORACLE_SQL["jdbc_live_incremental"] = JDBC_LIVE_INCREMENTAL_SQL
+
+
+def supplier_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (`operators/linkage.py blocked_fuzzy_join`): a dirty
+    copy of the supplier register — one deterministic character typo per
+    name — is linked back to the canonical register, blocked by nation +
+    name length so candidate generation is per-block, never O(n²).
+    Output: (canonical id, dirty id, edit distance) for distance <= 1."""
+    from onetl_spark.operators.linkage import blocked_fuzzy_join
+
+    ensure_views(spark, sf_dir)
+    s = spark.table("supplier")
+    blk = F.concat_ws("|", F.col("s_nationkey").cast("string"), F.length("s_name").cast("string"))
+    clean = s.select(F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"), blk.alias("block"))
+    pos = (F.pmod(F.col("s_suppkey"), F.length("s_name")) + 1).cast("int")
+    dirty_name = F.concat(
+        F.substring(F.col("s_name"), F.lit(1), pos - 1),
+        F.lit("~"),
+        F.col("s_name").substr(pos + 1, F.length("s_name")),
+    )
+    dirty = s.select(F.col("s_suppkey").alias("id"), dirty_name.alias("name"), blk.alias("block"))
+    return blocked_fuzzy_join(clean, dirty, max_distance=1)
+
+
+SUPPLIER_FUZZY_SQL = """
+WITH clean AS (
+  SELECT s_suppkey AS id, s_name AS nm,
+         CAST(s_nationkey AS VARCHAR) || '|' || CAST(length(s_name) AS VARCHAR) AS blk
+  FROM supplier
+), dirty AS (
+  SELECT s_suppkey AS id,
+         substr(s_name, 1, CAST(s_suppkey % length(s_name) AS INTEGER))
+           || '~' || substr(s_name, CAST(s_suppkey % length(s_name) AS INTEGER) + 2) AS nm,
+         CAST(s_nationkey AS VARCHAR) || '|' || CAST(length(s_name) AS VARCHAR) AS blk
+  FROM supplier
+)
+SELECT c.id AS a_id, d.id AS b_id, CAST(levenshtein(c.nm, d.nm) AS BIGINT) AS distance
+FROM clean c JOIN dirty d ON c.blk = d.blk
+WHERE levenshtein(c.nm, d.nm) <= 1
+"""
+
+SPARK_QUERIES["supplier_fuzzy_linkage"] = supplier_fuzzy_linkage
+ORACLE_SQL["supplier_fuzzy_linkage"] = SUPPLIER_FUZZY_SQL

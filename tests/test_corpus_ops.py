@@ -603,3 +603,56 @@ def test_duplicate_ngram_coverage_short_docs_whole_shingle(spark):
     assert got[1]["n_shingles"] == got[2]["n_shingles"] == 1
     assert got[1]["n_dup_shingles"] == got[2]["n_dup_shingles"]
     assert got[1]["n_dup_shingles"] == 1 and got[3]["n_dup_shingles"] == 0
+
+
+def test_blocked_fuzzy_join_matches_and_blocks(spark):
+    from onetl_spark.operators.linkage import blocked_fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "kitten", "A"), (2, "sitting", "A"), (3, "kitten", "B")],
+        "id long, name string, block string",
+    )
+    right = spark.createDataFrame(
+        [(10, "mitten", "A"), (11, "kitten", "B"), (12, "kitten", "A")],
+        "id long, name string, block string",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["distance"]
+        for r in blocked_fuzzy_join(left, right, max_distance=2).collect()
+    }
+    # kitten~mitten = 1, kitten~kitten = 0; sitting~mitten = 4 (excluded);
+    # cross-block kitten(A) vs kitten(B) never compared
+    assert got == {(1, 10): 1, (1, 12): 0, (3, 11): 0}
+
+
+def test_blocked_fuzzy_pairs_self_and_cap(spark, caplog):
+    import logging
+
+    from onetl_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [(i, f"name{i % 2}", "big") for i in range(12)] + [
+        (100, "abc", "small"), (101, "abd", "small"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, block string")
+    with caplog.at_level(logging.WARNING):
+        got = blocked_fuzzy_pairs(df, max_distance=1, max_block_size=5).collect()
+    # the 12-row block exceeds the cap and is dropped (logged); only the
+    # small block's single pair survives
+    assert {(r["a_id"], r["b_id"], r["distance"]) for r in got} == {(100, 101, 1)}
+    assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_minhash_calibration_identical_docs_bucket9(spark):
+    from onetl_spark.llm.dedup import minhash_calibration
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, base), (2, base), (3, "totally different words here now indeed")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket"]: r for r in minhash_calibration(df).collect()}
+    # identical docs: exact jaccard 1.0 -> bucket 9, estimator exact too
+    assert set(out) == {9}
+    row = out[9]
+    assert row["n_pairs"] == 1
+    assert row["micro_est_jaccard"] == 1.0
+    assert row["micro_exact_jaccard"] == 1.0
+    assert row["sum_abs_err_scaled"] == 0
