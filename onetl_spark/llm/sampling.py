@@ -581,3 +581,72 @@ def apply_mix_rates(
     return df.join(F.broadcast(rates.select(domain_col, "rate")), domain_col).filter(
         hash_unit(F.col(id_col), salt) < F.col("rate"),
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    rate_pct: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sentinel: str = "<X>",
+    salt: str = "spancorr",
+) -> DataFrame:
+    """T5-style span corruption, hash-driven: token ``i`` of a document is
+    masked iff ``md5(id:salt:i) % 100 < rate_pct``; runs of adjacent
+    masked tokens collapse to ONE sentinel. Returns id, corrupted text,
+    and the span statistics (token/masked/span counts, mask fraction).
+
+    Retry- and re-shard-deterministic like every sampler here (the mask
+    is a pure function of (document id, position), never RNG), so the
+    corrupted corpus is reproducible across engines and runs — the
+    property that lets the denoising objective be regenerated instead of
+    stored. Pure per-row array expressions: zero shuffle, zero UDFs; the
+    whole transform pushes down next to the scan.
+    """
+    if not 0 <= rate_pct <= 100:
+        raise ValueError(f"rate_pct must be in [0, 100], got {rate_pct}")
+    toks = word_tokens(F.col(text_col))
+    key_prefix = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(salt))
+    # sequence(1, 0) would be DESCENDING [1, 0] for an empty document
+    # (Spark infers step -1 when start > stop) — guard to an empty index
+    idx = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))
+    ).otherwise(F.array().cast("array<int>"))
+    flags = F.transform(
+        idx,
+        lambda i: md5_long(F.concat_ws(":", key_prefix, i.cast("string"))) % 100
+        < rate_pct,
+    )
+    with_flags = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        flags.alias("_m"),
+        idx.alias("_i"),
+    )
+    # NB: element_at(_, i-1) would be index 0 for the first token — an ANSI
+    # error even under the OR (no short-circuit in vectorized eval), so the
+    # previous index is clamped to 1 and the (i == 1) disjunct decides
+    span_start = lambda i: F.element_at("_m", i) & (
+        (i == 1) | ~F.element_at("_m", F.greatest(i - 1, F.lit(1)))
+    )
+    pieces = F.filter(
+        F.transform(
+            "_i",
+            lambda i: F.when(span_start(i), F.lit(sentinel))
+            .when(~F.element_at("_m", i), F.element_at("_t", i))
+            .otherwise(F.lit(None).cast("string")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_masked = F.size(F.filter("_m", lambda m: m))
+    n_spans = F.size(F.filter("_i", span_start))
+    return with_flags.select(
+        id_col,
+        F.array_join(pieces, " ").alias("corrupted_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        n_spans.cast("long").alias("n_spans"),
+        F.round(
+            n_masked / F.greatest(F.size("_t"), F.lit(1)), 9
+        ).alias("mask_frac"),
+    )

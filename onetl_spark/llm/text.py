@@ -424,3 +424,35 @@ def unigram_logprob_scores(
             scale,
         ).alias("mean_logprob"),
     ).select(F.col("_id").alias(id_col), "n_tokens", "mean_logprob")
+
+
+def lang_mix(col: Column | str) -> dict[str, Column]:
+    """Code-switching signal: primary and secondary language by stopword
+    overlap, plus the mix ratio ``second/(best+second)`` (0.5 = perfectly
+    bilingual, 0 = monolingual). Pure column expressions like
+    :func:`lang_id`; ties resolve by LANG_PRIORITY and a language never
+    equals its own secondary.
+    """
+    scores = lang_scores(col)
+    best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
+    primary = lang_id(col)
+    # per-language score with the primary slot excluded (-1 sinks it)
+    excl = {
+        lang: F.when(primary == lang, F.lit(-1)).otherwise(scores[lang])
+        for lang in LANG_PRIORITY
+    }
+    second_best = F.greatest(*[excl[lang] for lang in LANG_PRIORITY])
+    secondary = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        secondary = F.when(
+            (excl[lang] == second_best) & (second_best > 0), F.lit(lang)
+        ).otherwise(secondary)
+    mix = F.when(
+        second_best > 0,
+        F.round(second_best / (best + second_best), 9),
+    ).otherwise(F.lit(0.0))
+    return {
+        "primary_lang": primary,
+        "secondary_lang": secondary,
+        "mix_ratio": mix,
+    }

@@ -913,3 +913,58 @@ FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
 
 SPARK_QUERIES["user_purchase_daily_ffill"] = user_purchase_daily_ffill
 ORACLE_SQL["user_purchase_daily_ffill"] = FFILL_SQL
+
+
+_EWMA_K = 7  # trailing terms; halving weights 1, 1/2, ... 1/64
+
+
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily value series per
+    event type (finite 7-term halving kernel — the bounded-window EWMA
+    production monitors use, so the weight of truncated history is < 1%).
+    The window runs over the per-(type, day) pre-aggregate — time-dimension
+    sized, partitioned by type — while the event-sized work is a single
+    groupBy shuffle. Weights are powers of two, so every product is exact
+    and both engines add the same doubles in the same textual order."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    num = F.col("v")
+    den = F.lit(1.0)
+    for k in range(1, _EWMA_K):
+        lag_k = F.lag("v", k).over(w)
+        wt = 0.5 ** k
+        num = num + F.coalesce(lag_k * wt, F.lit(0.0))
+        den = den + F.when(lag_k.isNull(), 0.0).otherwise(wt)
+    return daily.select(
+        "event_type", "day", "v", F.round(num / den, 9).alias("ewma_7d")
+    )
+
+
+def _ewma_sql() -> str:
+    num_terms = " + ".join(
+        f"COALESCE(lag(v, {k}) OVER w * {0.5 ** k!r}, 0.0)" for k in range(1, _EWMA_K)
+    )
+    den_terms = " + ".join(
+        f"CASE WHEN lag(v, {k}) OVER w IS NULL THEN 0.0 ELSE {0.5 ** k!r} END"
+        for k in range(1, _EWMA_K)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         {sql_dsum('value')} AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, v,
+       round((v + {num_terms}) / (1.0 + {den_terms}), 9) AS ewma_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+SPARK_QUERIES["events_ewma_daily"] = events_ewma_daily
+ORACLE_SQL["events_ewma_daily"] = _ewma_sql()

@@ -1773,3 +1773,58 @@ GROUP BY 1
 
 SPARK_QUERIES["minhash_calibration"] = minhash_calibration
 ORACLE_SQL["minhash_calibration"] = MINHASH_CALIBRATION_SQL
+
+
+def doc_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detection: primary/secondary language + mix ratio
+    per document (pure JVM column expressions, zero shuffle)."""
+    ensure_views(spark, sf_dir)
+    mix = text.lang_mix("text")
+    return spark.table("documents").select(
+        "doc_id",
+        mix["primary_lang"].alias("primary_lang"),
+        mix["secondary_lang"].alias("secondary_lang"),
+        mix["mix_ratio"].alias("mix_ratio"),
+    )
+
+
+def _lang_mix_sql() -> str:
+    score_cols = []
+    for lang, words in text.LANG_STOPWORDS.items():
+        arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(f"len(list_intersect(dw, {arr})) AS s_{lang}")
+    langs = text.LANG_PRIORITY
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    prim_cases = " ".join(f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in langs)
+    excl_cols = ", ".join(
+        f"CASE WHEN primary_lang = '{l}' THEN -1 ELSE s_{l} END AS e_{l}" for l in langs
+    )
+    second = "greatest(" + ", ".join(f"e_{l}" for l in langs) + ")"
+    sec_cases = " ".join(
+        f"WHEN e_{l} = second_best AND second_best > 0 THEN '{l}'" for l in langs
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, list_distinct({SQL_TOKENS}) AS dw FROM documents
+), s AS (
+  SELECT doc_id, {', '.join(score_cols)} FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+), p AS (
+  SELECT *, CASE {prim_cases} ELSE 'und' END AS primary_lang FROM b
+), e AS (
+  SELECT *, {excl_cols} FROM p
+), b2 AS (
+  SELECT *, {second} AS second_best FROM e
+)
+SELECT doc_id, primary_lang,
+       CASE {sec_cases} ELSE 'und' END AS secondary_lang,
+       CASE WHEN second_best > 0
+            THEN round(second_best * 1.0 / (best + second_best), 9)
+            ELSE 0.0 END AS mix_ratio
+FROM b2
+"""
+
+
+SPARK_QUERIES["doc_lang_mix"] = doc_lang_mix
+ORACLE_SQL["doc_lang_mix"] = _lang_mix_sql()

@@ -403,3 +403,50 @@ FROM k
 
 SPARK_QUERIES["training_shuffle_shards"] = training_shuffle_shards
 ORACLE_SQL["training_shuffle_shards"] = _shuffle_sql()
+
+
+_CORR_RATE = 15
+
+
+def span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style deterministic span corruption over documents: hash-masked
+    tokens, adjacent masks collapsed to one sentinel; emits the corrupted
+    text plus span statistics (`llm/sampling.py span_corruption`)."""
+    from onetl_spark.llm.sampling import span_corruption
+
+    ensure_views(spark, sf_dir)
+    return span_corruption(spark.table("documents"), rate_pct=_CORR_RATE)
+
+
+def _span_corruption_sql() -> str:
+    h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':spancorr:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT"
+    start = "m[i] AND (i = 1 OR NOT m[greatest(i - 1, 1)])"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), f AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w) + 1), i -> {h} % 100 < {_CORR_RATE}) AS m
+  FROM t
+), g AS (
+  SELECT doc_id, w, m,
+         array_to_string(
+           list_filter(
+             list_transform(range(1, len(w) + 1),
+                            i -> CASE WHEN {start} THEN '<X>'
+                                      WHEN NOT m[i] THEN w[i]
+                                      ELSE NULL END),
+             x -> x IS NOT NULL), ' ') AS corrupted_text,
+         len(list_filter(m, x -> x)) AS n_masked,
+         len(list_filter(range(1, len(w) + 1), i -> {start})) AS n_spans
+  FROM f
+)
+SELECT doc_id, corrupted_text, len(w) AS n_tokens,
+       CAST(n_masked AS BIGINT) AS n_masked, CAST(n_spans AS BIGINT) AS n_spans,
+       round(n_masked * 1.0 / greatest(len(w), 1), 9) AS mask_frac
+FROM g
+"""
+
+
+SPARK_QUERIES["span_corruption_stats"] = span_corruption_stats
+ORACLE_SQL["span_corruption_stats"] = _span_corruption_sql()

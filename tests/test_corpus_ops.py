@@ -656,3 +656,34 @@ def test_minhash_calibration_identical_docs_bucket9(spark):
     assert row["micro_est_jaccard"] == 1.0
     assert row["micro_exact_jaccard"] == 1.0
     assert row["sum_abs_err_scaled"] == 0
+
+
+def test_lang_mix_bilingual_and_monolingual(spark):
+    from onetl_spark.llm.text import lang_mix
+
+    rows = [
+        # pure English stopwords
+        (1, "the of and to in"),
+        # 3 en hits vs 2 de hits -> en primary, de secondary, ratio 2/5
+        (2, "the of and der die"),
+        # no stopwords at all
+        (3, "zzz qqq www"),
+        # tie en/de broken by priority: en primary, de secondary, ratio 1/2
+        (4, "the der"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mix = lang_mix("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            mix["primary_lang"].alias("p"),
+            mix["secondary_lang"].alias("s"),
+            mix["mix_ratio"].alias("m"),
+        ).collect()
+    }
+    assert (out[1]["p"], out[1]["s"], out[1]["m"]) == ("en", "und", 0.0)
+    assert (out[2]["p"], out[2]["s"]) == ("en", "de")
+    assert abs(out[2]["m"] - 0.4) < 1e-9
+    assert (out[3]["p"], out[3]["s"], out[3]["m"]) == ("und", "und", 0.0)
+    assert (out[4]["p"], out[4]["s"], out[4]["m"]) == ("en", "de", 0.5)

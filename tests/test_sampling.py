@@ -377,3 +377,45 @@ def test_apply_mix_rates_deterministic(spark):
     b = sorted(r["doc_id"] for r in apply_mix_rates(df.repartition(7), rates).collect())
     assert a == b  # hash-driven: identical under re-partitioning
     assert set(a) >= {1000 + i for i in range(10)}  # binding domain all kept
+
+
+def test_span_corruption_rate_bounds_and_empty(spark):
+    import pytest
+
+    from onetl_spark.llm.sampling import span_corruption
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        span_corruption(df, rate_pct=101)
+    # rate 0: nothing masked, text round-trips
+    out0 = {r["doc_id"]: r for r in span_corruption(df, rate_pct=0).collect()}
+    assert out0[1]["corrupted_text"] == "a b c d e f g h"
+    assert out0[1]["n_masked"] == 0 and out0[1]["n_spans"] == 0
+    assert out0[2]["corrupted_text"] == "" and out0[2]["n_tokens"] == 0
+    assert out0[2]["mask_frac"] == 0.0
+    # rate 100: everything masked into ONE span
+    out100 = {r["doc_id"]: r for r in span_corruption(df, rate_pct=100).collect()}
+    assert out100[1]["corrupted_text"] == "<X>"
+    assert out100[1]["n_masked"] == 8 and out100[1]["n_spans"] == 1
+    assert out100[1]["mask_frac"] == 1.0
+
+
+def test_span_corruption_spans_collapse_and_deterministic(spark):
+    from onetl_spark.llm.sampling import span_corruption
+
+    df = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(200)))], "doc_id long, text string"
+    )
+    a = span_corruption(df, rate_pct=30).collect()[0]
+    b = span_corruption(df, rate_pct=30).collect()[0]
+    assert a == b  # hash-driven, not RNG
+    assert 0 < a["n_masked"] < 200
+    assert a["n_spans"] <= a["n_masked"]
+    # sentinel count in the text equals the span count
+    assert a["corrupted_text"].split().count("<X>") == a["n_spans"]
+    # masked tokens are gone, unmasked survive in order
+    kept = [t for t in a["corrupted_text"].split() if t != "<X>"]
+    assert kept == sorted(kept, key=lambda t: int(t[1:]))
+    assert len(kept) == 200 - a["n_masked"]
