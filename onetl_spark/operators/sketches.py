@@ -105,3 +105,144 @@ SELECT {groups}, COUNT(*) AS n_kept,
 FROM kept
 GROUP BY {groups}
 """
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    group_cols: list[str],
+    side_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable-sketch set operations: per group, estimate the distinct
+    cardinality of two sides A/B, their UNION, and their INTERSECTION —
+    without ever shuffling the full value sets together.
+
+    ``side_col`` must hold exactly two values ``'a'`` / ``'b'`` (map your
+    period/table/variant onto them). Union sketch = k smallest unit
+    hashes over both sides' sketches (valid because K(A∪B) ⊆ K(A)∪K(B) —
+    the KMV mergeability property); resemblance ρ̂ = |K ∩ K_A ∩ K_B| / |K|
+    (Beyer et al., SIGMOD'07), and |A∩B| ≈ ρ̂·|A∪B|. Everything is
+    md5-derived and rank-based — bit-reproducible in any engine.
+
+    Scale shape: one distinct-shuffle on (group, side, hash), per-(group,
+    side) and per-group WindowGroupLimit top-k (partial heaps before the
+    exchange), then k-bounded joins. The full distinct sets never meet:
+    exact |A∩B| would carry both sides' value sets through one shuffle;
+    the sketch carries 2k rows per group.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 for the (k-1)/u_k estimator")
+    hashed = (
+        df.select(
+            *group_cols,
+            F.col(side_col).alias("_side"),
+            (md5_long(F.col(value_col).cast("string")) / F.lit(_HASH_SPACE)).alias("_u"),
+        )
+        .filter(F.col("_u") > 0)
+        .distinct()
+    )
+    w_side = W.partitionBy(*group_cols, "_side").orderBy("_u")
+    kept = hashed.withColumn("_rn", F.row_number().over(w_side)).filter(F.col("_rn") <= k)
+
+    def _estimate(n_col, uk_col):
+        return F.round(
+            F.when(n_col < k, n_col.cast("double")).otherwise(F.lit(float(k - 1)) / uk_col),
+            6,
+        )
+
+    per_side = (
+        kept.groupBy(*group_cols, "_side")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("_u").alias("_uk"))
+        .select(*group_cols, "_side", _estimate(F.col("_n"), F.col("_uk")).alias("_est"))
+    )
+    est_ab = (
+        per_side.groupBy(*group_cols)
+        .pivot("_side", ["a", "b"])
+        .agg(F.first("_est"))
+        .select(
+            *group_cols,
+            F.coalesce("a", F.lit(0.0)).alias("est_a"),
+            F.coalesce("b", F.lit(0.0)).alias("est_b"),
+        )
+    )
+    # membership of each sketch hash per side, then the k smallest overall
+    members = kept.groupBy(*group_cols, "_u").agg(
+        F.max((F.col("_side") == "a").cast("int")).alias("_in_a"),
+        F.max((F.col("_side") == "b").cast("int")).alias("_in_b"),
+    )
+    w_union = W.partitionBy(*group_cols).orderBy("_u")
+    union_kept = members.withColumn("_rn", F.row_number().over(w_union)).filter(
+        F.col("_rn") <= k
+    )
+    out = (
+        union_kept.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("_u").alias("_uk"),
+            F.sum((F.col("_in_a") * F.col("_in_b"))).alias("_n_both"),
+        )
+        .select(
+            *group_cols,
+            _estimate(F.col("_n"), F.col("_uk")).alias("est_union"),
+            F.round(F.col("_n_both") / F.col("_n"), 9).alias("jaccard_est"),
+            F.round(
+                (F.col("_n_both") / F.col("_n"))
+                * _estimate(F.col("_n"), F.col("_uk")),
+                6,
+            ).alias("est_intersection"),
+        )
+    )
+    return est_ab.join(out, group_cols)
+
+
+def sql_kmv_set_ops(
+    table_expr: str,
+    group_cols: list[str],
+    side_expr: str,
+    value_expr: str,
+    k: int = 64,
+) -> str:
+    """DuckDB oracle for :func:`kmv_set_ops` (identical hash + arithmetic).
+    ``table_expr`` is a FROM-able relation; ``side_expr`` must yield 'a'/'b'."""
+    groups = ", ".join(group_cols)
+    h = f"('0x' || substr(md5(CAST({value_expr} AS VARCHAR)), 1, 15))::BIGINT / {_HASH_SPACE:.1f}"
+    est = lambda n, uk: f"round(CASE WHEN {n} < {k} THEN CAST({n} AS DOUBLE) ELSE {float(k - 1)} / {uk} END, 6)"
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {groups}, {side_expr} AS _side, {h} AS _u
+  FROM {table_expr}
+  WHERE {h} > 0
+), kept AS (
+  SELECT {groups}, _side, _u,
+         ROW_NUMBER() OVER (PARTITION BY {groups}, _side ORDER BY _u) AS _rn
+  FROM hashed QUALIFY _rn <= {k}
+), per_side AS (
+  SELECT {groups}, _side, COUNT(*) AS _n, MAX(_u) AS _uk
+  FROM kept GROUP BY {groups}, _side
+), est_ab AS (
+  SELECT {groups},
+         COALESCE(MAX(CASE WHEN _side = 'a' THEN {est('_n', '_uk')} END), 0.0) AS est_a,
+         COALESCE(MAX(CASE WHEN _side = 'b' THEN {est('_n', '_uk')} END), 0.0) AS est_b
+  FROM per_side GROUP BY {groups}
+), members AS (
+  SELECT {groups}, _u,
+         MAX(CASE WHEN _side = 'a' THEN 1 ELSE 0 END) AS _in_a,
+         MAX(CASE WHEN _side = 'b' THEN 1 ELSE 0 END) AS _in_b
+  FROM kept GROUP BY {groups}, _u
+), union_kept AS (
+  SELECT {groups}, _u, _in_a, _in_b,
+         ROW_NUMBER() OVER (PARTITION BY {groups} ORDER BY _u) AS _rn
+  FROM members QUALIFY _rn <= {k}
+), u AS (
+  SELECT {groups}, COUNT(*) AS _n, MAX(_u) AS _uk,
+         SUM(_in_a * _in_b) AS _n_both
+  FROM union_kept GROUP BY {groups}
+)
+SELECT est_ab.{group_cols[0]}{"".join(", est_ab." + c for c in group_cols[1:])},
+       est_a, est_b,
+       {est('u._n', 'u._uk')} AS est_union,
+       round(u._n_both * 1.0 / u._n, 9) AS jaccard_est,
+       round((u._n_both * 1.0 / u._n) * {est('u._n', 'u._uk')}, 6) AS est_intersection
+FROM est_ab JOIN u USING ({groups})
+"""

@@ -968,3 +968,119 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day)
 
 SPARK_QUERIES["events_ewma_daily"] = events_ewma_daily
 ORACLE_SQL["events_ewma_daily"] = _ewma_sql()
+
+
+def events_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-period audience overlap per event type WITHOUT an exact
+    distinct-set intersection: KMV sketches of first-half vs second-half
+    monthly actives, merged for |A∪B| and resemblance-scaled for |A∩B|
+    (`operators/sketches.py kmv_set_ops`). At 100 TB the exact version
+    shuffles both periods' full user sets together; the sketch shuffles
+    2k rows per type."""
+    from onetl_spark.operators.sketches import kmv_set_ops
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        "user_id",
+        F.when(F.dayofmonth("ts") <= 15, F.lit("a")).otherwise(F.lit("b")).alias("half"),
+    )
+    return kmv_set_ops(
+        ev, group_cols=["event_type"], side_col="half", value_col="user_id", k=64,
+    )
+
+
+def _kmv_overlap_sql() -> str:
+    from onetl_spark.operators.sketches import sql_kmv_set_ops
+
+    return sql_kmv_set_ops(
+        "events",
+        ["event_type"],
+        "CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 'a' ELSE 'b' END",
+        "user_id",
+        k=64,
+    )
+
+
+SPARK_QUERIES["events_user_overlap_kmv"] = events_user_overlap_kmv
+ORACLE_SQL["events_user_overlap_kmv"] = _kmv_overlap_sql()
+
+
+def markov_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction, trained and evaluated in
+    one pass: per-user transitions (lag window), a deterministic
+    hash-split into train/test, argmax next-type per previous type from
+    train counts (ties by type order), accuracy on the held-out
+    transitions. The model is |types|²-sized → broadcast to the test
+    join; the only event-sized shuffles are the user window and the
+    transition groupBy."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        spark.table("events")
+        .select(
+            "user_id", "event_id", "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .withColumn(
+            "is_train", F.pmod(md5_long(F.col("event_id").cast("string")), F.lit(2)) == 0
+        )
+    )
+    counts = (
+        trans.filter("is_train")
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = W.partitionBy("prev_type").orderBy(F.desc("n"), F.asc("next_type"))
+    model = (
+        counts.withColumn("_rk", F.row_number().over(wp))
+        .withColumn("n_train", F.sum("n").over(W.partitionBy("prev_type")))
+        .filter(F.col("_rk") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted_next"), "n_train")
+    )
+    return (
+        trans.filter(~F.col("is_train"))
+        .join(F.broadcast(model), "prev_type")
+        .groupBy("prev_type", "predicted_next", "n_train")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum((F.col("next_type") == F.col("predicted_next")).cast("long")).alias("n_correct"),
+        )
+        .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n_test"), 9))
+    )
+
+
+MARKOV_EVAL_SQL = """
+WITH trans AS (
+  SELECT user_id, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), t AS (
+  SELECT *,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 AS is_train
+  FROM trans WHERE prev_type IS NOT NULL
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM t WHERE is_train GROUP BY 1, 2
+), model AS (
+  SELECT prev_type, next_type AS predicted_next,
+         CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_train
+  FROM counts
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY prev_type ORDER BY n DESC, next_type ASC) = 1
+)
+SELECT prev_type, predicted_next, n_train,
+       COUNT(*) AS n_test,
+       CAST(SUM(CASE WHEN next_type = predicted_next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(SUM(CASE WHEN next_type = predicted_next THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS accuracy
+FROM t JOIN model USING (prev_type)
+WHERE NOT is_train
+GROUP BY 1, 2, 3
+"""
+
+SPARK_QUERIES["markov_next_event_eval"] = markov_next_event_eval
+ORACLE_SQL["markov_next_event_eval"] = MARKOV_EVAL_SQL

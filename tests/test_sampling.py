@@ -419,3 +419,40 @@ def test_span_corruption_spans_collapse_and_deterministic(spark):
     kept = [t for t in a["corrupted_text"].split() if t != "<X>"]
     assert kept == sorted(kept, key=lambda t: int(t[1:]))
     assert len(kept) == 200 - a["n_masked"]
+
+
+def test_kmv_set_ops_exact_small_groups(spark):
+    from onetl_spark.operators.sketches import kmv_set_ops
+
+    # below k everything is exact: A={1..10}, B={6..15} per one group
+    rows = [("g", "a", v) for v in range(1, 11)] + [("g", "b", v) for v in range(6, 16)]
+    df = spark.createDataFrame(rows, "grp string, side string, val long")
+    r = kmv_set_ops(df, ["grp"], "side", "val", k=64).collect()[0]
+    assert r["est_a"] == 10.0 and r["est_b"] == 10.0
+    assert r["est_union"] == 15.0
+    assert abs(r["jaccard_est"] - 5 / 15) < 1e-9
+    assert abs(r["est_intersection"] - 5.0) < 1e-4
+
+
+def test_kmv_set_ops_estimates_near_truth(spark):
+    from onetl_spark.operators.sketches import kmv_set_ops
+
+    # A = 0..999, B = 500..1499 → union 1500, intersection 500
+    rows = [("g", "a", v) for v in range(1000)] + [("g", "b", v) for v in range(500, 1500)]
+    df = spark.createDataFrame(rows, "grp string, side string, val long")
+    r = kmv_set_ops(df, ["grp"], "side", "val", k=128).collect()[0]
+    assert abs(r["est_union"] - 1500) / 1500 < 0.25
+    assert abs(r["est_intersection"] - 500) / 500 < 0.45  # resemblance is noisier
+    # repeatable bit-for-bit
+    r2 = kmv_set_ops(df, ["grp"], "side", "val", k=128).collect()[0]
+    assert r == r2
+
+
+def test_kmv_set_ops_one_sided_group(spark):
+    from onetl_spark.operators.sketches import kmv_set_ops
+
+    rows = [("g", "a", v) for v in range(5)]
+    df = spark.createDataFrame(rows, "grp string, side string, val long")
+    r = kmv_set_ops(df, ["grp"], "side", "val", k=16).collect()[0]
+    assert r["est_a"] == 5.0 and r["est_b"] == 0.0
+    assert r["est_union"] == 5.0 and r["est_intersection"] == 0.0
