@@ -101,6 +101,15 @@ HEADLINE = [
     "streaming_sliding_window",
     "temperature_mix_sample",
     "dedup_keep_longest",
+    "duplicate_ngram_coverage",
+    "supplier_bfs_hops",
+    "minhash_calibration",
+    "supplier_fuzzy_linkage",
+    "span_corruption_stats",
+    "doc_lang_mix",
+    "events_ewma_daily",
+    "events_user_overlap_kmv",
+    "markov_next_event_eval",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

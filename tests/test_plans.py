@@ -392,3 +392,63 @@ def test_unigram_logprob_no_vocab_broadcast(tables):
 
     hints = re.findall(r"ResolvedHint.*", optimized_plan(df))
     assert all("broadcast" not in h.lower() or "n_total" in h for h in hints)
+
+
+def test_markov_model_broadcast_to_test_join(tables):
+    """The |types|²-sized model side is broadcast; the event-sized test
+    transitions are never shuffled for the join."""
+    from onetl_spark.showcase.analytics import markov_next_event_eval
+
+    df = markov_next_event_eval(tables, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_set_ops_partial_topk(tables):
+    """Both the per-side and the merged sketches run their top-k as
+    WindowGroupLimit partial heaps — post-shuffle volume is ≤ 2k rows per
+    group, never the distinct user set."""
+    from onetl_spark.showcase.analytics import events_user_overlap_kmv
+
+    df = events_user_overlap_kmv(tables, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2 and "Partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_linkage_block_equijoin_no_cartesian(tables):
+    """Candidate generation is an equi-join on the block key (hash
+    shuffled, co-located); the edit-distance filter must not degrade the
+    join into a cartesian/BNL product."""
+    from onetl_spark.showcase.operators import supplier_fuzzy_linkage
+
+    df = supplier_fuzzy_linkage(tables, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan  # JVM-side expression, not a Python UDF
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_duplicate_ngram_coverage_no_pair_join(tables):
+    """The coverage signal is inverted-index shaped: shingle-keyed
+    aggregation + join back, one row per (doc, shingle) — never the
+    quadratic per-bucket pair join of the pairwise dedup operators."""
+    from onetl_spark.llm.dedup import duplicate_ngram_coverage
+
+    df = duplicate_ngram_coverage(tables.table("documents"))
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bfs_frontier_join_stays_edge_sized(tables):
+    """Each BFS round joins the frontier against the adjacency list —
+    no cartesian products and no Python evaluation anywhere in the
+    iterative plan."""
+    from onetl_spark.showcase.graphs import supplier_bfs_hops
+
+    df = supplier_bfs_hops(tables, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
