@@ -104,3 +104,79 @@ LIMIT {_MAX_FILES}
 
 SPARK_QUERIES = {"file_transfer_plan": file_transfer_plan}
 ORACLE_SQL = {"file_transfer_plan": FILE_TRANSFER_PLAN_SQL}
+
+
+_MV_MIN_BYTES = 300
+_MV_MAX_FILES = 25
+
+
+def file_upload_move_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FileUploader + FileMover EXECUTION (not just planning) under the
+    hash gate: upload the staged tree into an inbox, move *.txt files ≥
+    _MV_MIN_BYTES (first _MV_MAX_FILES in walk order) to an outbox with
+    ``if_exists='ignore'`` — the first planned target is pre-created so
+    exactly one move exercises the skip branch. Returns one row per
+    planned file with its tree-relative path, byte size, and final status
+    (reference surface: onetl/file/file_uploader/file_uploader.py:158,
+    file_mover/file_mover.py:163)."""
+    import shutil
+
+    from onetl_spark.file.transfer.mover import FileMover, FileMoverOptions
+    from onetl_spark.file.transfer.uploader import FileUploader, FileUploaderOptions
+
+    root = _stage_tree(spark, sf_dir)
+    base = os.path.join(os.path.dirname(root), "upload_move_" + os.path.basename(root))
+    shutil.rmtree(base, ignore_errors=True)
+    inbox, outbox = os.path.join(base, "in"), os.path.join(base, "out")
+    conn = LocalFileConnection()
+    up = FileUploader(
+        connection=conn,
+        local_path=root,
+        target_path=inbox,
+        options=FileUploaderOptions(if_exists="overwrite"),
+    )
+    up.run([p for p in up.view_files() if p.endswith(".txt")])
+    mover = FileMover(
+        connection=conn,
+        source_path=inbox,
+        target_path=outbox,
+        filters=[Glob("*.txt"), FileSizeRange(min=_MV_MIN_BYTES)],
+        limits=[MaxFilesCount(_MV_MAX_FILES)],
+        options=FileMoverOptions(if_exists="ignore"),
+    )
+    planned = mover.view_files()
+    data = []
+    if planned:
+        first_rel = os.path.relpath(str(planned[0].path), inbox)
+        pre = os.path.join(outbox, first_rel)
+        os.makedirs(os.path.dirname(pre), exist_ok=True)
+        with open(pre, "w") as f:
+            f.write("occupied")
+        result = mover.run(planned)
+        for p in result.successful:
+            rel = os.path.relpath(str(p), outbox)
+            data.append((rel, os.path.getsize(str(p)), "moved"))
+        for p in result.skipped:
+            rel = os.path.relpath(str(p), inbox)
+            data.append((rel, os.path.getsize(str(p)), "skipped"))
+        assert not result.failed and not result.missing
+    return spark.createDataFrame(data, "rel_path string, size_bytes long, status string")
+
+
+FILE_UPLOAD_MOVE_SQL = f"""
+WITH f AS (
+  SELECT source || '/doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS rel_path,
+         CAST(strlen(text) AS BIGINT) AS size_bytes
+  FROM documents
+  WHERE doc_id % {_SUBSET_MOD} = 0 AND strlen(text) >= {_MV_MIN_BYTES}
+  ORDER BY source, doc_id
+  LIMIT {_MV_MAX_FILES}
+)
+SELECT rel_path, size_bytes,
+       CASE WHEN ROW_NUMBER() OVER (ORDER BY rel_path) = 1
+            THEN 'skipped' ELSE 'moved' END AS status
+FROM f
+"""
+
+SPARK_QUERIES["file_upload_move_result"] = file_upload_move_result
+ORACLE_SQL["file_upload_move_result"] = FILE_UPLOAD_MOVE_SQL
