@@ -431,3 +431,75 @@ GROUP BY 1, 2, 3
 
 SPARK_QUERIES["streaming_sliding_window"] = streaming_sliding_window
 ORACLE_SQL["streaming_sliding_window"] = STREAMING_SLIDING_SQL
+
+
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with event-time bounds: every click,
+    joined to purchases by the same user within the following hour —
+    unmatched clicks emit a null-extended row once the watermark proves
+    no matching purchase can still arrive. This exercises the
+    watermark-driven state-eviction path that inner joins never hit: a
+    left row is held in state while ``click_ts >= wm - 1h`` (a future
+    purchase could match it) and emits null-extended on eviction, so the
+    oracle includes an unmatched click iff ``click_ts + 1h < final_wm``
+    where ``final_wm = min(max click_ts, max purchase_ts) - 1h`` (the
+    two sides' watermarks are min-combined; AvailableNow runs a trailing
+    no-data micro-batch that performs the final eviction). Unmatched
+    clicks inside the last watermark window are NOT emitted — exactly
+    the semantics a resumed production stream would show, pinned here."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return _run_to_table(joined, "append")
+
+
+STREAMING_LEFT_OUTER_SQL = """
+WITH c AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+         - INTERVAL 1 HOUR AS w
+), matched AS (
+  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+), unmatched AS (
+  SELECT c.user_id, c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+  FROM c, wm
+  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+    AND c.ts + INTERVAL 1 HOUR < wm.w
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+"""
+
+SPARK_QUERIES["streaming_left_outer_join"] = streaming_left_outer_join
+ORACLE_SQL["streaming_left_outer_join"] = STREAMING_LEFT_OUTER_SQL

@@ -608,3 +608,101 @@ def test_stateful_running_agg_accumulates_across_batches(spark, tmp_path):
     u2 = [(r["running_count"], r["running_sum"])
           for r in spark.table("ra_sink").collect() if r["user"] == "u2"]
     assert u2 == [(1, 10.0)]
+
+
+def test_left_outer_join_evicts_across_microbatches(spark, tmp_path):
+    """Stream-stream LEFT OUTER join over real micro-batches: a matched
+    click emits on match; an unmatched click emits a null-extended row
+    once the watermark proves no purchase can arrive (eviction), and an
+    unmatched click still inside the final watermark horizon is NOT
+    emitted — the semantics the streaming_left_outer_join oracle encodes."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    src = tmp_path / "loj-src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id string, ts string, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        d = tmp_path / f"loj-stage-{name}"
+        df.coalesce(1).write.mode("overwrite").json(str(d))
+        part = next(p for p in d.glob("part-*.json"))
+        target = src / f"{name}.json"
+        os.link(part, target)
+        os.utime(target, (mtime, mtime))
+
+    write_file(
+        "00",
+        [
+            (1, "u1", "2026-01-01 10:00:00", "click"),
+            (2, "u1", "2026-01-01 10:30:00", "purchase"),
+            (3, "u2", "2026-01-01 10:00:00", "click"),
+        ],
+        1_000_000_000,
+    )
+    # spacer advances both watermarks to 12:59 → u2's click (window ended
+    # 11:00) is evicted and emits null-extended
+    write_file(
+        "01",
+        [
+            (4, "u9", "2026-01-01 13:00:00", "click"),
+            (5, "u9", "2026-01-01 13:00:00", "purchase"),
+        ],
+        1_000_000_100,
+    )
+    # unmatched click inside the final watermark horizon: NOT emitted
+    write_file(
+        "02",
+        [(6, "u3", "2026-01-01 12:58:00", "click")],
+        1_000_000_200,
+    )
+
+    def side(event_type, prefix):
+        raw = StreamDFReader(
+            spark=spark,
+            format=JSONLine(),
+            source_path=str(src),
+            df_schema=schema,
+            options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+        ).run()
+        return (
+            raw.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 minute")
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(F.col("c_user").alias("user_id"), "c_id", "p_id")
+    query = StreamDFWriter(
+        format="memory",
+        options=StreamWriteOptions(
+            output_mode="append",
+            checkpoint_location=str(tmp_path / "ckpt-loj"),
+            trigger={"availableNow": True},
+            query_name="loj_sink",
+        ),
+    ).run(joined)
+    query.awaitTermination(180)
+
+    got = {(r["user_id"], r["c_id"], r["p_id"]) for r in spark.table("loj_sink").collect()}
+    # u9's click at 13:00 matches its own 13:00 purchase (window start is
+    # inclusive); u3's click stays unemitted inside the watermark horizon
+    assert got == {("u1", 1, 2), ("u2", 3, None), ("u9", 4, 5)}
