@@ -786,3 +786,158 @@ def knn_classify(
         F.col("_b._lbl").alias("knn_label"),
         F.col("_b.votes").alias("votes"),
     )
+
+
+def _l2sq(a, b):
+    """Squared L2 distance as a left-to-right double fold (both engines
+    fold list_sum/aggregate in array order; 0.0 + t1 == t1 exactly, so
+    the seeded fold matches DuckDB's unseeded list_sum)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(embeddings, m, d_sub, id_col, vec_col):
+    """(id, m, sv): corpus split into m contiguous subvectors, elements
+    cast to double up front (float→double→decimal is the cross-engine-
+    stable widening chain — see ivf_refine_centroids)."""
+    slices = F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), mi * d_sub + 1, d_sub),
+                lambda x: x.cast("double"),
+            )
+            for mi in range(m)
+        ]
+    )
+    return widen_small_scan(embeddings).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(slices).alias("_m", "_sv"),
+    )
+
+
+def _pq_assign(subs, codebooks):
+    """Per-(vector, subspace) nearest code by squared L2 (ties → smallest
+    code id) — broadcast codebooks, min(struct) partial-aggregating argmin
+    (same scale shape as ivf_assign: the N×K expansion combines map-side
+    to one row per (vector, subspace) before any exchange)."""
+    scored = subs.join(F.broadcast(codebooks), "_m").select(
+        "_id",
+        "_m",
+        "_sv",
+        F.col("code_id"),
+        F.round(_l2sq(F.col("_sv"), F.col("cvec")), 9).alias("_d"),
+    )
+    return (
+        scored.groupBy("_id", "_m")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("code_id"))).alias("_best"),
+            # _sv is identical across the K scored rows of one group —
+            # first() is deterministic here by construction
+            F.first("_sv").alias("_sv"),
+        )
+        .select("_id", "_m", F.col("_best.code_id").alias("code_id"), "_sv")
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    seed_filter: str = "vec_id % 64 = 5",
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI'11): the vector space is split
+    into ``m`` orthogonal subspaces and each gets an independent k-means
+    codebook, so ``m`` 1-byte codes replace a ``dim``-float vector —
+    the memory-side complement of IVF's candidate pruning (a 100-TB
+    embedding corpus becomes ~1.5 TB of codes that FIT IN CLUSTER RAM).
+
+    Deterministic like the IVF stack: fixed-id seeds stand in for
+    k-means++ and Lloyd means are exact decimal sums, so any engine
+    reproduces the codebooks bit-for-bit. Per iteration: one broadcast
+    assign (no corpus shuffle) + one (m·K·d_sub)-sized means aggregation.
+    Empty codes keep their previous centroid.
+    """
+    d_sub = dim // m
+    subs = _pq_subvectors(embeddings, m, d_sub, id_col, vec_col)
+    seed_ids = embeddings.filter(seed_filter).select(F.col(id_col).alias("_id"))
+    codebooks = subs.join(F.broadcast(seed_ids), "_id").select(
+        "_m", F.col("_id").alias("code_id"), F.col("_sv").alias("cvec")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = _pq_assign(subs, codebooks)
+        members = assigned.select(
+            "_m", "code_id", F.posexplode("_sv").alias("_d", "_x")
+        )
+        means = (
+            members.groupBy("_m", "code_id", "_d")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_mu"),
+            )
+            .groupBy("_m", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_d"), F.col("_mu")))),
+                    lambda s: s["_mu"],
+                ).alias("mvec"),
+            )
+        )
+        codebooks = (
+            codebooks.join(means, ["_m", "code_id"], "left")
+            .select("_m", "code_id", F.coalesce("mvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return codebooks
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    seed_filter: str = "vec_id % 64 = 5",
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): the query stays
+    un-quantized, each corpus vector is its ``m`` codes, and distance is
+    the sum of per-subspace query→codeword distances from an
+    (m·K)-row lookup table — broadcast, so scoring the whole corpus is a
+    code-table join + a per-id sum, NO vector arithmetic per corpus row.
+    Distances accumulate as exact decimals (sum order can't matter);
+    ties break by id.
+    """
+    d_sub = dim // m
+    codebooks = pq_codebooks(
+        embeddings, m, dim, seed_filter, iterations, id_col, vec_col
+    )
+    subs = _pq_subvectors(embeddings, m, d_sub, id_col, vec_col)
+    codes = _pq_assign(subs, codebooks).select("_id", "_m", "code_id")
+    q_subs = subs.filter(F.col("_id") == query_id).select(
+        "_m", F.col("_sv").alias("_qsv")
+    )
+    dtab = q_subs.join(codebooks, "_m").select(
+        "_m",
+        "code_id",
+        F.round(_l2sq(F.col("_qsv"), F.col("cvec")), 9).alias("_qd"),
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["_m", "code_id"])
+        .groupBy("_id")
+        .agg(F.sum(F.col("_qd").cast("decimal(38,9)")).cast("double").alias("approx_l2"))
+        .filter(F.col("_id") != query_id)
+        .select(F.col("_id").alias(id_col), "approx_l2")
+        .orderBy(F.asc("approx_l2"), F.asc(id_col))
+        .limit(k)
+    )

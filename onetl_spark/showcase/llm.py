@@ -1828,3 +1828,116 @@ FROM b2
 
 SPARK_QUERIES["doc_lang_mix"] = doc_lang_mix
 ORACLE_SQL["doc_lang_mix"] = _lang_mix_sql()
+
+
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document (vowel-group syllable proxy,
+    pure JVM regexp counting)."""
+    ensure_views(spark, sf_dir)
+    r = text.readability("text")
+    return spark.table("documents").select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["n_sentences"].alias("n_sentences"),
+        r["n_syllables"].alias("n_syllables"),
+        r["flesch"].alias("flesch"),
+    )
+
+
+READABILITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len({SQL_TOKENS}) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0
+            THEN round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                               - 84.6 * (n_syllables * 1.0 / n_words), 9)
+            ELSE 0.0 END AS flesch
+FROM t
+"""
+
+SPARK_QUERIES["doc_readability"] = doc_readability
+ORACLE_SQL["doc_readability"] = READABILITY_SQL
+
+
+_PQ_M = 4
+_PQ_DSUB = 16
+_PQ_SEED = "vec_id % 64 = 5"
+_PQ_QUERY = 17
+_PQ_K = 10
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace k-means codebooks (1 Lloyd
+    iteration over deterministic seeds), asymmetric-distance top-10 for
+    one query (`llm/similarity.py pq_topk`)."""
+    ensure_views(spark, sf_dir)
+    return similarity.pq_topk(
+        spark.table("embeddings"),
+        query_id=_PQ_QUERY,
+        k=_PQ_K,
+        m=_PQ_M,
+        dim=_PQ_M * _PQ_DSUB,
+        seed_filter=_PQ_SEED,
+        iterations=1,
+    )
+
+
+def _pq_sql() -> str:
+    d = _PQ_DSUB
+    l2 = lambda a, b: (
+        f"list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return f"""
+WITH sub AS (
+  SELECT vec_id, t.m AS m,
+         list_transform(embedding[t.m*{d}+1 : t.m*{d}+{d}],
+                        x -> CAST(x AS DOUBLE)) AS sv
+  FROM embeddings, range(0, {_PQ_M}) t(m)
+), cb0 AS (
+  SELECT m, vec_id AS code_id, sv AS cvec FROM sub WHERE {_PQ_SEED}
+), a1 AS (
+  SELECT sub.vec_id, sub.m, code_id, sv,
+         round({l2('sv', 'cvec')}, 9) AS dd
+  FROM sub JOIN cb0 USING (m)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                             ORDER BY dd, code_id) = 1
+), m1 AS (
+  SELECT m, code_id, r.i AS i,
+         CAST(SUM(CAST(sv[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+  FROM a1, range(1, {d} + 1) r(i)
+  GROUP BY m, code_id, r.i
+), mv AS (
+  SELECT m, code_id, list(mu ORDER BY i) AS mvec FROM m1 GROUP BY m, code_id
+), cb1 AS (
+  SELECT cb0.m, cb0.code_id, COALESCE(mv.mvec, cb0.cvec) AS cvec
+  FROM cb0 LEFT JOIN mv ON mv.m = cb0.m AND mv.code_id = cb0.code_id
+), codes AS (
+  SELECT sub.vec_id, sub.m, code_id,
+         round({l2('sv', 'cvec')}, 9) AS dd
+  FROM sub JOIN cb1 USING (m)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                             ORDER BY dd, code_id) = 1
+), q AS (
+  SELECT m, sv AS qsv FROM sub WHERE vec_id = {_PQ_QUERY}
+), dt AS (
+  SELECT cb1.m, cb1.code_id, round({l2('qsv', 'cvec')}, 9) AS qd
+  FROM cb1 JOIN q USING (m)
+)
+SELECT codes.vec_id,
+       CAST(SUM(CAST(qd AS DECIMAL(38,9))) AS DOUBLE) AS approx_l2
+FROM codes JOIN dt ON dt.m = codes.m AND dt.code_id = codes.code_id
+WHERE codes.vec_id <> {_PQ_QUERY}
+GROUP BY codes.vec_id
+ORDER BY approx_l2 ASC, vec_id ASC
+LIMIT {_PQ_K}
+"""
+
+
+SPARK_QUERIES["ann_pq_topk"] = ann_pq_topk
+ORACLE_SQL["ann_pq_topk"] = _pq_sql()
