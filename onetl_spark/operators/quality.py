@@ -121,3 +121,49 @@ def expect(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             9,
         ).alias("pass_rate"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 5,
+) -> DataFrame:
+    """Shuffle-skew diagnostics for a prospective join/groupBy key: key
+    cardinality, the share of rows carried by the hottest key and the
+    hottest ``top_n`` keys, exact median and p99 of the per-key row
+    count, and the max/median ratio — the number that predicts whether a
+    shuffle on this key stragglers out at scale (a ratio in the hundreds
+    means the hot task runs hundreds of times longer than the typical
+    one; salt or AQE-skew-join before shipping).
+
+    One shuffle on the key for the counts; everything after is
+    key-cardinality-sized, with NO global window anywhere: the hot-key
+    share comes from a TakeOrdered top-``top_n`` (per-partition heaps +
+    driver merge of ``top_n`` rows), and the hottest single key is just
+    ``max``. Percentiles are exact (``percentile``) over the per-key
+    counts — for extreme key cardinalities swap in ``approx_percentile``
+    (the one knob here that trades oracle-exactness for memory).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_n").alias("n_rows"),
+        F.max("_n").alias("max_key_rows"),
+        F.round(F.expr("percentile(_n, 0.5)"), 9).alias("median_key_rows"),
+        F.round(F.expr("percentile(_n, 0.99)"), 9).alias("p99_key_rows"),
+    )
+    topn = (
+        counts.orderBy(F.desc("_n"), F.asc(key_col))
+        .limit(top_n)
+        .agg(F.sum("_n").alias("_topn"))
+    )
+    return stats.join(F.broadcast(topn)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "median_key_rows",
+        "p99_key_rows",
+        F.round(F.col("max_key_rows") / F.col("n_rows"), 9).alias("top1_share"),
+        F.round(F.col("_topn") / F.col("n_rows"), 9).alias(f"top{top_n}_share"),
+        F.round(F.col("max_key_rows") / F.col("median_key_rows"), 9).alias("skew_ratio"),
+    )

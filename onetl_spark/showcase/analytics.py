@@ -1084,3 +1084,38 @@ GROUP BY 1, 2, 3
 
 SPARK_QUERIES["markov_next_event_eval"] = markov_next_event_eval
 ORACLE_SQL["markov_next_event_eval"] = MARKOV_EVAL_SQL
+
+
+def lineitem_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew advisor on the lineitem→supplier join key: would a
+    shuffle on l_suppkey straggler out? (`operators/quality.py
+    key_skew_profile` — exact key-count distribution stats, hot-key
+    shares via TakeOrdered, no global window)."""
+    from onetl_spark.operators.quality import key_skew_profile
+
+    ensure_views(spark, sf_dir)
+    return key_skew_profile(spark.table("lineitem"), "l_suppkey", top_n=5)
+
+
+LINEITEM_SKEW_SQL = """
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+         MAX(n) AS max_key_rows,
+         round(quantile_cont(n, 0.5), 9) AS median_key_rows,
+         round(quantile_cont(n, 0.99), 9) AS p99_key_rows
+  FROM counts
+), topn AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn
+  FROM (SELECT n FROM counts ORDER BY n DESC, l_suppkey ASC LIMIT 5)
+)
+SELECT n_keys, n_rows, max_key_rows, median_key_rows, p99_key_rows,
+       round(max_key_rows * 1.0 / n_rows, 9) AS top1_share,
+       round(tn * 1.0 / n_rows, 9) AS top5_share,
+       round(max_key_rows * 1.0 / median_key_rows, 9) AS skew_ratio
+FROM stats, topn
+"""
+
+SPARK_QUERIES["lineitem_skew_profile"] = lineitem_skew_profile
+ORACLE_SQL["lineitem_skew_profile"] = LINEITEM_SKEW_SQL

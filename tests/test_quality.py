@@ -59,3 +59,27 @@ def test_expect_empty_input(spark):
     assert rows[0]["n_rows"] == 0
     assert rows[0]["n_failed"] == 0
     assert rows[0]["pass_rate"] == 1.0
+
+
+def test_key_skew_profile_detects_hot_key(spark):
+    from onetl_spark.operators.quality import key_skew_profile
+
+    # one hot key with 90 rows, nine cold keys with 1 each
+    rows = [(0,)] * 90 + [(k,) for k in range(1, 10)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_profile(df, "k", top_n=3).collect()[0]
+    assert r["n_keys"] == 10 and r["n_rows"] == 99
+    assert r["max_key_rows"] == 90 and r["median_key_rows"] == 1.0
+    assert abs(r["top1_share"] - 90 / 99) < 1e-9
+    assert abs(r["top3_share"] - 92 / 99) < 1e-9
+    assert r["skew_ratio"] == 90.0
+
+
+def test_key_skew_profile_uniform(spark):
+    from onetl_spark.operators.quality import key_skew_profile
+
+    rows = [(k % 8,) for k in range(80)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["skew_ratio"] == 1.0 and r["max_key_rows"] == 10
+    assert abs(r["top5_share"] - 50 / 80) < 1e-9
