@@ -227,3 +227,69 @@ def image_ahash(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak_dev", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+    ],
+)
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame: int = 16,
+    hop: int = 8,
+    active_threshold: int = 60_000,
+) -> DataFrame:
+    """Frame-energy analysis of a binary audio column interpreted as
+    unsigned 8-bit PCM (midpoint 128) — the voice-activity-detection
+    primitive of audio dataset curation (drop silent clips, bucket by
+    loudness). Unlike the decode stubs, this is REAL signal math: numpy
+    over the raw bytes inside Arrow-batched ``mapInPandas``, one batch
+    pass per payload, nothing leaves the executor.
+
+    All statistics are integers (sample count, exact sum of squared
+    deviations, peak |deviation|, sliding-frame count, frames whose
+    energy ≥ ``active_threshold``), so results are bit-reproducible on
+    any engine — no float accumulation anywhere.
+    """
+    import numpy as np
+
+    if frame <= 0 or hop <= 0:
+        raise ValueError("frame and hop must be positive")
+
+    def _analyze(payload) -> tuple:
+        b = bytes(payload) if payload is not None else b""
+        dev = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+        n = int(dev.size)
+        sum_sq = int((dev * dev).sum()) if n else 0
+        peak = int(np.abs(dev).max()) if n else 0
+        n_frames = (n - frame) // hop + 1 if n >= frame else 0
+        n_active = 0
+        for k in range(n_frames):
+            seg = dev[k * hop : k * hop + frame]
+            if int((seg * seg).sum()) >= active_threshold:
+                n_active += 1
+        return n, sum_sq, peak, n_frames, n_active
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = [_analyze(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": pd.Series([s[0] for s in stats], dtype="int64"),
+                    "sum_sq": pd.Series([s[1] for s in stats], dtype="int64"),
+                    "peak_dev": pd.Series([s[2] for s in stats], dtype="int64"),
+                    "n_frames": pd.Series([s[3] for s in stats], dtype="int64"),
+                    "n_active": pd.Series([s[4] for s in stats], dtype="int64"),
+                },
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_ENERGY_SCHEMA)

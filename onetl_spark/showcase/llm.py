@@ -1941,3 +1941,56 @@ LIMIT {_PQ_K}
 
 SPARK_QUERIES["ann_pq_topk"] = ann_pq_topk
 ORACLE_SQL["ann_pq_topk"] = _pq_sql()
+
+
+_AE_FRAME, _AE_HOP, _AE_THR = 16, 8, 60_000
+_AE_HEAD = 64
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM8 frame-energy over binary payloads (Arrow-batched numpy inside
+    mapInPandas — `llm/multimodal.py audio_frame_energy`). The payload
+    here is the ASCII head of each document (showcase scaffolding so the
+    DuckDB oracle can recompute sample values via code points); the
+    operator takes arbitrary binary audio."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.regexp_replace(F.substring("text", 1, _AE_HEAD), r"[^ -~]", "").alias("_clean"),
+    )
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("_clean"), "utf-8").alias("payload")
+    )
+    return multimodal.audio_frame_energy(
+        payloads, frame=_AE_FRAME, hop=_AE_HOP, active_threshold=_AE_THR
+    )
+
+
+AUDIO_ENERGY_SQL = f"""
+WITH c AS (
+  SELECT doc_id, regexp_replace(substr(text, 1, {_AE_HEAD}), '[^ -~]', '', 'g') AS clean
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_transform(range(1, length(clean) + 1),
+                        i -> unicode(substr(clean, i, 1)) - 128) AS dev,
+         length(clean) AS n
+  FROM c
+), f AS (
+  SELECT doc_id, dev, n,
+         CASE WHEN n >= {_AE_FRAME} THEN (n - {_AE_FRAME}) // {_AE_HOP} + 1 ELSE 0 END AS n_frames
+  FROM s
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(COALESCE(list_sum(list_transform(dev, x -> x * x)), 0) AS BIGINT) AS sum_sq,
+       CAST(COALESCE(list_max(list_transform(dev, x -> abs(x))), 0) AS BIGINT) AS peak_dev,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(len(list_filter(range(0, n_frames),
+                k -> list_sum(list_transform(range(k * {_AE_HOP} + 1, k * {_AE_HOP} + {_AE_FRAME} + 1),
+                                             i -> dev[i] * dev[i])) >= {_AE_THR})) AS BIGINT) AS n_active
+FROM f
+"""
+
+SPARK_QUERIES["multimodal_audio_energy"] = multimodal_audio_energy
+ORACLE_SQL["multimodal_audio_energy"] = AUDIO_ENERGY_SQL

@@ -739,3 +739,54 @@ def test_pq_topk_recovers_cluster_structure(spark):
         ).collect()
     ]
     assert got == got2
+
+
+def test_audio_frame_energy_matches_python_reference(spark):
+    from onetl_spark.llm.multimodal import audio_frame_energy
+
+    def ref(b, frame=4, hop=2, thr=100):
+        dev = [x - 128 for x in b]
+        n = len(dev)
+        n_frames = (n - frame) // hop + 1 if n >= frame else 0
+        act = sum(
+            1
+            for k in range(n_frames)
+            if sum(x * x for x in dev[k * hop : k * hop + frame]) >= thr
+        )
+        return (
+            n,
+            sum(x * x for x in dev),
+            max((abs(x) for x in dev), default=0),
+            n_frames,
+            act,
+        )
+
+    payloads = [
+        bytes([128] * 10),            # pure silence: zero energy
+        bytes([0, 255, 128, 64] * 5), # loud
+        bytes([130, 126, 129]),       # shorter than one frame
+        b"",                          # empty payload
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "doc_id long, payload binary"
+    )
+    got = {
+        r["doc_id"]: (r["n_samples"], r["sum_sq"], r["peak_dev"], r["n_frames"], r["n_active"])
+        for r in audio_frame_energy(df, frame=4, hop=2, active_threshold=100).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == ref(p), f"payload {i}"
+    assert got[0][4] == 0      # silence: no active frames
+    assert got[1][4] == got[1][3]  # loud: every frame active
+
+
+def test_audio_frame_energy_validation(spark):
+    import pytest
+
+    from onetl_spark.llm.multimodal import audio_frame_energy
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    with pytest.raises(ValueError):
+        audio_frame_energy(df, frame=0)
+    with pytest.raises(ValueError):
+        audio_frame_energy(df, hop=-1)
