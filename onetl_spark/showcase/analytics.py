@@ -1119,3 +1119,134 @@ FROM stats, topn
 
 SPARK_QUERIES["lineitem_skew_profile"] = lineitem_skew_profile
 ORACLE_SQL["lineitem_skew_profile"] = LINEITEM_SKEW_SQL
+
+
+def seasonal_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest per event type: predict each day's
+    value total with the value 7 days earlier, score MAE/MAPE over the
+    days where the lag exists. The forecast and its error are per-day
+    window math over the (type, day) pre-aggregate; error sums accumulate
+    as exact decimals so both engines agree bit-for-bit."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("f", F.lag("v", 7).over(w)).filter(F.col("f").isNotNull())
+    abs_err = F.abs(F.col("v") - F.col("f"))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            (F.sum(abs_err.cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))), 9
+        ).alias("mae"),
+        F.round(
+            (
+                F.sum((abs_err / F.abs("v")).cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            9,
+        ).alias("mape"),
+    )
+
+
+SEASONAL_FORECAST_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, v,
+         lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+  FROM daily
+)
+SELECT event_type, COUNT(*) AS n_days,
+       round(CAST(SUM(CAST(abs(v - f) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 9) AS mae,
+       round(CAST(SUM(CAST(abs(v - f) / abs(v) AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 9) AS mape
+FROM scored WHERE f IS NOT NULL
+GROUP BY event_type
+"""
+
+SPARK_QUERIES["seasonal_forecast_eval"] = seasonal_forecast_eval
+ORACLE_SQL["seasonal_forecast_eval"] = SEASONAL_FORECAST_SQL
+
+
+def ab_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic comparing per-event value between the
+    first- and second-half-of-month cohorts, per event type — the
+    experiment-analysis primitive. Count/sum/sum-of-squares accumulate as
+    exact decimals in ONE pass per cohort; the t statistic and the
+    Welch–Satterthwaite dof are closed-form doubles from those exacts."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        "value",
+        F.when(F.dayofmonth("ts") <= 15, F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+    )
+    agg = ev.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).cast("double").alias("s2"),
+    )
+    a = agg.filter("grp = 'a'").select(
+        "event_type", F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("s2").alias("s2_a")
+    )
+    b = agg.filter("grp = 'b'").select(
+        "event_type", F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("s2").alias("s2_b")
+    )
+    j = a.join(b, "event_type")
+    m_a, m_b = F.col("s_a") / F.col("n_a"), F.col("s_b") / F.col("n_b")
+    v_a = (F.col("s2_a") - (F.col("s_a") * F.col("s_a")) / F.col("n_a")) / (F.col("n_a") - 1)
+    v_b = (F.col("s2_b") - (F.col("s_b") * F.col("s_b")) / F.col("n_b")) / (F.col("n_b") - 1)
+    se2 = v_a / F.col("n_a") + v_b / F.col("n_b")
+    dof = (se2 * se2) / (
+        (v_a / F.col("n_a")) * (v_a / F.col("n_a")) / (F.col("n_a") - 1)
+        + (v_b / F.col("n_b")) * (v_b / F.col("n_b")) / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(m_a, 9).alias("mean_a"),
+        F.round(m_b, 9).alias("mean_b"),
+        F.round((m_a - m_b) / F.sqrt(se2), 9).alias("t_stat"),
+        F.round(dof, 9).alias("welch_dof"),
+    )
+
+
+AB_TTEST_SQL = """
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15 THEN 'a' ELSE 'b' END AS grp
+  FROM events
+), agg AS (
+  SELECT event_type, grp, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM ev GROUP BY 1, 2
+), j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.s AS s_a, a.s2 AS s2_a,
+         b.n AS n_b, b.s AS s_b, b.s2 AS s2_b
+  FROM (SELECT * FROM agg WHERE grp = 'a') a
+  JOIN (SELECT * FROM agg WHERE grp = 'b') b USING (event_type)
+), c AS (
+  SELECT event_type, n_a, n_b,
+         s_a / n_a AS m_a, s_b / n_b AS m_b,
+         (s2_a - (s_a * s_a) / n_a) / (n_a - 1) AS v_a,
+         (s2_b - (s_b * s_b) / n_b) / (n_b - 1) AS v_b
+  FROM j
+), d AS (
+  SELECT *, v_a / n_a + v_b / n_b AS se2 FROM c
+)
+SELECT event_type, n_a, n_b,
+       round(m_a, 9) AS mean_a, round(m_b, 9) AS mean_b,
+       round((m_a - m_b) / sqrt(se2), 9) AS t_stat,
+       round((se2 * se2) / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                          + (v_b / n_b) * (v_b / n_b) / (n_b - 1)), 9) AS welch_dof
+FROM d
+"""
+
+SPARK_QUERIES["ab_value_ttest"] = ab_value_ttest
+ORACLE_SQL["ab_value_ttest"] = AB_TTEST_SQL
