@@ -167,3 +167,32 @@ def key_skew_profile(
         F.round(F.col("_topn") / F.col("n_rows"), 9).alias(f"top{top_n}_share"),
         F.round(F.col("max_key_rows") / F.col("median_key_rows"), 9).alias("skew_ratio"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity report, the companion to :func:`k_anonymity`: per
+    quasi-identifier equivalence class, the DISTINCT count of the
+    sensitive attribute — a class where everyone shares one sensitive
+    value leaks it even when the class is k-large (the homogeneity
+    attack k-anonymity misses). ``at_risk`` flags classes below ``l``.
+
+    One shuffle on (QI, sensitive) for the distinct, one class-sized
+    re-aggregation — the sensitive values themselves never concentrate
+    on one node.
+    """
+    per_class = (
+        df.select(*quasi_identifiers, sensitive_col)
+        .distinct()
+        .groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).alias("distinct_sensitive"))
+    )
+    sizes = df.groupBy(*quasi_identifiers).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        sizes.join(per_class, quasi_identifiers)
+        .withColumn("at_risk", (F.col("distinct_sensitive") < l).cast("boolean"))
+    )

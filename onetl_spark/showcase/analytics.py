@@ -1250,3 +1250,36 @@ FROM d
 
 SPARK_QUERIES["ab_value_ttest"] = ab_value_ttest
 ORACLE_SQL["ab_value_ttest"] = AB_TTEST_SQL
+
+
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity over (nation, segment) with the account-balance SIGN as
+    the sensitive attribute: classes whose members all share one sign
+    leak it regardless of class size (`operators/quality.py l_diversity`)."""
+    from onetl_spark.operators.quality import l_diversity
+
+    ensure_views(spark, sf_dir)
+    docs = spark.table("customer").select(
+        "c_nationkey", "c_mktsegment", F.signum("c_acctbal").alias("bal_sign")
+    )
+    return l_diversity(docs, ["c_nationkey", "c_mktsegment"], "bal_sign", l=2)
+
+
+L_DIVERSITY_SQL = """
+WITH t AS (
+  SELECT c_nationkey, c_mktsegment, sign(c_acctbal) AS bal_sign FROM customer
+), sizes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+  FROM t GROUP BY 1, 2
+), div AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS distinct_sensitive
+  FROM (SELECT DISTINCT c_nationkey, c_mktsegment, bal_sign FROM t)
+  GROUP BY 1, 2
+)
+SELECT sizes.c_nationkey, sizes.c_mktsegment, class_size, distinct_sensitive,
+       distinct_sensitive < 2 AS at_risk
+FROM sizes JOIN div USING (c_nationkey, c_mktsegment)
+"""
+
+SPARK_QUERIES["customer_l_diversity"] = customer_l_diversity
+ORACLE_SQL["customer_l_diversity"] = L_DIVERSITY_SQL

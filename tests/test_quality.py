@@ -83,3 +83,20 @@ def test_key_skew_profile_uniform(spark):
     r = key_skew_profile(df, "k").collect()[0]
     assert r["skew_ratio"] == 1.0 and r["max_key_rows"] == 10
     assert abs(r["top5_share"] - 50 / 80) < 1e-9
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    from onetl_spark.operators.quality import l_diversity
+
+    rows = [
+        # class A: large but homogeneous (all share sensitive 's1') → at risk
+        ("A", "s1"), ("A", "s1"), ("A", "s1"), ("A", "s1"),
+        # class B: small but diverse → safe
+        ("B", "s1"), ("B", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "qi string, sens string")
+    out = {r["qi"]: r for r in l_diversity(df, ["qi"], "sens", l=2).collect()}
+    assert out["A"]["class_size"] == 4 and out["A"]["distinct_sensitive"] == 1
+    assert out["A"]["at_risk"] is True
+    assert out["B"]["class_size"] == 2 and out["B"]["distinct_sensitive"] == 2
+    assert out["B"]["at_risk"] is False
