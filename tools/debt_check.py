@@ -2,13 +2,19 @@
 
 The driver oracle-checks only the first WINDOW (50) entries of
 ``queries()`` per round; the registry orders itself by verification debt
-(never-green first, then stalest-green — ``showcase/__init__.py``), so
-every query should get a green row at least every ``ceil(n/WINDOW)`` = 3
-rounds. This tool fails when that rotation is broken:
+(never-green first, then stalest-green — ``showcase/__init__.py``). A
+debt-ordered rotation guarantees every query a green row at least every
+``ceil(n/WINDOW)`` rounds (plus slack for freshly-added never-green
+entries, which rightly preempt the window). This tool fails when the
+ROTATION ITSELF is broken, not when the registry simply outgrew a fixed
+constant:
 
-1. any never-green or stale (age >= MAX_AGE) query sits OUTSIDE the next
-   window — it would NOT be re-checked next round despite being due;
-2. more stale/never-green queries exist than one window can absorb — the
+1. ordering violation — a fresher-green query sits BEFORE a staler one
+   (the self-rotation property the registry promises);
+2. a query's green-age exceeds the achievable bound
+   ``ceil(n/WINDOW) + SLACK`` — it slipped through rotations it should
+   have been inside;
+3. more queries are beyond the bound than one window can absorb — the
    backlog can only grow.
 
 Run: python tools/debt_check.py   (exit 1 on violation)
@@ -18,6 +24,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import re
 import sys
@@ -26,7 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 WINDOW = 50
-MAX_AGE = 3  # rounds since last green before a query counts as stale
+SLACK = 1  # rounds of grace for freshly-added never-green entries
 
 
 def last_green_rounds() -> tuple[dict[str, int], int]:
@@ -56,31 +63,46 @@ def check() -> list[str]:
     names = list(all_queries())
     last, newest = last_green_rounds()
     current = newest + 1  # the round about to run
+    max_age = math.ceil(len(names) / WINDOW) + SLACK
 
     problems: list[str] = []
-    due = []  # queries that must be in the next window
+
+    # 1. the registry must be debt-monotone: never-green (treated as -inf)
+    #    first, then non-decreasing last-green round
+    keys = [last.get(n, 0) for n in names]
+    for i in range(1, len(keys)):
+        if keys[i] < keys[i - 1]:
+            problems.append(
+                f"ordering violation: {names[i]} (last green r{keys[i] or '—'}) "
+                f"sorted after fresher {names[i - 1]} (r{keys[i - 1]})"
+            )
+            break
+
+    # 2./3. nothing may exceed the achievable revisit bound
+    overdue = []
     for pos, name in enumerate(names):
         green = last.get(name)
         age = current - green if green else None
-        if green is None or age >= MAX_AGE:
-            due.append((name, age, pos))
-            if pos >= WINDOW:
-                problems.append(
-                    f"{name}: {'never green' if green is None else f'age {age}'} "
-                    f"but at registry position {pos} (outside the {WINDOW}-query window)"
-                )
-    if len(due) > WINDOW:
+        if green is not None and age > max_age:
+            overdue.append(name)
+            problems.append(
+                f"{name}: green-age {age} exceeds the achievable bound "
+                f"{max_age} (= ceil({len(names)}/{WINDOW}) + {SLACK})"
+            )
+    if len(overdue) > WINDOW:
         problems.append(
-            f"{len(due)} queries are due (never-green or age >= {MAX_AGE}) but the "
-            f"window only holds {WINDOW} — the backlog cannot drain"
+            f"{len(overdue)} queries beyond the age bound but the window only "
+            f"holds {WINDOW} — the backlog cannot drain"
         )
 
     ages = sorted(
         (current - g for g in (last.get(n) for n in names) if g), reverse=True
     )
+    never = len([n for n in names if n not in last])
     print(
-        f"registry: {len(names)} queries; ever-green: {len([n for n in names if n in last])}; "
-        f"due next round: {len(due)}; max green-age: {ages[0] if ages else 'n/a'}"
+        f"registry: {len(names)} queries; ever-green: {len(names) - never}; "
+        f"never-green (new): {never}; age bound: {max_age}; "
+        f"max green-age: {ages[0] if ages else 'n/a'}"
     )
     return problems
 
