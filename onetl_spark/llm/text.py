@@ -429,13 +429,24 @@ def unigram_logprob_scores(
 def lang_mix(col: Column | str) -> dict[str, Column]:
     """Code-switching signal: primary and secondary language by stopword
     overlap, plus the mix ratio ``second/(best+second)`` (0.5 = perfectly
-    bilingual, 0 = monolingual). Pure column expressions like
-    :func:`lang_id`; ties resolve by LANG_PRIORITY and a language never
-    equals its own secondary.
+    bilingual, 0 = monolingual). Ties resolve by LANG_PRIORITY and a
+    language never equals its own secondary.
+
+    NOTE: as raw column expressions the five tokenize+intersect scores
+    are re-expanded inside every CASE branch (higher-order functions sit
+    outside codegen subexpression elimination — measured ~15× the cost
+    of one scoring pass). Prefer :func:`lang_mix_stats`, which stages the
+    scores through a projection so each is computed once.
     """
     scores = lang_scores(col)
+    return _lang_mix_from_scores(scores)
+
+
+def _lang_mix_from_scores(scores: dict[str, Column]) -> dict[str, Column]:
     best = F.greatest(*[scores[lang] for lang in LANG_PRIORITY])
-    primary = lang_id(col)
+    primary = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        primary = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(primary)
     # per-language score with the primary slot excluded (-1 sinks it)
     excl = {
         lang: F.when(primary == lang, F.lit(-1)).otherwise(scores[lang])
@@ -456,6 +467,26 @@ def lang_mix(col: Column | str) -> dict[str, Column]:
         "secondary_lang": secondary,
         "mix_ratio": mix,
     }
+
+
+def lang_mix_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document language-mix report as a DataFrame transform: the five
+    stopword-overlap scores materialize ONCE in a staged projection and
+    the primary/secondary/ratio CASE logic reads the plain integer
+    columns — one tokenize+intersect pass per language instead of one per
+    CASE branch."""
+    scores = lang_scores(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"_s_{lang}") for lang in LANG_PRIORITY],
+    )
+    mix = _lang_mix_from_scores({lang: F.col(f"_s_{lang}") for lang in LANG_PRIORITY})
+    return staged.select(
+        id_col,
+        mix["primary_lang"].alias("primary_lang"),
+        mix["secondary_lang"].alias("secondary_lang"),
+        mix["mix_ratio"].alias("mix_ratio"),
+    )
 
 
 def readability(col: Column | str) -> dict[str, Column]:

@@ -1777,15 +1777,10 @@ ORACLE_SQL["minhash_calibration"] = MINHASH_CALIBRATION_SQL
 
 def doc_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-switching detection: primary/secondary language + mix ratio
-    per document (pure JVM column expressions, zero shuffle)."""
+    per document (staged score projection — each tokenize+intersect runs
+    once, zero shuffle)."""
     ensure_views(spark, sf_dir)
-    mix = text.lang_mix("text")
-    return spark.table("documents").select(
-        "doc_id",
-        mix["primary_lang"].alias("primary_lang"),
-        mix["secondary_lang"].alias("secondary_lang"),
-        mix["mix_ratio"].alias("mix_ratio"),
-    )
+    return text.lang_mix_stats(spark.table("documents"))
 
 
 def _lang_mix_sql() -> str:

@@ -790,3 +790,84 @@ def test_audio_frame_energy_validation(spark):
         audio_frame_energy(df, frame=0)
     with pytest.raises(ValueError):
         audio_frame_energy(df, hop=-1)
+
+
+def test_blocked_fuzzy_pairs_matches_bruteforce_random(spark):
+    """Randomized equivalence: blocked fuzzy self-pairs equal the brute
+    nested-loop reference restricted to same-block pairs."""
+    import itertools
+    import random
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from onetl_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rng = random.Random(23)
+    alphabet = "abcd"
+    for trial in range(3):
+        rows = [
+            (
+                i,
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 6))),
+                rng.choice(["x", "y"]),
+            )
+            for i in range(24)
+        ]
+        want = {
+            (a[0], b[0], lev(a[1], b[1]))
+            for a, b in itertools.combinations(rows, 2)
+            if a[2] == b[2] and lev(a[1], b[1]) <= 2
+        }
+        df = spark.createDataFrame(rows, "id long, name string, block string")
+        got = {
+            (r["a_id"], r["b_id"], r["distance"])
+            for r in blocked_fuzzy_pairs(df, max_distance=2).collect()
+        }
+        assert got == want, f"trial {trial}"
+
+
+def test_duplicate_ngram_coverage_matches_reference_random(spark):
+    """Randomized equivalence vs a pure-Python shingle-df reference."""
+    import random
+
+    from onetl_spark.llm.dedup import duplicate_ngram_coverage
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+            for i in range(15)
+        ]
+        # python reference: distinct trigrams per doc, df >= 2 marks dup
+        def shingles(t):
+            w = [x for x in t.lower().split() if x]
+            if len(w) < 3:
+                # word_shingles falls back to ONE whole-document shingle —
+                # for an empty doc that's the empty string (empty docs
+                # therefore all share one "" shingle)
+                return {" ".join(w)}
+            return {" ".join(w[k : k + 3]) for k in range(len(w) - 2)}
+
+        per_doc = {i: shingles(t) for i, t in rows}
+        df_counts = {}
+        for s in per_doc.values():
+            for g in s:
+                df_counts[g] = df_counts.get(g, 0) + 1
+        want = {}
+        for i, s in per_doc.items():
+            dup = sum(1 for g in s if df_counts[g] >= 2)
+            want[i] = (len(s), dup)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"])
+            for r in duplicate_ngram_coverage(df).collect()
+        }
+        assert got == want, f"trial {trial}"
