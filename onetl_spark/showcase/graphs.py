@@ -139,7 +139,10 @@ def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a declarative fixpoint formulation."""
     from onetl_spark.operators.graph import bfs_hops
 
-    e = _supplier_edges(spark, sf_dir)
+    # materialize the co-occurrence self-join ONCE: both the seed
+    # selection and the BFS adjacency list read it (without this the
+    # lineage recomputes the edge join per consumer)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
