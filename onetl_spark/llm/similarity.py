@@ -941,3 +941,51 @@ def pq_topk(
         .orderBy(F.asc("approx_l2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag corpus vectors whose
+    cosine to ANY benchmark vector reaches ``threshold`` — the embedding
+    complement of n-gram decontamination (`llm/dedup.py
+    benchmark_contamination`), catching paraphrased or translated eval
+    leakage that shares no shingles with the benchmark text.
+
+    Returns (id, max_bench_cos, contaminated) for every corpus vector.
+    The benchmark side is small by definition → broadcast; the corpus is
+    scanned once, scored against each benchmark vector JVM-side, and
+    max-aggregated with map-side combine. NO similarity-join machinery
+    needed because the right side is benchmark-sized, not corpus-sized —
+    for corpus×corpus semantics use ``semantic_near_dup_pairs``.
+    """
+    bench = benchmark.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bvec"),
+        norm(F.col(vec_col)).alias("_bnorm"),
+    )
+    scored = (
+        widen_small_scan(corpus)
+        .select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_vnorm"))
+        .join(F.broadcast(bench))
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("_bvec")) / (F.col("_vnorm") * F.col("_bnorm")),
+                9,
+            ).alias("_cos"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.max("_cos").alias("max_bench_cos"))
+        .select(
+            id_col,
+            "max_bench_cos",
+            (F.col("max_bench_cos") >= threshold).alias("contaminated"),
+        )
+    )

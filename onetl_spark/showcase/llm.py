@@ -1989,3 +1989,41 @@ FROM f
 
 SPARK_QUERIES["multimodal_audio_energy"] = multimodal_audio_energy
 ORACLE_SQL["multimodal_audio_energy"] = AUDIO_ENERGY_SQL
+
+
+_EMB_DECON_THR = 0.5
+
+
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: corpus vectors scored against a
+    broadcast benchmark slice (vec_id % 50 = 3); flags cosine >= 0.5 —
+    paraphrase-level leakage that n-gram overlap misses."""
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    bench = emb.filter("vec_id % 50 = 3")
+    corpus = emb.filter("vec_id % 50 <> 3")
+    return similarity.embedding_contamination(corpus, bench, threshold=_EMB_DECON_THR)
+
+
+EMB_DECON_SQL = f"""
+WITH bench AS (
+  SELECT vec_id AS bid, embedding AS bvec FROM embeddings WHERE vec_id % 50 = 3
+), corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 3
+), scored AS (
+  SELECT c.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(c.embedding) + 1),
+             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.bvec[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.bvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           9) AS cos_sim
+  FROM corpus c CROSS JOIN bench b
+)
+SELECT vec_id, MAX(cos_sim) AS max_bench_cos,
+       MAX(cos_sim) >= {_EMB_DECON_THR} AS contaminated
+FROM scored GROUP BY vec_id
+"""
+
+SPARK_QUERIES["embedding_decontamination"] = embedding_decontamination
+ORACLE_SQL["embedding_decontamination"] = EMB_DECON_SQL

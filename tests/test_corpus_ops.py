@@ -871,3 +871,41 @@ def test_duplicate_ngram_coverage_matches_reference_random(spark):
             for r in duplicate_ngram_coverage(df).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_embedding_contamination_flags_exact_copy(spark):
+    from onetl_spark.llm.similarity import embedding_contamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),   # same direction → cos 1.0
+            (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal → cos 0.0
+            (3, [1.0, 1.0, 0.0, 0.0]),   # 45° → cos ~0.707
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["max_bench_cos"] == 1.0
+    assert not out[2]["contaminated"] and out[2]["max_bench_cos"] == 0.0
+    assert not out[3]["contaminated"]
+    assert abs(out[3]["max_bench_cos"] - 0.707106781) < 1e-6
+
+
+def test_embedding_contamination_max_over_benchmark(spark):
+    from onetl_spark.llm.similarity import embedding_contamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.6, 0.8])], "vec_id long, embedding array<float>"
+    )
+    r = embedding_contamination(corpus, bench, threshold=0.75).collect()[0]
+    # max over both benchmark vectors: max(0.6, 0.8) = 0.8
+    assert abs(r["max_bench_cos"] - 0.8) < 1e-6 and r["contaminated"]  # float32 storage
