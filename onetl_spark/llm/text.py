@@ -518,3 +518,36 @@ def readability(col: Column | str) -> dict[str, Column]:
         "n_syllables": syllables.cast("long"),
         "flesch": flesch,
     }
+
+
+def bpe_merge_candidates(df, text_col: str = "text", k: int = 10):
+    """The inner step of BPE tokenizer training: the ``k`` most frequent
+    adjacent character pairs across all word occurrences (counts weighted
+    by occurrence, the statistic each merge round maximizes). Ties break
+    lexicographically, so the ranking is engine-portable.
+
+    Scale shape: token explode → character-bigram explode → one count
+    shuffle with map-side combine → TakeOrdered top-k. The bigram explode
+    is corpus-character-sized — exactly what tokenizer training costs —
+    so at 100 TB this runs on the sampled subcorpus tokenizers are
+    actually trained on (hash-sample upstream with
+    ``sampling.sample_by_hash``).
+    """
+    words = df.select(F.explode(word_tokens(F.col(text_col))).alias("_w"))
+    bigrams = words.select(
+        F.explode(
+            F.when(
+                F.length("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_w") - 1),
+                    lambda i: F.col("_w").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("pair"),
+    )
+    return (
+        bigrams.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

@@ -2027,3 +2027,28 @@ FROM scored GROUP BY vec_id
 
 SPARK_QUERIES["embedding_decontamination"] = embedding_decontamination
 ORACLE_SQL["embedding_decontamination"] = EMB_DECON_SQL
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BPE merge candidates (most frequent adjacent character
+    pairs, occurrence-weighted) over the corpus — the inner statistic of
+    tokenizer training (`llm/text.py bpe_merge_candidates`)."""
+    ensure_views(spark, sf_dir)
+    return text.bpe_merge_candidates(spark.table("documents"), k=10)
+
+
+BPE_MERGE_SQL = rf"""
+WITH w AS (
+  SELECT unnest({SQL_TOKENS}) AS w FROM documents
+), b AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+  FROM w WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS n
+FROM b GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 10
+"""
+
+SPARK_QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
+ORACLE_SQL["bpe_merge_candidates"] = BPE_MERGE_SQL

@@ -909,3 +909,18 @@ def test_embedding_contamination_max_over_benchmark(spark):
     r = embedding_contamination(corpus, bench, threshold=0.75).collect()[0]
     # max over both benchmark vectors: max(0.6, 0.8) = 0.8
     assert abs(r["max_bench_cos"] - 0.8) < 1e-6 and r["contaminated"]  # float32 storage
+
+
+def test_bpe_merge_candidates_counts(spark):
+    from onetl_spark.llm.text import bpe_merge_candidates
+
+    # "aaab aaab" -> per word: aa, aa, ab ; two occurrences of the word
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "xy x")], "doc_id long, text string"
+    )
+    rows = bpe_merge_candidates(df, k=10).collect()
+    got = {r["pair"]: r["n"] for r in rows}
+    # occurrence-weighted: aa appears 2x per "aaab" occurrence
+    assert got == {"aa": 4, "ab": 2, "xy": 1}
+    # ranking: count desc then lexicographic
+    assert [r["pair"] for r in rows] == ["aa", "ab", "xy"]
