@@ -110,6 +110,15 @@ HEADLINE = [
     "events_ewma_daily",
     "events_user_overlap_kmv",
     "markov_next_event_eval",
+    "doc_readability",
+    "lineitem_skew_profile",
+    "seasonal_forecast_eval",
+    "ab_value_ttest",
+    "customer_l_diversity",
+    "bpe_merge_candidates",
+    "embedding_decontamination",
+    "multimodal_audio_energy",
+    "streaming_left_outer_join",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
