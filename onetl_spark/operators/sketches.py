@@ -136,10 +136,13 @@ def kmv_set_ops(
     hashed = (
         df.select(
             *group_cols,
+            # restrict to the two declared sides up front: a stray third
+            # side value would silently join the union sketch (skewing
+            # |A∪B| and the resemblance) while being dropped from est_a/b
             F.col(side_col).alias("_side"),
             (md5_long(F.col(value_col).cast("string")) / F.lit(_HASH_SPACE)).alias("_u"),
         )
-        .filter(F.col("_u") > 0)
+        .filter((F.col("_u") > 0) & F.col("_side").isin("a", "b"))
         .distinct()
     )
     w_side = W.partitionBy(*group_cols, "_side").orderBy("_u")
@@ -212,7 +215,7 @@ def sql_kmv_set_ops(
 WITH hashed AS (
   SELECT DISTINCT {groups}, {side_expr} AS _side, {h} AS _u
   FROM {table_expr}
-  WHERE {h} > 0
+  WHERE {h} > 0 AND ({side_expr}) IN ('a', 'b')
 ), kept AS (
   SELECT {groups}, _side, _u,
          ROW_NUMBER() OVER (PARTITION BY {groups}, _side ORDER BY _u) AS _rn

@@ -456,3 +456,16 @@ def test_kmv_set_ops_one_sided_group(spark):
     r = kmv_set_ops(df, ["grp"], "side", "val", k=16).collect()[0]
     assert r["est_a"] == 5.0 and r["est_b"] == 0.0
     assert r["est_union"] == 5.0 and r["est_intersection"] == 0.0
+
+
+def test_kmv_set_ops_ignores_undeclared_sides(spark):
+    from onetl_spark.operators.sketches import kmv_set_ops
+
+    rows = [("g", "a", v) for v in range(5)] + [("g", "b", v) for v in range(3, 8)]
+    noisy = rows + [("g", "c", v) for v in range(100, 200)]  # stray side
+    df_clean = spark.createDataFrame(rows, "grp string, side string, val long")
+    df_noisy = spark.createDataFrame(noisy, "grp string, side string, val long")
+    r1 = kmv_set_ops(df_clean, ["grp"], "side", "val", k=32).collect()[0]
+    r2 = kmv_set_ops(df_noisy, ["grp"], "side", "val", k=32).collect()[0]
+    assert r1 == r2  # the 'c' rows must not skew the union sketch
+    assert r1["est_union"] == 8.0 and r1["est_intersection"] == 2.0
