@@ -274,3 +274,56 @@ def test_bfs_hops_matches_python_bfs_random(spark):
         sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
         got = {r["node"]: r["hops"] for r in bfs_hops(df, sdf, max_hops=5).collect()}
         assert got == dist, f"trial {trial}"
+
+
+def test_markov_next_event_eval_matches_reference(spark, testdata):
+    """The showcase query vs a pure-Python reference over the same parquet
+    (train split, argmax model with tie-breaks, held-out accuracy)."""
+    import os
+
+    import duckdb
+
+    from onetl_spark.showcase.analytics import markov_next_event_eval
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type "
+        f"FROM read_parquet('{sf_dir}/events.parquet') ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    con.close()
+
+    def h(eid):
+        import hashlib
+
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:15], 16)
+
+    by_user = {}
+    for u, eid, ts, et in rows:
+        by_user.setdefault(u, []).append((eid, et))
+    train, test = {}, []
+    for u, seq in by_user.items():
+        for (_eid_a, prev_t), (eid, next_t) in zip(seq, seq[1:]):
+            if h(eid) % 2 == 0:
+                train.setdefault(prev_t, {}).setdefault(next_t, 0)
+                train[prev_t][next_t] += 1
+            else:
+                test.append((prev_t, next_t))
+    model = {
+        p: min(((-n, t) for t, n in nexts.items()))[1] for p, nexts in train.items()
+    }
+    want = {}
+    for p, nxt in test:
+        if p not in model:
+            continue
+        n_test, n_corr = want.get(p, (0, 0))
+        want[p] = (n_test + 1, n_corr + (nxt == model[p]))
+
+    got = {
+        r["prev_type"]: (r["n_test"], r["n_correct"], r["predicted_next"])
+        for r in markov_next_event_eval(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for p, (n_test, n_corr) in want.items():
+        assert got[p][0] == n_test and got[p][1] == n_corr, p
+        assert got[p][2] == model[p], p
