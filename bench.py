@@ -119,6 +119,7 @@ HEADLINE = [
     "embedding_decontamination",
     "multimodal_audio_energy",
     "streaming_left_outer_join",
+    "ann_pq_topk",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
