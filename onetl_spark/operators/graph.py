@@ -362,3 +362,82 @@ def bfs_hops(
         visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    walk_len: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Deterministic random walks over an undirected graph (the corpus
+    generator for DeepWalk/node2vec-style graph embeddings): one walk per
+    seed, ``walk_len`` steps, as ``(walk_id, step, node)`` rows with
+    step 0 = the seed. A walk that reaches an isolated node stops early.
+
+    The next hop is HASH-chosen, not RNG-chosen: neighbor index =
+    ``md5(walk_id:step:node) % degree`` over the rank-ordered adjacency —
+    re-running, re-sharding, or re-planning reproduces identical walks
+    (the property RNG-based samplers lose on task retry, and what lets a
+    DuckDB recursive CTE verify the walks bit-for-bit).
+
+    Scale shape: the adjacency is ranked ONCE (row_number per source,
+    neighbors sorted — an edge-set window partitioned by node); each step
+    is two hash joins keyed by node — (frontier ⋈ degree) to pick the
+    index, then ⋈ ranked adjacency on (node, rank) — never a
+    neighbor-ARRAY build, so a 10^8-degree hub costs nothing beyond its
+    edge rows. Per-step localCheckpoint keeps the plan constant-size.
+    """
+    from onetl_spark.llm.text import md5_long
+    from pyspark.sql.window import Window as W
+
+    nbrs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nbrs = (
+        nbrs.unionAll(nbrs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranked = nbrs.withColumn(
+        "rank",
+        F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1,
+    ).localCheckpoint(eager=True)
+    degrees = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    cur = seeds.select(
+        F.col(node).alias("walk_id"),
+        F.lit(0).cast("long").alias("step"),
+        F.col(node).alias("node"),
+    ).localCheckpoint(eager=True)
+    out = cur
+    for step in range(1, walk_len + 1):
+        pick = cur.join(degrees, cur["node"] == degrees["src"]).select(
+            "walk_id",
+            F.col("node").alias("_at"),
+            F.pmod(
+                md5_long(
+                    F.concat_ws(
+                        ":",
+                        F.col("walk_id").cast("string"),
+                        F.lit(str(step)),
+                        F.col("node").cast("string"),
+                    ),
+                ),
+                F.col("deg"),
+            ).alias("_r"),
+        )
+        cur = (
+            pick.join(
+                ranked,
+                (pick["_at"] == ranked["src"]) & (pick["_r"] == ranked["rank"]),
+            )
+            .select(
+                "walk_id",
+                F.lit(step).cast("long").alias("step"),
+                F.col("dst").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(cur)
+    return out

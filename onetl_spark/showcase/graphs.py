@@ -170,3 +170,54 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node
 
 SPARK_QUERIES["supplier_bfs_hops"] = supplier_bfs_hops
 ORACLE_SQL["supplier_bfs_hops"] = BFS_HOPS_SQL
+
+
+_WALK_LEN = 4
+_WALK_SEED_MOD = 16
+
+
+def supplier_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic random walks over the co-occurrence graph (one
+    per seed node, 4 steps) — the DeepWalk/node2vec corpus generator
+    (`operators/graph.py random_walks`), verified against a DuckDB
+    recursive CTE that replays the identical hash-chosen hops."""
+    from onetl_spark.operators.graph import random_walks
+
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(f"node % {_WALK_SEED_MOD} = 1")
+    return random_walks(e, seeds, walk_len=_WALK_LEN)
+
+
+RANDOM_WALKS_SQL = f"""
+WITH RECURSIVE {_EDGES_SQL},
+dir AS (SELECT u AS src, v AS dst FROM ed
+        UNION ALL SELECT v AS src, u AS dst FROM ed),
+ranked AS (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank
+  FROM dir
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM dir),
+seeds AS (SELECT node FROM nodes WHERE node % {_WALK_SEED_MOD} = 1),
+walk(walk_id, step, node) AS (
+  SELECT node, CAST(0 AS BIGINT), node FROM seeds
+  UNION ALL
+  SELECT w.walk_id, w.step + 1, r.dst
+  FROM walk w
+  JOIN deg d ON d.src = w.node
+  JOIN ranked r ON r.src = w.node
+   AND r.rank = ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':' ||
+                                 CAST(w.step + 1 AS VARCHAR) || ':' ||
+                                 CAST(w.node AS VARCHAR)), 1, 15))::BIGINT % d.deg
+  WHERE w.step < {_WALK_LEN}
+)
+SELECT walk_id, step, node FROM walk
+"""
+
+SPARK_QUERIES["supplier_random_walks"] = supplier_random_walks
+ORACLE_SQL["supplier_random_walks"] = RANDOM_WALKS_SQL

@@ -327,3 +327,31 @@ def test_markov_next_event_eval_matches_reference(spark, testdata):
     for p, (n_test, n_corr) in want.items():
         assert got[p][0] == n_test and got[p][1] == n_corr, p
         assert got[p][2] == model[p], p
+
+
+def test_random_walks_follow_edges_and_are_deterministic(spark):
+    from onetl_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (5, 6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (5,), (99,)], "node long")
+    out = random_walks(edges, seeds, walk_len=3).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    # seed 99 is isolated: only step 0
+    assert walks[99] == {0: 99}
+    # every consecutive pair is a real edge
+    adj = {}
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 1), (5, 6)]:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for wid, steps in walks.items():
+        for s in range(1, max(steps)):
+            assert steps[s + 1] in adj[steps[s]], (wid, s)
+    # walk from 1 and 5 run the full length (no dead ends in a cycle)
+    assert max(walks[1]) == 3 and max(walks[5]) == 3
+    # bit-for-bit reproducible
+    out2 = random_walks(edges, seeds, walk_len=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
