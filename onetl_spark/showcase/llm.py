@@ -2052,3 +2052,115 @@ LIMIT 10
 
 SPARK_QUERIES["bpe_merge_candidates"] = bpe_merge_candidates
 ORACLE_SQL["bpe_merge_candidates"] = BPE_MERGE_SQL
+
+
+_FUNNEL_DUP_MAX = 0.5
+_FUNNEL_QUALITY_MIN = 0.5
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation cascade as ONE per-source funnel report — the
+    acceptance accounting every corpus build publishes: total docs →
+    Gopher hard rules → normalized-fingerprint dedup survivor (among
+    rule-passing docs) → corpus-wide duplicated-shingle fraction below
+    0.5 → composite quality ≥ 0.5. Each stage is a cumulative
+    conjunction, so the columns are monotonically non-increasing.
+
+    Composition cost: the Gopher rules and quality score are scan-side
+    projections; dedup survivorship is one fp-keyed window; coverage is
+    the inverted-index aggregation — nothing quadratic anywhere."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    d = spark.table("documents")
+    r = text.gopher_rules("text")
+    cov = dedup.duplicate_ngram_coverage(d).select("doc_id", "dup_frac")
+    base = d.select(
+        "doc_id",
+        "source",
+        r["keep"].alias("g"),
+        text.fingerprint("text").alias("fp"),
+        text.quality_score("text").alias("q"),
+    )
+    flags = base.withColumn(
+        "_minkeep", F.min(F.when(F.col("g"), F.col("doc_id"))).over(W.partitionBy("fp"))
+    ).join(cov, "doc_id")
+    staged = flags.select(
+        "source",
+        F.col("g"),
+        (F.col("g") & (F.col("doc_id") == F.col("_minkeep"))).alias("u"),
+        (
+            F.col("g")
+            & (F.col("doc_id") == F.col("_minkeep"))
+            & (F.col("dup_frac") < _FUNNEL_DUP_MAX)
+        ).alias("ld"),
+        (
+            F.col("g")
+            & (F.col("doc_id") == F.col("_minkeep"))
+            & (F.col("dup_frac") < _FUNNEL_DUP_MAX)
+            & (F.col("q") >= _FUNNEL_QUALITY_MIN)
+        ).alias("fin"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("g").cast("long")).alias("n_gopher"),
+        F.sum(F.col("u").cast("long")).alias("n_unique"),
+        F.sum(F.col("ld").cast("long")).alias("n_low_dup"),
+        F.sum(F.col("fin").cast("long")).alias("n_final"),
+    )
+
+
+CURATION_FUNNEL_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, text, {SQL_TOKENS} AS w,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         len(regexp_extract_all(text, '[#…]')) AS n_symbols,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS n_punct
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+         (len(w) BETWEEN 20 AND 80)
+         AND ((n_nonspace * 1.0 / greatest(len(w), 1)) BETWEEN 3.0 AND 10.0)
+         AND ((len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 1.0 / greatest(len(w), 1)) >= 0.8)
+         AND (len(list_intersect(list_distinct(w), {_EN10})) >= 2)
+         AND ((n_symbols * 1.0 / greatest(len(w), 1)) < 0.1) AS keep,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp,
+         round(0.4 * least(len(w) / 100.0, 1.0)
+             + 0.3 * round(n_alpha * 1.0 / greatest(n_chars, 1), 9)
+             + 0.2 * least(len(list_intersect(list_distinct(w), {_EN10})) / 5.0, 1.0)
+             + 0.1 * (1 - least(round(n_punct * 1.0 / greatest(n_chars, 1), 9) * 5, 1.0)),
+           9) AS q
+  FROM t
+), sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS shingles FROM t
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), dfq AS (
+  SELECT s, COUNT(*) AS dfn FROM inv GROUP BY s
+), cov AS (
+  SELECT inv.doc_id,
+         round(SUM(CASE WHEN dfn >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS dup_frac
+  FROM inv JOIN dfq USING (s)
+  GROUP BY inv.doc_id
+), flags AS (
+  SELECT g.source, g.keep,
+         g.keep AND g.doc_id = MIN(CASE WHEN g.keep THEN g.doc_id END)
+                              OVER (PARTITION BY g.fp) AS u,
+         cov.dup_frac < {_FUNNEL_DUP_MAX} AS ld_ok,
+         g.q >= {_FUNNEL_QUALITY_MIN} AS q_ok
+  FROM g JOIN cov USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+       CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN u AND ld_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_low_dup,
+       CAST(SUM(CASE WHEN u AND ld_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM flags GROUP BY source
+"""
+
+SPARK_QUERIES["corpus_curation_funnel"] = corpus_curation_funnel
+ORACLE_SQL["corpus_curation_funnel"] = CURATION_FUNNEL_SQL

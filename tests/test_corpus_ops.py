@@ -924,3 +924,19 @@ def test_bpe_merge_candidates_counts(spark):
     assert got == {"aa": 4, "ab": 2, "xy": 1}
     # ranking: count desc then lexicographic
     assert [r["pair"] for r in rows] == ["aa", "ab", "xy"]
+
+
+def test_curation_funnel_monotone_and_plausible(spark, testdata):
+    import os
+
+    from onetl_spark.showcase.llm import corpus_curation_funnel
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = corpus_curation_funnel(spark, sf_dir).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        # cumulative conjunction → monotone non-increasing
+        assert r["n_total"] >= r["n_gopher"] >= r["n_unique"] >= r["n_low_dup"] >= r["n_final"] >= 0
+        total += r["n_total"]
+    assert total == spark.table("documents").count()
