@@ -120,6 +120,8 @@ HEADLINE = [
     "multimodal_audio_energy",
     "streaming_left_outer_join",
     "ann_pq_topk",
+    "supplier_random_walks",
+    "corpus_curation_funnel",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
@@ -182,7 +184,7 @@ _FAMILY_PREFIXES = [
     ("multimodal", "multimodal_"),
     ("events", "events_"),
     ("cdc", ("cdc_", "merge_", "snapshot_diff", "incremental_daily", "scd2_")),
-    ("graph", ("supplier_triangle", "supplier_pagerank", "dedup_components")),
+    ("graph", ("supplier_triangle", "supplier_pagerank", "dedup_components", "supplier_bfs", "supplier_random")),
     ("tpch", tuple(f"q{i}_" for i in range(1, 23))),
 ]
 
