@@ -940,3 +940,26 @@ def test_curation_funnel_monotone_and_plausible(spark, testdata):
         assert r["n_total"] >= r["n_gopher"] >= r["n_unique"] >= r["n_low_dup"] >= r["n_final"] >= 0
         total += r["n_total"]
     assert total == spark.table("documents").count()
+
+
+def test_lang_mix_stats_equals_naive_columns(spark, testdata):
+    """The staged-projection fast path must produce exactly the naive
+    column-expression results (same CASE logic, same rounding)."""
+    from onetl_spark.llm.text import lang_mix, lang_mix_stats
+
+    docs = spark.table("documents").limit(200)
+    naive = lang_mix("text")
+    a = {
+        r["doc_id"]: (r["p"], r["s"], r["m"])
+        for r in docs.select(
+            "doc_id",
+            naive["primary_lang"].alias("p"),
+            naive["secondary_lang"].alias("s"),
+            naive["mix_ratio"].alias("m"),
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["primary_lang"], r["secondary_lang"], r["mix_ratio"])
+        for r in lang_mix_stats(docs).collect()
+    }
+    assert a == b
