@@ -989,3 +989,31 @@ def embedding_contamination(
             (F.col("max_bench_cos") >= threshold).alias("contaminated"),
         )
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame | None = None,
+    m: int = 4,
+    dim: int = 64,
+    seed_filter: str = "vec_id % 64 = 5",
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize the corpus to PQ codes: ``(id, m, code_id)`` — one row per
+    (vector, subspace), the storage format that replaces ``dim`` floats
+    with ``m`` small ints (what actually gets persisted for a 100-TB
+    corpus; ``pq_topk`` then searches it with a broadcast distance
+    table). Pass ``codebooks`` from :func:`pq_codebooks` to reuse trained
+    codebooks across incremental ingests — encoding new batches with the
+    FROZEN codebooks is what keeps old and new codes comparable."""
+    d_sub = dim // m
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            embeddings, m, dim, seed_filter, iterations, id_col, vec_col
+        )
+    subs = _pq_subvectors(embeddings, m, d_sub, id_col, vec_col)
+    return _pq_assign(subs, codebooks).select(
+        F.col("_id").alias(id_col), F.col("_m").alias("m"), "code_id"
+    )

@@ -963,3 +963,22 @@ def test_lang_mix_stats_equals_naive_columns(spark, testdata):
         for r in lang_mix_stats(docs).collect()
     }
     assert a == b
+
+
+def test_pq_encode_frozen_codebooks_consistent(spark, testdata):
+    """Encoding with frozen codebooks must equal the codes pq_topk derives
+    internally, and every vector gets exactly m codes."""
+    from onetl_spark.llm.similarity import pq_codebooks, pq_encode
+
+    emb = spark.table("embeddings")
+    cb = pq_codebooks(emb, m=4, dim=64, iterations=1)
+    codes = pq_encode(emb, codebooks=cb, m=4, dim=64).collect()
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r["vec_id"], set()).add(r["m"])
+    n = emb.count()
+    assert len(per_vec) == n
+    assert all(ms == {0, 1, 2, 3} for ms in per_vec.values())
+    # re-encoding with the same frozen codebooks is bit-identical
+    codes2 = pq_encode(emb, codebooks=cb, m=4, dim=64).collect()
+    assert sorted(map(tuple, codes)) == sorted(map(tuple, codes2))
