@@ -1017,3 +1017,64 @@ def pq_encode(
     return _pq_assign(subs, codebooks).select(
         F.col("_id").alias(id_col), F.col("_m").alias("m"), "code_id"
     )
+
+
+def kcenter_coreset(
+    embeddings: DataFrame,
+    k: int = 8,
+    start_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez's 2-approximation —
+    the diversity-sampling primitive behind active learning and "select
+    the most representative N examples" data curation): start from one
+    point, then repeatedly add the point FARTHEST from everything chosen
+    so far (max min-squared-L2, ties to the smallest id). Returns
+    ``(round, id, min_dist_sq)`` — ``min_dist_sq`` is the selected
+    point's distance to the previously-chosen set (round 0 → 0.0),
+    i.e. the classic decreasing coverage-radius curve.
+
+    Scale shape: each of the ``k`` rounds is one corpus pass — the newest
+    center is BROADCAST (1 row), the running min-distance column updates
+    per-row, and the argmax is a 1-row ``max(struct)`` aggregate pulled
+    to the driver (a bounded scalar probe, k of them total). State rides
+    in a localCheckpointed (id, vec, min_dist) frame, so the plan stays
+    constant-size. O(k·corpus) work — the standard trade for exact greedy
+    k-center; use IVF/PQ blocking first if k must be large.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    state = widen_small_scan(embeddings).select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        F.lit(float("inf")).alias("_d"),
+    ).localCheckpoint(eager=True)
+    if start_id is None:
+        start_id = state.agg(F.min("_id")).collect()[0][0]
+    picked = [(0, start_id, 0.0)]
+    for rnd in range(1, k):
+        center = state.filter(F.col("_id") == picked[-1][1]).select(
+            F.col("_v").alias("_cv")
+        )
+        state = state.join(F.broadcast(center)).select(
+            "_id",
+            "_v",
+            F.least(F.col("_d"), F.round(_l2sq(F.col("_v"), F.col("_cv")), 9)).alias("_d"),
+        ).localCheckpoint(eager=True)
+        # exclude EVERY picked id (not just the newest): in a corpus of
+        # exact duplicates all distances tie at 0 and an already-picked
+        # point would otherwise win the smallest-id tie-break again
+        chosen = [p[1] for p in picked]
+        far = (
+            state.filter(~F.col("_id").isin(chosen))
+            .agg(F.max(F.struct(F.col("_d"), (-F.col("_id")).alias("_ni"), F.col("_id"))).alias("_b"))
+            .collect()[0]["_b"]
+        )
+        if far is None:  # corpus exhausted before k centers
+            break
+        picked.append((rnd, far["_id"], float(far["_d"])))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        picked, f"round long, {id_col} long, min_dist_sq double"
+    )

@@ -982,3 +982,51 @@ def test_pq_encode_frozen_codebooks_consistent(spark, testdata):
     # re-encoding with the same frozen codebooks is bit-identical
     codes2 = pq_encode(emb, codebooks=cb, m=4, dim=64).collect()
     assert sorted(map(tuple, codes)) == sorted(map(tuple, codes2))
+
+
+def test_kcenter_coreset_matches_bruteforce(spark):
+    import random
+
+    from onetl_spark.llm.similarity import kcenter_coreset
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # python reference (float32 round-trip to match the stored column)
+    import numpy as np
+
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v in rows}
+    picked = [0]
+    dists = {i: float("inf") for i in vecs}
+    want = [(0, 0, 0.0)]
+    for rnd in range(1, 6):
+        c = vecs[picked[-1]]
+        for i in vecs:
+            dists[i] = min(dists[i], round(float(((vecs[i] - c) ** 2).sum()), 9))
+        cand = [(d, -i, i) for i, d in dists.items() if i not in picked]
+        d, _, i = max(cand)
+        picked.append(i)
+        want.append((rnd, i, d))
+
+    got = [
+        (r["round"], r["vec_id"], r["min_dist_sq"])
+        for r in kcenter_coreset(df, k=6).orderBy("round").collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, gd), (_, _, wd) in zip(got, want):
+        assert abs(gd - wd) < 1e-6
+    # coverage radius is non-increasing after round 1
+    radii = [d for _, _, d in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_kcenter_coreset_duplicate_corpus_and_exhaustion(spark):
+    from onetl_spark.llm.similarity import kcenter_coreset
+
+    rows = [(i, [1.0, 2.0]) for i in range(3)]  # all identical
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kcenter_coreset(df, k=5).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["round"])]
+    assert ids == [0, 1, 2]  # never re-picks; stops at corpus size
+    assert all(r["min_dist_sq"] == 0.0 for r in got)
