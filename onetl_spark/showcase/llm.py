@@ -2164,3 +2164,54 @@ FROM flags GROUP BY source
 
 SPARK_QUERIES["corpus_curation_funnel"] = corpus_curation_funnel
 ORACLE_SQL["corpus_curation_funnel"] = CURATION_FUNNEL_SQL
+
+
+_KC_K = 6
+
+
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings (6 centers, smallest-id
+    start) — `llm/similarity.py kcenter_coreset`. The oracle replays the
+    driver-loop greedy with chained CTEs, so the iterative argmax probes
+    are hash-verified like the recursive graph oracles."""
+    ensure_views(spark, sf_dir)
+    return similarity.kcenter_coreset(spark.table("embeddings"), k=_KC_K)
+
+
+def _kcenter_sql(k: int = _KC_K) -> str:
+    l2 = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    # DuckDB disallows subqueries inside lambdas, so every round's center
+    # vector is CROSS JOINed in as a 1-row relation instead
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "c0 AS (SELECT MIN(vec_id) AS id FROM e)",
+        "d0 AS (SELECT e.vec_id, e.v, round("
+        + l2.format(a="e.v", b="c.cv")
+        + ", 9) AS d FROM e CROSS JOIN "
+        "(SELECT e2.v AS cv FROM e e2, c0 WHERE e2.vec_id = c0.id) c)",
+    ]
+    picked_union = ["SELECT 0 AS round, c0.id AS vec_id, 0.0 AS min_dist_sq FROM c0"]
+    excl = "SELECT id AS vec_id FROM c0"
+    for r in range(1, k):
+        prev_d = f"d{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT vec_id, d FROM {prev_d} "
+            f"WHERE vec_id NOT IN ({excl}) ORDER BY d DESC, vec_id ASC LIMIT 1)"
+        )
+        picked_union.append(f"SELECT {r}, vec_id, d FROM p{r}")
+        excl += f" UNION SELECT vec_id FROM p{r}"
+        if r < k - 1:
+            parts.append(
+                f"d{r} AS (SELECT {prev_d}.vec_id, {prev_d}.v, "
+                f"least({prev_d}.d, round({l2.format(a=f'{prev_d}.v', b='c.cv')}, 9)) AS d "
+                f"FROM {prev_d} CROSS JOIN "
+                f"(SELECT e2.v AS cv FROM e e2 JOIN p{r} ON e2.vec_id = p{r}.vec_id) c)"
+            )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(picked_union)
+
+
+SPARK_QUERIES["coreset_kcenter"] = coreset_kcenter
+ORACLE_SQL["coreset_kcenter"] = _kcenter_sql()
