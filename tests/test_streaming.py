@@ -706,3 +706,79 @@ def test_left_outer_join_evicts_across_microbatches(spark, tmp_path):
     # u9's click at 13:00 matches its own 13:00 purchase (window start is
     # inclusive); u3's click stays unemitted inside the watermark horizon
     assert got == {("u1", 1, 2), ("u2", 3, None), ("u9", 4, 5)}
+
+
+def test_sliding_windows_merge_across_microbatches(spark, tmp_path):
+    """Sliding windows over real micro-batches: an event contributes to
+    BOTH covering windows even when its window-mates arrive in different
+    batches, finalized windows emit exactly once (append mode), and a
+    late row for a closed window is dropped."""
+    src = tmp_path / "slide-src"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "id long, user string, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        d = tmp_path / f"slide-stage-{name}"
+        df.coalesce(1).write.mode("overwrite").json(str(d))
+        part = next(p for p in d.glob("part-*.json"))
+        target = src / f"{name}.json"
+        os.link(part, target)
+        os.utime(target, (mtime, mtime))
+
+    # 1h windows sliding every 30min: event at 10:40 covers windows
+    # starting 10:00 and 10:30
+    write_file("00", [(1, "u1", "2026-01-01 10:40:00", 1.0)], 1_000_000_000)
+    # same-window mate arrives in the NEXT batch (10:50 → same 2 windows)
+    write_file("01", [(2, "u1", "2026-01-01 10:50:00", 2.0)], 1_000_000_100)
+    # advance the watermark far past both windows
+    write_file("02", [(3, "u1", "2026-01-01 13:00:00", 8.0)], 1_000_000_200)
+    write_file("03", [(4, "u1", "2026-01-01 14:00:00", 9.0)], 1_000_000_300)
+    # late row for the long-closed 10:00 window: dropped
+    write_file("04", [(5, "u1", "2026-01-01 10:45:00", 100.0)], 1_000_000_400)
+
+    stream = StreamDFReader(
+        spark=spark,
+        format=JSONLine(),
+        source_path=str(src),
+        df_schema=SCHEMA,
+        options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+    ).run()
+    agg = windowed_aggregate(
+        stream,
+        time_col="ts",
+        window_duration="1 hour",
+        slide="30 minutes",
+        watermark="1 minute",
+        aggs={"n": F.count(F.lit(1)), "total": F.sum("value")},
+    )
+    query = StreamDFWriter(
+        format="memory",
+        options=StreamWriteOptions(
+            output_mode="append",
+            checkpoint_location=str(tmp_path / "ckpt-slide"),
+            trigger={"availableNow": True},
+            query_name="slide_sink",
+        ),
+    ).run(agg)
+    query.awaitTermination(180)
+
+    out = spark.table("slide_sink").collect()
+    by_start = {}
+    for r in out:
+        key = r["window_start"].isoformat()
+        assert key not in by_start, f"window {key} emitted twice"
+        by_start[key] = (r["n"], r["total"])
+    # both sliding windows over 10:40+10:50 hold BOTH events, merged
+    # across the two micro-batches; the late row (100.0) is in neither
+    assert by_start["2026-01-01T10:00:00"] == (2, 3.0)
+    assert by_start["2026-01-01T10:30:00"] == (2, 3.0)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in query.recentProgress
+        if p["stateOperators"]
+    )
+    # sliding windows replicate each row per covering window BEFORE the
+    # late filter, so ONE late event counts as TWO dropped rows here
+    assert dropped == 2
