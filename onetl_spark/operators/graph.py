@@ -371,6 +371,7 @@ def random_walks(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
+    edge_weight: str | None = None,
 ) -> DataFrame:
     """Deterministic random walks over an undirected graph (the corpus
     generator for DeepWalk/node2vec-style graph embeddings): one walk per
@@ -383,27 +384,63 @@ def random_walks(
     (the property RNG-based samplers lose on task retry, and what lets a
     DuckDB recursive CTE verify the walks bit-for-bit).
 
-    Scale shape: the adjacency is ranked ONCE (row_number per source,
-    neighbors sorted — an edge-set window partitioned by node); each step
-    is two hash joins keyed by node — (frontier ⋈ degree) to pick the
-    index, then ⋈ ranked adjacency on (node, rank) — never a
-    neighbor-ARRAY build, so a 10^8-degree hub costs nothing beyond its
-    edge rows. Per-step localCheckpoint keeps the plan constant-size.
+    With ``edge_weight`` (positive integers; NULL/non-positive raise like
+    :func:`pagerank_fixed_point`), transition probability is
+    weight-proportional: the hash draws ``r ∈ [0, Σw)`` and the neighbor
+    owning the cumulative-weight slot ``lo ≤ r < lo+w`` takes the hop —
+    still bit-deterministic, parallel edges summing their weights.
+
+    Scale shape: the adjacency is ranked ONCE (row_number / cumulative
+    weight per source, neighbors sorted — an edge-set window partitioned
+    by node); each step is two hash joins keyed by node — (frontier ⋈
+    degree) to pick the index, then ⋈ ranked adjacency on the rank (or
+    the weight-slot range) — never a neighbor-ARRAY build, so a
+    10^8-degree hub costs nothing beyond its edge rows. Per-step
+    localCheckpoint keeps the plan constant-size.
     """
     from onetl_spark.llm.text import md5_long
     from pyspark.sql.window import Window as W
 
-    nbrs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nbrs = (
-        nbrs.unionAll(nbrs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if edge_weight:
+        cols.append(F.col(edge_weight).cast("long").alias("_w"))
+    nbrs = edges.select(*cols)
+    rev = [F.col("dst").alias("src"), F.col("src").alias("dst")] + (
+        [F.col("_w")] if edge_weight else []
     )
-    ranked = nbrs.withColumn(
-        "rank",
-        F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1,
-    ).localCheckpoint(eager=True)
-    degrees = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nbrs = nbrs.unionAll(nbrs.select(*rev)).filter(F.col("src") != F.col("dst"))
+    if edge_weight:
+        if nbrs.filter(F.col("_w").isNull() | (F.col("_w") < 1)).limit(1).count():
+            raise ValueError(
+                f"random_walks: edge_weight '{edge_weight}' must be a positive "
+                "integer on every edge (NULL/zero/negative found)"
+            )
+        agg = nbrs.groupBy("src", "dst").agg(F.sum("_w").alias("_w"))
+        ranked = agg.withColumn(
+            "_lo",
+            F.coalesce(
+                F.sum("_w").over(
+                    W.partitionBy("src").orderBy("dst").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).localCheckpoint(eager=True)
+        degrees = ranked.groupBy("src").agg(F.sum("_w").alias("deg"))
+        hop_cond = lambda pick: (
+            (pick["_at"] == ranked["src"])
+            & (pick["_r"] >= ranked["_lo"])
+            & (pick["_r"] < ranked["_lo"] + ranked["_w"])
+        )
+    else:
+        ranked = (
+            nbrs.distinct()
+            .withColumn("rank", F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1)
+            .localCheckpoint(eager=True)
+        )
+        degrees = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        hop_cond = lambda pick: (pick["_at"] == ranked["src"]) & (
+            pick["_r"] == ranked["rank"]
+        )
 
     cur = seeds.select(
         F.col(node).alias("walk_id"),
@@ -428,10 +465,7 @@ def random_walks(
             ).alias("_r"),
         )
         cur = (
-            pick.join(
-                ranked,
-                (pick["_at"] == ranked["src"]) & (pick["_r"] == ranked["rank"]),
-            )
+            pick.join(ranked, hop_cond(pick))
             .select(
                 "walk_id",
                 F.lit(step).cast("long").alias("step"),

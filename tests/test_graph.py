@@ -355,3 +355,63 @@ def test_random_walks_follow_edges_and_are_deterministic(spark):
     # bit-for-bit reproducible
     out2 = random_walks(edges, seeds, walk_len=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_weighted_random_walks_match_reference_and_bias(spark):
+    import hashlib
+
+    import pytest
+
+    from onetl_spark.operators.graph import random_walks
+
+    def md5l(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # node 0's neighbors: 1 (weight 9) and 2 (weight 1); plus 1-2 edge
+    edges = [(0, 1, 9), (0, 2, 1), (1, 2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in random_walks(df, seeds, walk_len=4, edge_weight="w").collect()
+    }
+
+    # python reference replaying the identical hash arithmetic
+    adj = {
+        0: [(1, 9), (2, 1)],
+        1: [(0, 9), (2, 1)],
+        2: [(0, 1), (1, 1)],
+    }
+    at = 0
+    want = {(0, 0): 0}
+    for step in range(1, 5):
+        nbrs = sorted(adj[at])
+        total = sum(w for _, w in nbrs)
+        r = md5l(f"0:{step}:{at}") % total
+        lo = 0
+        for d, w in nbrs:
+            if lo <= r < lo + w:
+                at = d
+                break
+            lo += w
+        want[(0, step)] = at
+    assert got == want
+
+    # statistical bias check over many seeds: from 0 the heavy edge wins
+    many = spark.createDataFrame([(i,) for i in range(1, 64)], "node long")
+    star = spark.createDataFrame(
+        [(i, 1000, 9) for i in range(1, 64)] + [(i, 2000, 1) for i in range(1, 64)],
+        "src long, dst long, w long",
+    )
+    first_hops = {
+        r["walk_id"]: r["node"]
+        for r in random_walks(star, many, walk_len=1, edge_weight="w").collect()
+        if r["step"] == 1
+    }
+    heavy = sum(1 for v in first_hops.values() if v == 1000)
+    assert heavy >= 48  # ~90% expected, leaves slack for hash variance
+
+    # contract violations fail loudly
+    bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
+    with pytest.raises(ValueError):
+        random_walks(bad, seeds, walk_len=1, edge_weight="w")
