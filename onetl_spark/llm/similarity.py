@@ -1078,3 +1078,68 @@ def kcenter_coreset(
     return spark.createDataFrame(
         picked, f"round long, {id_col} long, min_dist_sq double"
     )
+
+
+def label_noise_rate(
+    embeddings: DataFrame,
+    sample_filter: str = "vec_id % 10 = 0",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise screening (Confident-Learning-style neighborhood
+    disagreement): for a deterministic sample of labeled vectors, compare
+    each one's own label against the majority label of its k nearest
+    neighbours; report per-label sample size, disagreement count, and
+    noise rate. Labels whose neighborhoods systematically vote otherwise
+    are the mislabeled / ambiguous strata to re-annotate first.
+
+    Scale shape: the SAMPLE broadcasts against one corpus scan (size it
+    with ``sample_filter``; at full-corpus scale run the kNN through the
+    IVF-blocked path instead), per-query top-k as the WindowGroupLimit
+    partial heap, vote + disagreement as count aggregates. Ties break as
+    in :func:`knn_classify`.
+    """
+    queries = embeddings.filter(sample_filter).select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+        F.col(label_col).alias("_own"),
+    )
+    scored = (
+        widen_small_scan(embeddings)
+        .join(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            "_qid",
+            "_own",
+            F.col(id_col),
+            F.col(label_col),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv")) / (norm(F.col(vec_col)) * F.col("_qn")), 9,
+            ).alias("_cos"),
+        )
+    )
+    w = W.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc(id_col))
+    neighbours = scored.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    votes = neighbours.groupBy("_qid", "_own", label_col).agg(
+        F.count(F.lit(1)).alias("_votes")
+    )
+    best = votes.groupBy("_qid", "_own").agg(
+        F.max(
+            F.struct(
+                F.col("_votes"), (-F.col(label_col)).alias("_nl"),
+                F.col(label_col).alias("_lbl"),
+            )
+        ).alias("_b"),
+    )
+    return (
+        best.select("_own", (F.col("_b._lbl") != F.col("_own")).cast("long").alias("_dis"))
+        .groupBy(F.col("_own").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum("_dis").alias("n_disagree"),
+        )
+        .withColumn("noise_rate", F.round(F.col("n_disagree") / F.col("n_checked"), 9))
+    )

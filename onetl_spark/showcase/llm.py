@@ -2215,3 +2215,49 @@ def _kcenter_sql(k: int = _KC_K) -> str:
 
 SPARK_QUERIES["coreset_kcenter"] = coreset_kcenter
 ORACLE_SQL["coreset_kcenter"] = _kcenter_sql()
+
+
+_NOISE_SAMPLE = "vec_id % 10 = 0"
+_NOISE_K = 10
+
+
+def label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label annotation-noise rate from kNN neighborhood disagreement
+    over a 10% deterministic sample (`llm/similarity.py
+    label_noise_rate`)."""
+    ensure_views(spark, sf_dir)
+    return similarity.label_noise_rate(
+        spark.table("embeddings"), sample_filter=_NOISE_SAMPLE, k=_NOISE_K,
+    )
+
+
+LABEL_NOISE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS own
+  FROM embeddings WHERE {_NOISE_SAMPLE}
+), scored AS (
+  SELECT q.qid, q.own, b.vec_id, b.label,
+         round({_COS_SQL.replace('a.embedding', 'q.qv').replace('b.embedding', 'b.embedding')}, 9) AS c
+  FROM embeddings b CROSS JOIN q
+  WHERE b.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, own, label,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rk
+  FROM scored
+), votes AS (
+  SELECT qid, own, label, COUNT(*) AS votes
+  FROM ranked WHERE rk <= {_NOISE_K} GROUP BY qid, own, label
+), best AS (
+  SELECT qid, own, label,
+         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS vr
+  FROM votes
+)
+SELECT own AS label, COUNT(*) AS n_checked,
+       CAST(SUM(CASE WHEN label <> own THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+       round(SUM(CASE WHEN label <> own THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 9) AS noise_rate
+FROM best WHERE vr = 1
+GROUP BY own
+"""
+
+SPARK_QUERIES["label_noise_screen"] = label_noise_screen
+ORACLE_SQL["label_noise_screen"] = LABEL_NOISE_SQL

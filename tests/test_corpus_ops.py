@@ -1030,3 +1030,29 @@ def test_kcenter_coreset_duplicate_corpus_and_exhaustion(spark):
     ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["round"])]
     assert ids == [0, 1, 2]  # never re-picks; stops at corpus size
     assert all(r["min_dist_sq"] == 0.0 for r in got)
+
+
+def test_label_noise_rate_planted_noise(spark):
+    from onetl_spark.llm.similarity import label_noise_rate
+
+    # two tight clusters with consistent labels, plus one mislabeled
+    # point inside cluster 0 — its neighborhood votes it down
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(12):
+        rows.append((i, [1.0 + rng.uniform(-0.01, 0.01) for _ in range(4)], 0))
+    for i in range(12, 24):
+        rows.append((i, [-1.0 + rng.uniform(-0.01, 0.01) for _ in range(4)], 1))
+    rows.append((24, [1.0, 1.0, 1.0, 1.0], 1))  # mislabeled: sits in cluster 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r["label"]: r
+        for r in label_noise_rate(df, sample_filter="vec_id >= 0", k=5).collect()
+    }
+    # every label-0 point agrees with its neighborhood
+    assert out[0]["n_disagree"] == 0 and out[0]["noise_rate"] == 0.0
+    # exactly the planted point disagrees among label-1 checks
+    assert out[1]["n_checked"] == 13 and out[1]["n_disagree"] == 1
+    assert abs(out[1]["noise_rate"] - 1 / 13) < 1e-9
