@@ -1283,3 +1283,78 @@ FROM sizes JOIN div USING (c_nationkey, c_mktsegment)
 
 SPARK_QUERIES["customer_l_diversity"] = customer_l_diversity
 ORACLE_SQL["customer_l_diversity"] = L_DIVERSITY_SQL
+
+
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of the daily value series per event type:
+    trend = 7-day CENTERED moving average (only where the full window
+    exists), seasonal = per-weekday mean of the detrended series,
+    residual = value - trend - seasonal. All sums accumulate as exact
+    decimals; the time-dimension windows run over the per-(type, day)
+    pre-aggregate, so the event-sized work is one groupBy shuffle."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    n_win = F.count(F.lit(1)).over(w)
+    trend_raw = (
+        F.sum(F.col("v").cast("decimal(38,6)")).over(w).cast("double") / n_win
+    )
+    with_trend = daily.withColumn(
+        "trend", F.when(n_win == 7, F.round(trend_raw, 9))
+    ).withColumn("detr", F.col("v") - F.col("trend"))
+    wd = F.dayofweek("day")
+    ws = W.partitionBy("event_type", wd)
+    seasonal = F.round(
+        F.sum(F.col("detr").cast("decimal(38,9)")).over(ws).cast("double")
+        / F.count("detr").over(ws),
+        9,
+    )
+    return (
+        with_trend.withColumn("seasonal", F.when(F.col("detr").isNotNull(), seasonal))
+        .select(
+            "event_type",
+            "day",
+            "v",
+            "trend",
+            "seasonal",
+            F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 9).alias("residual"),
+        )
+    )
+
+
+SEASONAL_DECOMP_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, day, v,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN round(CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER w7 AS DOUBLE)
+                         / (COUNT(*) OVER w7), 9)
+         END AS trend
+  FROM daily
+  WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT *, v - trend AS detr FROM t
+), s AS (
+  SELECT *,
+         CASE WHEN detr IS NOT NULL THEN
+           round(CAST(SUM(CAST(detr AS DECIMAL(38,9))) OVER wd AS DOUBLE)
+                 / COUNT(detr) OVER wd, 9)
+         END AS seasonal
+  FROM d
+  WINDOW wd AS (PARTITION BY event_type, date_part('dow', day))
+)
+SELECT event_type, day, v, trend, seasonal,
+       round(v - trend - seasonal, 9) AS residual
+FROM s
+"""
+
+SPARK_QUERIES["events_seasonal_decomposition"] = events_seasonal_decomposition
+ORACLE_SQL["events_seasonal_decomposition"] = SEASONAL_DECOMP_SQL
