@@ -1358,3 +1358,72 @@ FROM s
 
 SPARK_QUERIES["events_seasonal_decomposition"] = events_seasonal_decomposition
 ORACLE_SQL["events_seasonal_decomposition"] = SEASONAL_DECOMP_SQL
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type: the day where the cumulative sum
+    of deviations from the series mean peaks in magnitude — the classic
+    single-changepoint locator for level shifts. Deviations and their
+    running sum accumulate as exact decimals; the argmax is a day-count-
+    sized window per type."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    wm = W.partitionBy("event_type")
+    mean_v = F.round(
+        F.sum(F.col("v").cast("decimal(38,6)")).over(wm).cast("double")
+        / F.count(F.lit(1)).over(wm),
+        9,
+    )
+    staged = daily.withColumn("mean_v", mean_v)
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cusum = F.round(
+        F.sum((F.col("v") - F.col("mean_v")).cast("decimal(38,9)")).over(wc).cast("double"),
+        9,
+    )
+    scored = staged.withColumn("cusum", cusum)
+    wr = W.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.abs(F.col("cusum")), 9)), F.asc("day")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "cusum",
+            "mean_v",
+        )
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT *, round(CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER wt AS DOUBLE)
+                  / COUNT(*) OVER wt, 9) AS mean_v
+  FROM daily WINDOW wt AS (PARTITION BY event_type)
+), c AS (
+  SELECT *, round(CAST(SUM(CAST(v - mean_v AS DECIMAL(38,9))) OVER wc AS DOUBLE), 9) AS cusum
+  FROM m
+  WINDOW wc AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day AS change_day, cusum, mean_v
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY round(abs(cusum), 9) DESC, day ASC) = 1
+"""
+
+SPARK_QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
+ORACLE_SQL["events_cusum_changepoint"] = CUSUM_SQL
