@@ -122,6 +122,8 @@ HEADLINE = [
     "ann_pq_topk",
     "supplier_random_walks",
     "corpus_curation_funnel",
+    "orders_global_row_index",
+    "events_value_deciles",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

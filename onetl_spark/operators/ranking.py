@@ -1,0 +1,138 @@
+"""Global ranking primitives without a single-partition sort.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` and ``NTILE(n) OVER (ORDER BY ...)``
+with an empty PARTITION BY are the canonical 100-TB scale-killers: Spark
+plans them as ``Exchange SinglePartition`` + one task sorting the whole
+table. These helpers reconstruct the exact same numbering from a
+bucket-partitioned window plus driver-side prefix offsets — the same
+decomposition :func:`onetl_spark.llm.sampling.trim_to_token_budget` uses
+for its global running sum:
+
+1. ``approxQuantile`` on the leading order column defines ``buckets``
+   value ranges (deterministic Greenwald–Khanna, no RNG; equal values
+   always share a bucket);
+2. per-bucket row counts (map-side combined, ≤ ``buckets`` rows to the
+   driver) become exclusive prefix offsets;
+3. ``row_number`` over a window partitioned BY BUCKET (ordered by the
+   full key) plus the bucket's offset equals the global row number for
+   ANY boundary placement.
+
+Cost: one stats pass + one tiny count shuffle + ONE full shuffle (the
+bucket window) — the same exchange count as a distributed ORDER BY,
+with every bucket sorted in parallel instead of on one task.
+
+Reference parity: the reference engine exposes window ranking through
+its SQL surface (SURVEY.md §2.10); this module is the scale-correct
+Spark expression of the partition-less case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _bucket_expr(bounds: list[float], col: Column) -> Column:
+    """Ascending range id: #boundaries strictly below the value."""
+    b = F.lit(0)
+    for v in bounds:
+        b = b + F.when(col > F.lit(v), 1).otherwise(0)
+    return b.cast("int")
+
+
+def global_row_index(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+    index_col: str = "row_idx",
+    buckets: int = 32,
+) -> DataFrame:
+    """Contiguous 1-based global row numbers in ``(order_col,
+    *tiebreak_cols)`` ascending order, equal to
+    ``ROW_NUMBER() OVER (ORDER BY order_col, tiebreaks)`` — without the
+    ``Exchange SinglePartition`` that the window form plans.
+
+    ``order_col`` must be numeric/date-castable-to-double for the
+    quantile probe and NOT NULL (Spark and DuckDB disagree on default
+    NULL placement in ORDER BY; make NULL handling explicit upstream).
+    The full key must be unique for the numbering to be deterministic —
+    pass id columns in ``tiebreak_cols``.
+    """
+    nulls = df.filter(F.col(order_col).isNull()).limit(1).count()
+    if nulls:
+        raise ValueError(
+            f"global_row_index: {order_col} contains NULLs; coalesce or filter "
+            "them first (engines disagree on default NULL sort placement)"
+        )
+    # monotone numeric image of the order column for the quantile probe
+    # (DATE→DOUBLE is a disallowed cast in Spark; go through day numbers)
+    dtype = dict(df.dtypes)[order_col]
+    if dtype == "date":
+        ordd = F.unix_date(F.col(order_col)).cast("double")
+    elif dtype.startswith("timestamp"):
+        # NTZ→TIMESTAMP is session-tz-dependent but monotone, which is all
+        # the bucket probe needs (ordering itself uses the original column)
+        ordd = F.col(order_col).cast("timestamp").cast("double")
+    else:
+        ordd = F.col(order_col).cast("double")
+    probed = df.withColumn("_ordd", ordd)
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(probed.stat.approxQuantile("_ordd", qs, 0.001)))
+    t = probed.withColumn("_bucket", _bucket_expr(bounds, F.col("_ordd"))).drop("_ordd")
+
+    counts = {
+        r["_bucket"]: r["n"]
+        for r in t.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    off_map, acc = {}, 0
+    for b in range(len(bounds) + 1):
+        off_map[b] = acc
+        acc += counts.get(b, 0)
+    off = F.lit(0)
+    for b, v in off_map.items():
+        if v:
+            off = F.when(F.col("_bucket") == b, F.lit(v)).otherwise(off)
+
+    w = W.partitionBy("_bucket").orderBy(
+        F.col(order_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    return (
+        t.withColumn(index_col, (F.row_number().over(w) + off).cast("long"))
+        .drop("_bucket")
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    n: int,
+    order_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+    tile_col: str = "tile",
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY order_col, tiebreaks)`` — equal
+    frequency binning — derived from :func:`global_row_index` so no
+    single-partition exchange is planned.
+
+    SQL-standard tile sizes: with ``total = q*n + r`` rows, the first
+    ``r`` tiles get ``q+1`` rows and the rest ``q`` — reproduced here in
+    closed form from the global index, bit-identical to DuckDB/Spark
+    ``NTILE``.
+    """
+    if n <= 0:
+        raise ValueError(f"exact_ntile: n must be positive, got {n}")
+    idx = global_row_index(
+        df, order_col, tiebreak_cols, index_col="_gidx", buckets=buckets
+    )
+    total = idx.count()
+    q, r = divmod(total, n)
+    i = F.col("_gidx")
+    if q == 0:
+        tile = i
+    else:
+        head = F.lit(r * (q + 1))
+        tile = F.when(
+            i <= head, ((i - 1) / F.lit(q + 1)).cast("long") + 1
+        ).otherwise(F.lit(r) + ((i - head - 1) / F.lit(q)).cast("long") + 1)
+    return idx.withColumn(tile_col, tile.cast("int")).drop("_gidx")

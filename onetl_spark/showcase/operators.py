@@ -557,3 +557,80 @@ WHERE levenshtein(c.nm, d.nm) <= 1
 
 SPARK_QUERIES["supplier_fuzzy_linkage"] = supplier_fuzzy_linkage
 ORACLE_SQL["supplier_fuzzy_linkage"] = SUPPLIER_FUZZY_SQL
+
+
+def orders_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbering of ``orders`` by (o_orderdate,
+    o_orderkey) via `operators/ranking.py global_row_index` — the
+    bucket-window + prefix-offset decomposition of
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` that plans NO
+    ``Exchange SinglePartition`` (plan-guarded). Every 1000th row is
+    returned so the whole index is spot-checked end to end."""
+    from onetl_spark.operators.ranking import global_row_index
+
+    ensure_views(spark, sf_dir)
+    idx = global_row_index(
+        spark.table("orders"), "o_orderdate", ("o_orderkey",), index_col="row_idx"
+    )
+    return (
+        idx.filter(F.col("row_idx") % 1000 == 0)
+        .select("row_idx", "o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"))
+    )
+
+
+ORDERS_GLOBAL_ROW_INDEX_SQL = """
+SELECT row_idx, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS row_idx
+  FROM orders
+)
+WHERE row_idx % 1000 = 0
+"""
+
+SPARK_QUERIES["orders_global_row_index"] = orders_global_row_index
+ORACLE_SQL["orders_global_row_index"] = ORDERS_GLOBAL_ROW_INDEX_SQL
+
+
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency deciles of event value (`operators/ranking.py
+    exact_ntile`): the closed-form NTILE(10) reconstruction from the
+    distributed global index — one bucket-window shuffle, no
+    single-partition sort. Per-decile row count, value range, and
+    decimal-exact sum."""
+    from onetl_spark.operators.ranking import exact_ntile
+
+    ensure_views(spark, sf_dir)
+    t = exact_ntile(
+        spark.table("events").filter(F.col("value").isNotNull()),
+        10,
+        "value",
+        ("event_id",),
+        tile_col="decile",
+    )
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.round(dsum("value"), 6).alias("value_sum"),
+        )
+        .orderBy("decile")
+    )
+
+
+EVENTS_VALUE_DECILES_SQL = f"""
+SELECT decile, COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi,
+       ROUND({sql_dsum('value')}, 6) AS value_sum
+FROM (
+  SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS decile
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY decile
+ORDER BY decile
+"""
+
+SPARK_QUERIES["events_value_deciles"] = events_value_deciles
+ORACLE_SQL["events_value_deciles"] = EVENTS_VALUE_DECILES_SQL

@@ -1,0 +1,92 @@
+"""Global ranking without a single-partition sort (operators/ranking.py).
+
+Value tests prove the bucket-window + prefix-offset decomposition equals
+the partition-less window definition (including duplicate leading keys
+straddling bucket boundaries); the plan test proves the reason the
+module exists — no ``Exchange SinglePartition`` in the executed plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from onetl_spark.operators.ranking import exact_ntile, global_row_index
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # heavy duplication in the order key: ~50 distinct values over 5000
+    # rows guarantees equal keys cross any 8-bucket boundary placement
+    return spark.range(5000).select(
+        F.col("id").alias("rid"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(50))).alias("k"),
+    ).cache()
+
+
+def test_global_row_index_matches_window_definition(spark, skewed):
+    got = global_row_index(skewed, "k", ("rid",), buckets=8)
+    ref = skewed.withColumn(
+        "row_idx", F.row_number().over(W.orderBy(F.col("k").asc(), F.col("rid").asc()))
+    )
+    assert got.join(ref, ["rid", "k", "row_idx"]).count() == 5000
+
+
+def test_global_row_index_is_contiguous_and_unique(spark, skewed):
+    got = global_row_index(skewed, "k", ("rid",), buckets=8)
+    stats = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("row_idx").alias("d"),
+        F.min("row_idx").alias("lo"),
+        F.max("row_idx").alias("hi"),
+    ).first()
+    assert (stats["n"], stats["d"], stats["lo"], stats["hi"]) == (5000, 5000, 1, 5000)
+
+
+def test_global_row_index_rejects_null_order_keys(spark):
+    df = spark.createDataFrame([(1, 1.0), (2, None)], "rid long, k double")
+    with pytest.raises(ValueError, match="NULL"):
+        global_row_index(df, "k", ("rid",))
+
+
+def test_global_row_index_timestamp_and_date_keys(spark):
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 27) + 1:02d}") for i in range(200)], "rid long, d string"
+    ).select("rid", F.col("d").cast("date").alias("d"))
+    got = global_row_index(df, "d", ("rid",), buckets=4)
+    ref = df.withColumn(
+        "row_idx", F.row_number().over(W.orderBy(F.col("d").asc(), F.col("rid").asc()))
+    )
+    assert got.join(ref, ["rid", "d", "row_idx"]).count() == 200
+
+
+@pytest.mark.parametrize("n,rows", [(10, 5000), (7, 5000), (13, 11), (4, 3)])
+def test_exact_ntile_matches_builtin(spark, n, rows):
+    df = spark.range(rows).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.col("id") * 48271, F.lit(97)).cast("double").alias("v"),
+    )
+    got = exact_ntile(df, n, "v", ("rid",), tile_col="tile", buckets=8)
+    ref = df.withColumn(
+        "tile", F.ntile(n).over(W.orderBy(F.col("v").asc(), F.col("rid").asc()))
+    )
+    assert got.join(ref, ["rid", "v", "tile"]).count() == rows
+
+
+def test_exact_ntile_rejects_nonpositive_n(spark, skewed):
+    with pytest.raises(ValueError, match="positive"):
+        exact_ntile(skewed, 0, "k", ("rid",))
+
+
+def test_no_single_partition_exchange(spark, skewed):
+    from tests.test_plans import executed_plan
+
+    got = global_row_index(skewed, "k", ("rid",), buckets=8)
+    plan = executed_plan(got)
+    assert "Exchange SinglePartition" not in plan
+    # the reference window form DOES plan one — prove the contrast holds
+    ref = skewed.withColumn(
+        "row_idx", F.row_number().over(W.orderBy(F.col("k").asc(), F.col("rid").asc()))
+    )
+    assert "Exchange SinglePartition" in executed_plan(ref)
