@@ -124,6 +124,7 @@ HEADLINE = [
     "corpus_curation_funnel",
     "orders_global_row_index",
     "events_value_deciles",
+    "supplier_communities",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -475,3 +475,59 @@ def random_walks(
         )
         out = out.unionAll(cur)
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over an undirected edge set, made fully deterministic:
+    ``rounds`` synchronous sweeps where every node simultaneously adopts
+    the most frequent label among its NEIGHBORS, ties broken by the
+    smallest label. Classic LPA breaks ties randomly and sweeps
+    asynchronously — irreproducible across runs and engines; the
+    synchronous + (max count, min label) rule makes the result a pure
+    function of the edge set, so a SQL engine can replay it round by
+    round and a re-run on 1000 executors agrees bit-for-bit.
+
+    Returns ``(node, community)`` — community = the node's label after
+    the final sweep (labels start as node ids). Fixed small ``rounds``
+    (default 3) rather than convergence detection: synchronous LPA can
+    oscillate on bipartite structures, and in curation pipelines the
+    bounded-round variant is what runs anyway (each round is one
+    edge-shuffle; the cost model must be knowable up front).
+
+    Scale shape per round: one (node,label)-keyed vote aggregate over
+    the adjacency (map-side combined) and one ``max_by``-style argmax —
+    no windows, no driver-side data. ``localCheckpoint`` cuts lineage so
+    the plan stays constant-size across rounds, same as
+    :func:`pagerank_fixed_point`.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    adj = adj.localCheckpoint(eager=True)
+
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    for _ in range(rounds):
+        votes = (
+            adj.join(labels, adj["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"), F.col("community").alias("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count desc, label asc): maximize struct(c, -lbl)
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("community"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

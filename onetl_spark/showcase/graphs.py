@@ -221,3 +221,48 @@ SELECT walk_id, step, node FROM walk
 
 SPARK_QUERIES["supplier_random_walks"] = supplier_random_walks
 ORACLE_SQL["supplier_random_walks"] = RANDOM_WALKS_SQL
+
+
+def supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (`operators/graph.py
+    label_propagation`, 3 rounds, ties→smallest label) over the supplier
+    co-occurrence graph, reported as a community-size census: one row
+    per community with its size and smallest member. The oracle replays
+    the identical vote/argmax rule round by round in SQL."""
+    from onetl_spark.operators.graph import label_propagation
+
+    lab = label_propagation(_supplier_edges(spark, sf_dir), rounds=3)
+    return (
+        lab.groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("node").alias("min_member"),
+        )
+        .orderBy("community")
+    )
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+v{cur} AS (SELECT adj.u AS node, l{prev}.community AS lbl, COUNT(*) AS c
+           FROM adj JOIN l{prev} ON l{prev}.node = adj.v
+           GROUP BY 1, 2),
+l{cur} AS (SELECT node, lbl AS community FROM v{cur}
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lbl ASC) = 1)
+"""
+
+
+COMMUNITIES_SQL = f"""
+WITH {_EDGES_SQL},
+adj AS (SELECT u, v FROM ed UNION SELECT v AS u, u AS v FROM ed),
+l0 AS (SELECT DISTINCT u AS node, u AS community FROM adj),
+{_lpa_round_sql("0", "1")},
+{_lpa_round_sql("1", "2")},
+{_lpa_round_sql("2", "3")}
+SELECT community, COUNT(*) AS size, MIN(node) AS min_member
+FROM l3 GROUP BY community ORDER BY community
+"""
+
+SPARK_QUERIES["supplier_communities"] = supplier_communities
+ORACLE_SQL["supplier_communities"] = COMMUNITIES_SQL

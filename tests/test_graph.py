@@ -415,3 +415,60 @@ def test_weighted_random_walks_match_reference_and_bias(spark):
     bad = spark.createDataFrame([(0, 1, 0)], "src long, dst long, w long")
     with pytest.raises(ValueError):
         random_walks(bad, seeds, walk_len=1, edge_weight="w")
+
+
+def test_label_propagation_two_cliques(spark):
+    from onetl_spark.operators.graph import label_propagation
+
+    # two 4-cliques bridged by one edge: LPA must keep them separate and
+    # label each with its minimum node id (tie-break rule)
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["community"] for r in label_propagation(edges, rounds=3).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+
+def test_label_propagation_deterministic_across_partitioning(spark):
+    from onetl_spark.operators.graph import label_propagation
+
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    df = spark.createDataFrame([e for e in edges if e[0] != e[1]], "src long, dst long")
+    a = sorted(map(tuple, label_propagation(df.repartition(1), rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(13), rounds=3).collect()))
+    assert a == b
+
+
+def test_label_propagation_python_reference(spark):
+    from onetl_spark.operators.graph import label_propagation
+
+    import random
+    from collections import Counter
+
+    rng = random.Random(11)
+    raw = {(rng.randrange(25), rng.randrange(25)) for _ in range(60)}
+    raw = {e for e in raw if e[0] != e[1]}
+    df = spark.createDataFrame(sorted(raw), "src long, dst long")
+
+    adj = {}
+    for u, v in raw:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lab = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(lab[x] for x in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            new[n] = best
+        lab = new
+    got = {r["node"]: r["community"] for r in label_propagation(df, rounds=3).collect()}
+    assert got == lab
