@@ -125,6 +125,8 @@ HEADLINE = [
     "orders_global_row_index",
     "events_value_deciles",
     "supplier_communities",
+    "bigram_logprob_quality",
+    "events_theilsen_trend",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

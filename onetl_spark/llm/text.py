@@ -551,3 +551,81 @@ def bpe_merge_candidates(df, text_col: str = "text", k: int = 10):
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+def bigram_logprob_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 9,
+) -> "DataFrame":
+    """Per-document mean interpolated-bigram log-probability under the
+    corpus's own counts — the KenLM-style step up from
+    :func:`unigram_logprob_scores`: ``p(w2|w1) = 0.7·c(w1 w2)/c(w1) +
+    0.3·c(w2)/N``. Documents whose word PAIRS are globally rare (shuffled
+    text, keyword stuffing, mangled merges) score low even when every
+    individual word is common — exactly the noise class the unigram proxy
+    cannot see.
+
+    Bigrams are built JVM-side (``zip_with`` over two array slices — no
+    posexplode self-join), then counted like terms. The bigram and
+    unigram vocabularies are web-corpus-sized, so both joins stay
+    term-keyed sort-merge (never broadcast); the single broadcast is the
+    1-row total-token count. Probabilities are evaluated in a fixed
+    parenthesization and rounded before the decimal sum, so the mean is
+    bit-stable across engines and partitionings (same discipline as the
+    unigram scorer).
+
+    Documents with fewer than two tokens have no bigrams and are absent
+    from the output (mirror the oracle accordingly).
+    """
+    from pyspark.sql import functions as F
+
+    a = word_tokens(text_col)
+    n1 = F.greatest(F.size(a) - 1, F.lit(0))
+    bg_arr = F.zip_with(
+        F.slice(a, 1, n1), F.slice(a, 2, n1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    docs = df.select(F.col(id_col).alias("_id"), a.alias("_w"), bg_arr.alias("_bg"))
+    tf = (
+        docs.select("_id", F.explode("_bg").alias("bg"))
+        .groupBy("_id", "bg")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uni = docs.select(F.explode("_w").alias("u"))
+    cf = uni.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    c12 = tf.groupBy("bg").agg(F.sum("tf").alias("c12"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    scored = (
+        tf.join(c12, "bg")
+        .join(cf.select(F.col("u").alias("_u1"), F.col("c").alias("c1")), w1 == F.col("_u1"))
+        .join(cf.select(F.col("u").alias("_u2"), F.col("c").alias("c2")), w2 == F.col("_u2"))
+        .join(F.broadcast(total))
+        .select(
+            "_id",
+            "tf",
+            F.round(
+                F.log(
+                    F.lit(0.7) * (F.col("c12") * F.lit(1.0) / F.col("c1"))
+                    + F.lit(0.3) * (F.col("c2") * F.lit(1.0) / F.col("n_total"))
+                ),
+                scale,
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy("_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(
+            (
+                F.sum(
+                    F.col("_lp").cast(f"decimal(20,{scale})")
+                    * F.col("tf").cast("decimal(10,0)")
+                ).cast("double")
+                / F.sum("tf")
+            ),
+            scale,
+        ).alias("mean_logprob"),
+    ).select(F.col("_id").alias(id_col), "n_bigrams", "mean_logprob")

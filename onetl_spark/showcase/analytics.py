@@ -1427,3 +1427,97 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
 
 SPARK_QUERIES["events_cusum_changepoint"] = events_cusum_changepoint
 ORACLE_SQL["events_cusum_changepoint"] = CUSUM_SQL
+
+
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the LOWER MEDIAN of all
+    pairwise daily slopes (breakdown point 29% — a few anomalous days
+    cannot drag the trend the way OLS lets them), plus the matching
+    lower-median intercept. The pair join is within-type over the DAILY
+    pre-aggregate, so its size is bounded by the calendar span squared
+    (~O(10^4) rows per type for a year), never by the event count; the
+    median is an explicit rank selection (row_number = (n+1)//2) —
+    identical on both engines, no engine-specific quantile interpolation
+    — inside per-type window partitions."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+        .withColumn("x", F.unix_date("day"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("a.day") < F.col("b.day"))
+        .select(
+            "event_type",
+            F.round(
+                (F.col("b.v") - F.col("a.v")) / (F.col("b.x") - F.col("a.x")), 9
+            ).alias("slope"),
+        )
+    )
+    wt = W.partitionBy("event_type")
+    ws = W.partitionBy("event_type").orderBy("slope")
+    med_slope = (
+        pairs.withColumn("_n", F.count(F.lit(1)).over(wt))
+        .withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select("event_type", F.col("slope").alias("ts_slope"), F.col("_n").alias("n_pairs"))
+    )
+    resid = daily.join(med_slope, "event_type").select(
+        "event_type",
+        "ts_slope",
+        "n_pairs",
+        F.round(F.col("v") - F.col("ts_slope") * F.col("x"), 9).alias("ic"),
+    )
+    wi = W.partitionBy("event_type").orderBy("ic")
+    return (
+        resid.withColumn("_n", F.count(F.lit(1)).over(wt))
+        .withColumn("_rn", F.row_number().over(wi))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select(
+            "event_type",
+            F.col("_n").alias("n_days"),
+            "n_pairs",
+            "ts_slope",
+            F.col("ic").alias("ts_intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+THEILSEN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), dx AS (
+  SELECT *, day - DATE '1970-01-01' AS x FROM daily
+), pairs AS (
+  SELECT a.event_type,
+         round((b.v - a.v) / (b.x - a.x), 9) AS slope
+  FROM dx a JOIN dx b ON a.event_type = b.event_type AND a.day < b.day
+), ms AS (
+  SELECT event_type, slope AS ts_slope, _n AS n_pairs FROM (
+    SELECT event_type, slope,
+           COUNT(*) OVER (PARTITION BY event_type) AS _n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS _rn
+    FROM pairs)
+  WHERE _rn = (_n + 1) // 2
+), resid AS (
+  SELECT dx.event_type, ms.ts_slope, ms.n_pairs,
+         round(dx.v - ms.ts_slope * dx.x, 9) AS ic
+  FROM dx JOIN ms USING (event_type)
+)
+SELECT event_type, _n AS n_days, n_pairs, ts_slope, ic AS ts_intercept FROM (
+  SELECT event_type, ts_slope, n_pairs, ic,
+         COUNT(*) OVER (PARTITION BY event_type) AS _n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ic) AS _rn
+  FROM resid)
+WHERE _rn = (_n + 1) // 2
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["events_theilsen_trend"] = events_theilsen_trend
+ORACLE_SQL["events_theilsen_trend"] = THEILSEN_SQL

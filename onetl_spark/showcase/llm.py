@@ -2261,3 +2261,45 @@ GROUP BY own
 
 SPARK_QUERIES["label_noise_screen"] = label_noise_screen
 ORACLE_SQL["label_noise_screen"] = LABEL_NOISE_SQL
+
+
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean interpolated-bigram log-probability per document under the
+    corpus's own counts (`llm/text.py bigram_logprob_scores`) — the
+    KenLM-style perplexity proxy one order up from the unigram signal."""
+    ensure_views(spark, sf_dir)
+    return text.bigram_logprob_scores(spark.table("documents"))
+
+
+BIGRAM_LOGPROB_SQL = rf"""
+WITH d AS (
+  SELECT doc_id AS _id, {SQL_TOKENS} AS w FROM documents
+), bgs AS (
+  SELECT _id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg FROM d
+), tf AS (
+  SELECT _id, bg, COUNT(*) AS tf FROM bgs GROUP BY _id, bg
+), uni AS (
+  SELECT unnest(w) AS u FROM d
+), cf AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY u
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM uni
+), c12 AS (
+  SELECT bg, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY bg
+), scored AS (
+  SELECT tf._id, tf.tf,
+         round(ln(0.7 * (c12.c12 * 1.0 / cf1.c)
+                  + 0.3 * (cf2.c * 1.0 / tot.n_total)), 9) AS _lp
+  FROM tf
+  JOIN c12 USING (bg)
+  JOIN cf cf1 ON cf1.u = string_split(tf.bg, ' ')[1]
+  JOIN cf cf2 ON cf2.u = string_split(tf.bg, ' ')[2]
+  CROSS JOIN tot
+)
+SELECT _id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(_lp AS DECIMAL(20,9)) * CAST(tf AS DECIMAL(10,0))) AS DOUBLE) / SUM(tf), 9) AS mean_logprob
+FROM scored GROUP BY _id
+"""
+
+SPARK_QUERIES["bigram_logprob_quality"] = bigram_logprob_quality
+ORACLE_SQL["bigram_logprob_quality"] = BIGRAM_LOGPROB_SQL

@@ -1056,3 +1056,38 @@ def test_label_noise_rate_planted_noise(spark):
     # exactly the planted point disagrees among label-1 checks
     assert out[1]["n_checked"] == 13 and out[1]["n_disagree"] == 1
     assert abs(out[1]["noise_rate"] - 1 / 13) < 1e-9
+
+
+def test_bigram_logprob_scores_hand_computed(spark):
+    import math
+
+    from onetl_spark.llm.text import bigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    # corpus unigrams: a×4 b×2 z×1  N=7 ; bigrams: doc1 [a b, b a, a b], doc2 [a a]
+    # doc3 has one token → no bigrams → absent
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 3 and got[2]["n_bigrams"] == 1
+    c = {"a": 4, "b": 2, "z": 1}
+    c12 = {("a", "b"): 2, ("b", "a"): 1, ("a", "a"): 1}
+
+    def lp(w1, w2):
+        return round(math.log(0.7 * (c12[(w1, w2)] * 1.0 / c[w1]) + 0.3 * (c[w2] * 1.0 / 7)), 9)
+
+    want1 = round((2 * lp("a", "b") + lp("b", "a")) / 3, 9)
+    assert abs(got[1]["mean_logprob"] - want1) < 1e-8
+    assert abs(got[2]["mean_logprob"] - lp("a", "a")) < 1e-8
+
+
+def test_bigram_logprob_rare_pairs_score_lower(spark):
+    from onetl_spark.llm.text import bigram_logprob_scores
+
+    # same words, but doc 2 shuffles them into never-seen-elsewhere pairs
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "mat the on sat cat the"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob_scores(df).collect()}
+    assert got[99] < got[0]
