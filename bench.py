@@ -127,6 +127,8 @@ HEADLINE = [
     "supplier_communities",
     "bigram_logprob_quality",
     "events_theilsen_trend",
+    "events_type_correlations",
+    "events_lag_correlation",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

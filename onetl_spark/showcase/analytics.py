@@ -1521,3 +1521,156 @@ ORDER BY event_type
 
 SPARK_QUERIES["events_theilsen_trend"] = events_theilsen_trend
 ORACLE_SQL["events_theilsen_trend"] = THEILSEN_SQL
+
+
+def events_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of event types' daily-value
+    series — the cross-signal dependence report (do purchases move with
+    clicks?). Days present in both series join on the DAILY pre-aggregate
+    (calendar-bounded, never event-bounded); series values scale to
+    exact integer micro-units so all five moment sums are exact integers
+    (decimal on the Spark side, HUGEINT in the oracle) and the closed-form
+    correlation — evaluated in a fixed double parenthesization with IEEE
+    sqrt — is bit-identical across engines. One pair
+    shuffle + one 10-row aggregate."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, "day")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            (F.col("a.v").cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)").alias("x"),
+            (F.col("b.v").cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)").alias("y"),
+        )
+    )
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        m.select("type_a", "type_b", "n_days", F.round(num / den, 9).alias("pearson_r"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+TYPE_CORR_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(CAST(a.v AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS x,
+         CAST(CAST(b.v AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
+  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+), m AS (
+  SELECT type_a, type_b, COUNT(*) AS n_days,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_days,
+       round((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 9) AS pearson_r
+FROM m ORDER BY type_a, type_b
+"""
+
+SPARK_QUERIES["events_type_correlations"] = events_type_correlations
+ORACLE_SQL["events_type_correlations"] = TYPE_CORR_SQL
+
+
+def events_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: does today's click value predict
+    purchase value k days later? Pearson r of click(day) vs
+    purchase(day+k) for k = 0..7, same exact-integer-moment discipline
+    as `events_type_correlations`. The 8-row lag relation is broadcast
+    against the calendar-bounded daily series — the whole computation
+    never touches raw events after the first pre-aggregate."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    clicks = daily.filter(F.col("event_type") == "click").select(
+        "day", (F.col("v").cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)").alias("x")
+    )
+    purch = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("pday"),
+        (F.col("v").cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)").alias("y"),
+    )
+    lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
+    joined = (
+        clicks.join(F.broadcast(lags))
+        .join(purch, F.expr("pday = date_add(day, lag)"))
+    )
+    m = joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("lag", "n_days", F.round(num / den, 9).alias("pearson_r")).orderBy("lag")
+
+
+LAG_CORR_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+), c AS (
+  SELECT day, CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS x
+  FROM daily WHERE event_type = 'click'
+), p AS (
+  SELECT day AS pday, CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
+  FROM daily WHERE event_type = 'purchase'
+), j AS (
+  SELECT l.lag, c.x, p.y
+  FROM c CROSS JOIN range(0, 8) l(lag)
+  JOIN p ON p.pday = c.day + CAST(l.lag AS INTEGER)
+), m AS (
+  SELECT lag, COUNT(*) AS n_days,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM j GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag, n_days,
+       round((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 9) AS pearson_r
+FROM m ORDER BY lag
+"""
+
+SPARK_QUERIES["events_lag_correlation"] = events_lag_correlation
+ORACLE_SQL["events_lag_correlation"] = LAG_CORR_SQL
