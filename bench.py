@@ -129,6 +129,7 @@ HEADLINE = [
     "events_theilsen_trend",
     "events_type_correlations",
     "events_lag_correlation",
+    "multimodal_scene_changes",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

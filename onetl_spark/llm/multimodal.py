@@ -293,3 +293,61 @@ def audio_frame_energy(
             )
 
     return df.mapInPandas(batches, schema=AUDIO_ENERGY_SCHEMA)
+
+
+SCENE_CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("max_hamming", T.LongType()),
+    ],
+)
+
+
+def scene_change_stats(
+    df: DataFrame,
+    frame_size: int = 256,
+    threshold: int = 16,
+) -> DataFrame:
+    """Video scene-boundary detection over binary payloads: chunk each
+    payload into ``frame_size``-byte frames, perceptual-hash every frame
+    (:func:`ahash_bits` — integer-exact), and count consecutive-frame
+    Hamming distances ≥ ``threshold`` — the keyframe/shot-segmentation
+    signal a video curation pipeline cuts on.
+
+    One Arrow-batched ``mapInPandas`` pass, one row per payload in AND
+    out — each row already carries its whole video, so the per-frame
+    loop, the lag, and the aggregation all happen inside the batch with
+    zero shuffles. A real decoder would replace the byte chunking with
+    decoded downsampled frames; every distance stays integer so a SQL
+    engine reproduces the stats bit-for-bit. Payloads must be non-empty
+    (filter upstream; an empty video has no frames to segment).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = [
+                    b[i : i + frame_size] for i in range(0, len(b), frame_size)
+                ]
+                hashes = [ahash_bits(f) for f in frames]
+                dists = [
+                    bin(h1 ^ h2).count("1")
+                    for h1, h2 in zip(hashes, hashes[1:])
+                ]
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(frames),
+                        sum(1 for d in dists if d >= threshold),
+                        max(dists, default=0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_changes", "max_hamming"]
+            )
+
+    return df.mapInPandas(batches, schema=SCENE_CHANGE_SCHEMA)

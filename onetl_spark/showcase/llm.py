@@ -2303,3 +2303,53 @@ FROM scored GROUP BY _id
 
 SPARK_QUERIES["bigram_logprob_quality"] = bigram_logprob_quality
 ORACLE_SQL["bigram_logprob_quality"] = BIGRAM_LOGPROB_SQL
+
+
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-boundary detection (`llm/multimodal.py scene_change_stats`):
+    256-byte frames per payload, per-frame integer aHash, consecutive
+    Hamming distance >= 16 marks a cut — one mapInPandas pass, zero
+    shuffles (each row carries its whole video)."""
+    ensure_views(spark, sf_dir)
+    payloads = multimodal.with_binary_payload(
+        spark.table("documents").filter(F.length("text") > 0)
+    )
+    return multimodal.scene_change_stats(payloads, frame_size=256, threshold=16)
+
+
+def _scene_change_sql() -> str:
+    from onetl_spark.llm.multimodal import AHASH_CELLS
+
+    terms = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(fc[({i} * nf) // {AHASH_CELLS} + 1 : ({i + 1} * nf) // {AHASH_CELLS}]), 0) * nf"
+        f" > tot * ((({i + 1} * nf) // {AHASH_CELLS}) - (({i} * nf) // {AHASH_CELLS}))"
+        f" THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(AHASH_CELLS)
+    )
+    return rf"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS c,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0
+), fr AS (
+  SELECT doc_id, f, c[f * 256 + 1 : least((f + 1) * 256, n)] AS fc
+  FROM codes, unnest(range(0, (n + 255) // 256)) t(f)
+), fh AS (
+  SELECT doc_id, f, fc, len(fc) AS nf, list_sum(fc) AS tot FROM fr
+), hs AS (
+  SELECT doc_id, f, CAST({terms} AS BIGINT) AS h FROM fh
+), d AS (
+  SELECT doc_id,
+         bit_count(xor(h, lag(h) OVER (PARTITION BY doc_id ORDER BY f))) AS dist
+  FROM hs
+)
+SELECT doc_id, COUNT(*) AS n_frames,
+       CAST(COALESCE(SUM(CASE WHEN dist >= 16 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes,
+       CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS max_hamming
+FROM d GROUP BY doc_id
+"""
+
+
+SPARK_QUERIES["multimodal_scene_changes"] = multimodal_scene_changes
+ORACLE_SQL["multimodal_scene_changes"] = _scene_change_sql()

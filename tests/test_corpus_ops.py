@@ -1091,3 +1091,22 @@ def test_bigram_logprob_rare_pairs_score_lower(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob_scores(df).collect()}
     assert got[99] < got[0]
+
+
+def test_scene_change_stats_hand_computed(spark):
+    from onetl_spark.llm.multimodal import ahash_bits, scene_change_stats
+
+    flat = bytes([100] * 8)           # uniform frame → hash 0
+    ramp = bytes(range(8, 248, 30))   # ramp frame → half the bits set
+    payload = flat + ramp + flat      # cuts at both transitions
+    df = spark.createDataFrame([(1, bytearray(payload)), (2, bytearray(flat))],
+                               "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in
+           scene_change_stats(df, frame_size=8, threshold=16).collect()}
+    h_flat, h_ramp = ahash_bits(flat), ahash_bits(ramp)
+    want_d = bin(h_flat ^ h_ramp).count("1")
+    assert got[1]["n_frames"] == 3
+    assert got[1]["max_hamming"] == want_d
+    assert got[1]["n_changes"] == (2 if want_d >= 16 else 0)
+    # single-frame video: no pairs, no cuts
+    assert (got[2]["n_frames"], got[2]["n_changes"], got[2]["max_hamming"]) == (1, 0, 0)
