@@ -59,6 +59,22 @@ def global_row_index(
     The full key must be unique for the numbering to be deterministic —
     pass id columns in ``tiebreak_cols``.
     """
+    indexed, _ = _global_row_index_with_total(
+        df, order_col, tiebreak_cols, index_col, buckets
+    )
+    return indexed
+
+
+def _global_row_index_with_total(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: tuple[str, ...],
+    index_col: str,
+    buckets: int,
+) -> tuple[DataFrame, int]:
+    """Shared core: also returns the total row count, which falls out of
+    the per-bucket counts for free — callers like :func:`exact_ntile`
+    would otherwise pay a second full pass for ``.count()``."""
     nulls = df.filter(F.col(order_col).isNull()).limit(1).count()
     if nulls:
         raise ValueError(
@@ -97,10 +113,10 @@ def global_row_index(
     w = W.partitionBy("_bucket").orderBy(
         F.col(order_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
     )
-    return (
-        t.withColumn(index_col, (F.row_number().over(w) + off).cast("long"))
-        .drop("_bucket")
-    )
+    indexed = t.withColumn(
+        index_col, (F.row_number().over(w) + off).cast("long")
+    ).drop("_bucket")
+    return indexed, acc
 
 
 def exact_ntile(
@@ -122,10 +138,9 @@ def exact_ntile(
     """
     if n <= 0:
         raise ValueError(f"exact_ntile: n must be positive, got {n}")
-    idx = global_row_index(
-        df, order_col, tiebreak_cols, index_col="_gidx", buckets=buckets
+    idx, total = _global_row_index_with_total(
+        df, order_col, tiebreak_cols, "_gidx", buckets
     )
-    total = idx.count()
     q, r = divmod(total, n)
     i = F.col("_gidx")
     if q == 0:
