@@ -6,7 +6,12 @@ from onetl_spark.operators.graph import (
     random_walks,
     triangle_count,
 )
-from onetl_spark.operators.ranking import exact_ntile, global_row_index
+from onetl_spark.operators.ranking import (
+    exact_cume_dist,
+    exact_ntile,
+    exact_percent_rank,
+    global_row_index,
+)
 from onetl_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
@@ -18,6 +23,8 @@ __all__ = [
     "pagerank_fixed_point",
     "random_walks",
     "triangle_count",
+    "exact_cume_dist",
     "exact_ntile",
+    "exact_percent_rank",
     "global_row_index",
 ]

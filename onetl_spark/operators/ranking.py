@@ -151,3 +151,43 @@ def exact_ntile(
             i <= head, ((i - 1) / F.lit(q + 1)).cast("long") + 1
         ).otherwise(F.lit(r) + ((i - head - 1) / F.lit(q)).cast("long") + 1)
     return idx.withColumn(tile_col, tile.cast("int")).drop("_gidx")
+
+
+def exact_percent_rank(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+    rank_col: str = "pct_rank",
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact ``PERCENT_RANK() OVER (ORDER BY order_col, tiebreaks)`` =
+    ``(row_number - 1) / (total - 1)`` via the distributed global index —
+    same single-shuffle shape, no single-partition sort. A single-row
+    input gets rank 0.0 (the SQL convention)."""
+    idx, total = _global_row_index_with_total(
+        df, order_col, tiebreak_cols, "_gidx", buckets
+    )
+    denom = float(total - 1) if total > 1 else 1.0
+    return idx.withColumn(
+        rank_col, (F.col("_gidx") - 1).cast("double") / F.lit(denom)
+    ).drop("_gidx")
+
+
+def exact_cume_dist(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+    dist_col: str = "cume_dist",
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact ``CUME_DIST() OVER (ORDER BY order_col, tiebreaks)`` =
+    ``row_number / total`` via the distributed global index. With the
+    full (order, tiebreak) key unique — the same requirement
+    :func:`global_row_index` already imposes — no two rows tie, so the
+    row-number form equals the peers-inclusive SQL definition."""
+    idx, total = _global_row_index_with_total(
+        df, order_col, tiebreak_cols, "_gidx", buckets
+    )
+    return idx.withColumn(
+        dist_col, F.col("_gidx").cast("double") / F.lit(float(max(total, 1)))
+    ).drop("_gidx")

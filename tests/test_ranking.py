@@ -90,3 +90,24 @@ def test_no_single_partition_exchange(spark, skewed):
         "row_idx", F.row_number().over(W.orderBy(F.col("k").asc(), F.col("rid").asc()))
     )
     assert "Exchange SinglePartition" in executed_plan(ref)
+
+
+def test_exact_percent_rank_and_cume_dist_match_builtins(spark, skewed):
+    from onetl_spark.operators.ranking import exact_cume_dist, exact_percent_rank
+
+    order = W.orderBy(F.col("k").asc(), F.col("rid").asc())
+    ref = skewed.withColumn("pct_rank", F.percent_rank().over(order)).withColumn(
+        "cume_dist", F.cume_dist().over(order)
+    )
+    got_pr = exact_percent_rank(skewed, "k", ("rid",), buckets=8)
+    assert got_pr.join(ref.select("rid", "pct_rank"), ["rid", "pct_rank"]).count() == 5000
+    # cume_dist ref counts peers by (k, rid) — unique key, so row_number/total
+    got_cd = exact_cume_dist(skewed, "k", ("rid",), buckets=8)
+    assert got_cd.join(ref.select("rid", "cume_dist"), ["rid", "cume_dist"]).count() == 5000
+
+
+def test_exact_percent_rank_single_row(spark):
+    from onetl_spark.operators.ranking import exact_percent_rank
+
+    df = spark.createDataFrame([(1, 5.0)], "rid long, k double")
+    assert exact_percent_rank(df, "k", ("rid",)).first()["pct_rank"] == 0.0
