@@ -472,3 +472,10 @@ def test_label_propagation_python_reference(spark):
         lab = new
     got = {r["node"]: r["community"] for r in label_propagation(df, rounds=3).collect()}
     assert got == lab
+
+
+def test_label_propagation_empty_edges(spark):
+    from onetl_spark.operators.graph import label_propagation
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert label_propagation(empty, rounds=2).count() == 0

@@ -111,3 +111,11 @@ def test_exact_percent_rank_single_row(spark):
 
     df = spark.createDataFrame([(1, 5.0)], "rid long, k double")
     assert exact_percent_rank(df, "k", ("rid",)).first()["pct_rank"] == 0.0
+
+
+def test_empty_inputs_yield_empty_outputs(spark):
+    from onetl_spark.operators.ranking import exact_ntile, global_row_index
+
+    empty = spark.createDataFrame([], "rid long, k double")
+    assert global_row_index(empty, "k", ("rid",)).count() == 0
+    assert exact_ntile(empty, 4, "k", ("rid",)).count() == 0
