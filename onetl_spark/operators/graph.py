@@ -494,7 +494,10 @@ def label_propagation(
     round and a re-run on 1000 executors agrees bit-for-bit.
 
     Returns ``(node, community)`` — community = the node's label after
-    the final sweep (labels start as node ids). Fixed small ``rounds``
+    the final sweep (labels start as node ids). Every endpoint of the
+    input appears in the output: a node whose only edges are self-loops
+    has no neighbors to vote, so it keeps its own label — a singleton
+    community, not a silently dropped row. Fixed small ``rounds``
     (default 3) rather than convergence detection: synchronous LPA can
     oscillate on bipartite structures, and in curation pipelines the
     bounded-round variant is what runs anyway (each round is one
@@ -506,15 +509,24 @@ def label_propagation(
     the plan stays constant-size across rounds, same as
     :func:`pagerank_fixed_point`.
     """
-    e = edges.select(
+    raw = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).filter(F.col("u") != F.col("v"))
+    )
+    e = raw.filter(F.col("u") != F.col("v"))
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     adj = adj.localCheckpoint(eager=True)
 
-    labels = adj.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("community")
+    # EVERY endpoint of the input — including nodes whose only edges are
+    # self-loops — gets a label; a node with no (non-self) neighbors
+    # receives no votes and keeps its own label as a singleton community
+    # rather than silently vanishing from the output
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    labels = nodes.select("node", F.col("node").alias("community"))
     for _ in range(rounds):
         votes = (
             adj.join(labels, adj["v"] == labels["node"])
@@ -522,12 +534,16 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # argmax by (count desc, label asc): maximize struct(c, -lbl)
-        labels = (
+        winners = (
             votes.groupBy("node")
             .agg(
                 F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
             )
-            .select("node", (-F.col("m.nl")).alias("community"))
+            .select("node", (-F.col("m.nl")).alias("_new"))
+        )
+        labels = (
+            labels.join(winners, "node", "left")
+            .select("node", F.coalesce("_new", "community").alias("community"))
             .localCheckpoint(eager=True)
         )
     return labels

@@ -74,13 +74,15 @@ def _global_row_index_with_total(
 ) -> tuple[DataFrame, int]:
     """Shared core: also returns the total row count, which falls out of
     the per-bucket counts for free — callers like :func:`exact_ntile`
-    would otherwise pay a second full pass for ``.count()``."""
-    nulls = df.filter(F.col(order_col).isNull()).limit(1).count()
-    if nulls:
-        raise ValueError(
-            f"global_row_index: {order_col} contains NULLs; coalesce or filter "
-            "them first (engines disagree on default NULL sort placement)"
-        )
+    would otherwise pay a second full pass for ``.count()``.
+
+    Cost = 2 scans (quantile probe, bucket counts) + the bucket window.
+    Like every multi-pass offset algorithm (see ``trim_to_token_budget``),
+    the input must be stable across those jobs — cache or checkpoint a
+    source that could change (e.g. a streaming-appended table) upstream.
+    NULL order keys are detected inside the counts pass (sentinel
+    bucket), not with a dedicated scan.
+    """
     # monotone numeric image of the order column for the quantile probe
     # (DATE→DOUBLE is a disallowed cast in Spark; go through day numbers)
     dtype = dict(df.dtypes)[order_col]
@@ -90,17 +92,37 @@ def _global_row_index_with_total(
         # NTZ→TIMESTAMP is session-tz-dependent but monotone, which is all
         # the bucket probe needs (ordering itself uses the original column)
         ordd = F.col(order_col).cast("timestamp").cast("double")
+    elif dtype in ("string", "binary", "boolean") or dtype.startswith(
+        ("array", "struct", "map", "interval")
+    ):
+        # a string of digits would bucket numerically but window-sort
+        # lexicographically — silently divergent numbering; a non-numeric
+        # string casts to all-NULL, collapsing every row into one bucket
+        raise ValueError(
+            f"global_row_index: {order_col} has type {dtype}; the order "
+            "column must be numeric, date, or timestamp"
+        )
     else:
         ordd = F.col(order_col).cast("double")
     probed = df.withColumn("_ordd", ordd)
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(probed.stat.approxQuantile("_ordd", qs, 0.001)))
-    t = probed.withColumn("_bucket", _bucket_expr(bounds, F.col("_ordd"))).drop("_ordd")
+    t = probed.withColumn(
+        "_bucket",
+        F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+            _bucket_expr(bounds, F.col("_ordd"))
+        ),
+    ).drop("_ordd")
 
     counts = {
         r["_bucket"]: r["n"]
         for r in t.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if counts.get(-1):
+        raise ValueError(
+            f"global_row_index: {order_col} contains NULLs; coalesce or filter "
+            "them first (engines disagree on default NULL sort placement)"
+        )
     off_map, acc = {}, 0
     for b in range(len(bounds) + 1):
         off_map[b] = acc
@@ -146,10 +168,12 @@ def exact_ntile(
     if q == 0:
         tile = i
     else:
-        head = F.lit(r * (q + 1))
+        # integer `div`, not double `/`: double division mis-rounds once
+        # row counts approach 2^53, and exactness at any total is free
+        head = r * (q + 1)
         tile = F.when(
-            i <= head, ((i - 1) / F.lit(q + 1)).cast("long") + 1
-        ).otherwise(F.lit(r) + ((i - head - 1) / F.lit(q)).cast("long") + 1)
+            i <= F.lit(head), F.expr(f"((_gidx - 1) div {q + 1}) + 1")
+        ).otherwise(F.expr(f"{r} + ((_gidx - {head} - 1) div {q}) + 1"))
     return idx.withColumn(tile_col, tile.cast("int")).drop("_gidx")
 
 

@@ -479,3 +479,14 @@ def test_label_propagation_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert label_propagation(empty, rounds=2).count() == 0
+
+
+def test_label_propagation_keeps_selfloop_only_nodes(spark):
+    from onetl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(5, 5), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(edges, rounds=2).collect()}
+    assert got[5] == 5  # singleton community, not dropped
+    # K2 oscillates under synchronous sweeps (documented): after an even
+    # number of rounds each node is back at its own label
+    assert got[1] == 1 and got[2] == 2

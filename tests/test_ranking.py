@@ -119,3 +119,11 @@ def test_empty_inputs_yield_empty_outputs(spark):
     empty = spark.createDataFrame([], "rid long, k double")
     assert global_row_index(empty, "k", ("rid",)).count() == 0
     assert exact_ntile(empty, 4, "k", ("rid",)).count() == 0
+
+
+def test_global_row_index_rejects_string_order_col(spark):
+    from onetl_spark.operators.ranking import global_row_index
+
+    df = spark.createDataFrame([(1, "9"), (2, "10")], "rid long, k string")
+    with pytest.raises(ValueError, match="numeric, date, or timestamp"):
+        global_row_index(df, "k", ("rid",))
