@@ -629,3 +629,112 @@ def bigram_logprob_scores(
             scale,
         ).alias("mean_logprob"),
     ).select(F.col("_id").alias(id_col), "n_bigrams", "mean_logprob")
+
+
+def bpe_train_merges(
+    df,
+    text_col: str = "text",
+    num_merges: int = 10,
+) -> tuple[list[tuple[str, str, int]], "DataFrame"]:
+    """Full BPE tokenizer-training loop (Sennrich et al. 2016), the
+    iterative closure of :func:`bpe_merge_candidates`: ``num_merges``
+    rounds of (count adjacent symbol pairs weighted by word frequency →
+    merge the most frequent pair corpus-wide). Ties break
+    lexicographically, merges apply greedily left-to-right inside a JVM
+    ``aggregate`` fold — the whole procedure is a pure function of the
+    corpus, reproducible across engines and cluster sizes.
+
+    Scale shape: the corpus is read ONCE into a (word, freq) vocabulary;
+    every round then runs on the vocabulary — a pair explode + one count
+    shuffle (map-side combined) + a 1-row ``TakeOrdered`` + a projection
+    applying the merge — never on raw text again. Vocabulary is
+    web-corpus-sized but tiny next to the corpus; ``localCheckpoint``
+    per round keeps the plan constant-size. Driver traffic: one row per
+    round.
+
+    Returns ``(merges, vocab)``: the ordered merge list as
+    ``(left, right, weighted_count)`` tuples, and the final vocabulary
+    DataFrame ``(word, freq, symbols)`` for downstream encoding.
+    """
+    from pyspark.sql import functions as F
+
+    vocab = (
+        df.select(F.explode(word_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "symbols", F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        n1 = F.greatest(F.size("symbols") - 1, F.lit(0))
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("symbols", 1, n1),
+                    F.slice("symbols", 2, n1),
+                    lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((a, b, n))
+        merged = a + b
+        folded = F.aggregate(
+            "symbols",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.withColumn("symbols", folded).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_token_counts(
+    df,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Per-document BPE token counts under a trained vocabulary (the
+    ``(word, freq, symbols)`` frame :func:`bpe_train_merges` returns):
+    each word costs ``len(symbols)`` tokens; out-of-vocabulary words
+    fall back to character count (every char its own token — exactly
+    what an untrained BPE would emit). The join is vocabulary-keyed —
+    the production encode path precomputes word→length instead of
+    re-folding merges over the corpus."""
+    from pyspark.sql import functions as F
+
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_tokens(text_col)).alias("word"),
+    )
+    lens = vocab.select("word", F.size("symbols").alias("_bpe_len"))
+    return (
+        words.join(lens, "word", "left")
+        .select(
+            "_id",
+            F.coalesce(F.col("_bpe_len"), F.length("word")).alias("_cost"),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_cost").alias("n_bpe_tokens"))
+        .select(F.col("_id").alias(id_col), "n_bpe_tokens")
+    )

@@ -1110,3 +1110,63 @@ def test_scene_change_stats_hand_computed(spark):
     assert got[1]["n_changes"] == (2 if want_d >= 16 else 0)
     # single-frame video: no pairs, no cuts
     assert (got[2]["n_frames"], got[2]["n_changes"], got[2]["max_hamming"]) == (1, 0, 0)
+
+
+def test_bpe_train_merges_matches_reference(spark):
+    from collections import Counter
+
+    from onetl_spark.llm.text import bpe_train_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+    # python reference with identical greedy-left-to-right + lexicographic
+    # tie-break semantics
+    wf = Counter(w for t in texts for w in t.split())
+    vocab = {w: list(w) for w in wf}
+    want_merges = []
+    for _ in range(8):
+        cnt = Counter()
+        for w, f in wf.items():
+            s = vocab[w]
+            for x, y in zip(s, s[1:]):
+                cnt[(x, y)] += f
+        if not cnt:
+            break
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        want_merges.append((a, b, n))
+        for w, s in vocab.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+
+    merges, final = bpe_train_merges(df, num_merges=8)
+    assert merges == want_merges
+    got_syms = {r["word"]: list(r["symbols"]) for r in final.collect()}
+    assert got_syms == vocab
+
+
+def test_bpe_token_counts_with_oov_fallback(spark):
+    from onetl_spark.llm.text import bpe_token_counts, bpe_train_merges
+
+    train = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa bb bb")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train_merges(train, num_merges=2)
+    # merges: (a,a) then (aa,aa) -> 'aaaa' is 1 token, 'bb' stays 2 chars
+    score = spark.createDataFrame(
+        [(1, "aaaa bb zzz")], "doc_id long, text string"
+    )
+    got = bpe_token_counts(score, vocab).first()
+    lens = {r["word"]: len(r["symbols"]) for r in vocab.collect()}
+    want = lens["aaaa"] + lens["bb"] + 3  # zzz is OOV -> 3 chars
+    assert got["n_bpe_tokens"] == want
