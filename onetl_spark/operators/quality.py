@@ -196,3 +196,70 @@ def l_diversity(
         sizes.join(per_class, quasi_identifiers)
         .withColumn("at_risk", (F.col("distinct_sensitive") < l).cast("boolean"))
     )
+
+
+def population_stability(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    buckets: int = 10,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference period and the
+    current period of a numeric column — the standard drift monitor a
+    production pipeline alerts on (rule of thumb: PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 drifted).
+
+    Buckets are the REFERENCE period's approx-quantile ranges (the
+    convention: the monitor asks how today's data falls into
+    yesterday's bins; a NULL-heavy or constant column degrades to fewer
+    bins, never errors). Each side then pays one scan + one
+    ``buckets``-row aggregate; per-bucket shares and the PSI terms are
+    computed driver-side on the two tiny count maps. NULLs get their own
+    bucket (-1) so missing-rate drift is part of the report. ``epsilon``
+    floors empty shares so the log term stays finite.
+
+    Returns one row per bucket (``bucket, lo, hi, ref_share, cur_share,
+    psi_term``) plus the total under bucket ``-2`` — small enough to
+    collect, typed as a DataFrame to compose with reporting sinks.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(df_ref.stat.approxQuantile(column, qs, 0.001)))
+
+    def bucketed_counts(df: DataFrame) -> dict[int, int]:
+        c = F.col(column).cast("double")
+        b = F.lit(0)
+        for v in bounds:
+            b = b + F.when(c > F.lit(v), 1).otherwise(0)
+        expr = F.when(F.col(column).isNull(), F.lit(-1)).otherwise(b).cast("int")
+        return {
+            r["_b"]: r["n"]
+            for r in df.select(expr.alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    ref_counts = bucketed_counts(df_ref)
+    cur_counts = bucketed_counts(df_cur)
+    ref_total = sum(ref_counts.values()) or 1
+    cur_total = sum(cur_counts.values()) or 1
+
+    import math
+
+    spark = df_ref.sparkSession
+    rows = []
+    total_psi = 0.0
+    edges = [float("-inf")] + list(bounds) + [float("inf")]
+    for b in [-1] + list(range(len(bounds) + 1)):
+        pr = max(ref_counts.get(b, 0) / ref_total, epsilon)
+        pc = max(cur_counts.get(b, 0) / cur_total, epsilon)
+        term = (pc - pr) * math.log(pc / pr)
+        total_psi += term
+        lo = None if b == -1 else edges[b]
+        hi = None if b == -1 else edges[b + 1]
+        rows.append((b, lo, hi, round(pr, 9), round(pc, 9), round(term, 9)))
+    rows.append((-2, None, None, 1.0, 1.0, round(total_psi, 9)))
+    return spark.createDataFrame(
+        rows, "bucket int, lo double, hi double, ref_share double, cur_share double, psi_term double"
+    )

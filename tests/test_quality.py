@@ -100,3 +100,34 @@ def test_l_diversity_flags_homogeneous_class(spark):
     assert out["A"]["at_risk"] is True
     assert out["B"]["class_size"] == 2 and out["B"]["distinct_sensitive"] == 2
     assert out["B"]["at_risk"] is False
+
+
+def test_population_stability_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.quality import population_stability
+
+    ref = spark.range(10000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = spark.range(10000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(10000).select(
+        ((F.col("id") % 100) * 0.2 + 80).cast("double").alias("v")
+    )
+    psi_same = {r["bucket"]: r for r in population_stability(ref, same, "v").collect()}
+    psi_shift = {r["bucket"]: r for r in population_stability(ref, shifted, "v").collect()}
+    assert psi_same[-2]["psi_term"] < 0.01          # identical distribution
+    assert psi_shift[-2]["psi_term"] > 0.25          # gross drift flagged
+    # shares sum to ~1 on both sides (excluding the total row)
+    s = sum(r["cur_share"] for b, r in psi_same.items() if b != -2 and b != -1)
+    assert abs(s - 1.0) < 1e-6
+
+
+def test_population_stability_null_bucket(spark):
+    from onetl_spark.operators.quality import population_stability
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    cur = spark.createDataFrame(
+        [(float(i),) for i in range(50)] + [(None,)] * 50, "v double"
+    )
+    out = {r["bucket"]: r for r in population_stability(ref, cur, "v").collect()}
+    assert out[-1]["cur_share"] == 0.5  # missing-rate drift visible
+    assert out[-2]["psi_term"] > 0.25
