@@ -226,11 +226,10 @@ def population_stability(
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(df_ref.stat.approxQuantile(column, qs, 0.001)))
 
+    from onetl_spark.operators.ranking import ascending_bucket
+
     def bucketed_counts(df: DataFrame) -> dict[int, int]:
-        c = F.col(column).cast("double")
-        b = F.lit(0)
-        for v in bounds:
-            b = b + F.when(c > F.lit(v), 1).otherwise(0)
+        b = ascending_bucket(bounds, F.col(column).cast("double"))
         expr = F.when(F.col(column).isNull(), F.lit(-1)).otherwise(b).cast("int")
         return {
             r["_b"]: r["n"]

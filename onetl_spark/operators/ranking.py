@@ -33,12 +33,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
-def _bucket_expr(bounds: list[float], col: Column) -> Column:
-    """Ascending range id: #boundaries strictly below the value."""
+def ascending_bucket(bounds: list[float], col: Column) -> Column:
+    """Ascending range id: #boundaries strictly below the value. The
+    shared quantile-bucketing expression (also used by the PSI drift
+    monitor in ``operators/quality.py``)."""
     b = F.lit(0)
     for v in bounds:
         b = b + F.when(col > F.lit(v), 1).otherwise(0)
     return b.cast("int")
+
+
+_bucket_expr = ascending_bucket
 
 
 def global_row_index(
