@@ -718,23 +718,31 @@ def bpe_token_counts(
     ``(word, freq, symbols)`` frame :func:`bpe_train_merges` returns):
     each word costs ``len(symbols)`` tokens; out-of-vocabulary words
     fall back to character count (every char its own token — exactly
-    what an untrained BPE would emit). The join is vocabulary-keyed —
+    what an untrained BPE would emit); documents with no words report
+    0 tokens rather than vanishing. The join is vocabulary-keyed —
     the production encode path precomputes word→length instead of
     re-folding merges over the corpus."""
     from pyspark.sql import functions as F
 
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
     words = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_tokens(text_col)).alias("word"),
     )
     lens = vocab.select("word", F.size("symbols").alias("_bpe_len"))
-    return (
+    counts = (
         words.join(lens, "word", "left")
         .select(
             "_id",
             F.coalesce(F.col("_bpe_len"), F.length("word")).alias("_cost"),
         )
         .groupBy("_id")
-        .agg(F.sum("_cost").alias("n_bpe_tokens"))
-        .select(F.col("_id").alias(id_col), "n_bpe_tokens")
+        .agg(F.sum("_cost").alias("_n"))
+    )
+    return (
+        ids.join(counts, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_bpe_tokens"),
+        )
     )

@@ -511,22 +511,27 @@ def label_propagation(
     """
     raw = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
     e = raw.filter(F.col("u") != F.col("v"))
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     adj = adj.localCheckpoint(eager=True)
 
-    # EVERY endpoint of the input — including nodes whose only edges are
-    # self-loops — gets a label; a node with no (non-self) neighbors
-    # receives no votes and keeps its own label as a singleton community
-    # rather than silently vanishing from the output
-    nodes = (
+    # EVERY (non-NULL) endpoint of the input gets a label. Nodes whose
+    # only edges are self-loops never receive votes, so their label is
+    # their own id in every round — a STATIC singleton set computed once
+    # and unioned at the end, not a per-round join: every node in adj
+    # has >= 1 labeled neighbor each round, so the vote argmax already
+    # covers the entire adj node set.
+    adj_nodes = adj.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    singletons = (
         raw.select(F.col("u").alias("node"))
         .unionAll(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .join(adj_nodes, "node", "left_anti")
+        .select("node", F.col("node").alias("community"))
     )
-    labels = nodes.select("node", F.col("node").alias("community"))
+
+    labels = adj_nodes.select("node", F.col("node").alias("community"))
     for _ in range(rounds):
         votes = (
             adj.join(labels, adj["v"] == labels["node"])
@@ -534,16 +539,12 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # argmax by (count desc, label asc): maximize struct(c, -lbl)
-        winners = (
+        labels = (
             votes.groupBy("node")
             .agg(
                 F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
             )
-            .select("node", (-F.col("m.nl")).alias("_new"))
-        )
-        labels = (
-            labels.join(winners, "node", "left")
-            .select("node", F.coalesce("_new", "community").alias("community"))
+            .select("node", (-F.col("m.nl")).alias("community"))
             .localCheckpoint(eager=True)
         )
-    return labels
+    return labels.unionAll(singletons)

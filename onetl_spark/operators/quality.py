@@ -216,8 +216,9 @@ def population_stability(
     bins, never errors). Each side then pays one scan + one
     ``buckets``-row aggregate; per-bucket shares and the PSI terms are
     computed driver-side on the two tiny count maps. NULLs get their own
-    bucket (-1) so missing-rate drift is part of the report. ``epsilon``
-    floors empty shares so the log term stays finite.
+    bucket (-1, emitted only when either side actually has NULLs) so
+    missing-rate drift is part of the report. ``epsilon`` floors only
+    the log term; reported shares are true shares.
 
     Returns one row per bucket (``bucket, lo, hi, ref_share, cur_share,
     psi_term``) plus the total under bucket ``-2`` — small enough to
@@ -250,10 +251,14 @@ def population_stability(
     rows = []
     total_psi = 0.0
     edges = [float("-inf")] + list(bounds) + [float("inf")]
-    for b in [-1] + list(range(len(bounds) + 1)):
-        pr = max(ref_counts.get(b, 0) / ref_total, epsilon)
-        pc = max(cur_counts.get(b, 0) / cur_total, epsilon)
-        term = (pc - pr) * math.log(pc / pr)
+    has_nulls = ref_counts.get(-1, 0) or cur_counts.get(-1, 0)
+    bucket_ids = ([-1] if has_nulls else []) + list(range(len(bounds) + 1))
+    for b in bucket_ids:
+        pr = ref_counts.get(b, 0) / ref_total
+        pc = cur_counts.get(b, 0) / cur_total
+        # epsilon floors only the LOG term — the reported shares are the
+        # true shares (0.0 for an empty bucket, and they sum to 1)
+        term = (pc - pr) * math.log(max(pc, epsilon) / max(pr, epsilon))
         total_psi += term
         lo = None if b == -1 else edges[b]
         hi = None if b == -1 else edges[b + 1]

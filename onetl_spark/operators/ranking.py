@@ -43,8 +43,6 @@ def ascending_bucket(bounds: list[float], col: Column) -> Column:
     return b.cast("int")
 
 
-_bucket_expr = ascending_bucket
-
 
 def global_row_index(
     df: DataFrame,
@@ -115,7 +113,7 @@ def _global_row_index_with_total(
     t = probed.withColumn(
         "_bucket",
         F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
-            _bucket_expr(bounds, F.col("_ordd"))
+            ascending_bucket(bounds, F.col("_ordd"))
         ),
     ).drop("_ordd")
 

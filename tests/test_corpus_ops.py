@@ -1170,3 +1170,13 @@ def test_bpe_token_counts_with_oov_fallback(spark):
     lens = {r["word"]: len(r["symbols"]) for r in vocab.collect()}
     want = lens["aaaa"] + lens["bb"] + 3  # zzz is OOV -> 3 chars
     assert got["n_bpe_tokens"] == want
+
+
+def test_bpe_token_counts_reports_zero_for_wordless_docs(spark):
+    from onetl_spark.llm.text import bpe_token_counts, bpe_train_merges
+
+    train = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    _, vocab = bpe_train_merges(train, num_merges=1)
+    score = spark.createDataFrame([(1, ""), (2, "ab")], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(score, vocab).collect()}
+    assert got[1] == 0 and got[2] == 1

@@ -490,3 +490,11 @@ def test_label_propagation_keeps_selfloop_only_nodes(spark):
     # K2 oscillates under synchronous sweeps (documented): after an even
     # number of rounds each node is back at its own label
     assert got[1] == 1 and got[2] == 2
+
+
+def test_label_propagation_drops_null_endpoints(spark):
+    from onetl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, None), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(edges, rounds=2).collect()}
+    assert None not in got and set(got) == {1, 2}

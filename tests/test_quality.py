@@ -131,3 +131,15 @@ def test_population_stability_null_bucket(spark):
     out = {r["bucket"]: r for r in population_stability(ref, cur, "v").collect()}
     assert out[-1]["cur_share"] == 0.5  # missing-rate drift visible
     assert out[-2]["psi_term"] > 0.25
+
+
+def test_population_stability_true_shares_no_phantom_null_row(spark):
+    from onetl_spark.operators.quality import population_stability
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    cur = spark.createDataFrame([(float(i),) for i in range(80, 100)], "v double")
+    out = {r["bucket"]: r for r in population_stability(ref, cur, "v").collect()}
+    assert -1 not in out                       # no NULLs anywhere -> no -1 row
+    assert out[0]["cur_share"] == 0.0          # true share, not epsilon
+    shares = [r["cur_share"] for b, r in out.items() if b >= 0]
+    assert abs(sum(shares) - 1.0) < 1e-9
