@@ -329,7 +329,7 @@ def scene_change_stats(
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
+                b = bytes(payload) if payload is not None else b""
                 frames = [
                     b[i : i + frame_size] for i in range(0, len(b), frame_size)
                 ]

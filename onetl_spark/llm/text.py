@@ -595,7 +595,8 @@ def bigram_logprob_scores(
     )
     uni = docs.select(F.explode("_w").alias("u"))
     cf = uni.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
-    total = uni.agg(F.count(F.lit(1)).alias("n_total"))
+    # vocab-sized aggregate, not a second corpus tokenize+explode
+    total = cf.agg(F.sum("c").alias("n_total"))
     c12 = tf.groupBy("bg").agg(F.sum("tf").alias("c12"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
     w2 = F.split(F.col("bg"), " ").getItem(1)

@@ -511,12 +511,15 @@ def label_propagation(
     """
     raw = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
-    e = raw.filter(F.col("u") != F.col("v"))
+    )
+    e = raw.filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
+    )
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     adj = adj.localCheckpoint(eager=True)
 
-    # EVERY (non-NULL) endpoint of the input gets a label. Nodes whose
+    # EVERY non-NULL endpoint of the input gets a label — including the
+    # surviving side of an edge whose partner is NULL. Nodes whose
     # only edges are self-loops never receive votes, so their label is
     # their own id in every round — a STATIC singleton set computed once
     # and unioned at the end, not a per-round join: every node in adj
@@ -526,6 +529,7 @@ def label_propagation(
     singletons = (
         raw.select(F.col("u").alias("node"))
         .unionAll(raw.select(F.col("v").alias("node")))
+        .filter(F.col("node").isNotNull())
         .distinct()
         .join(adj_nodes, "node", "left_anti")
         .select("node", F.col("node").alias("community"))

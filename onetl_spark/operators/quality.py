@@ -224,6 +224,8 @@ def population_stability(
     psi_term``) plus the total under bucket ``-2`` — small enough to
     collect, typed as a DataFrame to compose with reporting sinks.
     """
+    if buckets < 2:
+        raise ValueError(f"population_stability: buckets must be >= 2, got {buckets}")
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(df_ref.stat.approxQuantile(column, qs, 0.001)))
 

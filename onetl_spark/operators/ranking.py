@@ -86,15 +86,31 @@ def _global_row_index_with_total(
     NULL order keys are detected inside the counts pass (sentinel
     bucket), not with a dedicated scan.
     """
+    reserved = {"_ordd", "_bucket", index_col}
+    clash = sorted(c for c in reserved if c in df.columns)
+    if clash:
+        raise ValueError(
+            f"global_row_index: input already has column(s) {clash}; "
+            "these names are reserved by the operator (rename them upstream)"
+        )
     # monotone numeric image of the order column for the quantile probe
     # (DATE→DOUBLE is a disallowed cast in Spark; go through day numbers)
     dtype = dict(df.dtypes)[order_col]
     if dtype == "date":
         ordd = F.unix_date(F.col(order_col)).cast("double")
+    elif dtype == "timestamp_ntz":
+        # compose the image from NTZ wall-clock fields: an NTZ→TIMESTAMP
+        # cast is session-tz-dependent and NON-monotone across a DST
+        # spring-forward gap. Second resolution suffices — the image only
+        # needs to be non-decreasing (ties share a bucket; the window
+        # orders by the original column)
+        c = F.col(order_col)
+        ordd = (
+            F.unix_date(c.cast("date")) * 86400
+            + F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)
+        ).cast("double")
     elif dtype.startswith("timestamp"):
-        # NTZ→TIMESTAMP is session-tz-dependent but monotone, which is all
-        # the bucket probe needs (ordering itself uses the original column)
-        ordd = F.col(order_col).cast("timestamp").cast("double")
+        ordd = F.col(order_col).cast("double")
     elif dtype in ("string", "binary", "boolean") or dtype.startswith(
         ("array", "struct", "map", "interval")
     ):
@@ -211,7 +227,11 @@ def exact_cume_dist(
     ``row_number / total`` via the distributed global index. With the
     full (order, tiebreak) key unique — the same requirement
     :func:`global_row_index` already imposes — no two rows tie, so the
-    row-number form equals the peers-inclusive SQL definition."""
+    row-number form equals the peers-inclusive SQL definition. With a
+    NON-unique key the builtins give all peers one shared value while
+    this gives them distinct arbitrary ones — enforcing uniqueness would
+    cost a full extra pass, so it stays a documented precondition (same
+    contract as :func:`global_row_index`)."""
     idx, total = _global_row_index_with_total(
         df, order_col, tiebreak_cols, "_gidx", buckets
     )

@@ -1523,6 +1523,35 @@ SPARK_QUERIES["events_theilsen_trend"] = events_theilsen_trend
 ORACLE_SQL["events_theilsen_trend"] = THEILSEN_SQL
 
 
+def _micro_units(col):
+    """Exact integer micro-units of a 6-decimal double (decimal on the
+    engine side; the oracles mirror it with HUGEINT)."""
+    return (col.cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)")
+
+
+def _pearson_from_moments(m: DataFrame) -> DataFrame:
+    """Closed-form Pearson r from the five exact moment sums, evaluated in
+    a fixed double parenthesization shared by both correlation queries."""
+    n = F.col("n_days").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.withColumn("pearson_r", F.round(num / den, 9))
+
+
+def _moment_sums(df: DataFrame, keys: list) -> DataFrame:
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+
+
 def events_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation between every pair of event types' daily-value
     series — the cross-signal dependence report (do purchases move with
@@ -1546,28 +1575,12 @@ def events_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.event_type").alias("type_a"),
             F.col("b.event_type").alias("type_b"),
-            (F.col("a.v").cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)").alias("x"),
-            (F.col("b.v").cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)").alias("y"),
+            _micro_units(F.col("a.v")).alias("x"),
+            _micro_units(F.col("b.v")).alias("y"),
         )
     )
-    m = pairs.groupBy("type_a", "type_b").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-    )
-    n = F.col("n_days").cast("double")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    return (
-        m.select("type_a", "type_b", "n_days", F.round(num / den, 9).alias("pearson_r"))
-        .orderBy("type_a", "type_b")
-    )
+    m = _pearson_from_moments(_moment_sums(pairs, ["type_a", "type_b"]))
+    return m.select("type_a", "type_b", "n_days", "pearson_r").orderBy("type_a", "type_b")
 
 
 TYPE_CORR_SQL = """
@@ -1614,32 +1627,18 @@ def events_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("value").alias("v"))
     )
     clicks = daily.filter(F.col("event_type") == "click").select(
-        "day", (F.col("v").cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)").alias("x")
+        "day", _micro_units(F.col("v")).alias("x")
     )
     purch = daily.filter(F.col("event_type") == "purchase").select(
-        F.col("day").alias("pday"),
-        (F.col("v").cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)").alias("y"),
+        F.col("day").alias("pday"), _micro_units(F.col("v")).alias("y")
     )
     lags = spark.range(0, 8).select(F.col("id").cast("int").alias("lag"))
     joined = (
         clicks.join(F.broadcast(lags))
         .join(purch, F.expr("pday = date_add(day, lag)"))
     )
-    m = joined.groupBy("lag").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-    )
-    n = F.col("n_days").cast("double")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    return m.select("lag", "n_days", F.round(num / den, 9).alias("pearson_r")).orderBy("lag")
+    m = _pearson_from_moments(_moment_sums(joined, ["lag"]))
+    return m.select("lag", "n_days", "pearson_r").orderBy("lag")
 
 
 LAG_CORR_SQL = """

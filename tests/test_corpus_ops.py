@@ -1180,3 +1180,11 @@ def test_bpe_token_counts_reports_zero_for_wordless_docs(spark):
     score = spark.createDataFrame([(1, ""), (2, "ab")], "doc_id long, text string")
     got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(score, vocab).collect()}
     assert got[1] == 0 and got[2] == 1
+
+
+def test_scene_change_stats_null_payload(spark):
+    from onetl_spark.llm.multimodal import scene_change_stats
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
+    row = scene_change_stats(df, frame_size=8).first()
+    assert (row["n_frames"], row["n_changes"], row["max_hamming"]) == (0, 0, 0)

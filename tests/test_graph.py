@@ -498,3 +498,12 @@ def test_label_propagation_drops_null_endpoints(spark):
     edges = spark.createDataFrame([(1, None), (1, 2)], "src long, dst long")
     got = {r["node"]: r["community"] for r in label_propagation(edges, rounds=2).collect()}
     assert None not in got and set(got) == {1, 2}
+
+
+def test_label_propagation_keeps_nonnull_side_of_null_edge(spark):
+    from onetl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(7, None), (1, 2)], "src long, dst long")
+    got = {r["node"]: r["community"] for r in label_propagation(edges, rounds=2).collect()}
+    assert got[7] == 7  # NULL partner dropped, surviving endpoint kept
+    assert None not in got and set(got) == {1, 2, 7}

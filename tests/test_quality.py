@@ -143,3 +143,13 @@ def test_population_stability_true_shares_no_phantom_null_row(spark):
     assert out[0]["cur_share"] == 0.0          # true share, not epsilon
     shares = [r["cur_share"] for b, r in out.items() if b >= 0]
     assert abs(sum(shares) - 1.0) < 1e-9
+
+
+def test_population_stability_rejects_degenerate_buckets(spark):
+    import pytest
+
+    from onetl_spark.operators.quality import population_stability
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match=">= 2"):
+        population_stability(df, df, "v", buckets=1)

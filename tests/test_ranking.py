@@ -127,3 +127,32 @@ def test_global_row_index_rejects_string_order_col(spark):
     df = spark.createDataFrame([(1, "9"), (2, "10")], "rid long, k string")
     with pytest.raises(ValueError, match="numeric, date, or timestamp"):
         global_row_index(df, "k", ("rid",))
+
+
+def test_global_row_index_rejects_reserved_columns(spark):
+    from onetl_spark.operators.ranking import global_row_index
+
+    df = spark.createDataFrame([(1, 1.0, 9)], "rid long, k double, _bucket int")
+    with pytest.raises(ValueError, match="reserved"):
+        global_row_index(df, "k", ("rid",))
+
+
+def test_global_row_index_ntz_is_dst_safe(spark):
+    from onetl_spark.operators.ranking import global_row_index
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # wall-clock times straddling the 2024-03-10 spring-forward gap:
+        # an NTZ->TIMESTAMP cast maps 02:30 AFTER 03:00; the field-composed
+        # image must keep wall-clock order
+        rows = [(i, f"2024-03-10 0{h}:{m:02d}:00") for i, (h, m) in
+                enumerate([(1, 30), (2, 15), (2, 30), (2, 45), (3, 0), (3, 30)])]
+        df = spark.createDataFrame(rows, "rid long, t string").select(
+            "rid", F.col("t").cast("timestamp_ntz").alias("t")
+        )
+        got = {r["rid"]: r["row_idx"]
+               for r in global_row_index(df, "t", ("rid",), buckets=3).collect()}
+        assert got == {i: i + 1 for i in range(6)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
