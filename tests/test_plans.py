@@ -452,3 +452,34 @@ def test_bfs_frontier_join_stays_edge_sized(tables):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lag_correlation_broadcasts_lag_relation_no_cartesian_on_data(tables):
+    from onetl_spark.showcase.analytics import events_lag_correlation
+
+    df = events_lag_correlation(tables, SF_DIR)
+    plan = executed_plan(df)
+    # the 8-row lag relation joins broadcast; the daily series never
+    # cross-joins itself
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_theilsen_pair_join_is_keyed_not_cartesian(tables):
+    from onetl_spark.showcase.analytics import events_theilsen_trend
+
+    df = events_theilsen_trend(tables, SF_DIR)
+    plan = executed_plan(df)
+    # the pairwise-slope join is event_type-keyed (hash/sort-merge/
+    # broadcast-HASH), never an unkeyed cross product over the daily rows
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scene_changes_single_arrow_pass_no_shuffle(tables):
+    from onetl_spark.showcase.llm import multimodal_scene_changes
+
+    df = multimodal_scene_changes(tables, SF_DIR)
+    plan = executed_plan(df)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan  # zero shuffles: one row in, one row out
