@@ -42,6 +42,7 @@ from onetl_spark.dialects.jdbc import (
     OracleDialect,
     PostgresDialect,
 )
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.hwm.window import Window
 
 log = logging.getLogger(__name__)
@@ -77,6 +78,7 @@ class JDBCWriteOptions:
     }
 
 
+@support_hooks
 @dataclass
 class JDBCConnection(BaseDBConnection):
     spark: SparkSession
@@ -225,6 +227,7 @@ class JDBCConnection(BaseDBConnection):
         # subquery wrap, jdbc_connection/connection.py:320-326
         return reader.option("dbtable", f"({query}) T").load()
 
+    @slot
     def sql(self, query: str, options: JDBCReadOptions | None = None) -> DataFrame:
         """Arbitrary SELECT executed on executors via Spark JDBC."""
         opts = options or JDBCReadOptions()
@@ -249,6 +252,7 @@ class JDBCConnection(BaseDBConnection):
 
     CHECK_QUERY = "SELECT 1"
 
+    @slot
     def check(self) -> "JDBCConnection":
         """Probe BOTH paths a job will use (ref
         jdbc_connection/connection.py:90-107): the driver's raw java.sql
@@ -290,6 +294,7 @@ class JDBCConnection(BaseDBConnection):
         jvm.java.lang.Class.forName(self.DRIVER)
         return jvm.java.sql.DriverManager.getConnection(self.jdbc_url, props)
 
+    @slot
     def fetch(self, query: str, options: Any = None) -> DataFrame:
         """SELECT executed on the DRIVER through raw java.sql; ResultSet is
         converted to a DataFrame via a plain JDBC type mapping."""
@@ -314,6 +319,7 @@ class JDBCConnection(BaseDBConnection):
         if size:
             log.debug("driver-side resultset estimated in-memory size: %d bytes", size)
 
+    @slot
     def execute(self, statement: str, options: Any = None) -> DataFrame | None:
         """DDL/DML/procedure call on the driver; returns a DataFrame iff a
         resultset came back (jdbc_mixin/connection.py:212-282)."""
@@ -460,6 +466,7 @@ class Oracle(JDBCConnection):
     def get_packages(cls) -> list[str]:
         return ["com.oracle.database.jdbc:ojdbc8:23.5.0.24.07"]
 
+    @slot
     def execute(self, statement: str, options: Any = None) -> DataFrame | None:
         """Oracle swallows PL/SQL compile failures — after CREATE/ALTER of
         a compilable object, surface ALL_ERRORS diagnostics (raising on

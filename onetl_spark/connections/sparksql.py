@@ -34,6 +34,7 @@ from pyspark.sql.types import StructType
 from onetl_spark.base import BaseDBConnection
 from onetl_spark.dialects.sparksql import SparkSQLDialect
 from onetl_spark.exceptions import TargetAlreadyExistsError
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.hwm.window import Window
 
 log = logging.getLogger(__name__)
@@ -66,6 +67,7 @@ def inject_spark_param(conf, name: str, value: str):
             conf.set(name, original)
 
 
+@support_hooks
 @dataclass
 class SparkSQLConnection(BaseDBConnection):
     """Query tables/views registered in the Spark catalog."""
@@ -77,20 +79,24 @@ class SparkSQLConnection(BaseDBConnection):
 
     # --- reference surface -------------------------------------------------
 
+    @slot
     def check(self) -> "SparkSQLConnection":
         self.spark.sql("SELECT 1").collect()
         return self
 
+    @slot
     def sql(self, query: str) -> DataFrame:
         """Arbitrary SELECT via spark.sql (hive/connection.py:192)."""
         log.debug("spark-sql query:\n%s", query)
         return self.spark.sql(query)
 
+    @slot
     def execute(self, statement: str) -> DataFrame | None:
         """DDL/DML statement (hive executes via spark.sql too)."""
         df = self.spark.sql(statement)
         return df if df.columns else None
 
+    @slot
     def read_source_as_df(
         self,
         source: str,
@@ -131,6 +137,7 @@ class SparkSQLConnection(BaseDBConnection):
         row = self.sql(query).collect()[0]
         return row["min"], row["max"]
 
+    @slot
     def write_df_to_target(self, df: DataFrame, target: str, options: Any = None) -> None:
         opts = options or SparkSQLWriteOptions()
         if isinstance(opts, dict):

@@ -30,6 +30,7 @@ from pyspark.sql.types import StructType
 
 from onetl_spark.base import BaseDBConnection
 from onetl_spark.exceptions import NoDataError, StrategyError
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.hwm.registry import detect_hwm_class
 from onetl_spark.hwm.types import HWM, ColumnHWM
 from onetl_spark.hwm.window import Edge, Window
@@ -39,6 +40,7 @@ from onetl_spark.strategy.batch import BatchHWMStrategy
 log = logging.getLogger(__name__)
 
 
+@support_hooks
 @dataclass
 class DBReader:
     connection: BaseDBConnection
@@ -70,7 +72,10 @@ class DBReader:
             self.hwm.entity = self.source
 
     # --- public API ---------------------------------------------------------
+    # run/has_data/raise_if_no_data are hookable slots, mirroring the
+    # reference placement (onetl/db/db_reader/db_reader.py:452,514,550).
 
+    @slot
     def run(self) -> DataFrame:
         strategy = StrategyManager.get_current()
         strategy = self._bind_strategy(strategy)
@@ -87,6 +92,7 @@ class DBReader:
         )
         return df
 
+    @slot
     def has_data(self) -> bool:
         """Existence probe with ``limit=1`` inside the current strategy
         window (db_reader.py:453-512)."""
@@ -109,6 +115,7 @@ class DBReader:
         )
         return bool(df.take(1))
 
+    @slot
     def raise_if_no_data(self) -> None:
         if not self.has_data():
             raise NoDataError(f"No data in the source {self.source!r}")

@@ -15,11 +15,13 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from onetl_spark.base import BaseDBConnection
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.metrics import SparkCommandMetrics, SparkMetricsRecorder, override_job_description
 
 log = logging.getLogger(__name__)
 
 
+@support_hooks
 @dataclass
 class DBWriter:
     connection: BaseDBConnection
@@ -29,6 +31,8 @@ class DBWriter:
     def __post_init__(self):
         self.last_metrics: SparkCommandMetrics | None = None
 
+    # hookable slot, mirroring onetl/db/db_writer/db_writer.py:132
+    @slot
     def run(self, df: DataFrame) -> None:
         if df.isStreaming:
             raise ValueError("DBWriter is batch-only; use onetl_spark.streaming for streams")

@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from pathlib import PurePosixPath
 
 from onetl_spark.exceptions import StrategyError
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.file.transfer.connection import FileConnection
 from onetl_spark.file.transfer.filters import FileHWMFilter
 from onetl_spark.file.transfer.paths import RemoteFile
@@ -37,6 +38,7 @@ class FileDownloaderOptions:
     workers: int = 1
 
 
+@support_hooks
 @dataclass
 class FileDownloader:
     connection: FileConnection
@@ -47,6 +49,7 @@ class FileDownloader:
     hwm: FileListHWM | None = None
     options: FileDownloaderOptions = field(default_factory=FileDownloaderOptions)
 
+    @slot
     def view_files(self) -> list[RemoteFile]:
         """Dry-run listing after filters/limits/HWM (file_downloader.py:441-505)."""
         filters = list(self.filters)
@@ -58,6 +61,7 @@ class FileDownloader:
         reset_limits(self.limits)
         return list(self.connection.walk(self.source_path, filters, self.limits))
 
+    @slot
     def run(self, files: list | None = None) -> FileResult:
         strategy = StrategyManager.get_current()
         if isinstance(strategy, BatchHWMStrategy):

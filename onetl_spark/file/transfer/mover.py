@@ -8,6 +8,7 @@ from dataclasses import dataclass, field
 from pathlib import PurePosixPath
 
 from onetl_spark.file.transfer.connection import FileConnection
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.file.transfer.paths import RemoteFile
 from onetl_spark.file.transfer.results import FileResult
 
@@ -19,6 +20,7 @@ class FileMoverOptions:
     if_exists: str = "error"  # error|ignore|overwrite
 
 
+@support_hooks
 @dataclass
 class FileMover:
     connection: FileConnection
@@ -34,6 +36,7 @@ class FileMover:
         reset_limits(self.limits)
         return list(self.connection.walk(self.source_path, self.filters, self.limits))
 
+    @slot
     def run(self, files: list | None = None) -> FileResult:
         remote_files = files if files is not None else self.view_files()
         result = FileResult()

@@ -11,6 +11,7 @@ from dataclasses import dataclass, field
 from pathlib import Path, PurePosixPath
 
 from onetl_spark.file.transfer.connection import FileConnection
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.file.transfer.results import FileResult
 
 log = logging.getLogger(__name__)
@@ -23,6 +24,7 @@ class FileUploaderOptions:
     workers: int = 1
 
 
+@support_hooks
 @dataclass
 class FileUploader:
     connection: FileConnection
@@ -37,6 +39,7 @@ class FileUploader:
                 out.append(os.path.join(root, name))
         return sorted(out)
 
+    @slot
     def run(self, files: list | None = None) -> FileResult:
         local_files = [str(f) for f in files] if files is not None else self.view_files()
 

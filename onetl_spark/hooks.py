@@ -71,6 +71,10 @@ class Slot:
         self.hooks.sort(key=lambda h: h.priority)
         return hook
 
+    def unbind(self, hook: Hook) -> None:
+        """Remove a previously bound hook (test/teardown helper)."""
+        self.hooks = [h for h in self.hooks if h is not hook]
+
     def skip_hooks(self):
         """Context manager disabling this slot's hooks."""
         slot = self
