@@ -33,6 +33,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     tolerance: str | int | float | None = None,
+    allow_single_partition: bool = False,
 ) -> DataFrame:
     """For each LEFT row, attach the most recent RIGHT row with
     ``right.on <= left.on`` (direction='backward'; 'forward' gives the
@@ -51,6 +52,10 @@ def asof_join(
     no extra exchange).
 
     Returns all left columns plus every non-key right column suffixed.
+
+    ``by=()`` raises unless ``allow_single_partition=True``: without keys
+    the window sort runs in a single task, which is only acceptable for
+    deliberately small inputs.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
@@ -58,13 +63,23 @@ def asof_join(
     if not by:
         # the carry-forward window partitions on `by`; with no keys the
         # ENTIRE union lands in one window partition — a single-task sort
-        # at scale. Same spirit as the Greenplum connection guard.
+        # at scale. A silent warn-and-proceed is how a driver-side
+        # bottleneck ships, so this is a hard error unless the caller
+        # explicitly accepts the plan (same spirit as the Greenplum
+        # connection-count guard, which also warns-then-raises).
+        if not allow_single_partition:
+            raise ValueError(
+                "asof_join with by=() puts the whole dataset in one window "
+                "partition — a single-task sort at scale. Pass entity keys "
+                "in `by` (e.g. user/device id) for a distributed plan, or "
+                "opt in with allow_single_partition=True for small inputs.",
+            )
         import warnings
 
         warnings.warn(
-            "asof_join with by=() puts the whole dataset in one window "
-            "partition — a single-task sort at scale. Pass entity keys in "
-            "`by` (e.g. user/device id) for a distributed plan.",
+            "asof_join with by=() and allow_single_partition=True: the "
+            "whole dataset sorts in one window partition — fine for small "
+            "inputs only.",
             stacklevel=2,
         )
 

@@ -1525,8 +1525,15 @@ ORACLE_SQL["events_theilsen_trend"] = THEILSEN_SQL
 
 def _micro_units(col):
     """Exact integer micro-units of a 6-decimal double (decimal on the
-    engine side; the oracles mirror it with HUGEINT)."""
-    return (col.cast("decimal(18,6)") * F.lit(1000000)).cast("decimal(20,0)")
+    engine side; the oracles mirror it with HUGEINT). decimal(30,6)
+    rather than (18,6): a daily aggregate past 1e12 would overflow the
+    narrow cast — Spark (non-ANSI) yields NULL while DuckDB raises, so
+    the engines would diverge instead of failing together. The scale-6
+    multiplier is a decimal(7,0) literal so the product is decimal(38,6)
+    — exactly at the precision cap, no precision-loss rescaling."""
+    return (col.cast("decimal(30,6)") * F.lit(1000000).cast("decimal(7,0)")).cast(
+        "decimal(38,0)"
+    )
 
 
 def _pearson_from_moments(m: DataFrame) -> DataFrame:
@@ -1538,6 +1545,10 @@ def _pearson_from_moments(m: DataFrame) -> DataFrame:
         (n * F.col("sxx") - F.col("sx") * F.col("sx"))
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
+    # constant series (or n_days==1) → den == 0: Spark's non-ANSI division
+    # returns NULL but DuckDB's IEEE float division returns NaN/inf, so
+    # both sides pin the degenerate case to NULL (oracles use NULLIF).
+    den = F.when(den == 0, F.lit(None)).otherwise(den)
     return m.withColumn("pearson_r", F.round(num / den, 9))
 
 
@@ -1590,8 +1601,8 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ), pairs AS (
   SELECT a.event_type AS type_a, b.event_type AS type_b,
-         CAST(CAST(a.v AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS x,
-         CAST(CAST(b.v AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
+         CAST(CAST(a.v AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS x,
+         CAST(CAST(b.v AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS y
   FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
 ), m AS (
   SELECT type_a, type_b, COUNT(*) AS n_days,
@@ -1603,8 +1614,8 @@ WITH daily AS (
 )
 SELECT type_a, type_b, n_days,
        round((CAST(n_days AS DOUBLE) * sxy - sx * sy)
-             / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
-                    * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 9) AS pearson_r
+             / NULLIF(sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 0), 9) AS pearson_r
 FROM m ORDER BY type_a, type_b
 """
 
@@ -1647,10 +1658,10 @@ WITH daily AS (
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
   FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
 ), c AS (
-  SELECT day, CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS x
+  SELECT day, CAST(CAST(v AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS x
   FROM daily WHERE event_type = 'click'
 ), p AS (
-  SELECT day AS pday, CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS y
+  SELECT day AS pday, CAST(CAST(v AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS y
   FROM daily WHERE event_type = 'purchase'
 ), j AS (
   SELECT l.lag, c.x, p.y
@@ -1666,8 +1677,8 @@ WITH daily AS (
 )
 SELECT CAST(lag AS INTEGER) AS lag, n_days,
        round((CAST(n_days AS DOUBLE) * sxy - sx * sy)
-             / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
-                    * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 9) AS pearson_r
+             / NULLIF(sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 0), 9) AS pearson_r
 FROM m ORDER BY lag
 """
 

@@ -1178,7 +1178,11 @@ def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal path; bits are integer cross-multiplications so the SQL
     oracle reproduces them exactly."""
     ensure_views(spark, sf_dir)
-    payloads = multimodal.with_binary_payload(spark.table("documents"))
+    # same ASCII byte==char guard as multimodal_scene_changes: the hash is
+    # over UTF-8 bytes, the oracle over ascii() codepoints.
+    payloads = multimodal.with_binary_payload(
+        spark.table("documents").filter(F.octet_length("text") == F.length("text"))
+    )
     return multimodal.image_ahash(payloads)
 
 
@@ -1196,7 +1200,7 @@ WITH codes AS (
   SELECT doc_id,
          list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS c,
          length(text) AS n
-  FROM documents WHERE length(text) > 0
+  FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)
 ), t AS (
   SELECT doc_id, c, n, list_sum(c) AS total FROM codes
 )
@@ -2311,8 +2315,14 @@ def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming distance >= 16 marks a cut — one mapInPandas pass, zero
     shuffles (each row carries its whole video)."""
     ensure_views(spark, sf_dir)
+    # ASCII-only guard on BOTH engines: the Spark side frames UTF-8 BYTES
+    # while the oracle frames characters via ascii() codepoints — they only
+    # agree when byte length == char length, so non-ASCII docs are excluded
+    # identically rather than silently desynchronizing frame boundaries.
     payloads = multimodal.with_binary_payload(
-        spark.table("documents").filter(F.length("text") > 0)
+        spark.table("documents").filter(
+            (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+        )
     )
     return multimodal.scene_change_stats(payloads, frame_size=256, threshold=16)
 
@@ -2331,7 +2341,7 @@ WITH codes AS (
   SELECT doc_id,
          list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))) AS c,
          length(text) AS n
-  FROM documents WHERE length(text) > 0
+  FROM documents WHERE length(text) > 0 AND strlen(text) = length(text)
 ), fr AS (
   SELECT doc_id, f, c[f * 256 + 1 : least((f + 1) * 256, n)] AS fc
   FROM codes, unnest(range(0, (n + 255) // 256)) t(f)

@@ -1,5 +1,6 @@
 """as-of join / range join semantics on crafted data."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from onetl_spark.operators.temporal import asof_join, range_join
@@ -24,7 +25,12 @@ def test_asof_backward_basic(spark):
 def test_asof_forward(spark):
     left = spark.createDataFrame([(1, 10), (2, 30)], "id long, t long")
     right = spark.createDataFrame([(15, 1.0), (25, 2.0)], "t long, v double")
-    out = {r["id"]: r["v_right"] for r in asof_join(left, right, on="t", direction="forward").collect()}
+    out = {
+        r["id"]: r["v_right"]
+        for r in asof_join(
+            left, right, on="t", direction="forward", allow_single_partition=True
+        ).collect()
+    }
     assert out[1] == 1.0   # next value at t>=10 is 15
     assert out[2] is None  # nothing at or after 30
 
@@ -57,17 +63,19 @@ def test_range_join_with_keys_no_cross_bucket_dupes(spark):
     assert [c for c in rows[0].asDict() if c == "k"] == ["k"]
 
 
-def test_asof_join_warns_without_by_keys(spark):
+def test_asof_join_raises_without_by_keys(spark):
     import warnings
 
     from onetl_spark.operators.temporal import asof_join
 
     left = spark.createDataFrame([(1,)], "t INT")
     right = spark.createDataFrame([(0, 10)], "t INT, v INT")
+    with pytest.raises(ValueError, match="single-task sort"):
+        asof_join(left, right, on="t")
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        out = asof_join(left, right, on="t")
-        assert any("single-task sort" in str(w.message) for w in caught)
+        out = asof_join(left, right, on="t", allow_single_partition=True)
+        assert any("one window partition" in str(w.message) for w in caught)
     assert out.collect()[0]["v_right"] == 10
 
 
