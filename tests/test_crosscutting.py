@@ -253,3 +253,22 @@ def test_debt_rotation_is_healthy():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.check() == []
+
+
+def test_dialect_sql_matches_golden_file():
+    """Every named dialect's rendered SQL must byte-match the committed
+    golden file (tools/dialect_golden.py) — an accidental dialect change
+    can't ship without regenerating the golden and showing the diff."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "dialect_golden",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "dialect_golden.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(mod.GOLDEN_PATH) as f:
+        want = json.load(f)
+    assert mod.render_matrix() == want
