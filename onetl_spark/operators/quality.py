@@ -204,6 +204,7 @@ def population_stability(
     column: str,
     buckets: int = 10,
     epsilon: float = 1e-6,
+    bounds: "list[float] | None" = None,
 ) -> DataFrame:
     """Population Stability Index between a reference period and the
     current period of a numeric column — the standard drift monitor a
@@ -224,10 +225,21 @@ def population_stability(
     psi_term``) plus the total under bucket ``-2`` — small enough to
     collect, typed as a DataFrame to compose with reporting sinks.
     """
-    if buckets < 2:
-        raise ValueError(f"population_stability: buckets must be >= 2, got {buckets}")
-    qs = [i / buckets for i in range(1, buckets)]
-    bounds = sorted(set(df_ref.stat.approxQuantile(column, qs, 0.001)))
+    if bounds is not None:
+        # explicit pinned bin edges (the production monitor convention:
+        # freeze yesterday's bins and reuse them across runs/engines —
+        # also what makes the result exactly reproducible, since
+        # approxQuantile edges are sketch-dependent)
+        bounds = sorted(set(float(b) for b in bounds))
+        if not bounds:
+            raise ValueError("population_stability: bounds must be non-empty")
+    else:
+        if buckets < 2:
+            raise ValueError(
+                f"population_stability: buckets must be >= 2, got {buckets}"
+            )
+        qs = [i / buckets for i in range(1, buckets)]
+        bounds = sorted(set(df_ref.stat.approxQuantile(column, qs, 0.001)))
 
     from onetl_spark.operators.ranking import ascending_bucket
 
@@ -252,7 +264,10 @@ def population_stability(
     spark = df_ref.sparkSession
     rows = []
     total_psi = 0.0
-    edges = [float("-inf")] + list(bounds) + [float("inf")]
+    # unbounded outer edges are NULL, not +-inf: NULL survives every
+    # serialization path (Arrow, JSON reporting sinks) that chokes on
+    # IEEE infinities, and reads naturally as "open-ended bin"
+    edges = [None] + [float(b) for b in bounds] + [None]
     has_nulls = ref_counts.get(-1, 0) or cur_counts.get(-1, 0)
     bucket_ids = ([-1] if has_nulls else []) + list(range(len(bounds) + 1))
     for b in bucket_ids:

@@ -2363,3 +2363,112 @@ FROM d GROUP BY doc_id
 
 SPARK_QUERIES["multimodal_scene_changes"] = multimodal_scene_changes
 ORACLE_SQL["multimodal_scene_changes"] = _scene_change_sql()
+
+
+def bpe_token_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under a trained BPE vocabulary
+    (`llm/text.py bpe_train_merges` + `bpe_token_counts`): the vocabulary
+    is trained with one merge on a THIRD of the corpus (doc_id % 3 == 0),
+    then every document is encoded against it — so the oracle exercises
+    both the vocabulary-join path (in-vocab words cost len(symbols)) and
+    the OOV fallback (character count). One merge keeps the oracle
+    SQL-expressible: post-merge symbol length = chars minus the greedy
+    non-overlapping occurrences of the merged pair, which is exactly what
+    string replace() computes."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    train = docs.filter(F.col("doc_id") % 3 == 0)
+    _merges, vocab = text.bpe_train_merges(train, num_merges=1)
+    return text.bpe_token_counts(docs, vocab)
+
+
+BPE_ENCODE_SQL = rf"""
+WITH tw AS (
+  SELECT unnest({SQL_TOKENS}) AS w FROM documents WHERE doc_id % 3 = 0
+), pr AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+  FROM tw WHERE length(w) >= 2
+), top AS (
+  SELECT pair FROM pr GROUP BY pair ORDER BY COUNT(*) DESC, pair ASC LIMIT 1
+), vocabw AS (
+  SELECT DISTINCT w FROM tw
+), docw AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS w FROM documents
+), cost AS (
+  SELECT doc_id,
+         CASE WHEN vocabw.w IS NOT NULL
+              THEN length(docw.w)
+                   - (length(docw.w)
+                      - length(replace(docw.w, (SELECT pair FROM top), ''))) / 2
+              ELSE length(docw.w) END AS c
+  FROM docw LEFT JOIN vocabw ON vocabw.w = docw.w
+)
+SELECT d.doc_id, CAST(COALESCE(SUM(cost.c), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN cost ON cost.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+SPARK_QUERIES["bpe_token_encode"] = bpe_token_encode
+ORACLE_SQL["bpe_token_encode"] = BPE_ENCODE_SQL
+
+
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ storage format itself (`llm/similarity.py pq_encode`): every
+    corpus vector quantized to (vec_id, m, code_id) — m small ints instead
+    of dim floats, the layout a 100-TB vector store persists. Same
+    deterministic codebooks as `ann_pq_topk` (seeded + 1 Lloyd round);
+    this checks the full assignment, not just the top-k neighborhood."""
+    ensure_views(spark, sf_dir)
+    return similarity.pq_encode(
+        spark.table("embeddings"),
+        m=_PQ_M,
+        dim=_PQ_M * _PQ_DSUB,
+        seed_filter=_PQ_SEED,
+        iterations=1,
+    ).orderBy("vec_id", "m")
+
+
+def _pq_encode_sql() -> str:
+    d = _PQ_DSUB
+    l2 = lambda a, b: (
+        f"list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return f"""
+WITH sub AS (
+  SELECT vec_id, t.m AS m,
+         list_transform(embedding[t.m*{d}+1 : t.m*{d}+{d}],
+                        x -> CAST(x AS DOUBLE)) AS sv
+  FROM embeddings, range(0, {_PQ_M}) t(m)
+), cb0 AS (
+  SELECT m, vec_id AS code_id, sv AS cvec FROM sub WHERE {_PQ_SEED}
+), a1 AS (
+  SELECT sub.vec_id, sub.m, code_id, sv,
+         round({l2('sv', 'cvec')}, 9) AS dd
+  FROM sub JOIN cb0 USING (m)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                             ORDER BY dd, code_id) = 1
+), m1 AS (
+  SELECT m, code_id, r.i AS i,
+         CAST(SUM(CAST(sv[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+  FROM a1, range(1, {d} + 1) r(i)
+  GROUP BY m, code_id, r.i
+), mv AS (
+  SELECT m, code_id, list(mu ORDER BY i) AS mvec FROM m1 GROUP BY m, code_id
+), cb1 AS (
+  SELECT cb0.m, cb0.code_id, COALESCE(mv.mvec, cb0.cvec) AS cvec
+  FROM cb0 LEFT JOIN mv ON mv.m = cb0.m AND mv.code_id = cb0.code_id
+), codes AS (
+  SELECT sub.vec_id, sub.m, code_id,
+         round({l2('sv', 'cvec')}, 9) AS dd
+  FROM sub JOIN cb1 USING (m)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.m
+                             ORDER BY dd, code_id) = 1
+)
+SELECT vec_id, CAST(m AS INTEGER) AS m, code_id
+FROM codes ORDER BY vec_id, m
+"""
+
+
+SPARK_QUERIES["pq_encode_codes"] = pq_encode_codes
+ORACLE_SQL["pq_encode_codes"] = _pq_encode_sql()

@@ -634,3 +634,132 @@ ORDER BY decile
 
 SPARK_QUERIES["events_value_deciles"] = events_value_deciles
 ORACLE_SQL["events_value_deciles"] = EVENTS_VALUE_DECILES_SQL
+
+
+def orders_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PERCENT_RANK over all orders by (o_totalprice,
+    o_orderkey) via `operators/ranking.py exact_percent_rank` — the
+    (row_number-1)/(total-1) reconstruction from the bucket-window global
+    index, no single-partition sort. Every 100th order key is returned so
+    the whole ranking is spot-checked."""
+    from onetl_spark.operators.ranking import exact_percent_rank
+
+    ensure_views(spark, sf_dir)
+    r = exact_percent_rank(
+        spark.table("orders"), "o_totalprice", ("o_orderkey",), rank_col="pct_rank"
+    )
+    return (
+        r.filter(F.col("o_orderkey") % 100 == 1)
+        .select("o_orderkey", "pct_rank")
+    )
+
+
+ORDERS_PERCENT_RANK_SQL = """
+SELECT o_orderkey, pct_rank FROM (
+  SELECT o_orderkey,
+         PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pct_rank
+  FROM orders
+)
+WHERE o_orderkey % 100 = 1
+"""
+
+SPARK_QUERIES["orders_percent_rank"] = orders_percent_rank
+ORACLE_SQL["orders_percent_rank"] = ORDERS_PERCENT_RANK_SQL
+
+
+def events_value_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed CUME_DIST over event values via
+    `operators/ranking.py exact_cume_dist` (row_number/total on the
+    unique (value, event_id) key — identical to the peers-inclusive SQL
+    definition because no two rows tie on the full key)."""
+    from onetl_spark.operators.ranking import exact_cume_dist
+
+    ensure_views(spark, sf_dir)
+    r = exact_cume_dist(
+        spark.table("events").filter(F.col("value").isNotNull()),
+        "value",
+        ("event_id",),
+        dist_col="cd",
+    )
+    return r.filter(F.col("event_id") % 137 == 0).select("event_id", "cd")
+
+
+EVENTS_CUME_DIST_SQL = """
+SELECT event_id, cd FROM (
+  SELECT event_id,
+         CUME_DIST() OVER (ORDER BY value, event_id) AS cd
+  FROM events WHERE value IS NOT NULL
+)
+WHERE event_id % 137 = 0
+"""
+
+SPARK_QUERIES["events_value_cume_dist"] = events_value_cume_dist
+ORACLE_SQL["events_value_cume_dist"] = EVENTS_CUME_DIST_SQL
+
+
+_PSI_BOUNDS = [5.0, 10.0, 20.0, 35.0, 60.0, 100.0, 160.0, 250.0]
+_PSI_SPLIT = "2024-01-16"
+
+
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of event value, first half of the
+    month (reference) vs second half (current), over PINNED bin edges
+    (`operators/quality.py population_stability` with explicit bounds —
+    the production monitor convention of freezing yesterday's bins).
+    Per-bucket shares + PSI terms, total under bucket -2; each side costs
+    one scan + one 9-row aggregate."""
+    from onetl_spark.operators.quality import population_stability
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"))
+    cur = ev.filter(F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp"))
+    return population_stability(ref, cur, "value", bounds=_PSI_BOUNDS)
+
+
+def _psi_sql() -> str:
+    b = _PSI_BOUNDS
+    blist = "[" + ", ".join(f"{x!r}" for x in b) + "]"
+    edges = (
+        "[NULL::DOUBLE, " + ", ".join(f"{x!r}" for x in b) + ", NULL::DOUBLE]"
+    )
+    n_buckets = len(b) + 1
+    return f"""
+WITH ev AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST(ts AS TIMESTAMP) < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM events WHERE value IS NOT NULL
+), bk AS (
+  SELECT len(list_filter({blist}, x -> v > x)) AS bucket, is_ref FROM ev
+), cnt AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+  FROM bk GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(nr) AS BIGINT) AS tr, CAST(SUM(nc) AS BIGINT) AS tc FROM cnt
+), ids AS (
+  SELECT unnest(range(0, {n_buckets})) AS bucket
+), terms AS (
+  SELECT ids.bucket,
+         ({edges})[ids.bucket + 1] AS lo,
+         ({edges})[ids.bucket + 2] AS hi,
+         CAST(COALESCE(cnt.nr, 0) AS DOUBLE) / tot.tr AS pr,
+         CAST(COALESCE(cnt.nc, 0) AS DOUBLE) / tot.tc AS pc
+  FROM ids LEFT JOIN cnt ON cnt.bucket = ids.bucket CROSS JOIN tot
+), scored AS (
+  SELECT bucket, lo, hi, pr, pc,
+         (pc - pr) * ln(greatest(pc, 1e-6) / greatest(pr, 1e-6)) AS term
+  FROM terms
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, lo, hi,
+       round(pr, 9) AS ref_share, round(pc, 9) AS cur_share,
+       round(term, 9) AS psi_term
+FROM scored
+UNION ALL
+SELECT -2, NULL, NULL, 1.0, 1.0, round(SUM(term), 9) FROM scored
+"""
+
+
+SPARK_QUERIES["events_value_psi"] = events_value_psi
+ORACLE_SQL["events_value_psi"] = _psi_sql()
