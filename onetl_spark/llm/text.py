@@ -9,8 +9,12 @@ the showcase oracles.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 # small per-language stopword lists for the n-gram/stopword-overlap heuristic
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -636,6 +640,8 @@ def bpe_train_merges(
     df,
     text_col: str = "text",
     num_merges: int = 10,
+    mode: str = "distributed",
+    vocab_cap: int | None = None,
 ) -> tuple[list[tuple[str, str, int]], "DataFrame"]:
     """Full BPE tokenizer-training loop (Sennrich et al. 2016), the
     iterative closure of :func:`bpe_merge_candidates`: ``num_merges``
@@ -656,14 +662,41 @@ def bpe_train_merges(
     Returns ``(merges, vocab)``: the ordered merge list as
     ``(left, right, weighted_count)`` tuples, and the final vocabulary
     DataFrame ``(word, freq, symbols)`` for downstream encoding.
+
+    Two training modes with BIT-IDENTICAL results (pinned by test):
+
+    - ``mode="distributed"``: every round runs on the distributed
+      vocabulary. The per-round plan is constant-size and
+      vocabulary-only, but each merge costs one Spark job — fine for
+      tens of merges, NOT for a production 32k–64k vocabulary, where
+      scheduling overhead alone is hours.
+    - ``mode="driver"``: the SentencePiece split and the 100-TB path.
+      The corpus is folded ONCE to a (word, freq) vocabulary; the top
+      ``vocab_cap`` words by frequency (ties: lexicographic) are
+      collected and the merge loop runs locally over the tiny word-freq
+      dict — tokenizer training is a function of the vocabulary, which
+      is web-scale-bounded (~10^7 words) even when the corpus is 10^11
+      documents. Dropped tail mass is logged. The returned vocabulary
+      (with fully merged symbols) is created driver-side — it is the
+      model artifact, and :func:`bpe_token_counts` broadcasts it for
+      the one distributed encode pass.
     """
     from pyspark.sql import functions as F
 
-    vocab = (
+    if mode not in ("distributed", "driver"):
+        raise ValueError(f"bpe_train_merges: unknown mode {mode!r}")
+
+    vocab_counts = (
         df.select(F.explode(word_tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
+    )
+
+    if mode == "driver":
+        return _bpe_train_driver(vocab_counts, num_merges, vocab_cap)
+
+    vocab = (
+        vocab_counts.withColumn(
             "symbols", F.filter(F.split(F.col("word"), ""), lambda x: x != "")
         )
         .localCheckpoint(eager=True)
@@ -706,6 +739,67 @@ def bpe_train_merges(
             ).otherwise(F.concat(acc, F.array(x))),
         )
         vocab = vocab.withColumn("symbols", folded).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def _bpe_train_driver(vocab_counts, num_merges, vocab_cap):
+    """Local merge loop over the collected (word, freq) vocabulary —
+    bit-identical to the distributed loop (same freq-weighted pair
+    counts, same (count desc, left asc, right asc) tie-break, same
+    greedy left-to-right merge application)."""
+    from pyspark.sql import functions as F
+
+    spark = vocab_counts.sparkSession
+    if vocab_cap is not None:
+        total = vocab_counts.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("freq").alias("mass")
+        ).collect()[0]
+        rows = (
+            vocab_counts.orderBy(F.desc("freq"), F.asc("word"))
+            .limit(vocab_cap)
+            .collect()
+        )
+        kept_mass = sum(r["freq"] for r in rows)
+        if total["n"] and total["n"] > len(rows):
+            log.warning(
+                "bpe_train_merges(mode='driver'): vocabulary capped at "
+                "%d of %d words (%.3f%% of token mass kept) — the tail "
+                "cannot win merges it isn't counted in",
+                len(rows),
+                total["n"],
+                100.0 * kept_mass / (total["mass"] or 1),
+            )
+    else:
+        rows = vocab_counts.collect()
+
+    words: list[tuple[list[str], int]] = [
+        (list(r["word"]), int(r["freq"])) for r in rows
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        # max count, ties to the lexicographically smallest (left, right)
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        merged = a + b
+        for syms, _freq in words:
+            j = 0
+            while j < len(syms) - 1:
+                if syms[j] == a and syms[j + 1] == b:
+                    syms[j : j + 2] = [merged]
+                else:
+                    j += 1
+
+    vocab = spark.createDataFrame(
+        [(r["word"], int(r["freq"]), syms) for r, (syms, _) in zip(rows, words)],
+        "word string, freq bigint, symbols array<string>",
+    )
     return merges, vocab
 
 

@@ -1188,3 +1188,50 @@ def test_scene_change_stats_null_payload(spark):
     df = spark.createDataFrame([(1, None)], "doc_id long, payload binary")
     row = scene_change_stats(df, frame_size=8).first()
     assert (row["n_frames"], row["n_changes"], row["max_hamming"]) == (0, 0, 0)
+
+
+def test_bpe_driver_mode_bit_identical_to_distributed(spark):
+    """mode='driver' (the production sample-to-driver path) must produce
+    the exact merge list and final symbol table of the distributed loop."""
+    from onetl_spark.llm.text import bpe_train_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest wide wide",
+        "a bb ccc dddd",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_dist, v_dist = bpe_train_merges(df, num_merges=12)
+    m_drv, v_drv = bpe_train_merges(df, num_merges=12, mode="driver")
+    assert m_drv == m_dist
+    dist_syms = {r["word"]: list(r["symbols"]) for r in v_dist.collect()}
+    drv_syms = {r["word"]: list(r["symbols"]) for r in v_drv.collect()}
+    assert drv_syms == dist_syms
+
+
+def test_bpe_driver_mode_vocab_cap_logs_and_trains_on_head(spark, caplog):
+    from onetl_spark.llm.text import bpe_token_counts, bpe_train_merges
+
+    df = spark.createDataFrame(
+        [(0, "aa aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    import logging as _l
+
+    with caplog.at_level(_l.WARNING, logger="onetl_spark.llm.text"):
+        merges, vocab = bpe_train_merges(
+            df, num_merges=1, mode="driver", vocab_cap=2
+        )
+    assert any("capped" in r.message for r in caplog.records)
+    # trained only on {aa, bb}: top pair is (a, a) with weight 4
+    assert merges == [("a", "a", 4)]
+    # cc is OUT of the capped vocabulary -> OOV char fallback in encode
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(df, vocab).collect()
+    }
+    # 4*[aa] + 2*[b,b] + [c,c] = 4 + 4 + 2
+    assert counts == {0: 10}
