@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed with Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image``/``decode_audio`` raise ``NotImplementedError`` unless the
-optional library imports, and ``extract_features`` uses a deterministic
+PNG payloads decode for REAL through the pure-stdlib codec in
+:mod:`onetl_spark.llm.png` (zlib inflate + scanline unfiltering + integer
+luma) — no imaging library needed; Pillow, when installed, extends decode
+to other formats. Audio decode and non-PNG images without Pillow raise
+``NotImplementedError``, and ``extract_features`` keeps a deterministic
 fake (md5 digest + byte stats) so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and testable.
+partitioning, UDF signature, Arrow batch shape — stays testable on text
+stand-in payloads too.
 
 At 100 TB the pattern is: binary payloads stay in parquet/ORC, metadata is
 columnar, and per-batch Python touches each payload exactly once inside
@@ -49,15 +52,45 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload. STUB: requires an imaging library."""
+    """Decode an image payload. Prefers Pillow when installed; PNG
+    payloads decode through the pure-stdlib codec either way."""
     try:
         from PIL import Image  # type: ignore
         import io
 
         return Image.open(io.BytesIO(payload))
-    except ImportError as e:  # pragma: no cover
+    except ImportError as e:
+        from onetl_spark.llm import png
+
+        if png.is_png(payload):
+            return png.decode_png_gray(payload)
         raise NotImplementedError(
-            "image decoding requires Pillow; not available in this environment",
+            "non-PNG image decoding requires Pillow; not available in this "
+            "environment (PNG decodes via onetl_spark.llm.png)",
+        ) from e
+
+
+def decode_image_gray(payload: bytes) -> "tuple[int, int, bytes]":
+    """Decode an image payload to ``(width, height, grayscale_bytes)``.
+
+    REAL decode, not a stub: PNG payloads (the signature is checked) go
+    through the pure-stdlib codec in :mod:`onetl_spark.llm.png` — zlib
+    inflate + all five scanline filters + integer luma — with Pillow used
+    instead when installed (covers JPEG etc.). Raises
+    ``NotImplementedError`` for formats nothing present can decode."""
+    from onetl_spark.llm import png
+
+    if png.is_png(payload):
+        return png.decode_png_gray(payload)
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return img.width, img.height, img.tobytes()
+    except ImportError as e:
+        raise NotImplementedError(
+            "non-PNG image decoding requires Pillow; not available",
         ) from e
 
 
@@ -120,12 +153,22 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Resize plumbing over binary payloads (Arrow-batched mapInPandas).
+    """Resize over binary payloads (Arrow-batched mapInPandas).
 
-    The real decode+resample belongs where the digest is computed — the
-    deterministic fake (md5 of payload + target geometry) keeps the
-    1-row-in/1-row-out batch shape, schema, and partitioning verifiable
-    without media libraries. Payloads never leave the executor batch."""
+    PNG payloads are REALLY decoded (pure-stdlib codec: zlib inflate, all
+    five scanline filters, integer luma) and box-resampled to the target
+    geometry with integer area-averaging; the digest is then the md5 of
+    the resized pixel buffer — deterministic on any platform. Non-image
+    payloads keep the deterministic fake (md5 of payload + geometry tag)
+    so the 1-in/1-out batch shape stays verifiable on text stand-ins.
+    Payloads never leave the executor batch."""
+    from onetl_spark.llm import png
+
+    def _digest(b: bytes, tag: bytes) -> str:
+        if png.is_png(b):
+            w, h, pixels = png.decode_png_gray(b)
+            return hashlib.md5(png.resize_gray(pixels, w, h, width, height)).hexdigest()
+        return hashlib.md5(b + tag).hexdigest()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f":{width}x{height}".encode()
@@ -136,7 +179,7 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
                     "width": pd.Series([width] * len(pdf), dtype="int64"),
                     "height": pd.Series([height] * len(pdf), dtype="int64"),
                     "resized_digest": [
-                        hashlib.md5(bytes(p) + tag).hexdigest() for p in pdf["payload"]
+                        _digest(bytes(p), tag) for p in pdf["payload"]
                     ],
                 },
             )
@@ -210,10 +253,21 @@ def ahash_bits(payload: bytes, cells: int = AHASH_CELLS) -> int:
 def image_ahash(df: DataFrame) -> DataFrame:
     """Perceptual-hash extraction over binary payloads (Arrow-batched).
 
-    Real images would be decoded and downsampled where ``ahash_bits``
-    reads raw bytes; the pipeline shape — one ``mapInPandas`` pass, hash
-    as a join/group key downstream — is the production one. Pair with
-    SimHash-style banding for hamming near-dup search at scale."""
+    PNG payloads are REALLY decoded (pure-stdlib codec) and hashed over
+    their grayscale pixels — two renderings of the same image that differ
+    only in PNG filter/compression choices therefore hash identically,
+    which is the whole point of a perceptual hash. Non-image payloads
+    hash their raw bytes (the text stand-in path the SQL oracle mirrors).
+    One ``mapInPandas`` pass; the hash is a join/group key downstream —
+    pair with SimHash-style banding for hamming near-dup search at
+    scale."""
+    from onetl_spark.llm import png
+
+    def _hash(b: bytes) -> int:
+        if png.is_png(b):
+            _w, _h, pixels = png.decode_png_gray(b)
+            return ahash_bits(pixels)
+        return ahash_bits(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -221,7 +275,7 @@ def image_ahash(df: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "ahash": pd.Series(
-                        [ahash_bits(bytes(p)) for p in pdf["payload"]], dtype="int64"
+                        [_hash(bytes(p)) for p in pdf["payload"]], dtype="int64"
                     ),
                 },
             )
