@@ -322,21 +322,77 @@ class JDBCConnection(BaseDBConnection):
     @slot
     def execute(self, statement: str, options: Any = None) -> DataFrame | None:
         """DDL/DML/procedure call on the driver; returns a DataFrame iff a
-        resultset came back (jdbc_mixin/connection.py:212-282)."""
+        resultset came back (jdbc_mixin/connection.py:212-282).
+
+        ``{call ...}`` statements additionally support OUT parameters:
+        pass ``options={"out_params": [(position, "INTEGER"), ...]}``
+        (or ``(position, type, name)`` triples; type is a
+        ``java.sql.Types`` field name). Each is registered through
+        ``CallableStatement.registerOutParameter`` before execution and
+        the OUT values come back as a 1-row DataFrame — which takes
+        precedence over any resultset the call might also produce."""
         conn = self._driver_connection()
         try:
             statement = statement.rstrip("; \n")
-            if statement.lstrip().lower().startswith("{call") or statement.lstrip().startswith("{?"):
+            out_params = self._normalize_out_params(options)
+            is_call = statement.lstrip().lower().startswith("{call") or statement.lstrip().startswith("{?")
+            if out_params and not is_call:
+                raise ValueError("out_params are only valid for {call ...} statements")
+            if is_call:
                 stmt = conn.prepareCall(statement)
+                jvm_types = self.spark._jvm.java.sql.Types
+                for pos, type_name, _name in out_params:
+                    stmt.registerOutParameter(pos, getattr(jvm_types, type_name))
                 has_rs = stmt.execute()
             else:
                 stmt = conn.createStatement()
                 has_rs = stmt.execute(statement)
+            if out_params:
+                return self._out_params_to_df(stmt, out_params)
             if has_rs:
                 return self._resultset_to_df(stmt.getResultSet())
             return None
         finally:
             conn.close()
+
+    @staticmethod
+    def _normalize_out_params(options: Any) -> list[tuple[int, str, str]]:
+        raw = None
+        if isinstance(options, dict):
+            raw = options.get("out_params")
+        elif options is not None:
+            raw = getattr(options, "out_params", None)
+        out = []
+        for p in raw or []:
+            pos, type_name = int(p[0]), str(p[1]).upper()
+            name = str(p[2]) if len(p) > 2 and p[2] else f"OUT_{pos}"
+            out.append((pos, type_name, name))
+        return out
+
+    # java.sql.Types names → Spark types for OUT parameter columns
+    _TYPE_NAME_TO_SPARK = {
+        "BOOLEAN": "boolean", "BIT": "boolean",
+        "TINYINT": "short", "SMALLINT": "short",
+        "INTEGER": "int",
+        "BIGINT": "long",
+        "FLOAT": "double", "DOUBLE": "double",
+        "REAL": "float",
+        "NUMERIC": "decimal(38,18)", "DECIMAL": "decimal(38,18)",
+        "DATE": "date",
+        "TIMESTAMP": "timestamp",
+        "BINARY": "binary", "VARBINARY": "binary", "LONGVARBINARY": "binary",
+    }
+
+    def _out_params_to_df(self, stmt, out_params) -> DataFrame:
+        types = [self._TYPE_NAME_TO_SPARK.get(t, "string") for _, t, _ in out_params]
+        schema = ", ".join(
+            f"`{name}` {t}" for (_, _, name), t in zip(out_params, types)
+        )
+        row = tuple(
+            self._jdbc_value_to_py(stmt.getObject(pos), t)
+            for (pos, _, _), t in zip(out_params, types)
+        )
+        return self.spark.createDataFrame([row], schema)
 
     _JDBC_TO_SPARK = {
         -7: "boolean", 16: "boolean",
@@ -352,9 +408,6 @@ class JDBCConnection(BaseDBConnection):
     }
 
     def _resultset_to_df(self, rs) -> DataFrame:
-        from datetime import date, datetime
-        from decimal import Decimal
-
         meta = rs.getMetaData()
         n = meta.getColumnCount()
         names = [meta.getColumnLabel(i + 1) for i in range(n)]
@@ -363,29 +416,36 @@ class JDBCConnection(BaseDBConnection):
 
         rows = []
         while rs.next():
-            row = []
-            for i, t in enumerate(types):
-                value = rs.getObject(i + 1)
-                if value is None:
-                    row.append(None)
-                elif t in ("int", "long", "short"):
-                    row.append(int(value if not hasattr(value, "longValue") else value.longValue()))
-                elif t in ("double", "float"):
-                    row.append(float(value if not hasattr(value, "doubleValue") else value.doubleValue()))
-                elif t.startswith("decimal"):
-                    row.append(Decimal(str(value)))
-                elif t == "boolean":
-                    row.append(bool(value))
-                elif t == "date":
-                    row.append(date.fromisoformat(str(value)))
-                elif t == "timestamp":
-                    row.append(datetime.fromisoformat(str(value).replace(" ", "T")[:26]))
-                elif t == "binary":
-                    row.append(bytes(value))
-                else:
-                    row.append(str(value))
-            rows.append(tuple(row))
+            rows.append(
+                tuple(
+                    self._jdbc_value_to_py(rs.getObject(i + 1), t)
+                    for i, t in enumerate(types)
+                )
+            )
         return self.spark.createDataFrame(rows, schema)
+
+    @staticmethod
+    def _jdbc_value_to_py(value, t: str):
+        from datetime import date, datetime
+        from decimal import Decimal
+
+        if value is None:
+            return None
+        if t in ("int", "long", "short"):
+            return int(value if not hasattr(value, "longValue") else value.longValue())
+        if t in ("double", "float"):
+            return float(value if not hasattr(value, "doubleValue") else value.doubleValue())
+        if t.startswith("decimal"):
+            return Decimal(str(value))
+        if t == "boolean":
+            return bool(value)
+        if t == "date":
+            return date.fromisoformat(str(value))
+        if t == "timestamp":
+            return datetime.fromisoformat(str(value).replace(" ", "T")[:26])
+        if t == "binary":
+            return bytes(value)
+        return str(value)
 
 
 # --- concrete connections ----------------------------------------------------

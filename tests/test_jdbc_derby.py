@@ -207,3 +207,35 @@ def test_execute_callable_resultset_dispatch(derby):
         )
     finally:
         derby.execute("DROP TABLE CALL_PROBE_T")
+
+
+def test_execute_callable_out_parameters(derby):
+    """{call proc(?, ?)} with an OUT parameter registered through
+    CallableStatement.registerOutParameter: Derby maps an OUT INTEGER to
+    a Java int[1], so java.util.Arrays.fill(int[], int) IS a genuine
+    OUT-parameter procedure (OUT X := IN V). The OUT values come back as
+    a typed 1-row DataFrame."""
+    derby.execute(
+        "CREATE PROCEDURE COPY_TO_OUT(OUT X INTEGER, IN V INTEGER) "
+        "PARAMETER STYLE JAVA NO SQL LANGUAGE JAVA "
+        "EXTERNAL NAME 'java.util.Arrays.fill'"
+    )
+    try:
+        out = derby.execute(
+            "{call COPY_TO_OUT(?, 42)}",
+            options={"out_params": [(1, "INTEGER", "copied")]},
+        )
+        assert out is not None
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0]["copied"] == 42
+        assert dict(out.dtypes)["copied"] == "int"
+
+        # default column naming + non-call statements reject out_params
+        out2 = derby.execute(
+            "{call COPY_TO_OUT(?, 7)}", options={"out_params": [(1, "INTEGER")]}
+        )
+        assert out2.collect()[0]["OUT_1"] == 7
+        with pytest.raises(ValueError, match="out_params"):
+            derby.execute("VALUES 1", options={"out_params": [(1, "INTEGER")]})
+    finally:
+        derby.execute("DROP PROCEDURE COPY_TO_OUT")
