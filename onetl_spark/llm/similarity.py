@@ -1143,3 +1143,156 @@ def label_noise_rate(
         )
         .withColumn("noise_rate", F.round(F.col("n_disagree") / F.col("n_checked"), 9))
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` highest-cosine corpus vectors whose label DIFFERS
+    from the query's — the near-misses that teach an embedding model the
+    most (easy negatives are already far away).
+
+    Scale shape: identical to :func:`knn_classify` — the query set (with
+    labels) broadcasts against ONE corpus scan, the different-label
+    predicate filters scan-side, and the per-query top-k runs as a
+    ``WindowGroupLimit`` partial heap before the only shuffle (keyed by
+    query id). Output is ``len(query_ids) × k`` rows. Deterministic:
+    rank ties break (cos desc, id asc).
+    """
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("_qid"),
+        F.col(label_col).alias("_qlabel"),
+        F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    scored = (
+        widen_small_scan(embeddings)
+        .join(F.broadcast(queries))
+        .filter(F.col(label_col) != F.col("_qlabel"))
+        .select(
+            F.col("_qid"),
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"))
+                / (norm(F.col(vec_col)) * F.col("_qn")),
+                9,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            "neg_id",
+            "neg_label",
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def mmr_rerank_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 5,
+    candidates: int = 16,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    top-k: greedily pick the candidate maximizing
+    ``lam*relevance - (1-lam)*max_similarity_to_already_selected`` — the
+    standard retrieve-then-diversify reranker (dedupes near-identical
+    hits a plain top-k would return k times).
+
+    Scale shape: relevance scores come from ONE distributed corpus scan
+    (broadcast 1-row query, TakeOrdered partial heap keeps only the
+    ``candidates`` best); the candidate×candidate similarity matrix is
+    computed distributed on the tiny candidate set and collected —
+    BOUNDED at ``candidates²`` rows by construction (the rerank window
+    of a retrieval system, 16-200 in practice), never corpus-sized. The
+    greedy loop then runs driver-side over that matrix, exactly like a
+    production reranker runs on the retrieval head's output. Relevance
+    and pairwise similarities round to 9 decimals; the lam-combination
+    stays un-re-rounded IEEE arithmetic, so any engine reproduces the
+    selection bit-for-bit.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_rerank_topk: lam must be in [0, 1], got {lam}")
+    spark = embeddings.sparkSession
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qv"), norm(F.col(vec_col)).alias("_qn")
+    )
+    rel = (
+        widen_small_scan(embeddings)
+        .filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.round(
+                dot(F.col(vec_col), F.col("_qv"))
+                / (norm(F.col(vec_col)) * F.col("_qn")),
+                9,
+            ).alias("_rel"),
+        )
+        .orderBy(F.desc("_rel"), F.asc("_id"))
+        .limit(candidates)
+    )
+    a, b = rel.alias("a"), rel.alias("b")
+    sims = (
+        a.join(b, F.col(f"a._id") < F.col(f"b._id"))
+        .select(
+            F.col("a._id").alias("x"),
+            F.col("b._id").alias("y"),
+            F.round(
+                dot(F.col("a._v"), F.col("b._v"))
+                / (norm(F.col("a._v")) * norm(F.col("b._v"))),
+                9,
+            ).alias("s"),
+        )
+        .collect()
+    )
+    rel_rows = rel.select("_id", "_rel").collect()
+    rel_map = {r["_id"]: r["_rel"] for r in rel_rows}
+    sim = {}
+    for r in sims:
+        sim[(r["x"], r["y"])] = r["s"]
+        sim[(r["y"], r["x"])] = r["s"]
+
+    selected: list[tuple[int, int, float]] = []  # (rank, id, score)
+    remaining = set(rel_map)
+    while remaining and len(selected) < k:
+        best_id, best_score = None, None
+        for cid in remaining:
+            if selected:
+                max_sim = max(sim.get((cid, s[1]), 0.0) for s in selected)
+            else:
+                max_sim = 0.0
+            # no re-rounding: rel and sim are 9-rounded, and the lam
+            # combination of two such doubles is deterministic IEEE
+            # arithmetic any engine reproduces (a decimal re-round here
+            # would hit Python half-even vs SQL half-away on exact .5s)
+            score = lam * rel_map[cid] - (1.0 - lam) * max_sim
+            if (
+                best_id is None
+                or score > best_score
+                or (score == best_score and cid < best_id)
+            ):
+                best_id, best_score = cid, score
+        selected.append((len(selected) + 1, best_id, best_score))
+        remaining.discard(best_id)
+    return spark.createDataFrame(
+        [(r, i, rel_map[i], s) for r, i, s in selected],
+        f"rank int, {id_col} long, relevance double, mmr_score double",
+    )

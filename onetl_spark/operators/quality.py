@@ -284,3 +284,112 @@ def population_stability(
     return spark.createDataFrame(
         rows, "bucket int, lo double, hi double, ref_share double, cur_share double, psi_term double"
     )
+
+
+def referential_integrity_audit(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Foreign-key integrity audit between a child and a parent relation
+    — the classic warehouse data-quality gate (does every lineitem have
+    its order? how many dimension rows are dead?).
+
+    Returns ONE row: child/parent row counts, NULL child keys, orphan
+    child rows (non-NULL key with no parent), distinct orphan keys, and
+    unreferenced parent rows. All five probes are anti-joins or
+    aggregates on the KEY columns only — projections reach the scans, so
+    at 100 TB the shuffle carries just the key column, and the orphan
+    anti-join is broadcast-able whenever the parent key set fits (let
+    AQE decide; no forced hint because a fact-fact audit can have two
+    huge sides).
+    """
+    ckeys = child.select(F.col(child_key).alias("_ck"))
+    pkeys = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    n_child = ckeys.count()
+    n_null = ckeys.filter(F.col("_ck").isNull()).count()
+    orphans = ckeys.filter(F.col("_ck").isNotNull()).join(
+        pkeys, F.col("_ck") == F.col("_pk"), "left_anti"
+    )
+    n_orphans = orphans.count()
+    n_orphan_keys = orphans.distinct().count()
+    n_parent = parent.count()
+    n_unreferenced = pkeys.join(
+        ckeys.distinct(), F.col("_pk") == F.col("_ck"), "left_anti"
+    ).count()
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(n_child, n_null, n_orphans, n_orphan_keys, n_parent, n_unreferenced)],
+        "n_child bigint, n_null_keys bigint, n_orphans bigint, "
+        "n_orphan_keys bigint, n_parent bigint, n_unreferenced_parents bigint",
+    )
+
+
+def column_stats_drift(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    columns: "list[str]",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-column numeric profile drift between two periods — the
+    schema-level companion to :func:`population_stability` (that one
+    watches the distribution shape; this one watches count, null rate,
+    mean, and range). One row per column with both periods' profiles and
+    the mean shift. Means use decimal-exact sums at ``scale`` digits so
+    the report is engine-reproducible; each side costs one scan with all
+    columns aggregated together (NOT one pass per column)."""
+    if not columns:
+        raise ValueError("column_stats_drift: columns must be non-empty")
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"_n_{tag}")]
+        for c in columns:
+            col = F.col(c)
+            aggs += [
+                F.sum(col.isNull().cast("long")).alias(f"_nulls_{c}_{tag}"),
+                F.sum(col.cast(f"decimal(30,{scale})")).alias(f"_sum_{c}_{tag}"),
+                F.min(col.cast("double")).alias(f"_min_{c}_{tag}"),
+                F.max(col.cast("double")).alias(f"_max_{c}_{tag}"),
+            ]
+        return df.agg(*aggs)
+
+    ref = profile(df_ref, "r")
+    cur = profile(df_cur, "c")
+    both = ref.crossJoin(cur)  # two 1-row relations
+    rows = []
+    for c in columns:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n_r").alias("ref_count"),
+                F.col("_n_c").alias("cur_count"),
+                F.round(F.col(f"_nulls_{c}_r") / F.greatest(F.col("_n_r"), F.lit(1)), 9).alias("ref_null_rate"),
+                F.round(F.col(f"_nulls_{c}_c") / F.greatest(F.col("_n_c"), F.lit(1)), 9).alias("cur_null_rate"),
+                # exact decimal sum → double FIRST, then IEEE division:
+                # decimal/long division rescaling rules differ per engine,
+                # double division of an exact sum does not
+                F.round(
+                    F.col(f"_sum_{c}_r").cast("double")
+                    / (F.col("_n_r") - F.col(f"_nulls_{c}_r")),
+                    9,
+                ).alias("ref_mean"),
+                F.round(
+                    F.col(f"_sum_{c}_c").cast("double")
+                    / (F.col("_n_c") - F.col(f"_nulls_{c}_c")),
+                    9,
+                ).alias("cur_mean"),
+                F.col(f"_min_{c}_r").alias("ref_min"),
+                F.col(f"_min_{c}_c").alias("cur_min"),
+                F.col(f"_max_{c}_r").alias("ref_max"),
+                F.col(f"_max_{c}_c").alias("cur_max"),
+            )
+        )
+    return (
+        both.select(F.explode(F.array(*rows)).alias("_s"))
+        .select("_s.*")
+        .withColumn(
+            "mean_shift",
+            F.round(F.col("cur_mean") - F.col("ref_mean"), 9),
+        )
+    )

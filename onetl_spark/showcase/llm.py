@@ -2472,3 +2472,95 @@ FROM codes ORDER BY vec_id, m
 
 SPARK_QUERIES["pq_encode_codes"] = pq_encode_codes
 ORACLE_SQL["pq_encode_codes"] = _pq_encode_sql()
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: for the first 8 vectors, the 10
+    highest-cosine corpus vectors with a DIFFERENT label
+    (`llm/similarity.py hard_negative_topk` — broadcast query set, one
+    corpus scan, WindowGroupLimit partial top-k)."""
+    ensure_views(spark, sf_dir)
+    return similarity.hard_negative_topk(
+        spark.table("embeddings"), query_ids=list(range(8)), k=10,
+    )
+
+
+HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+  FROM embeddings WHERE vec_id < 8
+), scored AS (
+  SELECT q.qid, b.vec_id AS neg_id, b.label AS neg_label,
+         round({_COS_SQL.replace('a.embedding', 'q.qv').replace('b.embedding', 'b.embedding')}, 9) AS cos_sim
+  FROM embeddings b CROSS JOIN q
+  WHERE b.label <> q.qlabel
+)
+SELECT qid AS query_id, neg_id, neg_label, cos_sim, CAST(rk AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, neg_id ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 10
+"""
+
+SPARK_QUERIES["hard_negative_mining"] = hard_negative_mining
+ORACLE_SQL["hard_negative_mining"] = HARD_NEG_SQL
+
+
+_MMR_QUERY, _MMR_K, _MMR_C = 23, 5, 12
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified retrieval (`llm/similarity.py mmr_rerank_topk`):
+    top-12 cosine candidates for one query, then 5 greedy rounds of
+    lam*relevance - (1-lam)*max-sim-to-selected. The oracle replays the
+    greedy rounds as chained CTEs (the kcenter pattern), so the
+    driver-side loop is hash-verified against a declarative replay."""
+    ensure_views(spark, sf_dir)
+    return similarity.mmr_rerank_topk(
+        spark.table("embeddings"), query_id=_MMR_QUERY, k=_MMR_K, candidates=_MMR_C,
+    )
+
+
+def _mmr_sql(qid: int = _MMR_QUERY, k: int = _MMR_K, c: int = _MMR_C) -> str:
+    cos = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i])) / "
+        "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+        "sqrt(list_sum(list_transform({b}, x -> x * x))))"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"q AS (SELECT v AS qv FROM e WHERE vec_id = {qid})",
+        "rel AS (SELECT e.vec_id AS id, e.v AS v, round("
+        + cos.format(a="e.v", b="q.qv")
+        + f", 9) AS rel FROM e CROSS JOIN q WHERE e.vec_id <> {qid} "
+        f"ORDER BY rel DESC, id ASC LIMIT {c})",
+        "sim AS (SELECT a.id AS x, b.id AS y, round("
+        + cos.format(a="a.v", b="b.v")
+        + ", 9) AS s FROM rel a JOIN rel b ON a.id <> b.id)",
+        # round 1: no selected set, score = 0.5*rel
+        "p1 AS (SELECT id, rel, 0.5 * rel AS score FROM rel "
+        "ORDER BY score DESC, id ASC LIMIT 1)",
+    ]
+    sel_union = "SELECT id FROM p1"
+    picked = ["SELECT 1 AS rank, id, rel, score FROM p1"]
+    for r in range(2, k + 1):
+        parts.append(
+            f"p{r} AS (SELECT rel.id, rel.rel, "
+            "0.5 * rel.rel - 0.5 * (SELECT MAX(s.s) FROM sim s "
+            f"WHERE s.x = rel.id AND s.y IN ({sel_union})) AS score "
+            f"FROM rel WHERE rel.id NOT IN ({sel_union}) "
+            "ORDER BY score DESC, id ASC LIMIT 1)"
+        )
+        picked.append(f"SELECT {r}, id, rel, score FROM p{r}")
+        sel_union += f" UNION SELECT id FROM p{r}"
+    body = "\nUNION ALL ".join(picked)
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(rank AS INTEGER) AS rank, id AS vec_id, rel AS relevance, score AS mmr_score FROM ({body})"
+    )
+
+
+SPARK_QUERIES["mmr_diversified_topk"] = mmr_diversified_topk
+ORACLE_SQL["mmr_diversified_topk"] = _mmr_sql()

@@ -763,3 +763,96 @@ SELECT -2, NULL, NULL, 1.0, 1.0, round(SUM(term), 9) FROM scored
 
 SPARK_QUERIES["events_value_psi"] = events_value_psi
 ORACLE_SQL["events_value_psi"] = _psi_sql()
+
+
+def lineitem_orders_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK integrity audit (`operators/quality.py
+    referential_integrity_audit`): lineitem → finished orders only, so
+    both failure branches are non-trivial — lineitems of non-'F' orders
+    are orphans and childless 'F' orders are unreferenced parents. Key-
+    column-only anti-joins; the scans are pruned to the key columns."""
+    from onetl_spark.operators.quality import referential_integrity_audit
+
+    ensure_views(spark, sf_dir)
+    return referential_integrity_audit(
+        spark.table("lineitem"),
+        spark.table("orders").filter(F.col("o_orderstatus") == "F"),
+        "l_orderkey",
+        "o_orderkey",
+    )
+
+
+LINEITEM_INTEGRITY_SQL = """
+WITH p AS (SELECT DISTINCT o_orderkey AS pk FROM orders WHERE o_orderstatus = 'F'),
+c AS (SELECT l_orderkey AS ck FROM lineitem),
+o AS (SELECT ck FROM c WHERE ck IS NOT NULL AND ck NOT IN (SELECT pk FROM p))
+SELECT (SELECT COUNT(*) FROM c) AS n_child,
+       (SELECT COUNT(*) FROM c WHERE ck IS NULL) AS n_null_keys,
+       (SELECT COUNT(*) FROM o) AS n_orphans,
+       (SELECT COUNT(DISTINCT ck) FROM o) AS n_orphan_keys,
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS n_parent,
+       (SELECT COUNT(*) FROM p WHERE pk NOT IN (SELECT DISTINCT ck FROM c)) AS n_unreferenced_parents
+"""
+
+SPARK_QUERIES["lineitem_orders_integrity"] = lineitem_orders_integrity
+ORACLE_SQL["lineitem_orders_integrity"] = LINEITEM_INTEGRITY_SQL
+
+
+def events_stats_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric profile drift (`operators/quality.py column_stats_drift`):
+    value and user_id profiles, first half of the month vs second —
+    count/null-rate/mean/range per column plus the mean shift, one
+    all-columns-together aggregate per side."""
+    from onetl_spark.operators.quality import column_stats_drift
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return column_stats_drift(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        ["value", "user_id"],
+    )
+
+
+EVENTS_STATS_DRIFT_SQL = """
+WITH r AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nv,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+         MIN(CAST(value AS DOUBLE)) AS minv, MAX(CAST(value AS DOUBLE)) AS maxv,
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+         CAST(SUM(CAST(user_id AS DECIMAL(30,6))) AS DOUBLE) AS su,
+         MIN(CAST(user_id AS DOUBLE)) AS minu, MAX(CAST(user_id AS DOUBLE)) AS maxu
+  FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+), c AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nv,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+         MIN(CAST(value AS DOUBLE)) AS minv, MAX(CAST(value AS DOUBLE)) AS maxv,
+         SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+         CAST(SUM(CAST(user_id AS DECIMAL(30,6))) AS DOUBLE) AS su,
+         MIN(CAST(user_id AS DOUBLE)) AS minu, MAX(CAST(user_id AS DOUBLE)) AS maxu
+  FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+)
+SELECT 'value' AS "column", r.n AS ref_count, c.n AS cur_count,
+       round(CAST(r.nv AS DOUBLE) / greatest(r.n, 1), 9) AS ref_null_rate,
+       round(CAST(c.nv AS DOUBLE) / greatest(c.n, 1), 9) AS cur_null_rate,
+       round(r.sv / (r.n - r.nv), 9) AS ref_mean,
+       round(c.sv / (c.n - c.nv), 9) AS cur_mean,
+       r.minv AS ref_min, c.minv AS cur_min, r.maxv AS ref_max, c.maxv AS cur_max,
+       round(round(c.sv / (c.n - c.nv), 9) - round(r.sv / (r.n - r.nv), 9), 9) AS mean_shift
+FROM r CROSS JOIN c
+UNION ALL
+SELECT 'user_id', r.n, c.n,
+       round(CAST(r.nu AS DOUBLE) / greatest(r.n, 1), 9),
+       round(CAST(c.nu AS DOUBLE) / greatest(c.n, 1), 9),
+       round(r.su / (r.n - r.nu), 9),
+       round(c.su / (c.n - c.nu), 9),
+       r.minu, c.minu, r.maxu, c.maxu,
+       round(round(c.su / (c.n - c.nu), 9) - round(r.su / (r.n - r.nu), 9), 9)
+FROM r CROSS JOIN c
+"""
+
+SPARK_QUERIES["events_stats_drift"] = events_stats_drift
+ORACLE_SQL["events_stats_drift"] = EVENTS_STATS_DRIFT_SQL

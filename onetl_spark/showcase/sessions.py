@@ -98,7 +98,79 @@ SPARK_QUERIES = {
     "bucketed_write_roundtrip": bucketed_write_roundtrip,
 }
 
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 session-opening event paths: gaps-and-islands sessions
+    (30-min inactivity break), first 3 event types of each session joined
+    with '>' — the behavioral-sequence report a product-analytics stack
+    leads with. Two windows over the SAME (user_id, ts, event_id) sort
+    order (one shuffle, the sorts share the exchange) + one path-sized
+    count aggregate."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        spark.table("events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "_brk",
+            F.when(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+                <= SESSION_GAP_MIN * 60,
+                0,
+            ).otherwise(1),
+        )
+        .withColumn("_sid", F.sum("_brk").over(w))
+    )
+    ws = W.partitionBy("user_id", "_sid").orderBy("ts", "event_id")
+    return (
+        flagged.withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") <= 3)
+        .groupBy("user_id", "_sid")
+        .agg(F.array_join(F.collect_list("event_type"), ">").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+# collect_list inside the (user, session) group follows the _rn window
+# order because the rows arrive pre-sorted from the same exchange; the
+# oracle makes the order explicit with list(... ORDER BY ...)
+SESSION_PATHS_SQL = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL {SESSION_GAP_MIN} MINUTE THEN 0 ELSE 1 END AS brk
+  FROM e
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), ranked AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM numbered
+), paths AS (
+  SELECT user_id, sid,
+         list_aggregate(list(event_type ORDER BY rn), 'string_agg', '>') AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id, sid
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 10
+"""
+
+
+SPARK_QUERIES["session_top_paths"] = session_top_paths
+
 ORACLE_SQL = {
     "events_sessionization": SESSIONIZATION_SQL,
     "bucketed_write_roundtrip": BUCKETED_SQL,
+    "session_top_paths": SESSION_PATHS_SQL,
 }
