@@ -130,6 +130,16 @@ HEADLINE = [
     "events_type_correlations",
     "events_lag_correlation",
     "multimodal_scene_changes",
+    "orders_percent_rank",
+    "events_value_cume_dist",
+    "events_value_psi",
+    "bpe_token_encode",
+    "pq_encode_codes",
+    "hard_negative_mining",
+    "mmr_diversified_topk",
+    "lineitem_orders_integrity",
+    "events_stats_drift",
+    "session_top_paths",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

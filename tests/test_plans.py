@@ -483,3 +483,56 @@ def test_scene_changes_single_arrow_pass_no_shuffle(tables):
     plan = executed_plan(df)
     assert "MapInPandas" in plan
     assert "Exchange" not in plan  # zero shuffles: one row in, one row out
+
+
+def test_hard_negative_mining_broadcasts_queries_with_partial_topk(tables):
+    from onetl_spark.llm.similarity import hard_negative_topk
+
+    df = hard_negative_topk(tables.table("embeddings"), query_ids=[0, 1, 2], k=5)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # partial per-query top-k pre-shuffle
+    assert "CartesianProduct" not in plan
+
+
+def test_integrity_audit_scans_key_columns_only(tables):
+    from onetl_spark.operators.quality import referential_integrity_audit
+
+    df = referential_integrity_audit(
+        tables.table("lineitem"), tables.table("orders"), "l_orderkey", "o_orderkey"
+    )
+    df.collect()
+    # the orphan probe itself: key-only projection reaching the scans
+    child = tables.table("lineitem").select(F.col("l_orderkey").alias("_ck"))
+    parent = tables.table("orders").select(F.col("o_orderkey").alias("_pk")).distinct()
+    probe = child.join(parent, F.col("_ck") == F.col("_pk"), "left_anti")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    for schema in [s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]]:
+        assert "l_comment" not in schema and "o_comment" not in schema
+        assert "l_extendedprice" not in schema and "o_totalprice" not in schema
+
+
+def test_column_stats_drift_single_aggregate_per_side(tables):
+    from onetl_spark.operators.quality import column_stats_drift
+
+    ev = tables.table("events")
+    df = column_stats_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["value", "user_id"],
+    )
+    plan = optimized_plan(df)
+    # all columns aggregate together: exactly two Aggregate pairs
+    # (partial+final per side), not one per column per side
+    assert plan.count("Aggregate") <= 4
+
+
+def test_session_top_paths_windows_share_one_exchange(tables):
+    from onetl_spark.showcase.sessions import session_top_paths
+
+    df = session_top_paths(tables, SF_DIR)
+    plan = executed_plan(df)
+    # the gaps-and-islands windows and the in-session ranking all key on
+    # user_id-prefixed sorts: one hashpartitioning exchange on user_id
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan

@@ -153,3 +153,60 @@ def test_population_stability_rejects_degenerate_buckets(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError, match=">= 2"):
         population_stability(df, df, "v", buckets=1)
+
+
+def test_referential_integrity_audit_branches(spark):
+    from onetl_spark.operators.quality import referential_integrity_audit
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_integrity_audit(child, parent, "fk", "pk").collect()[0]
+    assert row["n_child"] == 6
+    assert row["n_null_keys"] == 1
+    assert row["n_orphans"] == 2          # the two fk=9 rows
+    assert row["n_orphan_keys"] == 1      # one distinct orphan key
+    assert row["n_parent"] == 3
+    assert row["n_unreferenced_parents"] == 1  # pk=3
+
+
+def test_column_stats_drift_values_and_validation(spark):
+    from onetl_spark.operators.quality import column_stats_drift
+
+    ref = spark.createDataFrame([(1.0,), (3.0,), (None,)], "v double")
+    cur = spark.createDataFrame([(2.0,), (6.0,)], "v double")
+    out = {r["column"]: r for r in column_stats_drift(ref, cur, ["v"]).collect()}
+    r = out["v"]
+    assert (r["ref_count"], r["cur_count"]) == (3, 2)
+    assert r["ref_null_rate"] == round(1 / 3, 9) and r["cur_null_rate"] == 0.0
+    assert r["ref_mean"] == 2.0 and r["cur_mean"] == 4.0
+    assert r["mean_shift"] == 2.0
+    assert (r["ref_min"], r["ref_max"], r["cur_min"], r["cur_max"]) == (1.0, 3.0, 2.0, 6.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        column_stats_drift(ref, cur, [])
+
+
+def test_mmr_rerank_validation_and_diversity(spark):
+    from onetl_spark.llm.similarity import mmr_rerank_topk
+
+    # 3-D: ids 1 and 3 tie on relevance (mirror images around the query
+    # axis) but 2 is a near-duplicate of 1 — plain top-2 returns the
+    # duplicate pair (1, 2); MMR must take the equally-relevant but less
+    # redundant 3 second.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.9, 0.1, 0.001]),
+        (3, [0.9, -0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = mmr_rerank_topk(df, query_id=0, k=2, candidates=3).collect()
+    assert [r["vec_id"] for r in got] == [1, 3]
+    assert got[0]["rank"] == 1 and got[1]["rank"] == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="lam"):
+        mmr_rerank_topk(df, query_id=0, k=2, lam=1.5)
