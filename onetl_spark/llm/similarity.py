@@ -1296,3 +1296,57 @@ def mmr_rerank_topk(
         [(r, i, rel_map[i], s) for r, i, s in selected],
         f"rank int, {id_col} long, relevance double, mmr_score double",
     )
+
+
+def label_centroid_similarity(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Class-separability report: the pairwise cosine similarity between
+    per-label centroid vectors (plus both class sizes) — high
+    centroid-centroid cosine means the embedding space barely separates
+    those classes, the first thing to check before trusting kNN labels
+    or training a probe head.
+
+    Scale shape: ONE corpus scan exploded to (label, dim, value) rows —
+    map-side combined into |labels|×dim partial sums, so the shuffle is
+    centroid-sized, never corpus-sized; means are decimal-exact then
+    double (the ivf_refine_centroids discipline); the pairwise matrix is
+    |labels|² rows of pure JVM array math. No driver loops, no UDFs.
+    """
+    dims = embeddings.select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_i", "_x"),
+    )
+    cent = dims.groupBy("_lbl", "_i").agg(
+        (
+            F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_mu"),
+        (F.count(F.lit(1))).alias("_n"),
+    )
+    vecs = cent.groupBy("_lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_mu"))), lambda s: s["_mu"]
+        ).alias("_cv"),
+        F.max("_n").alias("_cnt"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a._lbl") < F.col("b._lbl"))
+        .select(
+            F.col("a._lbl").alias("label_a"),
+            F.col("b._lbl").alias("label_b"),
+            F.col("a._cnt").alias("n_a"),
+            F.col("b._cnt").alias("n_b"),
+            F.round(
+                dot(F.col("a._cv"), F.col("b._cv"))
+                / (norm(F.col("a._cv")) * norm(F.col("b._cv"))),
+                9,
+            ).alias("centroid_cos"),
+        )
+    )

@@ -209,3 +209,27 @@ def zorder_write(
         .mode(mode)
         .save(url)
     )
+
+
+def zorder_cell_stats(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    cell_bits: int = 4,
+) -> DataFrame:
+    """Locality report for :func:`zorder_key`: coarse Morton cells (top
+    ``cell_bits`` bits of each dimension) with per-cell row counts and
+    per-dimension min/max — the numbers that show WHY z-ordering prunes:
+    every cell covers a contiguous range in every dimension, so a filter
+    on any one column touches few cells (→ few files after
+    :func:`zorder_write`). One groupBy over ``2**(n_cols*cell_bits)``
+    cells; inputs must already be integer ranks in ``[0, 2**bits)``,
+    same contract as ``zorder_key``."""
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    cell = F.shiftright(zorder_key(cols, bits), k * (bits - cell_bits))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.groupBy(cell.alias("cell")).agg(*aggs)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from onetl_spark.operators.graph import pagerank_fixed_point, triangle_count
+from onetl_spark.operators.graph import degree_assortativity, pagerank_fixed_point, triangle_count
 from onetl_spark.showcase.util import ensure_views
 
 SPARK_QUERIES = {}
@@ -266,3 +266,39 @@ FROM l3 GROUP BY community ORDER BY community
 
 SPARK_QUERIES["supplier_communities"] = supplier_communities
 ORACLE_SQL["supplier_communities"] = COMMUNITIES_SQL
+
+
+def supplier_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-occurrence graph
+    (`operators/graph.py degree_assortativity`): do well-connected
+    suppliers trade alongside other hubs, or alongside specialists?
+    Integer degree moments -> bit-exact Pearson."""
+    return degree_assortativity(_supplier_edges(spark, sf_dir))
+
+
+ASSORT_SQL = f"""
+WITH {_EDGES_SQL},
+both_dir AS (
+  SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed
+), deg AS (
+  SELECT u AS node, COUNT(*) AS d FROM both_dir GROUP BY u
+), j AS (
+  SELECT a.d AS dx, b.d AS dy
+  FROM both_dir JOIN deg a ON a.node = both_dir.u JOIN deg b ON b.node = both_dir.v
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+         CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+         CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+         CAST(SUM(dy * dy) AS DOUBLE) AS syy
+  FROM j
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 0), 9) AS assortativity
+FROM m
+"""
+
+SPARK_QUERIES["supplier_degree_assortativity"] = supplier_degree_assortativity
+ORACLE_SQL["supplier_degree_assortativity"] = ASSORT_SQL

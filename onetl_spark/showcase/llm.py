@@ -2564,3 +2564,34 @@ def _mmr_sql(qid: int = _MMR_QUERY, k: int = _MMR_K, c: int = _MMR_C) -> str:
 
 SPARK_QUERIES["mmr_diversified_topk"] = mmr_diversified_topk
 ORACLE_SQL["mmr_diversified_topk"] = _mmr_sql()
+
+
+def label_centroid_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise per-label centroid cosine (`llm/similarity.py
+    label_centroid_similarity`) — the embedding-space class-separability
+    report. Decimal-exact centroid means, |labels|^2-sized everything."""
+    ensure_views(spark, sf_dir)
+    return similarity.label_centroid_similarity(spark.table("embeddings"))
+
+
+CENTROID_SEP_SQL = """
+WITH dims AS (
+  SELECT label AS lbl, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) r(i)
+), cent AS (
+  SELECT lbl, i,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu,
+         COUNT(*) AS n
+  FROM dims GROUP BY lbl, i
+), vecs AS (
+  SELECT lbl, list(mu ORDER BY i) AS cv, MAX(n) AS cnt FROM cent GROUP BY lbl
+)
+SELECT a.lbl AS label_a, b.lbl AS label_b, a.cnt AS n_a, b.cnt AS n_b,
+       round(list_sum(list_transform(range(1, len(a.cv) + 1), i -> a.cv[i] * b.cv[i]))
+             / (sqrt(list_sum(list_transform(a.cv, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.cv, x -> x * x)))), 9) AS centroid_cos
+FROM vecs a JOIN vecs b ON a.lbl < b.lbl
+"""
+
+SPARK_QUERIES["label_centroid_separability"] = label_centroid_separability
+ORACLE_SQL["label_centroid_separability"] = CENTROID_SEP_SQL

@@ -856,3 +856,45 @@ FROM r CROSS JOIN c
 
 SPARK_QUERIES["events_stats_drift"] = events_stats_drift
 ORACLE_SQL["events_stats_drift"] = EVENTS_STATS_DRIFT_SQL
+
+
+_Z_BITS, _Z_CELL_BITS = 16, 4
+
+
+def orders_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality report (`operators/layout.py`): Morton-interleave
+    (o_custkey, o_orderkey) low 16 bits, group by the 256 coarse cells
+    (top 4 bits of each dimension), report per-cell counts + per-dim
+    ranges — the statistics that show why z-clustered files prune on
+    EITHER column. Pure JVM bit arithmetic, one small aggregate."""
+    from onetl_spark.operators.maintenance import zorder_cell_stats
+
+    ensure_views(spark, sf_dir)
+    d = spark.table("orders").select(
+        (F.col("o_custkey") % 65536).alias("x"),
+        (F.col("o_orderkey") % 65536).alias("y"),
+    )
+    return zorder_cell_stats(d, ["x", "y"], bits=_Z_BITS, cell_bits=_Z_CELL_BITS)
+
+
+def _zorder_sql(bits: int = _Z_BITS, cell_bits: int = _Z_CELL_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+WITH d AS (
+  SELECT o_custkey % 65536 AS x, o_orderkey % 65536 AS y FROM orders
+), keyed AS (
+  SELECT x, y, ({z}) >> {2 * (bits - cell_bits)} AS cell FROM d
+)
+SELECT cell, COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM keyed GROUP BY cell
+"""
+
+
+SPARK_QUERIES["orders_zorder_cells"] = orders_zorder_cells
+ORACLE_SQL["orders_zorder_cells"] = _zorder_sql()

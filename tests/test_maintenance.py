@@ -142,3 +142,40 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path):
     assert all(r["xspan"] <= 16 and r["yspan"] <= 16 for r in stats)
     # correctness: nothing lost
     assert back.count() == 32 * 32
+
+
+def test_zorder_key_matches_python_reference_random(spark):
+    from onetl_spark.operators.maintenance import zorder_key
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16)) for _ in range(50)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=16)).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for x, y in rows:
+        assert got[(x, y)] == ref(x, y)
+
+
+def test_zorder_cell_stats_cells_are_rectangles(spark):
+    from onetl_spark.operators.maintenance import zorder_cell_stats
+
+    df = spark.range(0, 4096).selectExpr("id % 64 AS x", "CAST(id / 64 AS LONG) AS y")
+    out = zorder_cell_stats(df, ["x", "y"], bits=6, cell_bits=2).collect()
+    # 64x64 grid, top-2 bits per dim -> 16 cells of 16x16 each
+    assert len(out) == 16
+    for r in out:
+        assert r["n_rows"] == 256
+        assert r["max_x"] - r["min_x"] == 15 and r["max_y"] - r["min_y"] == 15
+        assert r["min_x"] % 16 == 0 and r["min_y"] % 16 == 0
