@@ -841,3 +841,121 @@ def bpe_token_counts(
             F.coalesce(F.col("_n"), F.lit(0)).alias("n_bpe_tokens"),
         )
     )
+
+
+def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon entropy (nats) of the character distribution
+    — the cheap garbage detector: boilerplate/repeated-key-mash text
+    scores low, natural language clusters tightly, random bytes score
+    high. Pair with :func:`gopher_rules` as a pre-filter.
+
+    Exactness: character counts are integers; each term
+    ``-(c/n)·ln(c/n)`` rounds to 9 decimals and accumulates as
+    ``decimal(25,9)`` — decimal addition is exact and order-independent,
+    so the sum is engine-reproducible without pinning a fold order.
+    One explode + two map-side-combined aggregates; empty documents
+    report 0.0 entropy (and their true n_chars).
+    """
+    from pyspark.sql import functions as F
+
+    ids = df.select(F.col(id_col).alias("_id"), F.length(text_col).alias("n_chars"))
+    chars = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+    ).filter(F.col("_ch") != "")
+    counts = chars.groupBy("_id", "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("_id").agg(F.sum("_c").alias("_n"))
+    terms = counts.join(totals, "_id").select(
+        "_id",
+        F.round(
+            -(F.col("_c") / F.col("_n")) * F.log(F.col("_c") / F.col("_n")), 9
+        )
+        .cast("decimal(25,9)")
+        .alias("_t"),
+    )
+    ent = terms.groupBy("_id").agg(
+        F.sum("_t").cast("double").alias("entropy_nats")
+    )
+    return ids.join(ent, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "n_chars",
+        F.coalesce(F.col("entropy_nats"), F.lit(0.0)).alias("entropy_nats"),
+    )
+
+
+def rake_keywords(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    stopwords: "tuple[str, ...] | None" = None,
+):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores
+    ``degree/frequency`` (degree = summed length of phrases it appears
+    in); a phrase scores the sum of its word scores. The classic
+    no-model keyphrase extractor — ideal at corpus scale because it is
+    pure counting.
+
+    One posexplode + one per-doc window (phrase grouping) + two
+    map-side-combined aggregates + a (doc, word)-keyed join — no corpus
+    pair joins, no UDFs. Word scores round to 9 decimals and phrase
+    sums accumulate as exact decimals, so results are
+    engine-reproducible. Returns the top-``k`` distinct phrases per
+    document by (score desc, phrase asc).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    stops = F.array(*[F.lit(w) for w in (stopwords or LANG_STOPWORDS["en"])])
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(word_tokens(text_col)).alias("_pos", "_w"),
+    )
+    flagged = toks.withColumn(
+        "_delim",
+        F.array_contains(stops, F.col("_w")) | ~F.col("_w").rlike("[a-z0-9]"),
+    )
+    w = W.partitionBy("_id").orderBy("_pos")
+    grp = (
+        flagged.withColumn("_g", F.sum(F.col("_delim").cast("int")).over(w))
+        .filter(~F.col("_delim"))
+    )
+    phrases = grp.groupBy("_id", "_g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_w"))), lambda s: s["_w"]
+        ).alias("_words")
+    )
+    occ = phrases.select(
+        "_id", "_g", F.size("_words").alias("_plen"), F.explode("_words").alias("_w")
+    )
+    wscore = occ.groupBy("_id", "_w").agg(
+        F.round(F.sum("_plen") / F.count(F.lit(1)), 9)
+        .cast("decimal(20,9)")
+        .alias("_ws")
+    )
+    pscore = (
+        occ.join(wscore, ["_id", "_w"])
+        .groupBy("_id", "_g")
+        .agg(F.sum("_ws").alias("_ps"))
+    )
+    ranked = (
+        phrases.join(pscore, ["_id", "_g"])
+        .select(
+            "_id",
+            F.array_join("_words", " ").alias("phrase"),
+            F.col("_ps").cast("double").alias("score"),
+        )
+        .distinct()
+    )
+    wr = W.partitionBy("_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "phrase",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -233,3 +233,62 @@ def zorder_cell_stats(
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     return df.groupBy(cell.alias("cell")).agg(*aggs)
+
+
+def aggregate_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Mergeable aggregate state for incremental materialized-view
+    maintenance: per key group, ``(n, n_nulls, sum, min, max)`` with the
+    sum held as an exact ``decimal(30,scale)`` — every field is a
+    semigroup, so states from disjoint batches merge exactly (see
+    :func:`merge_aggregate_state`) and a maintained rollup never drifts
+    from a from-scratch recompute. The 100-TB pattern: aggregate each
+    ingest batch once, merge key-aligned states, never re-scan history."""
+    from pyspark.sql import functions as F
+
+    col = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(col.isNull().cast("long")).alias("n_nulls"),
+        F.sum(col.cast(f"decimal(30,{scale})")).alias("sum"),
+        F.min(col.cast("double")).alias("min"),
+        F.max(col.cast("double")).alias("max"),
+    )
+
+
+def merge_aggregate_state(
+    prev: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge two :func:`aggregate_state` frames (full outer join on the
+    keys; counts/sums add, min/max combine). Exact by construction: the
+    decimal sums carry no float error to accumulate across thousands of
+    merges. One key-aligned shuffle join, state-sized not data-sized."""
+    from pyspark.sql import functions as F
+
+    p = prev.select(
+        *keys, *[F.col(c).alias(f"_p_{c}") for c in ("n", "n_nulls", "sum", "min", "max")]
+    )
+    d = delta.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in ("n", "n_nulls", "sum", "min", "max")]
+    )
+    j = p.join(d, keys, "full_outer")
+
+    def add(a: str, b: str):
+        # both present -> a+b; one side missing (key new to that side)
+        # -> the present one. Type-agnostic, so any decimal scale works.
+        return F.coalesce(F.col(a) + F.col(b), F.col(a), F.col(b))
+
+    return j.select(
+        *keys,
+        add("_p_n", "_d_n").alias("n"),
+        add("_p_n_nulls", "_d_n_nulls").alias("n_nulls"),
+        add("_p_sum", "_d_sum").alias("sum"),
+        F.least("_p_min", "_d_min").alias("min"),
+        F.greatest("_p_max", "_d_max").alias("max"),
+    )

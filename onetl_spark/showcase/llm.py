@@ -2595,3 +2595,88 @@ FROM vecs a JOIN vecs b ON a.lbl < b.lbl
 
 SPARK_QUERIES["label_centroid_separability"] = label_centroid_separability
 ORACLE_SQL["label_centroid_separability"] = CENTROID_SEP_SQL
+
+
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document
+    (`llm/text.py char_entropy`) — the repetitive-garbage pre-filter.
+    Integer counts, 9-rounded terms summed as exact decimals."""
+    ensure_views(spark, sf_dir)
+    return text.char_entropy(spark.table("documents"))
+
+
+CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+), counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+), totals AS (
+  SELECT doc_id, SUM(c) AS n FROM counts GROUP BY doc_id
+), terms AS (
+  SELECT counts.doc_id,
+         CAST(round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 9)
+              AS DECIMAL(25,9)) AS t
+  FROM counts JOIN totals ON totals.doc_id = counts.doc_id
+), ent AS (
+  SELECT doc_id, CAST(SUM(t) AS DOUBLE) AS entropy_nats FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text) AS n_chars,
+       COALESCE(ent.entropy_nats, 0.0) AS entropy_nats
+FROM documents d LEFT JOIN ent ON ent.doc_id = d.doc_id
+"""
+
+SPARK_QUERIES["doc_char_entropy"] = doc_char_entropy
+ORACLE_SQL["doc_char_entropy"] = CHAR_ENTROPY_SQL
+
+
+def rake_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases per document (`llm/text.py rake_keywords`):
+    stopword-delimited phrase candidates, degree/frequency word scores,
+    decimal-exact phrase sums, top-5 per doc."""
+    ensure_views(spark, sf_dir)
+    return text.rake_keywords(spark.table("documents"), k=5)
+
+
+RAKE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos FROM t
+), flagged AS (
+  SELECT doc_id, pos, w,
+         (w IN ('the', 'of', 'and', 'to', 'in', 'is', 'it', 'you', 'that', 'for') OR NOT regexp_matches(w, '[a-z0-9]')) AS is_delim
+  FROM tok
+), grp AS (
+  SELECT doc_id, pos, w, is_delim,
+         SUM(CASE WHEN is_delim THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged
+), wip AS (
+  SELECT doc_id, g, pos, w FROM grp WHERE NOT is_delim
+), phrases AS (
+  SELECT doc_id, g, list(w ORDER BY pos) AS words FROM wip GROUP BY doc_id, g
+), occ AS (
+  SELECT doc_id, g, len(words) AS plen, unnest(words) AS w FROM phrases
+), wscore AS (
+  SELECT doc_id, w,
+         CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(20,9)) AS ws
+  FROM occ GROUP BY doc_id, w
+), pscore AS (
+  SELECT occ.doc_id, occ.g, SUM(ws) AS ps
+  FROM occ JOIN wscore ON wscore.doc_id = occ.doc_id AND wscore.w = occ.w
+  GROUP BY occ.doc_id, occ.g
+), cand AS (
+  SELECT DISTINCT phrases.doc_id,
+         list_aggregate(words, 'string_agg', ' ') AS phrase,
+         CAST(ps AS DOUBLE) AS score
+  FROM phrases JOIN pscore ON pscore.doc_id = phrases.doc_id AND pscore.g = phrases.g
+)
+SELECT doc_id, phrase, score, CAST(rk AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, phrase ASC) AS rk
+  FROM cand
+)
+WHERE rk <= 5
+"""
+
+SPARK_QUERIES["rake_top_keywords"] = rake_top_keywords
+ORACLE_SQL["rake_top_keywords"] = RAKE_SQL

@@ -898,3 +898,46 @@ FROM keyed GROUP BY cell
 
 SPARK_QUERIES["orders_zorder_cells"] = orders_zorder_cells
 ORACLE_SQL["orders_zorder_cells"] = _zorder_sql()
+
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance
+    (`operators/maintenance.py aggregate_state/merge_aggregate_state`):
+    the month's rollup maintained as state(first half) MERGED WITH
+    state(second half) — the oracle computes the full month from scratch,
+    so the hash match PROVES the merge algebra is exact (decimal sums,
+    semigroup min/max), i.e. a maintained view never drifts from a
+    recompute."""
+    from onetl_spark.operators.maintenance import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    prev = aggregate_state(ev.filter(F.col("ts") < split), ["event_type"], "value")
+    delta = aggregate_state(ev.filter(F.col("ts") >= split), ["event_type"], "value")
+    merged = merge_aggregate_state(prev, delta, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n",
+        "n_nulls",
+        F.col("sum").cast("double").alias("value_sum"),
+        "min",
+        "max",
+    ).orderBy("event_type")
+
+
+INCREMENTAL_ROLLUP_MERGE_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum,
+       MIN(CAST(value AS DOUBLE)) AS min, MAX(CAST(value AS DOUBLE)) AS max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["incremental_rollup_merge"] = incremental_rollup_merge
+ORACLE_SQL["incremental_rollup_merge"] = INCREMENTAL_ROLLUP_MERGE_SQL

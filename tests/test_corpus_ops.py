@@ -1235,3 +1235,62 @@ def test_bpe_driver_mode_vocab_cap_logs_and_trains_on_head(spark, caplog):
     }
     # 4*[aa] + 2*[b,b] + [c,c] = 4 + 4 + 2
     assert counts == {0: 10}
+
+
+def test_char_entropy_known_values(spark):
+    from math import log
+
+    from onetl_spark.llm.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "aaaa"), (2, "ab"), (3, "aabb")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert out[0]["entropy_nats"] == 0.0 and out[0]["n_chars"] == 0
+    assert out[1]["entropy_nats"] == 0.0  # single-symbol text
+    # entropy accumulates per-character terms each rounded to 9 decimals
+    term = round(-0.5 * log(0.5), 9)
+    assert out[2]["entropy_nats"] == 2 * term
+    assert out[3]["entropy_nats"] == 2 * term
+
+
+def test_rake_scores_match_hand_computation(spark):
+    from onetl_spark.llm.text import rake_keywords
+
+    # phrases: [deep learning], [deep models], [models] after stopword
+    # ('of', 'the') delimiters. freq/degree: deep 2/4, learning 1/2,
+    # models 2/3 -> scores 2.0, 2.0, 1.5
+    df = spark.createDataFrame(
+        [(7, "deep learning of the deep models for models")],
+        "doc_id long, text string",
+    )
+    got = {(r["phrase"]): (r["score"], r["rank"]) for r in rake_keywords(df, k=5).collect()}
+    assert got["deep learning"] == (4.0, 1)      # 2.0 + 2.0
+    assert got["deep models"] == (3.5, 2)        # 2.0 + 1.5
+    assert got["models"] == (1.5, 3)
+
+
+def test_merge_aggregate_state_exact_and_one_sided_keys(spark):
+    from onetl_spark.operators.maintenance import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+
+    a = spark.createDataFrame(
+        [("x", 1.25), ("x", 2.5), ("y", 10.0)], "k string, v double"
+    )
+    b = spark.createDataFrame(
+        [("x", 0.25), ("z", 7.0), ("z", None)], "k string, v double"
+    )
+    merged = {
+        r["k"]: r
+        for r in merge_aggregate_state(
+            aggregate_state(a, ["k"], "v"), aggregate_state(b, ["k"], "v"), ["k"]
+        ).collect()
+    }
+    assert merged["x"]["n"] == 3 and float(merged["x"]["sum"]) == 4.0
+    assert merged["x"]["min"] == 0.25 and merged["x"]["max"] == 2.5
+    assert merged["y"]["n"] == 1 and merged["y"]["max"] == 10.0   # prev-only key
+    assert merged["z"]["n"] == 2 and merged["z"]["n_nulls"] == 1  # delta-only key
+    assert float(merged["z"]["sum"]) == 7.0
