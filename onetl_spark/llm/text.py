@@ -959,3 +959,71 @@ def rake_keywords(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def pmi_collocations(
+    df,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+):
+    """Top-``k`` collocations by pointwise mutual information:
+    ``PMI(a,b) = ln( p(a,b) / (p(a)p(b)) )`` over adjacent token pairs —
+    the classic phrase-discovery statistic (word2vec-phrases, n-gram
+    vocabulary induction) and a pure-counting corpus pass.
+
+    ``min_count`` floors the bigram count (rare pairs get inflated PMI —
+    the standard correction). One explode for unigrams, one pair-explode
+    for bigrams, two term-keyed joins of count relations (vocabulary NOT
+    broadcast — web-scale vocabularies are huge; totals ARE broadcast,
+    they're 1 row); the log argument evaluates in one pinned
+    parenthesization so both engines emit identical doubles.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(word_tokens(text_col).alias("_w"))
+    uni = (
+        toks.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n1 = F.greatest(F.size("_w") - 1, F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_w", 1, n1),
+                    F.slice("_w", 2, n1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").alias("nu"))
+    n_bi = (
+        toks.select(n1.alias("_nb")).agg(F.sum("_nb").alias("nb"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "a",
+            "b",
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("nb"))
+                    / ((F.col("ca") / F.col("nu")) * (F.col("cb") / F.col("nu")))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)

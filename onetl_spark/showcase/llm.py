@@ -2680,3 +2680,42 @@ WHERE rk <= 5
 
 SPARK_QUERIES["rake_top_keywords"] = rake_top_keywords
 ORACLE_SQL["rake_top_keywords"] = RAKE_SQL
+
+
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI collocations over adjacent token pairs
+    (`llm/text.py pmi_collocations`, min bigram count 5) — the
+    phrase-induction statistic."""
+    ensure_views(spark, sf_dir)
+    return text.pmi_collocations(spark.table("documents"), k=20, min_count=5)
+
+
+PMI_SQL = rf"""
+WITH t AS (
+  SELECT {SQL_TOKENS} AS w FROM documents
+), uni AS (
+  SELECT u AS w, COUNT(*) AS c FROM (SELECT unnest(w) AS u FROM t) GROUP BY u
+), bi AS (
+  SELECT p[1] AS a, p[2] AS b, COUNT(*) AS cab FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> [w[i], w[i + 1]])) AS p
+    FROM t WHERE len(w) >= 2
+  ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), nu AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni
+), nb AS (
+  SELECT CAST(SUM(greatest(len(w) - 1, 0)) AS BIGINT) AS nb FROM t
+)
+SELECT a, b, cab,
+       round(ln((CAST(cab AS DOUBLE) / nb)
+                / ((CAST(ca AS DOUBLE) / nu) * (CAST(cb AS DOUBLE) / nu))), 9) AS pmi
+FROM (
+  SELECT bi.a, bi.b, bi.cab, u1.c AS ca, u2.c AS cb
+  FROM bi JOIN uni u1 ON u1.w = bi.a JOIN uni u2 ON u2.w = bi.b
+) CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+SPARK_QUERIES["bigram_pmi_collocations"] = bigram_pmi_collocations
+ORACLE_SQL["bigram_pmi_collocations"] = PMI_SQL

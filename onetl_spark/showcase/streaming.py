@@ -503,3 +503,75 @@ SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 
 SPARK_QUERIES["streaming_left_outer_join"] = streaming_left_outer_join
 ORACLE_SQL["streaming_left_outer_join"] = STREAMING_LEFT_OUTER_SQL
+
+
+def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-aggregate maintenance: each micro-batch is
+    aggregated ONCE (`operators/maintenance.py aggregate_state`) and
+    merged into the persisted per-key state
+    (`merge_aggregate_state` inside foreachBatch + the idempotent epoch
+    ledger). Because every state field is an exact semigroup (decimal
+    sums, min/max), the final state is identical however AvailableNow
+    splits the input — the oracle recomputes the rollup from the full
+    data and must hash-match. This is the production pattern for keeping
+    a 100-TB rollup current: the stream touches each event once; history
+    is never re-scanned."""
+    import shutil
+    import uuid
+
+    from onetl_spark.operators.maintenance import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+    from onetl_spark.streaming.ops import idempotent_batch_sink
+
+    events = _events_stream(spark, sf_dir)
+    run_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "rollup_maint",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex[:8]}",
+    )
+    target = os.path.join(run_dir, "target")
+    staging = os.path.join(run_dir, "staging")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        state = aggregate_state(batch_df, ["event_type"], "value")
+        if os.path.exists(target):
+            state = merge_aggregate_state(
+                spark.read.parquet(target), state, ["event_type"]
+            )
+        state.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(staging, target)
+
+    query = StreamDFWriter(
+        foreach_batch=idempotent_batch_sink(merge_batch, os.path.join(run_dir, "ledger")),
+        options=StreamWriteOptions(
+            output_mode="append",
+            trigger={"availableNow": True},
+            checkpoint_location=os.path.join(run_dir, "ckpt"),
+        ),
+    ).run(events)
+    query.awaitTermination()
+    return (
+        spark.read.parquet(target)
+        .select(
+            "event_type",
+            "n",
+            "n_nulls",
+            F.col("sum").cast("double").alias("value_sum"),
+            "min",
+            "max",
+        )
+        .orderBy("event_type")
+    )
+
+
+SPARK_QUERIES["streaming_rollup_maintenance"] = streaming_rollup_maintenance
+
+from onetl_spark.showcase.operators import (  # noqa: E402
+    INCREMENTAL_ROLLUP_MERGE_SQL as _ROLLUP_SQL,
+)
+
+ORACLE_SQL["streaming_rollup_maintenance"] = _ROLLUP_SQL
