@@ -782,3 +782,80 @@ def test_sliding_windows_merge_across_microbatches(spark, tmp_path):
     # sliding windows replicate each row per covering window BEFORE the
     # late filter, so ONE late event counts as TWO dropped rows here
     assert dropped == 2
+
+
+def test_rollup_maintenance_split_independent_across_microbatches(spark, tmp_path):
+    """Mergeable aggregate state maintained over three REAL micro-batches
+    (maxFilesPerTrigger=1) must equal the from-scratch aggregate — the
+    semigroup-state guarantee behind streaming_rollup_maintenance."""
+    import shutil
+
+    from onetl_spark.file.format import Parquet
+    from onetl_spark.operators.maintenance import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+    from onetl_spark.streaming.ops import idempotent_batch_sink
+
+    schema = "k string, v double"
+    batches = [
+        [("a", 1.25), ("b", 2.0)],
+        [("a", None), ("c", 10.5)],
+        [("a", 4.0), ("b", -3.0), ("c", 0.25)],
+    ]
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    n = 0
+    for i, rows in enumerate(batches):
+        d = tmp_path / f"b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(str(d))
+        for f in d.glob("*.parquet"):
+            os.link(f, flat / f"{i:02d}_{n}.parquet")
+            n += 1
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    stream = StreamDFReader(
+        spark=spark,
+        format=Parquet(),
+        source_path=str(flat),
+        df_schema=StructType(
+            [StructField("k", StringType()), StructField("v", DoubleType())]
+        ),
+        options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
+    ).run()
+
+    target, staging = str(tmp_path / "target"), str(tmp_path / "staging")
+    seen = []
+
+    def merge(batch_df, batch_id):
+        seen.append(batch_id)
+        state = aggregate_state(batch_df, ["k"], "v")
+        if os.path.exists(target):
+            state = merge_aggregate_state(spark.read.parquet(target), state, ["k"])
+        state.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(staging, target)
+
+    q = StreamDFWriter(
+        foreach_batch=idempotent_batch_sink(merge, str(tmp_path / "ledger")),
+        options=StreamWriteOptions(
+            output_mode="append",
+            trigger={"availableNow": True},
+            checkpoint_location=str(tmp_path / "ckpt"),
+        ),
+    ).run(stream)
+    q.awaitTermination()
+    assert len(seen) >= 2  # genuinely multi-batch
+
+    got = {
+        r["k"]: (r["n"], r["n_nulls"], float(r["sum"] or 0), r["min"], r["max"])
+        for r in spark.read.parquet(target).collect()
+    }
+    whole = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = {
+        r["k"]: (r["n"], r["n_nulls"], float(r["sum"] or 0), r["min"], r["max"])
+        for r in aggregate_state(whole, ["k"], "v").collect()
+    }
+    assert got == want
+    assert got["a"] == (3, 1, 5.25, 1.25, 4.0)
