@@ -23,6 +23,7 @@ from pyspark.sql.types import StructType
 from onetl_spark.connections.jdbc import JDBCReadOptions, Postgres
 from onetl_spark.dialects.jdbc import GreenplumDialect
 from onetl_spark.exceptions import TooManyParallelJobsError
+from onetl_spark.hooks import slot
 from onetl_spark.hwm.window import Window
 
 log = logging.getLogger(__name__)
@@ -35,6 +36,7 @@ class Greenplum(Postgres):
     CONNECTIONS_WARNING_LIMIT = 31
     CONNECTIONS_EXCEPTION_LIMIT = 100
 
+    @slot
     def read_source_as_df(
         self,
         source: str,
@@ -61,6 +63,7 @@ class Greenplum(Postgres):
             df = df.limit(limit)
         return df
 
+    @slot
     def write_df_to_target(self, df: DataFrame, target: str, options: Any = None) -> None:
         self._check_expected_jobs_number(df, action="write")
         super().write_df_to_target(df, target, options)

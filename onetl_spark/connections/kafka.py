@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from onetl_spark.dialects.base import Dialect
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.hwm.window import Window
 
 KAFKA_COLUMNS = ("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
@@ -84,6 +85,7 @@ def starting_offsets_from_hwm(topic: str, hwm_value: dict[int, int] | None, part
     return offsets_json(topic, {p: int(hwm_value.get(p, 0)) for p in partitions})
 
 
+@support_hooks
 @dataclass
 class Kafka:
     spark: SparkSession
@@ -131,6 +133,7 @@ class Kafka:
             opts["endingOffsets"] = "latest"
         return opts
 
+    @slot
     def read_source_as_df(
         self,
         source: str,
@@ -165,6 +168,7 @@ class Kafka:
         if "headers" in columns and not self.include_headers:
             raise ValueError("headers column requires include_headers=True")
 
+    @slot
     def write_df_to_target(self, df: DataFrame, target: str, options: Any = None) -> None:
         self.validate_write_columns(df.columns)
         writer = df.write.format("kafka")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from onetl_spark.dialects.base import Dialect
+from onetl_spark.hooks import slot, support_hooks
 from onetl_spark.hwm.window import Window
 
 
@@ -62,6 +63,7 @@ class MongoDBDialect(Dialect):
         return json.dumps(pipeline, default=str)
 
 
+@support_hooks
 @dataclass
 class MongoDB:
     spark: SparkSession
@@ -103,6 +105,7 @@ class MongoDB:
             pipeline.append({"$limit": int(limit)})
         return pipeline
 
+    @slot
     def read_source_as_df(
         self,
         source: str,
@@ -119,6 +122,7 @@ class MongoDB:
         pipeline = self.read_plan(source, where, hint, window, limit)
         return self.pipeline(source, pipeline, df_schema, options)
 
+    @slot
     def pipeline(
         self,
         collection: str,
@@ -144,6 +148,7 @@ class MongoDB:
 
     WRITE_MODES = {"append", "replace_entire_collection", "error", "ignore"}
 
+    @slot
     def write_df_to_target(self, df: DataFrame, target: str, options: Any = None) -> None:
         opts = dict(options or {})
         mode = opts.pop("if_exists", "append")

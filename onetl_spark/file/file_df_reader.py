@@ -16,8 +16,10 @@ from pyspark.sql.types import StructType
 
 from onetl_spark.file.connections import SparkFileDFConnection
 from onetl_spark.file.format.base import FileFormat
+from onetl_spark.hooks import slot, support_hooks
 
 
+@support_hooks
 @dataclass
 class FileDFReader:
     connection: SparkFileDFConnection
@@ -26,6 +28,7 @@ class FileDFReader:
     df_schema: StructType | None = None
     options: dict[str, Any] = field(default_factory=dict)
 
+    @slot
     def run(self, files: Iterable[str] | None = None) -> DataFrame:
         self.format.check_if_supported(self.connection.spark)
         reader = self.connection.spark.read

@@ -23,6 +23,7 @@ from onetl_spark.connections.sparksql import inject_spark_param
 from onetl_spark.exceptions import DirectoryExistsError
 from onetl_spark.file.connections import SparkFileDFConnection
 from onetl_spark.file.format.base import FileFormat
+from onetl_spark.hooks import slot, support_hooks
 
 log = logging.getLogger(__name__)
 
@@ -34,6 +35,7 @@ class FileDFWriterOptions:
     options: dict[str, Any] = field(default_factory=dict)
 
 
+@support_hooks
 @dataclass
 class FileDFWriter:
     connection: SparkFileDFConnection
@@ -41,6 +43,7 @@ class FileDFWriter:
     target_path: str = ""
     options: FileDFWriterOptions | None = None
 
+    @slot
     def run(self, df: DataFrame) -> None:
         self.format.check_if_supported(self.connection.spark)
         opts = self.options or FileDFWriterOptions()

@@ -226,3 +226,70 @@ def test_uploader_and_mover_run_hooks(transfer_tree, tmp_path):
     mv = FileMover(LocalFileConnection(), str(tmp_path / "up"), str(tmp_path / "moved"))
     assert len(mv.run().successful) == 2
     assert calls == ["upload", "move"]
+
+
+def test_filedf_and_remaining_connection_slots_exist():
+    """Every remaining production class mirrors the reference's @slot
+    surface: FileDF reader/writer run, Mongo read/pipeline/write, Kafka
+    read/write, Greenplum + Iceberg overrides."""
+    from onetl_spark.connections.greenplum import Greenplum
+    from onetl_spark.connections.iceberg import Iceberg
+    from onetl_spark.connections.kafka import Kafka
+    from onetl_spark.connections.mongodb import MongoDB
+    from onetl_spark.file.file_df_reader import FileDFReader
+    from onetl_spark.file.file_df_writer import FileDFWriter
+    from onetl_spark.hooks import Slot
+
+    for s in [
+        FileDFReader.run,
+        FileDFWriter.run,
+        MongoDB.read_source_as_df,
+        MongoDB.pipeline,
+        MongoDB.write_df_to_target,
+        Kafka.read_source_as_df,
+        Kafka.write_df_to_target,
+        Greenplum.read_source_as_df,
+        Greenplum.write_df_to_target,
+        Iceberg.read_source_as_df,
+        Iceberg.write_df_to_target,
+    ]:
+        assert isinstance(s, Slot)
+
+
+def test_filedf_reader_run_hook_fires(spark, tmp_path):
+    from onetl_spark.file.file_df_reader import FileDFReader
+    from onetl_spark.file.file_df_writer import FileDFWriter, FileDFWriterOptions
+    from onetl_spark.file.format import CSV
+
+    events = []
+
+    @FileDFReader.run.bind
+    def on_read(reader, files=None):
+        events.append("read")
+
+    @FileDFWriter.run.bind
+    def on_write(writer, df):
+        events.append("write")
+
+    from onetl_spark.file.connections import SparkLocalFS
+
+    local_fs = SparkLocalFS(spark)
+    try:
+        df = spark.range(3).selectExpr("id AS a")
+        FileDFWriter(
+            local_fs,
+            CSV(header=True),
+            str(tmp_path / "out"),
+            options=FileDFWriterOptions(if_exists="replace_entire_directory"),
+        ).run(df)
+        out = FileDFReader(
+            local_fs,
+            CSV(header=True),
+            str(tmp_path / "out"),
+            df_schema=df.schema,
+        ).run()
+        assert out.count() == 3
+        assert events == ["write", "read"]
+    finally:
+        FileDFReader.run.hooks.clear()
+        FileDFWriter.run.hooks.clear()
