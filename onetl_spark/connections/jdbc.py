@@ -26,6 +26,8 @@ from __future__ import annotations
 import logging
 import secrets
 from dataclasses import dataclass, field
+from datetime import date, datetime
+from decimal import Decimal
 from typing import Any, ClassVar
 
 from pyspark.sql import DataFrame, SparkSession
@@ -426,9 +428,6 @@ class JDBCConnection(BaseDBConnection):
 
     @staticmethod
     def _jdbc_value_to_py(value, t: str):
-        from datetime import date, datetime
-        from decimal import Decimal
-
         if value is None:
             return None
         if t in ("int", "long", "short"):

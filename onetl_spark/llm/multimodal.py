@@ -52,22 +52,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload. Prefers Pillow when installed; PNG
-    payloads decode through the pure-stdlib codec either way."""
-    try:
-        from PIL import Image  # type: ignore
-        import io
-
-        return Image.open(io.BytesIO(payload))
-    except ImportError as e:
-        from onetl_spark.llm import png
-
-        if png.is_png(payload):
-            return png.decode_png_gray(payload)
-        raise NotImplementedError(
-            "non-PNG image decoding requires Pillow; not available in this "
-            "environment (PNG decodes via onetl_spark.llm.png)",
-        ) from e
+    """Decode an image payload to ``(width, height, grayscale_bytes)``.
+    Alias of :func:`decode_image_gray` — one return shape regardless of
+    which decoder (stdlib PNG codec or Pillow) handled the payload, so
+    caller code behaves identically across environments."""
+    return decode_image_gray(payload)
 
 
 def decode_image_gray(payload: bytes) -> "tuple[int, int, bytes]":
@@ -166,8 +155,16 @@ def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame
 
     def _digest(b: bytes, tag: bytes) -> str:
         if png.is_png(b):
-            w, h, pixels = png.decode_png_gray(b)
-            return hashlib.md5(png.resize_gray(pixels, w, h, width, height)).hexdigest()
+            try:
+                w, h, pixels = png.decode_png_gray(b)
+            except ValueError:
+                # unsupported PNG variant (palette/16-bit/interlaced):
+                # fall back to the byte path instead of failing the task
+                pass
+            else:
+                return hashlib.md5(
+                    png.resize_gray(pixels, w, h, width, height)
+                ).hexdigest()
         return hashlib.md5(b + tag).hexdigest()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -265,8 +262,12 @@ def image_ahash(df: DataFrame) -> DataFrame:
 
     def _hash(b: bytes) -> int:
         if png.is_png(b):
-            _w, _h, pixels = png.decode_png_gray(b)
-            return ahash_bits(pixels)
+            try:
+                _w, _h, pixels = png.decode_png_gray(b)
+            except ValueError:
+                pass  # unsupported PNG variant: hash the raw bytes
+            else:
+                return ahash_bits(pixels)
         return ahash_bits(b)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

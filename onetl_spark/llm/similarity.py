@@ -1165,14 +1165,28 @@ def hard_negative_topk(
     query id). Output is ``len(query_ids) × k`` rows. Deterministic:
     rank ties break (cos desc, id asc).
     """
-    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("_qid"),
-        F.col(label_col).alias("_qlabel"),
-        F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
+    # zero-norm vectors (failed encoder outputs) are excluded on BOTH
+    # sides: under ANSI mode the 0/0 cosine would abort the job, and a
+    # norm-less vector has no meaningful similarity anyway
+    queries = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("_qid"),
+            F.col(label_col).alias("_qlabel"),
+            F.col(vec_col).alias("_qv"),
+            norm(F.col(vec_col)).alias("_qn"),
+        )
+        .filter(F.col("_qn") > 0)
     )
     scored = (
         widen_small_scan(embeddings)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("_vn"),
+        )
+        .filter(F.col("_vn") > 0)
         .join(F.broadcast(queries))
         .filter(F.col(label_col) != F.col("_qlabel"))
         .select(
@@ -1180,8 +1194,7 @@ def hard_negative_topk(
             F.col(id_col).alias("neg_id"),
             F.col(label_col).alias("neg_label"),
             F.round(
-                dot(F.col(vec_col), F.col("_qv"))
-                / (norm(F.col(vec_col)) * F.col("_qn")),
+                dot(F.col(vec_col), F.col("_qv")) / (F.col("_vn") * F.col("_qn")),
                 9,
             ).alias("cos_sim"),
         )
@@ -1230,24 +1243,38 @@ def mmr_rerank_topk(
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"mmr_rerank_topk: lam must be in [0, 1], got {lam}")
     spark = embeddings.sparkSession
-    q = embeddings.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qv"), norm(F.col(vec_col)).alias("_qn")
+    # zero-norm guard (ANSI 0/0 aborts; NULL relevance would poison the
+    # driver loop): a zero-norm query yields an empty result, zero-norm
+    # candidates are excluded
+    q = (
+        embeddings.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("_qv"), norm(F.col(vec_col)).alias("_qn"))
+        .filter(F.col("_qn") > 0)
     )
     rel = (
         widen_small_scan(embeddings)
         .filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q))
         .select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_vn"),
+        )
+        .filter(F.col("_vn") > 0)
+        .join(F.broadcast(q))
+        .select(
+            F.col("_id"),
+            F.col("_v"),
             F.round(
-                dot(F.col(vec_col), F.col("_qv"))
-                / (norm(F.col(vec_col)) * F.col("_qn")),
+                dot(F.col("_v"), F.col("_qv")) / (F.col("_vn") * F.col("_qn")),
                 9,
             ).alias("_rel"),
         )
         .orderBy(F.desc("_rel"), F.asc("_id"))
         .limit(candidates)
+        # the candidate frame feeds BOTH the pairwise-sim join and the
+        # score collect; checkpointing its `candidates` rows eagerly costs
+        # nothing and stops the corpus scan from running twice
+        .localCheckpoint(eager=True)
     )
     a, b = rel.alias("a"), rel.alias("b")
     sims = (

@@ -587,14 +587,9 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
         F.sum(F.col("dx") * F.col("dx")).cast("double").alias("sxx"),
         F.sum(F.col("dy") * F.col("dy")).cast("double").alias("syy"),
     )
-    n = F.col("n").cast("double")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    den = F.when(den == 0, F.lit(None)).otherwise(den)
-    return m.select(
+    from onetl_spark.operators.stats import pearson_from_moments
+
+    return pearson_from_moments(m, n_col="n").select(
         (F.col("n") / 2).cast("long").alias("n_edges"),
-        F.round(num / den, 9).alias("assortativity"),
+        F.col("pearson_r").alias("assortativity"),
     )

@@ -298,22 +298,31 @@ def referential_integrity_audit(
 
     Returns ONE row: child/parent row counts, NULL child keys, orphan
     child rows (non-NULL key with no parent), distinct orphan keys, and
-    unreferenced parent rows. All five probes are anti-joins or
-    aggregates on the KEY columns only — projections reach the scans, so
-    at 100 TB the shuffle carries just the key column, and the orphan
-    anti-join is broadcast-able whenever the parent key set fits (let
-    AQE decide; no forced hint because a fact-fact audit can have two
-    huge sides).
+    unreferenced parent rows. Four Spark jobs total, each on the KEY
+    columns only — child stats share one aggregate, the orphan anti-join
+    (the expensive step) runs ONCE with count and distinct-count in the
+    same pass, and projections reach the scans so the shuffles carry
+    just the key column. The anti-joins are broadcast-able whenever the
+    parent key set fits (let AQE decide; no forced hint because a
+    fact-fact audit can have two huge sides).
     """
     ckeys = child.select(F.col(child_key).alias("_ck"))
     pkeys = parent.select(F.col(parent_key).alias("_pk")).distinct()
-    n_child = ckeys.count()
-    n_null = ckeys.filter(F.col("_ck").isNull()).count()
-    orphans = ckeys.filter(F.col("_ck").isNotNull()).join(
-        pkeys, F.col("_ck") == F.col("_pk"), "left_anti"
+    child_stats = ckeys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_ck").isNull().cast("long")).alias("nn"),
+    ).collect()[0]
+    n_child, n_null = child_stats["n"], int(child_stats["nn"] or 0)
+    orphan_stats = (
+        ckeys.filter(F.col("_ck").isNotNull())
+        .join(pkeys, F.col("_ck") == F.col("_pk"), "left_anti")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("_ck").alias("nd"),
+        )
+        .collect()[0]
     )
-    n_orphans = orphans.count()
-    n_orphan_keys = orphans.distinct().count()
+    n_orphans, n_orphan_keys = orphan_stats["n"], orphan_stats["nd"]
     n_parent = parent.count()
     n_unreferenced = pkeys.join(
         ckeys.distinct(), F.col("_pk") == F.col("_ck"), "left_anti"

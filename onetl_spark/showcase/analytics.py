@@ -1537,19 +1537,12 @@ def _micro_units(col):
 
 
 def _pearson_from_moments(m: DataFrame) -> DataFrame:
-    """Closed-form Pearson r from the five exact moment sums, evaluated in
-    a fixed double parenthesization shared by both correlation queries."""
-    n = F.col("n_days").cast("double")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    # constant series (or n_days==1) → den == 0: Spark's non-ANSI division
-    # returns NULL but DuckDB's IEEE float division returns NaN/inf, so
-    # both sides pin the degenerate case to NULL (oracles use NULLIF).
-    den = F.when(den == 0, F.lit(None)).otherwise(den)
-    return m.withColumn("pearson_r", F.round(num / den, 9))
+    """Closed-form Pearson r from the five exact moment sums — the shared
+    operator-level expression (`operators/stats.py pearson_from_moments`,
+    also used by graph degree assortativity)."""
+    from onetl_spark.operators.stats import pearson_from_moments
+
+    return pearson_from_moments(m, n_col="n_days")
 
 
 def _moment_sums(df: DataFrame, keys: list) -> DataFrame:

@@ -112,11 +112,14 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (
         spark.table("events")
         .select("user_id", "ts", "event_id", "event_type")
+        # microsecond-exact gap test (unix_micros is an integer); casting
+        # to whole seconds would disagree with the oracle's full-precision
+        # INTERVAL comparison on sub-second data
         .withColumn(
             "_brk",
             F.when(
-                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-                <= SESSION_GAP_MIN * 60,
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                <= SESSION_GAP_MIN * 60 * 1_000_000,
                 0,
             ).otherwise(1),
         )
@@ -127,7 +130,17 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         flagged.withColumn("_rn", F.row_number().over(ws))
         .filter(F.col("_rn") <= 3)
         .groupBy("user_id", "_sid")
-        .agg(F.array_join(F.collect_list("event_type"), ">").alias("path"))
+        # collect_list input order is NOT guaranteed after a shuffle —
+        # carry the rank and sort explicitly (the repo-wide pattern)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.desc("n_sessions"), F.asc("path"))
@@ -143,8 +156,9 @@ WITH e AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events
 ), flagged AS (
   SELECT user_id, ts, event_id, event_type,
-         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   <= INTERVAL {SESSION_GAP_MIN} MINUTE THEN 0 ELSE 1 END AS brk
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= {SESSION_GAP_MIN} * 60 * 1000000 THEN 0 ELSE 1 END AS brk
   FROM e
 ), numbered AS (
   SELECT user_id, ts, event_id, event_type,

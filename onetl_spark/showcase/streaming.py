@@ -344,11 +344,14 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     associative and commutative across micro-batches, so the final state
     is identical however AvailableNow splits the input; deletes filter at
     read time. Same oracle as the batch cdc_latest_state query."""
-    import shutil
     import uuid
 
     from onetl_spark.operators.cdc import cdc_latest_snapshot
-    from onetl_spark.streaming.ops import idempotent_batch_sink
+    from onetl_spark.streaming.ops import (
+        idempotent_batch_sink,
+        load_published_state,
+        publish_state,
+    )
 
     events = _events_stream(spark, sf_dir)
     run_dir = os.path.join(
@@ -357,18 +360,15 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cdc_apply",
         f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex[:8]}",
     )
-    target = os.path.join(run_dir, "target")
-    staging = os.path.join(run_dir, "staging")
+    os.makedirs(run_dir, exist_ok=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        state = batch_df
-        if os.path.exists(target):
-            state = spark.read.parquet(target).unionByName(batch_df)
+        prev, _last = load_published_state(spark, run_dir)
+        state = batch_df if prev is None else prev.unionByName(batch_df)
         snap = cdc_latest_snapshot(state, ["user_id"], ["ts", "event_id"])
-        # parquet can't overwrite its own input mid-read: stage then swap
-        snap.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(target, ignore_errors=True)
-        os.replace(staging, target)
+        # crash-atomic versioned publish: a delete-then-swap window would
+        # lose the accumulated target on a crash between the two calls
+        publish_state(snap, run_dir, batch_id)
 
     query = StreamDFWriter(
         foreach_batch=idempotent_batch_sink(merge_batch, os.path.join(run_dir, "ledger")),
@@ -379,8 +379,9 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).run(events)
     query.awaitTermination()
+    final, _ = load_published_state(spark, run_dir)
     return (
-        spark.read.parquet(target)
+        final
         .filter("event_type <> 'error'")
         .select("user_id", "event_id", "ts", "value", "props")
     )
@@ -516,14 +517,17 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     data and must hash-match. This is the production pattern for keeping
     a 100-TB rollup current: the stream touches each event once; history
     is never re-scanned."""
-    import shutil
     import uuid
 
     from onetl_spark.operators.maintenance import (
         aggregate_state,
         merge_aggregate_state,
     )
-    from onetl_spark.streaming.ops import idempotent_batch_sink
+    from onetl_spark.streaming.ops import (
+        idempotent_batch_sink,
+        load_published_state,
+        publish_state,
+    )
 
     events = _events_stream(spark, sf_dir)
     run_dir = os.path.join(
@@ -532,18 +536,19 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rollup_maint",
         f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex[:8]}",
     )
-    target = os.path.join(run_dir, "target")
-    staging = os.path.join(run_dir, "staging")
+    os.makedirs(run_dir, exist_ok=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev, last_batch = load_published_state(spark, run_dir)
+        if last_batch >= batch_id:
+            return  # this epoch is already folded into the published state
         state = aggregate_state(batch_df, ["event_type"], "value")
-        if os.path.exists(target):
-            state = merge_aggregate_state(
-                spark.read.parquet(target), state, ["event_type"]
-            )
-        state.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(target, ignore_errors=True)
-        os.replace(staging, target)
+        if prev is not None:
+            state = merge_aggregate_state(prev, state, ["event_type"])
+        # crash-atomic: versioned dir + pointer flip (never delete-then-swap
+        # — the additive merge is NOT idempotent, so a lost state directory
+        # would silently rebuild from one batch)
+        publish_state(state, run_dir, batch_id)
 
     query = StreamDFWriter(
         foreach_batch=idempotent_batch_sink(merge_batch, os.path.join(run_dir, "ledger")),
@@ -554,8 +559,9 @@ def streaming_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).run(events)
     query.awaitTermination()
+    final, _ = load_published_state(spark, run_dir)
     return (
-        spark.read.parquet(target)
+        final
         .select(
             "event_type",
             "n",

@@ -159,3 +159,44 @@ def idempotent_batch_sink(write_fn, ledger_dir: str):
         os.replace(tmp, marker)  # atomic publish of the commit record
 
     return wrapped
+
+
+def load_published_state(spark, run_dir: str):
+    """Read the current committed state of :func:`publish_state`.
+    Returns ``(df_or_None, last_batch_id)`` — ``(None, -1)`` before the
+    first publication."""
+    import os
+
+    pointer = os.path.join(run_dir, "CURRENT")
+    if not os.path.exists(pointer):
+        return None, -1
+    with open(pointer) as fh:
+        name, batch_id = fh.read().strip().split(":")
+    return spark.read.parquet(os.path.join(run_dir, name)), int(batch_id)
+
+
+def publish_state(df: DataFrame, run_dir: str, batch_id: int) -> None:
+    """Crash-atomic state publication for foreachBatch-maintained state.
+
+    A delete-then-rename swap has a window where the accumulated state is
+    GONE: a crash between the two calls makes the replayed epoch rebuild
+    from only its own batch — silent data loss for merge-style sinks.
+    Here every version writes to its own directory and a one-line pointer
+    file flips atomically (``os.replace``); the pointer also records the
+    batch id, so a NON-idempotent merge (e.g. additive aggregate state)
+    can skip an epoch the state already folded in — exactly-once at the
+    state level, independent of the commit ledger. Superseded versions
+    are pruned only after the flip.
+    """
+    import os
+    import shutil
+
+    name = f"state-{batch_id}"
+    df.write.mode("overwrite").parquet(os.path.join(run_dir, name))
+    tmp = os.path.join(run_dir, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{name}:{batch_id}")
+    os.replace(tmp, os.path.join(run_dir, "CURRENT"))
+    for entry in os.listdir(run_dir):
+        if entry.startswith("state-") and entry != name:
+            shutil.rmtree(os.path.join(run_dir, entry), ignore_errors=True)

@@ -107,6 +107,21 @@ def test_dbreader_hooks_disabled_zero_overhead(conn):
     assert calls == [1]
 
 
+def test_dbreader_unbind_removes_hook(conn):
+    calls = []
+
+    @DBReader.run.bind
+    def before(reader):
+        calls.append(1)
+
+    DBReader(conn, "orders").run()
+    assert calls == [1]
+    DBReader.run.unbind(DBReader.run.hooks[0])
+    DBReader(conn, "orders").run()
+    assert calls == [1]
+    assert DBReader.run.hooks == []
+
+
 def test_dbreader_skip_hooks_context(conn):
     calls = []
 

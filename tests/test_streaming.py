@@ -788,8 +788,6 @@ def test_rollup_maintenance_split_independent_across_microbatches(spark, tmp_pat
     """Mergeable aggregate state maintained over three REAL micro-batches
     (maxFilesPerTrigger=1) must equal the from-scratch aggregate — the
     semigroup-state guarantee behind streaming_rollup_maintenance."""
-    import shutil
-
     from onetl_spark.file.format import Parquet
     from onetl_spark.operators.maintenance import (
         aggregate_state,
@@ -825,17 +823,21 @@ def test_rollup_maintenance_split_independent_across_microbatches(spark, tmp_pat
         options={"maxFilesPerTrigger": "1", "latestFirst": "false"},
     ).run()
 
-    target, staging = str(tmp_path / "target"), str(tmp_path / "staging")
+    from onetl_spark.streaming.ops import load_published_state, publish_state
+
+    run_dir = str(tmp_path / "state")
+    os.makedirs(run_dir, exist_ok=True)
     seen = []
 
     def merge(batch_df, batch_id):
         seen.append(batch_id)
+        prev, last_batch = load_published_state(spark, run_dir)
+        if last_batch >= batch_id:
+            return
         state = aggregate_state(batch_df, ["k"], "v")
-        if os.path.exists(target):
-            state = merge_aggregate_state(spark.read.parquet(target), state, ["k"])
-        state.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(target, ignore_errors=True)
-        os.replace(staging, target)
+        if prev is not None:
+            state = merge_aggregate_state(prev, state, ["k"])
+        publish_state(state, run_dir, batch_id)
 
     q = StreamDFWriter(
         foreach_batch=idempotent_batch_sink(merge, str(tmp_path / "ledger")),
@@ -848,9 +850,13 @@ def test_rollup_maintenance_split_independent_across_microbatches(spark, tmp_pat
     q.awaitTermination()
     assert len(seen) >= 2  # genuinely multi-batch
 
+    final, last_batch = load_published_state(spark, run_dir)
+    # state-level idempotency: replaying an already-folded epoch is a no-op
+    merge(spark.createDataFrame([("a", 99.0)], schema), last_batch)
+    refetched, _ = load_published_state(spark, run_dir)
     got = {
         r["k"]: (r["n"], r["n_nulls"], float(r["sum"] or 0), r["min"], r["max"])
-        for r in spark.read.parquet(target).collect()
+        for r in refetched.collect()
     }
     whole = spark.createDataFrame([r for b in batches for r in b], schema)
     want = {
