@@ -238,3 +238,48 @@ def exact_cume_dist(
     return idx.withColumn(
         dist_col, F.col("_gidx").cast("double") / F.lit(float(max(total, 1)))
     ).drop("_gidx")
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+    scale: int = 6,
+    buckets: int = 32,
+) -> DataFrame:
+    """Gini coefficient of a non-negative value column — the
+    concentration number behind "the top 1% of users drive X% of
+    revenue". Uses the closed form over ascending ranks,
+    ``G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n``, with the rank ``i`` coming
+    from :func:`global_row_index` — so there is NO single-partition sort
+    anywhere (the property the whole ranking family guards).
+
+    Exactness: values scale to integer micro-units (``decimal``), so
+    both Σ x and Σ i·x_i are exact integers; the final expression is a
+    fixed double parenthesization any engine reproduces. One
+    bucket-window shuffle + one 1-row aggregate. Requires a unique
+    (value, tiebreak) ordering key and non-negative values (both raise).
+    """
+    if df.filter(F.col(value_col) < 0).take(1):
+        raise ValueError("gini_coefficient: values must be non-negative")
+    mu = 10**scale
+    idx, total = _global_row_index_with_total(
+        df, value_col, tiebreak_cols, "_gidx", buckets
+    )
+    units = (
+        F.col(value_col).cast(f"decimal(30,{scale})") * F.lit(mu).cast("decimal(8,0)")
+    ).cast("decimal(38,0)")
+    m = idx.agg(
+        F.sum(units).alias("_sx"),
+        F.sum(units * F.col("_gidx").cast("decimal(12,0)")).alias("_six"),
+    )
+    n = F.lit(float(total))
+    return m.select(
+        F.lit(total).cast("long").alias("n"),
+        F.round(
+            (F.lit(2.0) * F.col("_six").cast("double"))
+            / (n * F.col("_sx").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            9,
+        ).alias("gini"),
+    )

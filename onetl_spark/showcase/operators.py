@@ -941,3 +941,45 @@ ORDER BY event_type
 
 SPARK_QUERIES["incremental_rollup_merge"] = incremental_rollup_merge
 ORACLE_SQL["incremental_rollup_merge"] = INCREMENTAL_ROLLUP_MERGE_SQL
+
+
+def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total event value
+    (`operators/ranking.py gini_coefficient`): the revenue-concentration
+    number, computed from the distributed global rank — no
+    single-partition sort. Integer micro-unit moments, fixed double
+    parenthesization."""
+    from onetl_spark.operators.ranking import gini_coefficient
+
+    ensure_views(spark, sf_dir)
+    per_user = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(dsum("value").alias("total_value"))
+    )
+    return gini_coefficient(per_user, "total_value", ("user_id",))
+
+
+USER_VALUE_GINI_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, {sql_dsum('value')} AS total_value
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), r AS (
+  SELECT total_value,
+         ROW_NUMBER() OVER (ORDER BY total_value, user_id) AS i
+  FROM per_user
+), u AS (
+  SELECT CAST(CAST(total_value AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS x, i
+  FROM r
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(x * i) AS six FROM u
+)
+SELECT n,
+       round((2.0 * CAST(six AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 9) AS gini
+FROM m
+"""
+
+SPARK_QUERIES["user_value_gini"] = user_value_gini
+ORACLE_SQL["user_value_gini"] = USER_VALUE_GINI_SQL

@@ -156,3 +156,23 @@ def test_global_row_index_ntz_is_dst_safe(spark):
         assert got == {i: i + 1 for i in range(6)}
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_gini_known_value_and_validation(spark):
+    from onetl_spark.operators.ranking import gini_coefficient
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], "id long, v double"
+    )
+    row = gini_coefficient(df, "v", ("id",)).collect()[0]
+    # G = (2*(1*1+2*2+3*3+4*4))/(4*10) - 5/4 = 0.25
+    assert row["n"] == 4 and row["gini"] == 0.25
+    # perfectly equal distribution -> G = (2*sum(i)*x)/(n*n*x) - (n+1)/n
+    eq = spark.createDataFrame([(i, 5.0) for i in range(1, 6)], "id long, v double")
+    g = gini_coefficient(eq, "v", ("id",)).collect()[0]["gini"]
+    assert g == 0.0
+    import pytest as _pt
+
+    neg = spark.createDataFrame([(1, -1.0)], "id long, v double")
+    with _pt.raises(ValueError, match="non-negative"):
+        gini_coefficient(neg, "v", ("id",))
