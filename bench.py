@@ -140,6 +140,15 @@ HEADLINE = [
     "lineitem_orders_integrity",
     "events_stats_drift",
     "session_top_paths",
+    "orders_zorder_cells",
+    "supplier_degree_assortativity",
+    "label_centroid_separability",
+    "doc_char_entropy",
+    "rake_top_keywords",
+    "incremental_rollup_merge",
+    "bigram_pmi_collocations",
+    "streaming_rollup_maintenance",
+    "user_value_gini",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed
