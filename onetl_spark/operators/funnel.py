@@ -70,3 +70,88 @@ def funnel_steps(
     return out.withColumn(
         "steps_completed", completed.otherwise(F.lit(0)) if completed is not None else F.lit(0)
     )
+
+
+def position_based_attribution(
+    touches: DataFrame,
+    conversions: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    touch_id_col: str = "event_id",
+    conv_id_col: str = "event_id",
+    w_edge: float = 0.4,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each conversion
+    credits its preceding touch path ``w_edge`` to the first touch,
+    ``w_edge`` to the last, and the remaining ``1 - 2*w_edge`` split
+    evenly across the middle (1 touch → full credit, 2 → half each) —
+    the standard middle ground between first- and last-touch.
+
+    Scale shape: touches and conversions UNION into one per-user stream;
+    each touch finds its next conversion with ONE forward-carry window
+    (``first(conv_id, ignorenulls=True)`` over CURRENT..FOLLOWING) — no
+    touch×conversion join, no path explosion; then one window per
+    conversion path assigns positions. Two shuffles total, both keyed by
+    user/conversion. Credits are exact decimals (the middle split rounds
+    to 9 then accumulates as decimal), so channel totals are
+    engine-reproducible. Touches after a user's final conversion carry
+    NULL ``conv_id`` (unattributed) and are returned for completeness.
+    """
+    from pyspark.sql.window import Window as W
+
+    conv = conversions.groupBy(
+        F.col(user_col).alias("_u"), F.col(time_col).alias("_ts")
+    ).agg(F.max(conv_id_col).alias("_conv_id"))
+    t = touches.select(
+        F.col(user_col).alias("_u"),
+        F.col(time_col).alias("_ts"),
+        F.col(touch_id_col).alias("_touch_id"),
+        F.lit(0).alias("_is_conv"),
+        F.lit(None).cast("long").alias("_conv_id"),
+    )
+    c = conv.select(
+        "_u",
+        "_ts",
+        F.lit(None).cast(t.schema["_touch_id"].dataType).alias("_touch_id"),
+        F.lit(1).alias("_is_conv"),
+        F.col("_conv_id").cast("long"),
+    )
+    # ascending (_ts, _is_conv): at an equal timestamp the touch sorts
+    # BEFORE the conversion, so the forward frame still sees it — a touch
+    # at the conversion instant belongs to that conversion's path
+    w = (
+        W.partitionBy("_u")
+        .orderBy("_ts", "_is_conv")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    attributed = (
+        t.unionByName(c)
+        .withColumn("_next_conv", F.first("_conv_id", ignorenulls=True).over(w))
+        .filter(F.col("_is_conv") == 0)
+    )
+    wp = W.partitionBy("_u", "_next_conv").orderBy("_ts", "_touch_id")
+    sized = (
+        attributed.withColumn("_pos", F.row_number().over(wp))
+        .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("_u", "_next_conv")))
+    )
+    w_mid = 1.0 - 2 * w_edge
+    credit = (
+        F.when(F.col("_next_conv").isNull(), F.lit(None).cast("decimal(20,9)"))
+        .when(F.col("_n") == 1, F.lit(1.0).cast("decimal(20,9)"))
+        .when(F.col("_n") == 2, F.lit(0.5).cast("decimal(20,9)"))
+        .when(
+            (F.col("_pos") == 1) | (F.col("_pos") == F.col("_n")),
+            F.lit(w_edge).cast("decimal(20,9)"),
+        )
+        .otherwise(
+            F.round(F.lit(w_mid) / (F.col("_n") - 2), 9).cast("decimal(20,9)")
+        )
+    )
+    return sized.select(
+        F.col("_u").alias(user_col),
+        F.col("_touch_id").alias("touch_id"),
+        F.col("_next_conv").alias("conv_id"),
+        F.col("_pos").alias("position"),
+        F.col("_n").alias("path_length"),
+        credit.alias("credit"),
+    )

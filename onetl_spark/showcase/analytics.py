@@ -1677,3 +1677,74 @@ FROM m ORDER BY lag
 
 SPARK_QUERIES["events_lag_correlation"] = events_lag_correlation
 ORACLE_SQL["events_lag_correlation"] = LAG_CORR_SQL
+
+
+def position_attribution_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (`operators/funnel.py
+    position_based_attribution`): click/view touches credit their next
+    purchase 40/20/40; per-touch-type total credit and touch counts.
+    Forward-carry window — no touch×conversion join."""
+    from onetl_spark.operators.funnel import position_based_attribution
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    conversions = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    credits = position_based_attribution(touches, conversions)
+    typed = credits.join(
+        touches.select(F.col("event_id").alias("touch_id"), "event_type"),
+        "touch_id",
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.when(F.col("conv_id").isNotNull(), 1).otherwise(0)).alias("n_attributed"),
+            F.sum("credit").cast("double").alias("total_credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+POSITION_ATTRIBUTION_SQL = """
+WITH conv AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS conv_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), touch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS touch_id, event_type
+  FROM events WHERE event_type IN ('click', 'view')
+), u AS (
+  SELECT user_id, ts, touch_id, event_type, 0 AS is_conv, NULL::BIGINT AS conv_id FROM touch
+  UNION ALL
+  SELECT user_id, ts, NULL, NULL, 1, conv_id FROM conv
+), carried AS (
+  SELECT *, first_value(conv_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_conv
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_conv
+  FROM u
+), paths AS (
+  SELECT user_id, touch_id, event_type, next_conv,
+         row_number() OVER (PARTITION BY user_id, next_conv ORDER BY ts, touch_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id, next_conv) AS n
+  FROM carried WHERE is_conv = 0
+), credited AS (
+  SELECT event_type, next_conv,
+         CASE WHEN next_conv IS NULL THEN NULL
+              WHEN n = 1 THEN CAST(1.0 AS DECIMAL(20,9))
+              WHEN n = 2 THEN CAST(0.5 AS DECIMAL(20,9))
+              WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DECIMAL(20,9))
+              ELSE CAST(round(CAST(0.2 AS DOUBLE) / (n - 2), 9) AS DECIMAL(20,9)) END AS credit
+  FROM paths
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN next_conv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(credit) AS DOUBLE) AS total_credit
+FROM credited GROUP BY event_type ORDER BY event_type
+"""
+
+SPARK_QUERIES["position_attribution_by_type"] = position_attribution_by_type
+ORACLE_SQL["position_attribution_by_type"] = POSITION_ATTRIBUTION_SQL

@@ -287,3 +287,41 @@ def test_scd2_matches_reference_model_random(spark):
         for k, versions in by_key.items():
             currents = [v for key, v in got.items() if key[0] == k and v[2]]
             assert len(currents) == 1
+
+
+def test_position_based_attribution_hand_path(spark):
+    """U-shaped credits on crafted paths: 1-touch -> 1.0; 2 -> 0.5/0.5;
+    4 -> 0.4/0.1/0.1/0.4; tie at the conversion instant belongs to the
+    path; touches after the last conversion stay unattributed."""
+    from onetl_spark.operators.funnel import position_based_attribution
+
+    touches = spark.createDataFrame(
+        [
+            # user 1: four touches then a conversion at t=40
+            (1, 10, 101), (1, 20, 102), (1, 30, 103), (1, 40, 104),
+            # user 2: one touch, conversion later
+            (2, 10, 201),
+            # user 2 second path: two touches -> second conversion
+            (2, 30, 202), (2, 35, 203),
+            # user 3: touch AFTER their only conversion -> unattributed
+            (3, 99, 301),
+        ],
+        "user_id long, ts long, event_id long",
+    )
+    convs = spark.createDataFrame(
+        [(1, 40, 900), (2, 20, 901), (2, 50, 902), (3, 5, 903)],
+        "user_id long, ts long, event_id long",
+    )
+    out = {
+        r["touch_id"]: (r["conv_id"], r["position"], r["path_length"],
+                        float(r["credit"]) if r["credit"] is not None else None)
+        for r in position_based_attribution(touches, convs).collect()
+    }
+    assert out[101] == (900, 1, 4, 0.4)
+    assert out[102] == (900, 2, 4, 0.1)
+    assert out[103] == (900, 3, 4, 0.1)
+    assert out[104] == (900, 4, 4, 0.4)   # tie at conversion instant included
+    assert out[201] == (901, 1, 1, 1.0)
+    assert out[202] == (902, 1, 2, 0.5)
+    assert out[203] == (902, 2, 2, 0.5)
+    assert out[301][0] is None and out[301][3] is None
