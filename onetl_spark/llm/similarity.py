@@ -1377,3 +1377,119 @@ def label_centroid_similarity(
             ).alias("centroid_cos"),
         )
     )
+
+
+def top_principal_component(
+    embeddings: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding cloud by power iteration
+    — the first step of PCA whitening / spectral de-biasing ("all-but-
+    the-top" removes exactly this direction), and the classic
+    matrix-free distributed eigensolver: the covariance matrix is NEVER
+    materialized; each iteration computes ``C·v`` as
+    ``Σ_i ((x_i−μ)·v)·(x_i−μ)`` in one corpus scan.
+
+    Scale shape: one scan per iteration (cache the centered matrix in a
+    long-lived production job); per row the work is two d-length folds;
+    the only shuffle is the d-row per-dimension reduce. The d-vector
+    round-trips through the driver between iterations — d-bounded, the
+    kcenter/MMR class of probe.
+
+    Exactness: per-row terms round to 9 and accumulate as exact
+    decimals (order-independent sums); dot folds run in array order
+    (both engines fold lists left-to-right); normalization + rounding
+    happen as Spark expressions so an external SQL engine reproduces
+    the whole trajectory bit-for-bit. Returns one row per dimension
+    ``(dim, component, eigenvalue)`` — eigenvalue is the Rayleigh
+    quotient of the LAST iterate, constant across rows.
+    """
+    spark = embeddings.sparkSession
+    sample = embeddings.select(F.col(vec_col)).first()
+    if sample is None:
+        raise ValueError("top_principal_component: empty input")
+    d = len(sample[0])
+
+    dims = embeddings.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_i", "_x")
+    )
+    mu_rows = (
+        dims.groupBy("_i")
+        .agg(
+            (
+                F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mu")
+        )
+        .orderBy("_i")
+        .collect()
+    )
+    mu = [r["_mu"] for r in mu_rows]
+    n_vecs = embeddings.count()
+
+    def lit_arr(values):
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    v = [1.0] + [0.0] * (d - 1)
+    eigenvalue = None
+    for _ in range(iterations):
+        centered = F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            lit_arr(mu),
+            lambda x, m: x - m,
+        )
+        s = F.aggregate(
+            F.zip_with(centered, lit_arr(v), lambda c, vv: c * vv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        staged = embeddings.select(centered.alias("_c"), s.alias("_s"))
+        terms = staged.select(
+            F.posexplode("_c").alias("_j", "_cj"),
+            F.col("_s"),
+        ).select(
+            "_j",
+            F.round(F.col("_s") * F.col("_cj"), 9).cast("decimal(30,9)").alias("_t"),
+            F.round(F.col("_s") * F.col("_s"), 9).cast("decimal(30,9)").alias("_s2"),
+        )
+        red = (
+            terms.groupBy("_j")
+            .agg(
+                F.sum("_t").cast("double").alias("_w"),
+                F.sum("_s2").cast("double").alias("_ss"),
+            )
+            .orderBy("_j")
+            .collect()
+        )
+        w = [r["_w"] for r in red]
+        # Rayleigh quotient of the CURRENT iterate: vᵀCv = (Σ s_i²) / n
+        # (every _j group carries the same full Σ s_i², so read group 0)
+        eigenvalue = float(red[0]["_ss"]) / n_vecs
+        # normalize + round as SPARK expressions (1 row) so the rounding
+        # mode matches the engines, not Python's round-half-even
+        norm_expr = F.sqrt(
+            F.aggregate(
+                lit_arr(w), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        vrow = (
+            spark.range(1)
+            .select(
+                F.transform(
+                    lit_arr(w), lambda x: F.round(x / norm_expr, 9)
+                ).alias("_v")
+            )
+            .collect()[0]
+        )
+        v = list(vrow["_v"])
+
+    eig = F.round(F.lit(eigenvalue), 9)
+    return spark.range(d).select(
+        F.col("id").cast("int").alias("dim"),
+        F.element_at(lit_arr(v), (F.col("id") + 1).cast("int")).alias("component"),
+        eig.alias("eigenvalue"),
+    )

@@ -2719,3 +2719,74 @@ LIMIT 20
 
 SPARK_QUERIES["bigram_pmi_collocations"] = bigram_pmi_collocations
 ORACLE_SQL["bigram_pmi_collocations"] = PMI_SQL
+
+
+_PC_ITER = 3
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by matrix-free
+    power iteration (`llm/similarity.py top_principal_component`, 3
+    iterations) — the spectral direction "all-but-the-top" de-biasing
+    removes. The oracle replays the full iteration trajectory as chained
+    CTEs, so the distributed matvec + driver probes are hash-verified."""
+    ensure_views(spark, sf_dir)
+    return similarity.top_principal_component(
+        spark.table("embeddings"), iterations=_PC_ITER
+    )
+
+
+def _top_component_sql(iters: int = _PC_ITER, d: int = 64) -> str:
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"""md AS (
+  SELECT r.i AS i,
+         CAST(SUM(CAST(v[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+  FROM e, range(1, {d} + 1) r(i) GROUP BY r.i)""",
+        "m AS (SELECT list(mu ORDER BY i) AS mu FROM md)",
+        "nn AS (SELECT COUNT(*) AS n FROM e)",
+        f"p0 AS (SELECT [1.0] || list_transform(range(1, {d}), x -> 0.0) AS pv)",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"p{r - 1}"
+        parts.append(
+            f"""s{r} AS (
+  SELECT e.vec_id, e.v,
+         list_sum(list_transform(range(1, {d} + 1),
+                  i -> (e.v[i] - m.mu[i]) * {prev}.pv[i])) AS s
+  FROM e CROSS JOIN m CROSS JOIN {prev})"""
+        )
+        parts.append(
+            f"""t{r} AS (
+  SELECT j.i AS j,
+         CAST(round(s{r}.s * (s{r}.v[j.i] - m.mu[j.i]), 9) AS DECIMAL(30,9)) AS t,
+         CAST(round(s{r}.s * s{r}.s, 9) AS DECIMAL(30,9)) AS s2
+  FROM s{r} CROSS JOIN m, range(1, {d} + 1) j(i))"""
+        )
+        parts.append(
+            f"""w{r} AS (
+  SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS wl,
+         MAX(ss) AS ss
+  FROM (SELECT j, CAST(SUM(t) AS DOUBLE) AS w, CAST(SUM(s2) AS DOUBLE) AS ss
+        FROM t{r} GROUP BY j))"""
+        )
+        parts.append(
+            f"""p{r} AS (
+  SELECT list_transform(wl,
+           x -> round(x / sqrt(list_sum(list_transform(wl, y -> y * y))), 9)) AS pv,
+         ss
+  FROM w{r})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(r.i - 1 AS INTEGER) AS dim,
+       p{iters}.pv[r.i] AS component,
+       round(p{iters}.ss / nn.n, 9) AS eigenvalue
+FROM p{iters} CROSS JOIN nn, range(1, {d} + 1) r(i)
+"""
+    )
+
+
+SPARK_QUERIES["embedding_top_component"] = embedding_top_component
+ORACLE_SQL["embedding_top_component"] = _top_component_sql()

@@ -1294,3 +1294,39 @@ def test_merge_aggregate_state_exact_and_one_sided_keys(spark):
     assert merged["y"]["n"] == 1 and merged["y"]["max"] == 10.0   # prev-only key
     assert merged["z"]["n"] == 2 and merged["z"]["n_nulls"] == 1  # delta-only key
     assert float(merged["z"]["sum"]) == 7.0
+
+
+def test_top_principal_component_matches_numpy(spark):
+    """Power iteration converges to numpy's top covariance eigenvector
+    (sign-aligned) and the Rayleigh quotient approaches the eigenvalue."""
+    import numpy as np
+
+    from onetl_spark.llm.similarity import top_principal_component
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: dominant direction (3, 1, 0.2)/|.|
+    base = rng.randn(200, 3) * np.array([0.1, 0.1, 0.05])
+    t = rng.randn(200, 1)
+    x = base + t * (np.array([3.0, 1.0, 0.2]) / np.linalg.norm([3.0, 1.0, 0.2]))
+    df = spark.createDataFrame(
+        [(i, [float(a) for a in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = top_principal_component(df, iterations=20)
+    rows = sorted(out.collect(), key=lambda r: r["dim"])
+    got = np.array([r["component"] for r in rows])
+
+    xc = x.astype(np.float32).astype(np.float64)
+    c = np.cov((xc - xc.mean(axis=0)).T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    top = evecs[:, -1]
+    if np.dot(top, got) < 0:
+        top = -top
+    assert np.allclose(got, top, atol=1e-3)
+    assert abs(rows[0]["eigenvalue"] - evals[-1]) < 1e-3 * max(evals[-1], 1)
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError, match="empty"):
+        top_principal_component(empty)
