@@ -149,6 +149,10 @@ HEADLINE = [
     "bigram_pmi_collocations",
     "streaming_rollup_maintenance",
     "user_value_gini",
+    "position_attribution_by_type",
+    "embedding_top_component",
+    "embedding_debias_residuals",
+    "events_value_winsorized",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

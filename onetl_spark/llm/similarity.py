@@ -1493,3 +1493,30 @@ def top_principal_component(
         F.element_at(lit_arr(v), (F.col("id") + 1).cast("int")).alias("component"),
         eig.alias("eigenvalue"),
     )
+
+
+def remove_top_component(
+    embeddings: DataFrame,
+    component: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "debiased",
+) -> DataFrame:
+    """All-but-the-top de-biasing (Mu & Viswanath 2018): subtract each
+    vector's projection onto the dominant direction (from
+    :func:`top_principal_component`) — removing the common component is
+    the cheap post-processing that measurably improves cosine-similarity
+    quality on most embedding models. Pure per-row array expressions
+    (one fold + one zip), zero shuffles, pushes through any plan."""
+    c = F.array(*[F.lit(float(x)) for x in component])
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    proj = F.aggregate(
+        F.zip_with(x, c, lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+    )
+    staged = embeddings.select(F.col(id_col), x.alias("_x"), proj.alias("_p"))
+    return staged.select(
+        F.col(id_col),
+        F.zip_with(
+            F.col("_x"), c, lambda a, b: F.round(a - F.col("_p") * b, 9)
+        ).alias(out_col),
+    )

@@ -402,3 +402,30 @@ def column_stats_drift(
             F.round(F.col("cur_mean") - F.col("ref_mean"), 9),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    scale: int = 6,
+) -> DataFrame:
+    """Winsorization report over PINNED clamp bounds (the
+    population_stability convention: freeze yesterday's quantiles, reuse
+    them everywhere): rows clamped at each side, and exact decimal means
+    before/after — the robust-scaling preprocessing step that stops a
+    handful of outliers from dominating a mean-normalized feature.
+    One scan, one 1-row aggregate; clamping is a pure projection."""
+    if not lo < hi:
+        raise ValueError(f"winsorized_stats: need lo < hi, got {lo} >= {hi}")
+    v = F.col(column).cast("double")
+    w = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
+    dec = f"decimal(30,{scale})"
+    return df.filter(v.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((v < lo).cast("long")).alias("n_clamped_lo"),
+        F.sum((v > hi).cast("long")).alias("n_clamped_hi"),
+        F.round(F.sum(v.cast(dec)).cast("double") / F.count(F.lit(1)), 9).alias("mean_raw"),
+        F.round(F.sum(w.cast(dec)).cast("double") / F.count(F.lit(1)), 9).alias("mean_winsorized"),
+    )

@@ -2736,7 +2736,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _top_component_sql(iters: int = _PC_ITER, d: int = 64) -> str:
+def _power_iteration_ctes(iters: int = _PC_ITER, d: int = 64) -> list:
     parts = [
         "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
         f"""md AS (
@@ -2777,8 +2777,12 @@ def _top_component_sql(iters: int = _PC_ITER, d: int = 64) -> str:
          ss
   FROM w{r})"""
         )
+    return parts
+
+
+def _top_component_sql(iters: int = _PC_ITER, d: int = 64) -> str:
     return (
-        ",\n".join(parts)
+        ",\n".join(_power_iteration_ctes(iters, d))
         + f"""
 SELECT CAST(r.i - 1 AS INTEGER) AS dim,
        p{iters}.pv[r.i] AS component,
@@ -2790,3 +2794,72 @@ FROM p{iters} CROSS JOIN nn, range(1, {d} + 1) r(i)
 
 SPARK_QUERIES["embedding_top_component"] = embedding_top_component
 ORACLE_SQL["embedding_top_component"] = _top_component_sql()
+
+
+def embedding_debias_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top de-biasing check (`llm/similarity.py
+    remove_top_component`): remove the power-iteration top component,
+    then report each of the first 12 vectors' residual projection onto
+    that component (≈0 by construction) and residual norm — the numbers
+    that prove the common direction is gone. Debias itself is a pure
+    per-row projection."""
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    comp_rows = sorted(
+        similarity.top_principal_component(emb, iterations=_PC_ITER).collect(),
+        key=lambda r: r["dim"],
+    )
+    component = [r["component"] for r in comp_rows]
+    deb = similarity.remove_top_component(
+        emb.filter(F.col("vec_id") < 12), component
+    )
+    c = F.array(*[F.lit(float(x)) for x in component])
+    return deb.select(
+        "vec_id",
+        (
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("debiased"), c, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                ),
+                6,
+            )
+            + F.lit(0.0)  # -0.0 + 0.0 == +0.0: kill the negative zero
+        ).alias("resid_proj"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("debiased"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            9,
+        ).alias("resid_norm"),
+    )
+
+
+def _debias_sql(iters: int = _PC_ITER, d: int = 64) -> str:
+    return (
+        ",\n".join(_power_iteration_ctes(iters, d))
+        + f""",
+deb AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {d} + 1),
+           i -> round(e.v[i] - list_sum(list_transform(range(1, {d} + 1),
+                        j -> e.v[j] * p{iters}.pv[j])) * p{iters}.pv[i], 9)) AS db,
+         p{iters}.pv AS pv
+  FROM e CROSS JOIN p{iters}
+  WHERE e.vec_id < 12
+)
+SELECT vec_id,
+       round(list_sum(list_transform(range(1, {d} + 1), i -> db[i] * pv[i])), 6) + 0.0 AS resid_proj,
+       round(sqrt(list_sum(list_transform(db, x -> x * x))), 9) AS resid_norm
+FROM deb
+"""
+    )
+
+
+SPARK_QUERIES["embedding_debias_residuals"] = embedding_debias_residuals
+ORACLE_SQL["embedding_debias_residuals"] = _debias_sql()

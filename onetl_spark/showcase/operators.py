@@ -983,3 +983,28 @@ FROM m
 
 SPARK_QUERIES["user_value_gini"] = user_value_gini
 ORACLE_SQL["user_value_gini"] = USER_VALUE_GINI_SQL
+
+
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report over pinned clamp bounds [5, 250]
+    (`operators/quality.py winsorized_stats`): clamp counts and exact
+    decimal means before/after — the robust-scaling preprocessing
+    number."""
+    from onetl_spark.operators.quality import winsorized_stats
+
+    ensure_views(spark, sf_dir)
+    return winsorized_stats(spark.table("events"), "value", lo=5.0, hi=250.0)
+
+
+EVENTS_WINSORIZED_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN v < 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN v > 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+       round(CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 9) AS mean_raw,
+       round(CAST(SUM(CAST(least(greatest(v, 5.0), 250.0) AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_winsorized
+FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL)
+"""
+
+SPARK_QUERIES["events_value_winsorized"] = events_value_winsorized
+ORACLE_SQL["events_value_winsorized"] = EVENTS_WINSORIZED_SQL
