@@ -153,6 +153,7 @@ HEADLINE = [
     "embedding_top_component",
     "embedding_debias_residuals",
     "events_value_winsorized",
+    "events_value_ks_drift",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -22,3 +22,105 @@ def pearson_from_moments(m: DataFrame, n_col: str = "n_days") -> DataFrame:
     )
     den = F.when(den == 0, F.lit(None)).otherwise(den)
     return m.withColumn("pearson_r", F.round(num / den, 9))
+
+
+def ks_two_sample(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic:
+    ``D = sup_x |F_ref(x) − F_cur(x)|`` — the distribution-shape drift
+    test that needs no binning choices (the companion to the PSI
+    monitor, which tests pinned bins). Returns one row:
+    ``(n_ref, n_cur, ks_stat, at_value)`` with ``at_value`` the smallest
+    value achieving the supremum.
+
+    Scale shape: the ECDFs need a GLOBAL cumulative sum over sorted
+    distinct values — the same problem the global row index solves, and
+    the same solution: per-side counts collapse to one row per distinct
+    value (map-side combined), values bucket by sampled quantiles, the
+    cumulative sums run per-bucket (distributed windows) and driver-side
+    prefix offsets (≤ ``buckets`` numbers per side) stitch them into
+    global ECDFs. NO single-partition window anywhere; the shuffles
+    carry distinct values, not rows. NULLs are excluded (an ECDF has no
+    place for them — PSI's NULL bucket covers missing-rate drift).
+    """
+    from pyspark.sql.window import Window as W
+
+    a = df_ref.select(F.col(column).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    b = df_cur.select(F.col(column).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    counts = (
+        a.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_na"))
+        .join(
+            b.groupBy("_v").agg(F.count(F.lit(1)).alias("_nb")),
+            "_v",
+            "full_outer",
+        )
+        .select(
+            "_v",
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
+        )
+    )
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(counts.stat.approxQuantile("_v", qs, 0.001)))
+
+    from onetl_spark.operators.ranking import ascending_bucket
+
+    t = counts.withColumn("_bkt", ascending_bucket(bounds, F.col("_v")))
+    per_bucket = {
+        r["_bkt"]: (r["sa"], r["sb"])
+        for r in t.groupBy("_bkt")
+        .agg(F.sum("_na").alias("sa"), F.sum("_nb").alias("sb"))
+        .collect()
+    }
+    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
+    for bkt in range(len(bounds) + 1):
+        off_a[bkt], off_b[bkt] = acc_a, acc_b
+        sa, sb = per_bucket.get(bkt, (0, 0))
+        acc_a += sa
+        acc_b += sb
+    if acc_a == 0 or acc_b == 0:
+        raise ValueError("ks_two_sample: both samples must be non-empty")
+
+    def offset(mapping):
+        expr = F.lit(0)
+        for bkt, v in mapping.items():
+            if v:
+                expr = F.when(F.col("_bkt") == bkt, F.lit(v)).otherwise(expr)
+        return expr
+
+    w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = t.select(
+        "_v",
+        (F.sum("_na").over(w) + offset(off_a)).alias("_ca"),
+        (F.sum("_nb").over(w) + offset(off_b)).alias("_cb"),
+    )
+    d = ecdf.select(
+        "_v",
+        F.round(
+            F.abs(
+                F.col("_ca") / F.lit(float(acc_a))
+                - F.col("_cb") / F.lit(float(acc_b))
+            ),
+            9,
+        ).alias("_d"),
+    )
+    best = d.agg(
+        F.max(
+            F.struct(F.col("_d"), (-F.col("_v")).alias("_nv"), F.col("_v").alias("_at"))
+        ).alias("_b")
+    )
+    return best.select(
+        F.lit(acc_a).cast("long").alias("n_ref"),
+        F.lit(acc_b).cast("long").alias("n_cur"),
+        F.col("_b._d").alias("ks_stat"),
+        F.col("_b._at").alias("at_value"),
+    )

@@ -1008,3 +1008,53 @@ FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL)
 
 SPARK_QUERIES["events_value_winsorized"] = events_value_winsorized
 ORACLE_SQL["events_value_winsorized"] = EVENTS_WINSORIZED_SQL
+
+
+def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test on event value,
+    first vs second half of the month (`operators/stats.py
+    ks_two_sample`): the binning-free companion to events_value_psi,
+    computed with bucketed distributed ECDFs (no single-partition
+    window)."""
+    from onetl_spark.operators.stats import ks_two_sample
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return ks_two_sample(
+        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
+    )
+
+
+EVENTS_KS_SQL = """
+WITH a AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+), c AS (
+  SELECT COALESCE(ac.v, bc.v) AS v,
+         COALESCE(ac.na, 0) AS na, COALESCE(bc.nb, 0) AS nb
+  FROM (SELECT v, COUNT(*) AS na FROM a GROUP BY v) ac
+  FULL OUTER JOIN (SELECT v, COUNT(*) AS nb FROM b GROUP BY v) bc
+    ON ac.v = bc.v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c
+), ecdf AS (
+  SELECT v,
+         SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM c
+), d AS (
+  SELECT v, round(abs(CAST(ca AS DOUBLE) / tot.ta - CAST(cb AS DOUBLE) / tot.tb), 9) AS d
+  FROM ecdf CROSS JOIN tot
+)
+SELECT tot.ta AS n_ref, tot.tb AS n_cur,
+       (SELECT MAX(d) FROM d) AS ks_stat,
+       (SELECT MIN(v) FROM d WHERE d = (SELECT MAX(d) FROM d)) AS at_value
+FROM tot
+"""
+
+SPARK_QUERIES["events_value_ks_drift"] = events_value_ks_drift
+ORACLE_SQL["events_value_ks_drift"] = EVENTS_KS_SQL

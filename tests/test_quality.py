@@ -210,3 +210,40 @@ def test_mmr_rerank_validation_and_diversity(spark):
 
     with _pt.raises(ValueError, match="lam"):
         mmr_rerank_topk(df, query_id=0, k=2, lam=1.5)
+
+
+def test_ks_two_sample_known_and_plan(spark):
+    from onetl_spark.operators.stats import ks_two_sample
+
+    # identical samples -> D = 0
+    a = spark.createDataFrame([(float(i),) for i in range(1, 21)], "v double")
+    row = ks_two_sample(a, a, "v").collect()[0]
+    assert row["ks_stat"] == 0.0 and row["n_ref"] == row["n_cur"] == 20
+
+    # disjoint supports -> D = 1 at the boundary (smallest achieving value)
+    b = spark.createDataFrame([(float(i),) for i in range(100, 120)], "v double")
+    row = ks_two_sample(a, b, "v").collect()[0]
+    assert row["ks_stat"] == 1.0 and row["at_value"] == 20.0
+
+    # hand case: ref {1,2,3,4}, cur {3,4,5,6}: D at v=2 -> |2/4 - 0| = 0.5
+    r = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (4.0,)], "v double")
+    c = spark.createDataFrame([(3.0,), (4.0,), (5.0,), (6.0,)], "v double")
+    row = ks_two_sample(r, c, "v").collect()[0]
+    assert row["ks_stat"] == 0.5 and row["at_value"] == 2.0
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "v double")
+    with _pt.raises(ValueError, match="non-empty"):
+        ks_two_sample(a, empty, "v")
+
+    # scale guard: the ECDF windows partition by bucket — the plan must
+    # not contain a single-partition window sort (the final 1-row agg's
+    # SinglePartition exchange is fine; the Window must come from
+    # hashpartitioning)
+    plan = ks_two_sample(a, b, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re as _re
+
+    # no Window may sit directly on a single-partition exchange
+    assert not _re.search(r"Window .{0,400}?Exchange SinglePartition", plan, _re.S)
