@@ -1382,7 +1382,6 @@ def label_centroid_similarity(
 def top_principal_component(
     embeddings: DataFrame,
     iterations: int = 3,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top principal component of the embedding cloud by power iteration
@@ -1407,29 +1406,34 @@ def top_principal_component(
     quotient of the LAST iterate, constant across rows.
     """
     spark = embeddings.sparkSession
-    sample = embeddings.select(F.col(vec_col)).first()
-    if sample is None:
-        raise ValueError("top_principal_component: empty input")
-    d = len(sample[0])
+    # NULL payload rows are excluded up front (posexplode would silently
+    # drop them from the means while a separate count() kept them in the
+    # eigenvalue denominator — diverging from any oracle)
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
 
     dims = embeddings.select(
         F.posexplode(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("_i", "_x")
     )
+    # n and d fall out of the mean pass for free — no extra first()/count()
     mu_rows = (
         dims.groupBy("_i")
         .agg(
             (
                 F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
                 / F.count(F.lit(1))
-            ).alias("_mu")
+            ).alias("_mu"),
+            F.count(F.lit(1)).alias("_n"),
         )
         .orderBy("_i")
         .collect()
     )
+    if not mu_rows:
+        raise ValueError("top_principal_component: empty input")
     mu = [r["_mu"] for r in mu_rows]
-    n_vecs = embeddings.count()
+    d = len(mu_rows)
+    n_vecs = int(mu_rows[0]["_n"])
 
     def lit_arr(values):
         return F.array(*[F.lit(float(x)) for x in values])

@@ -87,6 +87,12 @@ def position_based_attribution(
     evenly across the middle (1 touch → full credit, 2 → half each) —
     the standard middle ground between first- and last-touch.
 
+    Conversions sharing a (user, timestamp) instant are MERGED to one
+    path end (max conversion id wins): the forward carry can only attach
+    a touch to a single next conversion, so simultaneous conversions
+    contribute one unit of credit, not two — batch order lines into one
+    conversion upstream if each must count.
+
     Scale shape: touches and conversions UNION into one per-user stream;
     each touch finds its next conversion with ONE forward-carry window
     (``first(conv_id, ignorenulls=True)`` over CURRENT..FOLLOWING) — no
@@ -99,6 +105,10 @@ def position_based_attribution(
     """
     from pyspark.sql.window import Window as W
 
+    if not 0.0 <= w_edge <= 0.5:
+        raise ValueError(
+            f"position_based_attribution: w_edge must be in [0, 0.5], got {w_edge}"
+        )
     conv = conversions.groupBy(
         F.col(user_col).alias("_u"), F.col(time_col).alias("_ts")
     ).agg(F.max(conv_id_col).alias("_conv_id"))
@@ -107,14 +117,16 @@ def position_based_attribution(
         F.col(time_col).alias("_ts"),
         F.col(touch_id_col).alias("_touch_id"),
         F.lit(0).alias("_is_conv"),
-        F.lit(None).cast("long").alias("_conv_id"),
+        # the conversion id keeps ITS OWN type (a long cast would silently
+        # NULL string ids and unattribute every touch)
+        F.lit(None).cast(conv.schema["_conv_id"].dataType).alias("_conv_id"),
     )
     c = conv.select(
         "_u",
         "_ts",
         F.lit(None).cast(t.schema["_touch_id"].dataType).alias("_touch_id"),
         F.lit(1).alias("_is_conv"),
-        F.col("_conv_id").cast("long"),
+        F.col("_conv_id"),
     )
     # ascending (_ts, _is_conv): at an equal timestamp the touch sorts
     # BEFORE the conversion, so the forward frame still sees it — a touch
@@ -134,7 +146,9 @@ def position_based_attribution(
         attributed.withColumn("_pos", F.row_number().over(wp))
         .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("_u", "_next_conv")))
     )
-    w_mid = 1.0 - 2 * w_edge
+    # snap to 12 decimals so the Spark operand equals the decimal literal
+    # an external SQL oracle writes (raw 1.0 - 2*0.4 = 0.19999999999999996)
+    w_mid = round(1.0 - 2 * w_edge, 12)
     credit = (
         F.when(F.col("_next_conv").isNull(), F.lit(None).cast("decimal(20,9)"))
         .when(F.col("_n") == 1, F.lit(1.0).cast("decimal(20,9)"))

@@ -44,6 +44,26 @@ def ascending_bucket(bounds: list[float], col: Column) -> Column:
 
 
 
+def bucket_prefix_offsets(per_bucket: dict, n_buckets: int) -> "tuple[dict, int]":
+    """Driver-side prefix offsets from per-bucket totals (≤ buckets
+    numbers) — the stitching step every bucketed global computation in
+    this module shares (row index, NTILE, Gini, the KS ECDFs)."""
+    off, acc = {}, 0
+    for b in range(n_buckets):
+        off[b] = acc
+        acc += per_bucket.get(b, 0)
+    return off, acc
+
+
+def prefix_offset_expr(off_map: dict, bucket_col: str = "_bucket") -> Column:
+    """CASE chain adding each bucket's prefix offset — pure projection."""
+    expr = F.lit(0)
+    for b, v in off_map.items():
+        if v:
+            expr = F.when(F.col(bucket_col) == b, F.lit(v)).otherwise(expr)
+    return expr
+
+
 def global_row_index(
     df: DataFrame,
     order_col: str,
@@ -142,14 +162,8 @@ def _global_row_index_with_total(
             f"global_row_index: {order_col} contains NULLs; coalesce or filter "
             "them first (engines disagree on default NULL sort placement)"
         )
-    off_map, acc = {}, 0
-    for b in range(len(bounds) + 1):
-        off_map[b] = acc
-        acc += counts.get(b, 0)
-    off = F.lit(0)
-    for b, v in off_map.items():
-        if v:
-            off = F.when(F.col("_bucket") == b, F.lit(v)).otherwise(off)
+    off_map, acc = bucket_prefix_offsets(counts, len(bounds) + 1)
+    off = prefix_offset_expr(off_map)
 
     w = W.partitionBy("_bucket").orderBy(
         F.col(order_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
@@ -257,11 +271,12 @@ def gini_coefficient(
     Exactness: values scale to integer micro-units (``decimal``), so
     both Σ x and Σ i·x_i are exact integers; the final expression is a
     fixed double parenthesization any engine reproduces. One
-    bucket-window shuffle + one 1-row aggregate. Requires a unique
-    (value, tiebreak) ordering key and non-negative values (both raise).
+    bucket-window shuffle + one 1-row aggregate — the non-negativity
+    check rides the same aggregate (``raise_error`` at execution time,
+    no dedicated validation scan). The unique (value, tiebreak) ordering
+    key is the same UNENFORCED precondition as
+    :func:`global_row_index`.
     """
-    if df.filter(F.col(value_col) < 0).take(1):
-        raise ValueError("gini_coefficient: values must be non-negative")
     mu = 10**scale
     idx, total = _global_row_index_with_total(
         df, value_col, tiebreak_cols, "_gidx", buckets
@@ -272,14 +287,23 @@ def gini_coefficient(
     m = idx.agg(
         F.sum(units).alias("_sx"),
         F.sum(units * F.col("_gidx").cast("decimal(12,0)")).alias("_six"),
+        F.min(F.col(value_col).cast("double")).alias("_minv"),
     )
     n = F.lit(float(total))
+    gini = F.round(
+        (F.lit(2.0) * F.col("_six").cast("double"))
+        / (n * F.col("_sx").cast("double"))
+        - (n + F.lit(1.0)) / n,
+        9,
+    )
     return m.select(
         F.lit(total).cast("long").alias("n"),
-        F.round(
-            (F.lit(2.0) * F.col("_six").cast("double"))
-            / (n * F.col("_sx").cast("double"))
-            - (n + F.lit(1.0)) / n,
-            9,
-        ).alias("gini"),
+        F.when(
+            F.col("_minv") < 0,
+            F.raise_error(
+                F.lit("gini_coefficient: values must be non-negative")
+            ).cast("double"),
+        )
+        .otherwise(gini)
+        .alias("gini"),
     )

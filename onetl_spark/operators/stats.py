@@ -45,7 +45,11 @@ def ks_two_sample(
     prefix offsets (≤ ``buckets`` numbers per side) stitch them into
     global ECDFs. NO single-partition window anywhere; the shuffles
     carry distinct values, not rows. NULLs are excluded (an ECDF has no
-    place for them — PSI's NULL bucket covers missing-rate drift).
+    place for them — PSI's NULL bucket covers missing-rate drift). Like
+    every multi-pass offset algorithm here, the inputs must be stable
+    across the internal jobs — the distinct-count relation is therefore
+    localCheckpointed once and reused by the quantile probe, the bucket
+    totals, and the ECDF pass.
     """
     from pyspark.sql.window import Window as W
 
@@ -68,6 +72,7 @@ def ks_two_sample(
             F.coalesce("_na", F.lit(0)).alias("_na"),
             F.coalesce("_nb", F.lit(0)).alias("_nb"),
         )
+        .localCheckpoint(eager=True)
     )
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(counts.stat.approxQuantile("_v", qs, 0.001)))
@@ -81,27 +86,23 @@ def ks_two_sample(
         .agg(F.sum("_na").alias("sa"), F.sum("_nb").alias("sb"))
         .collect()
     }
-    off_a, off_b, acc_a, acc_b = {}, {}, 0, 0
-    for bkt in range(len(bounds) + 1):
-        off_a[bkt], off_b[bkt] = acc_a, acc_b
-        sa, sb = per_bucket.get(bkt, (0, 0))
-        acc_a += sa
-        acc_b += sb
+    from onetl_spark.operators.ranking import bucket_prefix_offsets, prefix_offset_expr
+
+    n_buckets = len(bounds) + 1
+    off_a, acc_a = bucket_prefix_offsets(
+        {b: sa for b, (sa, _) in per_bucket.items()}, n_buckets
+    )
+    off_b, acc_b = bucket_prefix_offsets(
+        {b: sb for b, (_, sb) in per_bucket.items()}, n_buckets
+    )
     if acc_a == 0 or acc_b == 0:
         raise ValueError("ks_two_sample: both samples must be non-empty")
-
-    def offset(mapping):
-        expr = F.lit(0)
-        for bkt, v in mapping.items():
-            if v:
-                expr = F.when(F.col("_bkt") == bkt, F.lit(v)).otherwise(expr)
-        return expr
 
     w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
     ecdf = t.select(
         "_v",
-        (F.sum("_na").over(w) + offset(off_a)).alias("_ca"),
-        (F.sum("_nb").over(w) + offset(off_b)).alias("_cb"),
+        (F.sum("_na").over(w) + prefix_offset_expr(off_a, "_bkt")).alias("_ca"),
+        (F.sum("_nb").over(w) + prefix_offset_expr(off_b, "_bkt")).alias("_cb"),
     )
     d = ecdf.select(
         "_v",

@@ -2738,7 +2738,7 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _power_iteration_ctes(iters: int = _PC_ITER, d: int = 64) -> list:
     parts = [
-        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL)",
         f"""md AS (
   SELECT r.i AS i,
          CAST(SUM(CAST(v[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu

@@ -174,5 +174,5 @@ def test_gini_known_value_and_validation(spark):
     import pytest as _pt
 
     neg = spark.createDataFrame([(1, -1.0)], "id long, v double")
-    with _pt.raises(ValueError, match="non-negative"):
-        gini_coefficient(neg, "v", ("id",))
+    with _pt.raises(Exception, match="non-negative"):
+        gini_coefficient(neg, "v", ("id",)).collect()
