@@ -154,6 +154,7 @@ HEADLINE = [
     "embedding_debias_residuals",
     "events_value_winsorized",
     "events_value_ks_drift",
+    "events_value_mannwhitney",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

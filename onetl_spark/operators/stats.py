@@ -125,3 +125,113 @@ def ks_two_sample(
         F.col("_b._d").alias("ks_stat"),
         F.col("_b._at").alias("at_value"),
     )
+
+
+def mann_whitney_u(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) with tie correction — the
+    nonparametric location-shift test (KS asks "any shape difference?",
+    this asks "is one sample systematically larger?"). Returns one row:
+    ``(n_ref, n_cur, u_stat, z_score)`` with ``U`` for the REF side and
+    the normal-approximation z (tie-corrected variance, continuity
+    correction deliberately omitted — both engines then share one exact
+    formula).
+
+    Exactness: with integer counts per distinct value, the rank sum is
+    the exact rational ``Σ na_v·(cum_before_v + (n_v+1)/2)`` — computed
+    as integer ``2·ranksum`` so no float enters until the final z. Same
+    bucketed distributed prefix-sum shape as :func:`ks_two_sample` (no
+    single-partition window); NULLs excluded.
+    """
+    from pyspark.sql.window import Window as W
+
+    from onetl_spark.operators.ranking import (
+        ascending_bucket,
+        bucket_prefix_offsets,
+        prefix_offset_expr,
+    )
+
+    a = df_ref.select(F.col(column).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    b = df_cur.select(F.col(column).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    counts = (
+        a.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_na"))
+        .join(
+            b.groupBy("_v").agg(F.count(F.lit(1)).alias("_nb")),
+            "_v",
+            "full_outer",
+        )
+        .select(
+            "_v",
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(counts.stat.approxQuantile("_v", qs, 0.001)))
+    t = counts.withColumn("_bkt", ascending_bucket(bounds, F.col("_v")))
+    per_bucket = {
+        r["_bkt"]: (r["s"], r["sa"])
+        for r in t.groupBy("_bkt")
+        .agg(
+            F.sum(F.col("_na") + F.col("_nb")).alias("s"),
+            F.sum("_na").alias("sa"),
+        )
+        .collect()
+    }
+    n_buckets = len(bounds) + 1
+    off_all, n_total = bucket_prefix_offsets(
+        {k: s for k, (s, _) in per_bucket.items()}, n_buckets
+    )
+    _, n_a = bucket_prefix_offsets(
+        {k: sa for k, (_, sa) in per_bucket.items()}, n_buckets
+    )
+    n_b = n_total - n_a
+    if n_a == 0 or n_b == 0:
+        raise ValueError("mann_whitney_u: both samples must be non-empty")
+
+    w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    nv = F.col("_na") + F.col("_nb")
+    staged = t.select(
+        "_na",
+        nv.alias("_nv"),
+        (F.sum(nv).over(w) + prefix_offset_expr(off_all, "_bkt") - nv).alias("_before"),
+    )
+    # 2·ranksum = Σ na·(2·before + nv + 1): exact integers end to end
+    m = staged.agg(
+        F.sum(
+            F.col("_na") * (F.lit(2) * F.col("_before") + F.col("_nv") + F.lit(1))
+        ).alias("_rs2"),
+        # tie-correction term Σ (t³ − t) over tied groups
+        F.sum(
+            F.col("_nv") * F.col("_nv") * F.col("_nv") - F.col("_nv")
+        ).alias("_ties"),
+    )
+    na_d, nb_d, n_d = float(n_a), float(n_b), float(n_total)
+    u = (F.col("_rs2").cast("double") / F.lit(2.0)) - F.lit(na_d * (na_d + 1) / 2.0)
+    mean_u = F.lit(na_d * nb_d / 2.0)
+    var_u = (
+        F.lit(na_d * nb_d / 12.0)
+        * (
+            F.lit(n_d + 1.0)
+            - F.col("_ties").cast("double") / F.lit(n_d * (n_d - 1.0))
+        )
+    )
+    z = F.when(var_u == 0, F.lit(None)).otherwise(
+        F.round((u - mean_u) / F.sqrt(var_u), 9)
+    )
+    return m.select(
+        F.lit(n_a).cast("long").alias("n_ref"),
+        F.lit(n_b).cast("long").alias("n_cur"),
+        F.round(u, 9).alias("u_stat"),
+        z.alias("z_score"),
+    )

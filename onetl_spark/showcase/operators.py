@@ -1058,3 +1058,62 @@ FROM tot
 
 SPARK_QUERIES["events_value_ks_drift"] = events_value_ks_drift
 ORACLE_SQL["events_value_ks_drift"] = EVENTS_KS_SQL
+
+
+def events_value_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U on event value, first vs second
+    half of the month (`operators/stats.py mann_whitney_u`) — the
+    location-shift companion to the KS shape test, on the same bucketed
+    distributed rank machinery."""
+    from onetl_spark.operators.stats import mann_whitney_u
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return mann_whitney_u(
+        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
+    )
+
+
+EVENTS_MWU_SQL = """
+WITH a AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+), c AS (
+  SELECT COALESCE(ac.v, bc.v) AS v,
+         COALESCE(ac.na, 0) AS na, COALESCE(bc.nb, 0) AS nb
+  FROM (SELECT v, COUNT(*) AS na FROM a GROUP BY v) ac
+  FULL OUTER JOIN (SELECT v, COUNT(*) AS nb FROM b GROUP BY v) bc
+    ON ac.v = bc.v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb,
+         CAST(SUM(na + nb) AS BIGINT) AS tn
+  FROM c
+), staged AS (
+  SELECT na, na + nb AS nv,
+         SUM(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - (na + nb) AS before
+  FROM c
+), m AS (
+  SELECT CAST(SUM(na * (2 * before + nv + 1)) AS BIGINT) AS rs2,
+         CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS ties
+  FROM staged
+)
+SELECT tot.ta AS n_ref, tot.tb AS n_cur,
+       round(CAST(rs2 AS DOUBLE) / 2.0
+             - CAST(tot.ta AS DOUBLE) * (CAST(tot.ta AS DOUBLE) + 1) / 2.0, 9) AS u_stat,
+       round((CAST(rs2 AS DOUBLE) / 2.0
+              - CAST(tot.ta AS DOUBLE) * (CAST(tot.ta AS DOUBLE) + 1) / 2.0
+              - CAST(tot.ta AS DOUBLE) * CAST(tot.tb AS DOUBLE) / 2.0)
+             / sqrt(CAST(tot.ta AS DOUBLE) * CAST(tot.tb AS DOUBLE) / 12.0
+                    * (CAST(tot.tn AS DOUBLE) + 1.0
+                       - CAST(ties AS DOUBLE)
+                         / (CAST(tot.tn AS DOUBLE) * (CAST(tot.tn AS DOUBLE) - 1.0)))), 9) AS z_score
+FROM m CROSS JOIN tot
+"""
+
+SPARK_QUERIES["events_value_mannwhitney"] = events_value_mannwhitney
+ORACLE_SQL["events_value_mannwhitney"] = EVENTS_MWU_SQL

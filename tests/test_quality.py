@@ -247,3 +247,40 @@ def test_ks_two_sample_known_and_plan(spark):
 
     # no Window may sit directly on a single-partition exchange
     assert not _re.search(r"Window .{0,400}?Exchange SinglePartition", plan, _re.S)
+
+
+def test_mann_whitney_hand_cases(spark):
+    from math import sqrt
+
+    from onetl_spark.operators.stats import mann_whitney_u
+
+    # no ties: ref {1,2}, cur {3,4} -> ranksum_ref=3, U=0
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    row = mann_whitney_u(a, b, "v").collect()[0]
+    assert row["u_stat"] == 0.0
+    want_z = round((0.0 - 2.0) / sqrt(4 * 5 / 12.0), 9)
+    assert abs(row["z_score"] - want_z) < 1e-9
+
+    # with ties: ref {1,2,2}, cur {2,3} — value 2 ties across sides
+    a = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    row = mann_whitney_u(a, b, "v").collect()[0]
+    # ranks: 1 -> 1; three 2s share (2+3+4)/3 = 3; 3 -> 5
+    # ranksum_ref = 1 + 3 + 3 = 7; U = 7 - 3*4/2 = 1
+    assert row["u_stat"] == 1.0
+    n, ties = 5.0, (3**3 - 3)  # one tied group of 3
+    var_u = (3 * 2 / 12.0) * (n + 1.0 - ties / (n * (n - 1.0)))
+    want_z = round((1.0 - 3.0) / sqrt(var_u), 9)
+    assert abs(row["z_score"] - want_z) < 1e-9
+
+    # identical constant samples: zero variance -> NULL z
+    c = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    row = mann_whitney_u(c, c, "v").collect()[0]
+    assert row["z_score"] is None
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "v double")
+    with _pt.raises(ValueError, match="non-empty"):
+        mann_whitney_u(a, empty, "v")
