@@ -155,6 +155,9 @@ HEADLINE = [
     "events_value_winsorized",
     "events_value_ks_drift",
     "events_value_mannwhitney",
+    "events_type_segment_cramers_v",
+    "orders_benford_audit",
+    "event_type_lift",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -429,3 +429,68 @@ def winsorized_stats(
         F.round(F.sum(v.cast(dec)).cast("double") / F.count(F.lit(1)), 9).alias("mean_raw"),
         F.round(F.sum(w.cast(dec)).cast("double") / F.count(F.lit(1)), 9).alias("mean_winsorized"),
     )
+
+
+#: Benford expected first-digit shares log10(1 + 1/d), emitted as fixed
+#: 12-decimal literals so external SQL oracles can embed the SAME numbers
+BENFORD_P = {d: float(f"{__import__('math').log10(1 + 1 / d):.12f}") for d in range(1, 10)}
+
+
+def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column — the
+    classic fabricated-data / unit-mixing detector for financial and
+    metric columns. Values below 1 are excluded (leading digit of the
+    integer part is what Benford's law governs; document the filter
+    rather than guessing a scale).
+
+    Returns one row per digit 1-9: observed count/share, the expected
+    Benford share, the per-digit chi-square contribution, and the total
+    chi-square repeated on every row (compare to the chi2(8) critical
+    value). The digit comes from the integer part's decimal string —
+    engine-stable, no float log10 boundary risk. One scan + a 9-row
+    aggregate; terms round to 9 and accumulate as exact decimals.
+    """
+    v = F.col(column).cast("double")
+    digit = F.substring(F.floor(v).cast("long").cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(v >= 1)
+        .select(digit.alias("_d"))
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("_o"))
+    )
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_P.items()], "digit int, exp_share double"
+    )
+    full = (
+        expected.join(counts, expected.digit == F.col("_d"), "left")
+        .select(
+            "digit",
+            F.coalesce("_o", F.lit(0)).alias("n_obs"),
+            "exp_share",
+        )
+    )
+    tot = full.agg(F.sum("n_obs").alias("_n"))
+    scored = full.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(F.col("n_obs") / F.col("_n"), 9).alias("obs_share"),
+        "exp_share",
+        F.round(
+            (F.col("n_obs") - F.col("_n") * F.col("exp_share"))
+            * (F.col("n_obs") - F.col("_n") * F.col("exp_share"))
+            / (F.col("_n") * F.col("exp_share")),
+            9,
+        )
+        .cast("decimal(25,9)")
+        .alias("_t"),
+    )
+    chi = scored.agg(F.sum("_t").cast("double").alias("_chi2"))
+    return scored.crossJoin(F.broadcast(chi)).select(
+        "digit",
+        "n_obs",
+        "obs_share",
+        "exp_share",
+        F.col("_t").cast("double").alias("chi2_term"),
+        F.round(F.col("_chi2"), 9).alias("chi2_total"),
+    )

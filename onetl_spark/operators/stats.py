@@ -235,3 +235,144 @@ def mann_whitney_u(
         F.round(u, 9).alias("u_stat"),
         z.alias("z_score"),
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cramér's V association strength between two categorical columns —
+    the normalized chi-square (0 = independent, 1 = fully determined),
+    the number a feature-selection pass ranks categorical pairs by.
+
+    One contingency aggregate (map-side combined, |A|×|B| cells), the
+    row/column margins re-aggregated from the cells (cell-table-sized),
+    and the chi-square terms rounded to 9 then summed as exact decimals.
+    Returns ``(n, n_a, n_b, chi2, cramers_v)``; NULL categories count as
+    their own level (dropping them silently would bias the margins).
+    """
+    cells = (
+        df.select(
+            F.coalesce(F.col(col_a).cast("string"), F.lit("<null>")).alias("_a"),
+            F.coalesce(F.col(col_b).cast("string"), F.lit("<null>")).alias("_b"),
+        )
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_o"))
+        .localCheckpoint(eager=True)
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_rt"))
+    cb = cells.groupBy("_b").agg(F.sum("_o").alias("_ct"))
+    tot = cells.agg(
+        F.sum("_o").alias("_n"),
+        F.countDistinct("_a").alias("_ka"),
+        F.countDistinct("_b").alias("_kb"),
+    )
+    # the full |A|x|B| grid, NOT just observed cells: an empty cell
+    # contributes its whole expectation ((0-e)^2/e = e) to chi-square —
+    # dropping zero cells understates association (a perfectly
+    # deterministic pair would score V=0.707 instead of 1)
+    grid = ra.crossJoin(cb).join(cells, ["_a", "_b"], "left").select(
+        "_a", "_b", "_rt", "_ct", F.coalesce("_o", F.lit(0)).alias("_o")
+    )
+    terms = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (
+                    F.col("_o")
+                    - F.col("_rt").cast("double") * F.col("_ct") / F.col("_n")
+                )
+                * (
+                    F.col("_o")
+                    - F.col("_rt").cast("double") * F.col("_ct") / F.col("_n")
+                )
+                / (F.col("_rt").cast("double") * F.col("_ct") / F.col("_n")),
+                9,
+            )
+            .cast("decimal(25,9)")
+            .alias("_t"),
+            "_n",
+            "_ka",
+            "_kb",
+        )
+    )
+    m = terms.groupBy("_n", "_ka", "_kb").agg(
+        F.sum("_t").cast("double").alias("_chi2")
+    )
+    denom = F.col("_n").cast("double") * (
+        F.least(F.col("_ka"), F.col("_kb")).cast("double") - F.lit(1.0)
+    )
+    v = F.when(denom == 0, F.lit(None)).otherwise(
+        F.round(F.sqrt(F.col("_chi2") / denom), 9)
+    )
+    return m.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_ka").cast("long").alias("n_a"),
+        F.col("_kb").cast("long").alias("n_b"),
+        F.round(F.col("_chi2"), 9).alias("chi2"),
+        v.alias("cramers_v"),
+    )
+
+
+def association_lift(
+    df: DataFrame,
+    basket_cols: "list[str]",
+    item_col: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Market-basket association rules: for every unordered item pair
+    co-present in a basket, support, both confidences, and lift
+    ``P(a,b)/(P(a)P(b))`` — the classic "people who did A also did B"
+    statistic (lift > 1: positive association).
+
+    Scale shape: presence is one distinct over (basket, item); the pair
+    generation self-joins per BASKET, so the fan-out is bounded by the
+    basket's item count squared (items-per-basket is small by the
+    problem's nature — cap upstream if a degenerate basket holds
+    thousands of distinct items, same recall-knob convention as the
+    LSH/blocking operators). Item totals join by item key (NOT broadcast
+    — item vocabularies can be web-scale; AQE may still choose broadcast
+    at runtime). ``min_count`` floors the pair count. All ratios are one
+    pinned double parenthesization, rounded to 9.
+    """
+    b = [F.col(c) for c in basket_cols]
+    items = df.select(*b, F.col(item_col).alias("_it")).distinct()
+    baskets = items.select(*basket_cols).distinct()
+    n_baskets = baskets.count()
+    if n_baskets == 0:
+        raise ValueError("association_lift: no baskets")
+    totals = items.groupBy("_it").agg(F.count(F.lit(1)).alias("_cnt"))
+    x, y = items.alias("x"), items.alias("y")
+    cond = [F.col(f"x.{c}") == F.col(f"y.{c}") for c in basket_cols]
+    pairs = (
+        x.join(y, cond)
+        .filter(F.col("x._it") < F.col("y._it"))
+        .groupBy(
+            F.col("x._it").alias("item_a"), F.col("y._it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_count)
+    )
+    ta = totals.select(F.col("_it").alias("item_a"), F.col("_cnt").alias("_na"))
+    tb = totals.select(F.col("_it").alias("item_b"), F.col("_cnt").alias("_nb"))
+    nb_d = float(n_baskets)
+    return (
+        pairs.join(ta, "item_a")
+        .join(tb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+            F.round(F.col("n_both") / F.lit(nb_d), 9).alias("support"),
+            F.round(F.col("n_both") / F.col("_na"), 9).alias("conf_a_to_b"),
+            F.round(F.col("n_both") / F.col("_nb"), 9).alias("conf_b_to_a"),
+            F.round(
+                (F.col("n_both").cast("double") * F.lit(nb_d))
+                / (F.col("_na").cast("double") * F.col("_nb")),
+                9,
+            ).alias("lift"),
+        )
+    )

@@ -1748,3 +1748,46 @@ FROM credited GROUP BY event_type ORDER BY event_type
 
 SPARK_QUERIES["position_attribution_by_type"] = position_attribution_by_type
 ORACLE_SQL["position_attribution_by_type"] = POSITION_ATTRIBUTION_SQL
+
+
+def event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over (user, day) baskets of event types
+    (`operators/stats.py association_lift`): which behaviors co-occur
+    beyond chance — support, confidences, and lift per type pair."""
+    from onetl_spark.operators.stats import association_lift
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    return association_lift(ev, ["user_id", "day"], "event_type", min_count=5)
+
+
+EVENT_LIFT_SQL = """
+WITH items AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         event_type AS it
+  FROM events
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT DISTINCT user_id, day FROM items)
+), totals AS (
+  SELECT it, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY it
+), pairs AS (
+  SELECT x.it AS item_a, y.it AS item_b, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM items x JOIN items y ON x.user_id = y.user_id AND x.day = y.day
+  WHERE x.it < y.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT item_a, item_b, n_both, ta.cnt AS n_a, tb.cnt AS n_b,
+       round(CAST(n_both AS DOUBLE) / nb.n, 9) AS support,
+       round(CAST(n_both AS DOUBLE) / ta.cnt, 9) AS conf_a_to_b,
+       round(CAST(n_both AS DOUBLE) / tb.cnt, 9) AS conf_b_to_a,
+       round((CAST(n_both AS DOUBLE) * nb.n) / (CAST(ta.cnt AS DOUBLE) * tb.cnt), 9) AS lift
+FROM pairs
+JOIN totals ta ON ta.it = pairs.item_a
+JOIN totals tb ON tb.it = pairs.item_b
+CROSS JOIN nb
+"""
+
+SPARK_QUERIES["event_type_lift"] = event_type_lift
+ORACLE_SQL["event_type_lift"] = EVENT_LIFT_SQL

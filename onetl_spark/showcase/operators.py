@@ -1117,3 +1117,110 @@ FROM m CROSS JOIN tot
 
 SPARK_QUERIES["events_value_mannwhitney"] = events_value_mannwhitney
 ORACLE_SQL["events_value_mannwhitney"] = EVENTS_MWU_SQL
+
+
+def events_type_segment_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event type and the user's market segment
+    (`operators/stats.py cramers_v`): does behavior depend on segment at
+    all, and how strongly — the normalized companion to the chi-square
+    query."""
+    from onetl_spark.operators.stats import cramers_v
+
+    ensure_views(spark, sf_dir)
+    joined = (
+        spark.table("events")
+        .join(
+            spark.table("customer").select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+    )
+    return cramers_v(joined, "event_type", "c_mktsegment")
+
+
+EVENTS_CRAMERS_V_SQL = """
+WITH j AS (
+  SELECT COALESCE(CAST(e.event_type AS VARCHAR), '<null>') AS a,
+         COALESCE(CAST(c.c_mktsegment AS VARCHAR), '<null>') AS b
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+), cells AS (
+  SELECT a, b, COUNT(*) AS o FROM j GROUP BY a, b
+), ra AS (SELECT a, SUM(o) AS rt FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS ct FROM cells GROUP BY b),
+tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS kb
+  FROM cells
+), grid AS (
+  SELECT ra.a, cb.b, ra.rt, cb.ct, COALESCE(cells.o, 0) AS o
+  FROM ra CROSS JOIN cb LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+), terms AS (
+  SELECT CAST(round(
+           (o - CAST(rt AS DOUBLE) * ct / n) * (o - CAST(rt AS DOUBLE) * ct / n)
+           / (CAST(rt AS DOUBLE) * ct / n), 9) AS DECIMAL(25,9)) AS t,
+         n, ka, kb
+  FROM grid CROSS JOIN tot
+), m AS (
+  SELECT n, ka, kb, CAST(SUM(t) AS DOUBLE) AS chi2 FROM terms GROUP BY n, ka, kb
+)
+SELECT n, ka AS n_a, kb AS n_b, round(chi2, 9) AS chi2,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE) * (CAST(least(ka, kb) AS DOUBLE) - 1.0))), 9) AS cramers_v
+FROM m
+"""
+
+SPARK_QUERIES["events_type_segment_cramers_v"] = events_type_segment_cramers_v
+ORACLE_SQL["events_type_segment_cramers_v"] = EVENTS_CRAMERS_V_SQL
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (`operators/quality.py
+    benford_first_digit`) — the fabricated-data detector; per-digit
+    observed vs expected shares and the chi-square."""
+    from onetl_spark.operators.quality import benford_first_digit
+
+    ensure_views(spark, sf_dir)
+    return benford_first_digit(spark.table("orders"), "o_totalprice")
+
+
+ORDERS_BENFORD_SQL = """
+WITH exp AS (
+  SELECT * FROM (VALUES
+  (1, 0.301029995664),
+  (2, 0.176091259056),
+  (3, 0.124938736608),
+  (4, 0.096910013008),
+  (5, 0.079181246048),
+  (6, 0.066946789631),
+  (7, 0.057991946978),
+  (8, 0.051152522447),
+  (9, 0.045757490561)
+  ) AS t(digit, exp_share_d)
+), expd AS (
+  SELECT digit, CAST(exp_share_d AS DOUBLE) AS exp_share FROM exp
+), obs AS (
+  SELECT CAST(substr(CAST(CAST(floor(CAST(o_totalprice AS DOUBLE)) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d,
+         COUNT(*) AS o
+  FROM orders WHERE CAST(o_totalprice AS DOUBLE) >= 1
+  GROUP BY 1
+), full_t AS (
+  SELECT expd.digit, CAST(COALESCE(obs.o, 0) AS BIGINT) AS n_obs, expd.exp_share
+  FROM expd LEFT JOIN obs ON obs.d = expd.digit
+), tot AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM full_t
+), scored AS (
+  SELECT digit, n_obs,
+         round(CAST(n_obs AS DOUBLE) / n, 9) AS obs_share,
+         exp_share,
+         CAST(round((n_obs - n * exp_share) * (n_obs - n * exp_share)
+                    / (n * exp_share), 9) AS DECIMAL(25,9)) AS t
+  FROM full_t CROSS JOIN tot
+), chi AS (SELECT CAST(SUM(t) AS DOUBLE) AS chi2 FROM scored)
+SELECT digit, n_obs, obs_share, exp_share,
+       CAST(t AS DOUBLE) AS chi2_term, round(chi.chi2, 9) AS chi2_total
+FROM scored CROSS JOIN chi
+"""
+
+SPARK_QUERIES["orders_benford_audit"] = orders_benford_audit
+ORACLE_SQL["orders_benford_audit"] = ORDERS_BENFORD_SQL

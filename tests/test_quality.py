@@ -284,3 +284,76 @@ def test_mann_whitney_hand_cases(spark):
     empty = spark.createDataFrame([], "v double")
     with _pt.raises(ValueError, match="non-empty"):
         mann_whitney_u(a, empty, "v")
+
+
+def test_cramers_v_extremes(spark):
+    from onetl_spark.operators.stats import cramers_v
+
+    # perfect association: b determined by a -> V = 1
+    det = spark.createDataFrame(
+        [("x", "1")] * 5 + [("y", "2")] * 5, "a string, b string"
+    )
+    r = cramers_v(det, "a", "b").collect()[0]
+    assert r["cramers_v"] == 1.0 and r["n"] == 10
+
+    # independence -> chi2 = 0, V = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "12" for _ in range(3)],
+        "a string, b string",
+    )
+    r = cramers_v(ind, "a", "b").collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0
+
+    # single-level column -> denominator 0 -> NULL V
+    one = spark.createDataFrame([("x", "1"), ("x", "2")], "a string, b string")
+    assert cramers_v(one, "a", "b").collect()[0]["cramers_v"] is None
+
+
+def test_benford_uniform_vs_benford_like(spark):
+    from onetl_spark.operators.quality import BENFORD_P, benford_first_digit
+
+    # exact Benford-proportioned sample (counts ∝ expected) -> small chi2
+    rows = []
+    for d, p in BENFORD_P.items():
+        rows += [(float(d) * 10,)] * round(p * 1000)
+    good = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in benford_first_digit(good, "v").collect()}
+    assert out[1]["chi2_total"] < 1.0
+    assert out[1]["n_obs"] == round(BENFORD_P[1] * 1000)
+
+    # all-same-leading-digit data -> gross violation
+    bad = spark.createDataFrame([(5000.0 + i,) for i in range(200)], "v double")
+    out = {r["digit"]: r for r in benford_first_digit(bad, "v").collect()}
+    assert out[5]["obs_share"] == 1.0 and out[1]["n_obs"] == 0
+    assert out[5]["chi2_total"] > 100
+    # sub-1 values excluded
+    tiny = spark.createDataFrame([(0.5,), (2.0,)], "v double")
+    out = {r["digit"]: r["n_obs"] for r in benford_first_digit(tiny, "v").collect()}
+    assert out[2] == 1 and sum(out.values()) == 1
+
+
+def test_association_lift_hand_case(spark):
+    from onetl_spark.operators.stats import association_lift
+
+    # 4 baskets; A,B co-occur in 2; A alone in 1; B alone in 1
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"),
+        (4, "B"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    r = association_lift(df, ["basket"], "item", min_count=1).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["item_a"], row["item_b"], row["n_both"]) == ("A", "B", 2)
+    assert row["support"] == 0.5
+    assert row["conf_a_to_b"] == round(2 / 3, 9)
+    # lift = (2*4)/(3*3)
+    assert row["lift"] == round(8 / 9, 9)
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "basket long, item string")
+    with _pt.raises(ValueError, match="no baskets"):
+        association_lift(empty, ["basket"], "item")
