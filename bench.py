@@ -158,6 +158,7 @@ HEADLINE = [
     "events_type_segment_cramers_v",
     "orders_benford_audit",
     "event_type_lift",
+    "supplier_kcore",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from onetl_spark.operators.graph import degree_assortativity, pagerank_fixed_point, triangle_count
+from onetl_spark.operators.graph import degree_assortativity, kcore_nodes, pagerank_fixed_point, triangle_count
 from onetl_spark.showcase.util import ensure_views
 
 SPARK_QUERIES = {}
@@ -302,3 +302,41 @@ FROM m
 
 SPARK_QUERIES["supplier_degree_assortativity"] = supplier_degree_assortativity
 ORACLE_SQL["supplier_degree_assortativity"] = ASSORT_SQL
+
+
+_KCORE_K, _KCORE_ITER = 3, 6
+
+
+def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier co-occurrence graph (`operators/graph.py
+    kcore_nodes`): the dense trading backbone after peeling tendrils.
+    The oracle replays the synchronous peel as chained CTEs (fixed
+    rounds == max_iter; identical at the fixpoint)."""
+    return kcore_nodes(_supplier_edges(spark, sf_dir), k=_KCORE_K, max_iter=_KCORE_ITER)
+
+
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ITER) -> str:
+    parts = [
+        f"WITH {_EDGES_SQL.strip()}",
+        # MATERIALIZED: every round references the previous one twice
+        # (two semi-joins) — un-materialized CTEs would re-evaluate the
+        # whole chain exponentially (measured 99 s -> ~1 s)
+        "e0 AS MATERIALIZED (SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed)",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT u FROM (SELECT u, COUNT(*) AS c FROM {prev} GROUP BY u) WHERE c >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT {prev}.u, {prev}.v FROM {prev} "
+            f"JOIN k{r} a ON a.u = {prev}.u JOIN k{r} b ON b.u = {prev}.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT u AS node, COUNT(*) AS degree FROM e{rounds} GROUP BY u"
+    )
+
+
+SPARK_QUERIES["supplier_kcore"] = supplier_kcore
+ORACLE_SQL["supplier_kcore"] = _kcore_sql()

@@ -507,3 +507,27 @@ def test_label_propagation_keeps_nonnull_side_of_null_edge(spark):
     got = {r["node"]: r["community"] for r in label_propagation(edges, rounds=2).collect()}
     assert got[7] == 7  # NULL partner dropped, surviving endpoint kept
     assert None not in got and set(got) == {1, 2, 7}
+
+
+def test_kcore_peels_tendrils_and_validates(spark):
+    from onetl_spark.operators.graph import kcore_nodes
+
+    # triangle core {1,2,3} + tendril 3-4-5: the 2-core is the triangle;
+    # node 4 only survives round 1 (degree 2) until 5 is peeled
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r["node"]: r["degree"] for r in kcore_nodes(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    # k=1 keeps everything with an edge
+    got1 = {r["node"] for r in kcore_nodes(edges, k=1).collect()}
+    assert got1 == {1, 2, 3, 4, 5}
+
+    # k above the max degree empties the graph
+    assert kcore_nodes(edges, k=10).count() == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        kcore_nodes(edges, k=0)
