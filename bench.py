@@ -159,6 +159,7 @@ HEADLINE = [
     "orders_benford_audit",
     "event_type_lift",
     "supplier_kcore",
+    "events_user_cms_counts",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

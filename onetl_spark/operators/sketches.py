@@ -249,3 +249,81 @@ SELECT est_ab.{group_cols[0]}{"".join(", est_ab." + c for c in group_cols[1:])},
        round((u._n_both * 1.0 / u._n) * {est('u._n', 'u._uk')}, 6) AS est_intersection
 FROM est_ab JOIN u USING ({groups})
 """
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Count–min sketch of a key column: ``depth × width`` counters,
+    ``counter[i][h_i(x)] += 1`` — the mergeable frequency sketch (union
+    = cell-wise add) that answers "how often did key x appear?" in
+    ``depth·width`` integers regardless of cardinality. Estimates only
+    OVERcount (collisions add, never subtract) — the one-sided error a
+    monitoring pipeline can reason about.
+
+    Hashes are md5-derived (seeded per row ``i``), so any engine builds
+    the identical sketch. One scan exploded ×depth, map-side combined
+    into ≤ depth·width partial rows per partition. Returns
+    ``(row, bucket, cnt)``."""
+    if width < 1 or depth < 1:
+        raise ValueError("cms_sketch: width and depth must be positive")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    md5_long(
+                        F.concat(F.lit(f"{i}:"), F.col(key_col).cast("string"))
+                    ),
+                    F.lit(width),
+                ).cast("int").alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_sketch`: for each key,
+    ``min_i counter[i][h_i(key)]``. The sketch (depth·width rows)
+    broadcasts against the key list; missing cells read 0."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_long(
+                                F.concat(
+                                    F.lit(f"{i}:"), F.col(key_col).cast("string")
+                                )
+                            ),
+                            F.lit(width),
+                        ).cast("int").alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select(key_col, F.col("_p.row").alias("row"), F.col("_p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )

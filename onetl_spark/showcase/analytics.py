@@ -1791,3 +1791,70 @@ CROSS JOIN nb
 
 SPARK_QUERIES["event_type_lift"] = event_type_lift
 ORACLE_SQL["event_type_lift"] = EVENT_LIFT_SQL
+
+
+_CMS_W, _CMS_D = 64, 4
+
+
+def events_user_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (`operators/sketches.py
+    cms_sketch/cms_estimate`): per sampled user, the sketch estimate vs
+    the exact event count and the (always non-negative) overcount — the
+    one-sided-error property the sketch guarantees."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = spark.table("events")
+    sketch = cms_sketch(ev, "user_id", width=_CMS_W, depth=_CMS_D)
+    sample = ev.select("user_id").distinct().filter(F.col("user_id") % 29 == 3)
+    est = cms_estimate(sketch, sample, "user_id", width=_CMS_W, depth=_CMS_D)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "cms_count",
+            "exact_count",
+            (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+        )
+    )
+
+
+def _cms_hash(i: int, expr: str, width: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{i}:' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {width})"
+    )
+
+
+def _cms_sql(width: int = _CMS_W, depth: int = _CMS_D) -> str:
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row, {_cms_hash(i, 'user_id', width)} AS bucket FROM events"
+        for i in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row, {_cms_hash(i, 'user_id', width)} AS bucket FROM sample"
+        for i in range(depth)
+    )
+    return f"""
+WITH sketch AS MATERIALIZED (
+  SELECT row, bucket, COUNT(*) AS cnt FROM ({cell_rows}) GROUP BY row, bucket
+), sample AS MATERIALIZED (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 3
+), probes AS (
+  {probe_rows}
+), est AS (
+  SELECT probes.user_id, MIN(COALESCE(sketch.cnt, 0)) AS cms_count
+  FROM probes LEFT JOIN sketch USING (row, bucket)
+  GROUP BY probes.user_id
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id
+)
+SELECT est.user_id, est.cms_count, exact.exact_count,
+       est.cms_count - exact.exact_count AS overcount
+FROM est JOIN exact USING (user_id)
+"""
+
+
+SPARK_QUERIES["events_user_cms_counts"] = events_user_cms_counts
+ORACLE_SQL["events_user_cms_counts"] = _cms_sql()

@@ -357,3 +357,38 @@ def test_association_lift_hand_case(spark):
     empty = spark.createDataFrame([], "basket long, item string")
     with _pt.raises(ValueError, match="no baskets"):
         association_lift(empty, ["basket"], "item")
+
+
+def test_cms_one_sided_error_and_mergeability(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.sketches import cms_estimate, cms_sketch
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(200)] + [(99,)] * 50, "k long"
+    )
+    sketch = cms_sketch(df, "k", width=16, depth=3)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["cms_count"] for r in cms_estimate(sketch, keys, "k", 16, 3).collect()}
+    exact = {r["k"]: r["cnt"] for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    for k, e in exact.items():
+        assert est[k] >= e  # never undercounts
+    assert est[99] >= 50
+
+    # mergeability: sketch(a ∪ b) == cellwise sum of sketch(a) + sketch(b)
+    a = df.filter(F.col("k") < 5)
+    b = df.filter(F.col("k") >= 5)
+    sa, sb = cms_sketch(a, "k", 16, 3), cms_sketch(b, "k", 16, 3)
+    merged = (
+        sa.unionByName(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms_sketch(df, "k", 16, 3).collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        cms_sketch(df, "k", width=0)
