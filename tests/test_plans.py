@@ -536,3 +536,26 @@ def test_session_top_paths_windows_share_one_exchange(tables):
     # user_id-prefixed sorts: one hashpartitioning exchange on user_id
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_association_lift_no_cartesian_and_keyed_joins(tables):
+    from onetl_spark.operators.stats import association_lift
+
+    ev = tables.table("events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    df = association_lift(ev, ["user_id", "day"], "event_type", min_count=5)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the pair generation is an equi-join on the basket key
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_cms_sketch_single_pass_build(tables):
+    from onetl_spark.operators.sketches import cms_sketch
+
+    df = cms_sketch(tables.table("events"), "user_id")
+    plan = optimized_plan(df)
+    # one scan, one explode, one aggregate: no joins in the build
+    assert "Join" not in plan
+    assert plan.count("Relation") == 1
