@@ -160,6 +160,7 @@ HEADLINE = [
     "event_type_lift",
     "supplier_kcore",
     "events_user_cms_counts",
+    "events_user_hll_distinct",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

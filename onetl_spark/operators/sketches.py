@@ -327,3 +327,113 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
     )
+
+
+#: HLL geometry: md5_long yields 60 hash bits; b index bits leave W
+#: rho-bits, so rho ∈ [1, W+1] and register sums fit exact decimals.
+_HLL_HASH_BITS = 60
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard bias constant, emitted at fixed 12 decimals so SQL
+    oracles can embed the identical literal."""
+    if m >= 128:
+        a = 0.7213 / (1 + 1.079 / m)
+    elif m == 64:
+        a = 0.709
+    elif m == 32:
+        a = 0.697
+    else:
+        a = 0.673
+    return float(f"{a:.12f}")
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """HyperLogLog register table for a column: ``m = 2**b`` rows
+    ``(bucket, rho)`` where ``rho`` is the max leading-zero rank seen in
+    the bucket (empty registers present with rho 0) — the mergeable
+    distinct sketch (union = register-wise max, an EXACT operation, so
+    merged sketches equal the sketch of the union bit-for-bit).
+
+    The hash is md5-derived and the rank comes from the binary-string
+    length of the remaining bits (both engines share ``bin()``/string
+    semantics) — no floating point anywhere in the sketch itself. One
+    scan, map-side combined into ≤ m partials per partition.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError(f"hll_registers: b must be in [4, 16], got {b}")
+    m = 1 << b
+    w_bits = _HLL_HASH_BITS - b
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(md5_long(F.col(value_col).cast("string")).alias("_h"))
+    )
+    bucket = F.pmod(F.col("_h"), F.lit(m)).cast("int")
+    # integer division — a double `/` on a ~1e18 hash loses low bits
+    w = F.expr(f"_h div {m}")
+    rho = (
+        F.when(w == F.lit(0), F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    observed = (
+        staged.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    spark = df.sparkSession
+    all_buckets = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
+    return all_buckets.join(observed, "bucket", "left").select(
+        "bucket", F.coalesce("rho", F.lit(0)).alias("rho")
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
+    """Distinct-count estimate from :func:`hll_registers`: the harmonic
+    mean is computed as the EXACT integer ``Σ 2**(W+1-rho)`` (every term
+    a power of two, summed as decimal — no float accumulation), then one
+    pinned double expression with the standard small-range linear-
+    counting correction. Returns ``(m, n_zero, raw_estimate, estimate)``.
+    """
+    m = 1 << b
+    w_bits = _HLL_HASH_BITS - b
+    alpha = _hll_alpha(m)
+    # 2^(W+1-rho) via shift on a decimal-safe path: rho<=W+1 so exp>=0
+    term = F.pow(F.lit(2.0), F.lit(w_bits + 1) - F.col("rho")).cast("decimal(38,0)")
+    agg = registers.agg(
+        F.sum(term).alias("_s"),
+        F.sum((F.col("rho") == 0).cast("long")).alias("_z"),
+    )
+    raw = (
+        F.lit(alpha)
+        * F.lit(float(m))
+        * F.lit(float(m))
+        * F.lit(float(2 ** (w_bits + 1)))
+        / F.col("_s").cast("double")
+    )
+    est = F.when(
+        (raw < 2.5 * m) & (F.col("_z") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_z")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("_z").cast("long").alias("n_zero"),
+        F.round(raw, 9).alias("raw_estimate"),
+        F.round(est, 9).alias("estimate"),
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union HLL sketches: register-wise max — exact, so
+    ``hll_merge(sketch(A), sketch(B))`` equals ``sketch(A ∪ B)``
+    register for register."""
+    if not register_tables:
+        raise ValueError("hll_merge: need at least one sketch")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))

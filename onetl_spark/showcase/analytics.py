@@ -1858,3 +1858,62 @@ FROM est JOIN exact USING (user_id)
 
 SPARK_QUERIES["events_user_cms_counts"] = events_user_cms_counts
 ORACLE_SQL["events_user_cms_counts"] = _cms_sql()
+
+
+def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users (`operators/sketches.py
+    hll_registers/hll_merge/hll_estimate`): one sketch PER EVENT TYPE
+    merged register-wise, then estimated — the oracle sketches the whole
+    corpus directly, so the hash match PROVES merge exactness
+    (sketch(A∪B) == merge(sketch(A), sketch(B)) register for register).
+    Exact distinct included for the error context."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    ev = spark.table("events")
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    sketches = [
+        hll_registers(ev.filter(F.col("event_type") == t), "user_id", b=8)
+        for t in sorted(types)
+    ]
+    merged = hll_merge(*sketches)
+    est = hll_estimate(merged, b=8)
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+EVENTS_HLL_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), obs AS (
+  SELECT CAST(h % 256 AS INTEGER) AS bucket,
+         CASE WHEN h // 256 = 0 THEN 53
+              ELSE 52 - length(bin(h // 256)) + 1 END AS rho
+  FROM h
+), reg AS (
+  SELECT bucket, MAX(rho) AS rho FROM obs GROUP BY bucket
+), allb AS (
+  SELECT CAST(r.i AS INTEGER) AS bucket FROM range(0, 256) r(i)
+), fullr AS (
+  SELECT allb.bucket, COALESCE(reg.rho, 0) AS rho
+  FROM allb LEFT JOIN reg USING (bucket)
+), agg AS (
+  SELECT CAST(SUM(CAST(pow(2.0, 53 - rho) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+  FROM fullr
+), est AS (
+  SELECT CAST(0.718272593250 AS DOUBLE) * CAST(256 AS DOUBLE) * CAST(256 AS DOUBLE)
+         * CAST(9007199254740992 AS DOUBLE) / CAST(s AS DOUBLE) AS raw, z
+  FROM agg
+)
+SELECT CAST(256 AS BIGINT) AS m, z AS n_zero,
+       round(raw, 9) AS raw_estimate,
+       round(CASE WHEN raw < CAST(640 AS DOUBLE) AND z > 0
+                  THEN CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE) / z) ELSE raw END, 9) AS estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+FROM est
+"""
+
+SPARK_QUERIES["events_user_hll_distinct"] = events_user_hll_distinct
+ORACLE_SQL["events_user_hll_distinct"] = EVENTS_HLL_SQL

@@ -392,3 +392,34 @@ def test_cms_one_sided_error_and_mergeability(spark):
 
     with _pt.raises(ValueError, match="positive"):
         cms_sketch(df, "k", width=0)
+
+
+def test_hll_accuracy_and_merge_exactness(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    reg = hll_registers(df, "k", b=8)
+    est = hll_estimate(reg, b=8).collect()[0]
+    # standard error ~ 1.04/sqrt(256) ≈ 6.5%; allow 3 sigma
+    assert abs(est["estimate"] - 5000) / 5000 < 0.2
+    assert est["m"] == 256
+
+    # merge exactness: sketch(evens) ⊔ sketch(odds) == sketch(all)
+    a = hll_registers(df.filter("k % 2 = 0"), "k", b=8)
+    b_ = hll_registers(df.filter("k % 2 = 1"), "k", b=8)
+    merged = {r["bucket"]: r["rho"] for r in hll_merge(a, b_).collect()}
+    whole = {r["bucket"]: r["rho"] for r in reg.collect()}
+    assert merged == whole
+
+    # small-range linear counting: tiny set estimated near-exactly
+    tiny = spark.range(10).select(F.col("id").alias("k"))
+    e = hll_estimate(hll_registers(tiny, "k", b=8), b=8).collect()[0]
+    assert abs(e["estimate"] - 10) < 2
+    assert e["n_zero"] >= 246
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="b must be"):
+        hll_registers(df, "k", b=2)
