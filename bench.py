@@ -161,6 +161,7 @@ HEADLINE = [
     "supplier_kcore",
     "events_user_cms_counts",
     "events_user_hll_distinct",
+    "user_activity_spearman",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

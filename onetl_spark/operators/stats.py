@@ -376,3 +376,83 @@ def association_lift(
             ).alias("lift"),
         )
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact Spearman rank correlation (tie-averaged ranks) — the
+    monotone-dependence companion to Pearson (robust to outliers and
+    nonlinearity; the feature-screening default for skewed metrics).
+
+    Exactness: the tie-averaged rank of a value is
+    ``cum_before + (n_v + 1)/2``; DOUBLED ranks
+    (``2·cum_before + n_v + 1``) are integers, Pearson is scale-
+    invariant, so all five moment sums run as exact decimal integers
+    into the shared :func:`pearson_from_moments` parenthesization. Rank
+    assignment per column uses the same bucketed distributed prefix-sum
+    as the KS/Mann-Whitney ECDFs (distinct-value relations, driver
+    offsets, NO single-partition window), then joins back to rows by
+    value. Rows with a NULL in either column are excluded (pairwise
+    deletion). Returns ``(n, spearman_rho)``.
+    """
+    from pyspark.sql.window import Window as W
+
+    from onetl_spark.operators.ranking import (
+        ascending_bucket,
+        bucket_prefix_offsets,
+        prefix_offset_expr,
+    )
+
+    pairs = df.select(
+        F.col(col_a).cast("double").alias("_a"),
+        F.col(col_b).cast("double").alias("_b"),
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    pairs = pairs.localCheckpoint(eager=True)
+
+    def doubled_ranks(col: str, alias: str) -> DataFrame:
+        counts = (
+            pairs.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("_nv"))
+            .localCheckpoint(eager=True)
+        )
+        qs = [i / buckets for i in range(1, buckets)]
+        bounds = sorted(set(counts.stat.approxQuantile(col, qs, 0.001)))
+        t = counts.withColumn("_bkt", ascending_bucket(bounds, F.col(col)))
+        per_bucket = {
+            r["_bkt"]: r["s"]
+            for r in t.groupBy("_bkt").agg(F.sum("_nv").alias("s")).collect()
+        }
+        off, _total = bucket_prefix_offsets(per_bucket, len(bounds) + 1)
+        w = (
+            W.partitionBy("_bkt")
+            .orderBy(col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return t.select(
+            col,
+            (
+                F.lit(2)
+                * (F.sum("_nv").over(w) + prefix_offset_expr(off, "_bkt") - F.col("_nv"))
+                + F.col("_nv")
+                + F.lit(1)
+            ).alias(alias),
+        )
+    ra = doubled_ranks("_a", "_ra")
+    rb = doubled_ranks("_b", "_rb")
+    ranked = pairs.join(ra, "_a").join(rb, "_b")
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_ra").cast("decimal(30,0)")).cast("double").alias("sx"),
+        F.sum(F.col("_rb").cast("decimal(30,0)")).cast("double").alias("sy"),
+        F.sum((F.col("_ra") * F.col("_rb")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((F.col("_ra") * F.col("_ra")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((F.col("_rb") * F.col("_rb")).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    return pearson_from_moments(m, n_col="n").select(
+        F.col("n").cast("long").alias("n"),
+        F.col("pearson_r").alias("spearman_rho"),
+    )

@@ -1917,3 +1917,62 @@ FROM est
 
 SPARK_QUERIES["events_user_hll_distinct"] = events_user_hll_distinct
 ORACLE_SQL["events_user_hll_distinct"] = EVENTS_HLL_SQL
+
+
+def user_activity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between per-user event count and
+    per-user total value (`operators/stats.py spearman_correlation`) —
+    does activity track spend monotonically? Tie-averaged ranks as exact
+    doubled integers through the shared Pearson parenthesization."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.stats import spearman_correlation
+
+    per_user = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+    return spearman_correlation(per_user, "n_events", "total_value")
+
+
+USER_SPEARMAN_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS DOUBLE) AS a, {sql_dsum('value')} AS b
+  FROM events GROUP BY user_id
+), pairs AS (
+  SELECT a, b FROM per_user WHERE a IS NOT NULL AND b IS NOT NULL
+), ca AS (
+  SELECT a, COUNT(*) AS nv FROM pairs GROUP BY a
+), ra AS (
+  SELECT a, 2 * (SUM(nv) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - nv) + nv + 1 AS dr
+  FROM ca
+), cb AS (
+  SELECT b, COUNT(*) AS nv FROM pairs GROUP BY b
+), rb AS (
+  SELECT b, 2 * (SUM(nv) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - nv) + nv + 1 AS dr
+  FROM cb
+), ranked AS (
+  SELECT ra.dr AS x, rb.dr AS y
+  FROM pairs JOIN ra USING (a) JOIN rb USING (b)
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 0), 9) AS spearman_rho
+FROM m
+"""
+
+SPARK_QUERIES["user_activity_spearman"] = user_activity_spearman
+ORACLE_SQL["user_activity_spearman"] = USER_SPEARMAN_SQL

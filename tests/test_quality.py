@@ -423,3 +423,39 @@ def test_hll_accuracy_and_merge_exactness(spark):
 
     with _pt.raises(ValueError, match="b must be"):
         hll_registers(df, "k", b=2)
+
+
+def test_spearman_hand_cases(spark):
+    from onetl_spark.operators.stats import spearman_correlation
+
+    # perfectly monotone nonlinear -> rho = 1 (Pearson would be < 1)
+    mono = spark.createDataFrame(
+        [(float(i), float(i**3)) for i in range(1, 11)], "a double, b double"
+    )
+    r = spearman_correlation(mono, "a", "b").collect()[0]
+    assert r["spearman_rho"] == 1.0 and r["n"] == 10
+
+    # reversed -> -1
+    rev = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 11)], "a double, b double"
+    )
+    assert spearman_correlation(rev, "a", "b").collect()[0]["spearman_rho"] == -1.0
+
+    # ties: a=[1,2,2,3], b=[10,20,20,30] — ranks tie identically -> 1.0
+    ties = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 30.0)], "a double, b double"
+    )
+    assert spearman_correlation(ties, "a", "b").collect()[0]["spearman_rho"] == 1.0
+
+    # constant column -> zero variance -> NULL (pinned degenerate case)
+    const = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "a double, b double"
+    )
+    assert spearman_correlation(const, "a", "b").collect()[0]["spearman_rho"] is None
+
+    # NULL rows pairwise-deleted
+    withnull = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, None), (3.0, 9.0)], "a double, b double"
+    )
+    r = spearman_correlation(withnull, "a", "b").collect()[0]
+    assert r["n"] == 2 and r["spearman_rho"] == 1.0
