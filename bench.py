@@ -162,6 +162,7 @@ HEADLINE = [
     "events_user_cms_counts",
     "events_user_hll_distinct",
     "user_activity_spearman",
+    "corpus_zipf_fit",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

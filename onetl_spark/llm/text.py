@@ -1027,3 +1027,56 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(k)
+
+
+def zipf_fit(
+    df,
+    text_col: str = "text",
+    top_k: int = 256,
+):
+    """Zipf's-law fit of the term frequency distribution: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` over the top-``top_k`` terms — natural
+    language sits near −1; a corpus drifting toward 0 (too uniform:
+    template/boilerplate floods) or steeply below −1 (a few tokens
+    dominating: spam/degenerate generations) fails the health check.
+
+    One corpus term count (map-side combined) + ``TakeOrdered(top_k)``;
+    ranking and the regression run on the ``top_k``-row relation, which
+    is bounded by construction (the one place a plain window is fine).
+    Log terms round to 9, their products round then accumulate as exact
+    decimals — the repo's standard cross-engine discipline. Returns one
+    row ``(n_terms, slope, intercept)``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    freqs = (
+        df.select(F.explode(word_tokens(text_col)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_f"))
+        .orderBy(F.desc("_f"), F.asc("_w"))
+        .limit(top_k)
+    )
+    w = W.orderBy(F.desc("_f"), F.asc("_w"))
+    xy = freqs.withColumn("_rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("_rank").cast("double")), 9).alias("_x"),
+        F.round(F.log(F.col("_f").cast("double")), 9).alias("_y"),
+    )
+    dec = "decimal(25,9)"
+    dec2 = "decimal(30,9)"
+    m = xy.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).cast("double").alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).cast("double").alias("_sy"),
+        F.sum(F.round(F.col("_x") * F.col("_y"), 9).cast(dec2)).cast("double").alias("_sxy"),
+        F.sum(F.round(F.col("_x") * F.col("_x"), 9).cast(dec2)).cast("double").alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return m.select(
+        F.col("_n").cast("long").alias("n_terms"),
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("_sy") - slope * F.col("_sx")) / n, 9).alias("intercept"),
+    )

@@ -2863,3 +2863,42 @@ FROM deb
 
 SPARK_QUERIES["embedding_debias_residuals"] = embedding_debias_residuals
 ORACLE_SQL["embedding_debias_residuals"] = _debias_sql()
+
+
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/intercept of the corpus term distribution
+    (`llm/text.py zipf_fit`, top 256 terms) — the language-health check
+    (natural text ~ -1)."""
+    ensure_views(spark, sf_dir)
+    return text.zipf_fit(spark.table("documents"), top_k=256)
+
+
+ZIPF_SQL = rf"""
+WITH w AS (
+  SELECT unnest({SQL_TOKENS}) AS w FROM documents
+), f AS (
+  SELECT w, COUNT(*) AS f FROM w GROUP BY w
+  ORDER BY f DESC, w ASC LIMIT 256
+), xy AS (
+  SELECT round(ln(CAST(row_number() OVER (ORDER BY f DESC, w ASC) AS DOUBLE)), 9) AS x,
+         round(ln(CAST(f AS DOUBLE)), 9) AS y
+  FROM f
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(25,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(25,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+       round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n AS DOUBLE), 9) AS intercept
+FROM m
+"""
+
+SPARK_QUERIES["corpus_zipf_fit"] = corpus_zipf_fit
+ORACLE_SQL["corpus_zipf_fit"] = ZIPF_SQL

@@ -1330,3 +1330,23 @@ def test_top_principal_component_matches_numpy(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with _pt.raises(ValueError, match="empty"):
         top_principal_component(empty)
+
+
+def test_zipf_fit_synthetic_slopes(spark):
+    from onetl_spark.llm.text import zipf_fit
+
+    # term r appears floor(2000/r) times -> log-log slope near -1
+    words = []
+    for r in range(1, 21):
+        words += [f"t{r:02d}"] * (2000 // r)
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    row = zipf_fit(df, top_k=20).collect()[0]
+    assert row["n_terms"] == 20
+    assert abs(row["slope"] + 1.0) < 0.05
+
+    # perfectly uniform frequencies -> slope 0
+    uni = spark.createDataFrame(
+        [(0, " ".join(f"u{r}" for r in range(30)) * 10)], "doc_id long, text string"
+    )
+    row = zipf_fit(uni, top_k=30).collect()[0]
+    assert row["slope"] == 0.0
