@@ -1346,7 +1346,8 @@ def test_zipf_fit_synthetic_slopes(spark):
 
     # perfectly uniform frequencies -> slope 0
     uni = spark.createDataFrame(
-        [(0, " ".join(f"u{r}" for r in range(30)) * 10)], "doc_id long, text string"
+        [(0, (" ".join(f"u{r}" for r in range(30)) + " ") * 10)],
+        "doc_id long, text string",
     )
     row = zipf_fit(uni, top_k=30).collect()[0]
     assert row["slope"] == 0.0
