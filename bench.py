@@ -163,6 +163,8 @@ HEADLINE = [
     "events_user_hll_distinct",
     "user_activity_spearman",
     "corpus_zipf_fit",
+    "embedding_dim_health",
+    "lang_id_confusion",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -2902,3 +2902,115 @@ FROM m
 
 SPARK_QUERIES["corpus_zipf_fit"] = corpus_zipf_fit
 ORACLE_SQL["corpus_zipf_fit"] = ZIPF_SQL
+
+
+def embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health report: mean and variance for every embedding
+    dimension (decimal-exact sums), plus a dead-dimension flag —
+    collapsed dimensions (variance ~ 0) are the classic sign of a broken
+    encoder head or over-aggressive quantization. One exploded scan,
+    map-side combined into dim-sized partials."""
+    ensure_views(spark, sf_dir)
+    dims = spark.table("embeddings").select(
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "_x")
+    )
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast("decimal(38,12)")).alias("_s"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,12)")).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = (
+        F.col("_ss").cast("double") / F.col("_n")
+        - (F.col("_s").cast("double") / F.col("_n"))
+        * (F.col("_s").cast("double") / F.col("_n"))
+    )
+    return agg.select(
+        "dim",
+        F.col("_n").cast("long").alias("n"),
+        F.round(mean, 9).alias("mean"),
+        F.round(var, 9).alias("variance"),
+        (var < 1e-6).alias("dead"),
+    )
+
+
+DIM_HEALTH_SQL = """
+WITH dims AS (
+  SELECT r.i - 1 AS dim, CAST(embedding[r.i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) r(i)
+), agg AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DECIMAL(38,12))) AS s,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS ss
+  FROM dims GROUP BY dim
+)
+SELECT CAST(dim AS INTEGER) AS dim, n,
+       round(CAST(s AS DOUBLE) / n, 9) AS mean,
+       round(CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 9) AS variance,
+       (CAST(ss AS DOUBLE) / n
+        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) < 1e-6 AS dead
+FROM agg
+"""
+
+SPARK_QUERIES["embedding_dim_health"] = embedding_dim_health
+ORACLE_SQL["embedding_dim_health"] = DIM_HEALTH_SQL
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier vs the
+    labeled lang column (`llm/text.py lang_id`): per (labeled, predicted)
+    cell count plus per-label recall — the eval every lang-ID heuristic
+    ships with. Scan-side prediction, one cell-sized aggregate."""
+    ensure_views(spark, sf_dir)
+    pred = spark.table("documents").select(
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("labeled"),
+        text.lang_id(F.col("text")).alias("predicted"),
+    )
+    cells = pred.groupBy("labeled", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    totals = cells.groupBy("labeled").agg(F.sum("n").alias("_t"))
+    return (
+        cells.join(totals, "labeled")
+        .select(
+            "labeled",
+            "predicted",
+            "n",
+            F.round(F.col("n") / F.col("_t"), 9).alias("share_of_label"),
+        )
+    )
+
+
+def _lang_confusion_sql() -> str:
+    score_cols = []
+    for lang, words in text.LANG_STOPWORDS.items():
+        arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(f"len(list_intersect(dw, {arr})) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in text.LANG_PRIORITY) + ")"
+    cases = " ".join(
+        f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in text.LANG_PRIORITY
+    )
+    return rf"""
+WITH t AS (
+  SELECT COALESCE(lang, '<null>') AS labeled, list_distinct({SQL_TOKENS}) AS dw
+  FROM documents
+), s AS (
+  SELECT labeled, {', '.join(score_cols)} FROM t
+), b AS (
+  SELECT *, {best} AS best FROM s
+), pred AS (
+  SELECT labeled, CASE {cases} ELSE 'und' END AS predicted FROM b
+), cells AS (
+  SELECT labeled, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+), totals AS (
+  SELECT labeled, SUM(n) AS t FROM cells GROUP BY labeled
+)
+SELECT cells.labeled, cells.predicted, CAST(cells.n AS BIGINT) AS n,
+       round(CAST(cells.n AS DOUBLE) / totals.t, 9) AS share_of_label
+FROM cells JOIN totals USING (labeled)
+"""
+
+
+SPARK_QUERIES["lang_id_confusion"] = lang_id_confusion
+ORACLE_SQL["lang_id_confusion"] = _lang_confusion_sql()
