@@ -165,6 +165,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "embedding_dim_health",
     "lang_id_confusion",
+    "events_type_twap",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

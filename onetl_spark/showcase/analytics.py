@@ -1976,3 +1976,60 @@ FROM m
 
 SPARK_QUERIES["user_activity_spearman"] = user_activity_spearman
 ORACLE_SQL["user_activity_spearman"] = USER_SPEARMAN_SQL
+
+
+def events_type_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP): each event's
+    value holds until the type's next event, weighted by the held
+    microseconds — the metrics-pipeline average that a plain mean gets
+    wrong under irregular sampling. One lead() window per type (single
+    shuffle), integer µs weights, decimal-exact weighted sums."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    held = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "ts", "event_id", "value")
+        .withColumn(
+            "_held_us",
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+        )
+        .filter(F.col("_held_us").isNotNull())  # last event holds nothing
+    )
+    agg = held.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("_held_us").alias("_total_us"),
+        # (14,6)x(18,0) -> decimal(33,6): inside the 38 cap on BOTH
+        # engines (a (20,6) cast needed 39 and silently lost scale)
+        F.sum(
+            (F.col("value").cast("decimal(14,6)") * F.col("_held_us").cast("decimal(18,0)"))
+        ).alias("_vw"),
+    )
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        F.round(
+            F.col("_vw").cast("double") / F.col("_total_us").cast("double"), 9
+        ).alias("twap"),
+    ).orderBy("event_type")
+
+
+EVENTS_TWAP_SQL = """
+WITH held AS (
+  SELECT event_type, value,
+         lead(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           - epoch_us(CAST(ts AS TIMESTAMP)) AS held_us
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       round(CAST(SUM(CAST(value AS DECIMAL(14,6)) * CAST(held_us AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(SUM(held_us) AS DOUBLE), 9) AS twap
+FROM held WHERE held_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+SPARK_QUERIES["events_type_twap"] = events_type_twap
+ORACLE_SQL["events_type_twap"] = EVENTS_TWAP_SQL
