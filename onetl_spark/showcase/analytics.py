@@ -2025,7 +2025,10 @@ WITH held AS (
   FROM events WHERE value IS NOT NULL
 )
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
-       round(CAST(SUM(CAST(value AS DECIMAL(14,6)) * CAST(held_us AS DECIMAL(18,0))) AS DOUBLE)
+       -- DECIMAL(20,6) forces DuckDB's HUGEINT multiply path (an 18-wide
+       -- operand pair overflows its INT64 fast path); both engines'
+       -- products are exact, so the widths need not match
+       round(CAST(SUM(CAST(value AS DECIMAL(20,6)) * CAST(held_us AS DECIMAL(18,0))) AS DOUBLE)
              / CAST(SUM(held_us) AS DOUBLE), 9) AS twap
 FROM held WHERE held_us IS NOT NULL
 GROUP BY event_type ORDER BY event_type
