@@ -166,6 +166,7 @@ HEADLINE = [
     "embedding_dim_health",
     "lang_id_confusion",
     "events_type_twap",
+    "ab_conversion_ztest",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -2036,3 +2036,79 @@ GROUP BY event_type ORDER BY event_type
 
 SPARK_QUERIES["events_type_twap"] = events_type_twap
 ORACLE_SQL["events_type_twap"] = EVENTS_TWAP_SQL
+
+
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (did the user purchase?)
+    between deterministic hash-split cohorts — the categorical companion
+    to `ab_value_ttest`. Per-user conversion flags from one aggregate;
+    pooled-proportion z in one pinned double expression; cohorts split
+    by md5 parity so any engine reproduces the assignment."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    users = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("_conv")
+        )
+        .select(
+            F.when(F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)) == 0,
+                   F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+            "_conv",
+        )
+    )
+    agg = users.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_conv").alias("_c")
+    )
+    a = agg.filter("grp = 'a'").select(
+        F.col("_n").alias("_na"), F.col("_c").alias("_ca")
+    )
+    b = agg.filter("grp = 'b'").select(
+        F.col("_n").alias("_nb"), F.col("_c").alias("_cb")
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    ca, cb = F.col("_ca").cast("double"), F.col("_cb").cast("double")
+    p1, p2 = ca / na, cb / nb
+    pooled = (ca + cb) / (na + nb)
+    se = F.sqrt(pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se == 0, F.lit(None)).otherwise(F.round((p1 - p2) / se, 9))
+    return j.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_ca").cast("long").alias("conv_a"),
+        F.col("_cb").cast("long").alias("conv_b"),
+        F.round(p1, 9).alias("rate_a"),
+        F.round(p2, 9).alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+AB_ZTEST_SQL = """
+WITH users AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 'a' ELSE 'b' END AS grp,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+  FROM users GROUP BY grp
+), j AS (
+  SELECT a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb
+  FROM (SELECT * FROM agg WHERE grp = 'a') a
+  CROSS JOIN (SELECT * FROM agg WHERE grp = 'b') b
+)
+SELECT na AS n_a, nb AS n_b, ca AS conv_a, cb AS conv_b,
+       round(CAST(ca AS DOUBLE) / na, 9) AS rate_a,
+       round(CAST(cb AS DOUBLE) / nb, 9) AS rate_b,
+       round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / NULLIF(sqrt((CAST(ca AS DOUBLE) + cb) / (CAST(na AS DOUBLE) + nb)
+                    * (1.0 - (CAST(ca AS DOUBLE) + cb) / (CAST(na AS DOUBLE) + nb))
+                    * (1.0 / na + 1.0 / nb)), 0), 9) AS z_score
+FROM j
+"""
+
+SPARK_QUERIES["ab_conversion_ztest"] = ab_conversion_ztest
+ORACLE_SQL["ab_conversion_ztest"] = AB_ZTEST_SQL
