@@ -167,6 +167,7 @@ HEADLINE = [
     "lang_id_confusion",
     "events_type_twap",
     "ab_conversion_ztest",
+    "source_distinct_ngrams",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

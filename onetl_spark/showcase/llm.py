@@ -3014,3 +3014,80 @@ FROM cells JOIN totals USING (labeled)
 
 SPARK_QUERIES["lang_id_confusion"] = lang_id_confusion
 ORACLE_SQL["lang_id_confusion"] = _lang_confusion_sql()
+
+
+def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (distinct-1 and distinct-2: unique
+    n-grams / total n-grams) — the standard degenerate-repetition metric
+    for generated text (low distinct-2 = the model loops). Two
+    map-side-combined aggregates over exploded tokens/bigrams; ratios
+    rounded to 9."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = docs.select("source", text.word_tokens("text").alias("_w"))
+    uni = toks.select("source", F.explode("_w").alias("_t"))
+    n1 = F.greatest(F.size("_w") - 1, F.lit(0))
+    bi = toks.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("_w", 1, n1),
+                F.slice("_w", 2, n1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("_b"),
+    )
+    u = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("_t").alias("d_tokens"),
+    )
+    b = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("_b").alias("d_bigrams"),
+    )
+    return (
+        u.join(b, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            "d_tokens",
+            F.round(F.col("d_tokens") / F.col("n_tokens"), 9).alias("distinct_1"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("d_bigrams", F.lit(0)).alias("d_bigrams"),
+            F.round(
+                F.col("d_bigrams") / F.greatest(F.col("n_bigrams"), F.lit(1)), 9
+            ).alias("distinct_2"),
+        )
+        .orderBy("source")
+    )
+
+
+DISTINCT_N_SQL = rf"""
+WITH t AS (
+  SELECT source, {SQL_TOKENS} AS w FROM documents
+), uni AS (
+  SELECT source, unnest(w) AS tok FROM t
+), bi AS (
+  SELECT source, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM t WHERE len(w) >= 2
+), u AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS d_tokens
+  FROM uni GROUP BY source
+), b AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT bg) AS BIGINT) AS d_bigrams
+  FROM bi GROUP BY source
+)
+SELECT u.source, u.n_tokens, u.d_tokens,
+       round(CAST(u.d_tokens AS DOUBLE) / u.n_tokens, 9) AS distinct_1,
+       COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       COALESCE(b.d_bigrams, 0) AS d_bigrams,
+       round(CAST(COALESCE(b.d_bigrams, 0) AS DOUBLE)
+             / greatest(COALESCE(b.n_bigrams, 0), 1), 9) AS distinct_2
+FROM u LEFT JOIN b USING (source)
+ORDER BY u.source
+"""
+
+SPARK_QUERIES["source_distinct_ngrams"] = source_distinct_ngrams
+ORACLE_SQL["source_distinct_ngrams"] = DISTINCT_N_SQL
