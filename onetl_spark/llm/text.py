@@ -1072,9 +1072,11 @@ def zipf_fit(
         F.sum(F.round(F.col("_x") * F.col("_x"), 9).cast(dec2)).cast("double").alias("_sxx"),
     )
     n = F.col("_n").cast("double")
-    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
-        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    )
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    # single-term corpus (or top_k=1): zero rank variance -> NULL, the
+    # repo-wide degenerate-case convention (oracles NULLIF)
+    den = F.when(den == 0, F.lit(None)).otherwise(den)
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den
     return m.select(
         F.col("_n").cast("long").alias("n_terms"),
         F.round(slope, 9).alias("slope"),

@@ -431,9 +431,11 @@ def winsorized_stats(
     )
 
 
+import math
+
 #: Benford expected first-digit shares log10(1 + 1/d), emitted as fixed
 #: 12-decimal literals so external SQL oracles can embed the SAME numbers
-BENFORD_P = {d: float(f"{__import__('math').log10(1 + 1 / d):.12f}") for d in range(1, 10)}
+BENFORD_P = {d: float(f"{math.log10(1 + 1 / d):.12f}") for d in range(1, 10)}
 
 
 def benford_first_digit(df: DataFrame, column: str) -> DataFrame:

@@ -307,3 +307,45 @@ def gini_coefficient(
         .otherwise(gini)
         .alias("gini"),
     )
+
+
+def stitched_cumsums(
+    counts: DataFrame,
+    value_col: str,
+    weight_cols: "tuple[str, ...]",
+    buckets: int = 32,
+) -> "tuple[DataFrame, dict[str, int]]":
+    """Shared scaffold for global cumulative sums over a DISTINCT-value
+    relation (the KS/Mann-Whitney/Spearman rank machinery): bucket the
+    values by sampled quantiles, run per-bucket inclusive cumulative
+    sums of every weight column, and stitch them global with driver
+    prefix offsets — no single-partition window anywhere.
+
+    ``counts`` must already be one row per distinct value (and stable
+    across jobs — localCheckpoint upstream; every caller here does).
+    Returns ``(frame, totals)``: the input columns plus ``_cum_<w>``
+    (inclusive global cumsum) per weight, and each weight's grand total.
+    """
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(counts.stat.approxQuantile(value_col, qs, 0.001)))
+    t = counts.withColumn("_bkt", ascending_bucket(bounds, F.col(value_col)))
+    per_bucket = t.groupBy("_bkt").agg(
+        *[F.sum(wc).alias(wc) for wc in weight_cols]
+    ).collect()
+    n_buckets = len(bounds) + 1
+    offs, totals = {}, {}
+    for wc in weight_cols:
+        offs[wc], totals[wc] = bucket_prefix_offsets(
+            {r["_bkt"]: r[wc] for r in per_bucket}, n_buckets
+        )
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = t
+    for wc in weight_cols:
+        out = out.withColumn(
+            f"_cum_{wc}", F.sum(wc).over(w) + prefix_offset_expr(offs[wc], "_bkt")
+        )
+    return out.drop("_bkt"), totals

@@ -270,7 +270,17 @@ def cms_sketch(
     ``(row, bucket, cnt)``."""
     if width < 1 or depth < 1:
         raise ValueError("cms_sketch: width and depth must be positive")
-    cells = F.array(
+    return (
+        df.select(F.explode(_cms_cells(key_col, width, depth)).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _cms_cells(key_col: str, width: int, depth: int):
+    """The (row, bucket) cell coordinates of a key — ONE definition shared
+    by build and probe (divergent hashing would silently undercount)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
@@ -284,11 +294,6 @@ def cms_sketch(
             for i in range(depth)
         ]
     )
-    return (
-        df.select(F.explode(cells).alias("_c"))
-        .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
 
 
 def cms_estimate(
@@ -300,27 +305,23 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates from a :func:`cms_sketch`: for each key,
     ``min_i counter[i][h_i(key)]``. The sketch (depth·width rows)
-    broadcasts against the key list; missing cells read 0."""
+    broadcasts against the key list; missing cells read 0. The sketch's
+    geometry is VALIDATED against the probe parameters — probing with
+    the wrong depth/width finds empty cells and would silently invert
+    the never-undercount guarantee into a total undercount."""
+    geom = sketch.agg(
+        F.max("row").alias("_mr"), F.max("bucket").alias("_mb")
+    ).collect()[0]
+    if geom["_mr"] is not None and (
+        geom["_mr"] >= depth or geom["_mb"] >= width
+    ):
+        raise ValueError(
+            f"cms_estimate: sketch geometry (max row {geom['_mr']}, max "
+            f"bucket {geom['_mb']}) exceeds probe depth={depth}/width={width}"
+        )
     probes = keys.select(
         F.col(key_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        F.pmod(
-                            md5_long(
-                                F.concat(
-                                    F.lit(f"{i}:"), F.col(key_col).cast("string")
-                                )
-                            ),
-                            F.lit(width),
-                        ).cast("int").alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("_p"),
+        F.explode(_cms_cells(key_col, width, depth)).alias("_p"),
     ).select(key_col, F.col("_p.row").alias("row"), F.col("_p.bucket").alias("bucket"))
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
@@ -402,6 +403,12 @@ def hll_estimate(registers: DataFrame, b: int = 8) -> DataFrame:
     m = 1 << b
     w_bits = _HLL_HASH_BITS - b
     alpha = _hll_alpha(m)
+    n_regs = registers.count()
+    if n_regs != m:
+        raise ValueError(
+            f"hll_estimate: register table has {n_regs} rows, expected "
+            f"m=2^{b}={m} — the sketch was built with a different b"
+        )
     # 2^(W+1-rho) via shift on a decimal-safe path: rho<=W+1 so exp>=0
     term = F.pow(F.lit(2.0), F.lit(w_bits + 1) - F.col("rho")).cast("decimal(38,0)")
     agg = registers.agg(

@@ -51,8 +51,6 @@ def ks_two_sample(
     localCheckpointed once and reused by the quantile probe, the bucket
     totals, and the ECDF pass.
     """
-    from pyspark.sql.window import Window as W
-
     a = df_ref.select(F.col(column).cast("double").alias("_v")).filter(
         F.col("_v").isNotNull()
     )
@@ -74,35 +72,14 @@ def ks_two_sample(
         )
         .localCheckpoint(eager=True)
     )
-    qs = [i / buckets for i in range(1, buckets)]
-    bounds = sorted(set(counts.stat.approxQuantile("_v", qs, 0.001)))
+    from onetl_spark.operators.ranking import stitched_cumsums
 
-    from onetl_spark.operators.ranking import ascending_bucket
-
-    t = counts.withColumn("_bkt", ascending_bucket(bounds, F.col("_v")))
-    per_bucket = {
-        r["_bkt"]: (r["sa"], r["sb"])
-        for r in t.groupBy("_bkt")
-        .agg(F.sum("_na").alias("sa"), F.sum("_nb").alias("sb"))
-        .collect()
-    }
-    from onetl_spark.operators.ranking import bucket_prefix_offsets, prefix_offset_expr
-
-    n_buckets = len(bounds) + 1
-    off_a, acc_a = bucket_prefix_offsets(
-        {b: sa for b, (sa, _) in per_bucket.items()}, n_buckets
-    )
-    off_b, acc_b = bucket_prefix_offsets(
-        {b: sb for b, (_, sb) in per_bucket.items()}, n_buckets
-    )
+    stitched, totals = stitched_cumsums(counts, "_v", ("_na", "_nb"), buckets)
+    acc_a, acc_b = totals["_na"], totals["_nb"]
     if acc_a == 0 or acc_b == 0:
         raise ValueError("ks_two_sample: both samples must be non-empty")
-
-    w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ecdf = t.select(
-        "_v",
-        (F.sum("_na").over(w) + prefix_offset_expr(off_a, "_bkt")).alias("_ca"),
-        (F.sum("_nb").over(w) + prefix_offset_expr(off_b, "_bkt")).alias("_cb"),
+    ecdf = stitched.select(
+        "_v", F.col("_cum__na").alias("_ca"), F.col("_cum__nb").alias("_cb")
     )
     d = ecdf.select(
         "_v",
@@ -147,14 +124,6 @@ def mann_whitney_u(
     bucketed distributed prefix-sum shape as :func:`ks_two_sample` (no
     single-partition window); NULLs excluded.
     """
-    from pyspark.sql.window import Window as W
-
-    from onetl_spark.operators.ranking import (
-        ascending_bucket,
-        bucket_prefix_offsets,
-        prefix_offset_expr,
-    )
-
     a = df_ref.select(F.col(column).cast("double").alias("_v")).filter(
         F.col("_v").isNotNull()
     )
@@ -176,45 +145,34 @@ def mann_whitney_u(
         )
         .localCheckpoint(eager=True)
     )
-    qs = [i / buckets for i in range(1, buckets)]
-    bounds = sorted(set(counts.stat.approxQuantile("_v", qs, 0.001)))
-    t = counts.withColumn("_bkt", ascending_bucket(bounds, F.col("_v")))
-    per_bucket = {
-        r["_bkt"]: (r["s"], r["sa"])
-        for r in t.groupBy("_bkt")
-        .agg(
-            F.sum(F.col("_na") + F.col("_nb")).alias("s"),
-            F.sum("_na").alias("sa"),
-        )
-        .collect()
-    }
-    n_buckets = len(bounds) + 1
-    off_all, n_total = bucket_prefix_offsets(
-        {k: s for k, (s, _) in per_bucket.items()}, n_buckets
-    )
-    _, n_a = bucket_prefix_offsets(
-        {k: sa for k, (_, sa) in per_bucket.items()}, n_buckets
-    )
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    counts = counts.withColumn("_nv", F.col("_na") + F.col("_nb"))
+    stitched, totals = stitched_cumsums(counts, "_v", ("_nv", "_na"), buckets)
+    n_total, n_a = totals["_nv"], totals["_na"]
     n_b = n_total - n_a
     if n_a == 0 or n_b == 0:
         raise ValueError("mann_whitney_u: both samples must be non-empty")
 
-    w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
-    nv = F.col("_na") + F.col("_nb")
-    staged = t.select(
+    staged = stitched.select(
         "_na",
-        nv.alias("_nv"),
-        (F.sum(nv).over(w) + prefix_offset_expr(off_all, "_bkt") - nv).alias("_before"),
+        "_nv",
+        (F.col("_cum__nv") - F.col("_nv")).alias("_before"),
     )
-    # 2·ranksum = Σ na·(2·before + nv + 1): exact integers end to end
+    # 2·ranksum = Σ na·(2·before + nv + 1): exact integers end to end —
+    # in DECIMAL, because a value tied >2.1M times would overflow the
+    # LONG cube (the oracle's HUGEINT would not, silently diverging)
+    nvd = F.col("_nv").cast("decimal(12,0)")
     m = staged.agg(
         F.sum(
-            F.col("_na") * (F.lit(2) * F.col("_before") + F.col("_nv") + F.lit(1))
+            F.col("_na").cast("decimal(12,0)")
+            * (
+                F.lit(2).cast("decimal(1,0)") * F.col("_before").cast("decimal(14,0)")
+                + nvd
+                + F.lit(1)
+            )
         ).alias("_rs2"),
-        # tie-correction term Σ (t³ − t) over tied groups
-        F.sum(
-            F.col("_nv") * F.col("_nv") * F.col("_nv") - F.col("_nv")
-        ).alias("_ties"),
+        F.sum(nvd * nvd * nvd - nvd).alias("_ties"),
     )
     na_d, nb_d, n_d = float(n_a), float(n_b), float(n_total)
     u = (F.col("_rs2").cast("double") / F.lit(2.0)) - F.lit(na_d * (na_d + 1) / 2.0)
@@ -337,7 +295,14 @@ def association_lift(
     pinned double parenthesization, rounded to 9.
     """
     b = [F.col(c) for c in basket_cols]
-    items = df.select(*b, F.col(item_col).alias("_it")).distinct()
+    # checkpointed: the basket count is baked into result literals, and
+    # the presence relation feeds three further jobs — an unstable source
+    # would otherwise divide fresh pair counts by a stale basket count
+    items = (
+        df.select(*b, F.col(item_col).alias("_it"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     baskets = items.select(*basket_cols).distinct()
     n_baskets = baskets.count()
     if n_baskets == 0:
@@ -399,19 +364,13 @@ def spearman_correlation(
     value. Rows with a NULL in either column are excluded (pairwise
     deletion). Returns ``(n, spearman_rho)``.
     """
-    from pyspark.sql.window import Window as W
-
-    from onetl_spark.operators.ranking import (
-        ascending_bucket,
-        bucket_prefix_offsets,
-        prefix_offset_expr,
-    )
-
     pairs = df.select(
         F.col(col_a).cast("double").alias("_a"),
         F.col(col_b).cast("double").alias("_b"),
     ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
     pairs = pairs.localCheckpoint(eager=True)
+
+    from onetl_spark.operators.ranking import stitched_cumsums
 
     def doubled_ranks(col: str, alias: str) -> DataFrame:
         counts = (
@@ -419,24 +378,11 @@ def spearman_correlation(
             .agg(F.count(F.lit(1)).alias("_nv"))
             .localCheckpoint(eager=True)
         )
-        qs = [i / buckets for i in range(1, buckets)]
-        bounds = sorted(set(counts.stat.approxQuantile(col, qs, 0.001)))
-        t = counts.withColumn("_bkt", ascending_bucket(bounds, F.col(col)))
-        per_bucket = {
-            r["_bkt"]: r["s"]
-            for r in t.groupBy("_bkt").agg(F.sum("_nv").alias("s")).collect()
-        }
-        off, _total = bucket_prefix_offsets(per_bucket, len(bounds) + 1)
-        w = (
-            W.partitionBy("_bkt")
-            .orderBy(col)
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        return t.select(
+        stitched, _totals = stitched_cumsums(counts, col, ("_nv",), buckets)
+        return stitched.select(
             col,
             (
-                F.lit(2)
-                * (F.sum("_nv").over(w) + prefix_offset_expr(off, "_bkt") - F.col("_nv"))
+                F.lit(2) * (F.col("_cum__nv") - F.col("_nv"))
                 + F.col("_nv")
                 + F.lit(1)
             ).alias(alias),
@@ -444,13 +390,18 @@ def spearman_correlation(
     ra = doubled_ranks("_a", "_ra")
     rb = doubled_ranks("_b", "_rb")
     ranked = pairs.join(ra, "_a").join(rb, "_b")
+    # products in DECIMAL, not LONG: doubled ranks reach 2n+1, so a LONG
+    # multiply wraps past ~1.5e9 rows while the oracle's HUGEINT stays
+    # exact — cast BEFORE multiplying ((16,0)x(16,0) -> (33,0))
+    ra16 = F.col("_ra").cast("decimal(16,0)")
+    rb16 = F.col("_rb").cast("decimal(16,0)")
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("_ra").cast("decimal(30,0)")).cast("double").alias("sx"),
-        F.sum(F.col("_rb").cast("decimal(30,0)")).cast("double").alias("sy"),
-        F.sum((F.col("_ra") * F.col("_rb")).cast("decimal(38,0)")).cast("double").alias("sxy"),
-        F.sum((F.col("_ra") * F.col("_ra")).cast("decimal(38,0)")).cast("double").alias("sxx"),
-        F.sum((F.col("_rb") * F.col("_rb")).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum(ra16).cast("double").alias("sx"),
+        F.sum(rb16).cast("double").alias("sy"),
+        F.sum(ra16 * rb16).cast("double").alias("sxy"),
+        F.sum(ra16 * ra16).cast("double").alias("sxx"),
+        F.sum(rb16 * rb16).cast("double").alias("syy"),
     )
     return pearson_from_moments(m, n_col="n").select(
         F.col("n").cast("long").alias("n"),

@@ -2001,10 +2001,11 @@ def events_type_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = held.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum("_held_us").alias("_total_us"),
-        # (14,6)x(18,0) -> decimal(33,6): inside the 38 cap on BOTH
-        # engines (a (20,6) cast needed 39 and silently lost scale)
+        # (20,6)x(13,0) -> decimal(34,6): full value range (a (14,6)
+        # value cast silently NULLed values past 1e8), and month-scale
+        # holds fit 13 digits of microseconds
         F.sum(
-            (F.col("value").cast("decimal(14,6)") * F.col("_held_us").cast("decimal(18,0)"))
+            (F.col("value").cast("decimal(20,6)") * F.col("_held_us").cast("decimal(13,0)"))
         ).alias("_vw"),
     )
     return agg.select(
@@ -2028,7 +2029,7 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
        -- DECIMAL(20,6) forces DuckDB's HUGEINT multiply path (an 18-wide
        -- operand pair overflows its INT64 fast path); both engines'
        -- products are exact, so the widths need not match
-       round(CAST(SUM(CAST(value AS DECIMAL(20,6)) * CAST(held_us AS DECIMAL(18,0))) AS DOUBLE)
+       round(CAST(SUM(CAST(value AS DECIMAL(20,6)) * CAST(held_us AS DECIMAL(13,0))) AS DOUBLE)
              / CAST(SUM(held_us) AS DOUBLE), 9) AS twap
 FROM held WHERE held_us IS NOT NULL
 GROUP BY event_type ORDER BY event_type

@@ -2893,9 +2893,9 @@ WITH w AS (
 )
 SELECT CAST(n AS BIGINT) AS n_terms,
        round((CAST(n AS DOUBLE) * sxy - sx * sy)
-             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS slope,
+             / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0), 9) AS slope,
        round((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
-                   / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                   / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0) * sx)
              / CAST(n AS DOUBLE), 9) AS intercept
 FROM m
 """

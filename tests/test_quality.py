@@ -459,3 +459,28 @@ def test_spearman_hand_cases(spark):
     )
     r = spearman_correlation(withnull, "a", "b").collect()[0]
     assert r["n"] == 2 and r["spearman_rho"] == 1.0
+
+
+def test_sketch_geometry_mismatches_raise(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    sketch = cms_sketch(df, "k", width=16, depth=4)
+    keys = df.select("k").distinct()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="geometry"):
+        cms_estimate(sketch, keys, "k", width=16, depth=2)  # narrower probe
+    with _pt.raises(ValueError, match="geometry"):
+        cms_estimate(sketch, keys, "k", width=8, depth=4)   # narrower width
+
+    reg = hll_registers(df, "k", b=8)
+    with _pt.raises(ValueError, match="different b"):
+        hll_estimate(reg, b=10)
