@@ -53,9 +53,12 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
-            width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
+            try:
+                width, height, bit_depth, color_type, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            except struct.error as exc:  # truncated IHDR
+                raise ValueError(f"corrupt PNG IHDR: {exc}") from exc
             if bit_depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {bit_depth}")
             if color_type not in _CHANNELS:
@@ -68,7 +71,10 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt/truncated IDAT must not kill the task
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
     ch = _CHANNELS[color_type]
     stride = width * ch
     if len(raw) != (stride + 1) * height:

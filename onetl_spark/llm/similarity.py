@@ -1383,6 +1383,7 @@ def top_principal_component(
     embeddings: DataFrame,
     iterations: int = 3,
     vec_col: str = "embedding",
+    persist: "StorageLevel | None" = None,
 ) -> DataFrame:
     """Top principal component of the embedding cloud by power iteration
     — the first step of PCA whitening / spectral de-biasing ("all-but-
@@ -1391,11 +1392,14 @@ def top_principal_component(
     materialized; each iteration computes ``C·v`` as
     ``Σ_i ((x_i−μ)·v)·(x_i−μ)`` in one corpus scan.
 
-    Scale shape: one scan per iteration (cache the centered matrix in a
-    long-lived production job); per row the work is two d-length folds;
-    the only shuffle is the d-row per-dimension reduce. The d-vector
-    round-trips through the driver between iterations — d-bounded, the
-    kcenter/MMR class of probe.
+    Scale shape: one scan per iteration over the CENTERED frame, which
+    is staged once (mu is fixed after the mean pass); pass
+    ``persist=StorageLevel.MEMORY_AND_DISK`` to cache it so iterations
+    2+ and the final Rayleigh pass read the cache instead of re-scanning
+    the corpus (unpersisted before returning). Per row the work is two
+    d-length folds; the only shuffle is the d-row per-dimension reduce.
+    The d-vector round-trips through the driver between iterations —
+    d-bounded, the kcenter/MMR class of probe.
 
     Exactness: per-row terms round to 9 and accumulate as exact
     decimals (order-independent sums); dot folds run in array order
@@ -1403,7 +1407,9 @@ def top_principal_component(
     happen as Spark expressions so an external SQL engine reproduces
     the whole trajectory bit-for-bit. Returns one row per dimension
     ``(dim, component, eigenvalue)`` — eigenvalue is the Rayleigh
-    quotient of the LAST iterate, constant across rows.
+    quotient of the RETURNED component (one extra s-pass with the final
+    iterate, so the pair is consistent even before convergence),
+    constant across rows.
     """
     spark = embeddings.sparkSession
     # NULL payload rows are excluded up front (posexplode would silently
@@ -1438,58 +1444,72 @@ def top_principal_component(
     def lit_arr(values):
         return F.array(*[F.lit(float(x)) for x in values])
 
-    v = [1.0] + [0.0] * (d - 1)
-    eigenvalue = None
-    for _ in range(iterations):
-        centered = F.zip_with(
+    # centering depends only on mu — stage it ONCE; every iteration and
+    # the final Rayleigh pass scan this frame (cached when persist is set)
+    centered_df = embeddings.select(
+        F.zip_with(
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
             lit_arr(mu),
             lambda x, m: x - m,
-        )
-        s = F.aggregate(
-            F.zip_with(centered, lit_arr(v), lambda c, vv: c * vv),
+        ).alias("_c")
+    )
+    if persist is not None:
+        centered_df = centered_df.persist(persist)
+
+    def s_expr(vec):
+        return F.aggregate(
+            F.zip_with(F.col("_c"), lit_arr(vec), lambda c, vv: c * vv),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        staged = embeddings.select(centered.alias("_c"), s.alias("_s"))
-        terms = staged.select(
-            F.posexplode("_c").alias("_j", "_cj"),
-            F.col("_s"),
-        ).select(
-            "_j",
-            F.round(F.col("_s") * F.col("_cj"), 9).cast("decimal(30,9)").alias("_t"),
-            F.round(F.col("_s") * F.col("_s"), 9).cast("decimal(30,9)").alias("_s2"),
-        )
-        red = (
-            terms.groupBy("_j")
-            .agg(
-                F.sum("_t").cast("double").alias("_w"),
-                F.sum("_s2").cast("double").alias("_ss"),
+
+    try:
+        v = [1.0] + [0.0] * (d - 1)
+        for _ in range(iterations):
+            staged = centered_df.select(F.col("_c"), s_expr(v).alias("_s"))
+            terms = staged.select(
+                F.posexplode("_c").alias("_j", "_cj"),
+                F.col("_s"),
+            ).select(
+                "_j",
+                F.round(F.col("_s") * F.col("_cj"), 9)
+                .cast("decimal(30,9)")
+                .alias("_t"),
             )
-            .orderBy("_j")
-            .collect()
-        )
-        w = [r["_w"] for r in red]
-        # Rayleigh quotient of the CURRENT iterate: vᵀCv = (Σ s_i²) / n
-        # (every _j group carries the same full Σ s_i², so read group 0)
-        eigenvalue = float(red[0]["_ss"]) / n_vecs
-        # normalize + round as SPARK expressions (1 row) so the rounding
-        # mode matches the engines, not Python's round-half-even
-        norm_expr = F.sqrt(
-            F.aggregate(
-                lit_arr(w), F.lit(0.0), lambda acc, x: acc + x * x
+            red = (
+                terms.groupBy("_j")
+                .agg(F.sum("_t").cast("double").alias("_w"))
+                .orderBy("_j")
+                .collect()
             )
-        )
-        vrow = (
-            spark.range(1)
-            .select(
-                F.transform(
-                    lit_arr(w), lambda x: F.round(x / norm_expr, 9)
-                ).alias("_v")
+            w = [r["_w"] for r in red]
+            # normalize + round as SPARK expressions (1 row) so the rounding
+            # mode matches the engines, not Python's round-half-even
+            norm_expr = F.sqrt(
+                F.aggregate(
+                    lit_arr(w), F.lit(0.0), lambda acc, x: acc + x * x
+                )
             )
-            .collect()[0]
-        )
-        v = list(vrow["_v"])
+            vrow = (
+                spark.range(1)
+                .select(
+                    F.transform(
+                        lit_arr(w), lambda x: F.round(x / norm_expr, 9)
+                    ).alias("_v")
+                )
+                .collect()[0]
+            )
+            v = list(vrow["_v"])
+
+        # Rayleigh quotient of the FINAL iterate: vᵀCv = (Σ s_i²) / n —
+        # one extra s-pass so eigenvalue pairs with the returned component
+        ss_row = centered_df.select(
+            F.round(s_expr(v) * s_expr(v), 9).cast("decimal(30,9)").alias("_s2")
+        ).agg(F.sum("_s2").cast("double").alias("_ss")).collect()[0]
+        eigenvalue = float(ss_row["_ss"]) / n_vecs
+    finally:
+        if persist is not None:
+            centered_df.unpersist()
 
     eig = F.round(F.lit(eigenvalue), 9)
     return spark.range(d).select(

@@ -595,12 +595,20 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
     )
 
 
+#: Default peel-round cap — a hard runaway stop, not an expected exit
+#: (the `strategy/batch.py` MAX_ITERATIONS posture). The peel removes at
+#: least one node per non-converged round, so 100 rounds cover any graph
+#: whose tendrils are < 100 peel-layers deep — far past real-world depth.
+KCORE_MAX_ITERATIONS = 100
+
+
 def kcore_nodes(
     edges: DataFrame,
     k: int = 2,
-    max_iter: int = 6,
+    max_iter: int = KCORE_MAX_ITERATIONS,
     src: str = "src",
     dst: str = "dst",
+    strict: bool = True,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph where
     every node keeps degree ≥ k — the standard "dense backbone" filter
@@ -615,8 +623,14 @@ def kcore_nodes(
     on convergence is detected from the per-round edge count the
     checkpoint already materializes — extra rounds past the fixpoint
     are no-ops, so a fixed-round replay (the oracle) matches whenever
-    the peel converges within ``max_iter`` (logged warning otherwise).
-    Returns surviving ``(node, degree)``.
+    the peel converges within ``max_iter``.
+
+    ``max_iter`` is a runaway CAP, not a result knob: if it is hit
+    without a fixpoint the returned set is NOT the k-core, so under
+    ``strict=True`` (default) that raises ``RuntimeError`` instead of
+    shipping wrong density analytics; ``strict=False`` downgrades to
+    the old logged warning for exploratory use. Returns surviving
+    ``(node, degree)``.
     """
     if k < 1:
         raise ValueError(f"kcore_nodes: k must be >= 1, got {k}")
@@ -641,6 +655,12 @@ def kcore_nodes(
             break
         n_edges = n_next
     else:
+        if strict:
+            raise RuntimeError(
+                f"kcore_nodes: no fixpoint after max_iter={max_iter} rounds "
+                f"— the surviving set is NOT the {k}-core; raise max_iter "
+                "(or pass strict=False to accept the partial peel)"
+            )
         log.warning(
             "kcore_nodes: stopped at max_iter=%d without a fixpoint", max_iter
         )

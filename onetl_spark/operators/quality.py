@@ -473,15 +473,18 @@ def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
         )
     )
     tot = full.agg(F.sum("n_obs").alias("_n"))
+    # empty/all-sub-1 input: _n == 0 must yield NULL shares, not an ANSI
+    # DIVIDE_BY_ZERO abort (the repo's pinned degenerate-case convention)
+    safe_n = F.nullif(F.col("_n"), F.lit(0))
     scored = full.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n_obs",
-        F.round(F.col("n_obs") / F.col("_n"), 9).alias("obs_share"),
+        F.round(F.col("n_obs") / safe_n, 9).alias("obs_share"),
         "exp_share",
         F.round(
             (F.col("n_obs") - F.col("_n") * F.col("exp_share"))
             * (F.col("n_obs") - F.col("_n") * F.col("exp_share"))
-            / (F.col("_n") * F.col("exp_share")),
+            / (safe_n * F.col("exp_share")),
             9,
         )
         .cast("decimal(25,9)")

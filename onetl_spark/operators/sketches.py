@@ -267,14 +267,55 @@ def cms_sketch(
     Hashes are md5-derived (seeded per row ``i``), so any engine builds
     the identical sketch. One scan exploded ×depth, map-side combined
     into ≤ depth·width partial rows per partition. Returns
-    ``(row, bucket, cnt)``."""
+    ``(row, bucket, cnt, width, depth)`` — the geometry travels WITH the
+    sketch so a probe with mismatched parameters is rejected instead of
+    silently undercounting."""
     if width < 1 or depth < 1:
         raise ValueError("cms_sketch: width and depth must be positive")
     return (
         df.select(F.explode(_cms_cells(key_col, width, depth)).alias("_c"))
         .groupBy(F.col("_c.row").alias("row"), F.col("_c.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("row", "bucket", "cnt", F.lit(width).alias("width"), F.lit(depth).alias("depth"))
     )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise union of two count–min sketches (counts add). Both
+    sides must declare the SAME geometry — merging mismatched sketches
+    would mix incompatible hash spaces. One shuffle on (row, bucket)."""
+    ga = _cms_geometry(a)
+    gb = _cms_geometry(b)
+    if ga != gb:
+        raise ValueError(
+            f"cms_merge: sketch geometry mismatch {ga} vs {gb}"
+        )
+    w, d = ga
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("row", "bucket", "cnt", F.lit(w).alias("width"), F.lit(d).alias("depth"))
+    )
+
+
+def _cms_geometry(sketch: DataFrame) -> tuple[int, int]:
+    """The (width, depth) a sketch was built with — read from its
+    geometry columns (one bounded agg; raises on a mixed union)."""
+    if "width" not in sketch.columns or "depth" not in sketch.columns:
+        raise ValueError(
+            "cms sketch is missing geometry columns (width, depth) — "
+            "build it with cms_sketch"
+        )
+    g = sketch.agg(
+        F.min("width").alias("_w0"), F.max("width").alias("_w1"),
+        F.min("depth").alias("_d0"), F.max("depth").alias("_d1"),
+    ).collect()[0]
+    if g["_w0"] is None:
+        return (0, 0)  # empty sketch: every cell reads 0, any probe valid
+    if g["_w0"] != g["_w1"] or g["_d0"] != g["_d1"]:
+        raise ValueError("cms sketch mixes geometries — merge with cms_merge")
+    return (g["_w0"], g["_d0"])
 
 
 def _cms_cells(key_col: str, width: int, depth: int):
@@ -306,19 +347,17 @@ def cms_estimate(
     """Point-frequency estimates from a :func:`cms_sketch`: for each key,
     ``min_i counter[i][h_i(key)]``. The sketch (depth·width rows)
     broadcasts against the key list; missing cells read 0. The sketch's
-    geometry is VALIDATED against the probe parameters — probing with
-    the wrong depth/width finds empty cells and would silently invert
-    the never-undercount guarantee into a total undercount."""
-    geom = sketch.agg(
-        F.max("row").alias("_mr"), F.max("bucket").alias("_mb")
-    ).collect()[0]
-    if geom["_mr"] is not None and (
-        geom["_mr"] >= depth or geom["_mb"] >= width
-    ):
+    RECORDED geometry is validated EXACTLY against the probe parameters
+    — a smaller-geometry sketch would pass a max-cell check yet leave
+    probe hashes in never-populated cells, silently inverting the
+    never-undercount guarantee into undercounts."""
+    gw, gd = _cms_geometry(sketch)
+    if (gw, gd) != (0, 0) and (gw, gd) != (width, depth):
         raise ValueError(
-            f"cms_estimate: sketch geometry (max row {geom['_mr']}, max "
-            f"bucket {geom['_mb']}) exceeds probe depth={depth}/width={width}"
+            f"cms_estimate: sketch geometry (width={gw}, depth={gd}) does "
+            f"not match probe geometry (width={width}, depth={depth})"
         )
+    sketch = sketch.select("row", "bucket", "cnt")
     probes = keys.select(
         F.col(key_col),
         F.explode(_cms_cells(key_col, width, depth)).alias("_p"),

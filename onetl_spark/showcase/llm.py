@@ -2759,24 +2759,31 @@ def _power_iteration_ctes(iters: int = _PC_ITER, d: int = 64) -> list:
         parts.append(
             f"""t{r} AS (
   SELECT j.i AS j,
-         CAST(round(s{r}.s * (s{r}.v[j.i] - m.mu[j.i]), 9) AS DECIMAL(30,9)) AS t,
-         CAST(round(s{r}.s * s{r}.s, 9) AS DECIMAL(30,9)) AS s2
+         CAST(round(s{r}.s * (s{r}.v[j.i] - m.mu[j.i]), 9) AS DECIMAL(30,9)) AS t
   FROM s{r} CROSS JOIN m, range(1, {d} + 1) j(i))"""
         )
         parts.append(
             f"""w{r} AS (
-  SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS wl,
-         MAX(ss) AS ss
-  FROM (SELECT j, CAST(SUM(t) AS DOUBLE) AS w, CAST(SUM(s2) AS DOUBLE) AS ss
-        FROM t{r} GROUP BY j))"""
+  SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS wl
+  FROM (SELECT j, CAST(SUM(t) AS DOUBLE) AS w FROM t{r} GROUP BY j))"""
         )
         parts.append(
             f"""p{r} AS (
   SELECT list_transform(wl,
-           x -> round(x / sqrt(list_sum(list_transform(wl, y -> y * y))), 9)) AS pv,
-         ss
+           x -> round(x / sqrt(list_sum(list_transform(wl, y -> y * y))), 9)) AS pv
   FROM w{r})"""
         )
+    # Rayleigh quotient of the FINAL iterate — one extra s-pass with
+    # p{iters} so eigenvalue pairs with the returned component
+    parts.append(
+        f"""sF AS (
+  SELECT list_sum(list_transform(range(1, {d} + 1),
+                  i -> (e.v[i] - m.mu[i]) * p{iters}.pv[i])) AS s
+  FROM e CROSS JOIN m CROSS JOIN p{iters})"""
+    )
+    parts.append(
+        "ssF AS (SELECT CAST(SUM(CAST(round(s * s, 9) AS DECIMAL(30,9))) AS DOUBLE) AS ss FROM sF)"
+    )
     return parts
 
 
@@ -2786,8 +2793,8 @@ def _top_component_sql(iters: int = _PC_ITER, d: int = 64) -> str:
         + f"""
 SELECT CAST(r.i - 1 AS INTEGER) AS dim,
        p{iters}.pv[r.i] AS component,
-       round(p{iters}.ss / nn.n, 9) AS eigenvalue
-FROM p{iters} CROSS JOIN nn, range(1, {d} + 1) r(i)
+       round(ssF.ss / nn.n, 9) AS eigenvalue
+FROM p{iters} CROSS JOIN nn CROSS JOIN ssF, range(1, {d} + 1) r(i)
 """
     )
 

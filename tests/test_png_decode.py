@@ -125,6 +125,54 @@ def test_unsupported_variants_raise():
         decode_image_gray(b"\xff\xd8\xff\xe0 fake jpeg")
 
 
+def test_corrupt_payloads_raise_valueerror_not_zlib_error():
+    """A corrupt/truncated IDAT or IHDR must surface as ValueError — the
+    exception the multimodal fallbacks catch — never a raw zlib.error /
+    struct.error that would kill a whole Spark task (ADVICE r6)."""
+    # valid signature + IHDR, garbage (non-zlib) IDAT bytes
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    corrupt_idat = (
+        png.PNG_MAGIC
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", b"\x00not-deflate-data")
+        + png._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT"):
+        png.decode_png_gray(corrupt_idat)
+    # truncated zlib stream
+    good = fixture_png()
+    truncated = good[: len(good) // 2]
+    with pytest.raises(ValueError):
+        png.decode_png_gray(truncated)
+    # truncated IHDR payload
+    short_ihdr = png.PNG_MAGIC + png._chunk(b"IHDR", b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="IHDR"):
+        png.decode_png_gray(short_ihdr)
+
+
+def test_corrupt_png_takes_byte_fallback_in_operators(spark):
+    """resize_images / image_ahash on a PNG-signatured but corrupt
+    payload must take the documented byte-path fallback, not crash."""
+    import pandas as pd
+
+    from onetl_spark.llm.multimodal import image_ahash, resize_images
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    corrupt = (
+        png.PNG_MAGIC
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"IDAT", b"\x00garbage")
+        + png._chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [corrupt]})
+    )
+    ahash = image_ahash(df).collect()
+    assert ahash[0]["ahash"] == ahash_bits(corrupt)  # raw-byte fallback
+    resized = resize_images(df, 8, 8).collect()
+    assert resized[0]["resized_digest"] == hashlib.md5(corrupt + b":8x8").hexdigest()
+
+
 def test_golden_ahash_and_resize():
     w, h, pixels = decode_image_gray(fixture_png())
     assert ahash_bits(pixels) == GOLDEN_AHASH

@@ -331,6 +331,15 @@ def test_benford_uniform_vs_benford_like(spark):
     out = {r["digit"]: r["n_obs"] for r in benford_first_digit(tiny, "v").collect()}
     assert out[2] == 1 and sum(out.values()) == 1
 
+    # degenerate: NO values >= 1 — shares/chi2 NULL, not an ANSI
+    # DIVIDE_BY_ZERO abort (ADVICE r6)
+    sub1 = spark.createDataFrame([(0.5,), (0.1,)], "v double")
+    out = {r["digit"]: r for r in benford_first_digit(sub1, "v").collect()}
+    assert len(out) == 9
+    assert all(r["n_obs"] == 0 for r in out.values())
+    assert all(r["obs_share"] is None for r in out.values())
+    assert all(r["chi2_total"] is None for r in out.values())
+
 
 def test_association_lift_hand_case(spark):
     from onetl_spark.operators.stats import association_lift
@@ -362,7 +371,7 @@ def test_association_lift_hand_case(spark):
 def test_cms_one_sided_error_and_mergeability(spark):
     from pyspark.sql import functions as F
 
-    from onetl_spark.operators.sketches import cms_estimate, cms_sketch
+    from onetl_spark.operators.sketches import cms_estimate, cms_merge, cms_sketch
 
     df = spark.createDataFrame(
         [(i % 7,) for i in range(200)] + [(99,)] * 50, "k long"
@@ -378,20 +387,20 @@ def test_cms_one_sided_error_and_mergeability(spark):
     # mergeability: sketch(a ∪ b) == cellwise sum of sketch(a) + sketch(b)
     a = df.filter(F.col("k") < 5)
     b = df.filter(F.col("k") >= 5)
-    sa, sb = cms_sketch(a, "k", 16, 3), cms_sketch(b, "k", 16, 3)
-    merged = (
-        sa.unionByName(sb)
-        .groupBy("row", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    merged = cms_merge(cms_sketch(a, "k", 16, 3), cms_sketch(b, "k", 16, 3))
     whole = {(r["row"], r["bucket"]): r["cnt"] for r in cms_sketch(df, "k", 16, 3).collect()}
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+    # a merged sketch keeps its geometry and stays probe-able
+    mest = {r["k"]: r["cms_count"] for r in cms_estimate(merged, keys, "k", 16, 3).collect()}
+    assert mest == est
 
     import pytest as _pt
 
     with _pt.raises(ValueError, match="positive"):
         cms_sketch(df, "k", width=0)
+    with _pt.raises(ValueError, match="geometry mismatch"):
+        cms_merge(cms_sketch(a, "k", 16, 3), cms_sketch(b, "k", 32, 3))
 
 
 def test_hll_accuracy_and_merge_exactness(spark):
