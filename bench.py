@@ -168,6 +168,9 @@ HEADLINE = [
     "events_type_twap",
     "ab_conversion_ztest",
     "source_distinct_ngrams",
+    "events_hll_partition_merge",
+    "part_cooccurrence_assortativity",
+    "png_roundtrip_ahash",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -151,16 +151,40 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
-    """Encode ``width*height`` grayscale bytes as a PNG (color type 0,
-    filter 0 on every row) — fixture builder."""
+def encode_png_gray(
+    pixels: bytes, width: int, height: int, filters=None
+) -> bytes:
+    """Encode ``width*height`` grayscale bytes as a PNG (color type 0) —
+    fixture builder. ``filters`` is an optional sequence of scanline
+    filter types cycled per row (default: filter 0 everywhere); pass
+    ``[0, 1, 2, 3, 4]`` to exercise every decode filter through a
+    round-trip."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match geometry")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     raw = bytearray()
+    prev = bytes(width)
     for y in range(height):
-        raw.append(0)
-        raw += pixels[y * width : (y + 1) * width]
+        line = pixels[y * width : (y + 1) * width]
+        f = filters[y % len(filters)] if filters else 0
+        raw.append(f)
+        for i in range(width):
+            left = line[i - 1] if i >= 1 else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:  # Sub
+                v = line[i] - left
+            elif f == 2:  # Up
+                v = line[i] - prev[i]
+            elif f == 3:  # Average
+                v = line[i] - ((left + prev[i]) >> 1)
+            elif f == 4:  # Paeth
+                up_left = prev[i - 1] if i >= 1 else 0
+                v = line[i] - _paeth(left, prev[i], up_left)
+            else:
+                raise ValueError(f"unknown PNG filter {f}")
+            raw.append(v & 0xFF)
+        prev = line
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)

@@ -1919,6 +1919,54 @@ SPARK_QUERIES["events_user_hll_distinct"] = events_user_hll_distinct
 ORACLE_SQL["events_user_hll_distinct"] = EVENTS_HLL_SQL
 
 
+def events_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hll_merge` as the explicit subject (`operators/sketches.py
+    hll_merge`): the corpus is split into four DISJOINT user shards
+    (``user_id % 4``), each sketched independently, then merged
+    register-wise — and the full 256-row merged REGISTER TABLE is the
+    query result. The oracle sketches the whole corpus in one pass, so
+    a hash match proves ``merge(sketch(P0..P3)) == sketch(∪Pi)``
+    register for register — the exactness property that makes HLL the
+    distributed distinct sketch (per-executor partials, exact combine,
+    no re-scan)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.sketches import hll_merge, hll_registers
+
+    ev = spark.table("events")
+    shards = [
+        hll_registers(
+            ev.filter(F.pmod(F.col("user_id"), F.lit(4)) == i), "user_id", b=8
+        )
+        for i in range(4)
+    ]
+    return hll_merge(*shards).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("rho").cast("int").alias("rho"),
+    )
+
+
+HLL_PARTITION_MERGE_SQL = """
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL
+), obs AS (
+  SELECT CAST(h % 256 AS INTEGER) AS bucket,
+         CASE WHEN h // 256 = 0 THEN 53
+              ELSE 52 - length(bin(h // 256)) + 1 END AS rho
+  FROM h
+), reg AS (
+  SELECT bucket, MAX(rho) AS rho FROM obs GROUP BY bucket
+), allb AS (
+  SELECT CAST(r.i AS INTEGER) AS bucket FROM range(0, 256) r(i)
+)
+SELECT allb.bucket, CAST(COALESCE(reg.rho, 0) AS INTEGER) AS rho
+FROM allb LEFT JOIN reg USING (bucket)
+"""
+
+SPARK_QUERIES["events_hll_partition_merge"] = events_hll_partition_merge
+ORACLE_SQL["events_hll_partition_merge"] = HLL_PARTITION_MERGE_SQL
+
+
 def user_activity_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Spearman rank correlation between per-user event count and
     per-user total value (`operators/stats.py spearman_correlation`) —

@@ -304,6 +304,73 @@ SPARK_QUERIES["supplier_degree_assortativity"] = supplier_degree_assortativity
 ORACLE_SQL["supplier_degree_assortativity"] = ASSORT_SQL
 
 
+_PART_MIN_COOCCUR = 2
+
+
+def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence graph: parts ordered together in ≥ 2 orders —
+    a structurally DIFFERENT graph from the supplier one (≈20× more
+    nodes, much sparser, leaf-heavy degree distribution). Same bounded
+    self-join shape: ≤7 line items per order keeps pairs linear."""
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _PART_MIN_COOCCUR)
+        .select("src", "dst")
+    )
+
+
+def part_cooccurrence_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity on a SECOND graph (`operators/graph.py
+    degree_assortativity`): the part co-occurrence graph, whose sparse
+    leaf-heavy topology sits at the opposite end of the degree spectrum
+    from the dense supplier graph — exercising the moment arithmetic on
+    a distribution where most degrees are 1-2 and the NULLIF zero-
+    variance guard is one tie away."""
+    return degree_assortativity(_part_edges(spark, sf_dir))
+
+
+PART_ASSORT_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+       FROM li a JOIN li b USING (l_orderkey)
+       WHERE a.l_partkey < b.l_partkey
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= {_PART_MIN_COOCCUR}),
+both_dir AS (
+  SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v FROM ed
+), deg AS (
+  SELECT u AS node, COUNT(*) AS d FROM both_dir GROUP BY u
+), j AS (
+  SELECT a.d AS dx, b.d AS dy
+  FROM both_dir JOIN deg a ON a.node = both_dir.u JOIN deg b ON b.node = both_dir.v
+), m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dx) AS DOUBLE) AS sx, CAST(SUM(dy) AS DOUBLE) AS sy,
+         CAST(SUM(dx * dy) AS DOUBLE) AS sxy,
+         CAST(SUM(dx * dx) AS DOUBLE) AS sxx,
+         CAST(SUM(dy * dy) AS DOUBLE) AS syy
+  FROM j
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 0), 9) AS assortativity
+FROM m
+"""
+
+SPARK_QUERIES["part_cooccurrence_assortativity"] = part_cooccurrence_assortativity
+ORACLE_SQL["part_cooccurrence_assortativity"] = PART_ASSORT_SQL
+
+
 _KCORE_K, _KCORE_ITER = 3, 6
 
 

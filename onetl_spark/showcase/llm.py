@@ -1214,6 +1214,76 @@ SPARK_QUERIES["multimodal_ahash"] = multimodal_ahash
 ORACLE_SQL["multimodal_ahash"] = _ahash_sql()
 
 
+_PNG_W, _PNG_H, _PNG_DOCS = 16, 16, 48
+
+
+def png_roundtrip_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec oracle check (`llm/png.py encode_png_gray/
+    decode_png_gray` + `llm/multimodal.py image_ahash`): deterministic
+    16×16 grayscale fixtures (pixel = f(doc_id, y, x)) are PNG-ENCODED
+    with all five scanline filters cycling per row, then pushed through
+    the production `image_ahash` operator, which detects the PNG
+    signature, inflates + unfilters the payload, and hashes the decoded
+    pixels. The DuckDB oracle computes the expected aHash directly from
+    the pixel formula — a hash match proves encode→decode→hash is the
+    identity on pixels THROUGH the codec, with an engine that never saw
+    a PNG. Arrow-batched mapInPandas both ways; payloads never leave
+    the executor batch — the shape scales to billions of images."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm import png as _png
+
+    w, h = _PNG_W, _PNG_H
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                px = bytes(
+                    (int(doc_id) * 7 + y * 5 + x * 3) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(_png.encode_png_gray(px, w, h, filters=[0, 1, 2, 3, 4]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    fixtures = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < _PNG_DOCS)
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+    return multimodal.image_ahash(fixtures)
+
+
+def _png_roundtrip_sql() -> str:
+    from onetl_spark.llm.multimodal import AHASH_CELLS
+
+    n = _PNG_W * _PNG_H
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(c[({i} * {n}) // {AHASH_CELLS} + 1 : ({i + 1} * {n}) // {AHASH_CELLS}]) * {n}"
+        f" > total * ((({i + 1} * {n}) // {AHASH_CELLS}) - (({i} * {n}) // {AHASH_CELLS}))"
+        f" THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(AHASH_CELLS)
+    )
+    return f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, {n}),
+           i -> (doc_id * 7 + (i // {_PNG_W}) * 5 + (i % {_PNG_W}) * 3) % 256) AS c
+  FROM documents WHERE doc_id < {_PNG_DOCS}
+), t AS (
+  SELECT doc_id, c, list_sum(c) AS total FROM px
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS ahash FROM t
+"""
+
+
+SPARK_QUERIES["png_roundtrip_ahash"] = png_roundtrip_ahash
+ORACLE_SQL["png_roundtrip_ahash"] = _png_roundtrip_sql()
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance 3 via multi-index banding —
     the pigeonhole equi-join, never an N² comparison."""

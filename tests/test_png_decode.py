@@ -92,6 +92,20 @@ def test_all_five_filters_unfilter_correctly():
     assert out == pixels
 
 
+def test_encoder_filters_roundtrip():
+    """encode_png_gray(filters=[0..4]) must produce a payload whose
+    decode returns the original pixels, and the encoder's forward
+    filtering must agree with the test-local reference implementation."""
+    pixels = fixture_pixels()
+    payload = png.encode_png_gray(pixels, W, H, filters=[0, 1, 2, 3, 4])
+    assert png.decode_png_gray(payload) == (W, H, pixels)
+    # same as the independent forward-filter helper
+    ref = _png_from_raw(_forward_filter(pixels, W, H, 1, ftypes=[0, 1, 2, 3, 4]), W, H, 0)
+    assert png.decode_png_gray(ref) == png.decode_png_gray(payload)
+    # default stays filter-0 (golden hashes elsewhere depend on it)
+    assert png.encode_png_gray(pixels, W, H) == png.encode_png_gray(pixels, W, H, filters=[0])
+
+
 def test_rgb_and_rgba_luma():
     # 3x2 RGB: known colors → integer ITU-R 601 luma
     colors = [
