@@ -176,3 +176,61 @@ def test_gini_known_value_and_validation(spark):
     neg = spark.createDataFrame([(1, -1.0)], "id long, v double")
     with _pt.raises(Exception, match="non-negative"):
         gini_coefficient(neg, "v", ("id",)).collect()
+
+
+def test_stitched_cumsums_zipf_skew_no_degenerate_bucket(spark):
+    """Skew-stress the shared rank scaffold (VERDICT r6 item 8): a
+    Zipf-weighted, cluster-spaced distinct-value relation must (a) keep
+    every quantile bucket's row count near n/buckets — weight skew and
+    value clustering must NOT concentrate rows into one window
+    partition — (b) produce exact global cumsums, and (c) plan without
+    any single-partition exchange."""
+    from onetl_spark.operators.ranking import (
+        ascending_bucket,
+        stitched_cumsums,
+    )
+
+    # 4000 distinct values: v = 1/i clusters 90% of the mass near 0;
+    # Zipf weights put ~27% of the total weight on ONE value
+    n, buckets = 4000, 16
+    rows = [(1.0 / i, float(n // i)) for i in range(1, n + 1)]
+    counts = spark.createDataFrame(rows, "v double, w double").localCheckpoint()
+
+    out, totals = stitched_cumsums(counts, "v", ("w",), buckets=buckets)
+    got = {r["v"]: r["_cum_w"] for r in out.collect()}
+
+    # exact inclusive cumsum in value order, despite skew
+    acc = 0.0
+    for v, w in sorted(rows):
+        acc += w
+        assert got[v] == acc
+    assert totals["w"] == sum(w for _, w in rows)
+
+    # bucket balance: replay the scaffold's own bucketing and assert no
+    # bucket degenerates toward a driver-sized window partition
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(counts.stat.approxQuantile("v", qs, 0.001)))
+    sizes = (
+        counts.withColumn("_bkt", ascending_bucket(bounds, F.col("v")))
+        .groupBy("_bkt").count().collect()
+    )
+    assert len(sizes) >= buckets - 1  # clustering didn't collapse the bounds
+    assert max(r["count"] for r in sizes) <= 3 * n / buckets
+
+    # plan guard: stitching never plans a single-partition exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_stitched_cumsums_fewer_distinct_than_buckets(spark):
+    """Degenerate cardinality: with fewer distinct values than buckets
+    the bound set dedupes and the scaffold must stay exact."""
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    counts = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 1.0), (3.0, 10.0)], "v double, w double"
+    ).localCheckpoint()
+    out, totals = stitched_cumsums(counts, "v", ("w",), buckets=32)
+    got = {r["v"]: r["_cum_w"] for r in out.collect()}
+    assert got == {1.0: 5.0, 2.0: 6.0, 3.0: 16.0}
+    assert totals["w"] == 16.0
