@@ -171,6 +171,7 @@ HEADLINE = [
     "events_hll_partition_merge",
     "part_cooccurrence_assortativity",
     "png_roundtrip_ahash",
+    "jpeg_roundtrip_ahash",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

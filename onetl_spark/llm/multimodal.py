@@ -62,15 +62,21 @@ def decode_image(payload: bytes):
 def decode_image_gray(payload: bytes) -> "tuple[int, int, bytes]":
     """Decode an image payload to ``(width, height, grayscale_bytes)``.
 
-    REAL decode, not a stub: PNG payloads (the signature is checked) go
-    through the pure-stdlib codec in :mod:`onetl_spark.llm.png` — zlib
-    inflate + all five scanline filters + integer luma — with Pillow used
-    instead when installed (covers JPEG etc.). Raises
-    ``NotImplementedError`` for formats nothing present can decode."""
-    from onetl_spark.llm import png
+    REAL decode, not a stub: PNG payloads go through the pure-stdlib
+    codec in :mod:`onetl_spark.llm.png` (zlib inflate + all five
+    scanline filters + integer luma); baseline JPEG payloads through
+    :mod:`onetl_spark.llm.jpeg` (huffman + dequantize + IDCT, restart
+    markers, interleaved chroma kept in sync) — both signature-checked.
+    Pillow is used when installed for everything else. Raises
+    ``NotImplementedError`` for formats nothing present can decode;
+    corrupt/unsupported variants of the stdlib formats raise
+    ``ValueError`` (callers take their byte-path fallback)."""
+    from onetl_spark.llm import jpeg, png
 
     if png.is_png(payload):
         return png.decode_png_gray(payload)
+    if jpeg.is_jpeg(payload):
+        return jpeg.decode_jpeg_gray(payload)
     try:
         from PIL import Image  # type: ignore
         import io
@@ -79,7 +85,7 @@ def decode_image_gray(payload: bytes) -> "tuple[int, int, bytes]":
         return img.width, img.height, img.tobytes()
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG image decoding requires Pillow; not available",
+            "non-PNG/JPEG image decoding requires Pillow; not available",
         ) from e
 
 
@@ -144,22 +150,26 @@ RESIZE_SCHEMA = T.StructType(
 def resize_images(df: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """Resize over binary payloads (Arrow-batched mapInPandas).
 
-    PNG payloads are REALLY decoded (pure-stdlib codec: zlib inflate, all
-    five scanline filters, integer luma) and box-resampled to the target
-    geometry with integer area-averaging; the digest is then the md5 of
-    the resized pixel buffer — deterministic on any platform. Non-image
-    payloads keep the deterministic fake (md5 of payload + geometry tag)
-    so the 1-in/1-out batch shape stays verifiable on text stand-ins.
-    Payloads never leave the executor batch."""
-    from onetl_spark.llm import png
+    PNG and baseline-JPEG payloads are REALLY decoded (pure-stdlib
+    codecs) and box-resampled to the target geometry with integer
+    area-averaging; the digest is then the md5 of the resized pixel
+    buffer — deterministic on any platform. Non-image payloads keep the
+    deterministic fake (md5 of payload + geometry tag) so the 1-in/1-out
+    batch shape stays verifiable on text stand-ins. Payloads never
+    leave the executor batch."""
+    from onetl_spark.llm import jpeg, png
 
     def _digest(b: bytes, tag: bytes) -> str:
-        if png.is_png(b):
+        if png.is_png(b) or jpeg.is_jpeg(b):
             try:
-                w, h, pixels = png.decode_png_gray(b)
+                w, h, pixels = (
+                    png.decode_png_gray(b) if png.is_png(b)
+                    else jpeg.decode_jpeg_gray(b)
+                )
             except ValueError:
-                # unsupported PNG variant (palette/16-bit/interlaced):
-                # fall back to the byte path instead of failing the task
+                # unsupported variant (palette/16-bit/interlaced PNG,
+                # progressive JPEG) or corrupt stream: fall back to the
+                # byte path instead of failing the task
                 pass
             else:
                 return hashlib.md5(
@@ -250,22 +260,25 @@ def ahash_bits(payload: bytes, cells: int = AHASH_CELLS) -> int:
 def image_ahash(df: DataFrame) -> DataFrame:
     """Perceptual-hash extraction over binary payloads (Arrow-batched).
 
-    PNG payloads are REALLY decoded (pure-stdlib codec) and hashed over
-    their grayscale pixels — two renderings of the same image that differ
-    only in PNG filter/compression choices therefore hash identically,
-    which is the whole point of a perceptual hash. Non-image payloads
-    hash their raw bytes (the text stand-in path the SQL oracle mirrors).
-    One ``mapInPandas`` pass; the hash is a join/group key downstream —
-    pair with SimHash-style banding for hamming near-dup search at
-    scale."""
-    from onetl_spark.llm import png
+    PNG and baseline-JPEG payloads are REALLY decoded (pure-stdlib
+    codecs) and hashed over their grayscale pixels — two renderings of
+    the same image that differ only in filter/compression choices
+    therefore hash identically, which is the whole point of a perceptual
+    hash. Non-image payloads hash their raw bytes (the text stand-in
+    path the SQL oracle mirrors). One ``mapInPandas`` pass; the hash is
+    a join/group key downstream — pair with SimHash-style banding for
+    hamming near-dup search at scale."""
+    from onetl_spark.llm import jpeg, png
 
     def _hash(b: bytes) -> int:
-        if png.is_png(b):
+        if png.is_png(b) or jpeg.is_jpeg(b):
             try:
-                _w, _h, pixels = png.decode_png_gray(b)
+                _w, _h, pixels = (
+                    png.decode_png_gray(b) if png.is_png(b)
+                    else jpeg.decode_jpeg_gray(b)
+                )
             except ValueError:
-                pass  # unsupported PNG variant: hash the raw bytes
+                pass  # unsupported variant / corrupt: hash the raw bytes
             else:
                 return ahash_bits(pixels)
         return ahash_bits(b)

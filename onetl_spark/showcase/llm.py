@@ -1284,6 +1284,78 @@ SPARK_QUERIES["png_roundtrip_ahash"] = png_roundtrip_ahash
 ORACLE_SQL["png_roundtrip_ahash"] = _png_roundtrip_sql()
 
 
+_JPEG_W, _JPEG_H, _JPEG_DOCS, _JPEG_Q = 16, 16, 12, 90
+
+
+def _jpeg_fixture_pixels(doc_id: int) -> bytes:
+    return bytes(
+        (doc_id * 11 + y * 7 + x * 5) % 256
+        for y in range(_JPEG_H)
+        for x in range(_JPEG_W)
+    )
+
+
+def jpeg_roundtrip_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG codec check through the production multimodal path
+    (`llm/jpeg.py encode/decode` + `llm/multimodal.py image_ahash`):
+    deterministic fixtures are JPEG-encoded with restart markers AND an
+    interleaved 3-component scan (the decoder must entropy-skip chroma
+    to stay in sync), then hashed by the distributed `image_ahash`.
+    JPEG is lossy, so the oracle cannot derive the hash from the pixel
+    formula (that engine-independent check is `png_roundtrip_ahash`);
+    instead the oracle embeds the DRIVER-side pure-Python
+    encode→decode→ahash results as literals — the distributed
+    Arrow-batched path must reproduce the local codec bit-for-bit, the
+    same local-vs-distributed contract BPE driver mode pins."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm import jpeg as _jpeg
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                _jpeg.encode_jpeg_gray(
+                    _jpeg_fixture_pixels(int(d)), _JPEG_W, _JPEG_H,
+                    quality=_JPEG_Q, restart_interval=2, components=3,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    fixtures = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < _JPEG_DOCS)
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+    return multimodal.image_ahash(fixtures)
+
+
+def _jpeg_roundtrip_sql() -> str:
+    from onetl_spark.llm import jpeg as _jpeg
+    from onetl_spark.llm.multimodal import ahash_bits
+
+    rows = []
+    for d in range(_JPEG_DOCS):
+        payload = _jpeg.encode_jpeg_gray(
+            _jpeg_fixture_pixels(d), _JPEG_W, _JPEG_H,
+            quality=_JPEG_Q, restart_interval=2, components=3,
+        )
+        rows.append((d, ahash_bits(_jpeg.decode_jpeg_gray(payload)[2])))
+    values = ", ".join(f"({d}, {h}::BIGINT)" for d, h in rows)
+    # join against documents so the oracle only claims doc_ids that exist
+    return f"""
+WITH expected(doc_id, ahash) AS (VALUES {values})
+SELECT d.doc_id, e.ahash
+FROM documents d JOIN expected e ON e.doc_id = d.doc_id
+"""
+
+
+SPARK_QUERIES["jpeg_roundtrip_ahash"] = jpeg_roundtrip_ahash
+ORACLE_SQL["jpeg_roundtrip_ahash"] = _jpeg_roundtrip_sql()
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance 3 via multi-index banding —
     the pigeonhole equi-join, never an N² comparison."""

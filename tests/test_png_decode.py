@@ -135,8 +135,13 @@ def test_unsupported_variants_raise():
         png.decode_png_gray(bad)
     with pytest.raises(ValueError, match="signature"):
         png.decode_png_gray(b"GIF89a....")
-    with pytest.raises(NotImplementedError):
+    # JPEG-signatured garbage now reaches the real JPEG decoder and
+    # fails as corrupt (ValueError — the fallback-able class)
+    with pytest.raises(ValueError):
         decode_image_gray(b"\xff\xd8\xff\xe0 fake jpeg")
+    # a format no present codec handles still gates on Pillow
+    with pytest.raises(NotImplementedError):
+        decode_image_gray(b"GIF89a....")
 
 
 def test_corrupt_payloads_raise_valueerror_not_zlib_error():
