@@ -172,6 +172,8 @@ HEADLINE = [
     "part_cooccurrence_assortativity",
     "png_roundtrip_ahash",
     "jpeg_roundtrip_ahash",
+    "customer_bloom_prefilter",
+    "events_type_ols_trend",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -483,3 +483,127 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     for t in register_tables[1:]:
         out = out.unionByName(t)
     return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def _bloom_positions(key_col: str, m_bits: int, k_hashes: int):
+    """The k bit positions of a key — ONE definition shared by build and
+    probe (the CMS `_cms_cells` discipline: divergent hashing would
+    silently break the no-false-negative guarantee)."""
+    return F.array(
+        *[
+            F.pmod(
+                md5_long(F.concat(F.lit(f"b{i}:"), F.col(key_col).cast("string"))),
+                F.lit(m_bits),
+            ).cast("long")
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Bloom filter of a key column — the mergeable MEMBERSHIP sketch
+    next to CMS (frequency), HLL (distinct) and KMV (set ops): "was this
+    key ever seen?" with no false negatives and a tunable false-positive
+    rate ``(1 - e^{-kn/m})^k``. Stored as the SET-BIT relation
+    ``(bit, m_bits, k_hashes)`` — ≤ m rows regardless of input size, so
+    the sketch broadcasts; geometry travels WITH the sketch and probes
+    with mismatched parameters are rejected (the CMS lesson: a silent
+    mismatch inverts the guarantee).
+
+    One scan exploded ×k, map-side-combined distinct — the same shuffle
+    shape as an aggregate. NULL keys are excluded (SQL membership of
+    NULL is undefined, matching the dialect predicate conventions).
+    """
+    if m_bits < 8:
+        raise ValueError("bloom_build: m_bits must be >= 8")
+    if k_hashes < 1:
+        raise ValueError("bloom_build: k_hashes must be >= 1")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(_bloom_positions(key_col, m_bits, k_hashes)).alias("bit"))
+        .distinct()
+        .select(
+            "bit",
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k_hashes).alias("k_hashes"),
+        )
+    )
+
+
+def _bloom_geometry(sketch: DataFrame) -> "tuple[int, int]":
+    if "m_bits" not in sketch.columns or "k_hashes" not in sketch.columns:
+        raise ValueError(
+            "bloom sketch is missing geometry columns (m_bits, k_hashes) — "
+            "build it with bloom_build"
+        )
+    g = sketch.agg(
+        F.min("m_bits").alias("_m0"), F.max("m_bits").alias("_m1"),
+        F.min("k_hashes").alias("_k0"), F.max("k_hashes").alias("_k1"),
+    ).collect()[0]
+    if g["_m0"] is None:
+        return (0, 0)  # empty filter: nothing is a member, any probe valid
+    if g["_m0"] != g["_m1"] or g["_k0"] != g["_k1"]:
+        raise ValueError("bloom sketch mixes geometries — merge with bloom_merge")
+    return (g["_m0"], g["_k0"])
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two Bloom filters (bitwise OR == set union of set bits)
+    — exact: ``merge(bloom(A), bloom(B)) == bloom(A ∪ B)`` bit for bit,
+    which is what makes per-partition builds combinable. Geometry must
+    match on both sides."""
+    ga, gb = _bloom_geometry(a), _bloom_geometry(b)
+    if ga != (0, 0) and gb != (0, 0) and ga != gb:
+        raise ValueError(f"bloom_merge: sketch geometry mismatch {ga} vs {gb}")
+    m, k = ga if ga != (0, 0) else gb
+    return (
+        a.unionByName(b)
+        .select("bit")
+        .distinct()
+        .select("bit", F.lit(m).alias("m_bits"), F.lit(k).alias("k_hashes"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Membership probe: a key *might* be present iff ALL k of its bit
+    positions are set. Returns the keys frame plus ``might_contain`` —
+    true has a bounded false-positive rate, false is EXACT (the property
+    joins downstream rely on: a Bloom pre-filter before an expensive
+    join may pass extra rows, never drop real ones).
+
+    The sketch (≤ m rows) broadcasts against the keys; per key the probe
+    is a k-row semi-match counted to k. Geometry is validated exactly.
+    """
+    gm, gk = _bloom_geometry(sketch)
+    if (gm, gk) != (0, 0) and (gm, gk) != (m_bits, k_hashes):
+        raise ValueError(
+            f"bloom_probe: sketch geometry (m_bits={gm}, k_hashes={gk}) does "
+            f"not match probe geometry (m_bits={m_bits}, k_hashes={k_hashes})"
+        )
+    bits = sketch.select("bit")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(_bloom_positions(key_col, m_bits, k_hashes)).alias("bit"),
+    )
+    return (
+        probes.join(
+            F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left"
+        )
+        .groupBy(key_col)
+        .agg(
+            (F.sum(F.coalesce("_set", F.lit(0))) == F.lit(k_hashes)).alias(
+                "might_contain"
+            )
+        )
+    )

@@ -407,3 +407,88 @@ def spearman_correlation(
         F.col("n").cast("long").alias("n"),
         F.col("pearson_r").alias("spearman_rho"),
     )
+
+
+def ols_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Closed-form simple linear regression (OLS) per group — slope,
+    intercept, R², and the slope's standard error, all from ONE moment
+    aggregate: the classical trend fit next to the robust Theil–Sen
+    (which resists outliers; OLS is the efficiency baseline and the one
+    with a finite-sample inference story).
+
+    Exactness discipline: per-row terms round to 9 and accumulate as
+    exact decimals (order-independent across any partitioning), then
+    every statistic evaluates in ONE pinned double parenthesization via
+    the centered sums ``Sxx = sxx − sx·sx/n`` etc., so any engine
+    reproduces the numbers bit-for-bit. Degenerate cases pin to NULL:
+    constant x (``Sxx == 0``) → NULL slope/intercept/R²/stderr; n ≤ 2 →
+    NULL stderr (zero degrees of freedom); constant y → R² NULL (0/0).
+    NULL pairs are pairwise-deleted.
+
+    Scale shape: one map-side-combined aggregate per group — no
+    windows, no driver data. 100 TB of points per group reduce to six
+    numbers.
+    """
+    gx = [F.col(c) for c in group_cols]
+    pairs = df.select(
+        *gx,
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+
+    def dterm(c):
+        return F.round(c, 9).cast("decimal(30,9)")
+
+    m = pairs.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dterm(F.col("_x"))).cast("double").alias("sx"),
+        F.sum(dterm(F.col("_y"))).cast("double").alias("sy"),
+        F.sum(dterm(F.col("_x") * F.col("_y"))).cast("double").alias("sxy"),
+        F.sum(dterm(F.col("_x") * F.col("_x"))).cast("double").alias("sxx"),
+        F.sum(dterm(F.col("_y") * F.col("_y"))).cast("double").alias("syy"),
+    )
+    return ols_from_moments(m, n_col="_n").select(
+        *[F.col(c) for c in group_cols],
+        F.col("_n").cast("long").alias("n"),
+        "slope",
+        "intercept",
+        "r2",
+        "stderr_slope",
+    )
+
+
+def ols_from_moments(m: DataFrame, n_col: str = "n") -> DataFrame:
+    """Closed-form OLS from moment sums ``(n_col, sx, sy, sxy, sxx,
+    syy)`` — the expression layer under :func:`ols_fit`, exposed (like
+    :func:`pearson_from_moments`) so callers that can produce EXACT
+    moments (integer micro-unit series) get bit-identical cross-engine
+    results. Appends ``slope``, ``intercept``, ``r2``, ``stderr_slope``
+    (each rounded to 9); degenerate inputs pin to NULL as documented on
+    :func:`ols_fit`."""
+    n = F.col(n_col).cast("double")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / n
+    den = F.nullif(sxx_c, F.lit(0.0))
+    slope = sxy_c / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    # float cancellation can push SSE a hair below 0 — clamp, but via
+    # when/otherwise (NOT greatest, which IGNORES nulls and would turn a
+    # NULL slope's NULL sse into 0, leaking r2=1 on constant-x input)
+    sse_raw = syy_c - slope * sxy_c
+    sse = F.when(sse_raw < 0, F.lit(0.0)).otherwise(sse_raw)
+    r2 = F.lit(1.0) - sse / F.nullif(syy_c, F.lit(0.0))
+    stderr = F.when(
+        F.col(n_col) > 2, F.sqrt((sse / (n - F.lit(2.0))) / den)
+    )
+    return (
+        m.withColumn("slope", F.round(slope, 9))
+        .withColumn("intercept", F.round(intercept, 9))
+        .withColumn("r2", F.round(r2, 9))
+        .withColumn("stderr_slope", F.round(stderr, 9))
+    )

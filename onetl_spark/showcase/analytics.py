@@ -1860,6 +1860,154 @@ SPARK_QUERIES["events_user_cms_counts"] = events_user_cms_counts
 ORACLE_SQL["events_user_cms_counts"] = _cms_sql()
 
 
+_BLOOM_M, _BLOOM_K = 16384, 5
+
+
+def customer_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter (`operators/sketches.py
+    bloom_build/bloom_probe`): sketch the custkeys holding finished
+    orders, probe EVERY customer, and report the probe verdict next to
+    the exact membership — `might_contain=false → is_present=false` is
+    the no-false-negative guarantee that lets a broadcast-sized bit
+    relation pre-screen a 100-TB join's probe side (the classic
+    semi-join pushdown a Bloom exists for)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.sketches import bloom_build, bloom_probe
+
+    fin = spark.table("orders").filter(F.col("o_orderstatus") == "F")
+    sketch = bloom_build(fin, "o_custkey", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    cust = spark.table("customer").select(F.col("c_custkey").alias("custkey"))
+    probed = bloom_probe(sketch, cust, "custkey", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    actual = fin.select(F.col("o_custkey").alias("custkey")).distinct().withColumn(
+        "is_present", F.lit(True)
+    )
+    return probed.join(actual, "custkey", "left").select(
+        "custkey",
+        "might_contain",
+        F.coalesce("is_present", F.lit(False)).alias("is_present"),
+    )
+
+
+def _bloom_hash(i: int, expr: str, m: int) -> str:
+    return (
+        f"(('0x' || substr(md5('b{i}:' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {m})"
+    )
+
+
+def _bloom_sql(m: int = _BLOOM_M, k: int = _BLOOM_K) -> str:
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {_bloom_hash(i, 'o_custkey', m)} AS bit FROM fin"
+        for i in range(k)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT c_custkey AS custkey, {_bloom_hash(i, 'c_custkey', m)} AS bit FROM customer"
+        for i in range(k)
+    )
+    return f"""
+WITH fin AS MATERIALIZED (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+), bits AS MATERIALIZED (
+  SELECT DISTINCT bit FROM ({bit_rows})
+), probes AS (
+  {probe_rows}
+), hit AS (
+  SELECT custkey,
+         SUM(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+  FROM probes LEFT JOIN bits USING (bit)
+  GROUP BY custkey
+), actual AS (
+  SELECT DISTINCT o_custkey AS custkey FROM fin
+)
+SELECT hit.custkey,
+       hit.nhit = {k} AS might_contain,
+       actual.custkey IS NOT NULL AS is_present
+FROM hit LEFT JOIN actual USING (custkey)
+"""
+
+
+SPARK_QUERIES["customer_bloom_prefilter"] = customer_bloom_prefilter
+ORACLE_SQL["customer_bloom_prefilter"] = _bloom_sql()
+
+
+def events_type_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical OLS daily-value trend per event type (`operators/
+    stats.py ols_fit`): slope/intercept/R²/stderr from one moment
+    aggregate — the efficiency baseline next to the robust Theil–Sen
+    trend (`events_theilsen_trend`), with the inference numbers
+    (stderr) Theil–Sen doesn't give. One groupBy per group; 100 TB of
+    points reduce to six moments."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.stats import ols_from_moments
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    pairs = daily.select(
+        "event_type",
+        F.unix_date("day").cast("decimal(38,0)").alias("x"),
+        _micro_units(F.col("v")).alias("y"),
+    )
+    fit = ols_from_moments(_moment_sums(pairs, ["event_type"]), n_col="n_days")
+    # y was in exact integer micro-units: scale slope/intercept/stderr
+    # back as a pinned post-rounding double op (both engines identical)
+    return fit.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n"),
+        F.round(F.col("slope") / F.lit(1000000.0), 9).alias("slope"),
+        F.round(F.col("intercept") / F.lit(1000000.0), 9).alias("intercept"),
+        "r2",
+        F.round(F.col("stderr_slope") / F.lit(1000000.0), 9).alias("stderr_slope"),
+    ).orderBy("event_type")
+
+
+OLS_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT event_type,
+         CAST(day - DATE '1970-01-01' AS HUGEINT) AS x,
+         CAST(CAST(v AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS y
+  FROM daily
+), m AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY event_type
+), fit AS (
+  SELECT event_type, n_days, sx, sy, n,
+         (sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0) AS slope,
+         sxx - sx * sx / n AS sxx_c,
+         sxy - sx * sy / n AS sxy_c,
+         syy - sy * sy / n AS syy_c
+  FROM (SELECT *, CAST(n_days AS DOUBLE) AS n FROM m)
+), ext AS (
+  SELECT *,
+         (sy - slope * sx) / n AS intercept,
+         CASE WHEN syy_c - slope * sxy_c < 0 THEN 0.0
+              ELSE syy_c - slope * sxy_c END AS sse
+  FROM fit
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n,
+       round(round(slope, 9) / 1000000.0, 9) AS slope,
+       round(round(intercept, 9) / 1000000.0, 9) AS intercept,
+       round(1.0 - sse / NULLIF(syy_c, 0), 9) AS r2,
+       round(round(CASE WHEN n_days > 2 THEN sqrt((sse / (n - 2.0)) / NULLIF(sxx_c, 0)) END, 9) / 1000000.0, 9) AS stderr_slope
+FROM ext
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["events_type_ols_trend"] = events_type_ols_trend
+ORACLE_SQL["events_type_ols_trend"] = OLS_TREND_SQL
+
+
 def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct users (`operators/sketches.py
     hll_registers/hll_merge/hll_estimate`): one sketch PER EVENT TYPE

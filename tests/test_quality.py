@@ -493,3 +493,93 @@ def test_sketch_geometry_mismatches_raise(spark):
     reg = hll_registers(df, "k", b=8)
     with _pt.raises(ValueError, match="different b"):
         hll_estimate(reg, b=10)
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.sketches import bloom_build, bloom_merge, bloom_probe
+
+    present = spark.range(500).select(F.col("id").alias("k"))
+    absent = spark.range(500, 1500).select(F.col("id").alias("k"))
+    sk = bloom_build(present, "k", m_bits=8192, k_hashes=5)
+
+    got = {r["k"]: r["might_contain"] for r in bloom_probe(sk, present, "k", 8192, 5).collect()}
+    assert all(got.values())  # NO false negatives, ever
+
+    fp = sum(
+        1 for r in bloom_probe(sk, absent, "k", 8192, 5).collect() if r["might_contain"]
+    )
+    # theoretical fp ~ (1-e^(-5*500/8192))^5 ~ 0.1%; allow 10x headroom
+    assert fp <= 10
+
+    # mergeability: merge(bloom(evens), bloom(odds)) == bloom(all) bit-exact
+    a = bloom_build(present.filter("k % 2 = 0"), "k", 8192, 5)
+    b = bloom_build(present.filter("k % 2 = 1"), "k", 8192, 5)
+    merged = bloom_merge(a, b)
+    whole = {r["bit"] for r in sk.collect()}
+    assert {r["bit"] for r in merged.collect()} == whole
+    # merged filter stays probe-able with identical answers
+    got_m = {r["k"]: r["might_contain"] for r in bloom_probe(merged, present, "k", 8192, 5).collect()}
+    assert got_m == got
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="geometry"):
+        bloom_probe(sk, present, "k", m_bits=4096, k_hashes=5)
+    with _pt.raises(ValueError, match="geometry mismatch"):
+        bloom_merge(a, bloom_build(present, "k", 4096, 5))
+    with _pt.raises(ValueError, match="m_bits"):
+        bloom_build(present, "k", m_bits=4)
+
+
+def test_ols_fit_hand_cases(spark):
+    import pytest as _pt
+
+    from onetl_spark.operators.stats import ols_fit
+
+    # exact line y = 2x + 1 -> slope 2, intercept 1, r2 = 1, stderr 0
+    exact = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1.0) for i in range(10)], "x double, y double"
+    )
+    r = ols_fit(exact, "x", "y").collect()[0]
+    assert (r["n"], r["slope"], r["intercept"], r["r2"], r["stderr_slope"]) == (
+        10, 2.0, 1.0, 1.0, 0.0,
+    )
+
+    # known noisy case: x=[0..3], y=[1,3,2,5] -> slope 1.1, intercept 1.1
+    noisy = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 3.0), (2.0, 2.0), (3.0, 5.0)], "x double, y double"
+    )
+    r = ols_fit(noisy, "x", "y").collect()[0]
+    assert abs(r["slope"] - 1.1) < 1e-9 and abs(r["intercept"] - 1.1) < 1e-9
+    # numpy cross-check of r2 and stderr
+    import numpy as np
+
+    x = np.array([0.0, 1.0, 2.0, 3.0]); y = np.array([1.0, 3.0, 2.0, 5.0])
+    ssxx = ((x - x.mean()) ** 2).sum(); ssxy = ((x - x.mean()) * (y - y.mean())).sum()
+    sse = ((y - (1.1 * x + 1.1)) ** 2).sum()
+    assert abs(r["r2"] - (1 - sse / ((y - y.mean()) ** 2).sum())) < 1e-8
+    assert abs(r["stderr_slope"] - np.sqrt((sse / 2) / ssxx)) < 1e-8
+
+    # constant x -> NULL everything; constant y -> slope 0, r2 NULL
+    cx = spark.createDataFrame([(1.0, 1.0), (1.0, 5.0)], "x double, y double")
+    r = ols_fit(cx, "x", "y").collect()[0]
+    assert r["slope"] is None and r["r2"] is None and r["stderr_slope"] is None
+    cy = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double")
+    r = ols_fit(cy, "x", "y").collect()[0]
+    assert r["slope"] == 0.0 and r["r2"] is None and r["stderr_slope"] == 0.0
+
+    # n == 2: perfect fit, stderr NULL (no degrees of freedom)
+    two = spark.createDataFrame([(0.0, 0.0), (1.0, 3.0)], "x double, y double")
+    r = ols_fit(two, "x", "y").collect()[0]
+    assert r["slope"] == 3.0 and r["stderr_slope"] is None
+
+    # NULL pairs dropped; grouping works
+    g = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 1.0, 2.0), ("a", None, 9.0), ("b", 0.0, 1.0), ("b", 2.0, 1.0)],
+        "g string, x double, y double",
+    )
+    rows = {r["g"]: r for r in ols_fit(g, "x", "y", ("g",)).collect()}
+    assert rows["a"]["n"] == 2 and rows["a"]["slope"] == 2.0
+    assert rows["b"]["slope"] == 0.0
