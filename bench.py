@@ -174,6 +174,10 @@ HEADLINE = [
     "jpeg_roundtrip_ahash",
     "customer_bloom_prefilter",
     "events_type_ols_trend",
+    "doc_lang_source_mi",
+    "lineitem_weighted_median_price",
+    "events_daily_mad_outliers",
+    "doc_source_woe_iv",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

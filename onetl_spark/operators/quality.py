@@ -499,3 +499,209 @@ def benford_first_digit(df: DataFrame, column: str) -> DataFrame:
         F.col("_t").cast("double").alias("chi2_term"),
         F.round(F.col("_chi2"), 9).alias("chi2_total"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: "tuple[str, ...]" = (),
+    scale: int = 6,
+) -> DataFrame:
+    """Lower weighted median per group: the smallest value ``v`` whose
+    cumulative weight reaches half the group's total — the
+    robust-center statistic when observations carry sizes (revenue-
+    weighted price, token-weighted score). Explicit RANK SELECTION, no
+    engine quantile interpolation (the Theil–Sen median convention), so
+    any engine reproduces it exactly; the half-total comparison is
+    ``2·cum ≥ total`` in exact decimals — no division, no float
+    boundary risk.
+
+    Scale shape: rows collapse to one per (group, value) first
+    (map-side combined), then a per-group cumulative window over the
+    DISTINCT-value relation — partitioned by group, never a global
+    sort. Weights must be non-negative; zero-weight rows and NULLs are
+    excluded; groups whose total weight is 0 disappear (no median
+    exists).
+    """
+    dec = f"decimal(30,{scale})"
+    gx = [F.col(c) for c in group_cols]
+    t = df.select(
+        *gx,
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast(dec).alias("_w"),
+    ).filter(
+        F.col("_v").isNotNull() & F.col("_w").isNotNull() & (F.col("_w") != 0)
+    )
+    neg = t.filter(F.col("_w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("weighted_median: weights must be non-negative")
+    counts = t.groupBy(*[F.col(c) for c in group_cols], F.col("_v")).agg(
+        F.sum("_w").alias("_w")
+    )
+    from pyspark.sql.window import Window as _W
+
+    wcum = (
+        _W.partitionBy(*group_cols).orderBy("_v")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    wtot = _W.partitionBy(*group_cols)
+    staged = counts.select(
+        *[F.col(c) for c in group_cols],
+        "_v",
+        F.sum("_w").over(wcum).alias("_cum"),
+        F.sum("_w").over(wtot).alias("_tot"),
+    )
+    hit = staged.filter(
+        F.lit(2).cast("decimal(2,0)") * F.col("_cum") >= F.col("_tot")
+    )
+    return (
+        hit.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.min("_v").alias("weighted_median"),
+            F.first("_tot").alias("_t"),
+        )
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.col("_t").cast("double").alias("total_weight"),
+            "weighted_median",
+        )
+    )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "tuple[str, ...]" = (),
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier report per group via the modified z-score
+    ``0.6745·(v − median) / MAD`` (Iglewicz–Hoaglin): the anomaly
+    detector that a few extreme values cannot recalibrate, unlike a
+    mean/stddev z-score where the outliers inflate their own yardstick.
+    Returns ``(group…, n, median, mad, n_outliers, max_abs_z)``.
+
+    Exactness: both medians are explicit LOWER-median rank selections
+    (``row_number == (n+1)//2`` — the Theil–Sen convention, no engine
+    interpolation); the z evaluates in one pinned double
+    parenthesization rounded to 9. ``MAD == 0`` (at least half the
+    group equals its median) pins z to NULL and counts no outliers —
+    the degenerate-case convention, not a division error.
+
+    Scale shape: two per-group rank windows over the (group, value)
+    relation + one aggregate. Window partitions are GROUP-sized: with
+    low-cardinality groups feed a pre-aggregate (daily totals, not raw
+    events) or the hot partition stalls — the same caveat as every
+    partition-by-group window here.
+    """
+    from pyspark.sql.window import Window as _W
+
+    gx = [F.col(c) for c in group_cols]
+    t = df.select(*gx, F.col(value_col).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    wn = _W.partitionBy(*group_cols)
+    ws = _W.partitionBy(*group_cols).orderBy("_v")
+    med = (
+        t.withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn("_rn", F.row_number().over(ws))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select(*[F.col(c) for c in group_cols], F.col("_v").alias("_med"))
+    )
+    dev = t.join(med, list(group_cols)) if group_cols else t.crossJoin(
+        F.broadcast(med.select("_med"))
+    )
+    dev = dev.withColumn("_d", F.abs(F.col("_v") - F.col("_med")))
+    wsd = _W.partitionBy(*group_cols).orderBy("_d")
+    mad = (
+        dev.withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn("_rn", F.row_number().over(wsd))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select(*[F.col(c) for c in group_cols], F.col("_d").alias("_mad"))
+    )
+    scored = dev.join(mad, list(group_cols)) if group_cols else dev.crossJoin(
+        F.broadcast(mad.select("_mad"))
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("_v") - F.col("_med"))
+        / F.nullif(F.col("_mad"), F.lit(0.0)),
+        9,
+    )
+    scored = scored.withColumn("_z", z)
+    return (
+        scored.groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_med").alias("median"),
+            F.first("_mad").alias("mad"),
+            F.sum(
+                # NULL z (MAD==0) is "no verdict", not an outlier — and a
+                # group of all-NULL z must count 0, not NULL
+                F.coalesce(F.abs(F.col("_z")) > threshold, F.lit(False)).cast("long")
+            ).alias("n_outliers"),
+            F.max(F.abs(F.col("_z"))).alias("max_abs_z"),
+        )
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-evidence / information-value report for a categorical
+    feature against a binary label — the classic scorecard-era feature-
+    strength screen (IV < 0.02 useless, > 0.5 suspicious) that needs
+    only two aggregates and scales to any cardinality. Numeric features
+    should be pre-binned (pinned quantile bins, the PSI convention) and
+    fed here as categories.
+
+    Per category: ``WoE = ln(pos_share / neg_share)`` and
+    ``iv_term = (pos_share − neg_share)·WoE``; ``iv_total`` (the sum
+    over categories with both classes present) repeats on every row,
+    the Benford-report shape. A category missing one class has infinite
+    WoE — pinned to NULL and excluded from the total (the degenerate-
+    case convention; add smoothing upstream if you want finite values).
+    Label must be 0/1 (NULL labels and NULL categories are dropped).
+
+    Exactness: counts are integers; shares and logs evaluate in one
+    pinned double parenthesization, terms round to 9 and accumulate as
+    exact decimals. One (category) aggregate + a 1-row broadcast total.
+    """
+    t = df.select(
+        F.col(category_col).cast("string").alias("_c"),
+        F.col(label_col).cast("long").alias("_y"),
+    ).filter(F.col("_c").isNotNull() & F.col("_y").isNotNull())
+    bad = t.filter(~F.col("_y").isin(0, 1)).limit(1).count()
+    if bad:
+        raise ValueError("woe_iv: label must be binary 0/1")
+    per = t.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_neg"),
+    )
+    tot = per.agg(
+        F.sum("_pos").alias("_tp"), F.sum("_neg").alias("_tn")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    pos_share = F.col("_pos").cast("double") / F.col("_tp").cast("double")
+    neg_share = F.col("_neg").cast("double") / F.col("_tn").cast("double")
+    woe = F.when(
+        (F.col("_pos") > 0) & (F.col("_neg") > 0),
+        F.round(F.log(pos_share / neg_share), 9),
+    )
+    scored = j.select(
+        F.col("_c").alias("category"),
+        F.col("_n").cast("long").alias("n"),
+        F.col("_pos").cast("long").alias("n_pos"),
+        F.col("_neg").cast("long").alias("n_neg"),
+        woe.alias("woe"),
+        F.round((pos_share - neg_share) * woe, 9).alias("iv_term"),
+    )
+    iv = scored.agg(
+        F.sum(F.col("iv_term").cast("decimal(30,9)")).cast("double").alias("_iv")
+    )
+    return scored.crossJoin(F.broadcast(iv)).select(
+        "category", "n", "n_pos", "n_neg", "woe", "iv_term",
+        F.round(F.col("_iv"), 9).alias("iv_total"),
+    )

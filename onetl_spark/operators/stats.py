@@ -492,3 +492,78 @@ def ols_from_moments(m: DataFrame, n_col: str = "n") -> DataFrame:
         .withColumn("r2", F.round(r2, 9))
         .withColumn("stderr_slope", F.round(stderr, 9))
     )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information between two categorical columns, in nats —
+    the model-free dependence measure next to Cramér's V (MI sees any
+    deviation from independence, not just chi-square-style association),
+    plus both marginal entropies and the normalized MI
+    ``NMI = MI / √(H(X)·H(Y))`` for a 0-1 scale.
+
+    Exactness: counts are integers; each term evaluates in one pinned
+    double parenthesization ``(cxy/n)·ln((cxy·n)/(cx·cy))`` with IEEE
+    ln, rounds to 9 and accumulates as exact decimals — any engine
+    reproduces the sums bit-for-bit. Degenerate single-category margins
+    give H = 0 and NMI pins to NULL (0/0). NULL pairs are dropped
+    (a NULL category is missingness, not a value — PSI's NULL bucket
+    covers missing-rate drift).
+
+    Scale shape: one (x,y) pair aggregate + two marginal aggregates,
+    joined on category keys — all relations category-bounded; the
+    1-row totals broadcast. No windows, no driver data.
+    """
+    pairs = df.select(
+        F.col(x_col).cast("string").alias("_x"),
+        F.col(y_col).cast("string").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    joint = pairs.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_cxy"))
+    mx = pairs.groupBy("_x").agg(F.count(F.lit(1)).alias("_cx"))
+    my = pairs.groupBy("_y").agg(F.count(F.lit(1)).alias("_cy"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("_n"))
+
+    n = F.col("_n").cast("double")
+
+    def ent(cnt_col: str, cnt_frame: DataFrame) -> DataFrame:
+        c = F.col(cnt_col).cast("double")
+        term = F.round(-(c / n) * F.log(c / n), 9).cast("decimal(30,9)")
+        return (
+            cnt_frame.crossJoin(F.broadcast(tot))
+            .agg(F.sum(term).cast("double").alias("_h"))
+        )
+
+    mi_terms = (
+        joint.join(mx, "_x")
+        .join(my, "_y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                (F.col("_cxy").cast("double") / n)
+                * F.log(
+                    (F.col("_cxy").cast("double") * n)
+                    / (F.col("_cx").cast("double") * F.col("_cy").cast("double"))
+                ),
+                9,
+            )
+            .cast("decimal(30,9)")
+            .alias("_t")
+        )
+    )
+    mi = mi_terms.agg(F.sum("_t").cast("double").alias("_mi"))
+    hx = ent("_cx", mx).select(F.col("_h").alias("_hx"))
+    hy = ent("_cy", my).select(F.col("_h").alias("_hy"))
+    out = (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_mi"), 9).alias("mi_nats"),
+        F.round(F.col("_hx"), 9).alias("h_x_nats"),
+        F.round(F.col("_hy"), 9).alias("h_y_nats"),
+        F.round(
+            F.col("_mi") / F.nullif(F.sqrt(F.col("_hx") * F.col("_hy")), F.lit(0.0)),
+            9,
+        ).alias("nmi"),
+    )

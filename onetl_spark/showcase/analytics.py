@@ -2008,6 +2008,206 @@ SPARK_QUERIES["events_type_ols_trend"] = events_type_ols_trend
 ORACLE_SQL["events_type_ols_trend"] = OLS_TREND_SQL
 
 
+def doc_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between document language and source
+    (`operators/stats.py mutual_information`): does a source determine
+    language? MI + marginal entropies + normalized MI — the model-free
+    dependence check next to Cramér's V for curation-mix audits."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.stats import mutual_information
+
+    return mutual_information(spark.table("documents"), "lang", "source")
+
+
+DOC_MI_SQL = """
+WITH pairs AS (
+  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, COUNT(*) AS n_i FROM pairs),
+joint AS (SELECT x, y, COUNT(*) AS cxy FROM pairs GROUP BY x, y),
+mx AS (SELECT x, COUNT(*) AS cx FROM pairs GROUP BY x),
+my AS (SELECT y, COUNT(*) AS cy FROM pairs GROUP BY y),
+mi AS (
+  SELECT CAST(SUM(CAST(round(
+           (CAST(cxy AS DOUBLE) / n)
+           * ln((CAST(cxy AS DOUBLE) * n)
+                / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 9)
+         AS DECIMAL(30,9))) AS DOUBLE) AS mi
+  FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+),
+hx AS (
+  SELECT CAST(SUM(CAST(round(
+           -(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n), 9)
+         AS DECIMAL(30,9))) AS DOUBLE) AS h
+  FROM mx CROSS JOIN tot
+),
+hy AS (
+  SELECT CAST(SUM(CAST(round(
+           -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n), 9)
+         AS DECIMAL(30,9))) AS DOUBLE) AS h
+  FROM my CROSS JOIN tot
+)
+SELECT CAST(tot.n_i AS BIGINT) AS n,
+       round(mi.mi, 9) AS mi_nats,
+       round(hx.h, 9) AS h_x_nats,
+       round(hy.h, 9) AS h_y_nats,
+       round(mi.mi / NULLIF(sqrt(hx.h * hy.h), 0), 9) AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot
+"""
+
+SPARK_QUERIES["doc_lang_source_mi"] = doc_lang_source_mi
+ORACLE_SQL["doc_lang_source_mi"] = DOC_MI_SQL
+
+
+def lineitem_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of extended price per return flag
+    (`operators/quality.py weighted_median`): the robust center when
+    observations carry sizes. Explicit rank selection over the
+    per-(group, value) collapsed relation — exact decimal half-total
+    comparison, no quantile interpolation, no global sort."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.quality import weighted_median
+
+    return weighted_median(
+        spark.table("lineitem"), "l_extendedprice", "l_quantity",
+        ("l_returnflag",),
+    ).orderBy("l_returnflag")
+
+
+WMEDIAN_SQL = """
+WITH t AS (
+  SELECT l_returnflag AS g,
+         CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS DECIMAL(30,6)) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity <> 0
+), counts AS (
+  SELECT g, v, SUM(w) AS w FROM t GROUP BY g, v
+), staged AS (
+  SELECT g, v,
+         SUM(w) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY g) AS tot
+  FROM counts
+)
+SELECT g AS l_returnflag,
+       CAST(MIN(tot) AS DOUBLE) AS total_weight,
+       MIN(CASE WHEN 2 * cum >= tot THEN v END) AS weighted_median
+FROM staged
+GROUP BY g
+ORDER BY l_returnflag
+"""
+
+SPARK_QUERIES["lineitem_weighted_median_price"] = lineitem_weighted_median_price
+ORACLE_SQL["lineitem_weighted_median_price"] = WMEDIAN_SQL
+
+
+def events_daily_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-anomaly report per event type (`operators/quality.py
+    mad_outlier_stats`, modified z = 0.6745·(v−median)/MAD): the
+    detector a few extreme days cannot recalibrate, next to the
+    mean/std `daily_value_anomalies`. Runs on the DAILY pre-aggregate
+    so the per-type window partitions stay calendar-bounded."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.quality import mad_outlier_stats
+
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+    )
+    return mad_outlier_stats(daily, "v", ("event_type",)).orderBy("event_type")
+
+
+MAD_SQL = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT g, v AS med FROM (
+    SELECT g, v,
+           COUNT(*) OVER (PARTITION BY g) AS n,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn
+    FROM daily
+  ) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT daily.g, daily.v, med.med, abs(daily.v - med.med) AS d
+  FROM daily JOIN med USING (g)
+), mad AS (
+  SELECT g, d AS mad FROM (
+    SELECT g, d,
+           COUNT(*) OVER (PARTITION BY g) AS n,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS rn
+    FROM dev
+  ) WHERE rn = (n + 1) // 2
+), scored AS (
+  SELECT dev.g, dev.v, dev.med, mad.mad,
+         round(0.6745 * (dev.v - dev.med) / NULLIF(mad.mad, 0), 9) AS z
+  FROM dev JOIN mad USING (g)
+)
+SELECT g AS event_type,
+       COUNT(*) AS n,
+       MIN(med) AS median,
+       MIN(mad) AS mad,
+       CAST(SUM(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MAX(abs(z)) AS max_abs_z
+FROM scored
+GROUP BY g
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["events_daily_mad_outliers"] = events_daily_mad_outliers
+ORACLE_SQL["events_daily_mad_outliers"] = MAD_SQL
+
+
+def doc_source_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information value of document source
+    predicting English-language content (`operators/quality.py woe_iv`)
+    — the scorecard-era feature screen on the curation-mix question
+    "how strongly does provenance determine language?"."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.quality import woe_iv
+
+    labeled = spark.table("documents").select(
+        "source", (F.col("lang") == "en").cast("long").alias("is_en")
+    )
+    return woe_iv(labeled, "source", "is_en").orderBy("category")
+
+
+WOE_SQL = """
+WITH t AS (
+  SELECT CAST(source AS VARCHAR) AS c,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+), per AS (
+  SELECT c, COUNT(*) AS n, SUM(y) AS pos, SUM(1 - y) AS neg FROM t GROUP BY c
+), tot AS (
+  SELECT CAST(SUM(pos) AS DOUBLE) AS tp, CAST(SUM(neg) AS DOUBLE) AS tn FROM per
+), scored AS (
+  SELECT c, n, pos, neg,
+         CASE WHEN pos > 0 AND neg > 0
+              THEN round(ln((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)), 9)
+         END AS woe,
+         round((CAST(pos AS DOUBLE) / tp - CAST(neg AS DOUBLE) / tn)
+               * CASE WHEN pos > 0 AND neg > 0
+                      THEN round(ln((CAST(pos AS DOUBLE) / tp) / (CAST(neg AS DOUBLE) / tn)), 9)
+                 END, 9) AS iv_term
+  FROM per CROSS JOIN tot
+), iv AS (
+  SELECT CAST(SUM(CAST(iv_term AS DECIMAL(30,9))) AS DOUBLE) AS iv FROM scored
+)
+SELECT c AS category, CAST(n AS BIGINT) AS n,
+       CAST(pos AS BIGINT) AS n_pos, CAST(neg AS BIGINT) AS n_neg,
+       woe, iv_term, round(iv.iv, 9) AS iv_total
+FROM scored CROSS JOIN iv
+ORDER BY category
+"""
+
+SPARK_QUERIES["doc_source_woe_iv"] = doc_source_woe_iv
+ORACLE_SQL["doc_source_woe_iv"] = WOE_SQL
+
+
 def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct users (`operators/sketches.py
     hll_registers/hll_merge/hll_estimate`): one sketch PER EVENT TYPE

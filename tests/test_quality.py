@@ -583,3 +583,148 @@ def test_ols_fit_hand_cases(spark):
     rows = {r["g"]: r for r in ols_fit(g, "x", "y", ("g",)).collect()}
     assert rows["a"]["n"] == 2 and rows["a"]["slope"] == 2.0
     assert rows["b"]["slope"] == 0.0
+
+
+def test_mutual_information_hand_cases(spark):
+    import math
+
+    from onetl_spark.operators.stats import mutual_information
+
+    # perfectly dependent: y == x over 2 equal categories -> MI = H = ln 2
+    dep = spark.createDataFrame(
+        [("a", "a")] * 5 + [("b", "b")] * 5, "x string, y string"
+    )
+    r = mutual_information(dep, "x", "y").collect()[0]
+    assert abs(r["mi_nats"] - math.log(2)) < 1e-8
+    assert abs(r["h_x_nats"] - math.log(2)) < 1e-8
+    assert abs(r["nmi"] - 1.0) < 1e-8
+
+    # independent uniform 2x2 -> MI = 0, NMI = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(5)], "x string, y string"
+    )
+    r = mutual_information(ind, "x", "y").collect()[0]
+    assert abs(r["mi_nats"]) < 1e-8 and abs(r["nmi"]) < 1e-8
+
+    # single-category margin: H(X)=0 -> NMI NULL, MI 0
+    const = spark.createDataFrame([("a", "c"), ("a", "d")], "x string, y string")
+    r = mutual_information(const, "x", "y").collect()[0]
+    assert r["mi_nats"] == 0.0 and r["h_x_nats"] == 0.0 and r["nmi"] is None
+
+    # NULL pairs dropped; MI <= min(H(X), H(Y)) on a skewed joint
+    sk = spark.createDataFrame(
+        [("a", "c")] * 6 + [("a", "d")] * 2 + [("b", "d")] * 2 + [(None, "c")],
+        "x string, y string",
+    )
+    r = mutual_information(sk, "x", "y").collect()[0]
+    assert r["n"] == 10
+    assert 0 < r["mi_nats"] <= min(r["h_x_nats"], r["h_y_nats"]) + 1e-9
+    # numpy cross-check
+    import numpy as np
+
+    joint = np.array([[6, 2], [0, 2]]) / 10
+    px, py = joint.sum(1), joint.sum(0)
+    mi = sum(
+        joint[i, j] * math.log(joint[i, j] / (px[i] * py[j]))
+        for i in range(2) for j in range(2) if joint[i, j] > 0
+    )
+    assert abs(r["mi_nats"] - mi) < 1e-8
+
+
+def test_weighted_median_hand_cases(spark):
+    import pytest as _pt
+
+    from onetl_spark.operators.quality import weighted_median
+
+    # unit weights -> lower median
+    df = spark.createDataFrame(
+        [(float(v), 1.0) for v in [1, 2, 3, 4]], "v double, w double"
+    )
+    r = weighted_median(df, "v", "w").collect()[0]
+    assert r["weighted_median"] == 2.0 and r["total_weight"] == 4.0
+
+    # one heavy value dominates
+    heavy = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (10.0, 10.0)], "v double, w double"
+    )
+    assert weighted_median(heavy, "v", "w").collect()[0]["weighted_median"] == 10.0
+
+    # exact half boundary: cum(1.0) = 1, total = 2 -> 2*1 >= 2 -> v=1
+    half = spark.createDataFrame([(1.0, 1.0), (5.0, 1.0)], "v double, w double")
+    assert weighted_median(half, "v", "w").collect()[0]["weighted_median"] == 1.0
+
+    # groups + zero-weight/NULL rows excluded; all-zero group vanishes
+    g = spark.createDataFrame(
+        [("a", 1.0, 0.0), ("a", 3.0, 2.0), ("b", 7.0, 0.0), ("c", 2.0, None)],
+        "g string, v double, w double",
+    )
+    rows = {r["g"]: r["weighted_median"] for r in weighted_median(g, "v", "w", ("g",)).collect()}
+    assert rows == {"a": 3.0}
+
+    with _pt.raises(ValueError, match="non-negative"):
+        weighted_median(
+            spark.createDataFrame([(1.0, -1.0)], "v double, w double"), "v", "w"
+        )
+
+
+def test_mad_outlier_stats_hand_cases(spark):
+    from onetl_spark.operators.quality import mad_outlier_stats
+
+    # [1..9] + one gross outlier: median 5 (of 10 values: lower median),
+    # MAD from |v-5|, the 1000 flags
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = mad_outlier_stats(df, "v").collect()[0]
+    assert r["n"] == 10 and r["median"] == 5.0 and r["mad"] == 2.0
+    assert r["n_outliers"] == 1
+    assert abs(r["max_abs_z"] - 0.6745 * 995 / 2.0) < 1e-6
+
+    # mean/std z-score would MISS this outlier cluster; MAD doesn't:
+    # 3 outliers inflate a stddev yardstick but not the MAD
+    many = [10.0] * 20 + [11.0] * 20 + [500.0, 600.0, 700.0]
+    df = spark.createDataFrame([(v,) for v in many], "v double")
+    r = mad_outlier_stats(df, "v").collect()[0]
+    assert r["n_outliers"] == 3
+
+    # MAD == 0 (constant-heavy group): no verdict, zero outliers, NULL max
+    const = spark.createDataFrame([(5.0,)] * 9 + [(9.0,)], "v double")
+    r = mad_outlier_stats(const, "v").collect()[0]
+    assert r["mad"] == 0.0 and r["n_outliers"] == 0 and r["max_abs_z"] is None
+
+    # groups
+    g = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 10)] + [("a", 99.0), ("b", 1.0), ("b", 2.0)],
+        "g string, v double",
+    )
+    rows = {r["g"]: r for r in mad_outlier_stats(g, "v", ("g",)).collect()}
+    assert rows["a"]["n_outliers"] == 1 and rows["b"]["n_outliers"] == 0
+
+
+def test_woe_iv_hand_cases(spark):
+    import math
+
+    import pytest as _pt
+
+    from onetl_spark.operators.quality import woe_iv
+
+    # category A: 3 pos / 1 neg; B: 1 pos / 3 neg -> symmetric WoE
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "c string, y long")
+    out = {r["category"]: r for r in woe_iv(df, "c", "y").collect()}
+    wa = math.log((3 / 4) / (1 / 4))
+    assert abs(out["A"]["woe"] - wa) < 1e-8
+    assert abs(out["B"]["woe"] + wa) < 1e-8
+    iv = (3 / 4 - 1 / 4) * wa + (1 / 4 - 3 / 4) * -wa
+    assert abs(out["A"]["iv_total"] - iv) < 1e-7
+    assert out["A"]["iv_total"] == out["B"]["iv_total"]
+
+    # one-class category: NULL WoE, excluded from the total
+    rows2 = rows + [("C", 1)] * 2
+    out2 = {r["category"]: r for r in woe_iv(
+        spark.createDataFrame(rows2, "c string, y long"), "c", "y").collect()}
+    assert out2["C"]["woe"] is None and out2["C"]["iv_term"] is None
+    # shares changed (tp 4->6), so only check C's exclusion via non-NULL total
+    assert out2["A"]["iv_total"] is not None
+
+    with _pt.raises(ValueError, match="binary"):
+        woe_iv(spark.createDataFrame([("A", 2)], "c string, y long"), "c", "y")
