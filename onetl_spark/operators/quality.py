@@ -705,3 +705,69 @@ def woe_iv(
         "category", "n", "n_pos", "n_neg", "woe", "iv_term",
         F.round(F.col("_iv"), 9).alias("iv_total"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a
+    probabilistic score against a binary outcome — the "does 0.8 mean
+    80%?" check every learned quality/routing score needs before its
+    threshold means anything. Scores must lie in [0, 1] (raise, don't
+    clamp: an out-of-range score is an upstream bug, and silent
+    clamping would fold its mass into the edge bins).
+
+    Per fixed-width bin: count, exact-decimal mean score, observed
+    positive rate, and the |gap|; ``ece_total``
+    (``Σ (n_b/n)·|rate_b − mean_score_b|``) repeats on every row — the
+    Benford-report shape. Empty bins are omitted (no evidence, no row).
+    One scan + one bin-sized aggregate; NULL scores/labels dropped.
+    """
+    if bins < 2:
+        raise ValueError("calibration_bins: bins must be >= 2")
+    t = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("long").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    bad = t.filter(
+        ~F.col("_y").isin(0, 1) | (F.col("_s") < 0) | (F.col("_s") > 1)
+    ).limit(1).count()
+    if bad:
+        raise ValueError(
+            "calibration_bins: label must be 0/1 and score within [0, 1]"
+        )
+    b = F.least(F.floor(F.col("_s") * bins).cast("int"), F.lit(bins - 1))
+    per = t.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(F.col("_s"), 9).cast("decimal(30,9)")).alias("_ssum"),
+        F.sum("_y").alias("_pos"),
+    )
+    tot = per.agg(F.sum("_n").alias("_tot"))
+    j = per.crossJoin(F.broadcast(tot))
+    mean_score = F.col("_ssum").cast("double") / F.col("_n").cast("double")
+    pos_rate = F.col("_pos").cast("double") / F.col("_n").cast("double")
+    scored = j.select(
+        "bin",
+        F.col("_n").cast("long").alias("n"),
+        F.round(mean_score, 9).alias("mean_score"),
+        F.round(pos_rate, 9).alias("pos_rate"),
+        F.round(
+            (F.col("_n").cast("double") / F.col("_tot").cast("double"))
+            * F.abs(pos_rate - mean_score),
+            9,
+        )
+        .cast("decimal(30,9)")
+        .alias("_e"),
+    )
+    ece = scored.agg(F.sum("_e").cast("double").alias("_ece"))
+    return scored.crossJoin(F.broadcast(ece)).select(
+        "bin",
+        "n",
+        "mean_score",
+        "pos_rate",
+        F.col("_e").cast("double").alias("ece_term"),
+        F.round(F.col("_ece"), 9).alias("ece_total"),
+    )

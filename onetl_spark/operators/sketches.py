@@ -607,3 +607,150 @@ def bloom_probe(
             )
         )
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Pinned-bin mergeable histogram — the SCALE path to quantiles
+    (the exact global-rank machinery answers the same question
+    perfectly but pays a distinct-value shuffle; this pays ONE
+    map-side-combined aggregate and merges across days/partitions by
+    cell-wise add, the PSI pinned-bins convention). Bin −1 catches
+    underflow, bin ``bins`` overflow, so drifting data is visible
+    instead of silently clamped. Returns ``(bin, cnt, lo, hi, bins)``
+    — geometry travels with the sketch (the CMS/Bloom discipline).
+    NULLs are excluded."""
+    if not lo < hi:
+        raise ValueError(f"histogram_sketch: need lo < hi, got {lo} >= {hi}")
+    if bins < 1:
+        raise ValueError("histogram_sketch: bins must be >= 1")
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    b = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(bins))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin", "cnt",
+            F.lit(float(lo)).alias("lo"),
+            F.lit(float(hi)).alias("hi"),
+            F.lit(bins).alias("bins"),
+        )
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise union of two pinned-bin histograms (counts add) —
+    exact; geometry must match."""
+    ga = _histogram_geometry(a)
+    gb = _histogram_geometry(b)
+    if ga is not None and gb is not None and ga != gb:
+        raise ValueError(f"histogram_merge: geometry mismatch {ga} vs {gb}")
+    g = ga if ga is not None else gb
+    merged = a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    if g is None:  # both empty
+        return merged.select(
+            "bin", "cnt",
+            F.lit(None).cast("double").alias("lo"),
+            F.lit(None).cast("double").alias("hi"),
+            F.lit(None).cast("int").alias("bins"),
+        )
+    return merged.select(
+        "bin", "cnt",
+        F.lit(g[0]).alias("lo"), F.lit(g[1]).alias("hi"), F.lit(g[2]).alias("bins"),
+    )
+
+
+def _histogram_geometry(sketch: DataFrame):
+    for c in ("lo", "hi", "bins"):
+        if c not in sketch.columns:
+            raise ValueError(
+                "histogram sketch is missing geometry columns (lo, hi, bins)"
+            )
+    g = sketch.agg(
+        F.min("lo").alias("_l0"), F.max("lo").alias("_l1"),
+        F.min("hi").alias("_h0"), F.max("hi").alias("_h1"),
+        F.min("bins").alias("_b0"), F.max("bins").alias("_b1"),
+    ).collect()[0]
+    if g["_l0"] is None:
+        return None
+    if g["_l0"] != g["_l1"] or g["_h0"] != g["_h1"] or g["_b0"] != g["_b1"]:
+        raise ValueError("histogram sketch mixes geometries")
+    return (g["_l0"], g["_h0"], g["_b0"])
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    quantiles: "list[float]",
+) -> DataFrame:
+    """Quantile ESTIMATES from a :func:`histogram_sketch`: find the bin
+    where the cumulative count crosses ``q·n`` and interpolate linearly
+    inside it — deterministic (one pinned expression), with the
+    guaranteed error bound of one bin width (reported per row, the
+    "approximate but honest" contract; tighten by adding bins, or use
+    the exact rank machinery when the cost is acceptable). Estimates
+    clamp to [lo, hi]: a target landing in the underflow/overflow bin
+    reports the boundary. The cumulative window runs over the
+    bin-count-sized relation — bounded, not data-sized."""
+    if not quantiles or not all(0 <= q <= 1 for q in quantiles):
+        raise ValueError("histogram_quantiles: quantiles must lie in [0, 1]")
+    g = _histogram_geometry(sketch)
+    if g is None:
+        raise ValueError("histogram_quantiles: empty sketch")
+    lo, hi, bins = g
+    width = (hi - lo) / bins
+    cum = (
+        sketch.select("bin", "cnt")
+        .withColumn(
+            "_cum",
+            F.sum("cnt").over(
+                W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn("_before", F.col("_cum") - F.col("cnt"))
+    )
+    tot = sketch.agg(F.sum("cnt").alias("_n"))
+    qdf = cum.crossJoin(F.broadcast(tot)).crossJoin(
+        F.broadcast(
+            sketch.sparkSession.createDataFrame([(float(q),) for q in quantiles], "q double")
+        )
+    )
+    target = F.col("q") * F.col("_n").cast("double")
+    hit = qdf.filter(
+        (F.col("_cum").cast("double") >= target)
+        & (F.col("_before").cast("double") < target)
+        | ((F.col("q") == 0) & (F.col("_before") == 0))
+    )
+    est_raw = (
+        F.lit(lo)
+        + (
+            F.col("bin").cast("double")
+            + (target - F.col("_before").cast("double")) / F.col("cnt").cast("double")
+        )
+        * F.lit(width)
+    )
+    est = F.least(F.greatest(est_raw, F.lit(float(lo))), F.lit(float(hi)))
+    return (
+        hit.groupBy("q")
+        .agg(
+            F.min(F.struct(F.col("bin"), F.round(est, 9).alias("_e"))).alias("_m"),
+            F.first("_n").alias("_nn"),
+        )
+        .select(
+            "q",
+            F.col("_m.bin").alias("bin"),
+            F.col("_m._e").alias("estimate"),
+            F.lit(float(width)).alias("error_bound"),
+            F.col("_nn").cast("long").alias("n"),
+        )
+    )

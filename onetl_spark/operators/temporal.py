@@ -221,3 +221,91 @@ def range_join(
     for key in on:
         out = out.drop(r_prep[key])
     return out
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    unit: str = "day",
+) -> DataFrame:
+    """OHLC (open/high/low/close) downsampling per group and time
+    bucket — the financial-style resample that keeps the four numbers a
+    trend monitor needs when raw ticks are too many to keep.
+
+    Determinism: open/close come from the lexicographic min/max of
+    ``struct(ts, value)`` — identical to ``ORDER BY ts, value LIMIT 1``
+    in any engine, so ties on the timestamp break the same way
+    everywhere (``first``/``arg_min`` tie behavior is
+    engine-unspecified; this is not). One groupBy; every aggregate is
+    map-side combinable — 100 TB of ticks reduce to
+    groups × buckets rows.
+    """
+    if unit not in ("day", "hour", "week", "month"):
+        raise ValueError(f"ohlc_downsample: unsupported unit {unit!r}")
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    v = F.col(value_col).cast("double")
+    pair = F.struct(F.col(ts_col).alias("_t"), v.alias("_v"))
+    return (
+        df.filter(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(*[F.col(c) for c in group_cols], bucket)
+        .agg(
+            F.min(pair).getField("_v").alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max(pair).getField("_v").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key inter-arrival statistics + the Goh–Barabási burstiness
+    index ``B = (σ − μ)/(σ + μ)`` over the gaps between consecutive
+    events: B → −1 periodic, ≈ 0 Poisson, → 1 bursty — the one-number
+    answer to "is this user's activity clockwork or bursts?" (bot
+    detection, retention modeling, rate-limit design).
+
+    Exactness: gaps are INTEGER microseconds (lag over a per-key
+    window); moment sums accumulate as exact decimals, and μ, σ
+    (population), CV and B evaluate in one pinned double
+    parenthesization. Keys with fewer than 2 events have no gaps and
+    are dropped; a constant gap gives σ=0 → B=−1 exactly; a single gap
+    gives σ=0 likewise (document, don't special-case). Windows are
+    partitioned BY KEY — scale-safe for high-cardinality keys (users),
+    the sessionization shape.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        df.filter(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .withColumn("_gap", us - F.lag(us).over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    m = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_gap").cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            F.col("_gap").cast("decimal(19,0)") * F.col("_gap").cast("decimal(19,0)")
+        ).alias("_ss"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    ss = F.col("_ss").cast("double")
+    mu = s / n
+    var = (n * ss - s * s) / (n * n)
+    sigma = F.sqrt(F.when(var < 0, F.lit(0.0)).otherwise(var))
+    return m.select(
+        F.col(key_col),
+        F.col("_n").cast("long").alias("n_gaps"),
+        F.round(mu / F.lit(1000000.0), 9).alias("mean_gap_s"),
+        F.round(sigma / F.nullif(mu, F.lit(0.0)), 9).alias("cv_gap"),
+        F.round((sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)), 9).alias("burstiness"),
+    )

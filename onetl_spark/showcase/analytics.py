@@ -2208,6 +2208,262 @@ SPARK_QUERIES["doc_source_woe_iv"] = doc_source_woe_iv
 ORACLE_SQL["doc_source_woe_iv"] = WOE_SQL
 
 
+def events_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC resample of event values per type
+    (`operators/temporal.py ohlc_downsample`): open/close from the
+    lexicographic min/max of (ts, value) — deterministic under tied
+    timestamps where arg_min/first are engine-unspecified."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.temporal import ohlc_downsample
+
+    out = ohlc_downsample(spark.table("events"), "ts", "value", ("event_type",))
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("date").alias("day"),
+        "open", "high", "low", "close", "n_ticks",
+    ).orderBy("event_type", "day")
+
+
+OHLC_SQL = """
+WITH t AS (
+  SELECT event_type AS g, CAST(ts AS TIMESTAMP) AS ts, CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), b AS (
+  SELECT g, CAST(date_trunc('day', ts) AS DATE) AS day, ts, v,
+         ROW_NUMBER() OVER (PARTITION BY g, date_trunc('day', ts) ORDER BY ts ASC, v ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY g, date_trunc('day', ts) ORDER BY ts DESC, v DESC) AS rn_d
+  FROM t
+)
+SELECT g AS event_type, day,
+       MIN(CASE WHEN rn_a = 1 THEN v END) AS open,
+       MAX(v) AS high,
+       MIN(v) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN v END) AS close,
+       COUNT(*) AS n_ticks
+FROM b GROUP BY g, day
+ORDER BY event_type, day
+"""
+
+SPARK_QUERIES["events_daily_ohlc"] = events_daily_ohlc
+ORACLE_SQL["events_daily_ohlc"] = OHLC_SQL
+
+
+def user_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness of each user's event stream
+    (`operators/temporal.py interarrival_burstiness`, tiebreak on
+    event_id): integer-microsecond gaps, exact decimal moments, pinned
+    CV and B — bot-vs-human activity shape at a glance."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.temporal import interarrival_burstiness
+
+    return interarrival_burstiness(
+        spark.table("events"), "ts", "user_id", tiebreak_col="event_id"
+    )
+
+
+BURSTINESS_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT user_id,
+         us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+  FROM t
+), gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+m AS (
+  SELECT user_id, COUNT(*) AS n_i,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS DOUBLE) AS ss,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM gg GROUP BY user_id
+), e AS (
+  SELECT user_id, n_i, s / n AS mu,
+         sqrt(CASE WHEN (n * ss - s * s) / (n * n) < 0 THEN 0.0
+                   ELSE (n * ss - s * s) / (n * n) END) AS sigma
+  FROM m
+)
+SELECT user_id,
+       CAST(n_i AS BIGINT) AS n_gaps,
+       round(mu / 1000000.0, 9) AS mean_gap_s,
+       round(sigma / NULLIF(mu, 0), 9) AS cv_gap,
+       round((sigma - mu) / NULLIF(sigma + mu, 0), 9) AS burstiness
+FROM e
+"""
+
+SPARK_QUERIES["user_interarrival_burstiness"] = user_interarrival_burstiness
+ORACLE_SQL["user_interarrival_burstiness"] = BURSTINESS_SQL
+
+
+def markov_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE of the Markov next-event model
+    (`operators/quality.py calibration_bins` over the
+    `markov_next_event_eval` train/test split): each held-out
+    transition scores every candidate next-type the train model knows
+    for that prefix (one-vs-all), outcome = "was that the realized
+    type". The answer to "when the model says 60%, does it happen 60%
+    of the time?" — the check that makes a routing threshold
+    meaningful. Model is |types|²-sized → broadcast; calibration is a
+    bin-sized aggregate."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+    from onetl_spark.operators.quality import calibration_bins
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        spark.table("events")
+        .select(
+            "user_id", "event_id", "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .withColumn(
+            "is_train", F.pmod(md5_long(F.col("event_id").cast("string")), F.lit(2)) == 0
+        )
+    )
+    probs = (
+        trans.filter("is_train")
+        .groupBy("prev_type", F.col("next_type").alias("cand"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("_n").cast("double")
+                / F.sum("_n").over(W.partitionBy("prev_type")).cast("double"),
+                9,
+            ),
+        )
+        .select("prev_type", "cand", "score")
+    )
+    scored = (
+        trans.filter(~F.col("is_train"))
+        .join(F.broadcast(probs), "prev_type")
+        .select(
+            "score",
+            (F.col("next_type") == F.col("cand")).cast("long").alias("hit"),
+        )
+    )
+    return calibration_bins(scored, "score", "hit", bins=10).orderBy("bin")
+
+
+MARKOV_CAL_SQL = """
+WITH trans AS (
+  SELECT event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), tt AS (
+  SELECT *,
+         (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0)
+           AS is_train
+  FROM trans WHERE prev_type IS NOT NULL
+), probs AS (
+  SELECT prev_type, next_type AS cand,
+         round(CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE), 9) AS score
+  FROM tt WHERE is_train GROUP BY prev_type, next_type
+), scored AS (
+  SELECT probs.score AS s,
+         CASE WHEN tt.next_type = probs.cand THEN 1 ELSE 0 END AS y
+  FROM tt JOIN probs USING (prev_type) WHERE NOT tt.is_train
+), per AS (
+  SELECT least(CAST(floor(s * 10) AS INTEGER), 9) AS bin,
+         COUNT(*) AS n_i,
+         CAST(SUM(CAST(round(s, 9) AS DECIMAL(30,9))) AS DOUBLE) AS ssum,
+         SUM(y) AS pos
+  FROM scored GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_i) AS DOUBLE) AS t FROM per),
+sc AS (
+  SELECT bin, n_i,
+         round(ssum / n_i, 9) AS mean_score,
+         round(CAST(pos AS DOUBLE) / n_i, 9) AS pos_rate,
+         CAST(round((n_i / t) * abs(CAST(pos AS DOUBLE) / n_i - ssum / n_i), 9)
+              AS DECIMAL(30,9)) AS e
+  FROM per CROSS JOIN tot
+), ece AS (SELECT CAST(SUM(e) AS DOUBLE) AS ece FROM sc)
+SELECT bin, CAST(n_i AS BIGINT) AS n, mean_score, pos_rate,
+       CAST(e AS DOUBLE) AS ece_term, round(ece.ece, 9) AS ece_total
+FROM sc CROSS JOIN ece
+ORDER BY bin
+"""
+
+SPARK_QUERIES["markov_calibration"] = markov_calibration
+ORACLE_SQL["markov_calibration"] = MARKOV_CAL_SQL
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 50
+_HIST_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-bin histogram quantile sketch (`operators/sketches.py
+    histogram_sketch/histogram_merge/histogram_quantiles`): the SCALE
+    path to quantiles — one aggregate, mergeable cell-wise, one-bin-
+    width error bound — next to the exact global-rank deciles
+    (`events_value_deciles`). Built from two DISJOINT event shards and
+    MERGED, so the hash match also proves merge exactness; the
+    overflow bin catches the >hi tail instead of clamping it away."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    ev = spark.table("events")
+    a = histogram_sketch(
+        ev.filter(F.col("event_id") % 2 == 0), "value", _HIST_LO, _HIST_HI, _HIST_BINS
+    )
+    b = histogram_sketch(
+        ev.filter(F.col("event_id") % 2 == 1), "value", _HIST_LO, _HIST_HI, _HIST_BINS
+    )
+    return histogram_quantiles(histogram_merge(a, b), _HIST_QS).orderBy("q")
+
+
+def _hist_quantile_sql(
+    lo: float = _HIST_LO, hi: float = _HIST_HI, bins: int = _HIST_BINS
+) -> str:
+    width = (hi - lo) / bins
+    values = ", ".join(f"({q})" for q in _HIST_QS)
+    return f"""
+WITH t AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT CASE WHEN v < {lo} THEN -1
+              WHEN v >= {hi} THEN {bins}
+              ELSE CAST(floor((v - {lo}) / {width}) AS INTEGER) END AS bin,
+         COUNT(*) AS cnt
+  FROM t GROUP BY 1
+), c AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin) AS cum,
+         SUM(cnt) OVER (ORDER BY bin) - cnt AS bef
+  FROM h
+), tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n, SUM(cnt) AS n_i FROM h),
+q(q) AS (VALUES {values}),
+hit AS (
+  SELECT q.q, c.bin, c.cnt, c.bef, tot.n, tot.n_i
+  FROM c CROSS JOIN tot JOIN q
+    ON (CAST(c.cum AS DOUBLE) >= q.q * tot.n AND CAST(c.bef AS DOUBLE) < q.q * tot.n)
+       OR (q.q = 0 AND c.bef = 0)
+)
+SELECT q, bin,
+       round(least(greatest(
+         {lo} + (CAST(bin AS DOUBLE)
+                 + (q * n - CAST(bef AS DOUBLE)) / CAST(cnt AS DOUBLE)) * {width},
+         {lo}), {hi}), 9) AS estimate,
+       CAST({width} AS DOUBLE) AS error_bound,
+       CAST(n_i AS BIGINT) AS n
+FROM hit
+ORDER BY q
+"""
+
+
+SPARK_QUERIES["events_value_quantile_sketch"] = events_value_quantile_sketch
+ORACLE_SQL["events_value_quantile_sketch"] = _hist_quantile_sql()
+
+
 def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct users (`operators/sketches.py
     hll_registers/hll_merge/hll_estimate`): one sketch PER EVENT TYPE

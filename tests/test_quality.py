@@ -728,3 +728,84 @@ def test_woe_iv_hand_cases(spark):
 
     with _pt.raises(ValueError, match="binary"):
         woe_iv(spark.createDataFrame([("A", 2)], "c string, y long"), "c", "y")
+
+
+def test_calibration_bins_hand_cases(spark):
+    import pytest as _pt
+
+    from onetl_spark.operators.quality import calibration_bins
+
+    # perfectly calibrated halves: score 0.25 with 25% positives,
+    # score 0.75 with 75% positives -> ECE 0
+    rows = [(0.25, 1)] * 1 + [(0.25, 0)] * 3 + [(0.75, 1)] * 3 + [(0.75, 0)] * 1
+    df = spark.createDataFrame(rows, "s double, y long")
+    out = {r["bin"]: r for r in calibration_bins(df, "s", "y", bins=4).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["mean_score"] == 0.25 and out[1]["pos_rate"] == 0.25
+    assert out[1]["ece_total"] == 0.0
+
+    # gross miscalibration: score 0.9, no positives -> ECE = 0.9
+    over = spark.createDataFrame([(0.9, 0)] * 10, "s double, y long")
+    r = calibration_bins(over, "s", "y").collect()[0]
+    assert r["bin"] == 9 and r["pos_rate"] == 0.0 and abs(r["ece_total"] - 0.9) < 1e-9
+
+    # score 1.0 lands in the top bin, not bins
+    top = spark.createDataFrame([(1.0, 1)], "s double, y long")
+    assert calibration_bins(top, "s", "y").collect()[0]["bin"] == 9
+
+    with _pt.raises(ValueError, match="within"):
+        calibration_bins(
+            spark.createDataFrame([(1.5, 1)], "s double, y long"), "s", "y"
+        ).collect()
+    with _pt.raises(ValueError, match="binary|0/1"):
+        calibration_bins(
+            spark.createDataFrame([(0.5, 7)], "s double, y long"), "s", "y"
+        ).collect()
+
+
+def test_histogram_sketch_quantiles_and_merge(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.sketches import (
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    # uniform 0..999 over [0, 1000) with 10 bins: every bin holds 100
+    df = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    sk = histogram_sketch(df, "v", 0.0, 1000.0, bins=10)
+    cells = {r["bin"]: r["cnt"] for r in sk.collect()}
+    assert cells == {i: 100 for i in range(10)}
+
+    qs = histogram_quantiles(sk, [0.0, 0.5, 0.9, 1.0])
+    got = {r["q"]: r for r in qs.collect()}
+    # q=0.5: target 500 -> bin 5 boundary; before=500 at bin 5? cum(4)=500
+    # -> bin 4 hits exactly: est = 0 + (4 + (500-400)/100)*100 = 500
+    assert got[0.5]["estimate"] == 500.0
+    assert got[0.9]["estimate"] == 900.0
+    assert got[0.0]["estimate"] == 0.0
+    assert got[1.0]["estimate"] == 1000.0
+    assert got[0.5]["error_bound"] == 100.0 and got[0.5]["n"] == 1000
+
+    # under/overflow bins catch drift instead of clamping silently
+    drift = spark.createDataFrame([(-5.0,), (1500.0,), (2000.0,)], "v double")
+    dcells = {r["bin"]: r["cnt"] for r in histogram_sketch(drift, "v", 0.0, 1000.0, 10).collect()}
+    assert dcells == {-1: 1, 10: 2}
+
+    # mergeability: halves == whole, cell for cell
+    a = histogram_sketch(df.filter("v < 300"), "v", 0.0, 1000.0, 10)
+    b = histogram_sketch(df.filter("v >= 300"), "v", 0.0, 1000.0, 10)
+    merged = {r["bin"]: r["cnt"] for r in histogram_merge(a, b).collect()}
+    assert merged == cells
+    # merged keeps geometry: quantiles still answer
+    assert {r["q"]: r["estimate"] for r in
+            histogram_quantiles(histogram_merge(a, b), [0.5]).collect()} == {0.5: 500.0}
+
+    with _pt.raises(ValueError, match="geometry mismatch"):
+        histogram_merge(a, histogram_sketch(df, "v", 0.0, 500.0, 10))
+    with _pt.raises(ValueError, match="lo < hi"):
+        histogram_sketch(df, "v", 5.0, 5.0)
+    with _pt.raises(ValueError, match="quantiles"):
+        histogram_quantiles(sk, [1.5])

@@ -286,3 +286,77 @@ def test_asof_nearest_on_date_column(spark):
     }
     # Jan 10: 2 days behind (Jan 8) beats 11 ahead; Jan 20: 1 ahead beats 12 behind
     assert out == {1: "early", 2: "late"}
+
+
+def test_ohlc_downsample_deterministic_ties(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.temporal import ohlc_downsample
+
+    rows = [
+        ("a", "2024-01-01 09:00:00", 10.0),
+        ("a", "2024-01-01 12:00:00", 30.0),
+        ("a", "2024-01-01 16:00:00", 5.0),
+        ("a", "2024-01-02 10:00:00", 7.0),
+        # day 3: tied timestamps — open must be the SMALLER value at the
+        # earliest ts (struct lexicographic order), close the LARGER at
+        # the latest
+        ("a", "2024-01-03 09:00:00", 4.0),
+        ("a", "2024-01-03 09:00:00", 2.0),
+        ("a", "2024-01-03 18:00:00", 9.0),
+        ("a", "2024-01-03 18:00:00", 11.0),
+        ("b", "2024-01-01 01:00:00", 100.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts string, v double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r["g"], str(r["bucket"])[:10]): r
+        for r in ohlc_downsample(df, "ts", "v", ("g",)).collect()
+    }
+    d1 = out[("a", "2024-01-01")]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"], d1["n_ticks"]) == (
+        10.0, 30.0, 5.0, 5.0, 3,
+    )
+    d3 = out[("a", "2024-01-03")]
+    assert (d3["open"], d3["close"]) == (2.0, 11.0)
+    assert out[("b", "2024-01-01")]["n_ticks"] == 1
+
+    with _pt.raises(ValueError, match="unit"):
+        ohlc_downsample(df, "ts", "v", ("g",), unit="fortnight")
+
+
+def test_interarrival_burstiness_hand_cases(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.temporal import interarrival_burstiness
+
+    rows = []
+    # user 1: perfectly periodic (every 60s) -> sigma 0 -> B = -1, CV 0
+    for i in range(5):
+        rows.append((1, f"2024-01-01 00:{i:02d}:00"))
+    # user 2: gaps 10s, 10s, 1000s -> bursty, B > 0
+    for s in (0, 10, 20, 1020):
+        rows.append((2, f"2024-01-01 00:00:00")) if False else None
+    rows += [
+        (2, "2024-01-01 00:00:00"), (2, "2024-01-01 00:00:10"),
+        (2, "2024-01-01 00:00:20"), (2, "2024-01-01 00:17:00"),
+    ]
+    # user 3: single event -> no gaps -> dropped
+    rows.append((3, "2024-01-01 00:00:00"))
+    df = spark.createDataFrame(rows, "u long, ts string").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r["u"]: r for r in interarrival_burstiness(df, "ts", "u").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_gaps"] == 4 and out[1]["mean_gap_s"] == 60.0
+    assert out[1]["cv_gap"] == 0.0 and out[1]["burstiness"] == -1.0
+    assert out[2]["burstiness"] > 0.3
+    # hand check user 2: gaps 10, 10, 1000 -> mu = 340
+    import math
+
+    mu = 340.0
+    var = (10**2 + 10**2 + 1000**2) / 3 - mu**2
+    b = (math.sqrt(var) - mu) / (math.sqrt(var) + mu)
+    assert abs(out[2]["burstiness"] - b) < 1e-6
