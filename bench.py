@@ -178,6 +178,10 @@ HEADLINE = [
     "lineitem_weighted_median_price",
     "events_daily_mad_outliers",
     "doc_source_woe_iv",
+    "events_daily_ohlc",
+    "user_interarrival_burstiness",
+    "markov_calibration",
+    "events_value_quantile_sketch",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -2448,7 +2448,7 @@ hit AS (
     ON (CAST(c.cum AS DOUBLE) >= q.q * tot.n AND CAST(c.bef AS DOUBLE) < q.q * tot.n)
        OR (q.q = 0 AND c.bef = 0)
 )
-SELECT q, bin,
+SELECT CAST(q AS DOUBLE) AS q, bin,
        round(least(greatest(
          {lo} + (CAST(bin AS DOUBLE)
                  + (q * n - CAST(bef AS DOUBLE)) / CAST(cnt AS DOUBLE)) * {width},

@@ -352,7 +352,7 @@ def test_interarrival_burstiness_hand_cases(spark):
     assert set(out) == {1, 2}
     assert out[1]["n_gaps"] == 4 and out[1]["mean_gap_s"] == 60.0
     assert out[1]["cv_gap"] == 0.0 and out[1]["burstiness"] == -1.0
-    assert out[2]["burstiness"] > 0.3
+    assert out[2]["burstiness"] > 0.1  # bursty side of Poisson
     # hand check user 2: gaps 10, 10, 1000 -> mu = 340
     import math
 
