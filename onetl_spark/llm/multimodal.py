@@ -315,12 +315,16 @@ def audio_frame_energy(
     hop: int = 8,
     active_threshold: int = 60_000,
 ) -> DataFrame:
-    """Frame-energy analysis of a binary audio column interpreted as
-    unsigned 8-bit PCM (midpoint 128) — the voice-activity-detection
-    primitive of audio dataset curation (drop silent clips, bucket by
-    loudness). Unlike the decode stubs, this is REAL signal math: numpy
-    over the raw bytes inside Arrow-batched ``mapInPandas``, one batch
-    pass per payload, nothing leaves the executor.
+    """Frame-energy analysis of a binary audio column — the
+    voice-activity-detection primitive of audio dataset curation (drop
+    silent clips, bucket by loudness). REAL signal math over REAL
+    audio: RIFF/WAV payloads (signature-checked) are PCM-decoded by the
+    pure-stdlib codec in :mod:`onetl_spark.llm.wav` (16/8-bit, integer
+    multi-channel downmix) and analyzed over their samples; anything
+    else — including unsupported WAV variants (float/ADPCM) — is
+    interpreted as unsigned 8-bit PCM bytes (midpoint 128), the text
+    stand-in path the SQL oracle mirrors. numpy inside Arrow-batched
+    ``mapInPandas``; nothing leaves the executor.
 
     All statistics are integers (sample count, exact sum of squared
     deviations, peak |deviation|, sliding-frame count, frames whose
@@ -329,12 +333,23 @@ def audio_frame_energy(
     """
     import numpy as np
 
+    from onetl_spark.llm import wav
+
     if frame <= 0 or hop <= 0:
         raise ValueError("frame and hop must be positive")
 
     def _analyze(payload) -> tuple:
         b = bytes(payload) if payload is not None else b""
-        dev = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+        dev = None
+        if wav.is_wav(b):
+            try:
+                _rate, _ch, samples = wav.decode_wav_pcm(b)
+            except ValueError:
+                pass  # unsupported WAV variant / corrupt: byte fallback
+            else:
+                dev = np.asarray(samples, dtype=np.int64)
+        if dev is None:
+            dev = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
         n = int(dev.size)
         sum_sq = int((dev * dev).sum()) if n else 0
         peak = int(np.abs(dev).max()) if n else 0

@@ -1356,6 +1356,86 @@ SPARK_QUERIES["jpeg_roundtrip_ahash"] = jpeg_roundtrip_ahash
 ORACLE_SQL["jpeg_roundtrip_ahash"] = _jpeg_roundtrip_sql()
 
 
+_WAV_N, _WAV_DOCS, _WAV_FRAME, _WAV_HOP, _WAV_THRESH = 120, 24, 16, 8, 60_000
+
+
+def wav_roundtrip_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-audio oracle check (`llm/wav.py encode/decode` +
+    `llm/multimodal.py audio_frame_energy`): deterministic int16
+    "chirps" (sample = f(doc_id, i)) are encoded as STEREO RIFF/PCM
+    WAV files, then pushed through the production frame-energy
+    operator, which detects the RIFF signature, chunk-walks the file,
+    PCM-decodes + integer-downmixes, and computes integer frame
+    statistics. The DuckDB oracle computes the SAME statistics straight
+    from the sample formula — a hash match proves
+    encode→decode→analyze is the identity on samples through a codec
+    the oracle never runs. Arrow-batched mapInPandas; payloads stay on
+    executors."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm import wav as _wav
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                s = [
+                    (int(d) * 13 + i * 37) % 200 - 100 for i in range(_WAV_N)
+                ]
+                payloads.append(_wav.encode_wav_pcm16(s, channels=2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    fixtures = (
+        spark.table("documents")
+        .filter(F.col("doc_id") < _WAV_DOCS)
+        .select("doc_id")
+        .mapInPandas(batches, schema="doc_id long, payload binary")
+    )
+    return multimodal.audio_frame_energy(
+        fixtures, frame=_WAV_FRAME, hop=_WAV_HOP, active_threshold=_WAV_THRESH
+    )
+
+
+def _wav_roundtrip_sql() -> str:
+    n, frame, hop = _WAV_N, _WAV_FRAME, _WAV_HOP
+    n_frames = (n - frame) // hop + 1 if n >= frame else 0
+    return f"""
+WITH s AS (
+  SELECT doc_id, i.i AS i,
+         (doc_id * 13 + i.i * 37) % 200 - 100 AS v
+  FROM documents, range(0, {n}) i(i)
+  WHERE doc_id < {_WAV_DOCS}
+), base AS (
+  SELECT doc_id,
+         COUNT(*) AS n_samples,
+         CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+         CAST(MAX(abs(v)) AS BIGINT) AS peak_dev
+  FROM s GROUP BY doc_id
+), fr AS (
+  SELECT s.doc_id, k.k AS k, SUM(s.v * s.v) AS e
+  FROM s, range(0, {n_frames}) k(k)
+  WHERE s.i >= k.k * {hop} AND s.i < k.k * {hop} + {frame}
+  GROUP BY s.doc_id, k.k
+), act AS (
+  SELECT doc_id,
+         COUNT(*) AS n_frames,
+         CAST(SUM(CASE WHEN e >= {_WAV_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+  FROM fr GROUP BY doc_id
+)
+SELECT base.doc_id,
+       CAST(base.n_samples AS BIGINT) AS n_samples,
+       base.sum_sq, base.peak_dev,
+       CAST(act.n_frames AS BIGINT) AS n_frames,
+       act.n_active
+FROM base JOIN act USING (doc_id)
+"""
+
+
+SPARK_QUERIES["wav_roundtrip_energy"] = wav_roundtrip_energy
+ORACLE_SQL["wav_roundtrip_energy"] = _wav_roundtrip_sql()
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance 3 via multi-index banding —
     the pigeonhole equi-join, never an N² comparison."""
