@@ -673,3 +673,194 @@ def kcore_nodes(
     return cur.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def _edge_support(canon: DataFrame) -> DataFrame:
+    """Triangle support per canonical edge (u < v): for every triangle
+    x < y < z found by the degree-free two-join enumeration, each of its
+    three edges gains one support. One self-join keyed by the shared
+    endpoint + one edge-existence join — the same bounded shape as
+    :func:`triangle_count`, O(sum of deg^2) wedges, never node-quadratic.
+    Edges on no triangle are absent (support 0)."""
+    a, b, c = canon.alias("a"), canon.alias("b"), canon.alias("c")
+    tri = (
+        a.join(b, on=[F.col("a.u") == F.col("b.u"), F.col("a.v") < F.col("b.v")])
+        .join(
+            c,
+            on=[F.col("c.u") == F.col("a.v"), F.col("c.v") == F.col("b.v")],
+            how="left_semi",
+        )
+        .select(
+            F.col("a.u").alias("x"), F.col("a.v").alias("y"), F.col("b.v").alias("z")
+        )
+    )
+    sides = (
+        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+    )
+    return sides.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+
+
+def ktruss_edges(
+    edges: DataFrame,
+    k: int = 3,
+    max_iter: int = KCORE_MAX_ITERATIONS,
+    src: str = "src",
+    dst: str = "dst",
+    strict: bool = True,
+) -> DataFrame:
+    """The k-truss of an undirected graph: the maximal subgraph where
+    every EDGE lies on >= k-2 triangles — a strictly denser backbone
+    than the k-core (a k-truss is always inside the (k-1)-core), the
+    standard cohesion filter when degree alone over-admits (hub-and-
+    spoke stars have high degree but zero triangles).
+
+    Reference parity: onetl has no graph engine; the spec is the
+    classic truss decomposition (Cohen 2008) re-expressed as the
+    synchronous DataFrame peel of :func:`kcore_nodes` with triangle
+    SUPPORT in place of degree: each round recomputes per-edge support
+    (one wedge self-join + one existence semi-join, see
+    :func:`_edge_support`) and drops edges below ``k - 2``; the
+    fixpoint is the k-truss. ``localCheckpoint`` per round keeps the
+    plan constant-size; convergence is read off the edge count the
+    checkpoint already materializes. ``max_iter`` is a runaway CAP —
+    hitting it without a fixpoint raises under ``strict=True``
+    (the ``kcore_nodes`` posture), because the survivors would NOT be
+    the k-truss. Returns canonical surviving edges
+    ``(src, dst, support)`` with their fixpoint support.
+
+    100-TB shape: per round the wedge join is keyed by the shared
+    endpoint (skew-bounded by the max degree of the CURRENT survivor
+    set, which peeling only shrinks) and every shuffle is edge-set-
+    sized; rounds are O(peel depth), the same iterative-graph cost
+    class as k-core/LPA — no node-quadratic stage anywhere.
+    """
+    if k < 2:
+        raise ValueError(f"ktruss_edges: k must be >= 2, got {k}")
+    need = k - 2
+    cur = (
+        edges.select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = cur.count()
+    for it in range(max_iter):
+        sup = _edge_support(cur)
+        nxt = (
+            cur.join(sup.filter(F.col("support") >= need), ["u", "v"], "left_semi")
+            .localCheckpoint(eager=True)
+            if need > 0
+            else cur
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            log.info("ktruss_edges: converged after %d round(s)", it + 1)
+            break
+        n_edges = n_next
+    else:
+        if strict:
+            raise RuntimeError(
+                f"ktruss_edges: no fixpoint after max_iter={max_iter} rounds "
+                f"— the surviving edges are NOT the {k}-truss; raise "
+                "max_iter (or pass strict=False to accept the partial peel)"
+            )
+        log.warning(
+            "ktruss_edges: stopped at max_iter=%d without a fixpoint", max_iter
+        )
+    final_sup = _edge_support(cur)
+    return (
+        cur.join(final_sup, ["u", "v"], "left")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+    )
+
+
+def multi_source_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Per-seed BFS distances ``(seed, node, dist)`` over an undirected
+    graph — :func:`bfs_hops` generalized to keep each seed's OWN
+    distance instead of collapsing to the minimum, the primitive behind
+    landmark-based centrality/embedding (seeds are a small chosen set,
+    typically 16–64 landmarks, so state is |seeds| x reachable nodes —
+    bounded by construction, and every frontier shuffle is keyed by the
+    graph node, not the seed, so landmark count adds no skew).
+
+    Level-synchronous frontier expansion with a per-round
+    ``localCheckpoint`` and an early exit on an empty frontier; pairs
+    beyond ``max_hops`` are absent (callers treat them as unreachable).
+    """
+    nbrs = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nbrs = (
+        nbrs.unionAll(nbrs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = (
+        seeds.select(F.col(node).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(nbrs, frontier["node"] == nbrs["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.limit(1).count():
+            log.info("multi_source_distances: frontiers empty after %d hop(s)", h - 1)
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Landmark-approximated harmonic centrality: for every node,
+    ``sum over landmarks l of 1/d(l, node)`` (d > 0, pairs beyond
+    ``max_hops`` contribute 0) — the standard sampled estimator for
+    closeness-style centrality at scale, where exact all-pairs BFS is
+    off the table. Emitted as integer fixed-point ``scale // d`` sums
+    (``harmonic_fp``) so the result is bit-exact reproducible and
+    oracle-checkable — the float formulation would be order-sensitive.
+    Also returns ``n_reached`` (landmarks within range). Rides
+    :func:`multi_source_distances`; one integer aggregate on top.
+    """
+    dists = multi_source_distances(
+        edges, seeds, max_hops=max_hops, src=src, dst=dst, node=node
+    )
+    return (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr(f"{scale} div dist")).cast("long").alias("harmonic_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+        )
+    )

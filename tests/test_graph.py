@@ -555,3 +555,105 @@ def test_kcore_strict_raises_on_non_convergence(spark):
 
     # the default cap converges and returns the true (empty) 2-core
     assert kcore_nodes(path, k=2).count() == 0
+
+
+def test_ktruss_clique_tail_and_validation(spark):
+    from onetl_spark.operators.graph import ktruss_edges
+
+    # 4-clique {1..4} + tail 4-5-6 + separate triangle {6,7,8}
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 7), (6, 8), (7, 8)],
+        "src long, dst long",
+    )
+    # 4-truss: every edge on >= 2 triangles — only the 4-clique survives
+    got = {(r["src"], r["dst"]): r["support"] for r in ktruss_edges(edges, k=4).collect()}
+    assert got == {(1, 2): 2, (1, 3): 2, (1, 4): 2, (2, 3): 2, (2, 4): 2, (3, 4): 2}
+
+    # 3-truss: clique + triangle survive (support >= 1), tail edges peel
+    got3 = {(r["src"], r["dst"]) for r in ktruss_edges(edges, k=3).collect()}
+    assert got3 == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                    (6, 7), (6, 8), (7, 8)}
+
+    # 2-truss (need=0) keeps every edge, support reported for the full set
+    got2 = {(r["src"], r["dst"]): r["support"] for r in ktruss_edges(edges, k=2).collect()}
+    assert len(got2) == 11 and got2[(4, 5)] == 0
+
+    # 5-truss of a 4-clique is empty (no edge has 3 triangles)
+    assert ktruss_edges(edges, k=5).count() == 0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must be"):
+        ktruss_edges(edges, k=1)
+
+
+def test_ktruss_matches_brute_force_random(spark):
+    import random as _r
+    from itertools import combinations
+
+    from onetl_spark.operators.graph import ktruss_edges
+
+    rng = _r.Random(7)
+    nodes = list(range(12))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(40)})
+
+    def brute_truss(es, k):
+        es = set(es)
+        while True:
+            sup = {e: 0 for e in es}
+            for a, b, c in combinations(sorted({n for e in es for n in e}), 3):
+                if ((a, b) in es and (a, c) in es and (b, c) in es):
+                    for e in ((a, b), (a, c), (b, c)):
+                        sup[e] += 1
+            keep = {e for e in es if sup[e] >= k - 2}
+            if keep == es:
+                return {e: sup[e] for e in es}
+            es = keep
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (3, 4):
+        want = brute_truss(edges, k)
+        got = {(r["src"], r["dst"]): r["support"] for r in ktruss_edges(df, k=k).collect()}
+        assert got == want, f"k={k}"
+
+
+def test_ktruss_strict_raises_on_non_convergence(spark):
+    from onetl_spark.operators.graph import ktruss_edges
+
+    # triangle strip sharing EDGES ((i,i+1) + (i,i+2)): its 4-truss is
+    # empty but peeling needs 2 rounds (boundary supports collapse
+    # first), so max_iter=1 stops mid-peel with survivors
+    strip = [(i, i + 1) for i in range(9)] + [(i, i + 2) for i in range(8)]
+    df = spark.createDataFrame(strip, "src long, dst long")
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="NOT the 4-truss"):
+        ktruss_edges(df, k=4, max_iter=1).count()
+
+    # strict=False returns the partial peel instead
+    assert ktruss_edges(df, k=4, max_iter=1, strict=False).count() > 0
+
+
+def test_multi_source_distances_and_harmonic(spark):
+    from onetl_spark.operators.graph import harmonic_centrality, multi_source_distances
+
+    # path 1-2-3-4-5 with seeds {1, 4}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    d = {(r["seed"], r["node"]): r["dist"]
+         for r in multi_source_distances(edges, seeds, max_hops=2).collect()}
+    assert d == {(1, 1): 0, (1, 2): 1, (1, 3): 2,
+                 (4, 4): 0, (4, 3): 1, (4, 5): 1, (4, 2): 2}
+
+    # harmonic with scale=100, max_hops=2: node 3 sees 1@d2 + 4@d1 -> 150
+    h = {r["node"]: (r["harmonic_fp"], r["n_reached"])
+         for r in harmonic_centrality(edges, seeds, max_hops=2, scale=100).collect()}
+    assert h[3] == (150, 2)
+    assert h[2] == (100 + 50, 2)   # 1@d1, 4@d2
+    assert h[5] == (100, 1)        # only seed 4 reaches within 2 hops
+    # nodes 1 and 4 are seeds: their own d=0 is excluded and the OTHER
+    # seed is 3 hops away (> max_hops), so they have no contributions
+    assert set(h) == {2, 3, 5}
