@@ -567,3 +567,151 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             9,
         ).alias("nmi"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label via the rank
+    (Mann–Whitney) identity: ``AUC = P(score_pos > score_neg) + ties/2``
+    — the one-number ranking-quality metric every classifier eval at
+    corpus scale needs (quality-filter scores vs human labels, reward
+    models vs preferences). Returns one row
+    ``(n_pos, n_neg, auc, gini_ml)`` with ``gini_ml = 2·AUC − 1``.
+
+    Exactness: per-distinct-score counts ride the same bucketed
+    prefix-sum scaffold as :func:`mann_whitney_u`
+    (`operators/ranking.py stitched_cumsums` — no single-partition
+    window), the doubled tie-averaged rank sum stays integer in DECIMAL
+    to the end, and one double division produces the AUC. Rows with a
+    NULL score or label are excluded; raises if either class is empty
+    (AUC is undefined).
+
+    100-TB shape: the distinct-score relation is what shuffles, counts
+    travel as map-side-combined aggregates, and the stitch is a
+    bucket-count driver exchange — the same scale envelope as the other
+    five statistics on this scaffold.
+    """
+    s = df.select(
+        F.col(score_col).cast("double").alias("_v"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+    counts = (
+        s.groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).alias("_nv"),
+            F.sum("_y").alias("_na"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    stitched, totals = stitched_cumsums(counts, "_v", ("_nv", "_na"), buckets)
+    n_total, n_pos = totals["_nv"], totals["_na"]
+    n_neg = n_total - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"roc_auc: need both classes, got n_pos={n_pos}, n_neg={n_neg}"
+        )
+    staged = stitched.select(
+        "_na",
+        "_nv",
+        (F.col("_cum__nv") - F.col("_nv")).alias("_before"),
+    )
+    # 2·ranksum_pos = Σ na·(2·before + nv + 1), integer-exact in DECIMAL
+    # (the mann_whitney_u overflow posture); AUC needs ONE division:
+    # (2R − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+    m = staged.agg(
+        F.sum(
+            F.col("_na").cast("decimal(12,0)")
+            * (
+                F.lit(2).cast("decimal(1,0)")
+                * F.col("_before").cast("decimal(14,0)")
+                + F.col("_nv").cast("decimal(12,0)")
+                + F.lit(1)
+            )
+        ).alias("_rs2")
+    )
+    num2 = F.col("_rs2").cast("decimal(30,0)") - F.lit(
+        n_pos * (n_pos + 1)
+    ).cast("decimal(30,0)")
+    auc_raw = num2.cast("double") / F.lit(2.0 * n_pos * n_neg)
+    return m.select(
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        F.round(auc_raw, 9).alias("auc"),
+        F.round(F.lit(2.0) * auc_raw - F.lit(1.0), 9).alias("gini_ml"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_cols: "tuple[str, ...]" = (),
+    n_buckets: int = 10,
+    buckets: int = 32,
+) -> DataFrame:
+    """Cumulative-gains / lift table: rank by score DESCENDING, cut into
+    ``n_buckets`` exact equal-frequency tiles, and report how fast the
+    positives accumulate — the campaign-targeting / screening-efficiency
+    view of a score ("the top decile captures X% of all positives at
+    Y× random"). Returns per tile ``(bucket, n, n_pos, cum_pos_share,
+    lift)``, ordered.
+
+    The descending NTILE is :func:`onetl_spark.operators.ranking.
+    exact_ntile` on the NEGATED score (ascending-negated ≡ descending,
+    ties broken by ``tiebreak_cols`` ascending — the (order, tiebreak)
+    key must be unique, the scaffold's standard contract), so no
+    single-partition sort is ever planned. The cumulative window then
+    runs over the ``n_buckets``-row SUMMARY — bounded by construction,
+    never over data.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"cumulative_gains: n_buckets must be positive")
+    from pyspark.sql import Window
+
+    from onetl_spark.operators.ranking import exact_ntile
+
+    s = df.select(
+        (-F.col(score_col).cast("double")).alias("_negscore"),
+        F.col(label_col).cast("int").alias("_y"),
+        *[F.col(c) for c in tiebreak_cols],
+    ).filter(F.col("_negscore").isNotNull() & F.col("_y").isNotNull())
+    t = exact_ntile(
+        s, n_buckets, "_negscore", tiebreak_cols, tile_col="bucket", buckets=buckets
+    )
+    b = t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+    )
+    tot = b.agg(
+        F.sum("n").alias("_nt"), F.sum("n_pos").alias("_pt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.crossJoin(F.broadcast(tot))  # 1-row totals
+        .withColumn("_cum", F.sum("n_pos").over(w))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.round(
+                F.col("_cum").cast("double")
+                / F.nullif(F.col("_pt").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("cum_pos_share"),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+                / F.nullif(
+                    F.col("_pt").cast("double") / F.col("_nt").cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy("bucket")
+    )

@@ -1224,3 +1224,97 @@ FROM scored CROSS JOIN chi
 
 SPARK_QUERIES["orders_benford_audit"] = orders_benford_audit
 ORACLE_SQL["orders_benford_audit"] = ORDERS_BENFORD_SQL
+
+
+def events_purchase_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of event value as a purchase predictor
+    (`operators/stats.py roc_auc`): the Mann–Whitney rank identity on
+    the shared bucketed prefix-sum scaffold — integer-exact doubled
+    rank sums, one final division — with the DuckDB oracle replaying
+    the identical formula over a window cumsum."""
+    from onetl_spark.operators.stats import roc_auc
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return roc_auc(ev, "value", "is_purchase")
+
+
+EVENTS_AUC_SQL = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT v, COUNT(*) AS nv, SUM(y) AS na FROM s GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS np,
+         CAST(SUM(nv - na) AS BIGINT) AS nn
+  FROM c
+), staged AS (
+  SELECT na, nv,
+         SUM(nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - nv AS before
+  FROM c
+), m AS (
+  SELECT CAST(SUM(na * (2 * before + nv + 1)) AS BIGINT) AS rs2 FROM staged
+)
+SELECT np AS n_pos, nn AS n_neg,
+       round(CAST(rs2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn), 9) AS auc,
+       round(2.0 * (CAST(rs2 - np * (np + 1) AS DOUBLE) / (2.0 * np * nn))
+             - 1.0, 9) AS gini_ml
+FROM m CROSS JOIN tot
+"""
+
+SPARK_QUERIES["events_purchase_auc"] = events_purchase_auc
+ORACLE_SQL["events_purchase_auc"] = EVENTS_AUC_SQL
+
+
+def events_purchase_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains / lift deciles of event value against the
+    purchase label (`operators/stats.py cumulative_gains`): descending
+    exact NTILE(10) via the negated-score global index (no
+    single-partition sort over data; the cumulative window runs on the
+    10-row summary only). "Top value-decile captures X% of purchases at
+    Y× random" — the screening-efficiency read of the same score the
+    AUC query grades."""
+    from onetl_spark.operators.stats import cumulative_gains
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "value",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return cumulative_gains(
+        ev, "value", "is_purchase", tiebreak_cols=("event_id",), n_buckets=10
+    )
+
+
+EVENTS_GAINS_SQL = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), t AS (
+  SELECT y, NTILE(10) OVER (ORDER BY -v, event_id) AS bucket FROM s
+), b AS (
+  SELECT bucket, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM t GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt FROM b
+)
+SELECT bucket, n, n_pos,
+       round(CAST(SUM(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / NULLIF(CAST(pt AS DOUBLE), 0), 9) AS cum_pos_share,
+       round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+             / NULLIF(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE), 0), 9) AS lift
+FROM b CROSS JOIN tot
+ORDER BY bucket
+"""
+
+SPARK_QUERIES["events_purchase_gains"] = events_purchase_gains
+ORACLE_SQL["events_purchase_gains"] = EVENTS_GAINS_SQL

@@ -809,3 +809,61 @@ def test_histogram_sketch_quantiles_and_merge(spark):
         histogram_sketch(df, "v", 5.0, 5.0)
     with _pt.raises(ValueError, match="quantiles"):
         histogram_quantiles(sk, [1.5])
+
+
+def test_roc_auc_hand_cases_and_brute(spark):
+    import random as _r
+
+    import pytest as _pt
+
+    from onetl_spark.operators.stats import roc_auc
+
+    # perfect separation: all positives score above all negatives
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    row = roc_auc(df, "s", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"], row["auc"], row["gini_ml"]) == (2, 2, 1.0, 1.0)
+
+    # random scores vs pairwise brute force (ties count 1/2)
+    rng = _r.Random(11)
+    data = [(float(rng.randint(0, 9)), rng.randint(0, 1)) for _ in range(120)]
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    brute = sum(
+        1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    got = roc_auc(
+        spark.createDataFrame(data, "s double, y int"), "s", "y"
+    ).collect()[0]
+    assert abs(got["auc"] - brute) < 1e-9
+    assert abs(got["gini_ml"] - (2 * brute - 1)) < 1e-9
+
+    # single-class input is undefined
+    ones = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    with _pt.raises(ValueError, match="both classes"):
+        roc_auc(ones, "s", "y")
+
+
+def test_cumulative_gains_hand_case(spark):
+    import pytest as _pt
+
+    from onetl_spark.operators.stats import cumulative_gains
+
+    # 6 rows, 2 buckets: top half by score holds 2 of 3 positives
+    df = spark.createDataFrame(
+        [(60.0, 1, 1), (50.0, 1, 2), (40.0, 0, 3),
+         (30.0, 1, 4), (20.0, 0, 5), (10.0, 0, 6)],
+        "s double, y int, id long",
+    )
+    rows = cumulative_gains(
+        df, "s", "y", tiebreak_cols=("id",), n_buckets=2
+    ).collect()
+    assert [(r["bucket"], r["n"], r["n_pos"]) for r in rows] == [(1, 3, 2), (2, 3, 1)]
+    assert abs(rows[0]["cum_pos_share"] - 2 / 3) < 1e-9
+    assert rows[1]["cum_pos_share"] == 1.0
+    # bucket-1 lift: (2/3) / (3/6) = 4/3
+    assert abs(rows[0]["lift"] - 4 / 3) < 1e-9
+
+    with _pt.raises(ValueError, match="n_buckets"):
+        cumulative_gains(df, "s", "y", n_buckets=0)
