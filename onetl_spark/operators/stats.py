@@ -715,3 +715,90 @@ def cumulative_gains(
         )
         .orderBy("bucket")
     )
+
+
+def acf_ljung_box(
+    df: DataFrame,
+    index_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function (Box–Jenkins ACF, global-mean
+    normalization) of an evenly spaced series, plus the cumulative
+    Ljung–Box Q white-noise statistic — the seasonality/memory probe
+    (a daily series with a weekly cycle spikes at lag 7; Q rejects
+    "this metric is noise"). Returns per lag ``1..max_lag``:
+    ``(lag, n_pairs, acf, ljung_box_q)``.
+
+    ``r_k = Σ(x_t − x̄)(x_{t+k} − x̄) / Σ(x_t − x̄)²`` with the GLOBAL
+    mean/variance (the classic estimator — unlike the per-lag-mean
+    Pearson of a lead-lag cross-correlation). ``index_col`` must be an
+    integer position on an evenly spaced grid (missing positions simply
+    contribute no pairs); ``value_col`` must be integer-valued and fit
+    ``decimal(18,0)`` — callers scale to micro-units first — so every
+    moment sum is EXACT (decimal products, precision 37 ≤ the 38 cap)
+    before the one cast to double, making the result order-independent
+    and oracle-checkable.
+
+    100-TB shape: lag pairing is an equi-join of the series with itself
+    shifted by a BROADCAST max_lag-row relation — one shuffle keyed by
+    the index; moment sums are map-side combined; the Ljung–Box
+    cumulative window runs over the ``max_lag``-row summary only.
+    Typical inputs are already pre-aggregated series (daily/hourly
+    rollups), so the series relation is calendar-bounded regardless of
+    raw data volume.
+    """
+    if max_lag < 1:
+        raise ValueError(f"acf_ljung_box: max_lag must be >= 1, got {max_lag}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    s = df.select(
+        F.col(index_col).cast("long").alias("_t"),
+        F.col(value_col).cast("decimal(18,0)").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    tot = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").cast("double").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    a, b = s.alias("a"), s.alias("b")
+    m = (
+        a.join(F.broadcast(lags))
+        .join(b, F.expr("b._t = a._t + lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a._x") * F.col("b._x")).cast("double").alias("_sxy"),
+            F.sum("a._x").cast("double").alias("_sh"),
+            F.sum("b._x").cast("double").alias("_st"),
+        )
+    )
+    mean = F.col("_s") / F.col("n")
+    r_raw = (
+        F.col("_sxy")
+        - mean * (F.col("_sh") + F.col("_st"))
+        + F.col("n_pairs") * mean * mean
+    ) / F.nullif(
+        F.col("_sxx") - F.col("_s") * F.col("_s") / F.col("n"), F.lit(0.0)
+    )
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .withColumn("_r", r_raw)
+        .select(
+            "lag",
+            "n_pairs",
+            F.round("_r", 9).alias("acf"),
+            F.round(
+                F.col("n")
+                * (F.col("n") + F.lit(2.0))
+                * F.sum(
+                    F.col("_r") * F.col("_r") / (F.col("n") - F.col("lag"))
+                ).over(w),
+                9,
+            ).alias("ljung_box_q"),
+        )
+        .orderBy("lag")
+    )

@@ -2765,3 +2765,69 @@ FROM j
 
 SPARK_QUERIES["ab_conversion_ztest"] = ab_conversion_ztest
 ORACLE_SQL["ab_conversion_ztest"] = AB_ZTEST_SQL
+
+
+_ACF_MAX_LAG = 7
+
+
+def events_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function + Ljung-Box Q of the daily total event
+    value (`operators/stats.py acf_ljung_box`): the seasonality/memory
+    probe on the calendar-bounded daily series — micro-unit decimal
+    sums keep every moment exact until one double division per lag, and
+    the DuckDB oracle replays the identical expression tree over a
+    HUGEINT series."""
+    from onetl_spark.operators.stats import acf_ljung_box
+
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("t"),
+            _micro_units(F.col("v")).alias("x"),
+        )
+    )
+    return acf_ljung_box(daily, "t", "x", max_lag=_ACF_MAX_LAG)
+
+
+EVENTS_ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+), s AS (
+  SELECT (day - DATE '1970-01-01') AS t,
+         CAST(CAST(v AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS x
+  FROM daily
+), tot AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS s_,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM s
+), j AS (
+  SELECT l.lag, a.x AS xa, b.x AS xb
+  FROM s a CROSS JOIN range(1, {_ACF_MAX_LAG + 1}) l(lag)
+  JOIN s b ON b.t = a.t + l.lag
+), m AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         CAST(SUM(xa * xb) AS DOUBLE) AS sxy,
+         CAST(SUM(xa) AS DOUBLE) AS sh,
+         CAST(SUM(xb) AS DOUBLE) AS st
+  FROM j GROUP BY lag
+), r AS (
+  SELECT CAST(lag AS INTEGER) AS lag, n_pairs, n,
+         (sxy - (s_ / n) * (sh + st) + n_pairs * (s_ / n) * (s_ / n))
+           / NULLIF(sxx - s_ * s_ / n, 0) AS r_raw
+  FROM m CROSS JOIN tot
+)
+SELECT lag, n_pairs, round(r_raw, 9) AS acf,
+       round(n * (n + 2.0)
+             * SUM(r_raw * r_raw / (n - lag))
+               OVER (ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW), 9) AS ljung_box_q
+FROM r ORDER BY lag
+"""
+
+SPARK_QUERIES["events_daily_acf"] = events_daily_acf
+ORACLE_SQL["events_daily_acf"] = EVENTS_ACF_SQL

@@ -867,3 +867,38 @@ def test_cumulative_gains_hand_case(spark):
 
     with _pt.raises(ValueError, match="n_buckets"):
         cumulative_gains(df, "s", "y", n_buckets=0)
+
+
+def test_acf_ljung_box_matches_python_reference(spark):
+    import pytest as _pt
+
+    from onetl_spark.operators.stats import acf_ljung_box
+
+    xs = [1, 5, 2, 8, 3, 9, 4, 7, 2, 6, 1, 8]
+    n = len(xs)
+    mean = sum(xs) / n
+    den = sum((x - mean) ** 2 for x in xs)
+
+    def ref_acf(k):
+        return sum((xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k)) / den
+
+    df = spark.createDataFrame(list(enumerate(xs)), "t long, x long")
+    rows = acf_ljung_box(df, "t", "x", max_lag=3).collect()
+    q = 0.0
+    for k, r in zip((1, 2, 3), rows):
+        assert r["lag"] == k and r["n_pairs"] == n - k
+        assert abs(r["acf"] - ref_acf(k)) < 1e-8, k
+        q += ref_acf(k) ** 2 / (n - k)
+        assert abs(r["ljung_box_q"] - n * (n + 2) * q) < 1e-7, k
+
+    # a gap in the index drops pairs that straddle it, nothing else
+    gappy = spark.createDataFrame(
+        [(t if t < 5 else t + 1, x) for t, x in enumerate(xs)], "t long, x long"
+    )
+    g = {r["lag"]: r["n_pairs"] for r in acf_ljung_box(gappy, "t", "x", max_lag=2).collect()}
+    # surviving indices 0..4,6..12: lag 1 keeps 4+6 pairs (the two that
+    # straddled old index 5 are gone); lag 2 keeps 3+1+5 = 9
+    assert g == {1: n - 2, 2: n - 3}
+
+    with _pt.raises(ValueError, match="max_lag"):
+        acf_ljung_box(df, "t", "x", max_lag=0)
