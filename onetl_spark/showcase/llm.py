@@ -3320,3 +3320,70 @@ ORDER BY u.source
 
 SPARK_QUERIES["source_distinct_ngrams"] = source_distinct_ngrams
 ORACLE_SQL["source_distinct_ngrams"] = DISTINCT_N_SQL
+
+
+_WIN_K, _WIN_W, _WIN_SHARED, _WIN_BUCKET = 12, 8, 5, 50
+
+
+def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs via winnowing fingerprints (`llm/text.py
+    winnow_fingerprints` / `winnow_overlap_pairs` — the SIGMOD'03 MOSS
+    algorithm): every 12-gram hash competes in an 8-wide sliding
+    window, each window keeps its rightmost minimum, and documents
+    sharing >= 5 selected hashes pair up scored by overlap coefficient.
+    Catches a copied paragraph inside otherwise-different documents —
+    the case whole-doc hashing and Jaccard shingles both miss. The
+    DuckDB oracle replays gram hashing (shared md5-long), the
+    struct-min window, the hot-bucket recall cap, and the pair join."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        spark.table("documents"),
+        k=_WIN_K,
+        window=_WIN_W,
+        min_shared=_WIN_SHARED,
+        max_bucket=_WIN_BUCKET,
+    )
+
+
+WINNOW_SQL = rf"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h
+  FROM (SELECT doc_id,
+               list_transform(range(1, greatest(length(t) - {_WIN_K - 2}, 1)),
+                              i -> ('0x' || substr(md5(substr(t, i, {_WIN_K})), 1, 15))::BIGINT) AS hs
+        FROM n)
+), sel AS (
+  SELECT DISTINCT doc_id,
+         MIN({{'h': h, 'np': -pos}}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN {_WIN_W - 1} PRECEDING AND CURRENT ROW) AS s
+  FROM g
+), fp AS (
+  SELECT DISTINCT doc_id, s.h AS fp FROM sel
+), fpb AS (
+  SELECT doc_id, fp FROM fp
+  QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {_WIN_BUCKET}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+  FROM fpb a JOIN fpb b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_WIN_SHARED}
+)
+SELECT a_id, b_id, shared,
+       round(CAST(shared AS DOUBLE)
+             / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 9) AS overlap
+FROM pairs
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+"""
+
+SPARK_QUERIES["doc_winnow_overlap"] = doc_winnow_overlap
+ORACLE_SQL["doc_winnow_overlap"] = WINNOW_SQL

@@ -1351,3 +1351,69 @@ def test_zipf_fit_synthetic_slopes(spark):
     )
     row = zipf_fit(uni, top_k=30).collect()[0]
     assert row["slope"] == 0.0
+
+
+def test_winnow_fingerprints_match_python_reference(spark):
+    import hashlib
+
+    from onetl_spark.llm.text import winnow_fingerprints
+
+    def ref_winnow(text, k, w):
+        # mirror normalize_text: lower, strip non-alnum (keep ws), collapse
+        import re
+
+        t = re.sub(r"\s+", " ", re.sub(r"[^\w\s]", "", text.lower())).strip()
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        sel = set()
+        for j in range(len(hs)):
+            lo = max(0, j - w + 1)
+            win = hs[lo : j + 1]
+            m = min(win)
+            # rightmost minimum in the window
+            p = lo + max(i for i, h in enumerate(win) if h == m)
+            sel.add((p + 1, hs[p]))
+        return sel
+
+    texts = [
+        (1, "The quick brown fox jumps over the lazy dog!"),
+        (2, "pack my box with five dozen liquor jugs, quickly."),
+        (3, "aaaa aaaa aaaa aaaa"),  # heavy ties: rightmost-min rule matters
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=5, window=4).collect()
+    }
+    want = {
+        (d, p, h) for d, t in texts for (p, h) in ref_winnow(t, 5, 4)
+    }
+    assert got == want
+
+
+def test_winnow_overlap_guarantee_and_validation(spark):
+    import pytest as _pt
+
+    from onetl_spark.llm.text import winnow_overlap_pairs
+
+    # the winnowing guarantee: a shared substring of length >= w + k - 1
+    # (here 4 + 5 - 1 = 8, we share a full sentence) yields shared
+    # fingerprints; two unrelated docs yield none
+    shared = "identical plagiarized passage lives here"
+    docs = [
+        (1, "first document intro. " + shared + " then totally different tail."),
+        (2, "unrelated opener text, " + shared + " and another distinct ending."),
+        (3, "zebra quartz jigsaw vexing flummox entirely separate content body."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["a_id"], r["b_id"]): r["shared"]
+        for r in winnow_overlap_pairs(df, k=5, window=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+
+    with _pt.raises(ValueError, match="k and window"):
+        winnow_overlap_pairs(df, k=0)
