@@ -19,10 +19,14 @@ each event once per step).
 
 from __future__ import annotations
 
+import logging
+
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def funnel_steps(
@@ -168,4 +172,81 @@ def position_based_attribution(
         F.col("_pos").alias("position"),
         F.col("_n").alias("path_length"),
         credit.alias("credit"),
+    )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    item_col: str,
+    k: int = 3,
+    min_support: int = 2,
+    max_events_per_entity: int = 30,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Frequent sequential patterns (GSP/PrefixSpan-family semantics):
+    ordered, NON-contiguous length-``k`` subsequences of each entity's
+    event-item sequence, counted by SUPPORT = number of entities whose
+    sequence contains the pattern at least once — the
+    market-basket-over-time miner ("signup > view > purchase shows up
+    in 40% of users"), strictly more general than contiguous-path
+    censuses (a pattern survives arbitrary interleaved noise events).
+
+    Returns ``(pattern, support)`` with pattern rendered ``a>b>c``,
+    filtered to ``support >= min_support``.
+
+    Scale shape: per-entity event ranks come from a PARTITIONED window
+    (bounded by ``max_events_per_entity``, never a global sort); the
+    k-step growth is ``k-1`` self-joins keyed by the entity, and the
+    combinatorial blowup is capped by keeping only each entity's FIRST
+    ``max_events_per_entity`` events (deterministic ``(ts, tiebreak)``
+    order) — C(cap, k)·entities candidate rows worst-case, logged, the
+    LSH-bucket-cap posture. Per-entity DISTINCT collapses multiplicity
+    before the support count, so the final aggregate is
+    (pattern, entity)-sized, map-side combined.
+    """
+    if k < 1:
+        raise ValueError(f"frequent_sequences: k must be >= 1, got {k}")
+    if max_events_per_entity < k:
+        raise ValueError("frequent_sequences: max_events_per_entity < k")
+    from pyspark.sql import Window as W
+
+    log.info(
+        "frequent_sequences: entities capped at their first %d events "
+        "(recall cap)", max_events_per_entity,
+    )
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    ranked = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.col(item_col).cast("string").alias("_it"),
+            F.row_number()
+            .over(W.partitionBy(entity_col).orderBy(*order))
+            .alias("_idx"),
+        )
+        .filter(F.col("_idx") <= max_events_per_entity)
+    )
+    cur = ranked.select("_e", F.col("_idx").alias("_last"), F.col("_it").alias("pattern"))
+    for _ in range(k - 1):
+        nxt = ranked.select(
+            F.col("_e").alias("_e2"), F.col("_idx").alias("_nidx"), "_it"
+        )
+        cur = (
+            cur.join(
+                nxt,
+                on=[cur["_e"] == nxt["_e2"], nxt["_nidx"] > cur["_last"]],
+            )
+            .select(
+                "_e",
+                F.col("_nidx").alias("_last"),
+                F.concat_ws(">", "pattern", "_it").alias("pattern"),
+            )
+        )
+    return (
+        cur.select("_e", "pattern")
+        .distinct()
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
     )

@@ -2831,3 +2831,52 @@ FROM r ORDER BY lag
 
 SPARK_QUERIES["events_daily_acf"] = events_daily_acf
 ORACLE_SQL["events_daily_acf"] = EVENTS_ACF_SQL
+
+
+_SEQ_K, _SEQ_SUPPORT, _SEQ_CAP = 3, 30, 30
+
+
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns over user event streams
+    (`operators/funnel.py frequent_sequences`, GSP/PrefixSpan
+    semantics): ordered non-contiguous event-type triples supported by
+    >= 30 users, each user's sequence capped at its first 30 events
+    (deterministic (ts, event_id) order — the logged recall cap). The
+    oracle replays rank, k-1 growth joins, per-user DISTINCT, and the
+    support count declaratively."""
+    from onetl_spark.operators.funnel import frequent_sequences
+
+    ensure_views(spark, sf_dir)
+    return frequent_sequences(
+        spark.table("events"),
+        "user_id",
+        "ts",
+        "event_type",
+        k=_SEQ_K,
+        min_support=_SEQ_SUPPORT,
+        max_events_per_entity=_SEQ_CAP,
+        tiebreak_col="event_id",
+    )
+
+
+FREQ_SEQ_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS idx
+  FROM events
+  QUALIFY idx <= {_SEQ_CAP}
+), p AS (
+  SELECT DISTINCT a.user_id,
+         a.event_type || '>' || b.event_type || '>' || c.event_type AS pattern
+  FROM e a
+  JOIN e b ON b.user_id = a.user_id AND b.idx > a.idx
+  JOIN e c ON c.user_id = b.user_id AND c.idx > b.idx
+)
+SELECT pattern, COUNT(*) AS support
+FROM p GROUP BY pattern
+HAVING COUNT(*) >= {_SEQ_SUPPORT}
+"""
+
+SPARK_QUERIES["frequent_event_sequences"] = frequent_event_sequences
+ORACLE_SQL["frequent_event_sequences"] = FREQ_SEQ_SQL

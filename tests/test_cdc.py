@@ -325,3 +325,54 @@ def test_position_based_attribution_hand_path(spark):
     assert out[202] == (902, 1, 2, 0.5)
     assert out[203] == (902, 2, 2, 0.5)
     assert out[301][0] is None and out[301][3] is None
+
+
+def test_frequent_sequences_matches_brute_force(spark):
+    import datetime as _dt
+    from itertools import combinations
+
+    import pytest as _pt
+
+    from onetl_spark.operators.funnel import frequent_sequences
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows, seqs = [], {
+        1: list("abcab"),
+        2: list("aacb"),
+        3: list("bca"),
+        4: list("abc"),
+    }
+    eid = 0
+    for u, items in seqs.items():
+        for i, it in enumerate(items):
+            rows.append((u, t0 + _dt.timedelta(minutes=i), it, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, item string, event_id long")
+
+    def brute(k, min_support):
+        from collections import Counter
+
+        c = Counter()
+        for items in seqs.values():
+            pats = {">".join(items[i] for i in idx)
+                    for idx in combinations(range(len(items)), k)}
+            c.update(pats)
+        return {p: n for p, n in c.items() if n >= min_support}
+
+    for k, ms in ((2, 2), (3, 2), (3, 3)):
+        got = {r["pattern"]: r["support"] for r in frequent_sequences(
+            df, "user_id", "ts", "item", k=k, min_support=ms,
+            tiebreak_col="event_id").collect()}
+        assert got == brute(k, ms), (k, ms)
+
+    # the per-entity cap truncates sequences deterministically: with
+    # cap=3 user 1 contributes only "abc" prefixes
+    capped = {r["pattern"]: r["support"] for r in frequent_sequences(
+        df, "user_id", "ts", "item", k=3, min_support=2,
+        max_events_per_entity=3, tiebreak_col="event_id").collect()}
+    assert capped == {"a>b>c": 2}  # users 1 (truncated to abc) and 4; 2->aac, 3->bca stay unique
+
+    with _pt.raises(ValueError, match="k must be"):
+        frequent_sequences(df, "user_id", "ts", "item", k=0)
+    with _pt.raises(ValueError, match="max_events_per_entity"):
+        frequent_sequences(df, "user_id", "ts", "item", k=3, max_events_per_entity=2)
