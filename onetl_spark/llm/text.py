@@ -1210,3 +1210,63 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def textrank_keywords(
+    df,
+    text_col: str = "text",
+    min_cooccur: int = 3,
+    iterations: int = 3,
+    top_k: int = 20,
+):
+    """Corpus-level TextRank keywords (Mihalcea & Tarau, "TextRank:
+    Bringing Order into Texts", EMNLP 2004): build the word
+    co-occurrence graph (adjacent-token pairs, both directions, kept
+    when the pair co-occurs ``>= min_cooccur`` times corpus-wide) and
+    rank words with the deterministic FIXED-POINT PageRank of
+    :func:`onetl_spark.operators.graph.pagerank_fixed_point` — graph
+    centrality finds the vocabulary that holds the corpus together,
+    where raw frequency just finds stopwords' cousins and TF-IDF only
+    scores words against single documents. Returns the ``top_k`` words
+    as ``(word, rank_fp)``, ties broken by word.
+
+    Scale shape: tokenization and pairing are column expressions (no
+    UDF); the pair aggregate is map-side combined and the
+    ``min_cooccur`` support cut keeps the graph from densifying with
+    corpus growth (the co-occurrence-graph posture of the supplier
+    showcase); PageRank is integer and shuffle-order-independent, so
+    a 1000-executor run reproduces the laptop ranks bit-for-bit. The
+    top-k is a single bounded ``orderBy ... limit``.
+    """
+    if top_k < 1:
+        raise ValueError(f"textrank_keywords: top_k must be >= 1, got {top_k}")
+    from onetl_spark.operators.graph import pagerank_fixed_point
+
+    toks = df.select(word_tokens(text_col).alias("_w"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_w", 1, F.greatest(F.size("_w") - 1, F.lit(0))),
+                F.slice("_w", 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+                ),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.u").alias("u"), F.col("_p.v").alias("v"))
+    ed = (
+        pairs.filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_cooccur)
+        .select("u", "v")
+    )
+    undirected = ed.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        ed.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(undirected, iterations=iterations)
+    return (
+        ranks.orderBy(F.col("rank_fp").desc(), F.col("node").asc())
+        .limit(top_k)
+        .select(F.col("node").alias("word"), "rank_fp")
+    )

@@ -3387,3 +3387,58 @@ JOIN sizes sb ON sb.doc_id = b_id
 
 SPARK_QUERIES["doc_winnow_overlap"] = doc_winnow_overlap
 ORACLE_SQL["doc_winnow_overlap"] = WINNOW_SQL
+
+
+_TR_MIN_COOCCUR, _TR_ITER, _TR_TOPK = 5, 3, 20
+
+
+def corpus_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (`llm/text.py textrank_keywords`,
+    EMNLP'04): adjacent-token co-occurrence graph (support >= 5, the
+    densification cut) ranked by the deterministic integer PageRank —
+    bit-identical across engines, so the DuckDB oracle replays the
+    identical fixed-point rounds over the same word graph and the
+    top-20 matches exactly (ties -> word order)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import textrank_keywords
+
+    return textrank_keywords(
+        spark.table("documents"),
+        min_cooccur=_TR_MIN_COOCCUR,
+        iterations=_TR_ITER,
+        top_k=_TR_TOPK,
+    )
+
+
+def _textrank_sql() -> str:
+    from onetl_spark.showcase.graphs import _PR_SCALE, _pr_iter_sql
+
+    rounds = "".join(
+        "," + _pr_iter_sql(str(r), str(r + 1)) for r in range(_TR_ITER)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT {SQL_TOKENS} AS t FROM documents
+), pr_pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                i -> {{'u': least(t[i], t[i+1]), 'v': greatest(t[i], t[i+1])}})) AS p
+  FROM tok
+), pairs AS (
+  SELECT p.u AS u, p.v AS v FROM pr_pairs WHERE p.u <> p.v
+), ed AS (
+  SELECT u, v FROM (SELECT u, v, COUNT(*) AS c FROM pairs GROUP BY u, v)
+  WHERE c >= {_TR_MIN_COOCCUR}
+), dir AS (
+  SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v AS src, u AS dst FROM ed
+), nodes AS (SELECT DISTINCT src AS node FROM dir),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+od AS (SELECT src, COUNT(*) AS od FROM dir GROUP BY src),
+r0 AS (SELECT node, {_PR_SCALE} // nn.n AS r FROM nodes, nn)
+{rounds}
+SELECT node AS word, CAST(r AS BIGINT) AS rank_fp FROM r{_TR_ITER}
+ORDER BY rank_fp DESC, word LIMIT {_TR_TOPK}
+"""
+
+
+SPARK_QUERIES["corpus_textrank_keywords"] = corpus_textrank_keywords
+ORACLE_SQL["corpus_textrank_keywords"] = _textrank_sql()

@@ -1417,3 +1417,30 @@ def test_winnow_overlap_guarantee_and_validation(spark):
 
     with _pt.raises(ValueError, match="k and window"):
         winnow_overlap_pairs(df, k=0)
+
+
+def test_textrank_keywords_centrality_vs_frequency(spark):
+    import pytest as _pt
+
+    from onetl_spark.llm.text import textrank_keywords
+
+    # "hub" co-occurs with every other word; "spoke" words only with hub.
+    # TextRank must rank hub first even though every word has similar
+    # frequency; the isolated repeated pair never outranks the hub.
+    docs = [
+        "hub alpha hub beta hub gamma hub delta",
+        "hub alpha hub beta hub gamma hub delta",
+        "hub alpha hub beta hub gamma hub delta",
+        "loner loner loner loner loner twin twin twin",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    rows = textrank_keywords(df, min_cooccur=2, iterations=3, top_k=10).collect()
+    assert rows[0]["word"] == "hub"
+    words = [r["word"] for r in rows]
+    assert set(words) >= {"hub", "alpha", "beta", "gamma", "delta"}
+    # deterministic: re-running yields the identical ranking
+    again = textrank_keywords(df, min_cooccur=2, iterations=3, top_k=10).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    with _pt.raises(ValueError, match="top_k"):
+        textrank_keywords(df, top_k=0)
