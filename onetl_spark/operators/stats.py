@@ -802,3 +802,72 @@ def acf_ljung_box(
         )
         .orderBy("lag")
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator with right
+    censoring — the retention/churn curve done correctly (a user still
+    active at observation end is CENSORED, not a survivor forever;
+    naive retention curves conflate the two). Input: one row per
+    subject with ``duration_col`` (time observed) and ``event_col``
+    (1 = event occurred at that time, 0 = censored there). Returns one
+    row per distinct EVENT time: ``(duration, n_risk, n_events,
+    n_censored, survival)`` with
+    ``S(t) = Π_{s<=t} (1 − d_s / n_risk(s))``.
+
+    Contract: durations must be DISCRETIZED (days/weeks/buckets) — the
+    per-duration summary is then calendar-bounded, and both the
+    risk-set cumsum and the product run as ordered windows over that
+    bounded summary, never over subject rows (for continuous durations,
+    bucket first). The product is evaluated as ``exp(Σ ln(1 − d/n))``
+    with the factors accumulated in ascending duration order — the
+    identical sequential expression on any engine — and an explicit
+    zero pin once a duration kills the whole risk set (``ln(0)`` is
+    NULL on Spark but −inf on DuckDB, so the pin keeps engines
+    agreeing). Subject rows with NULL duration/event are excluded.
+
+    100-TB shape: one map-side-combined aggregate collapses any number
+    of subjects to the per-duration table; everything after is bounded
+    by the duration grid.
+    """
+    from pyspark.sql import Window as W
+
+    s = df.select(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+    ).filter(F.col("_t").isNotNull() & F.col("_e").isNotNull())
+    per_t = s.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_e").cast("long").alias("_d"),
+    )
+    tot = per_t.agg(F.sum("_n").alias("_total"))
+    w_all = W.orderBy("_t").rowsBetween(W.unboundedPreceding, -1)
+    at_risk = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn("_before", F.coalesce(F.sum("_n").over(w_all), F.lit(0)))
+        .withColumn("n_risk", (F.col("_total") - F.col("_before")).cast("long"))
+    )
+    ev = at_risk.filter(F.col("_d") > 0)
+    w_ev = W.orderBy("_t").rowsBetween(W.unboundedPreceding, 0)
+    term = F.when(
+        F.col("_d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("_d").cast("double") / F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    zflag = F.max((F.col("_d") >= F.col("n_risk")).cast("int")).over(w_ev)
+    return (
+        ev.withColumn("_term", term)
+        .select(
+            F.col("_t").alias("duration"),
+            "n_risk",
+            F.col("_d").alias("n_events"),
+            (F.col("_n") - F.col("_d")).cast("long").alias("n_censored"),
+            F.when(zflag == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.sum("_term").over(w_ev)), 9))
+            .alias("survival"),
+        )
+        .orderBy("duration")
+    )

@@ -2880,3 +2880,77 @@ HAVING COUNT(*) >= {_SEQ_SUPPORT}
 
 SPARK_QUERIES["frequent_event_sequences"] = frequent_event_sequences
 ORACLE_SQL["frequent_event_sequences"] = FREQ_SEQ_SQL
+
+
+def user_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user lifetimes (`operators/stats.py
+    kaplan_meier`): duration = days between a user's first and last
+    event, churn OBSERVED unless the last event is a purchase (those
+    users are treated as still-active, i.e. right-censored — the
+    distinction naive retention curves ignore). Day-granularity
+    durations keep the summary calendar-bounded; the product-limit
+    runs as exp(Σ ln(1-d/n)) in ascending-duration order with the
+    explicit risk-set-exhausted zero pin, and the oracle replays the
+    identical sequential expression."""
+    from onetl_spark.operators.stats import kaplan_meier
+
+    ensure_views(spark, sf_dir)
+    per_user = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("_fd"),
+            F.max(F.col("ts").cast("date")).alias("_ld"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("_lt"),
+        )
+    )
+    subjects = per_user.select(
+        F.datediff("_ld", "_fd").alias("dur"),
+        (F.col("_lt") != "purchase").cast("int").alias("observed"),
+    )
+    return kaplan_meier(subjects, "dur", "observed")
+
+
+KAPLAN_MEIER_SQL = """
+WITH last_ev AS (
+  SELECT user_id, event_type AS lt
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                      event_id DESC) = 1
+), u AS (
+  SELECT e.user_id,
+         CAST(MIN(CAST(e.ts AS TIMESTAMP)) AS DATE) AS fd,
+         CAST(MAX(CAST(e.ts AS TIMESTAMP)) AS DATE) AS ld,
+         ANY_VALUE(l.lt) AS lt
+  FROM events e JOIN last_ev l ON l.user_id = e.user_id
+  GROUP BY e.user_id
+), s AS (
+  SELECT CAST(ld - fd AS BIGINT) AS t,
+         CASE WHEN lt <> 'purchase' THEN 1 ELSE 0 END AS e
+  FROM u
+), per_t AS (
+  SELECT t, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS d FROM s GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM per_t
+), r AS (
+  SELECT t, n, d,
+         total - COALESCE(SUM(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t CROSS JOIN tot
+), ev AS (SELECT * FROM r WHERE d > 0)
+SELECT t AS duration, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       CAST(n - d AS BIGINT) AS n_censored,
+       CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w = 1
+            THEN 0.0
+            ELSE round(exp(SUM(CASE WHEN d < n_risk
+                                    THEN ln(1 - CAST(d AS DOUBLE)
+                                            / CAST(n_risk AS DOUBLE))
+                                    ELSE 0.0 END) OVER w), 9) END AS survival
+FROM ev
+WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY duration
+"""
+
+SPARK_QUERIES["user_churn_kaplan_meier"] = user_churn_kaplan_meier
+ORACLE_SQL["user_churn_kaplan_meier"] = KAPLAN_MEIER_SQL

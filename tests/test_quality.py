@@ -902,3 +902,29 @@ def test_acf_ljung_box_matches_python_reference(spark):
 
     with _pt.raises(ValueError, match="max_lag"):
         acf_ljung_box(df, "t", "x", max_lag=0)
+
+
+def test_kaplan_meier_textbook_and_zero_pin(spark):
+    from onetl_spark.operators.stats import kaplan_meier
+
+    # classic worked example: durations 1,2,2,3,4 / events 1,1,0,1,0
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0)], "dur long, ev int"
+    )
+    rows = {r["duration"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(rows) == {1, 2, 3}  # censored-only duration 4 emits no row
+    assert rows[1]["n_risk"] == 5 and abs(rows[1]["survival"] - 0.8) < 1e-9
+    assert rows[2]["n_risk"] == 4 and rows[2]["n_censored"] == 1
+    assert abs(rows[2]["survival"] - 0.6) < 1e-9
+    assert rows[3]["n_risk"] == 2 and abs(rows[3]["survival"] - 0.3) < 1e-9
+
+    # risk set exhausted mid-curve: S = 1/3 at t=1, then the last
+    # subject dies at t=2 (d == n_risk) and survival pins to exactly
+    # 0.0 — the ln(0) engine-divergence guard
+    df2 = spark.createDataFrame([(1, 1), (1, 1), (2, 1)], "dur long, ev int")
+    rows2 = {r["duration"]: r["survival"] for r in kaplan_meier(df2, "dur", "ev").collect()}
+    assert abs(rows2[1] - 1 / 3) < 1e-8 and rows2[2] == 0.0
+
+    # full exhaustion at the first event time pins immediately
+    df3 = spark.createDataFrame([(1, 1), (1, 1)], "dur long, ev int")
+    assert [r["survival"] for r in kaplan_meier(df3, "dur", "ev").collect()] == [0.0]
