@@ -864,3 +864,89 @@ def harmonic_centrality(
             F.count(F.lit(1)).cast("long").alias("n_reached"),
         )
     )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    strict: bool = True,
+) -> DataFrame:
+    """Multi-source weighted shortest-path distances over a DIRECTED
+    edge set (callers symmetrize for undirected graphs) — distributed
+    Bellman–Ford by synchronous relaxation rounds, the weighted
+    companion to :func:`bfs_hops` (hop counts ignore edge cost; supply
+    networks, latency graphs, and similarity graphs don't). Returns
+    ``(node, dist)`` for every node reachable from any source, with
+    ``dist`` the exact integer minimum path cost.
+
+    Each round relaxes every edge out of the current distance set and
+    takes the per-node minimum of (old ∪ relaxed) — after round r the
+    distances are exactly "min cost over paths of <= r edges", so a
+    fixed-round declarative replay (the oracle) matches whenever the
+    fixpoint is reached within ``max_iter``. Convergence is detected by
+    an improvement count (any node whose distance shrank or appeared);
+    hitting ``max_iter`` without the fixpoint raises under
+    ``strict=True`` — partial distances are upper bounds, not answers
+    (the ``kcore_nodes`` posture). Weights must be non-negative
+    integers: negative weights would need n-1 guaranteed rounds, and
+    float costs would make the min shuffle-order-dependent.
+
+    100-TB shape: per round one edge-sized join keyed by the frontier
+    node + one node-keyed min aggregate, ``localCheckpoint`` keeping
+    the plan constant-size; rounds are bounded by the weighted-graph
+    diameter — the iterative-graph cost class of BFS/LPA/k-core.
+    """
+    w_col = F.col(weight).cast("long")
+    ed = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w_col.alias("_w")
+    )
+    neg = ed.filter(F.col("_w") < 0).limit(1).count()
+    if neg:
+        raise ValueError("weighted_sssp: negative edge weights are not supported")
+    ed = ed.localCheckpoint(eager=True)
+    dist = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for it in range(max_iter):
+        relaxed = (
+            dist.join(ed, dist["node"] == ed["_s"])
+            .select(F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
+        )
+        nxt = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            nxt.alias("n")
+            .join(dist.alias("o"), "node", "left")
+            .filter(
+                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
+            )
+            .limit(1)
+            .count()
+        )
+        dist = nxt
+        if not improved:
+            log.info("weighted_sssp: converged after %d round(s)", it + 1)
+            break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"weighted_sssp: no fixpoint after max_iter={max_iter} rounds "
+                "— distances are only <=max_iter-edge upper bounds; raise "
+                "max_iter (or pass strict=False to accept them)"
+            )
+        log.warning(
+            "weighted_sssp: stopped at max_iter=%d without a fixpoint", max_iter
+        )
+    return dist

@@ -771,3 +771,88 @@ def calibration_bins(
         F.col("_e").cast("double").alias("ece_term"),
         F.round(F.col("_ece"), 9).alias("ece_total"),
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: "tuple[float, ...]" = (0.5, 0.9),
+    group_cols: "tuple[str, ...]" = (),
+    weight_col: "str | None" = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Exact lower quantiles per group by RANK SELECTION — for each
+    requested ``q``, the smallest value whose cumulative (weighted)
+    count reaches ``q`` of the group total — the per-group p50/p90/p99
+    reporter. No engine interpolation anywhere (the
+    :func:`weighted_median` convention generalized to any quantile
+    list): ``q`` is handled as an exact rational, the threshold test is
+    ``cum·den >= num·total`` in exact decimals, so every engine and
+    every partitioning reproduces the same value. Returns one row per
+    (group, quantile): ``(*group_cols, quantile, total_weight, value)``.
+
+    Scale shape: rows collapse to one per (group, value) first
+    (map-side combined); the cumulative window runs over that
+    DISTINCT-value relation partitioned by group (never a global sort);
+    the quantile list is a broadcast crossJoin of a len(quantiles)-row
+    relation. NULL values/weights and zero weights are excluded; all
+    quantiles must lie in (0, 1].
+    """
+    from fractions import Fraction
+
+    if not quantiles:
+        raise ValueError("grouped_quantiles: need at least one quantile")
+    fracs = []
+    for q in quantiles:
+        f = Fraction(str(q))
+        if not 0 < f <= 1:
+            raise ValueError(f"grouped_quantiles: quantile {q} not in (0, 1]")
+        fracs.append((float(q), f.numerator, f.denominator))
+
+    dec = f"decimal(30,{scale})"
+    w_expr = (
+        F.col(weight_col).cast(dec)
+        if weight_col
+        else F.lit(1).cast(dec)
+    )
+    t = df.select(
+        *[F.col(c) for c in group_cols],
+        F.col(value_col).cast("double").alias("_v"),
+        w_expr.alias("_w"),
+    ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull() & (F.col("_w") != 0))
+    if weight_col:
+        neg = t.filter(F.col("_w") < 0).limit(1).count()
+        if neg:
+            raise ValueError("grouped_quantiles: weights must be non-negative")
+    counts = t.groupBy(*[F.col(c) for c in group_cols], F.col("_v")).agg(
+        F.sum("_w").alias("_w")
+    )
+    from pyspark.sql.window import Window as _W
+
+    wcum = (
+        _W.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    wtot = _W.partitionBy(*group_cols)
+    staged = counts.select(
+        *[F.col(c) for c in group_cols],
+        "_v",
+        F.sum("_w").over(wcum).alias("_cum"),
+        F.sum("_w").over(wtot).alias("_tot"),
+    )
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(fracs, "quantile double, _num long, _den long")
+    hit = staged.crossJoin(F.broadcast(qdf)).filter(
+        F.col("_cum") * F.col("_den") >= F.col("_num") * F.col("_tot")
+    )
+    return (
+        hit.groupBy(*[F.col(c) for c in group_cols], F.col("quantile"))
+        .agg(F.min("_v").alias("value"), F.first("_tot").alias("_t"))
+        .select(
+            *[F.col(c) for c in group_cols],
+            "quantile",
+            F.col("_t").cast("double").alias("total_weight"),
+            "value",
+        )
+    )

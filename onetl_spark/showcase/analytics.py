@@ -2954,3 +2954,79 @@ ORDER BY duration
 
 SPARK_QUERIES["user_churn_kaplan_meier"] = user_churn_kaplan_meier
 ORACLE_SQL["user_churn_kaplan_meier"] = KAPLAN_MEIER_SQL
+
+
+_TTC_QUANTILES = (0.5, 0.9)
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles per funnel transition: the
+    signup->view->purchase funnel (`operators/funnel.py funnel_steps`)
+    feeds exact rank-selection quantiles (`operators/quality.py
+    grouped_quantiles` — no engine interpolation, so both engines agree
+    bit-for-bit) over the integer-microsecond step deltas. "Half the
+    converters view within X minutes of signup" is the activation
+    metric this powers."""
+    from onetl_spark.operators.funnel import funnel_steps
+    from onetl_spark.operators.quality import grouped_quantiles
+
+    ensure_views(spark, sf_dir)
+    f = funnel_steps(spark.table("events"), ["signup", "view", "purchase"])
+    d12 = f.filter(F.col("step_2_ts").isNotNull()).select(
+        F.lit("signup>view").alias("transition"),
+        (F.unix_micros("step_2_ts") - F.unix_micros("step_1_ts")).alias("delta_us"),
+    )
+    d23 = f.filter(F.col("step_3_ts").isNotNull()).select(
+        F.lit("view>purchase").alias("transition"),
+        (F.unix_micros("step_3_ts") - F.unix_micros("step_2_ts")).alias("delta_us"),
+    )
+    return grouped_quantiles(
+        d12.unionAll(d23),
+        "delta_us",
+        quantiles=_TTC_QUANTILES,
+        group_cols=("transition",),
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+  GROUP BY e.user_id
+), deltas AS (
+  SELECT 'signup>view' AS transition,
+         CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE) AS v
+  FROM s1 JOIN s2 USING (user_id)
+  UNION ALL
+  SELECT 'view>purchase',
+         CAST(epoch_us(t3) - epoch_us(t2) AS DOUBLE)
+  FROM s2 JOIN s3 USING (user_id)
+), counts AS (
+  SELECT transition, v, CAST(COUNT(*) AS DECIMAL(30,6)) AS w
+  FROM deltas GROUP BY transition, v
+), staged AS (
+  SELECT transition, v,
+         SUM(w) OVER (PARTITION BY transition ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(w) OVER (PARTITION BY transition) AS tot
+  FROM counts
+), q(quantile, num, den) AS (VALUES (CAST(0.5 AS DOUBLE), 1, 2), (CAST(0.9 AS DOUBLE), 9, 10))
+SELECT transition, quantile,
+       CAST(MIN(tot) AS DOUBLE) AS total_weight,
+       MIN(v) AS value
+FROM staged CROSS JOIN q
+WHERE cum * den >= num * tot
+GROUP BY transition, quantile
+"""
+
+SPARK_QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
+ORACLE_SQL["funnel_time_to_convert"] = TIME_TO_CONVERT_SQL

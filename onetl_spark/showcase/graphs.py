@@ -527,3 +527,84 @@ FROM dist WHERE d > 0 GROUP BY node
 
 SPARK_QUERIES["part_harmonic_centrality"] = part_harmonic_centrality
 ORACLE_SQL["part_harmonic_centrality"] = HARMONIC_SQL
+
+
+_SSSP_SEEDS, _SSSP_ROUNDS = 3, 14
+
+
+def _part_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-occurrence edges with an integer AFFINITY COST: pairs
+    co-ordered more often are cheaper to traverse (w = max(10 - c, 1))
+    — the substitution-distance graph of a catalog."""
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    ed = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _PART_MIN_COOCCUR)
+        .select(
+            "src", "dst",
+            F.greatest(F.lit(10) - F.col("c"), F.lit(1)).alias("w"),
+        )
+    )
+    return ed.unionAll(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+
+
+def part_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path distances from the 3 lowest part ids over
+    the affinity-cost co-occurrence graph (`operators/graph.py
+    weighted_sssp`, distributed Bellman-Ford): exact integer minimum
+    path costs, converging well inside the 14-round cap (strict raise
+    past it). The oracle replays the synchronous min-relaxation rounds
+    as chained MATERIALIZED CTEs — identical at the fixpoint."""
+    from onetl_spark.operators.graph import weighted_sssp
+
+    e = _part_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(_SSSP_SEEDS)
+    return weighted_sssp(e, seeds, max_iter=_SSSP_ROUNDS)
+
+
+def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
+    parts = [
+        f"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edc AS (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS c
+        FROM li a JOIN li b USING (l_orderkey)
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_PART_MIN_COOCCUR}),
+e AS MATERIALIZED (
+  SELECT u AS src, v AS dst, GREATEST(10 - c, 1) AS w FROM edc
+  UNION ALL
+  SELECT v AS src, u AS dst, GREATEST(10 - c, 1) AS w FROM edc),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {_SSSP_SEEDS}),
+d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"d{r - 1}"
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, {prev}.d + e.w AS d
+    FROM {prev} JOIN e ON e.src = {prev}.node)
+  GROUP BY node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, CAST(d AS BIGINT) AS dist FROM d{rounds}"
+    )
+
+
+SPARK_QUERIES["part_weighted_sssp"] = part_weighted_sssp
+ORACLE_SQL["part_weighted_sssp"] = _sssp_sql()

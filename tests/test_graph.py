@@ -657,3 +657,57 @@ def test_multi_source_distances_and_harmonic(spark):
     # nodes 1 and 4 are seeds: their own d=0 is excluded and the OTHER
     # seed is 3 hops away (> max_hops), so they have no contributions
     assert set(h) == {2, 3, 5}
+
+
+def test_weighted_sssp_matches_dijkstra_random(spark):
+    import heapq
+    import random as _r
+
+    import pytest as _pt
+
+    from onetl_spark.operators.graph import weighted_sssp
+
+    rng = _r.Random(23)
+    n = 15
+    edges = []
+    for _ in range(45):
+        a, b = rng.sample(range(n), 2)
+        edges.append((a, b, rng.randint(1, 9)))
+    seeds = [0, 7]
+
+    def dijkstra():
+        adj = {}
+        for a, b, w in edges:
+            adj.setdefault(a, []).append((b, w))
+        dist = {s: 0 for s in seeds}
+        pq = [(0, s) for s in seeds]
+        heapq.heapify(pq)
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, []):
+                if d + w < dist.get(v, 1 << 60):
+                    dist[v] = d + w
+                    heapq.heappush(pq, (d + w, v))
+        return dist
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["dist"] for r in weighted_sssp(df, sdf).collect()}
+    assert got == dijkstra()
+
+    with _pt.raises(ValueError, match="negative"):
+        weighted_sssp(
+            spark.createDataFrame([(1, 2, -3)], "src long, dst long, w long"), sdf
+        )
+
+    # a long chain cannot converge in one round -> strict raises
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(5)], "src long, dst long, w long"
+    )
+    s0 = spark.createDataFrame([(0,)], "node long")
+    with _pt.raises(RuntimeError, match="no fixpoint"):
+        weighted_sssp(chain, s0, max_iter=1)
+    partial = {r["node"]: r["dist"] for r in weighted_sssp(chain, s0, max_iter=1, strict=False).collect()}
+    assert partial == {0: 0, 1: 1}

@@ -928,3 +928,43 @@ def test_kaplan_meier_textbook_and_zero_pin(spark):
     # full exhaustion at the first event time pins immediately
     df3 = spark.createDataFrame([(1, 1), (1, 1)], "dur long, ev int")
     assert [r["survival"] for r in kaplan_meier(df3, "dur", "ev").collect()] == [0.0]
+
+
+def test_grouped_quantiles_rank_selection(spark):
+    import pytest as _pt
+
+    from onetl_spark.operators.quality import grouped_quantiles
+
+    # group a: 1..10 -> lower p50 = 5 (cum 5/10 >= 1/2), p90 = 9
+    # group b: 1,1,1,100 -> p50 = 1, p90 = 100, p25 = 1
+    rows = [("a", float(i)) for i in range(1, 11)] + [
+        ("b", 1.0), ("b", 1.0), ("b", 1.0), ("b", 100.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["g"], r["quantile"]): (r["value"], r["total_weight"])
+        for r in grouped_quantiles(
+            df, "v", quantiles=(0.25, 0.5, 0.9, 1.0), group_cols=("g",)
+        ).collect()
+    }
+    assert got[("a", 0.5)] == (5.0, 10.0)
+    assert got[("a", 0.9)] == (9.0, 10.0)
+    assert got[("a", 1.0)] == (10.0, 10.0)
+    assert got[("b", 0.25)] == (1.0, 4.0)
+    assert got[("b", 0.5)] == (1.0, 4.0)
+    assert got[("b", 0.9)] == (100.0, 4.0)
+
+    # weighted: weight 3 on value 1 vs weight 1 on value 9 -> p50 = 1
+    wdf = spark.createDataFrame([(1.0, 3.0), (9.0, 1.0)], "v double, w double")
+    wrow = grouped_quantiles(wdf, "v", quantiles=(0.5,), weight_col="w").collect()[0]
+    assert wrow["value"] == 1.0 and wrow["total_weight"] == 4.0
+
+    with _pt.raises(ValueError, match="not in"):
+        grouped_quantiles(df, "v", quantiles=(0.0,))
+    with _pt.raises(ValueError, match="at least one"):
+        grouped_quantiles(df, "v", quantiles=())
+    with _pt.raises(ValueError, match="non-negative"):
+        grouped_quantiles(
+            spark.createDataFrame([(1.0, -1.0)], "v double, w double"),
+            "v", weight_col="w",
+        )
