@@ -1270,3 +1270,85 @@ def textrank_keywords(
         .limit(top_k)
         .select(F.col("node").alias("word"), "rank_fp")
     )
+
+
+def bm25_topk(
+    df,
+    query_terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+):
+    """Okapi BM25 ranked retrieval: score every document against a bag
+    of query terms and return the ``top_k`` — the lexical-search
+    baseline every RAG/retrieval stack benchmarks against (TF-IDF
+    scores a term IN a document; BM25 adds the saturating tf and
+    length normalization that made it the 30-year default).
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))``
+    with ``idf = ln(1 + (N−df+0.5)/(df+0.5))``. Per-term scores are
+    rounded to 9 decimals and accumulated as DECIMAL, so the sum is
+    order-independent — bit-stable across partitionings and engines
+    (the repo's standard float-sum discipline). Ties break by doc id.
+
+    Scale shape: one tokenize+explode pass filtered to the BROADCAST
+    query-term list (the inverted-index probe — everything not in the
+    query drops before any shuffle), per-(doc,term) counts map-side
+    combined, document lengths from a second narrow aggregate, and the
+    1-row corpus stats (N, avglen) broadcast. The final top-k is a
+    bounded ``orderBy ... limit``.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if top_k < 1:
+        raise ValueError(f"bm25_topk: top_k must be >= 1, got {top_k}")
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(t.lower(),) for t in set(query_terms)], "term string")
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(word_tokens(text_col)).alias("term")
+    )
+    lens = (
+        df.select(F.col(id_col).alias("_id"), F.size(word_tokens(text_col)).alias("_len"))
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_len").alias("_total_len"),
+    )
+    tf = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = F.col("_n_docs").cast("double")
+    avglen = F.col("_total_len").cast("double") / n
+    idf = F.log(
+        F.lit(1.0)
+        + (n - F.col("_df").cast("double") + F.lit(0.5))
+        / (F.col("_df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("_tf").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("_len").cast("double") / avglen
+    )
+    term_score = F.round(
+        idf * tfd * F.lit(float(k1 + 1.0)) / (tfd + norm), 9
+    ).cast("decimal(20,9)")
+    scored = (
+        tf.join(dfreq, "term")
+        .join(lens, "_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("_id")
+        .agg(F.sum(term_score).alias("_s"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+    return (
+        scored.orderBy(F.col("_s").desc(), F.col("_id").asc())
+        .limit(top_k)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_s").cast("double").alias("bm25"),
+            F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
+        )
+    )

@@ -3442,3 +3442,61 @@ ORDER BY rank_fp DESC, word LIMIT {_TR_TOPK}
 
 SPARK_QUERIES["corpus_textrank_keywords"] = corpus_textrank_keywords
 ORACLE_SQL["corpus_textrank_keywords"] = _textrank_sql()
+
+
+_BM25_TERMS = ("hash", "join", "window", "skew")
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 20
+
+
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {hash, join, window, skew}
+    (`llm/text.py bm25_topk`): the lexical-retrieval baseline —
+    saturating tf, length normalization, broadcast inverted-index
+    probe. Per-term scores round to 9 decimals and sum as DECIMAL, so
+    the ranking is bit-stable and the DuckDB oracle reproduces it
+    exactly (ties -> doc id)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import bm25_topk
+
+    return bm25_topk(
+        spark.table("documents"),
+        list(_BM25_TERMS),
+        k1=_BM25_K1,
+        b=_BM25_B,
+        top_k=_BM25_TOPK,
+    )
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1p1, one_b, k1, b = repr(_BM25_K1 + 1.0), repr(1.0 - _BM25_B), repr(_BM25_K1), repr(_BM25_B)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+), lens AS (
+  SELECT doc_id, len({SQL_TOKENS}) AS l FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(l) AS BIGINT) AS tl FROM lens
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({terms}) GROUP BY 1, 2
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(round(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+                    * tf * {k1p1}
+                    / (tf + {k1} * ({one_b} + {b} * l
+                       / (CAST(tl AS DOUBLE) / CAST(n AS DOUBLE)))), 9)
+              AS DECIMAL(20,9)) AS ts
+  FROM tf JOIN dfq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+)
+SELECT doc_id, CAST(SUM(ts) AS DOUBLE) AS bm25,
+       COUNT(*) AS n_terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY SUM(ts) DESC, doc_id LIMIT {_BM25_TOPK}
+"""
+
+
+SPARK_QUERIES["corpus_bm25_topk"] = corpus_bm25_topk
+ORACLE_SQL["corpus_bm25_topk"] = _bm25_sql()

@@ -1444,3 +1444,56 @@ def test_textrank_keywords_centrality_vs_frequency(spark):
 
     with _pt.raises(ValueError, match="top_k"):
         textrank_keywords(df, top_k=0)
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    import math
+
+    import pytest as _pt
+
+    from onetl_spark.llm.text import bm25_topk
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana banana"),
+        (3, "cherry date elderberry fig grape"),
+        (4, "apple apple apple apple banana banana cherry cherry"),
+    ]
+    q = ["apple", "banana"]
+    k1, b = 1.2, 0.75
+
+    def ref():
+        toks = {d: t.split() for d, t in docs}
+        n = len(docs)
+        avg = sum(len(t) for t in toks.values()) / n
+        dfreq = {t: sum(1 for w in toks.values() if t in w) for t in q}
+        out = {}
+        for d, words in toks.items():
+            s = 0.0
+            hits = 0
+            for t in q:
+                tf = words.count(t)
+                if not tf:
+                    continue
+                hits += 1
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(words) / avg)), 9)
+            if hits:
+                out[d] = (round(s, 9), hits)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["bm25"], r["n_terms_hit"])
+           for r in bm25_topk(df, q, k1=k1, b=b, top_k=10).collect()}
+    want = ref()
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d][0] - want[d][0]) < 1e-9 and got[d][1] == want[d][1], d
+    # doc 4 has the most query mass and must rank first
+    rows = bm25_topk(df, q, k1=k1, b=b, top_k=1).collect()
+    assert rows[0]["doc_id"] == 4
+
+    with _pt.raises(ValueError, match="query_terms"):
+        bm25_topk(df, [])
+    with _pt.raises(ValueError, match="top_k"):
+        bm25_topk(df, q, top_k=0)
