@@ -182,6 +182,19 @@ HEADLINE = [
     "user_interarrival_burstiness",
     "markov_calibration",
     "events_value_quantile_sketch",
+    "wav_roundtrip_energy",
+    "part_ktruss",
+    "part_harmonic_centrality",
+    "events_purchase_auc",
+    "events_purchase_gains",
+    "events_daily_acf",
+    "doc_winnow_overlap",
+    "frequent_event_sequences",
+    "corpus_textrank_keywords",
+    "user_churn_kaplan_meier",
+    "part_weighted_sssp",
+    "funnel_time_to_convert",
+    "corpus_bm25_topk",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -3344,6 +3344,7 @@ def doc_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_WIN_W,
         min_shared=_WIN_SHARED,
         max_bucket=_WIN_BUCKET,
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
