@@ -950,3 +950,98 @@ def weighted_sssp(
             "weighted_sssp: stopped at max_iter=%d without a fixpoint", max_iter
         )
     return dist
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**9,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM 1999) over a directed edge set, as
+    ``(node, hub_fp, auth_fp)`` in FIXED-POINT integer units of
+    1/``scale`` — bit-identical across engines and cluster sizes, like
+    :func:`pagerank_fixed_point` (reference spec: onetl has no graph
+    operators; this extends the analytics surface the same way).
+
+    Per iteration: ``auth_raw(v) = sum of hub(u) over edges u->v`` then
+    L1-normalize to total mass ``scale``; ``hub_raw(u) = sum of
+    normalized auth(v) over edges u->v`` then L1-normalize. Mutual
+    reinforcement with truncating integer division only.
+
+    Overflow contract: after each L1 normalization every score and every
+    raw sum is ``<= scale``, so the ``raw * scale`` rescale product is
+    ``<= scale**2`` — with the default ``scale=10**9`` that is ``10**18
+    < 2**63``, all-BIGINT safe. Raising ``scale`` above ``3*10**9``
+    breaks the bound; raise it only alongside a DECIMAL rescale.
+
+    Scale shape: each half-iteration is one edge-keyed join + one
+    groupBy shuffle over the edge set, a 1-row total broadcast for the
+    normalizer, and a node-sized join — no windows, no driver-side
+    loops over data. ``localCheckpoint`` cuts lineage per iteration so
+    the plan stays constant-size.
+    """
+    if iterations < 1:
+        raise ValueError("hits_fixed_point: iterations must be >= 1")
+    if scale < 1 or scale > 3 * 10**9:
+        raise ValueError(
+            "hits_fixed_point: scale must be in [1, 3e9] (see overflow contract)"
+        )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0).cast("long").alias("auth_fp"),
+        )
+
+    def _half_step(score: DataFrame, key: str, out_key: str, out_col: str) -> DataFrame:
+        """One reinforcement half-step: sum `score` over edges grouped by
+        `out_key`, then L1-normalize the sums back to total mass `scale`."""
+        raw = (
+            e.join(score, e[key] == score["node"])
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum("s").alias("_raw"))
+        )
+        total = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0)).alias("_t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(CASE WHEN _t = 0 THEN 0 "
+                    f"ELSE (coalesce(_raw, 0) * {scale}) div _t END AS LONG)"
+                ).alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hubs = nodes.select("node", F.lit(scale // n).cast("long").alias("s"))
+    auths = None
+    for _ in range(iterations):
+        auths = _half_step(hubs, "src", "dst", "s")
+        hubs = _half_step(auths, "dst", "src", "s")
+    return (
+        nodes.join(hubs.select("node", F.col("s").alias("_h")), "node", "left")
+        .join(auths.select("node", F.col("s").alias("_a")), "node", "left")
+        .select(
+            "node",
+            F.coalesce("_h", F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce("_a", F.lit(0)).cast("long").alias("auth_fp"),
+        )
+    )

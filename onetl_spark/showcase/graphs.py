@@ -608,3 +608,75 @@ d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds)"""
 
 SPARK_QUERIES["part_weighted_sssp"] = part_weighted_sssp
 ORACLE_SQL["part_weighted_sssp"] = _sssp_sql()
+
+
+_HITS_MIN, _HITS_SCALE, _HITS_ITER = 2, 10**9, 3
+
+
+def customer_supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the bipartite customer→supplier order
+    graph (`operators/graph.py hits_fixed_point`): an edge when a customer
+    ordered from a supplier in >= 2 line items. Hubs = customers whose
+    orders concentrate on authoritative suppliers; authorities = suppliers
+    endorsed by strong hub customers — Kleinberg's mutual reinforcement on
+    the graph class HITS was designed for. Fixed-point integer arithmetic
+    (scale 1e9, L1-normalized per half-step) keeps the DuckDB oracle
+    bit-exact, like the PageRank showcase."""
+    from onetl_spark.operators.graph import hits_fixed_point
+
+    ensure_views(spark, sf_dir)
+    edges = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") >= _HITS_MIN)
+        .select("src", "dst")
+    )
+    return hits_fixed_point(edges, iterations=_HITS_ITER, scale=_HITS_SCALE)
+
+
+def _hits_half_sql(prev: str, cur: str, key: str, out_key: str) -> str:
+    return f"""
+{cur}r AS (SELECT p.{out_key} AS node, SUM({prev}.s) AS raw
+           FROM pairs p JOIN {prev} ON {prev}.node = p.{key}
+           GROUP BY 1),
+{cur}t AS (SELECT COALESCE(SUM(raw), 0) AS t FROM {cur}r),
+{cur} AS (SELECT nodes.node,
+                 CAST(CASE WHEN t = 0 THEN 0
+                      ELSE (COALESCE(raw, 0) * {_HITS_SCALE}) // t END AS BIGINT) AS s
+          FROM nodes LEFT JOIN {cur}r USING (node) CROSS JOIN {cur}t)
+"""
+
+
+HITS_SQL = f"""
+WITH pairs AS (
+  SELECT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_HITS_MIN}
+),
+nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+h0 AS (SELECT node, {_HITS_SCALE} // nn.n AS s FROM nodes, nn),
+{_hits_half_sql("h0", "a1", "src", "dst")},
+{_hits_half_sql("a1", "h1", "dst", "src")},
+{_hits_half_sql("h1", "a2", "src", "dst")},
+{_hits_half_sql("a2", "h2", "dst", "src")},
+{_hits_half_sql("h2", "a3", "src", "dst")},
+{_hits_half_sql("a3", "h3", "dst", "src")}
+SELECT nodes.node,
+       CAST(COALESCE(h3.s, 0) AS BIGINT) AS hub_fp,
+       CAST(COALESCE(a3.s, 0) AS BIGINT) AS auth_fp
+FROM nodes
+LEFT JOIN h3 ON h3.node = nodes.node
+LEFT JOIN a3 ON a3.node = nodes.node
+"""
+
+SPARK_QUERIES["customer_supplier_hits"] = customer_supplier_hits
+ORACLE_SQL["customer_supplier_hits"] = HITS_SQL

@@ -2,6 +2,8 @@
 
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from onetl_spark.llm import dedup
@@ -711,3 +713,68 @@ def test_weighted_sssp_matches_dijkstra_random(spark):
         weighted_sssp(chain, s0, max_iter=1)
     partial = {r["node"]: r["dist"] for r in weighted_sssp(chain, s0, max_iter=1, strict=False).collect()}
     assert partial == {0: 0, 1: 1}
+
+
+def _brute_hits(edges, iterations=3, scale=10**9):
+    """Exact integer replay of hits_fixed_point."""
+    E = sorted({e for e in edges if e[0] != e[1]})
+    nodes = sorted({u for u, _ in E} | {v for _, v in E})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    h = {v: scale // n for v in nodes}
+
+    def half(score, key_idx, out_idx):
+        raw = {v: 0 for v in nodes}
+        for e in E:
+            raw[e[out_idx]] += score[e[key_idx]]
+        t = sum(raw.values())
+        return {v: 0 if t == 0 else (raw[v] * scale) // t for v in nodes}
+
+    a = None
+    for _ in range(iterations):
+        a = half(h, 0, 1)
+        h = half(a, 1, 0)
+    return {v: (h[v], a[v]) for v in nodes}
+
+
+def test_hits_matches_integer_recurrence(spark):
+    from onetl_spark.operators.graph import hits_fixed_point
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(10), rng.randrange(10)) for _ in range(25)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits_fixed_point(df).collect()
+    }
+    assert got == _brute_hits(edges)
+
+
+def test_hits_bipartite_mutual_reinforcement(spark):
+    from onetl_spark.operators.graph import hits_fixed_point
+
+    # hub 1 points at both authorities; hub 2 at one — hub 1 must win,
+    # and the authority endorsed by both hubs must outrank the other.
+    edges = [(1, 10), (1, 11), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits_fixed_point(df).collect()
+    }
+    assert got == _brute_hits(edges)
+    assert got[1][0] > got[2][0]          # hub score
+    assert got[10][1] > got[11][1]        # authority score
+    assert got[10][0] == 0 and got[1][1] == 0  # pure sides stay pure
+
+
+def test_hits_guards(spark):
+    from onetl_spark.operators.graph import hits_fixed_point
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        hits_fixed_point(df, iterations=0)
+    with pytest.raises(ValueError):
+        hits_fixed_point(df, scale=10**12)  # overflow contract
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits_fixed_point(empty).count() == 0
