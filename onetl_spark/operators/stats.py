@@ -871,3 +871,102 @@ def kaplan_meier(
         )
         .orderBy("duration")
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between two ORDINAL columns with
+    bounded distinct values (grades, quantities, small counts, bucketed
+    scores) — the tie-corrected concordance coefficient.
+
+    Strategy: ONE contingency aggregate over the fact table (map-side
+    combined, |X|×|Y| cells), then concordant/discordant pair mass from a
+    cells×cells self-join — O(cells²) on the AGGREGATED grid, never on
+    rows, so a 100-TB fact table costs one shuffle plus an O(k²)
+    epilogue. All pair counts stay exact integers; only the final ratio
+    is floating point, with the denominator computed as
+    ``sqrt(n0-n1)*sqrt(n0-n2)`` because the product ``(n0-n1)(n0-n2)``
+    overflows int64 beyond ~2 billion rows (both engines pin the same
+    parenthesization). Like Spearman (``spearman_corr``) this targets
+    ordinal data; unlike it, tau-b is defined directly on the
+    contingency grid, so it needs no global rank scaffold. Rows with a
+    NULL in either column are dropped (standard for rank correlation).
+    Cardinality contract: distinct counts must be bounded (the grid is
+    collect-free but the self-join is quadratic in cells); use bucketed
+    inputs for continuous data.
+
+    Returns ``(n, concordant, discordant, ties_x, ties_y, tau_b)``.
+    """
+    cells = (
+        df.filter(F.col(col_x).isNotNull() & F.col(col_y).isNotNull())
+        .select(
+            F.col(col_x).cast("double").alias("_x"),
+            F.col(col_y).cast("double").alias("_y"),
+        )
+        .groupBy("_x", "_y")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("_x").alias("_x1"), F.col("_y").alias("_y1"), F.col("_c").alias("_c1")
+    )
+    b = cells.select(
+        F.col("_x").alias("_x2"), F.col("_y").alias("_y2"), F.col("_c").alias("_c2")
+    )
+    conc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("_x2") > F.col("_x1")) & (F.col("_y2") > F.col("_y1")),
+        )
+        .agg(F.coalesce(F.sum(F.col("_c1") * F.col("_c2")), F.lit(0)).alias("p"))
+    )
+    disc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("_x2") > F.col("_x1")) & (F.col("_y2") < F.col("_y1")),
+        )
+        .agg(F.coalesce(F.sum(F.col("_c1") * F.col("_c2")), F.lit(0)).alias("q"))
+    )
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_t") * (F.col("_t") - 1)), F.lit(0)
+            ).alias("tx2")
+        )
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_t") * (F.col("_t") - 1)), F.lit(0)
+            ).alias("ty2")
+        )
+    )
+    n_tot = cells.agg(F.coalesce(F.sum("_c"), F.lit(0)).alias("n"))
+    j = (
+        n_tot.crossJoin(F.broadcast(conc))
+        .crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n0x2 = F.col("n") * (F.col("n") - 1)  # 2*n0, keeps everything integral
+    den = F.sqrt(((n0x2 - F.col("tx2")) / 2).cast("double")) * F.sqrt(
+        ((n0x2 - F.col("ty2")) / 2).cast("double")
+    )
+    return j.select(
+        "n",
+        F.col("p").alias("concordant"),
+        F.col("q").alias("discordant"),
+        (F.col("tx2") / 2).cast("long").alias("ties_x"),
+        (F.col("ty2") / 2).cast("long").alias("ties_y"),
+        F.when(
+            (n0x2 > F.col("tx2")) & (n0x2 > F.col("ty2")),
+            F.round((F.col("p") - F.col("q")).cast("double") / den, 9),
+        ).alias("tau_b"),
+    )

@@ -3030,3 +3030,124 @@ GROUP BY transition, quantile
 
 SPARK_QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
 ORACLE_SQL["funnel_time_to_convert"] = TIME_TO_CONVERT_SQL
+
+
+def events_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for per-event value across event types —
+    "does mean value differ by type at all?", the k-group generalization
+    of `ab_value_ttest`. Group count/sum/sum-of-squares accumulate as
+    exact decimals in ONE scan (map-side combined); the between/within
+    sums of squares come from the k bounded group moments, with each
+    group's s^2/n term rounded to 9 dp and re-accumulated as a decimal so
+    the cross-group reduction is order-independent (same recipe both
+    engines). Scale shape: one groupBy(type) shuffle over events, then
+    k-row arithmetic — nothing else touches the fact table."""
+    ensure_views(spark, sf_dir)
+    g = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum(F.round(F.col("s"), 6).cast("decimal(38,6)")).cast("double").alias("s_total"),
+        F.sum(F.round(F.col("s2"), 6).cast("decimal(38,6)")).cast("double").alias("q_total"),
+        F.sum(
+            F.round(F.col("s") * F.col("s") / F.col("n"), 9).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("between_raw"),
+    )
+    ssb = F.col("between_raw") - F.col("s_total") * F.col("s_total") / F.col("n_total")
+    ssw = F.col("q_total") - F.col("between_raw")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return tot.select(
+        "k",
+        "n_total",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n_total") > F.col("k")), F.round(f_stat, 6)
+        ).alias("f_stat"),
+    )
+
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CAST(round(s, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_total,
+         CAST(SUM(CAST(round(s2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS q_total,
+         CAST(SUM(CAST(round(s * s / n, 9) AS DECIMAL(38,9))) AS DOUBLE) AS between_raw
+  FROM g
+)
+SELECT k, n_total,
+       round(between_raw - s_total * s_total / n_total, 6) AS ss_between,
+       round(q_total - between_raw, 6) AS ss_within,
+       CASE WHEN k > 1 AND n_total > k THEN
+         round(((between_raw - s_total * s_total / n_total) / (k - 1))
+               / ((q_total - between_raw) / (n_total - k)), 6)
+       END AS f_stat
+FROM tot
+"""
+
+SPARK_QUERIES["events_value_anova"] = events_value_anova
+ORACLE_SQL["events_value_anova"] = ANOVA_SQL
+
+
+def lineitem_qty_line_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between line-item quantity and line number
+    (`operators/stats.py kendall_tau_b`): tie-corrected concordance over
+    the bounded 50×7 contingency grid — one fact-table aggregate, then an
+    O(cells²) epilogue on the grid, never on rows."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.stats import kendall_tau_b
+
+    return kendall_tau_b(spark.table("lineitem"), "l_quantity", "l_linenumber")
+
+
+KENDALL_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_linenumber AS DOUBLE) AS y,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL
+  GROUP BY 1, 2
+), cp AS (
+  SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS p
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y > a.y
+), cq AS (
+  SELECT CAST(COALESCE(SUM(a.c * b.c), 0) AS BIGINT) AS q
+  FROM cells a JOIN cells b ON b.x > a.x AND b.y < a.y
+), tx AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS tx2
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)
+), ty AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS ty2
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)
+), nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM cells)
+SELECT n, p AS concordant, q AS discordant,
+       CAST(tx2 / 2 AS BIGINT) AS ties_x,
+       CAST(ty2 / 2 AS BIGINT) AS ties_y,
+       CASE WHEN n * (n - 1) > tx2 AND n * (n - 1) > ty2 THEN
+         round(CAST(p - q AS DOUBLE)
+               / (sqrt((n * (n - 1) - tx2) / 2) * sqrt((n * (n - 1) - ty2) / 2)), 9)
+       END AS tau_b
+FROM nt CROSS JOIN cp CROSS JOIN cq CROSS JOIN tx CROSS JOIN ty
+"""
+
+SPARK_QUERIES["lineitem_qty_line_kendall"] = lineitem_qty_line_kendall
+ORACLE_SQL["lineitem_qty_line_kendall"] = KENDALL_SQL

@@ -968,3 +968,54 @@ def test_grouped_quantiles_rank_selection(spark):
             spark.createDataFrame([(1.0, -1.0)], "v double, w double"),
             "v", weight_col="w",
         )
+
+
+def _brute_tau_b(xy):
+    n = len(xy)
+    p = q = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xy[j][0] > xy[i][0]) - (xy[j][0] < xy[i][0])
+            dy = (xy[j][1] > xy[i][1]) - (xy[j][1] < xy[i][1])
+            if dx * dy > 0:
+                p += 1
+            elif dx * dy < 0:
+                q += 1
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in xy).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y for _, y in xy).values())
+    n0 = n * (n - 1) // 2
+    den = ((n0 - n1) * (n0 - n2)) ** 0.5
+    return p, q, n1, n2, (p - q) / den if den else None
+
+
+def test_kendall_tau_b_matches_brute_force(spark):
+    import random
+
+    from onetl_spark.operators.stats import kendall_tau_b
+
+    rng = random.Random(3)
+    xy = [(rng.randrange(5), rng.randrange(4)) for _ in range(200)]
+    df = spark.createDataFrame(xy, "x int, y int")
+    row = kendall_tau_b(df, "x", "y").collect()[0]
+    p, q, n1, n2, tau = _brute_tau_b(xy)
+    assert (row["n"], row["concordant"], row["discordant"]) == (200, p, q)
+    assert (row["ties_x"], row["ties_y"]) == (n1, n2)
+    assert abs(row["tau_b"] - tau) < 1e-8
+
+
+def test_kendall_tau_b_edge_cases(spark):
+    from onetl_spark.operators.stats import kendall_tau_b
+
+    # perfect monotone agreement -> tau_b = 1
+    df = spark.createDataFrame([(i, i * 2) for i in range(10)], "x int, y int")
+    assert kendall_tau_b(df, "x", "y").collect()[0]["tau_b"] == 1.0
+    # constant column -> undefined (NULL), not a division error
+    const = spark.createDataFrame([(1, i) for i in range(5)], "x int, y int")
+    assert kendall_tau_b(const, "x", "y").collect()[0]["tau_b"] is None
+    # NULLs dropped
+    withnull = spark.createDataFrame(
+        [(1, 1), (2, 2), (None, 3)], "x int, y int"
+    )
+    assert kendall_tau_b(withnull, "x", "y").collect()[0]["n"] == 2
