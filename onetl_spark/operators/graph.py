@@ -1011,11 +1011,16 @@ def hits_fixed_point(
 
     def _half_step(score: DataFrame, key: str, out_key: str, out_col: str) -> DataFrame:
         """One reinforcement half-step: sum `score` over edges grouped by
-        `out_key`, then L1-normalize the sums back to total mass `scale`."""
+        `out_key`, then L1-normalize the sums back to total mass `scale`.
+        The raw sums are checkpointed BEFORE fan-out — both the 1-row
+        normalizer and the node re-join read them, and the checkpoint also
+        keeps the iteration-to-iteration plan constant-size (one edge-join
+        job per half-step instead of two)."""
         raw = (
             e.join(score, e[key] == score["node"])
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum("s").alias("_raw"))
+            .localCheckpoint(eager=False)
         )
         total = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0)).alias("_t"))
         return (
@@ -1028,7 +1033,6 @@ def hits_fixed_point(
                     f"ELSE (coalesce(_raw, 0) * {scale}) div _t END AS LONG)"
                 ).alias(out_col),
             )
-            .localCheckpoint(eager=True)
         )
 
     hubs = nodes.select("node", F.lit(scale // n).cast("long").alias("s"))
