@@ -1392,3 +1392,82 @@ def bm25_topk(
             F.col("n_terms_hit").cast("long").alias("n_terms_hit"),
         )
     )
+
+
+def phrase_blocklist_counts(
+    df,
+    phrases: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Multi-phrase exact matching over the token stream — the blocklist
+    filter of a training-data pipeline (banned phrases, license
+    boilerplate, eval-set canaries), with Aho-Corasick SEMANTICS (every
+    occurrence of every phrase found in one pass) expressed Spark-first:
+    positional token equi-joins against a broadcast phrase table instead
+    of a per-row automaton UDF.
+
+    How: documents explode once to ``(id, pos, token)``; each phrase
+    splits into ``(phrase, offset, token, len)`` parts (driver-side,
+    blocklist-sized). Candidates are token rows matching a phrase's FIRST
+    token (broadcast hash join — no shuffle of the corpus); each
+    candidate start is then verified by joining every phrase part against
+    the token at ``start + offset`` and keeping starts where all ``len``
+    parts matched. Returns one row per phrase: ``(phrase, n_docs,
+    n_hits)`` — zero-hit phrases included (a blocklist audit must show
+    silence explicitly).
+
+    Scale shape: the corpus is touched by one explode and one
+    (id, pos)-keyed shuffle for the verification join; the phrase table
+    (typically 10^3–10^6 rows) broadcasts. Never a regex scan of
+    ``text`` per phrase (O(corpus × phrases)), never arrays carried
+    through joins. Matching is on normalized whitespace tokens
+    (:func:`word_tokens`), consistent with the corpus-stats operators.
+    """
+    if not phrases:
+        raise ValueError("phrase_blocklist_counts: phrases must be non-empty")
+    rows = []
+    for ph in phrases:
+        ws = ph.split()
+        if not ws:
+            raise ValueError(f"phrase_blocklist_counts: blank phrase {ph!r}")
+        rows.extend((ph, off, w.lower(), len(ws)) for off, w in enumerate(ws))
+    spark = df.sparkSession
+    parts = spark.createDataFrame(
+        rows, "phrase string, off int, tok string, plen int"
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(word_tokens(text_col)).alias("pos", "tok"),
+    )
+    first = parts.filter(F.col("off") == 0).select(
+        "phrase", F.col("tok").alias("_ft"), "plen"
+    )
+    cand = toks.join(
+        F.broadcast(first), toks["tok"] == first["_ft"]
+    ).select("_id", F.col("pos").alias("start"), "phrase", "plen")
+    probe = cand.join(
+        F.broadcast(parts.select("phrase", "off", F.col("tok").alias("_pt"))),
+        "phrase",
+    )
+    matched = (
+        probe.join(
+            toks.select(F.col("_id").alias("_id2"), F.col("pos").alias("_p2"), F.col("tok").alias("_t2")),
+            (F.col("_id2") == F.col("_id"))
+            & (F.col("_p2") == F.col("start") + F.col("off"))
+            & (F.col("_t2") == F.col("_pt")),
+        )
+        .groupBy("_id", "start", "phrase", "plen")
+        .agg(F.count(F.lit(1)).alias("_nm"))
+        .filter(F.col("_nm") == F.col("plen"))
+    )
+    per_phrase = matched.groupBy("phrase").agg(
+        F.countDistinct("_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_hits"),
+    )
+    all_phrases = parts.select("phrase").distinct()
+    return all_phrases.join(per_phrase, "phrase", "left").select(
+        "phrase",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )

@@ -3501,3 +3501,65 @@ ORDER BY SUM(ts) DESC, doc_id LIMIT {_BM25_TOPK}
 
 SPARK_QUERIES["corpus_bm25_topk"] = corpus_bm25_topk
 ORACLE_SQL["corpus_bm25_topk"] = _bm25_sql()
+
+
+_BLOCKLIST = [
+    "fast table",
+    "scan slow fast",
+    "batch window spark",
+    "no such phrase anywhere",
+    "value",
+]
+
+
+def blocklist_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-phrase audit over the corpus (`llm/text.py
+    phrase_blocklist_counts`): every occurrence of every banned phrase as
+    a contiguous token run, via positional token equi-joins against the
+    broadcast phrase table — Aho-Corasick semantics without a per-row
+    automaton UDF or an O(corpus×phrases) regex scan. Zero-hit phrases
+    are reported explicitly."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import phrase_blocklist_counts
+
+    return phrase_blocklist_counts(spark.table("documents"), _BLOCKLIST)
+
+
+def _blocklist_values_sql() -> str:
+    rows = []
+    for ph in _BLOCKLIST:
+        ws = ph.split()
+        rows.extend(
+            f"('{ph}', {off}, '{w.lower()}', {len(ws)})" for off, w in enumerate(ws)
+        )
+    return ", ".join(rows)
+
+
+BLOCKLIST_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), tok AS (
+  SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS tok FROM t
+), phr(phrase, off, tok, plen) AS (VALUES {{values}}),
+cand AS (
+  SELECT k.doc_id, k.pos AS start, p.phrase, p.plen
+  FROM tok k JOIN phr p ON p.off = 0 AND k.tok = p.tok
+), m AS (
+  SELECT c.doc_id, c.start, c.phrase, ANY_VALUE(c.plen) AS plen,
+         COUNT(*) AS nm
+  FROM cand c
+  JOIN phr p ON p.phrase = c.phrase
+  JOIN tok k ON k.doc_id = c.doc_id AND k.pos = c.start + p.off AND k.tok = p.tok
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) = ANY_VALUE(c.plen)
+), agg AS (
+  SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM m GROUP BY phrase
+)
+SELECT p.phrase, COALESCE(agg.n_docs, 0) AS n_docs, COALESCE(agg.n_hits, 0) AS n_hits
+FROM (SELECT DISTINCT phrase FROM phr) p LEFT JOIN agg USING (phrase)
+""".replace("{values}", _blocklist_values_sql())
+
+SPARK_QUERIES["blocklist_phrase_hits"] = blocklist_phrase_hits
+ORACLE_SQL["blocklist_phrase_hits"] = BLOCKLIST_SQL

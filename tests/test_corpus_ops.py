@@ -1497,3 +1497,44 @@ def test_bm25_topk_matches_python_reference(spark):
         bm25_topk(df, [])
     with _pt.raises(ValueError, match="top_k"):
         bm25_topk(df, q, top_k=0)
+
+
+def test_phrase_blocklist_counts(spark):
+    from onetl_spark.llm.text import phrase_blocklist_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat"),
+            (2, "cat sat cat sat cat"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["phrase"]: (r["n_docs"], r["n_hits"])
+        for r in phrase_blocklist_counts(
+            docs, ["cat sat", "the cat sat", "sat cat sat", "missing phrase", "cat"]
+        ).collect()
+    }
+    assert got["cat sat"] == (2, 4)        # 2 in doc1, 2 in doc2
+    assert got["the cat sat"] == (1, 2)    # doc1 only
+    assert got["sat cat sat"] == (1, 1)    # overlapping occurrences allowed
+    assert got["missing phrase"] == (0, 0)
+    assert got["cat"] == (2, 5)            # single-token phrase
+    # case-insensitive both sides
+    upper = spark.createDataFrame([(1, "The CAT Sat")], "doc_id long, text string")
+    got2 = {
+        r["phrase"]: r["n_hits"]
+        for r in phrase_blocklist_counts(upper, ["Cat SAT"]).collect()
+    }
+    assert got2["Cat SAT"] == 1
+
+
+def test_phrase_blocklist_guards(spark):
+    from onetl_spark.llm.text import phrase_blocklist_counts
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_blocklist_counts(docs, [])
+    with pytest.raises(ValueError):
+        phrase_blocklist_counts(docs, ["  "])
