@@ -1544,3 +1544,127 @@ def remove_top_component(
             F.col("_x"), c, lambda a, b: F.round(a - F.col("_p") * b, 9)
         ).alias(out_col),
     )
+
+
+def geometric_median(
+    embeddings: DataFrame,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Geometric median of the embedding cloud by Weiszfeld iteration —
+    the ROBUST centroid (minimizes summed distances, not squared), the
+    estimator to anchor outlier screens and prototype selection on when
+    a fat tail of junk embeddings would drag the mean (cf. Cohen et al.,
+    "Geometric Median in Nearly Linear Time", STOC 2016 for why this is
+    the standard robust location estimate).
+
+    Per iteration: one corpus scan computes each row's distance to the
+    current estimate (a d-length broadcast literal), then inverse-
+    distance-weighted per-dimension sums reduce to d rows; the d-vector
+    round-trips through the driver — the same matrix-free posture as
+    :func:`top_principal_component`. Rows exactly AT the estimate
+    (dist == 0) are excluded from that iteration's weights (standard
+    Weiszfeld guard — their gradient is undefined), deterministically in
+    both engines.
+
+    Exactness: per-row terms (``x_j/dist`` and ``1/dist``) round to 9
+    and accumulate as exact decimals (order-independent); distance folds
+    run in array order; each new estimate rounds to 9 as an ENGINE
+    expression. Returns one row per dimension ``(dim, mean, geo_median)``
+    — the mean alongside, so the robust-vs-moment gap is visible.
+    """
+    if iterations < 1:
+        raise ValueError("geometric_median: iterations must be >= 1")
+    spark = embeddings.sparkSession
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+
+    dims = embeddings.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_i", "_x")
+    )
+    mu_rows = (
+        dims.groupBy("_i")
+        .agg(
+            (
+                F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mu")
+        )
+        .orderBy("_i")
+        .collect()
+    )
+    if not mu_rows:
+        raise ValueError("geometric_median: empty input")
+    d = len(mu_rows)
+
+    def lit_arr(values):
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    # pin the starting point to 9 dp as an engine expression
+    mu = list(
+        spark.range(1)
+        .select(
+            F.transform(lit_arr([r["_mu"] for r in mu_rows]), lambda x: F.round(x, 9)).alias("_m")
+        )
+        .collect()[0]["_m"]
+    )
+
+    xs = embeddings.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    )
+
+    def dist_expr(y):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("_v"), lit_arr(y), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        )
+
+    y = mu
+    for _ in range(iterations):
+        staged = (
+            xs.select("_v", dist_expr(y).alias("_d")).filter(F.col("_d") > 0)
+        )
+        numer = (
+            staged.select(
+                F.posexplode("_v").alias("_j", "_xj"), F.col("_d")
+            )
+            .select(
+                "_j",
+                F.round(F.col("_xj") / F.col("_d"), 9)
+                .cast("decimal(30,9)")
+                .alias("_t"),
+            )
+            .groupBy("_j")
+            .agg(F.sum("_t").cast("double").alias("_w"))
+            .orderBy("_j")
+            .collect()
+        )
+        denom = (
+            staged.select(
+                F.round(F.lit(1.0) / F.col("_d"), 9).cast("decimal(30,9)").alias("_iw")
+            )
+            .agg(F.sum("_iw").cast("double").alias("_den"))
+            .collect()[0]["_den"]
+        )
+        if not numer or not denom:
+            break  # every point sits at the estimate — converged exactly
+        w = [r["_w"] for r in numer]
+        y = list(
+            spark.range(1)
+            .select(
+                F.transform(
+                    lit_arr(w), lambda x: F.round(x / F.lit(float(denom)), 9)
+                ).alias("_y")
+            )
+            .collect()[0]["_y"]
+        )
+
+    return spark.range(d).select(
+        F.col("id").cast("int").alias("dim"),
+        F.element_at(lit_arr(mu), (F.col("id") + 1).cast("int")).alias("mean"),
+        F.element_at(lit_arr(y), (F.col("id") + 1).cast("int")).alias("geo_median"),
+    )

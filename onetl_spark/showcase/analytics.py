@@ -3151,3 +3151,93 @@ FROM nt CROSS JOIN cp CROSS JOIN cq CROSS JOIN tx CROSS JOIN ty
 
 SPARK_QUERIES["lineitem_qty_line_kendall"] = lineitem_qty_line_kendall
 ORACLE_SQL["lineitem_qty_line_kendall"] = KENDALL_SQL
+
+
+_COP_MIN, _COP_K = 3, 3
+
+
+def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-k co-purchased parts per
+    part by cosine similarity over order baskets (co-occurrence count /
+    sqrt of the two basket frequencies) — the classic Amazon-style
+    recommender primitive (Linden et al., IEEE Internet Computing 2003).
+
+    Scale shape: the pair generator is a per-order self-join — baskets
+    are bounded (TPC-H orders have <= 7 line items), so pair fan-out is
+    linear in orders, never quadratic in parts; a support floor keeps
+    the long tail out before the similarity math; the top-k is a window
+    over the AGGREGATED pair relation partitioned by part. Deterministic
+    tie-break (cosine desc, partner asc) keeps the oracle hash-stable."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    freq = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("nf")
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("j"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _COP_MIN)
+    )
+    both = pairs.unionAll(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "co")
+    )
+    scored = (
+        both.join(freq.select(F.col("part").alias("i"), F.col("nf").alias("ni")), "i")
+        .join(freq.select(F.col("part").alias("j"), F.col("nf").alias("nj")), "j")
+        .select(
+            "i",
+            "j",
+            "co",
+            F.round(
+                F.col("co").cast("double") / (F.sqrt("ni") * F.sqrt("nj")), 9
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("i").orderBy(F.col("cosine").desc(), F.col("j").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _COP_K)
+        .select(
+            F.col("i").alias("part"),
+            "rank",
+            F.col("j").alias("partner"),
+            "co",
+            "cosine",
+        )
+    )
+
+
+COPURCHASE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS nf FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS i, b.l_partkey AS j, CAST(COUNT(*) AS BIGINT) AS co
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_COP_MIN}
+), bidir AS (
+  SELECT i, j, co FROM pairs
+  UNION ALL SELECT j, i, co FROM pairs
+), scored AS (
+  SELECT b.i, b.j, b.co,
+         round(CAST(b.co AS DOUBLE) / (sqrt(fi.nf) * sqrt(fj.nf)), 9) AS cosine
+  FROM bidir b
+  JOIN freq fi ON fi.part = b.i
+  JOIN freq fj ON fj.part = b.j
+)
+SELECT i AS part,
+       CAST(ROW_NUMBER() OVER (PARTITION BY i ORDER BY cosine DESC, j ASC) AS INT) AS rank,
+       j AS partner, co, cosine
+FROM scored
+QUALIFY rank <= {_COP_K}
+"""
+
+SPARK_QUERIES["part_copurchase_topk"] = part_copurchase_topk
+ORACLE_SQL["part_copurchase_topk"] = COPURCHASE_SQL

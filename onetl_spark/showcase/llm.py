@@ -3563,3 +3563,70 @@ FROM (SELECT DISTINCT phrase FROM phr) p LEFT JOIN agg USING (phrase)
 
 SPARK_QUERIES["blocklist_phrase_hits"] = blocklist_phrase_hits
 ORACLE_SQL["blocklist_phrase_hits"] = BLOCKLIST_SQL
+
+
+_GM_ITER = 3
+
+
+def embedding_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric median (robust centroid) of the embedding cloud by
+    Weiszfeld iteration (`llm/similarity.py geometric_median`, 3
+    iterations): inverse-distance-weighted means, re-estimated per scan,
+    with the full trajectory replayed as chained CTEs in the oracle —
+    the robust anchor for outlier screens where a junk tail drags the
+    mean. Returned next to the mean so the robust-vs-moment gap shows."""
+    ensure_views(spark, sf_dir)
+    return similarity.geometric_median(
+        spark.table("embeddings"), iterations=_GM_ITER
+    )
+
+
+def _geo_median_sql(iters: int = _GM_ITER, d: int = 64) -> str:
+    parts = [
+        "WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL)",
+        f"""md AS (
+  SELECT r.i AS i,
+         CAST(SUM(CAST(v[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+  FROM e, range(1, {d} + 1) r(i) GROUP BY r.i)""",
+        "y0 AS (SELECT list_transform(list(mu ORDER BY i), x -> round(x, 9)) AS y FROM md)",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"y{r - 1}"
+        parts.append(
+            f"""f{r} AS (
+  SELECT v, dist FROM (
+    SELECT e.v,
+           sqrt(list_sum(list_transform(range(1, {d} + 1),
+                i -> (e.v[i] - {prev}.y[i]) * (e.v[i] - {prev}.y[i])))) AS dist
+    FROM e CROSS JOIN {prev})
+  WHERE dist > 0)"""
+        )
+        parts.append(
+            f"""n{r} AS (
+  SELECT j.i AS j,
+         CAST(SUM(CAST(round(v[j.i] / dist, 9) AS DECIMAL(30,9))) AS DOUBLE) AS w
+  FROM f{r}, range(1, {d} + 1) j(i) GROUP BY j.i)"""
+        )
+        parts.append(
+            f"""d{r} AS (
+  SELECT CAST(SUM(CAST(round(1.0 / dist, 9) AS DECIMAL(30,9))) AS DOUBLE) AS den
+  FROM f{r})"""
+        )
+        parts.append(
+            f"""y{r} AS (
+  SELECT list_transform(wl, x -> round(x / den, 9)) AS y
+  FROM (SELECT list(w ORDER BY j) AS wl FROM n{r}) CROSS JOIN d{r})"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(r.i - 1 AS INTEGER) AS dim,
+       y0.y[r.i] AS mean,
+       y{iters}.y[r.i] AS geo_median
+FROM y0 CROSS JOIN y{iters}, range(1, {d} + 1) r(i)
+"""
+    )
+
+
+SPARK_QUERIES["embedding_geometric_median"] = embedding_geometric_median
+ORACLE_SQL["embedding_geometric_median"] = _geo_median_sql()

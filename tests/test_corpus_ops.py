@@ -1538,3 +1538,38 @@ def test_phrase_blocklist_guards(spark):
         phrase_blocklist_counts(docs, [])
     with pytest.raises(ValueError):
         phrase_blocklist_counts(docs, ["  "])
+
+
+def test_geometric_median_robust_to_outlier(spark):
+    from onetl_spark.llm.similarity import geometric_median
+
+    # 9 points near (0, 0), one huge outlier: the mean is dragged ~10
+    # units toward it, the Weiszfeld estimate stays near the cluster
+    pts = [([0.1 * i, 0.05 * i],) for i in range(9)] + [([100.0, 100.0],)]
+    df = spark.createDataFrame(pts, "embedding array<double>")
+    rows = {r["dim"]: r for r in geometric_median(df, iterations=8).collect()}
+    assert abs(rows[0]["mean"] - 10.36) < 0.01
+    assert rows[0]["geo_median"] < 1.0
+    assert rows[1]["geo_median"] < 1.0
+
+
+def test_geometric_median_exact_center(spark):
+    from onetl_spark.llm.similarity import geometric_median
+
+    # symmetric cross around (5, 5): the geometric median is the center;
+    # a point EXACTLY at the estimate must be excluded, not divide by zero
+    pts = [([5.0, 5.0],), ([4.0, 5.0],), ([6.0, 5.0],), ([5.0, 4.0],), ([5.0, 6.0],)]
+    df = spark.createDataFrame(pts, "embedding array<double>")
+    rows = {r["dim"]: r["geo_median"] for r in geometric_median(df, iterations=5).collect()}
+    assert abs(rows[0] - 5.0) < 1e-6 and abs(rows[1] - 5.0) < 1e-6
+
+
+def test_geometric_median_guards(spark):
+    from onetl_spark.llm.similarity import geometric_median
+
+    df = spark.createDataFrame([([1.0],)], "embedding array<double>")
+    with pytest.raises(ValueError):
+        geometric_median(df, iterations=0)
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError):
+        geometric_median(empty)
