@@ -3630,3 +3630,244 @@ FROM y0 CROSS JOIN y{iters}, range(1, {d} + 1) r(i)
 
 SPARK_QUERIES["embedding_geometric_median"] = embedding_geometric_median
 ORACLE_SQL["embedding_geometric_median"] = _geo_median_sql()
+
+
+_HEAPS_POINTS = 20
+
+
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β, estimated by
+    log-log OLS over vocabulary size at {_HEAPS_POINTS} corpus-prefix
+    checkpoints (docs ordered by doc_id). A sublinear β (~0.5) is the
+    healthy-corpus signature; β near 1 flags an ID-like / noisy token
+    stream the tokenizer should not be fed.
+
+    Scale shape: per-term FIRST document (one term-keyed aggregate) and
+    per-doc token counts (one doc-keyed aggregate) — never a global
+    running window over documents; checkpoint totals come from a
+    broadcast inequality join against the {_HEAPS_POINTS}-row threshold
+    table (bounded ×{_HEAPS_POINTS} fan-out of AGGREGATED rows), and the
+    OLS epilogue runs on {_HEAPS_POINTS} rows with decimal-rounded term
+    sums."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = docs.select("doc_id", F.explode(text.word_tokens("text")).alias("_t"))
+    doc_tokens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    term_first = toks.groupBy("_t").agg(F.min("doc_id").alias("_fd"))
+    bounds = docs.agg(
+        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+    )
+    checkpoints = (
+        spark.range(1, _HEAPS_POINTS + 1)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("id").cast("int").alias("ckpt"),
+            (
+                F.col("_lo")
+                + ((F.col("_hi") - F.col("_lo")) * F.col("id")) / _HEAPS_POINTS
+            ).cast("long").alias("_thresh"),
+        )
+    )
+    n_at = (
+        doc_tokens.join(
+            F.broadcast(checkpoints), F.col("doc_id") <= F.col("_thresh")
+        )
+        .groupBy("ckpt")
+        .agg(F.sum("_n").alias("n_tokens"))
+    )
+    v_at = (
+        term_first.join(
+            F.broadcast(checkpoints), F.col("_fd") <= F.col("_thresh")
+        )
+        .groupBy("ckpt")
+        .agg(F.count(F.lit(1)).alias("n_vocab"))
+    )
+    pts = (
+        n_at.join(v_at, "ckpt")
+        .filter((F.col("n_tokens") > 0) & (F.col("n_vocab") > 0))
+        .select(
+            F.log(F.col("n_tokens").cast("double")).alias("_x"),
+            F.log(F.col("n_vocab").cast("double")).alias("_y"),
+        )
+    )
+    # two-pass CENTERED OLS: the uncentered normal equations subtract
+    # near-equal O(mag^2) sums, amplifying the 1e-9 term-rounding noise
+    # into the leading digit of a near-zero slope (seen: the two engines
+    # disagreed at 7e-9 vs 8e-9); centered products are O(variance) per
+    # term, so the decimal-rounded sums are bit-identical by construction
+    means = pts.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.round(
+            F.sum(F.round(F.col("_x"), 9).cast("decimal(30,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mx"),
+        F.round(
+            F.sum(F.round(F.col("_y"), 9).cast("decimal(30,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("my"),
+    )
+    cen = pts.crossJoin(F.broadcast(means))
+    agg = cen.groupBy("m", "mx", "my").agg(
+        F.sum(
+            F.round((F.col("_x") - F.col("mx")) * (F.col("_x") - F.col("mx")), 9)
+            .cast("decimal(30,9)")
+        ).cast("double").alias("sxx"),
+        F.sum(
+            F.round((F.col("_x") - F.col("mx")) * (F.col("_y") - F.col("my")), 9)
+            .cast("decimal(30,9)")
+        ).cast("double").alias("sxy"),
+    )
+    beta = F.col("sxy") / F.col("sxx")
+    return agg.select(
+        F.col("m").alias("points"),
+        F.when(F.col("sxx") > 0, F.round(beta, 9) + F.lit(0.0)).alias("beta"),
+        F.when(
+            F.col("sxx") > 0,
+            F.round(F.exp(F.col("my") - beta * F.col("mx")), 6),
+        ).alias("k"),
+    )
+
+
+HEAPS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), tok AS (
+  SELECT doc_id, unnest(w) AS tk FROM t
+), doc_tokens AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY doc_id
+), term_first AS (
+  SELECT tk, MIN(doc_id) AS fd FROM tok GROUP BY tk
+), bounds AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+), ck AS (
+  SELECT CAST(r.i AS INTEGER) AS ckpt,
+         CAST(lo + ((hi - lo) * r.i) / {_HEAPS_POINTS} AS BIGINT) AS thresh
+  FROM bounds, range(1, {_HEAPS_POINTS} + 1) r(i)
+), n_at AS (
+  SELECT ckpt, CAST(SUM(n) AS BIGINT) AS n_tokens
+  FROM doc_tokens JOIN ck ON doc_id <= thresh GROUP BY ckpt
+), v_at AS (
+  SELECT ckpt, CAST(COUNT(*) AS BIGINT) AS n_vocab
+  FROM term_first JOIN ck ON fd <= thresh GROUP BY ckpt
+), pts AS (
+  SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(n_vocab AS DOUBLE)) AS y
+  FROM n_at JOIN v_at USING (ckpt)
+  WHERE n_tokens > 0 AND n_vocab > 0
+), means AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 9) AS mx,
+         round(CAST(SUM(CAST(round(y, 9) AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 9) AS my
+  FROM pts
+), agg AS (
+  SELECT m, mx, my,
+         CAST(SUM(CAST(round((x - mx) * (x - mx), 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round((x - mx) * (y - my), 9) AS DECIMAL(30,9))) AS DOUBLE) AS sxy
+  FROM pts CROSS JOIN means
+  GROUP BY m, mx, my
+)
+SELECT m AS points,
+       CASE WHEN sxx > 0 THEN round(sxy / sxx, 9) + 0.0 END AS beta,
+       CASE WHEN sxx > 0 THEN round(exp(my - (sxy / sxx) * mx), 6) END AS k
+FROM agg
+"""
+
+SPARK_QUERIES["corpus_heaps_law"] = corpus_heaps_law
+ORACLE_SQL["corpus_heaps_law"] = HEAPS_SQL
+
+
+def source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between the unigram
+    distributions of every source pair — the symmetric, bounded [0,1]
+    "how different are these corpora" number that drives mixture
+    reweighting decisions. 0 = identical term distributions, 1 =
+    disjoint vocabularies.
+
+    Scale shape: one (source, term) count aggregate over the corpus;
+    source pairs are enumerated from the bounded source list (k(k-1)/2
+    rows, broadcast); each pair's term union materializes via two
+    broadcast equi-joins UNION ALL-ed then a (pair, term) groupBy — the
+    full-outer-with-zero-fill semantics without a full outer join. A
+    term present in one source only contributes p/2 exactly
+    (log2(2p/(p+0)) = 1). Per-term contributions round to 12 and
+    accumulate as exact decimals, order-independent in both engines."""
+    ensure_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "source", F.explode(text.word_tokens("text")).alias("_t")
+    )
+    counts = toks.groupBy("source", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("source").agg(F.sum("_c").alias("_n"))
+    probs = counts.join(totals, "source").select(
+        "source", "_t", (F.col("_c").cast("double") / F.col("_n")).alias("_p")
+    )
+    srcs = totals.select("source")
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    side_a = probs.join(
+        F.broadcast(pairs), probs["source"] == pairs["src_a"]
+    ).select("src_a", "src_b", "_t", F.col("_p").alias("_pa"), F.lit(0.0).alias("_pb"))
+    side_b = probs.join(
+        F.broadcast(pairs), probs["source"] == pairs["src_b"]
+    ).select("src_a", "src_b", "_t", F.lit(0.0).alias("_pa"), F.col("_p").alias("_pb"))
+    merged = (
+        side_a.unionAll(side_b)
+        .groupBy("src_a", "src_b", "_t")
+        .agg(F.sum("_pa").alias("pa"), F.sum("_pb").alias("pb"))
+    )
+    contrib = (
+        F.when(F.col("pa") > 0, F.col("pa") * F.log2(F.lit(2.0) * F.col("pa") / (F.col("pa") + F.col("pb")))).otherwise(F.lit(0.0))
+        + F.when(F.col("pb") > 0, F.col("pb") * F.log2(F.lit(2.0) * F.col("pb") / (F.col("pa") + F.col("pb")))).otherwise(F.lit(0.0))
+    )
+    return (
+        merged.select(
+            "src_a",
+            "src_b",
+            F.round(contrib, 12).cast("decimal(30,12)").alias("_w"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.round(F.sum("_w").cast("double") / 2, 9).alias("jsd_bits"))
+    )
+
+
+JSD_SQL = rf"""
+WITH t AS (
+  SELECT source, {SQL_TOKENS} AS w FROM documents
+), tok AS (
+  SELECT source, unnest(w) AS tk FROM t
+), counts AS (
+  SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), totals AS (
+  SELECT source, SUM(c) AS n FROM counts GROUP BY source
+), probs AS (
+  SELECT counts.source, tk, CAST(c AS DOUBLE) / n AS p
+  FROM counts JOIN totals USING (source)
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM totals a, totals b WHERE a.source < b.source
+), sides AS (
+  SELECT src_a, src_b, tk, p AS pa, 0.0 AS pb
+  FROM probs JOIN pairs ON probs.source = pairs.src_a
+  UNION ALL
+  SELECT src_a, src_b, tk, 0.0 AS pa, p AS pb
+  FROM probs JOIN pairs ON probs.source = pairs.src_b
+), merged AS (
+  SELECT src_a, src_b, tk, SUM(pa) AS pa, SUM(pb) AS pb
+  FROM sides GROUP BY 1, 2, 3
+), terms AS (
+  SELECT src_a, src_b,
+         CAST(round(
+           CASE WHEN pa > 0 THEN pa * log2(2.0 * pa / (pa + pb)) ELSE 0.0 END
+           + CASE WHEN pb > 0 THEN pb * log2(2.0 * pb / (pa + pb)) ELSE 0.0 END,
+         12) AS DECIMAL(30,12)) AS w
+  FROM merged
+)
+SELECT src_a, src_b, round(CAST(SUM(w) AS DOUBLE) / 2, 9) AS jsd_bits
+FROM terms GROUP BY src_a, src_b
+"""
+
+SPARK_QUERIES["source_js_divergence"] = source_js_divergence
+ORACLE_SQL["source_js_divergence"] = JSD_SQL

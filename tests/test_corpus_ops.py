@@ -1573,3 +1573,47 @@ def test_geometric_median_guards(spark):
     empty = spark.createDataFrame([], "embedding array<double>")
     with pytest.raises(ValueError):
         geometric_median(empty)
+
+
+def test_corpus_heaps_law_growing_vocab(spark, tmp_path):
+    import math
+
+    from onetl_spark.showcase.llm import corpus_heaps_law
+
+    # tokens drawn from a pool that widens like sqrt(corpus size):
+    # vocabulary grows sublinearly, so the log-log slope lands in (0, 1)
+    rows = []
+    for i in range(60):
+        pool = int((20 * (i + 1)) ** 0.5) + 1
+        words = [f"w{(i * 7 + j * 13) % pool}" for j in range(20)]
+        rows.append((i, " ".join(words), "en", "src", len(" ".join(words))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    row = corpus_heaps_law(spark, d).collect()[0]
+    assert row["points"] == 20
+    assert 0.3 < row["beta"] < 1.0 and row["k"] > 0
+
+
+def test_source_js_divergence_bounds(spark, tmp_path):
+    from onetl_spark.showcase.llm import source_js_divergence
+
+    rows = [
+        (1, "alpha beta gamma alpha", "en", "same1", 10),
+        (2, "alpha beta gamma alpha", "en", "same2", 10),
+        (3, "delta epsilon zeta eta", "en", "other", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    got = {
+        (r["src_a"], r["src_b"]): r["jsd_bits"]
+        for r in source_js_divergence(spark, d).collect()
+    }
+    assert got[("same1", "same2")] == 0.0          # identical distributions
+    assert got[("other", "same1")] == 1.0          # disjoint vocabularies
+    assert got[("other", "same2")] == 1.0
