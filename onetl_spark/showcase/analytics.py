@@ -3241,3 +3241,70 @@ QUALIFY rank <= {_COP_K}
 
 SPARK_QUERIES["part_copurchase_topk"] = part_copurchase_topk
 ORACLE_SQL["part_copurchase_topk"] = COPURCHASE_SQL
+
+
+def user_churn_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative churn hazard of user lifetimes
+    (`operators/stats.py nelson_aalen`), on the same censored-subject
+    cohort as the Kaplan-Meier curve (churn observed unless the last
+    event is a purchase): the additive hazard view rate comparisons
+    consume, with exp(−H) alongside as the Fleming-Harrington survival."""
+    from onetl_spark.operators.stats import nelson_aalen
+
+    ensure_views(spark, sf_dir)
+    per_user = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("_fd"),
+            F.max(F.col("ts").cast("date")).alias("_ld"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("_lt"),
+        )
+    )
+    subjects = per_user.select(
+        F.datediff("_ld", "_fd").alias("dur"),
+        (F.col("_lt") != "purchase").cast("int").alias("observed"),
+    )
+    return nelson_aalen(subjects, "dur", "observed")
+
+
+NELSON_AALEN_SQL = """
+WITH last_ev AS (
+  SELECT user_id, event_type AS lt
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                      event_id DESC) = 1
+), u AS (
+  SELECT e.user_id,
+         CAST(MIN(CAST(e.ts AS TIMESTAMP)) AS DATE) AS fd,
+         CAST(MAX(CAST(e.ts AS TIMESTAMP)) AS DATE) AS ld,
+         ANY_VALUE(l.lt) AS lt
+  FROM events e JOIN last_ev l ON l.user_id = e.user_id
+  GROUP BY e.user_id
+), s AS (
+  SELECT CAST(ld - fd AS BIGINT) AS t,
+         CASE WHEN lt <> 'purchase' THEN 1 ELSE 0 END AS e
+  FROM u
+), per_t AS (
+  SELECT t, COUNT(*) AS n, CAST(SUM(e) AS BIGINT) AS d FROM s GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM per_t
+), r AS (
+  SELECT t, n, d,
+         total - COALESCE(SUM(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t CROSS JOIN tot
+), ev AS (SELECT * FROM r WHERE d > 0)
+SELECT t AS duration, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+       round(CAST(SUM(CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 12)
+                           AS DECIMAL(30,12))) OVER w AS DOUBLE), 9) AS cum_hazard,
+       round(exp(-CAST(SUM(CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 12)
+                           AS DECIMAL(30,12))) OVER w AS DOUBLE)), 9) AS na_survival
+FROM ev
+WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY duration
+"""
+
+SPARK_QUERIES["user_churn_nelson_aalen"] = user_churn_nelson_aalen
+ORACLE_SQL["user_churn_nelson_aalen"] = NELSON_AALEN_SQL

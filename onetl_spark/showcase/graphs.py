@@ -680,3 +680,74 @@ LEFT JOIN a3 ON a3.node = nodes.node
 
 SPARK_QUERIES["customer_supplier_hits"] = customer_supplier_hits
 ORACLE_SQL["customer_supplier_hits"] = HITS_SQL
+
+
+_LP_TOPK = 20
+
+
+def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier co-occurrence graph: the top
+    predicted NEW edges by neighborhood Jaccard (|N(u)∩N(v)| /
+    |N(u)∪N(v)|, the Liben-Nowell & Kleinberg CIKM'03 baseline that
+    stays competitive at scale). Candidate pairs come from the wedge
+    join (two-hop paths), NOT an all-pairs scan — only nodes sharing a
+    neighbor can score — and existing edges drop out with an anti-join.
+    Integer counts make the scores exact rationals; deterministic
+    tie-break (score desc, pair asc) pins the global top-k."""
+    ensure_views(spark, sf_dir)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = both.select(F.col("dst").alias("n"), F.col("src").alias("a"))
+    w2 = both.select(F.col("dst").alias("n"), F.col("src").alias("b"))
+    cand = (
+        w1.join(w2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    )
+    scored = (
+        cand.join(deg.select(F.col("src").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("src").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(_LP_TOPK)
+
+
+LINKPRED_SQL = f"""
+WITH {_EDGES_SQL},
+bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
+cand AS (
+  SELECT w1.src AS a, w2.src AS b, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM bidir w1 JOIN bidir w2 ON w1.dst = w2.dst AND w1.src < w2.src
+  WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.u = w1.src AND ed.v = w2.src)
+  GROUP BY 1, 2
+)
+SELECT a, b, cn,
+       round(CAST(cn AS DOUBLE) / (da.deg + db.deg - cn), 9) AS jaccard
+FROM cand
+JOIN deg da ON da.src = a
+JOIN deg db ON db.src = b
+ORDER BY jaccard DESC, a ASC, b ASC
+LIMIT {_LP_TOPK}
+"""
+
+SPARK_QUERIES["supplier_link_prediction"] = supplier_link_prediction
+ORACLE_SQL["supplier_link_prediction"] = LINKPRED_SQL

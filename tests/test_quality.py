@@ -1063,3 +1063,21 @@ def test_wasserstein_1d_brute_force(spark):
 
     with pytest.raises(ValueError):
         wasserstein_1d(a, spark.createDataFrame([], "v double"), "v")
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from onetl_spark.operators.stats import nelson_aalen
+
+    # subjects: events at t=1 (2 of 5 at risk), censor at t=2,
+    # event at t=3 (1 of 2 at risk)
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (3, 0)]
+    df = spark.createDataFrame(rows, "dur int, obs int")
+    got = {r["duration"]: r for r in nelson_aalen(df, "dur", "obs").collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n_risk"] == 5 and got[1]["n_events"] == 2
+    assert abs(got[1]["cum_hazard"] - 0.4) < 1e-9
+    assert got[3]["n_risk"] == 2 and got[3]["n_events"] == 1
+    assert abs(got[3]["cum_hazard"] - 0.9) < 1e-9
+    import math
+
+    assert abs(got[3]["na_survival"] - math.exp(-0.9)) < 1e-6
