@@ -3308,3 +3308,58 @@ ORDER BY duration
 
 SPARK_QUERIES["user_churn_nelson_aalen"] = user_churn_nelson_aalen
 ORACLE_SQL["user_churn_nelson_aalen"] = NELSON_AALEN_SQL
+
+
+_TE_M = 100
+
+
+def event_type_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding of event_type against value — the
+    m-estimate encoder (Micci-Barreca, SIGKDD Explorations 2001) feature
+    pipelines use for high-cardinality categoricals: enc = (sum_y +
+    m·prior) / (n + m), shrinking rare categories toward the global
+    prior (m = {_TE_M} virtual prior rows). One map-side-combined
+    aggregate per category plus a 1-row broadcast prior; exact decimal
+    value sums, with the division pinned as one double expression."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("_s"),
+    )
+    prior = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_gm")
+    )
+    return per_type.crossJoin(F.broadcast(prior)).select(
+        "event_type",
+        "n",
+        F.round(F.col("_s") / F.col("n"), 9).alias("raw_mean"),
+        F.round(
+            (F.col("_s") + F.lit(float(_TE_M)) * F.col("_gm"))
+            / (F.col("n") + F.lit(float(_TE_M))),
+            9,
+        ).alias("encoded"),
+    )
+
+
+TARGET_ENC_SQL = f"""
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM ev GROUP BY event_type
+), prior AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS gm
+  FROM ev
+)
+SELECT event_type, n,
+       round(s / n, 9) AS raw_mean,
+       round((s + {float(_TE_M)} * gm) / (n + {float(_TE_M)}), 9) AS encoded
+FROM per_type CROSS JOIN prior
+"""
+
+SPARK_QUERIES["event_type_target_encoding"] = event_type_target_encoding
+ORACLE_SQL["event_type_target_encoding"] = TARGET_ENC_SQL

@@ -751,3 +751,86 @@ LIMIT {_LP_TOPK}
 
 SPARK_QUERIES["supplier_link_prediction"] = supplier_link_prediction
 ORACLE_SQL["supplier_link_prediction"] = LINKPRED_SQL
+
+
+def supplier_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient profile of the supplier co-occurrence graph:
+    for every degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k
+    counts nodes of degree > k and E_k the edges among them (Colizza et
+    al., Nature Physics 2006) — "do the hubs trade preferentially with
+    each other?". φ → 1 = an interlocked elite; flat/low = no core.
+
+    Scale shape: degrees from one edge aggregate; every threshold count
+    comes from inequality joins between the BOUNDED degree-distribution
+    and edge-min-degree relations (degree-valued rows, not nodes or
+    edges), so the fact-scale work is two aggregates regardless of graph
+    size. Thresholds with N_k < 2 drop (φ undefined)."""
+    ensure_views(spark, sf_dir)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dd = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("_dn"))
+    edge_min = (
+        e.join(deg.select(F.col("src").alias("src"), F.col("deg").alias("_da")), "src")
+        .join(deg.select(F.col("src").alias("dst"), F.col("deg").alias("_db")), "dst")
+        .select(F.least("_da", "_db").alias("_md"))
+        .groupBy("_md")
+        .agg(F.count(F.lit(1)).alias("_en"))
+    )
+    ks = dd.select(F.col("deg").alias("k"))
+    n_k = (
+        ks.join(F.broadcast(dd), F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("_dn").alias("n_nodes"))
+    )
+    e_k = (
+        ks.join(F.broadcast(edge_min), F.col("_md") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("_en").alias("n_edges"))
+    )
+    return (
+        n_k.join(e_k, "k", "left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("n_edges", F.lit(0)).cast("double")
+                / (
+                    F.col("n_nodes").cast("double")
+                    * (F.col("n_nodes") - F.lit(1)).cast("double")
+                ),
+                9,
+            ).alias("phi"),
+        )
+    )
+
+
+RICH_CLUB_SQL = f"""
+WITH {_EDGES_SQL},
+bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
+dd AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS dn FROM deg GROUP BY deg),
+em AS (
+  SELECT LEAST(da.deg, db.deg) AS md, CAST(COUNT(*) AS BIGINT) AS en
+  FROM ed JOIN deg da ON da.src = ed.u JOIN deg db ON db.src = ed.v
+  GROUP BY 1
+), ks AS (SELECT deg AS k FROM dd),
+nk AS (
+  SELECT k, CAST(SUM(dn) AS BIGINT) AS n_nodes
+  FROM ks JOIN dd ON dd.deg > ks.k GROUP BY k
+), ek AS (
+  SELECT k, CAST(SUM(en) AS BIGINT) AS n_edges
+  FROM ks JOIN em ON em.md > ks.k GROUP BY k
+)
+SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+       round(2.0 * COALESCE(ek.n_edges, 0)
+             / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1)), 9) AS phi
+FROM nk LEFT JOIN ek USING (k)
+WHERE nk.n_nodes >= 2
+"""
+
+SPARK_QUERIES["supplier_rich_club"] = supplier_rich_club
+ORACLE_SQL["supplier_rich_club"] = RICH_CLUB_SQL

@@ -3871,3 +3871,199 @@ FROM terms GROUP BY src_a, src_b
 
 SPARK_QUERIES["source_js_divergence"] = source_js_divergence
 ORACLE_SQL["source_js_divergence"] = JSD_SQL
+
+
+_BD_TOP = 50
+
+
+def source_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between every source pair —
+    the standard authorship-attribution measure (Burrows, "'Delta': a
+    Measure of Stylistic Difference", LLC 2002): z-score each source's
+    relative frequency of the corpus's top-{_BD_TOP} terms (function
+    words carry style), then average |Δz| over the term panel. Near-0 =
+    same register; large = different linguistic style — the signal for
+    routing sources to different cleaning pipelines.
+
+    Scale shape: one (source, term) aggregate; the term panel is the
+    corpus-wide top-{_BD_TOP} (deterministic tie-break), the z grid is
+    panel × sources (bounded, broadcast), and every cross-source moment
+    accumulates decimal-rounded terms — order-independent in both
+    engines. Terms constant across sources pin z = 0 (no 0/0)."""
+    ensure_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "source", F.explode(text.word_tokens("text")).alias("_t")
+    )
+    counts = toks.groupBy("source", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("source").agg(F.sum("_c").alias("_n"))
+    top = (
+        counts.groupBy("_t")
+        .agg(F.sum("_c").alias("_tc"))
+        .orderBy(F.col("_tc").desc(), F.col("_t").asc())
+        .limit(_BD_TOP)
+        .select("_t")
+    )
+    probs = counts.join(totals, "source").select(
+        "source", "_t", (F.col("_c").cast("double") / F.col("_n")).alias("_p")
+    )
+    grid = (
+        top.crossJoin(totals.select("source"))
+        .join(probs, ["_t", "source"], "left")
+        .select("_t", "source", F.coalesce("_p", F.lit(0.0)).alias("_p"))
+    )
+    stats = grid.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(F.round(F.col("_p"), 12).cast("decimal(30,12)")).cast("double").alias("_sp"),
+        F.sum(F.round(F.col("_p") * F.col("_p"), 12).cast("decimal(30,12)")).cast("double").alias("_spp"),
+    )
+    z = grid.join(stats, "_t").select(
+        "_t",
+        "source",
+        F.when(
+            F.col("_spp") / F.col("_k")
+            - (F.col("_sp") / F.col("_k")) * (F.col("_sp") / F.col("_k"))
+            > 0,
+            F.round(
+                (F.col("_p") - F.col("_sp") / F.col("_k"))
+                / F.sqrt(
+                    F.col("_spp") / F.col("_k")
+                    - (F.col("_sp") / F.col("_k")) * (F.col("_sp") / F.col("_k"))
+                ),
+                9,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_z"),
+    )
+    a = z.select(F.col("source").alias("src_a"), "_t", F.col("_z").alias("_za"))
+    b = z.select(F.col("source").alias("src_b"), "_t", F.col("_z").alias("_zb"))
+    return (
+        a.join(b, "_t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("_za") - F.col("_zb")), 12).cast(
+                        "decimal(30,12)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("delta")
+        )
+    )
+
+
+BURROWS_SQL = rf"""
+WITH t AS (
+  SELECT source, {SQL_TOKENS} AS w FROM documents
+), tok AS (
+  SELECT source, unnest(w) AS tk FROM t
+), counts AS (
+  SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), totals AS (
+  SELECT source, SUM(c) AS n FROM counts GROUP BY source
+), topt AS (
+  SELECT tk FROM (SELECT tk, SUM(c) AS tc FROM counts GROUP BY tk)
+  ORDER BY tc DESC, tk ASC LIMIT {_BD_TOP}
+), probs AS (
+  SELECT counts.source, tk, CAST(c AS DOUBLE) / n AS p
+  FROM counts JOIN totals USING (source)
+), grid AS (
+  SELECT topt.tk, totals.source, COALESCE(probs.p, 0.0) AS p
+  FROM topt CROSS JOIN totals
+  LEFT JOIN probs ON probs.tk = topt.tk AND probs.source = totals.source
+), stats AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(round(p, 12) AS DECIMAL(30,12))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(round(p * p, 12) AS DECIMAL(30,12))) AS DOUBLE) AS spp
+  FROM grid GROUP BY tk
+), z AS (
+  SELECT grid.tk, grid.source,
+         CASE WHEN spp / k - (sp / k) * (sp / k) > 0 THEN
+           round((p - sp / k) / sqrt(spp / k - (sp / k) * (sp / k)), 9)
+         ELSE 0.0 END AS z
+  FROM grid JOIN stats ON stats.tk = grid.tk
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       round(CAST(SUM(CAST(round(abs(a.z - b.z), 12) AS DECIMAL(30,12))) AS DOUBLE)
+             / COUNT(*), 9) AS delta
+FROM z a JOIN z b ON a.tk = b.tk AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+SPARK_QUERIES["source_burrows_delta"] = source_burrows_delta
+ORACLE_SQL["source_burrows_delta"] = BURROWS_SQL
+
+
+_TB_MIN, _TB_TOP = 50, 20
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TB_TOP} burstiest terms by variance-to-mean ratio of their
+    per-document counts (Church & Gale, "Poisson mixtures", JNLE 1995):
+    VMR 1 = Poisson scatter (function-word-like); VMR >> 1 = the term
+    clumps in few documents (topical/boilerplate) — the corpus statistic
+    that separates content terms from glue without any labels, and flags
+    pasted boilerplate when a "function word" suddenly bursts.
+
+    Exactness: with integer per-doc counts, VMR = s2/s1 − s1/N exactly
+    (zero-count documents folded in algebraically — no N-times-vocab
+    grid is ever materialized), evaluated in one pinned double
+    parenthesization. One (term, doc) aggregate then one term aggregate;
+    the top-k is a deterministic TakeOrdered (VMR desc, term asc)."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_nd"))
+    td = (
+        docs.select("doc_id", F.explode(text.word_tokens("text")).alias("_t"))
+        .groupBy("doc_id", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_term = td.groupBy("_t").agg(
+        F.sum("_c").alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+        F.count(F.lit(1)).alias("_df"),
+    )
+    return (
+        per_term.filter(F.col("_s1") >= _TB_MIN)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("_t").alias("term"),
+            F.col("_s1").alias("n_occurrences"),
+            F.col("_df").alias("n_docs_containing"),
+            F.round(
+                F.col("_s2").cast("double") / F.col("_s1")
+                - F.col("_s1").cast("double") / F.col("_nd"),
+                9,
+            ).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), F.col("term").asc())
+        .limit(_TB_TOP)
+    )
+
+
+BURSTINESS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), td AS (
+  SELECT doc_id, unnest(w) AS tk FROM t
+), cnt AS (
+  SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c FROM td GROUP BY 1, 2
+), per_term AS (
+  SELECT tk, CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM cnt GROUP BY tk
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT tk AS term, s1 AS n_occurrences, df AS n_docs_containing,
+       round(CAST(s2 AS DOUBLE) / s1 - CAST(s1 AS DOUBLE) / nd.n, 9) AS vmr
+FROM per_term CROSS JOIN nd
+WHERE s1 >= {_TB_MIN}
+ORDER BY vmr DESC, term ASC
+LIMIT {_TB_TOP}
+"""
+
+SPARK_QUERIES["term_burstiness"] = term_burstiness
+ORACLE_SQL["term_burstiness"] = BURSTINESS_SQL
