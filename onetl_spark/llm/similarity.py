@@ -1668,3 +1668,89 @@ def geometric_median(
         F.element_at(lit_arr(mu), (F.col("id") + 1).cast("int")).alias("mean"),
         F.element_at(lit_arr(y), (F.col("id") + 1).cast("int")).alias("geo_median"),
     )
+
+
+def ivf_recall_eval(
+    embeddings: DataFrame,
+    query_ids: "list[int]",
+    k: int = 10,
+    centroid_filter: str = "vec_id % 64 = 7",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF scale path against exact brute force, per
+    query — the self-evaluation every ANN deployment needs before
+    trusting its candidate generation (recall@k IS the quality metric
+    an IVF index is tuned by; cf. the FAISS evaluation protocol).
+
+    One pass builds everything batched: the corpus is assigned to
+    centroids ONCE (broadcast centroids, no corpus shuffle), each panel
+    query probes its top-1 centroid, approximate top-k searches only
+    that cluster, exact top-k scans the corpus via the broadcast panel
+    (cost = panel × corpus, bounded by the panel size), and recall is
+    the overlap join of the two bounded top-k relations. Deterministic
+    tie-breaks (cos desc, id asc) make the result sets — hence recall —
+    engine-exact. Returns ``(query_id, n_hits, recall)``.
+    """
+    if not query_ids:
+        raise ValueError("ivf_recall_eval: query_ids must be non-empty")
+    queries = embeddings.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    exact = topk_per_query(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+    centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    clustered = ivf_assign(
+        embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids, carry_vec=True,
+    )
+    qprobe = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qvec",
+            "centroid_id",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 9).alias("_qcos"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("_qcos"), F.asc("centroid_id"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    approx = (
+        clustered.join(F.broadcast(qprobe), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 9).alias("cos_sim"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)).cast("double") / k, 9).alias(
+                "recall"
+            ),
+        )
+    )

@@ -4067,3 +4067,87 @@ LIMIT {_TB_TOP}
 
 SPARK_QUERIES["term_burstiness"] = term_burstiness
 ORACLE_SQL["term_burstiness"] = BURSTINESS_SQL
+
+
+_RECALL_PANEL = [0, 1, 2, 3, 4, 5, 6, 7]
+_RECALL_K = 10
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe IVF against exact brute force over an
+    8-query panel (`llm/similarity.py ivf_recall_eval`) — the FAISS-style
+    self-evaluation that tells you whether the ANN scale path can be
+    trusted before it feeds dedup/retrieval. Corpus assigned to
+    broadcast centroids once; both top-k relations use deterministic
+    tie-breaks so recall is engine-exact."""
+    ensure_views(spark, sf_dir)
+    return similarity.ivf_recall_eval(
+        spark.table("embeddings"), _RECALL_PANEL, k=_RECALL_K
+    )
+
+
+def _cos_sql(va: str, vb: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, len({va})+1), "
+        f"i -> CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({va}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({vb}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)"
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 64 = 7
+), scored AS (
+  SELECT v.vec_id, c.centroid_id, {_cos_sql('v.embedding', 'c.cvec')} AS ccos
+  FROM embeddings v CROSS JOIN centroids c
+), assigned AS (
+  SELECT vec_id, centroid_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+  WHERE vec_id IN ({', '.join(map(str, _RECALL_PANEL))})
+), qprobe AS (
+  SELECT query_id, qvec, centroid_id
+  FROM (SELECT q.query_id, q.qvec, c.centroid_id,
+               {_cos_sql('q.qvec', 'c.cvec')} AS qcos,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('q.qvec', 'c.cvec')} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM q CROSS JOIN centroids c)
+  WHERE rn = 1
+), approx AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT p.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_cos_sql('v.embedding', 'p.qvec')} DESC,
+                                           v.vec_id ASC) AS rn
+        FROM embeddings v
+        JOIN assigned a ON a.vec_id = v.vec_id
+        JOIN qprobe p ON p.centroid_id = a.centroid_id
+        WHERE v.vec_id <> p.query_id)
+  WHERE rn <= {_RECALL_K}
+), exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('v.embedding', 'q.qvec')} DESC,
+                                           v.vec_id ASC) AS rn
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id)
+  WHERE rn <= {_RECALL_K}
+), hits AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY query_id
+)
+SELECT q.query_id, COALESCE(hits.n, 0) AS n_hits,
+       round(COALESCE(hits.n, 0) / {float(_RECALL_K)}, 9) AS recall
+FROM q LEFT JOIN hits USING (query_id)
+"""
+
+SPARK_QUERIES["ann_ivf_recall"] = ann_ivf_recall
+ORACLE_SQL["ann_ivf_recall"] = ANN_RECALL_SQL

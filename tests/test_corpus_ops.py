@@ -1617,3 +1617,29 @@ def test_source_js_divergence_bounds(spark, tmp_path):
     assert got[("same1", "same2")] == 0.0          # identical distributions
     assert got[("other", "same1")] == 1.0          # disjoint vocabularies
     assert got[("other", "same2")] == 1.0
+
+
+def test_ivf_recall_eval_bounds_and_exact_match(spark):
+    from onetl_spark.llm.similarity import ivf_recall_eval
+
+    # tight clusters far apart: single-probe IVF with a centroid in each
+    # cluster must achieve recall 1.0 for in-cluster neighbors
+    rows = []
+    for cid, base in [(0, 0.0), (1, 50.0)]:
+        for i in range(8):
+            rows.append((cid * 8 + i, [base + 0.01 * i, base + 1.0, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroids: one vec per cluster (ids 7 and 15 -> vec_id % 8 == 7)
+    out = {
+        r["query_id"]: r
+        for r in ivf_recall_eval(
+            df, [0, 8], k=5, centroid_filter="vec_id % 8 = 7"
+        ).collect()
+    }
+    assert out[0]["recall"] == 1.0 and out[8]["recall"] == 1.0
+    assert out[0]["n_hits"] == 5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_recall_eval(df, [])
