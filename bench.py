@@ -195,6 +195,25 @@ HEADLINE = [
     "part_weighted_sssp",
     "funnel_time_to_convert",
     "corpus_bm25_topk",
+    "customer_supplier_hits",
+    "events_value_anova",
+    "lineitem_qty_line_kendall",
+    "blocklist_phrase_hits",
+    "part_copurchase_topk",
+    "embedding_geometric_median",
+    "corpus_heaps_law",
+    "source_js_divergence",
+    "events_value_wasserstein",
+    "supplier_link_prediction",
+    "user_churn_nelson_aalen",
+    "source_burrows_delta",
+    "supplier_rich_club",
+    "term_burstiness",
+    "event_type_target_encoding",
+    "ann_ivf_recall",
+    "events_hour_circular_stats",
+    "events_extreme_value_fit",
+    "segment_purchase_wilson_ci",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

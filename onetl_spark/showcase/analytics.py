@@ -3363,3 +3363,209 @@ FROM per_type CROSS JOIN prior
 
 SPARK_QUERIES["event_type_target_encoding"] = event_type_target_encoding
 ORACLE_SQL["event_type_target_encoding"] = TARGET_ENC_SQL
+
+
+def events_hour_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of event time-of-day per event type: the
+    24-hour clock is a CIRCLE, so "mean hour" must be the direction of
+    the resultant vector (Fisher, Statistical Analysis of Circular
+    Data): mean_hour = atan2(Σsin, Σcos)·24/2π and concentration
+    R = |resultant|/n (R→1 = sharply peaked schedule, R→0 = uniform;
+    an arithmetic mean of 23:00 and 01:00 would say noon). Second-
+    resolution angles; sin/cos sums accumulate decimal-rounded terms so
+    the resultant is engine-exact; atan2/modulo pinned as one
+    expression."""
+    ensure_views(spark, sf_dir)
+    two_pi = 2.0 * 3.141592653589793
+    frac_day = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    ).cast("double") / F.lit(86400.0)
+    theta = frac_day * F.lit(two_pi)
+    g = (
+        spark.table("events")
+        .select("event_type", theta.alias("_th"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.cos("_th"), 12).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("_sc"),
+            F.sum(F.round(F.sin("_th"), 12).cast("decimal(30,12)"))
+            .cast("double")
+            .alias("_ss"),
+        )
+    )
+    mean_angle = F.atan2(F.col("_ss"), F.col("_sc"))
+    mean_hour = (mean_angle / F.lit(two_pi) * 24.0 + 24.0) % 24.0
+    r = F.sqrt(F.col("_sc") * F.col("_sc") + F.col("_ss") * F.col("_ss")) / F.col("n")
+    return g.select(
+        "event_type",
+        "n",
+        F.round(mean_hour, 6).alias("mean_hour"),
+        F.round(r, 9).alias("concentration"),
+    )
+
+
+CIRCULAR_SQL = """
+WITH th AS (
+  SELECT event_type,
+         CAST(date_part('hour', CAST(ts AS TIMESTAMP)) * 3600
+              + date_part('minute', CAST(ts AS TIMESTAMP)) * 60
+              + date_part('second', CAST(ts AS TIMESTAMP)) AS DOUBLE)
+         / 86400.0 * (2.0 * 3.141592653589793) AS t
+  FROM events
+), g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(cos(t), 12) AS DECIMAL(30,12))) AS DOUBLE) AS sc,
+         CAST(SUM(CAST(round(sin(t), 12) AS DECIMAL(30,12))) AS DOUBLE) AS ss
+  FROM th GROUP BY event_type
+)
+SELECT event_type, n,
+       round(fmod(atan2(ss, sc) / (2.0 * 3.141592653589793) * 24.0 + 24.0, 24.0), 6) AS mean_hour,
+       round(sqrt(sc * sc + ss * ss) / n, 9) AS concentration
+FROM g
+"""
+
+SPARK_QUERIES["events_hour_circular_stats"] = events_hour_circular_stats
+ORACLE_SQL["events_hour_circular_stats"] = CIRCULAR_SQL
+
+
+def events_extreme_value_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit of DAILY MAXIMUM event values by the
+    method of moments (beta = s·√6/π, mu = m − γ·beta, γ = 0.5772...)
+    plus the implied 30-day return level — the principled way to set
+    "alert if value exceeds X" thresholds from block maxima instead of
+    eyeballing a percentile (Gumbel, Statistics of Extremes, 1958).
+    Daily maxima come from one calendar-bounded aggregate; mean/std use
+    exact decimal moment sums with the variance in one pinned double
+    parenthesization."""
+    ensure_views(spark, sf_dir)
+    daily_max = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("_d"))
+        .agg(F.max("value").alias("_m"))
+    )
+    g = daily_max.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.round(F.col("_m"), 9).cast("decimal(38,9)")).cast("double").alias("_s"),
+        F.sum(F.round(F.col("_m") * F.col("_m"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_s2"),
+    )
+    mean = F.col("_s") / F.col("n_days")
+    var = (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("n_days")) / (
+        F.col("n_days") - 1
+    )
+    beta = F.sqrt(var) * F.lit(2.449489742783178) / F.lit(3.141592653589793)
+    mu = mean - F.lit(0.5772156649015329) * beta
+    # Gumbel quantile for the 1-in-30-block level: mu − beta·ln(ln(30/29))
+    ret30 = mu - beta * F.log(F.log(F.lit(30.0) / F.lit(29.0)))
+    return g.filter(F.col("n_days") > 1).select(
+        "n_days",
+        F.round(mean, 9).alias("block_mean"),
+        F.round(beta, 9).alias("gumbel_beta"),
+        F.round(mu, 9).alias("gumbel_mu"),
+        F.round(ret30, 9).alias("return_level_30"),
+    )
+
+
+GUMBEL_SQL = """
+WITH dm AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, MAX(value) AS m
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(round(m, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(round(m * m, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s2
+  FROM dm
+)
+SELECT n_days,
+       round(s / n_days, 9) AS block_mean,
+       round(sqrt((s2 - s * s / n_days) / (n_days - 1))
+             * 2.449489742783178 / 3.141592653589793, 9) AS gumbel_beta,
+       round(s / n_days - 0.5772156649015329
+             * (sqrt((s2 - s * s / n_days) / (n_days - 1))
+                * 2.449489742783178 / 3.141592653589793), 9) AS gumbel_mu,
+       round((s / n_days - 0.5772156649015329
+              * (sqrt((s2 - s * s / n_days) / (n_days - 1))
+                 * 2.449489742783178 / 3.141592653589793))
+             - (sqrt((s2 - s * s / n_days) / (n_days - 1))
+                * 2.449489742783178 / 3.141592653589793)
+               * ln(ln(30.0 / 29.0)), 9) AS return_level_30
+FROM g WHERE n_days > 1
+"""
+
+SPARK_QUERIES["events_extreme_value_fit"] = events_extreme_value_fit
+ORACLE_SQL["events_extreme_value_fit"] = GUMBEL_SQL
+
+
+def segment_purchase_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the purchase rate of each hash-split
+    user segment — the binomial CI that stays inside [0,1] and behaves
+    at small n / extreme rates where the naive Wald interval collapses
+    (Wilson 1927; the interval A/B dashboards should be using). Exact
+    integer numerators; the closed form evaluates in one pinned double
+    expression per segment."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    z = 1.959963984540054  # 97.5th normal quantile
+    seg = (
+        spark.table("events")
+        .select(
+            F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(4)).alias("segment"),
+            (F.col("event_type") == "purchase").cast("long").alias("_y"),
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("successes"))
+    )
+    p = F.col("successes").cast("double") / F.col("n")
+    nn = F.col("n").cast("double")
+    denom = F.lit(1.0) + F.lit(z * z) / nn
+    center = (p + F.lit(z * z) / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + F.lit(z * z) / (F.lit(4.0) * nn * nn))
+        / denom
+    )
+    return seg.select(
+        "segment",
+        "n",
+        "successes",
+        F.round(p, 9).alias("rate"),
+        F.round(center - half, 9).alias("wilson_low"),
+        F.round(center + half, 9).alias("wilson_high"),
+    ).orderBy("segment")
+
+
+WILSON_SQL = """
+WITH seg AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS segment,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), g AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS successes
+  FROM seg GROUP BY segment
+)
+SELECT segment, n, successes,
+       round(CAST(successes AS DOUBLE) / n, 9) AS rate,
+       round(((CAST(successes AS DOUBLE) / n)
+              + 1.959963984540054 * 1.959963984540054 / (2.0 * n))
+             / (1.0 + 1.959963984540054 * 1.959963984540054 / n)
+             - 1.959963984540054
+               * sqrt((CAST(successes AS DOUBLE) / n) * (1.0 - CAST(successes AS DOUBLE) / n) / n
+                      + 1.959963984540054 * 1.959963984540054 / (4.0 * n * n))
+               / (1.0 + 1.959963984540054 * 1.959963984540054 / n), 9) AS wilson_low,
+       round(((CAST(successes AS DOUBLE) / n)
+              + 1.959963984540054 * 1.959963984540054 / (2.0 * n))
+             / (1.0 + 1.959963984540054 * 1.959963984540054 / n)
+             + 1.959963984540054
+               * sqrt((CAST(successes AS DOUBLE) / n) * (1.0 - CAST(successes AS DOUBLE) / n) / n
+                      + 1.959963984540054 * 1.959963984540054 / (4.0 * n * n))
+               / (1.0 + 1.959963984540054 * 1.959963984540054 / n), 9) AS wilson_high
+FROM g ORDER BY segment
+"""
+
+SPARK_QUERIES["segment_purchase_wilson_ci"] = segment_purchase_wilson_ci
+ORACLE_SQL["segment_purchase_wilson_ci"] = WILSON_SQL

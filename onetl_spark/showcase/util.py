@@ -13,14 +13,19 @@ from pyspark.sql import functions as F
 
 from onetl_spark.connections.catalog import register_parquet_views
 
-_REGISTERED: set[tuple[int, str]] = set()
+# current sf_dir per live session — NOT a seen-set: a (spark, dir) pair
+# being "seen before" says nothing about what the views point at NOW.
+# With a seen-set, registering dir A, then dir B, then asking for A again
+# silently no-ops and every query reads B's tables (bit us as 74 poisoned
+# parity tests when a fixture registered a tmp dir mid-suite).
+_CURRENT: dict[int, str] = {}
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
-    if key not in _REGISTERED:
+    sid = id(spark)
+    if _CURRENT.get(sid) != sf_dir:
         register_parquet_views(spark, sf_dir)
-        _REGISTERED.add(key)
+        _CURRENT[sid] = sf_dir
 
 
 def dsum(col: Column | str, scale: int = 6) -> Column:
