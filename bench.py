@@ -214,6 +214,9 @@ HEADLINE = [
     "events_hour_circular_stats",
     "events_extreme_value_fit",
     "segment_purchase_wilson_ci",
+    "embedding_second_component",
+    "ab_value_cuped",
+    "event_entropy_rate",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

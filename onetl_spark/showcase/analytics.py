@@ -3569,3 +3569,217 @@ FROM g ORDER BY segment
 
 SPARK_QUERIES["segment_purchase_wilson_ci"] = segment_purchase_wilson_ci
 ORACLE_SQL["segment_purchase_wilson_ci"] = WILSON_SQL
+
+
+def ab_value_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B value metric (Deng et al.,
+    "Improving the Sensitivity of Online Controlled Experiments", WSDM
+    2013): per-user second-half value adjusted by the PRE-period (first
+    half) covariate, θ = cov(X,Y)/var(X) — the standard trick that cuts
+    experiment variance by the covariate's R². Cohorts split by md5
+    parity (engine-reproducible); per-user totals are exact decimal
+    sums; θ uses two-pass CENTERED moments (the uncentered normal
+    equations cancel catastrophically — same fix as the Heaps fit);
+    the adjusted mean is mean_y − θ·(mean_x_cohort − mean_x_overall)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.dayofmonth("ts") <= 15, F.col("value")).otherwise(F.lit(0.0)).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("_x"),
+            F.sum(
+                F.when(F.dayofmonth("ts") > 15, F.col("value")).otherwise(F.lit(0.0)).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("_y"),
+        )
+        .select(
+            F.when(
+                F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)) == 0,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("grp"),
+            "_x",
+            "_y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    means = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("_x"), 6).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("mx"),
+    )
+    cen = per_user.crossJoin(F.broadcast(means))
+    theta_agg = cen.agg(
+        F.max("mx").alias("mx"),
+        F.sum(
+            F.round((F.col("_x") - F.col("mx")) * (F.col("_x") - F.col("mx")), 6)
+            .cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round((F.col("_x") - F.col("mx")) * (F.col("_y") - F.col("mx")), 6)
+            .cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    ).select(
+        "mx",
+        F.when(F.col("sxx") > 0, F.round(F.col("sxy") / F.col("sxx"), 9))
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
+    )
+    cohorts = per_user.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.round(F.col("_x"), 6).cast("decimal(38,6)")).cast("double").alias("_sx"),
+        F.sum(F.round(F.col("_y"), 6).cast("decimal(38,6)")).cast("double").alias("_sy"),
+    )
+    return (
+        cohorts.crossJoin(F.broadcast(theta_agg))
+        .select(
+            "grp",
+            "n_users",
+            F.round(F.col("_sy") / F.col("n_users"), 9).alias("mean_raw"),
+            F.round(
+                F.col("_sy") / F.col("n_users")
+                - F.col("theta") * (F.col("_sx") / F.col("n_users") - F.col("mx")),
+                9,
+            ).alias("mean_cuped"),
+            "theta",
+        )
+        .orderBy("grp")
+    )
+
+
+CUPED_SQL = """
+WITH ev AS (SELECT user_id, value, CAST(ts AS TIMESTAMP) AS t FROM events WHERE value IS NOT NULL),
+per_user AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 'a' ELSE 'b' END AS grp,
+         CAST(SUM(CAST(CASE WHEN date_part('day', t) <= 15 THEN value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS x,
+         CAST(SUM(CAST(CASE WHEN date_part('day', t) > 15 THEN value ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS y
+  FROM ev GROUP BY user_id
+), means AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         round(CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 9) AS mx
+  FROM per_user
+), th AS (
+  SELECT mx,
+         CASE WHEN CAST(SUM(CAST(round((x - mx) * (x - mx), 6) AS DECIMAL(38,6))) AS DOUBLE) > 0
+              THEN round(CAST(SUM(CAST(round((x - mx) * (y - mx), 6) AS DECIMAL(38,6))) AS DOUBLE)
+                         / CAST(SUM(CAST(round((x - mx) * (x - mx), 6) AS DECIMAL(38,6))) AS DOUBLE), 9)
+              ELSE 0.0 END AS theta
+  FROM per_user CROSS JOIN means
+  GROUP BY mx
+), cohorts AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy
+  FROM per_user GROUP BY grp
+)
+SELECT grp, n_users,
+       round(sy / n_users, 9) AS mean_raw,
+       round(sy / n_users - theta * (sx / n_users - mx), 9) AS mean_cuped,
+       theta
+FROM cohorts CROSS JOIN th
+ORDER BY grp
+"""
+
+SPARK_QUERIES["ab_value_cuped"] = ab_value_cuped
+ORACLE_SQL["ab_value_cuped"] = CUPED_SQL
+
+
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state entropy of the first-order event-type Markov chain plus
+    its stationary weight: H_i = −Σ_j P_ij·log2(P_ij) with P from the
+    empirical transition counts (consecutive events per user), weight =
+    row mass / total transitions. Σ weight·H_i is the chain's entropy
+    rate — how PREDICTABLE user behavior is (0 bits = deterministic
+    next-event; log2(k) = uniform). Transitions from one lag window per
+    user; everything downstream is k×k-bounded with exact integer counts
+    and decimal-rounded log terms."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        spark.table("events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("_a"),
+            F.lead("event_type").over(w).alias("_b"),
+        )
+        .filter(F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    row_tot = pairs.groupBy("_a").agg(F.sum("_c").alias("_rt"))
+    total = pairs.agg(F.sum("_c").alias("_tot"))
+    ent = (
+        pairs.join(row_tot, "_a")
+        .select(
+            "_a",
+            "_rt",
+            F.round(
+                -(F.col("_c").cast("double") / F.col("_rt"))
+                * F.log2(F.col("_c").cast("double") / F.col("_rt")),
+                12,
+            )
+            .cast("decimal(30,12)")
+            .alias("_h"),
+        )
+        .groupBy("_a", "_rt")
+        .agg(F.round(F.sum("_h").cast("double"), 9).alias("entropy_bits"))
+    )
+    return (
+        ent.crossJoin(F.broadcast(total))
+        .select(
+            F.col("_a").alias("event_type"),
+            F.col("_rt").alias("n_transitions"),
+            "entropy_bits",
+            F.round(F.col("_rt").cast("double") / F.col("_tot"), 9).alias("weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ENTROPY_RATE_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS b
+  FROM events
+), pairs AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM seq WHERE b IS NOT NULL GROUP BY a, b
+), rt AS (
+  SELECT a, CAST(SUM(c) AS BIGINT) AS rt FROM pairs GROUP BY a
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM pairs),
+ent AS (
+  SELECT pairs.a, rt.rt,
+         round(CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / rt)
+                                   * log2(CAST(c AS DOUBLE) / rt), 12)
+                             AS DECIMAL(30,12))) AS DOUBLE), 9) AS entropy_bits
+  FROM pairs JOIN rt ON rt.a = pairs.a
+  GROUP BY pairs.a, rt.rt
+)
+SELECT a AS event_type, rt AS n_transitions, entropy_bits,
+       round(CAST(rt AS DOUBLE) / tot.t, 9) AS weight
+FROM ent CROSS JOIN tot
+ORDER BY event_type
+"""
+
+SPARK_QUERIES["event_entropy_rate"] = event_entropy_rate
+ORACLE_SQL["event_entropy_rate"] = ENTROPY_RATE_SQL

@@ -2958,53 +2958,66 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _power_iteration_ctes(iters: int = _PC_ITER, d: int = 64) -> list:
-    parts = [
-        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL)",
-        f"""md AS (
+def _power_iteration_ctes(
+    iters: int = _PC_ITER, d: int = 64, prefix: str = "", src: "str | None" = None
+) -> list:
+    """CTE chain replaying top_principal_component. With ``prefix``/``src``
+    a SECOND trajectory can run over any (vec_id, v) CTE — the deflated
+    frame of the second-component query composes two of these."""
+    P = prefix
+    parts = []
+    if src is None:
+        parts.append(
+            "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL)"
+        )
+        src = "e"
+    parts.append(
+        f"""{P}md AS (
   SELECT r.i AS i,
          CAST(SUM(CAST(v[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
-  FROM e, range(1, {d} + 1) r(i) GROUP BY r.i)""",
-        "m AS (SELECT list(mu ORDER BY i) AS mu FROM md)",
-        "nn AS (SELECT COUNT(*) AS n FROM e)",
-        f"p0 AS (SELECT [1.0] || list_transform(range(1, {d}), x -> 0.0) AS pv)",
-    ]
+  FROM {src}, range(1, {d} + 1) r(i) GROUP BY r.i)"""
+    )
+    parts.append(f"{P}m AS (SELECT list(mu ORDER BY i) AS mu FROM {P}md)")
+    parts.append(f"{P}nn AS (SELECT COUNT(*) AS n FROM {src})")
+    parts.append(
+        f"{P}p0 AS (SELECT [1.0] || list_transform(range(1, {d}), x -> 0.0) AS pv)"
+    )
     for r in range(1, iters + 1):
-        prev = f"p{r - 1}"
+        prev = f"{P}p{r - 1}"
         parts.append(
-            f"""s{r} AS (
-  SELECT e.vec_id, e.v,
+            f"""{P}s{r} AS (
+  SELECT {src}.vec_id, {src}.v,
          list_sum(list_transform(range(1, {d} + 1),
-                  i -> (e.v[i] - m.mu[i]) * {prev}.pv[i])) AS s
-  FROM e CROSS JOIN m CROSS JOIN {prev})"""
+                  i -> ({src}.v[i] - {P}m.mu[i]) * {prev}.pv[i])) AS s
+  FROM {src} CROSS JOIN {P}m CROSS JOIN {prev})"""
         )
         parts.append(
-            f"""t{r} AS (
+            f"""{P}t{r} AS (
   SELECT j.i AS j,
-         CAST(round(s{r}.s * (s{r}.v[j.i] - m.mu[j.i]), 9) AS DECIMAL(30,9)) AS t
-  FROM s{r} CROSS JOIN m, range(1, {d} + 1) j(i))"""
+         CAST(round({P}s{r}.s * ({P}s{r}.v[j.i] - {P}m.mu[j.i]), 9) AS DECIMAL(30,9)) AS t
+  FROM {P}s{r} CROSS JOIN {P}m, range(1, {d} + 1) j(i))"""
         )
         parts.append(
-            f"""w{r} AS (
+            f"""{P}w{r} AS (
   SELECT list(CAST(w AS DOUBLE) ORDER BY j) AS wl
-  FROM (SELECT j, CAST(SUM(t) AS DOUBLE) AS w FROM t{r} GROUP BY j))"""
+  FROM (SELECT j, CAST(SUM(t) AS DOUBLE) AS w FROM {P}t{r} GROUP BY j))"""
         )
         parts.append(
-            f"""p{r} AS (
+            f"""{P}p{r} AS (
   SELECT list_transform(wl,
            x -> round(x / sqrt(list_sum(list_transform(wl, y -> y * y))), 9)) AS pv
-  FROM w{r})"""
+  FROM {P}w{r})"""
         )
     # Rayleigh quotient of the FINAL iterate — one extra s-pass with
     # p{iters} so eigenvalue pairs with the returned component
     parts.append(
-        f"""sF AS (
+        f"""{P}sF AS (
   SELECT list_sum(list_transform(range(1, {d} + 1),
-                  i -> (e.v[i] - m.mu[i]) * p{iters}.pv[i])) AS s
-  FROM e CROSS JOIN m CROSS JOIN p{iters})"""
+                  i -> ({src}.v[i] - {P}m.mu[i]) * {P}p{iters}.pv[i])) AS s
+  FROM {src} CROSS JOIN {P}m CROSS JOIN {P}p{iters})"""
     )
     parts.append(
-        "ssF AS (SELECT CAST(SUM(CAST(round(s * s, 9) AS DECIMAL(30,9))) AS DOUBLE) AS ss FROM sF)"
+        f"{P}ssF AS (SELECT CAST(SUM(CAST(round(s * s, 9) AS DECIMAL(30,9))) AS DOUBLE) AS ss FROM {P}sF)"
     )
     return parts
 
@@ -4151,3 +4164,77 @@ FROM q LEFT JOIN hits USING (query_id)
 
 SPARK_QUERIES["ann_ivf_recall"] = ann_ivf_recall
 ORACLE_SQL["ann_ivf_recall"] = ANN_RECALL_SQL
+
+
+def embedding_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal component by DEFLATED power iteration: remove the
+    top component from every vector (`remove_top_component`), then run
+    the matrix-free power iteration again on the residuals — Hotelling
+    deflation, the matrix-free way to peel spectral directions one at a
+    time without ever materializing covariance. The `ortho` column
+    (v1·v2, ≈0) certifies the deflation worked. Oracle: two chained
+    power-iteration trajectories, the second over the deflated CTE."""
+    ensure_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    comp_rows = sorted(
+        similarity.top_principal_component(emb, iterations=_PC_ITER).collect(),
+        key=lambda r: r["dim"],
+    )
+    v1 = [r["component"] for r in comp_rows]
+    deb = similarity.remove_top_component(emb, v1, id_col="vec_id")
+    second_rows = sorted(
+        similarity.top_principal_component(
+            deb, iterations=_PC_ITER, vec_col="debiased"
+        ).collect(),
+        key=lambda r: r["dim"],
+    )
+    v2 = [r["component"] for r in second_rows]
+    eig2 = second_rows[0]["eigenvalue"]
+    d = len(v2)
+    c1 = F.array(*[F.lit(float(x)) for x in v1])
+    c2 = F.array(*[F.lit(float(x)) for x in v2])
+    ortho = (
+        F.round(
+            F.aggregate(
+                F.zip_with(c1, c2, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return spark.range(d).select(
+        F.col("id").cast("int").alias("dim"),
+        F.element_at(c2, (F.col("id") + 1).cast("int")).alias("component"),
+        F.lit(float(eig2)).alias("eigenvalue"),
+        ortho.alias("ortho"),
+    )
+
+
+def _second_component_sql(iters: int = _PC_ITER, d: int = 64) -> str:
+    parts = _power_iteration_ctes(iters, d)
+    parts.append(
+        f"""e2 AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {d} + 1),
+           i -> round(e.v[i] - list_sum(list_transform(range(1, {d} + 1),
+                        j -> e.v[j] * p{iters}.pv[j])) * p{iters}.pv[i], 9)) AS v
+  FROM e CROSS JOIN p{iters})"""
+    )
+    parts.extend(_power_iteration_ctes(iters, d, prefix="b", src="e2"))
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT CAST(r.i - 1 AS INTEGER) AS dim,
+       bp{iters}.pv[r.i] AS component,
+       round(bssF.ss / bnn.n, 9) AS eigenvalue,
+       round(list_sum(list_transform(range(1, {d} + 1),
+             k -> p{iters}.pv[k] * bp{iters}.pv[k])), 6) + 0.0 AS ortho
+FROM bp{iters} CROSS JOIN bnn CROSS JOIN bssF CROSS JOIN p{iters}, range(1, {d} + 1) r(i)
+"""
+    )
+
+
+SPARK_QUERIES["embedding_second_component"] = embedding_second_component
+ORACLE_SQL["embedding_second_component"] = _second_component_sql()
