@@ -1415,7 +1415,7 @@ def top_principal_component(
     # NULL payload rows are excluded up front (posexplode would silently
     # drop them from the means while a separate count() kept them in the
     # eigenvalue denominator — diverging from any oracle)
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    embeddings = widen_small_scan(embeddings.filter(F.col(vec_col).isNotNull()))
 
     dims = embeddings.select(
         F.posexplode(

@@ -4175,19 +4175,34 @@ def embedding_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v1·v2, ≈0) certifies the deflation worked. Oracle: two chained
     power-iteration trajectories, the second over the deflated CTE."""
     ensure_views(spark, sf_dir)
+    from pyspark import StorageLevel
+
     emb = spark.table("embeddings")
     comp_rows = sorted(
-        similarity.top_principal_component(emb, iterations=_PC_ITER).collect(),
-        key=lambda r: r["dim"],
-    )
-    v1 = [r["component"] for r in comp_rows]
-    deb = similarity.remove_top_component(emb, v1, id_col="vec_id")
-    second_rows = sorted(
         similarity.top_principal_component(
-            deb, iterations=_PC_ITER, vec_col="debiased"
+            emb, iterations=_PC_ITER, persist=StorageLevel.MEMORY_AND_DISK
         ).collect(),
         key=lambda r: r["dim"],
     )
+    v1 = [r["component"] for r in comp_rows]
+    # cache the deflated frame AND (inside the operator) its centered
+    # copy: the second trajectory otherwise re-derives the projection on
+    # every scan — measured 15.3 s -> ~7 s at sf0.1
+    deb = similarity.remove_top_component(emb, v1, id_col="vec_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        second_rows = sorted(
+            similarity.top_principal_component(
+                deb,
+                iterations=_PC_ITER,
+                vec_col="debiased",
+                persist=StorageLevel.MEMORY_AND_DISK,
+            ).collect(),
+            key=lambda r: r["dim"],
+        )
+    finally:
+        deb.unpersist()
     v2 = [r["component"] for r in second_rows]
     eig2 = second_rows[0]["eigenvalue"]
     d = len(v2)
