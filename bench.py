@@ -217,6 +217,9 @@ HEADLINE = [
     "embedding_second_component",
     "ab_value_cuped",
     "event_entropy_rate",
+    "user_activity_negbinom_fit",
+    "supplier_degree_powerlaw",
+    "part_abc_classification",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -3783,3 +3783,148 @@ ORDER BY event_type
 
 SPARK_QUERIES["event_entropy_rate"] = event_entropy_rate
 ORACLE_SQL["event_entropy_rate"] = ENTROPY_RATE_SQL
+
+
+def user_activity_negbinom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial fit of per-user event counts by the method of
+    moments: r = m²/(v−m), p = m/v — the standard overdispersion model
+    for activity data (a Poisson fit is wrong the moment var > mean,
+    which user event counts always are). Per-user counts from one
+    aggregate; cross-user mean/variance from exact integer moment sums
+    in one pinned parenthesization; degenerate var <= mean pins the NB
+    parameters to NULL (the data is then Poisson-or-under-dispersed)."""
+    ensure_views(spark, sf_dir)
+    per_user = (
+        spark.table("events").groupBy("user_id").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_c").alias("_s"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    mean = F.col("_s").cast("double") / F.col("n_users")
+    var = (
+        F.col("_s2").cast("double") - F.col("_s").cast("double") * F.col("_s") / F.col("n_users")
+    ) / (F.col("n_users") - 1)
+    over = var > mean
+    return g.filter(F.col("n_users") > 1).select(
+        "n_users",
+        F.round(mean, 9).alias("mean_events"),
+        F.round(var, 9).alias("var_events"),
+        F.when(over, F.round(mean * mean / (var - mean), 9)).alias("nb_r"),
+        F.when(over, F.round(mean / var, 9)).alias("nb_p"),
+    )
+
+
+NEGBINOM_SQL = """
+WITH pu AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM pu
+)
+SELECT n_users,
+       round(CAST(s AS DOUBLE) / n_users, 9) AS mean_events,
+       round((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users) / (n_users - 1), 9) AS var_events,
+       CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users) / (n_users - 1)
+                 > CAST(s AS DOUBLE) / n_users THEN
+         round((CAST(s AS DOUBLE) / n_users) * (CAST(s AS DOUBLE) / n_users)
+               / ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users) / (n_users - 1)
+                  - CAST(s AS DOUBLE) / n_users), 9) END AS nb_r,
+       CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users) / (n_users - 1)
+                 > CAST(s AS DOUBLE) / n_users THEN
+         round((CAST(s AS DOUBLE) / n_users)
+               / ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n_users) / (n_users - 1)), 9)
+       END AS nb_p
+FROM g WHERE n_users > 1
+"""
+
+SPARK_QUERIES["user_activity_negbinom_fit"] = user_activity_negbinom_fit
+ORACLE_SQL["user_activity_negbinom_fit"] = NEGBINOM_SQL
+
+
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: class A = parts
+    while cumulative revenue share <= 80%, B while <= 95%, C the tail —
+    the Pareto cut purchasing/curation pipelines run daily. Revenue per
+    part is an exact decimal sum converted to integer MICRO-units, so
+    the cumulative thresholds are integer-exact (compared in DECIMAL to
+    dodge the ×100 overflow at large SF); the global cumulative runs on
+    the DISTINCT-revenue-value relation through the bucketed
+    `stitched_cumsums` scaffold — parts tied on revenue share a class,
+    and no single-partition window touches part-level rows."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    li = spark.table("lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("_r")
+        )
+        .select(
+            (-F.col("_r").cast("double")).alias("_v"),
+            (F.col("_r") * 1000000).cast("long").alias("_w"),
+        )
+    )
+    counts = (
+        rev.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_w").alias("_wv"))
+        .localCheckpoint(eager=True)
+    )
+    stitched, totals = stitched_cumsums(counts, "_v", ("_n", "_wv"), 32)
+    tot_w = totals["_wv"]
+    cum = F.col("_cum__wv").cast("decimal(38,0)")
+    tot = F.lit(int(tot_w)).cast("decimal(38,0)")
+    cls = (
+        F.when(cum * 100 <= tot * 80, F.lit("A"))
+        .when(cum * 100 <= tot * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        stitched.select(cls.alias("abc_class"), "_n", "_wv")
+        .groupBy("abc_class")
+        .agg(
+            F.sum("_n").alias("n_parts"),
+            F.round(
+                F.sum("_wv").cast("double") / F.lit(float(tot_w)), 9
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DECIMAL(38,6))
+              * 1000000 AS BIGINT) AS w,
+         -CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM lineitem GROUP BY l_partkey
+), vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(w) AS BIGINT) AS wv
+  FROM rev GROUP BY v
+), tot AS (SELECT CAST(SUM(wv) AS BIGINT) AS t FROM vals),
+cum AS (
+  SELECT v, n, wv,
+         SUM(wv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM vals
+)
+SELECT CASE WHEN CAST(cw AS DECIMAL(38,0)) * 100 <= CAST(tot.t AS DECIMAL(38,0)) * 80 THEN 'A'
+            WHEN CAST(cw AS DECIMAL(38,0)) * 100 <= CAST(tot.t AS DECIMAL(38,0)) * 95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(SUM(n) AS BIGINT) AS n_parts,
+       round(CAST(SUM(wv) AS DOUBLE) / tot.t, 9) AS revenue_share
+FROM cum CROSS JOIN tot
+GROUP BY 1, tot.t
+ORDER BY abc_class
+"""
+
+SPARK_QUERIES["part_abc_classification"] = part_abc_classification
+ORACLE_SQL["part_abc_classification"] = ABC_SQL

@@ -834,3 +834,56 @@ WHERE nk.n_nodes >= 2
 
 SPARK_QUERIES["supplier_rich_club"] = supplier_rich_club
 ORACLE_SQL["supplier_rich_club"] = RICH_CLUB_SQL
+
+
+def supplier_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent of the supplier-graph degree
+    distribution by the continuous-approximation MLE
+    α = 1 + n / Σ ln(d / (dmin − 1/2)) (Clauset, Shalizi & Newman, SIAM
+    Review 2009, eq. 3.7 with dmin = 1) — the "is this a hub-dominated
+    heavy tail?" number that decides whether skew mitigation (salting,
+    two-level aggregation) is worth wiring for a graph. Degrees from one
+    edge aggregate; the log terms round to 12 and accumulate as exact
+    decimals."""
+    ensure_views(spark, sf_dir)
+    e = _supplier_edges(spark, sf_dir)
+    both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    g = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("_d").alias("max_degree"),
+        F.sum(
+            F.round(F.log(F.col("_d").cast("double") / F.lit(0.5)), 12).cast(
+                "decimal(30,12)"
+            )
+        )
+        .cast("double")
+        .alias("_sl"),
+    )
+    return g.filter(F.col("n_nodes") > 0).select(
+        "n_nodes",
+        "max_degree",
+        F.when(
+            F.col("_sl") > 0,
+            F.round(F.lit(1.0) + F.col("n_nodes") / F.col("_sl"), 9),
+        ).alias("alpha"),
+    )
+
+
+POWERLAW_SQL = f"""
+WITH {_EDGES_SQL},
+bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM bidir GROUP BY src),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(MAX(d) AS BIGINT) AS max_degree,
+         CAST(SUM(CAST(round(ln(CAST(d AS DOUBLE) / 0.5), 12) AS DECIMAL(30,12))) AS DOUBLE) AS sl
+  FROM deg
+)
+SELECT n_nodes, max_degree,
+       CASE WHEN sl > 0 THEN round(1.0 + n_nodes / sl, 9) END AS alpha
+FROM g WHERE n_nodes > 0
+"""
+
+SPARK_QUERIES["supplier_degree_powerlaw"] = supplier_degree_powerlaw
+ORACLE_SQL["supplier_degree_powerlaw"] = POWERLAW_SQL
