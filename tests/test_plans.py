@@ -559,3 +559,85 @@ def test_cms_sketch_single_pass_build(tables):
     # one scan, one explode, one aggregate: no joins in the build
     assert "Join" not in plan
     assert plan.count("Relation") == 1
+
+
+def test_winnow_selection_has_no_gram_row_shuffle(tables):
+    # the sliding-window min must run in ARRAY LAND per document — the old
+    # explode→window shape shuffled+sorted corpus×300 gram rows
+    from onetl_spark.llm.text import winnow_fingerprints
+
+    df = winnow_fingerprints(tables.table("documents"), k=7, window=5)
+    plan = optimized_plan(df)
+    assert "Window" not in plan  # no window function over exploded grams
+    # exactly the dedup aggregate touches exchange-worthy state; no sort
+    # of gram rows appears below the explode
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_kendall_grid_joins_are_broadcast_bounded(tables):
+    from onetl_spark.operators.stats import kendall_tau_b
+
+    df = kendall_tau_b(tables.table("lineitem"), "l_quantity", "l_linenumber")
+    plan = executed_plan(df)
+    # concordance pairs come from broadcast nested loop over the AGGREGATED
+    # cell grid — never a shuffle join or cartesian over fact rows
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocklist_phrase_table_is_broadcast(tables):
+    from onetl_spark.llm.text import phrase_blocklist_counts
+
+    df = phrase_blocklist_counts(tables.table("documents"), ["fast table", "value"])
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan  # phrase parts broadcast, corpus streams
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_topk_partial_window_limit(tables, spark):
+    from onetl_spark.showcase.analytics import part_copurchase_topk
+
+    df = part_copurchase_topk(spark, SF_DIR)
+    plan = executed_plan(df)
+    # the per-part top-k must pre-limit on the map side before the exchange
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hits_half_step_is_edge_keyed(tables, spark):
+    from onetl_spark.operators.graph import hits_fixed_point
+
+    e = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 10) for i in range(10)], "src long, dst long"
+    )
+    df = hits_fixed_point(e, iterations=1)
+    plan = executed_plan(df)
+    # normalizer totals ride 1-row broadcasts; no cartesian on node/edge data
+    assert "CartesianProduct" not in plan
+
+
+def test_wasserstein_no_single_partition_exchange(tables):
+    from onetl_spark.operators.stats import wasserstein_1d
+
+    ev = tables.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    df = wasserstein_1d(
+        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
+    )
+    plan = executed_plan(df)
+    # the ECDF cumsums and the successor lead must be bucket-partitioned
+    # windows — a global ORDER BY window would plan Exchange SinglePartition
+    # over the distinct-value relation
+    assert "_bkt" in plan
+    import re
+
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert w_specs and all("_bkt" in ws for ws in w_specs)
+
+
+def test_abc_classification_cumsum_is_bucketed(tables, spark):
+    from onetl_spark.showcase.analytics import part_abc_classification
+
+    df = part_abc_classification(spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "_bkt" in plan  # stitched scaffold, not a global ORDER BY window
