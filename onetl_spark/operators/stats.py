@@ -1147,3 +1147,104 @@ def nelson_aalen(
         )
         .orderBy("duration")
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-group log-rank test — the standard censoring-aware "do these
+    two survival curves differ?" statistic (Mantel 1966) that compares
+    the WHOLE curves where a t-test on durations would be biased by
+    censoring. Input contract matches :func:`kaplan_meier` plus a binary
+    ``group_col``; the group with the smaller value is "group 1".
+    Returns one row ``(n1, n2, observed_1, expected_1, variance,
+    chi2)`` — chi2 ~ χ²(1) under H0.
+
+    Same 100-TB shape as Kaplan–Meier: subjects collapse to the
+    calendar-bounded per-(duration, group) table in one aggregate;
+    at-risk counts are ordered windows over that bounded summary; the
+    hypergeometric terms round to 12 and accumulate as exact decimals.
+    Durations where the combined risk set is 1 contribute no variance
+    (the standard n_t > 1 guard).
+    """
+    from pyspark.sql import Window as W
+
+    s = df.select(
+        F.col(duration_col).cast("long").alias("_t"),
+        F.col(event_col).cast("int").alias("_e"),
+        F.col(group_col).alias("_g"),
+    ).filter(
+        F.col("_t").isNotNull() & F.col("_e").isNotNull() & F.col("_g").isNotNull()
+    )
+    groups = [r["_g"] for r in s.select("_g").distinct().orderBy("_g").collect()]
+    if len(groups) != 2:
+        raise ValueError(
+            f"logrank_test: group_col must have exactly 2 levels, got {groups}"
+        )
+    g1 = groups[0]
+    per_t = s.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_e").cast("long").alias("_d"),
+        F.sum((F.col("_g") == g1).cast("int")).cast("long").alias("_n1c"),
+        F.sum(((F.col("_g") == g1) & (F.col("_e") == 1)).cast("int"))
+        .cast("long")
+        .alias("_d1"),
+    )
+    tot = per_t.agg(
+        F.sum("_n").alias("_total"), F.sum("_n1c").alias("_total1")
+    )
+    w_before = W.orderBy("_t").rowsBetween(W.unboundedPreceding, -1)
+    at_risk = (
+        per_t.crossJoin(F.broadcast(tot))
+        .withColumn("_nb", F.coalesce(F.sum("_n").over(w_before), F.lit(0)))
+        .withColumn("_nb1", F.coalesce(F.sum("_n1c").over(w_before), F.lit(0)))
+        .select(
+            "_t",
+            "_d",
+            "_d1",
+            (F.col("_total") - F.col("_nb")).alias("_nt"),
+            (F.col("_total1") - F.col("_nb1")).alias("_nt1"),
+            "_total",
+            "_total1",
+        )
+        .filter(F.col("_d") > 0)
+    )
+    frac1 = F.col("_nt1").cast("double") / F.col("_nt")
+    e_term = F.round(F.col("_d").cast("double") * frac1, 12).cast("decimal(30,12)")
+    v_term = F.when(
+        F.col("_nt") > 1,
+        F.round(
+            F.col("_d").cast("double")
+            * frac1
+            * (1 - frac1)
+            * (F.col("_nt") - F.col("_d")).cast("double")
+            / (F.col("_nt") - 1).cast("double"),
+            12,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(30,12)")
+    agg = at_risk.agg(
+        F.max("_total1").alias("n1"),
+        (F.max("_total") - F.max("_total1")).alias("n2"),
+        F.sum("_d1").alias("observed_1"),
+        F.round(F.sum(e_term).cast("double"), 9).alias("expected_1"),
+        F.round(F.sum(v_term).cast("double"), 9).alias("variance"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "observed_1",
+        "expected_1",
+        "variance",
+        F.when(
+            F.col("variance") > 0,
+            F.round(
+                (F.col("observed_1").cast("double") - F.col("expected_1"))
+                * (F.col("observed_1").cast("double") - F.col("expected_1"))
+                / F.col("variance"),
+                9,
+            ),
+        ).alias("chi2"),
+    )

@@ -3928,3 +3928,92 @@ ORDER BY abc_class
 
 SPARK_QUERIES["part_abc_classification"] = part_abc_classification
 ORACLE_SQL["part_abc_classification"] = ABC_SQL
+
+
+def churn_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank comparison of user-lifetime survival between md5-parity
+    cohorts (`operators/stats.py logrank_test`), on the same censored
+    subjects as the Kaplan-Meier curve — the censoring-aware A/B test
+    for "does the experiment change churn TIMING?", not just the rate."""
+    from onetl_spark.operators.stats import logrank_test
+    from onetl_spark.llm.text import md5_long
+
+    ensure_views(spark, sf_dir)
+    per_user = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("_fd"),
+            F.max(F.col("ts").cast("date")).alias("_ld"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("_lt"),
+        )
+    )
+    subjects = per_user.select(
+        F.datediff("_ld", "_fd").alias("dur"),
+        (F.col("_lt") != "purchase").cast("int").alias("observed"),
+        F.when(
+            F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)) == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("grp"),
+    )
+    return logrank_test(subjects, "dur", "observed", "grp")
+
+
+LOGRANK_SQL = """
+WITH last_ev AS (
+  SELECT user_id, event_type AS lt
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                      event_id DESC) = 1
+), u AS (
+  SELECT e.user_id,
+         CAST(MIN(CAST(e.ts AS TIMESTAMP)) AS DATE) AS fd,
+         CAST(MAX(CAST(e.ts AS TIMESTAMP)) AS DATE) AS ld,
+         ANY_VALUE(l.lt) AS lt
+  FROM events e JOIN last_ev l ON l.user_id = e.user_id
+  GROUP BY e.user_id
+), s AS (
+  SELECT CAST(ld - fd AS BIGINT) AS t,
+         CASE WHEN lt <> 'purchase' THEN 1 ELSE 0 END AS e,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 'a' ELSE 'b' END AS g
+  FROM u
+), per_t AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(e) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n1c,
+         CAST(SUM(CASE WHEN g = 'a' AND e = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1
+  FROM s GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(SUM(n1c) AS BIGINT) AS total1 FROM per_t
+), r AS (
+  SELECT t, d, d1,
+         total - COALESCE(SUM(n) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nt,
+         total1 - COALESCE(SUM(n1c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nt1,
+         total, total1
+  FROM per_t CROSS JOIN tot
+), ev AS (SELECT * FROM r WHERE d > 0),
+agg AS (
+  SELECT CAST(MAX(total1) AS BIGINT) AS n1,
+         CAST(MAX(total) - MAX(total1) AS BIGINT) AS n2,
+         CAST(SUM(d1) AS BIGINT) AS observed_1,
+         round(CAST(SUM(CAST(round(CAST(d AS DOUBLE) * (CAST(nt1 AS DOUBLE) / nt), 12)
+                             AS DECIMAL(30,12))) AS DOUBLE), 9) AS expected_1,
+         round(CAST(SUM(CAST(CASE WHEN nt > 1 THEN
+                       round(CAST(d AS DOUBLE) * (CAST(nt1 AS DOUBLE) / nt)
+                             * (1 - CAST(nt1 AS DOUBLE) / nt)
+                             * CAST(nt - d AS DOUBLE) / CAST(nt - 1 AS DOUBLE), 12)
+                       ELSE 0.0 END AS DECIMAL(30,12))) AS DOUBLE), 9) AS variance
+  FROM ev
+)
+SELECT n1, n2, observed_1, expected_1, variance,
+       CASE WHEN variance > 0 THEN
+         round((CAST(observed_1 AS DOUBLE) - expected_1)
+               * (CAST(observed_1 AS DOUBLE) - expected_1) / variance, 9) END AS chi2
+FROM agg
+"""
+
+SPARK_QUERIES["churn_logrank_test"] = churn_logrank_test
+ORACLE_SQL["churn_logrank_test"] = LOGRANK_SQL

@@ -1081,3 +1081,53 @@ def test_nelson_aalen_hand_computed(spark):
     import math
 
     assert abs(got[3]["na_survival"] - math.exp(-0.9)) < 1e-6
+
+
+def test_logrank_brute_force(spark):
+    import random
+    from collections import defaultdict
+
+    from onetl_spark.operators.stats import logrank_test
+
+    rng = random.Random(9)
+    rows = [
+        (rng.randrange(1, 12), rng.randrange(2), "a" if rng.random() < 0.5 else "b")
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "dur int, obs int, grp string")
+    got = logrank_test(df, "dur", "obs", "grp").collect()[0]
+
+    per_t = defaultdict(lambda: [0, 0, 0, 0])  # n, d, n1, d1
+    for t, e, g in rows:
+        r = per_t[t]
+        r[0] += 1
+        r[1] += e
+        if g == "a":
+            r[2] += 1
+            r[3] += e
+    total = len(rows)
+    total1 = sum(1 for *_, g in rows if g == "a")
+    seen = seen1 = 0
+    o1 = e1 = v = 0.0
+    for t in sorted(per_t):
+        n, d, n1c, d1 = per_t[t]
+        nt, nt1 = total - seen, total1 - seen1
+        if d > 0:
+            f = nt1 / nt
+            o1 += d1
+            e1 += d * f
+            if nt > 1:
+                v += d * f * (1 - f) * (nt - d) / (nt - 1)
+        seen += n
+        seen1 += n1c
+    assert got["n1"] == total1 and got["n2"] == total - total1
+    assert got["observed_1"] == o1
+    assert abs(got["expected_1"] - e1) < 1e-6
+    assert abs(got["variance"] - v) < 1e-6
+    assert abs(got["chi2"] - (o1 - e1) ** 2 / v) < 1e-5
+
+    import pytest
+
+    one_group = spark.createDataFrame([(1, 1, "a")], "dur int, obs int, grp string")
+    with pytest.raises(ValueError):
+        logrank_test(one_group, "dur", "obs", "grp")
