@@ -220,6 +220,9 @@ HEADLINE = [
     "user_activity_negbinom_fit",
     "supplier_degree_powerlaw",
     "part_abc_classification",
+    "churn_logrank_test",
+    "part_price_index",
+    "ab_stratified_adjustment",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -4017,3 +4017,166 @@ FROM agg
 
 SPARK_QUERIES["churn_logrank_test"] = churn_logrank_test
 ORACLE_SQL["churn_logrank_test"] = LOGRANK_SQL
+
+
+_PI_BASE, _PI_CUR = 1995, 1996
+
+
+def part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices for parts between two
+    shipment years ({_PI_BASE} base → {_PI_CUR}) — the standard index-
+    number trio (base-weighted, current-weighted, and their geometric
+    mean) an assortment/pricing pipeline reports. Per-(part, period)
+    unit prices and quantities come from one aggregate (exact decimal
+    sums, price = Σvalue/Σqty rounded 9); indices sum decimal-rounded
+    p·q terms over the COMMON part set only (a part absent in either
+    period has no defined relative)."""
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem").filter(
+        F.year("l_shipdate").isin(_PI_BASE, _PI_CUR)
+    )
+    pp = (
+        li.groupBy("l_partkey", F.year("l_shipdate").alias("_y"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("_ep"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"),
+        )
+        .select(
+            "l_partkey",
+            "_y",
+            F.round(F.col("_ep").cast("double") / F.col("_q").cast("double"), 9).alias("_p"),
+            F.col("_q").cast("double").alias("_qd"),
+        )
+    )
+    base = pp.filter(F.col("_y") == _PI_BASE).select(
+        "l_partkey", F.col("_p").alias("p0"), F.col("_qd").alias("q0")
+    )
+    cur = pp.filter(F.col("_y") == _PI_CUR).select(
+        "l_partkey", F.col("_p").alias("p1"), F.col("_qd").alias("q1")
+    )
+    j = base.join(cur, "l_partkey")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.round(F.col("p1") * F.col("q0"), 6).cast("decimal(38,6)")).cast("double").alias("_l_num"),
+        F.sum(F.round(F.col("p0") * F.col("q0"), 6).cast("decimal(38,6)")).cast("double").alias("_l_den"),
+        F.sum(F.round(F.col("p1") * F.col("q1"), 6).cast("decimal(38,6)")).cast("double").alias("_p_num"),
+        F.sum(F.round(F.col("p0") * F.col("q1"), 6).cast("decimal(38,6)")).cast("double").alias("_p_den"),
+    )
+    lasp = F.col("_l_num") / F.col("_l_den")
+    paas = F.col("_p_num") / F.col("_p_den")
+    return agg.filter(F.col("n_parts") > 0).select(
+        "n_parts",
+        F.round(lasp, 9).alias("laspeyres"),
+        F.round(paas, 9).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 9).alias("fisher"),
+    )
+
+
+PRICE_INDEX_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, year(l_shipdate) AS y, l_extendedprice, l_quantity
+  FROM lineitem WHERE year(l_shipdate) IN ({_PI_BASE}, {_PI_CUR})
+), pp AS (
+  SELECT l_partkey, y,
+         round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 9) AS p,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS q
+  FROM li GROUP BY 1, 2
+), j AS (
+  SELECT b.l_partkey, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+  FROM pp b JOIN pp c ON b.l_partkey = c.l_partkey AND b.y = {_PI_BASE} AND c.y = {_PI_CUR}
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(CAST(round(p1 * q0, 6) AS DECIMAL(38,6))) AS DOUBLE) AS l_num,
+         CAST(SUM(CAST(round(p0 * q0, 6) AS DECIMAL(38,6))) AS DOUBLE) AS l_den,
+         CAST(SUM(CAST(round(p1 * q1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p_num,
+         CAST(SUM(CAST(round(p0 * q1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS p_den
+  FROM j
+)
+SELECT n_parts,
+       round(l_num / l_den, 9) AS laspeyres,
+       round(p_num / p_den, 9) AS paasche,
+       round(sqrt((l_num / l_den) * (p_num / p_den)), 9) AS fisher
+FROM agg WHERE n_parts > 0
+"""
+
+SPARK_QUERIES["part_price_index"] = part_price_index
+ORACLE_SQL["part_price_index"] = PRICE_INDEX_SQL
+
+
+def ab_stratified_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct standardization of the A/B value difference over event-type
+    strata: adjusted mean = Σ_s w_s·mean_{g,s} with w_s the POOLED
+    stratum weight — removes composition bias when cohorts land
+    different event-type mixes (the epidemiology-standard adjustment;
+    the categorical cousin of CUPED). Cohorts by md5 parity; per-(grp,
+    stratum) decimal moment sums; stratum-weighted recombination sums
+    decimal-rounded bounded terms."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    ev = spark.table("events").filter(F.col("value").isNotNull()).select(
+        F.when(
+            F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(2)) == 0,
+            F.lit("a"),
+        )
+        .otherwise(F.lit("b"))
+        .alias("grp"),
+        F.col("event_type").alias("stratum"),
+        "value",
+    )
+    cell = ev.groupBy("grp", "stratum").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("_s"),
+    )
+    w = ev.groupBy("stratum").agg(F.count(F.lit(1)).alias("_ns"))
+    tot = ev.agg(F.count(F.lit(1)).alias("_nt"))
+    adj = (
+        cell.join(w, "stratum")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "_n",
+            F.round(
+                (F.col("_ns").cast("double") / F.col("_nt"))
+                * (F.col("_s") / F.col("_n")),
+                9,
+            )
+            .cast("decimal(30,9)")
+            .alias("_w_term"),
+            F.round(F.col("_s"), 6).cast("decimal(38,6)").alias("_s_dec"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("_n").alias("n"),
+            F.round(F.sum("_s_dec").cast("double") / F.sum("_n"), 9).alias("raw_mean"),
+            F.round(F.sum("_w_term").cast("double"), 9).alias("adjusted_mean"),
+        )
+    )
+    return adj.orderBy("grp")
+
+
+STRAT_ADJ_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 'a' ELSE 'b' END AS grp,
+         event_type AS stratum, value
+  FROM events WHERE value IS NOT NULL
+), cell AS (
+  SELECT grp, stratum, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM ev GROUP BY 1, 2
+), w AS (
+  SELECT stratum, CAST(COUNT(*) AS BIGINT) AS ns FROM ev GROUP BY stratum
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM ev)
+SELECT grp, CAST(SUM(n) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(round(s, 6) AS DECIMAL(38,6))) AS DOUBLE) / SUM(n), 9) AS raw_mean,
+       round(CAST(SUM(CAST(round((CAST(ns AS DOUBLE) / nt) * (s / n), 9)
+                           AS DECIMAL(30,9))) AS DOUBLE), 9) AS adjusted_mean
+FROM cell JOIN w USING (stratum) CROSS JOIN tot
+GROUP BY grp
+ORDER BY grp
+"""
+
+SPARK_QUERIES["ab_stratified_adjustment"] = ab_stratified_adjustment
+ORACLE_SQL["ab_stratified_adjustment"] = STRAT_ADJ_SQL
