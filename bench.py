@@ -223,6 +223,8 @@ HEADLINE = [
     "churn_logrank_test",
     "part_price_index",
     "ab_stratified_adjustment",
+    "source_lm_transfer_matrix",
+    "streaming_value_histogram",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

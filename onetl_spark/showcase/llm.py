@@ -4253,3 +4253,112 @@ FROM bp{iters} CROSS JOIN bnn CROSS JOIN bssF CROSS JOIN p{iters}, range(1, {d} 
 
 SPARK_QUERIES["embedding_second_component"] = embedding_second_component
 ORACLE_SQL["embedding_second_component"] = _second_component_sql()
+
+
+def source_lm_transfer_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source unigram LM transfer: train an add-one-smoothed
+    unigram model on each source, evaluate average log2 probability per
+    token on every source (including itself) — the k×k transfer matrix
+    whose diagonal-vs-off-diagonal gap quantifies how much each source's
+    token distribution would surprise a model trained elsewhere (the
+    cheap proxy for the cross-domain perplexity grids mixture designers
+    consult). Smoothing: p(t) = (c_train(t)+1)/(N_train+V) with V the
+    GLOBAL vocabulary, so unseen tokens are well-defined.
+
+    Scale shape: one (source, term) aggregate; eval-side counts join
+    train-side counts per ordered source pair through the bounded pair
+    list (broadcast); per-term contributions c_eval·log2(p) round to 12
+    and accumulate as exact decimals."""
+    ensure_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "source", F.explode(text.word_tokens("text")).alias("_t")
+    )
+    counts = toks.groupBy("source", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("source").agg(F.sum("_c").alias("_n"))
+    vocab = counts.select("_t").distinct().agg(F.count(F.lit(1)).alias("_v"))
+    pairs = (
+        totals.select(F.col("source").alias("train_src"), F.col("_n").alias("_ntr"))
+        .crossJoin(
+            totals.select(F.col("source").alias("eval_src"), F.col("_n").alias("_nev"))
+        )
+    )
+    ev = counts.select(
+        F.col("source").alias("eval_src"),
+        F.col("_t").alias("_te"),
+        F.col("_c").alias("_ce"),
+    )
+    tr = counts.select(
+        F.col("source").alias("_trs"),
+        F.col("_t").alias("_tt"),
+        F.col("_c").alias("_ct"),
+    )
+    joined = (
+        pairs.join(ev, "eval_src")
+        .join(
+            tr,
+            (F.col("train_src") == F.col("_trs")) & (F.col("_te") == F.col("_tt")),
+            "left",
+        )
+        .drop("_trs")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "train_src",
+            "eval_src",
+            "_nev",
+            "_ce",
+            F.round(
+                F.col("_ce").cast("double")
+                * F.log2(
+                    (F.coalesce("_ct", F.lit(0)) + 1).cast("double")
+                    / (F.col("_ntr") + F.col("_v")).cast("double")
+                ),
+                12,
+            )
+            .cast("decimal(30,12)")
+            .alias("_term"),
+        )
+    )
+    return (
+        joined.groupBy("train_src", "eval_src", "_nev")
+        .agg(
+            F.round(F.sum("_term").cast("double") / F.col("_nev"), 9).alias(
+                "avg_log2_prob"
+            )
+        )
+        .select("train_src", "eval_src", "avg_log2_prob")
+        .orderBy("train_src", "eval_src")
+    )
+
+
+LM_TRANSFER_SQL = rf"""
+WITH t AS (
+  SELECT source, {SQL_TOKENS} AS w FROM documents
+), tok AS (
+  SELECT source, unnest(w) AS tk FROM t
+), counts AS (
+  SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY source
+), vocab AS (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM counts),
+pairs AS (
+  SELECT a.source AS train_src, a.n AS ntr, b.source AS eval_src, b.n AS nev
+  FROM totals a CROSS JOIN totals b
+), terms AS (
+  SELECT p.train_src, p.eval_src, p.nev,
+         CAST(round(CAST(e.c AS DOUBLE)
+                    * log2(CAST(COALESCE(tr.c, 0) + 1 AS DOUBLE)
+                           / CAST(p.ntr + vocab.v AS DOUBLE)), 12)
+              AS DECIMAL(30,12)) AS term
+  FROM pairs p
+  JOIN counts e ON e.source = p.eval_src
+  LEFT JOIN counts tr ON tr.source = p.train_src AND tr.tk = e.tk
+  CROSS JOIN vocab
+)
+SELECT train_src, eval_src,
+       round(CAST(SUM(term) AS DOUBLE) / nev, 9) AS avg_log2_prob
+FROM terms GROUP BY train_src, eval_src, nev
+ORDER BY train_src, eval_src
+"""
+
+SPARK_QUERIES["source_lm_transfer_matrix"] = source_lm_transfer_matrix
+ORACLE_SQL["source_lm_transfer_matrix"] = LM_TRANSFER_SQL

@@ -581,3 +581,58 @@ from onetl_spark.showcase.operators import (  # noqa: E402
 )
 
 ORACLE_SQL["streaming_rollup_maintenance"] = _ROLLUP_SQL
+
+
+_HIST_EDGES = [10.0, 20.0, 50.0, 100.0, 200.0]
+
+
+def streaming_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (`streaming/ops.py stateful_histogram`):
+    per-event_type fixed-bin value histogram maintained in
+    applyInPandasWithState — bounded state per key forever, the
+    streaming quantile-sketch build. Counts are order-independent, so
+    the final state must equal the batch bucket counts exactly; the
+    result explodes to (key, bin, count) rows (scalar columns only)."""
+    from onetl_spark.streaming.ops import stateful_histogram
+
+    events = _events_stream(spark, sf_dir)
+    updates = stateful_histogram(
+        events.select("event_type", "value"),
+        key_cols=["event_type"],
+        value_col="value",
+        edges=_HIST_EDGES,
+    )
+    sink = _run_to_table(updates, "update")
+    final = sink.groupBy("event_type").agg(
+        F.max_by("bin_counts", "n_total").alias("_bc")
+    )
+    return final.select(
+        "event_type", F.posexplode("_bc").alias("bin", "n_values")
+    )
+
+
+_HIST_CASE = " ".join(
+    [f"WHEN value <= {_HIST_EDGES[0]} THEN 0"]
+    + [
+        f"WHEN value <= {e} THEN {i + 1}"
+        for i, e in enumerate(_HIST_EDGES[1:])
+    ]
+) + f" ELSE {len(_HIST_EDGES)}"
+
+STREAMING_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT event_type, CASE {_HIST_CASE} END AS bin
+  FROM events WHERE value IS NOT NULL
+), grid AS (
+  SELECT et.event_type, r.i AS bin
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       range(0, {len(_HIST_EDGES) + 1}) r(i)
+)
+SELECT grid.event_type, CAST(grid.bin AS INTEGER) AS bin,
+       CAST(COALESCE(COUNT(b.event_type), 0) AS BIGINT) AS n_values
+FROM grid LEFT JOIN b ON b.event_type = grid.event_type AND b.bin = grid.bin
+GROUP BY 1, 2
+"""
+
+SPARK_QUERIES["streaming_value_histogram"] = streaming_value_histogram
+ORACLE_SQL["streaming_value_histogram"] = STREAMING_HISTOGRAM_SQL

@@ -200,3 +200,58 @@ def publish_state(df: DataFrame, run_dir: str, batch_id: int) -> None:
     for entry in os.listdir(run_dir):
         if entry.startswith("state-") and entry != name:
             shutil.rmtree(os.path.join(run_dir, entry), ignore_errors=True)
+
+
+def stateful_histogram(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    edges: list[float],
+) -> DataFrame:
+    """Custom stateful operator: per-key fixed-bin histogram maintained in
+    ``applyInPandasWithState`` — bounded state (len(edges)+1 counters per
+    key) no matter how long the stream runs, the streaming form of the
+    batch quantile-sketch build. Bin i counts values in
+    (edges[i-1], edges[i]]; bin 0 is (-inf, edges[0]]; the last bin is
+    (edges[-1], +inf). Counts are ORDER-INDEPENDENT, so the final state
+    per key equals the batch bucket counts exactly — which is what makes
+    a deterministic oracle possible where an order-sensitive state (an
+    EWMA) would not be. Emits one row per key per micro-batch with the
+    running counts array.
+    """
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError("stateful_histogram: edges must be non-empty ascending")
+    n_bins = len(edges) + 1
+    output_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType) for c in key_cols]
+        + [
+            T.StructField("bin_counts", T.ArrayType(T.LongType())),
+            T.StructField("n_total", T.LongType()),
+        ],
+    )
+    state_schema = T.StructType(
+        [T.StructField("counts", T.ArrayType(T.LongType()))],
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import bisect
+
+        counts = list(state.get[0]) if state.exists else [0] * n_bins
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None or pd.isna(v):
+                    continue
+                counts[bisect.bisect_left(edges, float(v))] += 1
+        state.update((counts,))
+        yield pd.DataFrame(
+            [[*key, counts, int(sum(counts))]],
+            columns=[*key_cols, "bin_counts", "n_total"],
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -865,3 +865,35 @@ def test_rollup_maintenance_split_independent_across_microbatches(spark, tmp_pat
     }
     assert got == want
     assert got["a"] == (3, 1, 5.25, 1.25, 4.0)
+
+
+def test_stateful_histogram_accumulates_across_batches(spark, tmp_path):
+    """The per-key bin counters survive micro-batch boundaries, and the
+    final emission equals the batch bucket counts (order-independence:
+    this is what makes the streaming_value_histogram oracle exact)."""
+    from onetl_spark.streaming.ops import stateful_histogram
+
+    src = tmp_path / "sh-src"
+    src.mkdir()
+    _write_batch_file(spark, tmp_path, src, "00",
+                      [(1, "u1", "2026-01-01 10:00:00", 5.0),
+                       (2, "u1", "2026-01-01 10:01:00", 15.0)], 1_000_000_000)
+    _write_batch_file(spark, tmp_path, src, "01",
+                      [(3, "u1", "2026-01-01 10:02:00", 40.0),
+                       (4, "u1", "2026-01-01 10:03:00", 15.0)], 1_000_000_100)
+
+    hist = stateful_histogram(
+        _file_stream(spark, src), ["user"], "value", edges=[10.0, 20.0]
+    )
+    _run_append(hist, tmp_path, "sh_sink", output_mode="update")
+    rows = sorted(
+        (r["n_total"], tuple(r["bin_counts"]))
+        for r in spark.table("sh_sink").collect()
+    )
+    # batch 1: 5.0 -> bin0, 15.0 -> bin1; batch 2 adds 40.0 -> bin2, 15.0 -> bin1
+    assert rows == [(2, (1, 1, 0)), (4, (1, 2, 1))]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stateful_histogram(_file_stream(spark, src), ["user"], "value", edges=[2.0, 1.0])
