@@ -225,6 +225,8 @@ HEADLINE = [
     "ab_stratified_adjustment",
     "source_lm_transfer_matrix",
     "streaming_value_histogram",
+    "supplier_pagerank_weighted",
+    "events_partial_correlation",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -4180,3 +4180,99 @@ ORDER BY grp
 
 SPARK_QUERIES["ab_stratified_adjustment"] = ab_stratified_adjustment
 ORACLE_SQL["ab_stratified_adjustment"] = STRAT_ADJ_SQL
+
+
+def events_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of daily click vs purchase counts
+    CONTROLLING for daily view counts: r_xy·z = (r_xy − r_xz·r_yz) /
+    √((1−r_xz²)(1−r_yz²)) — "does the click↔purchase co-movement
+    survive once overall traffic is held fixed?", the basic
+    confound-screen a metrics team runs before declaring two series
+    causally linked. Daily count triples from one pivot aggregate
+    (calendar-bounded); the three pairwise Pearsons come from exact
+    integer moment sums in pinned parenthesizations; degenerate
+    (constant-series or |r|=1 control) pins NULL."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy(F.col("ts").cast("date").alias("_d"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("_x"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("_y"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("_z"),
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum("_z").alias("sz"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+        F.sum(F.col("_z") * F.col("_z")).alias("szz"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_z")).alias("sxz"),
+        F.sum(F.col("_y") * F.col("_z")).alias("syz"),
+    )
+
+    def _r(sab, sa, sb, saa, sbb):
+        n = F.col("n").cast("double")
+        num = n * F.col(sab) - F.col(sa) * F.col(sb)
+        den = F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa))
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+        return num / F.when(den == 0, F.lit(None)).otherwise(den)
+
+    rxy = _r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = _r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = _r("syz", "sy", "sz", "syy", "szz")
+    den2 = F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    partial = (rxy - rxz * ryz) / F.when(den2 == 0, F.lit(None)).otherwise(den2)
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(rxy, 9).alias("r_click_purchase"),
+        F.round(rxz, 9).alias("r_click_view"),
+        F.round(ryz, 9).alias("r_purchase_view"),
+        F.round(partial, 9).alias("partial_r"),
+    )
+
+
+PARTIAL_CORR_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS z
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(z * z) AS BIGINT) AS szz,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * z) AS BIGINT) AS sxz,
+         CAST(SUM(y * z) AS BIGINT) AS syz
+  FROM daily
+), r AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0) AS rxy,
+         (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+           / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                         * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)), 0) AS rxz,
+         (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+           / NULLIF(sqrt((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                         * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz)), 0) AS ryz
+  FROM m
+)
+SELECT n AS n_days,
+       round(rxy, 9) AS r_click_purchase,
+       round(rxz, 9) AS r_click_view,
+       round(ryz, 9) AS r_purchase_view,
+       round((rxy - rxz * ryz) / NULLIF(sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 0), 9) AS partial_r
+FROM r
+"""
+
+SPARK_QUERIES["events_partial_correlation"] = events_partial_correlation
+ORACLE_SQL["events_partial_correlation"] = PARTIAL_CORR_SQL

@@ -887,3 +887,68 @@ FROM g WHERE n_nodes > 0
 
 SPARK_QUERIES["supplier_degree_powerlaw"] = supplier_degree_powerlaw
 ORACLE_SQL["supplier_degree_powerlaw"] = POWERLAW_SQL
+
+
+def supplier_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fixed-point PageRank: mass splits proportionally to
+    co-shipment counts instead of uniformly (`pagerank_fixed_point`'s
+    ``edge_weight`` path — a supplier that co-ships 50 orders with one
+    partner and 5 with another sends 10× the rank along the first edge).
+    Same integer exactness contract as the unweighted showcase; the
+    oracle replays the weighted share split ``rank·w div Σw``."""
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_COOCCUR)
+    )
+    undirected = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return pagerank_fixed_point(undirected, iterations=3, edge_weight="w")
+
+
+def _prw_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+i{cur} AS (SELECT d.dst AS node, SUM((r{prev}.r * d.w) // sw.sw) AS m
+           FROM dirw d
+           JOIN r{prev} ON r{prev}.node = d.src
+           JOIN sw ON sw.src = d.src
+           GROUP BY d.dst),
+r{cur} AS (SELECT nodes.node,
+                  (15 * {_PR_SCALE}) // (100 * nn.n)
+                  + (85 * COALESCE(i{cur}.m, 0)) // 100 AS r
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN i{cur} ON i{cur}.node = nodes.node)
+"""
+
+
+PAGERANK_W_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+edw AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(COUNT(*) AS BIGINT) AS w
+        FROM li a JOIN li b USING (l_orderkey)
+        WHERE a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MIN_COOCCUR}),
+dirw AS (SELECT u AS src, v AS dst, w FROM edw
+         UNION ALL SELECT v AS src, u AS dst, w FROM edw),
+nodes AS (SELECT DISTINCT src AS node FROM dirw),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+sw AS (SELECT src, SUM(w) AS sw FROM dirw GROUP BY src),
+r0 AS (SELECT node, {_PR_SCALE} // nn.n AS r FROM nodes, nn),
+{_prw_iter_sql("0", "1")},
+{_prw_iter_sql("1", "2")},
+{_prw_iter_sql("2", "3")}
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+"""
+
+SPARK_QUERIES["supplier_pagerank_weighted"] = supplier_pagerank_weighted
+ORACLE_SQL["supplier_pagerank_weighted"] = PAGERANK_W_SQL
