@@ -227,6 +227,9 @@ HEADLINE = [
     "streaming_value_histogram",
     "supplier_pagerank_weighted",
     "events_partial_correlation",
+    "supplier_diameter_sweep",
+    "bigram_llr_collocations",
+    "part_return_rate_shrunk",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

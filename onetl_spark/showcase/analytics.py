@@ -4276,3 +4276,95 @@ FROM r
 
 SPARK_QUERIES["events_partial_correlation"] = events_partial_correlation
 ORACLE_SQL["events_partial_correlation"] = PARTIAL_CORR_SQL
+
+
+_EB_MIN_N, _EB_TOP = 3, 10
+
+
+def part_return_rate_shrunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-part return rates: fit a Beta
+    prior to the observed rate distribution by method of moments
+    (α = m(m(1−m)/v − 1), β likewise), then rank parts by the shrunk
+    posterior mean (k+α)/(n+α+β) — the standard fix for "a part with 1
+    return out of 2 lines is NOT your worst part" small-n ranking
+    pathology (Robbins 1956; the baseball-batting-average textbook
+    case). One per-part aggregate; prior moments from decimal-rounded
+    rate sums; deterministic top-{_EB_TOP} (shrunk desc, part asc)."""
+    ensure_views(spark, sf_dir)
+    per_part = (
+        spark.table("lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("k"),
+        )
+        .filter(F.col("n") >= _EB_MIN_N)
+        .localCheckpoint(eager=False)
+    )
+    rate = F.col("k").cast("double") / F.col("n")
+    mom = per_part.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum(F.round(rate, 9).cast("decimal(30,9)")).cast("double").alias("_sr"),
+        F.sum(F.round(rate * rate, 9).cast("decimal(30,9)")).cast("double").alias("_sr2"),
+    )
+    m = F.col("_sr") / F.col("_m")
+    v = (F.col("_sr2") - F.col("_sr") * F.col("_sr") / F.col("_m")) / (F.col("_m") - 1)
+    scale = m * (1 - m) / v - 1
+    prior = mom.select(
+        F.when((v > 0) & (v < m * (1 - m)), F.round(m * scale, 9)).alias("alpha"),
+        F.when((v > 0) & (v < m * (1 - m)), F.round((1 - m) * scale, 9)).alias("beta"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(prior))
+        .select(
+            F.col("l_partkey").alias("part"),
+            "n",
+            "k",
+            F.round(rate, 9).alias("raw_rate"),
+            F.round(
+                (F.col("k") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                9,
+            ).alias("shrunk_rate"),
+            "alpha",
+            "beta",
+        )
+        .orderBy(F.col("shrunk_rate").desc(), F.col("part").asc())
+        .limit(_EB_TOP)
+    )
+
+
+EB_SHRINK_SQL = f"""
+WITH pp AS (
+  SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM lineitem GROUP BY 1
+  HAVING COUNT(*) >= {_EB_MIN_N}
+), mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(CAST(round(CAST(k AS DOUBLE) / n, 9) AS DECIMAL(30,9))) AS DOUBLE) AS sr,
+         CAST(SUM(CAST(round((CAST(k AS DOUBLE) / n) * (CAST(k AS DOUBLE) / n), 9)
+                       AS DECIMAL(30,9))) AS DOUBLE) AS sr2
+  FROM pp
+), prior AS (
+  SELECT CASE WHEN (sr2 - sr * sr / m) / (m - 1) > 0
+                   AND (sr2 - sr * sr / m) / (m - 1) < (sr / m) * (1 - sr / m) THEN
+           round((sr / m) * ((sr / m) * (1 - sr / m) / ((sr2 - sr * sr / m) / (m - 1)) - 1), 9)
+         END AS alpha,
+         CASE WHEN (sr2 - sr * sr / m) / (m - 1) > 0
+                   AND (sr2 - sr * sr / m) / (m - 1) < (sr / m) * (1 - sr / m) THEN
+           round((1 - sr / m) * ((sr / m) * (1 - sr / m) / ((sr2 - sr * sr / m) / (m - 1)) - 1), 9)
+         END AS beta
+  FROM mom
+)
+SELECT part, n, k,
+       round(CAST(k AS DOUBLE) / n, 9) AS raw_rate,
+       round((k + alpha) / (n + alpha + beta), 9) AS shrunk_rate,
+       alpha, beta
+FROM pp CROSS JOIN prior
+ORDER BY shrunk_rate DESC, part ASC
+LIMIT {_EB_TOP}
+"""
+
+SPARK_QUERIES["part_return_rate_shrunk"] = part_return_rate_shrunk
+ORACLE_SQL["part_return_rate_shrunk"] = EB_SHRINK_SQL

@@ -952,3 +952,73 @@ SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
 
 SPARK_QUERIES["supplier_pagerank_weighted"] = supplier_pagerank_weighted
 ORACLE_SQL["supplier_pagerank_weighted"] = PAGERANK_W_SQL
+
+
+_DIA_MAX_HOPS = 20
+
+
+def supplier_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diameter lower bound by the classic DOUBLE BFS SWEEP (Magnien
+    et al., "Fast computation of empirically tight bounds for the
+    diameter of massive graphs", JEA 2009): BFS from the minimum node
+    id, restart a second BFS from the farthest node found (ties → min
+    id) — its eccentricity is the standard near-tight diameter lower
+    bound at two-BFS cost, where the exact diameter would need all-pairs.
+    Covers the seed's component; both sweeps reuse one checkpointed edge
+    set. Returns one row ``(seed, far_node, sweep1_ecc, diameter_lb)``."""
+    from onetl_spark.operators.graph import bfs_hops
+
+    ensure_views(spark, sf_dir)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = nodes.orderBy("node").limit(1)
+    d1 = bfs_hops(e, seed, max_hops=_DIA_MAX_HOPS)
+    far1 = d1.orderBy(F.col("hops").desc(), F.col("node").asc()).limit(1)
+    ecc1_row = far1.collect()[0]
+    far_node, ecc1 = ecc1_row["node"], ecc1_row["hops"]
+    d2 = bfs_hops(
+        e, spark.createDataFrame([(far_node,)], "node long"), max_hops=_DIA_MAX_HOPS
+    )
+    seed_val = seed.collect()[0]["node"]
+    return d2.agg(
+        F.lit(int(seed_val)).cast("long").alias("seed"),
+        F.lit(int(far_node)).cast("long").alias("far_node"),
+        F.lit(int(ecc1)).cast("long").alias("sweep1_ecc"),
+        F.max("hops").cast("long").alias("diameter_lb"),
+    )
+
+
+DIAMETER_SQL = f"""
+WITH RECURSIVE {_EDGES_SQL},
+dir AS (SELECT u AS src, v AS dst FROM ed
+        UNION ALL SELECT v AS src, u AS dst FROM ed),
+nodes AS (SELECT DISTINCT src AS node FROM dir),
+seed AS (SELECT MIN(node) AS node FROM nodes),
+walk1(node, d) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT dir.dst, walk1.d + 1
+  FROM walk1 JOIN dir ON dir.src = walk1.node
+  WHERE walk1.d < {_DIA_MAX_HOPS}
+), d1 AS (SELECT node, MIN(d) AS hops FROM walk1 GROUP BY node),
+far1 AS (SELECT node, hops FROM d1 ORDER BY hops DESC, node ASC LIMIT 1),
+walk2(node, d) AS (
+  SELECT node, 0 FROM far1
+  UNION
+  SELECT dir.dst, walk2.d + 1
+  FROM walk2 JOIN dir ON dir.src = walk2.node
+  WHERE walk2.d < {_DIA_MAX_HOPS}
+), d2 AS (SELECT node, MIN(d) AS hops FROM walk2 GROUP BY node)
+SELECT (SELECT node FROM seed) AS seed,
+       (SELECT node FROM far1) AS far_node,
+       (SELECT hops FROM far1) AS sweep1_ecc,
+       CAST(MAX(hops) AS BIGINT) AS diameter_lb
+FROM d2
+"""
+
+SPARK_QUERIES["supplier_diameter_sweep"] = supplier_diameter_sweep
+ORACLE_SQL["supplier_diameter_sweep"] = DIAMETER_SQL

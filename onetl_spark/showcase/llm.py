@@ -4362,3 +4362,106 @@ ORDER BY train_src, eval_src
 
 SPARK_QUERIES["source_lm_transfer_matrix"] = source_lm_transfer_matrix
 ORACLE_SQL["source_lm_transfer_matrix"] = LM_TRANSFER_SQL
+
+
+_LLR_MIN, _LLR_TOP = 5, 20
+
+
+def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_LLR_TOP} collocations by Dunning's log-likelihood ratio
+    (Dunning, "Accurate Methods for the Statistics of Surprise and
+    Coincidence", CL 1993) — the collocation test that stays calibrated
+    at low counts where PMI (`bigram_pmi_collocations`) over-rewards
+    rare pairs: G² = 2·Σ k·ln(k·N/(row·col)) over the 2×2 contingency of
+    (first word = w1) × (second word = w2) across all adjacent-token
+    positions. One bigram aggregate + two marginal aggregates, joined on
+    the aggregated relations; the 4-term G² is a single pinned
+    expression per bigram; deterministic top-k (G² desc, bigram asc)."""
+    ensure_views(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "doc_id", text.word_tokens("text").alias("_w")
+    )
+    n1 = F.greatest(F.size("_w") - 1, F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("_w", 1, n1),
+                    F.slice("_w", 2, n1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("_b")
+        )
+        .select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    )
+    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("k11"))
+    first = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("r1"))
+    second = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("c1"))
+    n = bi.agg(F.count(F.lit(1)).alias("nn"))
+    g = (
+        pair.filter(F.col("k11") >= _LLR_MIN)
+        .join(first, "w1")
+        .join(second, "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    k11 = F.col("k11").cast("double")
+    k12 = (F.col("r1") - F.col("k11")).cast("double")
+    k21 = (F.col("c1") - F.col("k11")).cast("double")
+    k22 = (F.col("nn") - F.col("r1") - F.col("c1") + F.col("k11")).cast("double")
+    nn = F.col("nn").cast("double")
+    r1, r2 = F.col("r1").cast("double"), nn - F.col("r1").cast("double")
+    c1, c2 = F.col("c1").cast("double"), nn - F.col("c1").cast("double")
+
+    def term(k, row, col):
+        return F.when(k > 0, k * F.log(k * nn / (row * col))).otherwise(F.lit(0.0))
+
+    g2 = 2.0 * (
+        term(k11, r1, c1) + term(k12, r1, c2) + term(k21, r2, c1) + term(k22, r2, c2)
+    )
+    return (
+        g.select(
+            "w1",
+            "w2",
+            F.col("k11").alias("n_pair"),
+            F.round(g2, 6).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(_LLR_TOP)
+    )
+
+
+LLR_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), bi AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+         unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+  FROM t WHERE len(w) >= 2
+), pair AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11 FROM bi GROUP BY 1, 2
+), fst AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS r1 FROM bi GROUP BY w1),
+snd AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY w2),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bi),
+g AS (
+  SELECT pair.w1, pair.w2, k11, r1, c1, nn,
+         CAST(k11 AS DOUBLE) AS a,
+         CAST(r1 - k11 AS DOUBLE) AS b,
+         CAST(c1 - k11 AS DOUBLE) AS c,
+         CAST(nn - r1 - c1 + k11 AS DOUBLE) AS d
+  FROM pair JOIN fst USING (w1) JOIN snd USING (w2) CROSS JOIN nt
+  WHERE k11 >= {_LLR_MIN}
+)
+SELECT w1, w2, k11 AS n_pair,
+       round(2.0 * (
+         (CASE WHEN a > 0 THEN a * ln(a * nn / (CAST(r1 AS DOUBLE) * c1)) ELSE 0.0 END)
+         + (CASE WHEN b > 0 THEN b * ln(b * nn / (CAST(r1 AS DOUBLE) * (nn - c1))) ELSE 0.0 END)
+         + (CASE WHEN c > 0 THEN c * ln(c * nn / ((nn - CAST(r1 AS DOUBLE)) * c1)) ELSE 0.0 END)
+         + (CASE WHEN d > 0 THEN d * ln(d * nn / ((nn - CAST(r1 AS DOUBLE)) * (nn - c1))) ELSE 0.0 END)
+       ), 6) AS llr
+FROM g
+ORDER BY llr DESC, w1 ASC, w2 ASC
+LIMIT {_LLR_TOP}
+"""
+
+SPARK_QUERIES["bigram_llr_collocations"] = bigram_llr_collocations
+ORACLE_SQL["bigram_llr_collocations"] = LLR_SQL
