@@ -230,6 +230,8 @@ HEADLINE = [
     "supplier_diameter_sweep",
     "bigram_llr_collocations",
     "part_return_rate_shrunk",
+    "corpus_novelty_decay",
+    "session_similarity_pairs",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

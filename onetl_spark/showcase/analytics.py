@@ -4368,3 +4368,87 @@ LIMIT {_EB_TOP}
 
 SPARK_QUERIES["part_return_rate_shrunk"] = part_return_rate_shrunk
 ORACLE_SQL["part_return_rate_shrunk"] = EB_SHRINK_SQL
+
+
+_SESS_MAX_BUCKET, _SESS_MAX_DIST = 200, 3
+
+
+def session_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical behavior sequences: users whose full event-type
+    session strings (one initial per event, time-ordered) sit within
+    Levenshtein distance {_SESS_MAX_DIST} — bot/duplicate-account
+    screening by BEHAVIOR rather than identity fields (the sequence
+    cousin of `supplier_fuzzy_linkage`). Blocking: candidates pair only
+    within equal string LENGTH (an edit-distance-aware recall cap —
+    cross-length near-misses are forgone, the standard blocking trade),
+    hot blocks over {_SESS_MAX_BUCKET} users are dropped (logged-cap
+    posture), and the JVM `levenshtein` runs only inside blocks.
+    Output: pair counts per distance — bounded, deterministic."""
+    ensure_views(spark, sf_dir)
+    sig = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts",
+                                "event_id",
+                                F.substring("event_type", 1, 1).alias("ch"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ch"],
+                ),
+                "",
+            ).alias("sig")
+        )
+        .select("user_id", "sig", F.length("sig").alias("_len"))
+    )
+    from pyspark.sql import Window as W
+
+    blocked = (
+        sig.withColumn("_bn", F.count(F.lit(1)).over(W.partitionBy("_len")))
+        .filter(F.col("_bn") <= _SESS_MAX_BUCKET)
+        .drop("_bn")
+    )
+    a = blocked.select(
+        F.col("user_id").alias("u1"), F.col("sig").alias("s1"), "_len"
+    )
+    b = blocked.select(
+        F.col("user_id").alias("u2"), F.col("sig").alias("s2"), "_len"
+    )
+    pairs = (
+        a.join(b, "_len")
+        .filter(F.col("u1") < F.col("u2"))
+        .select(F.levenshtein("s1", "s2").alias("distance"))
+        .filter(F.col("distance") <= _SESS_MAX_DIST)
+    )
+    return (
+        pairs.groupBy("distance")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("distance")
+    )
+
+
+SESSION_SIM_SQL = f"""
+WITH sig AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+  FROM events GROUP BY user_id
+), sized AS (
+  SELECT user_id, s, length(s) AS len FROM sig
+  QUALIFY COUNT(*) OVER (PARTITION BY length(s)) <= {_SESS_MAX_BUCKET}
+), pairs AS (
+  SELECT levenshtein(a.s, b.s) AS distance
+  FROM sized a JOIN sized b ON a.len = b.len AND a.user_id < b.user_id
+)
+SELECT CAST(distance AS INTEGER) AS distance, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE distance <= {_SESS_MAX_DIST}
+GROUP BY 1 ORDER BY distance
+"""
+
+SPARK_QUERIES["session_similarity_pairs"] = session_similarity_pairs
+ORACLE_SQL["session_similarity_pairs"] = SESSION_SIM_SQL

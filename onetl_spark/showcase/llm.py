@@ -4465,3 +4465,105 @@ LIMIT {_LLR_TOP}
 
 SPARK_QUERIES["bigram_llr_collocations"] = bigram_llr_collocations
 ORACLE_SQL["bigram_llr_collocations"] = LLR_SQL
+
+
+_NOV_K, _NOV_BUCKETS = 8, 10
+
+
+def corpus_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty decay across corpus growth: for each doc_id decile, the
+    average fraction of a document's character {_NOV_K}-gram hashes
+    already introduced by EARLIER documents — the curve that tells a
+    crawl pipeline when additional ingestion stops contributing new
+    content (it climbs toward 1 as the corpus saturates), and the
+    document-order view of what `duplicate_ngram_coverage` measures
+    corpus-wide.
+
+    Scale shape: gram hashing rides the lambda-bound array expressions
+    (one normalization per doc); each gram's FIRST document is one
+    term-keyed aggregate; per-doc repeated/total counts are exact
+    integers; deciles come from fixed doc_id-range thresholds (no
+    global rank)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import winnow_fingerprints  # noqa: F401  (shared md5 path)
+
+    docs = spark.table("documents")
+    norm = text.normalize_text("text")
+    grams = F.get(
+        F.transform(
+            F.array(norm),
+            lambda t: F.when(
+                F.length(t) >= _NOV_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - F.lit(_NOV_K - 1)),
+                    lambda i: text.md5_long(F.substr(t, i, F.lit(_NOV_K))),
+                ),
+            ).otherwise(F.array().cast("array<long>")),
+        ),
+        F.lit(0),
+    )
+    dg = docs.select("doc_id", F.explode(grams).alias("_g")).distinct()
+    first = dg.groupBy("_g").agg(F.min("doc_id").alias("_fd"))
+    per_doc = (
+        dg.join(first, "_g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_total"),
+            F.sum((F.col("_fd") < F.col("doc_id")).cast("long")).alias("_rep"),
+        )
+    )
+    bounds = docs.agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+    bucketed = per_doc.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_NOV_BUCKETS - 1),
+            (
+                (F.col("doc_id") - F.col("_lo")) * _NOV_BUCKETS
+                / (F.col("_hi") - F.col("_lo") + 1)
+            ).cast("int"),
+        ).alias("decile"),
+        "_total",
+        "_rep",
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_total").alias("n_grams"),
+            F.round(
+                F.sum("_rep").cast("double") / F.sum("_total"), 9
+            ).alias("repeated_frac"),
+        )
+        .orderBy("decile")
+    )
+
+
+NOVELTY_SQL = rf"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS t
+  FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(length(t) - {_NOV_K - 2}, 1)),
+                i -> ('0x' || substr(md5(substr(t, i, {_NOV_K})), 1, 15))::BIGINT)) AS g
+  FROM n WHERE length(t) >= {_NOV_K}
+), fst AS (
+  SELECT g, MIN(doc_id) AS fd FROM dg GROUP BY g
+), per_doc AS (
+  SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN fst.fd < dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS rep
+  FROM dg JOIN fst USING (g) GROUP BY dg.doc_id
+), bounds AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents)
+SELECT CAST(LEAST({_NOV_BUCKETS - 1},
+            CAST(floor((per_doc.doc_id - lo) * {_NOV_BUCKETS} / (hi - lo + 1)) AS INTEGER))
+            AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(total) AS BIGINT) AS n_grams,
+       round(CAST(SUM(rep) AS DOUBLE) / SUM(total), 9) AS repeated_frac
+FROM per_doc CROSS JOIN bounds
+GROUP BY 1 ORDER BY decile
+"""
+
+SPARK_QUERIES["corpus_novelty_decay"] = corpus_novelty_decay
+ORACLE_SQL["corpus_novelty_decay"] = NOVELTY_SQL
