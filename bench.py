@@ -232,6 +232,8 @@ HEADLINE = [
     "part_return_rate_shrunk",
     "corpus_novelty_decay",
     "session_similarity_pairs",
+    "order_basket_lift_rules",
+    "conversion_sprt_trajectory",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -4452,3 +4452,172 @@ GROUP BY 1 ORDER BY distance
 
 SPARK_QUERIES["session_similarity_pairs"] = session_similarity_pairs
 ORACLE_SQL["session_similarity_pairs"] = SESSION_SIM_SQL
+
+
+_SKU_TOP = 15
+
+
+def order_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules at the BRAND level with confidence and
+    conviction: for brand pairs co-occurring in orders, conf(A→B) =
+    P(B|A), conviction = (1−P(B))/(1−conf) — the rule-quality trio
+    (support/confidence/conviction, Brin et al. SIGMOD'97) that the
+    basket-lift showcase (`event_type_lift`) does not cover. Brands are
+    a bounded dimension (25 in TPC-H), so the pair relation is
+    dimension-bounded after one basket aggregate; per-order brand sets
+    dedupe before pairing (a basket with 3 items of one brand counts
+    once). Top-{_SKU_TOP} rules by conviction (ties → rule asc)."""
+    ensure_views(spark, sf_dir)
+    ob = (
+        spark.table("lineitem")
+        .join(
+            spark.table("part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n_orders = ob.select("ok").distinct().count()
+    single = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select("ok", F.col("b").alias("ba"))
+    bb = ob.select("ok", F.col("b").alias("bb"))
+    pair = (
+        a.join(bb, "ok")
+        .filter(F.col("ba") != F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    j = (
+        pair.join(single.select(F.col("b").alias("ba"), F.col("nb").alias("na")), "ba")
+        .join(single.select(F.col("b").alias("bb"), F.col("nb").alias("nb_")), "bb")
+    )
+    conf = F.col("nab").cast("double") / F.col("na")
+    pb = F.col("nb_").cast("double") / F.lit(float(n_orders))
+    conviction = F.when(conf < 1, (1 - pb) / (1 - conf))
+    return (
+        j.select(
+            F.col("ba").alias("antecedent"),
+            F.col("bb").alias("consequent"),
+            F.col("nab").alias("n_both"),
+            F.round(conf, 9).alias("confidence"),
+            F.round(conviction, 9).alias("conviction"),
+        )
+        .filter(F.col("conviction").isNotNull())
+        .orderBy(
+            F.col("conviction").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(_SKU_TOP)
+    )
+
+
+BASKET_RULES_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM ob),
+single AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM ob GROUP BY b),
+pair AS (
+  SELECT a.b AS ba, c.b AS bb, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b <> c.b
+  GROUP BY 1, 2
+)
+SELECT ba AS antecedent, bb AS consequent, nab AS n_both,
+       round(CAST(nab AS DOUBLE) / sa.nb, 9) AS confidence,
+       round((1 - CAST(sb.nb AS DOUBLE) / no.n)
+             / (1 - CAST(nab AS DOUBLE) / sa.nb), 9) AS conviction
+FROM pair
+JOIN single sa ON sa.b = ba
+JOIN single sb ON sb.b = bb
+CROSS JOIN no
+WHERE CAST(nab AS DOUBLE) / sa.nb < 1
+ORDER BY conviction DESC, antecedent ASC, consequent ASC
+LIMIT {_SKU_TOP}
+"""
+
+SPARK_QUERIES["order_basket_lift_rules"] = order_basket_lift_rules
+ORACLE_SQL["order_basket_lift_rules"] = BASKET_RULES_SQL
+
+
+def conversion_sprt_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT trajectory for the purchase rate: day-by-day cumulative
+    log-likelihood ratio of H1: p = 1.1·p̂ against H0: p = p̂ (p̂ = the
+    overall purchase share, pinned to 6 dp), with the classic
+    α = β = 0.05 decision bands ±ln(19) — the sequential test that lets
+    an experiment STOP EARLY the moment evidence crosses a boundary
+    instead of waiting for a fixed horizon (Wald 1945). Everything
+    after the per-day aggregate is calendar-bounded; the LLR is
+    k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) over exact integer cumulative
+    counts, with both log factors computed as engine expressions from
+    the pinned p̂."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    ev = spark.table("events")
+    p0 = ev.agg(
+        F.round(
+            F.sum((F.col("event_type") == "purchase").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("p0")
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("_k"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("_n").over(w).alias("n_cum"),
+        F.sum("_k").over(w).alias("k_cum"),
+    ).crossJoin(F.broadcast(p0))
+    p1 = F.round(F.col("p0") * 1.1, 6)
+    l1 = F.log(p1 / F.col("p0"))
+    l0 = F.log((1 - p1) / (1 - F.col("p0")))
+    llr = F.col("k_cum") * l1 + (F.col("n_cum") - F.col("k_cum")) * l0
+    upper = F.log(F.lit(19.0))
+    return cum.select(
+        "day",
+        "n_cum",
+        "k_cum",
+        F.round(llr, 9).alias("llr"),
+        F.when(llr >= upper, F.lit("accept_h1"))
+        .when(llr <= -upper, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")
+
+
+SPRT_SQL = """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+p AS (
+  SELECT round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*), 6) AS p0
+  FROM ev
+), daily AS (
+  SELECT CAST(t AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM ev GROUP BY 1
+), cum AS (
+  SELECT day,
+         SUM(n) OVER w AS n_cum, SUM(k) OVER w AS k_cum
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, CAST(n_cum AS BIGINT) AS n_cum, CAST(k_cum AS BIGINT) AS k_cum,
+       round(k_cum * ln(round(p0 * 1.1, 6) / p0)
+             + (n_cum - k_cum) * ln((1 - round(p0 * 1.1, 6)) / (1 - p0)), 9) AS llr,
+       CASE WHEN k_cum * ln(round(p0 * 1.1, 6) / p0)
+                 + (n_cum - k_cum) * ln((1 - round(p0 * 1.1, 6)) / (1 - p0)) >= ln(19.0)
+            THEN 'accept_h1'
+            WHEN k_cum * ln(round(p0 * 1.1, 6) / p0)
+                 + (n_cum - k_cum) * ln((1 - round(p0 * 1.1, 6)) / (1 - p0)) <= -ln(19.0)
+            THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum CROSS JOIN p
+ORDER BY day
+"""
+
+SPARK_QUERIES["conversion_sprt_trajectory"] = conversion_sprt_trajectory
+ORACLE_SQL["conversion_sprt_trajectory"] = SPRT_SQL
