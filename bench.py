@@ -234,6 +234,8 @@ HEADLINE = [
     "session_similarity_pairs",
     "order_basket_lift_rules",
     "conversion_sprt_trajectory",
+    "events_daily_value_bands",
+    "events_hurst_exponent",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -4621,3 +4621,222 @@ ORDER BY day
 
 SPARK_QUERIES["conversion_sprt_trajectory"] = conversion_sprt_trajectory
 ORACLE_SQL["conversion_sprt_trajectory"] = SPRT_SQL
+
+
+def events_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exact p10/p50/p90 value bands — the daily-latency-band
+    pattern every metrics dashboard needs, computed by RANK SELECTION
+    over the per-(day, value) count relation: cumulative counts within
+    each day (day-partitioned window — parallel across days, never a
+    global sort), then the minimal value crossing each integer-exact
+    threshold (10·cum ≥ q·total). No approxQuantile, no per-day
+    collect; ties and duplicates handled exactly."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    dv = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col("ts").cast("date").alias("day"),
+            F.col("value").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = W.partitionBy("day").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    staged = dv.select(
+        "day",
+        "v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(W.partitionBy("day")).alias("_tot"),
+    )
+    return (
+        staged.groupBy("day")
+        .agg(
+            F.max("_tot").alias("n_values"),
+            F.min(F.when(F.col("_cum") * 10 >= F.col("_tot"), F.col("v"))).alias("p10"),
+            F.min(F.when(F.col("_cum") * 2 >= F.col("_tot"), F.col("v"))).alias("p50"),
+            F.min(F.when(F.col("_cum") * 10 >= F.col("_tot") * 9, F.col("v"))).alias("p90"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_BANDS_SQL = """
+WITH dv AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), staged AS (
+  SELECT day, v,
+         SUM(c) OVER (PARTITION BY day ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY day) AS tot
+  FROM dv
+)
+SELECT day, CAST(MAX(tot) AS BIGINT) AS n_values,
+       MIN(CASE WHEN cum * 10 >= tot THEN v END) AS p10,
+       MIN(CASE WHEN cum * 2 >= tot THEN v END) AS p50,
+       MIN(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS p90
+FROM staged GROUP BY day ORDER BY day
+"""
+
+SPARK_QUERIES["events_daily_value_bands"] = events_daily_value_bands
+ORACLE_SQL["events_daily_value_bands"] = DAILY_BANDS_SQL
+
+
+_HURST_SIZES = [4, 8, 16]
+
+
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series by classical
+    rescaled-range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis
+    1969): for block sizes {_HURST_SIZES}, average each block's
+    range-of-cumulative-deviations over its std, then the log2-log2
+    slope is H — H ≈ 0.5 memoryless, H > 0.5 persistent/trending
+    (capacity planning cares: persistent load clusters its peaks).
+    Returns one row per block size with the shared fitted H.
+
+    Scale shape: everything after the daily aggregate is
+    calendar-bounded; day indices come from datediff (no rank); blocks
+    fan out via a 3-row broadcast; in-block cumsums are (size, block)-
+    partitioned windows; the 3-point slope uses centered decimal-rounded
+    moments."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    daily = (
+        spark.table("events")
+        .groupBy(F.col("ts").cast("date").alias("_day"))
+        .agg(F.count(F.lit(1)).alias("_x"))
+    )
+    base = daily.crossJoin(
+        F.broadcast(daily.agg(F.min("_day").alias("_d0")))
+    ).select(F.datediff("_day", "_d0").alias("_i"), "_x")
+    sizes = spark.createDataFrame([(s,) for s in _HURST_SIZES], "s int")
+    blk = base.crossJoin(F.broadcast(sizes)).select(
+        "s", (F.col("_i") / F.col("s")).cast("int").alias("_b"), "_i", "_x"
+    )
+    wb = W.partitionBy("s", "_b")
+    full = (
+        blk.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") == F.col("s"))
+        .withColumn("_mean", F.avg(F.col("_x").cast("double")).over(wb))
+        .withColumn(
+            "_z",
+            F.sum(F.col("_x") - F.col("_mean")).over(
+                wb.orderBy("_i").rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_block = full.groupBy("s", "_b").agg(
+        (F.max("_z") - F.min("_z")).alias("_r"),
+        F.sqrt(
+            F.avg((F.col("_x") - F.col("_mean")) * (F.col("_x") - F.col("_mean")))
+        ).alias("_sd"),
+    )
+    per_size = (
+        per_block.filter(F.col("_sd") > 0)
+        .select(
+            "s", F.round(F.col("_r") / F.col("_sd"), 9).alias("_rs")
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.round(
+                F.sum(F.round(F.col("_rs"), 9).cast("decimal(30,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_rs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pts = per_size.select(
+        F.log2(F.col("s").cast("double")).alias("_lx"),
+        F.log2("mean_rs").alias("_ly"),
+    )
+    means = pts.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.round(
+            F.sum(F.round("_lx", 9).cast("decimal(30,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("_mx"),
+        F.round(
+            F.sum(F.round("_ly", 9).cast("decimal(30,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("_my"),
+    )
+    fit = (
+        pts.crossJoin(F.broadcast(means))
+        .agg(
+            F.sum(
+                F.round((F.col("_lx") - F.col("_mx")) * (F.col("_ly") - F.col("_my")), 9)
+                .cast("decimal(30,9)")
+            ).cast("double").alias("_sxy"),
+            F.sum(
+                F.round((F.col("_lx") - F.col("_mx")) * (F.col("_lx") - F.col("_mx")), 9)
+                .cast("decimal(30,9)")
+            ).cast("double").alias("_sxx"),
+        )
+        .select(
+            F.when(
+                F.col("_sxx") > 0, F.round(F.col("_sxy") / F.col("_sxx"), 9)
+            ).alias("hurst")
+        )
+    )
+    return per_size.crossJoin(F.broadcast(fit)).select(
+        F.col("s").alias("block_size"), "n_blocks", "mean_rs", "hurst"
+    ).orderBy("block_size")
+
+
+HURST_SQL = f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+), base AS (
+  SELECT day - (SELECT MIN(day) FROM daily) AS i, x FROM daily
+), blk AS (
+  SELECT s.s, CAST(floor(CAST(b.i AS DOUBLE) / s.s) AS INTEGER) AS b, b.i, b.x
+  FROM base b CROSS JOIN (VALUES {", ".join(f"({s})" for s in _HURST_SIZES)}) s(s)
+), fullb AS (
+  SELECT s, b, i, x,
+         COUNT(*) OVER (PARTITION BY s, b) AS bn,
+         AVG(CAST(x AS DOUBLE)) OVER (PARTITION BY s, b) AS mean
+  FROM blk
+), dev AS (
+  SELECT s, b, i, x, mean,
+         SUM(x - mean) OVER (PARTITION BY s, b ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+  FROM fullb WHERE bn = s
+), per_block AS (
+  SELECT s, b, MAX(z) - MIN(z) AS r,
+         sqrt(AVG((x - mean) * (x - mean))) AS sd
+  FROM dev GROUP BY s, b
+), per_size AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         round(CAST(SUM(CAST(round(round(r / sd, 9), 9) AS DECIMAL(30,9))) AS DOUBLE)
+               / COUNT(*), 9) AS mean_rs
+  FROM per_block WHERE sd > 0 GROUP BY s
+), pts AS (
+  SELECT log2(CAST(s AS DOUBLE)) AS lx, log2(mean_rs) AS ly FROM per_size
+), means AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         round(CAST(SUM(CAST(round(lx, 9) AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 9) AS mx,
+         round(CAST(SUM(CAST(round(ly, 9) AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 9) AS my
+  FROM pts
+), fit AS (
+  SELECT CASE WHEN CAST(SUM(CAST(round((lx - mx) * (lx - mx), 9) AS DECIMAL(30,9))) AS DOUBLE) > 0
+              THEN round(CAST(SUM(CAST(round((lx - mx) * (ly - my), 9) AS DECIMAL(30,9))) AS DOUBLE)
+                         / CAST(SUM(CAST(round((lx - mx) * (lx - mx), 9) AS DECIMAL(30,9))) AS DOUBLE), 9)
+         END AS hurst
+  FROM pts CROSS JOIN means
+)
+SELECT CAST(s AS INTEGER) AS block_size, n_blocks, mean_rs, hurst
+FROM per_size CROSS JOIN fit
+ORDER BY block_size
+"""
+
+SPARK_QUERIES["events_hurst_exponent"] = events_hurst_exponent
+ORACLE_SQL["events_hurst_exponent"] = HURST_SQL
