@@ -194,17 +194,28 @@ def pagerank_fixed_point(
         # weight would survive the per-(src,dst) sum and turn the node's
         # share NULL — rank mass silently vanishing breaks the conserved-
         # mass invariant; zero/negative weights corrupt shares the same
-        # way. limit(1) short-circuits the probe.
-        bad = e.filter(F.col("w").isNull() | (F.col("w") < 1)).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"edge_weight must be a positive integer; found {bad[0]['w']!r} "
-                f"on edge ({bad[0]['src']!r}, {bad[0]['dst']!r})"
-            )
-        e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        # way. The probe evidence (min raw weight, null presence) rides
+        # the SAME aggregate as the weight sum, so validating costs no
+        # extra pass over the (often expensive) upstream edge generator.
+        e = e.groupBy("src", "dst").agg(
+            F.sum("w").alias("w"),
+            F.min("w").alias("_wmin"),
+            F.max(F.col("w").isNull().cast("int")).alias("_wnull"),
+        )
     # every iteration joins the edge set; without materialization the
     # upstream (e.g. a pair-generation self-join) re-runs per iteration
     e = e.localCheckpoint(eager=True)
+    if edge_weight is not None:
+        bad = e.filter(
+            (F.col("_wnull") == 1) | (F.col("_wmin") < 1)
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"edge_weight must be a positive integer; found min weight "
+                f"{bad[0]['_wmin']!r} (null={bool(bad[0]['_wnull'])}) on edge "
+                f"({bad[0]['src']!r}, {bad[0]['dst']!r})"
+            )
+        e = e.select("src", "dst", "w")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

@@ -4502,7 +4502,18 @@ def corpus_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    dg = docs.select("doc_id", F.explode(grams).alias("_g")).distinct()
+    # the gram relation feeds BOTH the first-doc aggregate and the
+    # per-doc join — checkpoint it so the md5 gram pass runs once; widen
+    # the scan first (one small parquet file locally = one core
+    # otherwise; no-op at production partition counts)
+    from onetl_spark.spark_utils import widen_small_scan
+
+    dg = (
+        widen_small_scan(docs)
+        .select("doc_id", F.explode(grams).alias("_g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     first = dg.groupBy("_g").agg(F.min("doc_id").alias("_fd"))
     per_doc = (
         dg.join(first, "_g")
