@@ -236,6 +236,7 @@ HEADLINE = [
     "conversion_sprt_trajectory",
     "events_daily_value_bands",
     "events_hurst_exponent",
+    "user_value_theil_decomposition",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -4840,3 +4840,143 @@ ORDER BY block_size
 
 SPARK_QUERIES["events_hurst_exponent"] = events_hurst_exponent
 ORACLE_SQL["events_hurst_exponent"] = HURST_SQL
+
+
+def user_value_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of per-user total spend, decomposed EXACTLY
+    into within-segment + between-segment parts (T = Σ s_g·T_g +
+    Σ s_g·ln(μ_g/μ) — the additive-decomposability property that makes
+    Theil, not Gini, the index for "is inequality driven by differences
+    inside segments or between them?"). Segments by md5 % 4. Two-pass:
+    segment means from exact decimal sums, then per-user terms
+    (x/μ_g)·ln(x/μ_g) rounded to 12 and decimal-accumulated; zero-spend
+    users contribute 0 (the x→0 limit). One row per segment with its
+    share, mean and within-Theil, plus the constant decomposition
+    columns."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    per_user = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("_x")
+        )
+        .select(
+            F.pmod(md5_long(F.col("user_id").cast("string")), F.lit(4)).alias("segment"),
+            "_x",
+        )
+        .localCheckpoint(eager=False)
+    )
+    seg = per_user.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.round("_x", 6).cast("decimal(38,6)")).cast("double").alias("_sx"),
+    )
+    tot = seg.agg(
+        F.sum("n_users").alias("_n"),
+        F.sum(F.round("_sx", 6).cast("decimal(38,6)")).cast("double").alias("_s"),
+    )
+    seg_m = seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_users",
+        F.round(F.col("_sx") / F.col("n_users"), 9).alias("mu_g"),
+        F.round(F.col("_sx") / F.col("_s"), 9).alias("share"),
+        F.round(F.col("_s") / F.col("_n"), 9).alias("_mu"),
+    )
+    terms = per_user.join(F.broadcast(seg_m), "segment").select(
+        "segment",
+        "n_users",
+        "share",
+        "mu_g",
+        "_mu",
+        F.when(
+            F.col("_x") > 0,
+            F.round(
+                (F.col("_x") / F.col("mu_g")) * F.log(F.col("_x") / F.col("mu_g")),
+                12,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(30,12)")
+        .alias("_t"),
+    )
+    within_g = terms.groupBy("segment", "n_users", "share", "mu_g", "_mu").agg(
+        F.round(F.sum("_t").cast("double") / F.col("n_users"), 9).alias("theil_g")
+    )
+    decomp = within_g.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("share") * F.col("theil_g"), 12).cast("decimal(30,12)")
+            ).cast("double"),
+            9,
+        ).alias("theil_within"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("share") * F.log(F.col("mu_g") / F.col("_mu")), 12
+                ).cast("decimal(30,12)")
+            ).cast("double"),
+            9,
+        ).alias("theil_between"),
+    )
+    return (
+        within_g.crossJoin(F.broadcast(decomp))
+        .select(
+            "segment",
+            "n_users",
+            "share",
+            "mu_g",
+            "theil_g",
+            "theil_within",
+            "theil_between",
+            F.round(F.col("theil_within") + F.col("theil_between"), 9).alias(
+                "theil_total"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+THEIL_SQL = """
+WITH pu AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS segment,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), seg AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sx
+  FROM pu GROUP BY segment
+), tot AS (
+  SELECT CAST(SUM(n_users) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(sx, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM seg
+), seg_m AS (
+  SELECT segment, n_users,
+         round(sx / n_users, 9) AS mu_g,
+         round(sx / tot.s, 9) AS share,
+         round(tot.s / tot.n, 9) AS mu
+  FROM seg CROSS JOIN tot
+), terms AS (
+  SELECT p.segment, m.n_users, m.share, m.mu_g, m.mu,
+         CAST(CASE WHEN p.x > 0
+              THEN round((p.x / m.mu_g) * ln(p.x / m.mu_g), 12) ELSE 0.0 END
+              AS DECIMAL(30,12)) AS t
+  FROM pu p JOIN seg_m m ON m.segment = p.segment
+), within_g AS (
+  SELECT segment, n_users, share, mu_g, mu,
+         round(CAST(SUM(t) AS DOUBLE) / n_users, 9) AS theil_g
+  FROM terms GROUP BY segment, n_users, share, mu_g, mu
+), decomp AS (
+  SELECT round(CAST(SUM(CAST(round(share * theil_g, 12) AS DECIMAL(30,12))) AS DOUBLE), 9) AS theil_within,
+         round(CAST(SUM(CAST(round(share * ln(mu_g / mu), 12) AS DECIMAL(30,12))) AS DOUBLE), 9) AS theil_between
+  FROM within_g
+)
+SELECT segment, n_users, share, mu_g, theil_g, theil_within, theil_between,
+       round(theil_within + theil_between, 9) AS theil_total
+FROM within_g CROSS JOIN decomp
+ORDER BY segment
+"""
+
+SPARK_QUERIES["user_value_theil_decomposition"] = user_value_theil_decomposition
+ORACLE_SQL["user_value_theil_decomposition"] = THEIL_SQL
