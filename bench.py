@@ -237,6 +237,8 @@ HEADLINE = [
     "events_daily_value_bands",
     "events_hurst_exponent",
     "user_value_theil_decomposition",
+    "user_spend_lorenz",
+    "user_capture_recapture",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -4980,3 +4980,66 @@ ORDER BY segment
 
 SPARK_QUERIES["user_value_theil_decomposition"] = user_value_theil_decomposition
 ORACLE_SQL["user_value_theil_decomposition"] = THEIL_SQL
+
+
+def user_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user population:
+    treat clickers as the first capture sample and purchasers as the
+    second; N̂ = (n1+1)(n2+1)/(m+1) − 1 with m the overlap — the
+    ecology-standard estimator (Chapman 1951; also how analysts size an
+    audience only partially visible to two independent trackers), with
+    its closed-form variance. Three bounded distinct-count aggregates;
+    one pinned expression each."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    agg = (
+        clicks.select(F.lit(1).alias("_a"))
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(buys.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(clicks.join(buys, "user_id").agg(F.count(F.lit(1)).alias("m")))
+        .crossJoin(ev.agg(F.countDistinct("user_id").alias("true_users")))
+    )
+    n1, n2, m = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("m").cast("double"),
+    )
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (
+        (n1 + 1)
+        * (n2 + 1)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "m",
+        "true_users",
+        F.round(nhat, 6).alias("chapman_estimate"),
+        F.round(F.sqrt(var), 6).alias("std_error"),
+    )
+
+
+CAPTURE_SQL = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+a AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n1,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c JOIN p USING (user_id)) AS m,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS true_users
+)
+SELECT n1, n2, m, true_users,
+       round((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1) / (CAST(m AS DOUBLE) + 1) - 1, 6) AS chapman_estimate,
+       round(sqrt((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+                  * (CAST(n1 AS DOUBLE) - m) * (CAST(n2 AS DOUBLE) - m)
+                  / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 2))), 6) AS std_error
+FROM a
+"""
+
+SPARK_QUERIES["user_capture_recapture"] = user_capture_recapture
+ORACLE_SQL["user_capture_recapture"] = CAPTURE_SQL

@@ -1371,3 +1371,84 @@ FROM tot
 
 SPARK_QUERIES["events_value_wasserstein"] = events_value_wasserstein
 ORACLE_SQL["events_value_wasserstein"] = EVENTS_W1_SQL
+
+
+def user_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of per-user total spend at decile resolution: users
+    ranked ascending by spend (ties by user id) via the DISTRIBUTED
+    global row index — no single-partition sort — then each decile's
+    population and cumulative-spend share. The curve behind the Gini
+    number (`user_value_gini`): "the bottom 50% of users carry X% of
+    revenue". Spend in integer micro-units so the shares are exact
+    rationals until the final division."""
+    from onetl_spark.operators.ranking import global_row_index
+
+    ensure_views(spark, sf_dir)
+    per_user = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+            .cast("long")
+            .alias("micro")
+        )
+    )
+    ranked = global_row_index(
+        per_user, "micro", tiebreak_cols=("user_id",), index_col="rk"
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("micro").alias("_s")
+    )
+    bucketed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.lit(9), (((F.col("rk") - 1) * 10) / F.col("_n")).cast("int")
+        ).alias("decile"),
+        "micro",
+        "_s",
+    )
+    out = (
+        bucketed.groupBy("decile", "_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("micro").alias("_dm"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    cum = F.sum("_dm").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return out.select(
+        "decile",
+        "n_users",
+        F.round(F.col("_dm").cast("double") / F.col("_s"), 9).alias("spend_share"),
+        F.round(cum.cast("double") / F.col("_s"), 9).alias("cum_share"),
+    ).orderBy("decile")
+
+
+LORENZ_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS micro
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), ranked AS (
+  SELECT micro, ROW_NUMBER() OVER (ORDER BY micro, user_id) AS rk FROM pu
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(micro) AS BIGINT) AS s FROM ranked),
+b AS (
+  SELECT LEAST(9, CAST(floor(CAST((rk - 1) * 10 AS DOUBLE) / tot.n) AS INTEGER)) AS decile,
+         micro, tot.s
+  FROM ranked CROSS JOIN tot
+), g AS (
+  SELECT decile, s, CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(micro) AS BIGINT) AS dm
+  FROM b GROUP BY decile, s
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_users,
+       round(CAST(dm AS DOUBLE) / s, 9) AS spend_share,
+       round(CAST(SUM(dm) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS DOUBLE) / s, 9) AS cum_share
+FROM g ORDER BY decile
+"""
+
+SPARK_QUERIES["user_spend_lorenz"] = user_spend_lorenz
+ORACLE_SQL["user_spend_lorenz"] = LORENZ_SQL
