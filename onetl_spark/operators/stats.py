@@ -1248,3 +1248,121 @@ def logrank_test(
             ),
         ).alias("chi2"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact tie-corrected Kruskal–Wallis H — the k-group extension of
+    :func:`mann_whitney_u` ("do ANY of these groups differ in
+    location?"), e.g. event value across event types before trusting a
+    pooled mean. Returns one row ``(n_total, k_groups, h_stat)``.
+
+    Computed via the rank-moment identity ``H = (N-1) · Σ_g n_g(r̄_g -
+    r̄)² / Σ_i (r_i - r̄)²`` (equivalent to the classic 12/(N(N+1))
+    form WITH tie correction, but needing only exact integer rank
+    moments): doubled average ranks ``2r̄_v = 2·before_v + n_v + 1`` are
+    integers, so every moment is an exact decimal sum; per-group squared
+    deviations are rounded to 9 then decimal-accumulated, making the
+    cross-group sum order-independent — the oracle reproduces it
+    bit-for-bit. Scale shape: the same bucketed distributed prefix-sum
+    scaffold as KS/MWU (:func:`onetl_spark.operators.ranking.
+    stitched_cumsums` — no single-partition window); the per-(value,
+    group) relation joins back on distinct values and collapses to k
+    group rows. A zero rank variance (all values tied) pins ``h_stat``
+    to NULL rather than tripping ANSI division.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gcounts = (
+        base.groupBy("_v", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    counts = gcounts.groupBy("_v").agg(F.sum("_c").alias("_nv")).localCheckpoint(
+        eager=True
+    )
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    stitched, totals = stitched_cumsums(counts, "_v", ("_nv",), buckets)
+    n = totals["_nv"]
+    if n is None or n == 0:
+        raise ValueError("kruskal_wallis: input must be non-empty")
+    # 2·avg_rank at each distinct value is the integer 2·before + nv + 1
+    ranked = stitched.select(
+        "_v",
+        F.col("_nv").cast("decimal(14,0)").alias("_nvd"),
+        (
+            F.lit(2).cast("decimal(1,0)")
+            * (F.col("_cum__nv") - F.col("_nv")).cast("decimal(16,0)")
+            + F.col("_nv").cast("decimal(14,0)")
+            + F.lit(1)
+        ).alias("_r2"),
+    ).localCheckpoint(eager=True)
+    # Σ nv·(2r̄)² — exact integer, the global rank second moment (×4)
+    s2_row = ranked.agg(F.sum(F.col("_nvd") * F.col("_r2") * F.col("_r2")).alias("_s2"))
+    per_g = (
+        gcounts.join(ranked.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_ng"),
+            F.sum(F.col("_c").cast("decimal(14,0)") * F.col("_r2")).alias("_s1g"),
+        )
+    )
+    rbar = float((n + 1) / 2.0)
+    ng_d = F.col("_ng").cast("double")
+    dev = F.col("_s1g").cast("double") / (F.lit(2.0) * ng_d) - F.lit(rbar)
+    terms = per_g.select(
+        F.round(ng_d * (dev * dev), 9).cast("decimal(38,9)").alias("_t")
+    )
+    agg = terms.agg(
+        F.sum("_t").alias("_num"), F.count(F.lit(1)).alias("_k")
+    ).crossJoin(s2_row)
+    den = F.col("_s2").cast("double") / F.lit(4.0) - F.lit(float(n) * rbar * rbar)
+    h = F.when(den <= 0, F.lit(None)).otherwise(
+        F.round((F.lit(float(n - 1)) * F.col("_num").cast("double")) / den, 9)
+    )
+    return agg.select(
+        F.lit(n).cast("long").alias("n_total"),
+        F.col("_k").cast("long").alias("k_groups"),
+        h.alias("h_stat"),
+    )
+
+
+def cliffs_delta(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Cliff's delta effect size ``δ = P(ref>cur) − P(ref<cur)`` — the
+    magnitude companion to the Mann–Whitney z (which only says whether a
+    shift exists, not whether it is big enough to matter). Derived
+    exactly from the tie-corrected U of :func:`mann_whitney_u` via
+    ``δ = (2U − n₁n₂)/(n₁n₂)`` (U counts cross-pairs with ties at ½, so
+    the identity is exact; ``u_stat`` is a multiple of 0.5 and survives
+    its round-9 unchanged). Returns one row ``(n_ref, n_cur,
+    cliffs_delta, magnitude)`` with the standard |δ| bands
+    (0.147/0.33/0.474 → negligible/small/medium/large). Same bucketed
+    rank scaffold, no additional scans.
+    """
+    m = mann_whitney_u(df_ref, df_cur, column, buckets)
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_cur").cast("double")
+    delta = F.round(
+        (F.lit(2.0) * F.col("u_stat") - na * nb) / (na * nb), 9
+    )
+    out = m.select("n_ref", "n_cur", delta.alias("cliffs_delta"))
+    ad = F.abs(F.col("cliffs_delta"))
+    return out.withColumn(
+        "magnitude",
+        F.when(ad < 0.147, F.lit("negligible"))
+        .when(ad < 0.33, F.lit("small"))
+        .when(ad < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large")),
+    )

@@ -1452,3 +1452,121 @@ FROM g ORDER BY decile
 
 SPARK_QUERIES["user_spend_lorenz"] = user_spend_lorenz
 ORACLE_SQL["user_spend_lorenz"] = LORENZ_SQL
+
+
+def events_type_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal–Wallis H of event value across event types
+    (`operators/stats.py kruskal_wallis`): the k-group rank test that
+    generalizes the Mann–Whitney drift pair — same bucketed distributed
+    rank scaffold, exact integer rank moments."""
+    from onetl_spark.operators.stats import kruskal_wallis
+
+    ensure_views(spark, sf_dir)
+    return kruskal_wallis(spark.table("events"), "value", "event_type")
+
+
+EVENTS_KW_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+), gc AS (
+  SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY v, g
+), c AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS nv FROM gc GROUP BY v
+), tot AS (SELECT CAST(SUM(nv) AS BIGINT) AS tn FROM c),
+ranked AS (
+  SELECT v, nv,
+         2 * (SUM(nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - nv) + nv + 1 AS r2
+  FROM c
+), s2 AS (
+  SELECT CAST(SUM(nv * r2 * r2) AS BIGINT) AS s2 FROM ranked
+), pg AS (
+  SELECT gc.g, CAST(SUM(gc.c) AS BIGINT) AS ng,
+         CAST(SUM(gc.c * ranked.r2) AS BIGINT) AS s1g
+  FROM gc JOIN ranked ON gc.v = ranked.v
+  GROUP BY gc.g
+), terms AS (
+  SELECT CAST(round(CAST(ng AS DOUBLE)
+              * ((CAST(s1g AS DOUBLE) / (2.0 * CAST(ng AS DOUBLE))
+                  - (CAST(tot.tn AS DOUBLE) + 1.0) / 2.0)
+                 * (CAST(s1g AS DOUBLE) / (2.0 * CAST(ng AS DOUBLE))
+                    - (CAST(tot.tn AS DOUBLE) + 1.0) / 2.0)), 9)
+         AS DECIMAL(38,9)) AS t
+  FROM pg CROSS JOIN tot
+), agg AS (
+  SELECT CAST(SUM(t) AS DECIMAL(38,9)) AS num, CAST(COUNT(*) AS BIGINT) AS k FROM terms
+)
+SELECT tot.tn AS n_total, agg.k AS k_groups,
+       CASE WHEN CAST(s2.s2 AS DOUBLE) / 4.0
+                 - CAST(tot.tn AS DOUBLE)
+                   * ((CAST(tot.tn AS DOUBLE) + 1.0) / 2.0)
+                   * ((CAST(tot.tn AS DOUBLE) + 1.0) / 2.0) <= 0 THEN NULL
+            ELSE round(((CAST(tot.tn AS DOUBLE) - 1.0) * CAST(agg.num AS DOUBLE))
+                       / (CAST(s2.s2 AS DOUBLE) / 4.0
+                          - CAST(tot.tn AS DOUBLE)
+                            * ((CAST(tot.tn AS DOUBLE) + 1.0) / 2.0)
+                            * ((CAST(tot.tn AS DOUBLE) + 1.0) / 2.0)), 9)
+       END AS h_stat
+FROM agg CROSS JOIN s2 CROSS JOIN tot
+"""
+
+SPARK_QUERIES["events_type_kruskal_wallis"] = events_type_kruskal_wallis
+ORACLE_SQL["events_type_kruskal_wallis"] = EVENTS_KW_SQL
+
+
+def events_value_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size of the month-half value shift
+    (`operators/stats.py cliffs_delta`): the magnitude companion to
+    events_value_mannwhitney — derived exactly from the same tie-aware
+    U, with the standard negligible/small/medium/large bands."""
+    from onetl_spark.operators.stats import cliffs_delta
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return cliffs_delta(
+        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
+    )
+
+
+EVENTS_CLIFFS_SQL = """
+WITH a AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+), c AS (
+  SELECT COALESCE(ac.v, bc.v) AS v,
+         COALESCE(ac.na, 0) AS na, COALESCE(bc.nb, 0) AS nb
+  FROM (SELECT v, COUNT(*) AS na FROM a GROUP BY v) ac
+  FULL OUTER JOIN (SELECT v, COUNT(*) AS nb FROM b GROUP BY v) bc
+    ON ac.v = bc.v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c
+), staged AS (
+  SELECT na, na + nb AS nv,
+         SUM(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - (na + nb) AS before
+  FROM c
+), m AS (
+  SELECT CAST(SUM(na * (2 * before + nv + 1)) AS BIGINT) AS rs2 FROM staged
+), d AS (
+  SELECT tot.ta AS n_ref, tot.tb AS n_cur,
+         round((2.0 * round(CAST(rs2 AS DOUBLE) / 2.0
+                      - CAST(tot.ta AS DOUBLE) * (CAST(tot.ta AS DOUBLE) + 1) / 2.0, 9)
+                - CAST(tot.ta AS DOUBLE) * CAST(tot.tb AS DOUBLE))
+               / (CAST(tot.ta AS DOUBLE) * CAST(tot.tb AS DOUBLE)), 9) AS cliffs_delta
+  FROM m CROSS JOIN tot
+)
+SELECT n_ref, n_cur, cliffs_delta,
+       CASE WHEN abs(cliffs_delta) < 0.147 THEN 'negligible'
+            WHEN abs(cliffs_delta) < 0.33 THEN 'small'
+            WHEN abs(cliffs_delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+SPARK_QUERIES["events_value_cliffs_delta"] = events_value_cliffs_delta
+ORACLE_SQL["events_value_cliffs_delta"] = EVENTS_CLIFFS_SQL

@@ -1131,3 +1131,53 @@ def test_logrank_brute_force(spark):
     one_group = spark.createDataFrame([(1, 1, "a")], "dur int, obs int, grp string")
     with pytest.raises(ValueError):
         logrank_test(one_group, "dur", "obs", "grp")
+
+
+def test_kruskal_wallis_hand_cases(spark):
+    from onetl_spark.operators.stats import kruskal_wallis
+
+    # no ties: {1,2} vs {3,4} -> classic H = 2.4
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)], "g string, v double"
+    )
+    row = kruskal_wallis(df, "v", "g").collect()[0]
+    assert row["n_total"] == 4 and row["k_groups"] == 2
+    assert abs(row["h_stat"] - 2.4) < 1e-9
+
+    # ties across groups: {1,2,2} vs {2,3} -> tie-corrected H = 5/3
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    row = kruskal_wallis(df, "v", "g").collect()[0]
+    assert abs(row["h_stat"] - 5.0 / 3.0) < 1e-8
+
+    # all values identical: zero rank variance -> NULL
+    df = spark.createDataFrame([("a", 7.0), ("b", 7.0)], "g string, v double")
+    assert kruskal_wallis(df, "v", "g").collect()[0]["h_stat"] is None
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "g string, v double")
+    with _pt.raises(ValueError, match="non-empty"):
+        kruskal_wallis(empty, "v", "g")
+
+
+def test_cliffs_delta_hand_cases(spark):
+    from onetl_spark.operators.stats import cliffs_delta
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    row = cliffs_delta(a, b, "v").collect()[0]
+    assert row["cliffs_delta"] == -1.0 and row["magnitude"] == "large"
+
+    # ties: U=1, n1*n2=6 -> delta = -2/3
+    a = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    row = cliffs_delta(a, b, "v").collect()[0]
+    assert abs(row["cliffs_delta"] - (-2.0 / 3.0)) < 1e-8
+
+    # identical samples: delta 0 -> negligible
+    c = spark.createDataFrame([(5.0,), (6.0,)], "v double")
+    row = cliffs_delta(c, c, "v").collect()[0]
+    assert row["cliffs_delta"] == 0.0 and row["magnitude"] == "negligible"
