@@ -1366,3 +1366,168 @@ def cliffs_delta(
         .when(ad < 0.474, F.lit("medium"))
         .otherwise(F.lit("large")),
     )
+
+
+def jarque_bera(df: DataFrame, column: str) -> DataFrame:
+    """Jarque–Bera normality test from exact raw moments — the
+    moment-based screen ("is this metric even roughly normal before I
+    z-test it?") that costs ONE map-side-combined scan. Returns one row
+    ``(n, skewness, excess_kurtosis, jb_stat)``.
+
+    Exactness: each power term is cast to decimal(38,6) before summing
+    (order-independent, the ANOVA recipe); the central-moment epilogue
+    is fixed double arithmetic on those exact sums, with ``m2^1.5``
+    spelled ``m2*sqrt(m2)`` so both engines evaluate the identical IEEE
+    expression. Degenerate variance (constant column) pins the
+    statistics to NULL instead of tripping ANSI division.
+    """
+    v = F.col(column).cast("double")
+    m = df.filter(v.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(38,6)")).cast("double").alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - F.lit(3.0) * mu * (F.col("s2") / n) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * (F.col("s3") / n)
+        + F.lit(6.0) * mu * mu * (F.col("s2") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0))
+    ok = m2 > 0
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, F.round(skew, 6)).alias("skewness"),
+        F.when(ok, F.round(kurt, 6)).alias("excess_kurtosis"),
+        F.when(ok, F.round(jb, 6)).alias("jb_stat"),
+    )
+
+
+def levene_test(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Levene's test for equal variances across k groups (mean-centered
+    variant) — the gatekeeper before trusting the pooled-variance ANOVA
+    F. Returns one row ``(k, n_total, w_stat)``.
+
+    Two scans: (1) exact per-group means (decimal sums), broadcast back
+    (k rows); (2) absolute deviations ``z = |v − mean_g|`` rounded to
+    9 dp, then the one-way-ANOVA F applied to z with the same
+    round-then-decimal-accumulate recipe — every cross-group reduction
+    order-independent, so the oracle reproduces it exactly. Scale
+    shape: two groupBy(type) shuffles over the fact table, a k-row
+    broadcast join, nothing else.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_v")
+    )
+    means = base.groupBy("_g").agg(
+        (
+            F.sum(F.col("_v").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_mg")
+    )
+    z = base.join(F.broadcast(means), "_g").select(
+        "_g", F.round(F.abs(F.col("_v") - F.col("_mg")), 9).alias("_z")
+    )
+    g = z.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_z").cast("decimal(38,9)")).cast("double").alias("_s"),
+        F.sum(F.round(F.col("_z") * F.col("_z"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_q"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_n").alias("n_total"),
+        F.sum(F.round(F.col("_s"), 9).cast("decimal(38,9)")).cast("double").alias("_st"),
+        F.sum(F.round(F.col("_q"), 9).cast("decimal(38,9)")).cast("double").alias("_qt"),
+        F.sum(F.round(F.col("_s") * F.col("_s") / F.col("_n"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_br"),
+    )
+    ssb = F.col("_br") - F.col("_st") * F.col("_st") / F.col("n_total")
+    ssw = F.col("_qt") - F.col("_br")
+    w = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.when((F.col("k") > 1) & (F.col("n_total") > F.col("k")) & (ssw > 0), F.round(w, 6)).alias(
+            "w_stat"
+        ),
+    )
+
+
+def tukey_hsd(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Tukey HSD post-hoc studentized-range q per group pair — the
+    follow-up ANOVA's F deliberately cannot give: WHICH pairs differ.
+    Returns one row per unordered pair ``(group_a, group_b, n_a, n_b,
+    mean_diff, q_stat)`` with ``q = |m̄_a − m̄_b| / sqrt(MSW/2·(1/n_a +
+    1/n_b))`` (Tukey–Kramer unequal-n form).
+
+    One fact-table scan builds the k group moments (the ANOVA recipe:
+    decimal sums, round-9 s²/n terms re-accumulated as decimal for the
+    within-variance); the pairwise epilogue is a self-join of the k-row
+    aggregate — k(k−1)/2 rows, broadcast, never touching the fact table
+    again.
+    """
+    v = F.col(value_col).cast("double")
+    g = (
+        df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(v.cast("decimal(38,6)")).cast("double").alias("_s"),
+            F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_nt"),
+        F.sum(F.round(F.col("_q"), 6).cast("decimal(38,6)")).cast("double").alias("_qt"),
+        F.sum(F.round(F.col("_s") * F.col("_s") / F.col("_n"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_br"),
+    )
+    msw = (F.col("_qt") - F.col("_br")) / (F.col("_nt") - F.col("_k")).cast("double")
+    a = g.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("n_a"),
+        F.col("_s").alias("_sa"),
+    )
+    b = g.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("n_b"),
+        F.col("_s").alias("_sb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b")).crossJoin(
+        F.broadcast(tot)
+    )
+    md = F.col("_sa") / F.col("n_a").cast("double") - F.col("_sb") / F.col(
+        "n_b"
+    ).cast("double")
+    se = F.sqrt(
+        msw
+        / F.lit(2.0)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    q = F.when(se > 0, F.round(F.abs(md) / se, 6))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(md, 6).alias("mean_diff"),
+        q.alias("q_stat"),
+    ).orderBy("group_a", "group_b")

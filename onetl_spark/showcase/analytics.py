@@ -5043,3 +5043,136 @@ FROM a
 
 SPARK_QUERIES["user_capture_recapture"] = user_capture_recapture
 ORACLE_SQL["user_capture_recapture"] = CAPTURE_SQL
+
+
+def events_value_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen on event value (`operators/stats.py
+    jarque_bera`): one exact-moment scan answering "is this metric even
+    roughly normal before z-testing it?" — the distribution-shape
+    companion to events_value_anova's mean comparison."""
+    from onetl_spark.operators.stats import jarque_bera
+
+    ensure_views(spark, sf_dir)
+    return jarque_bera(spark.table("events"), "value")
+
+
+JARQUE_BERA_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(v * v * v AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(v * v * v * v AS DECIMAL(38,6))) AS DOUBLE) AS s4
+  FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL)
+), c AS (
+  SELECT n,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+           + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM m
+)
+SELECT n,
+       CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+       CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2) - 3.0, 6) END AS excess_kurtosis,
+       CASE WHEN m2 > 0 THEN
+         round(CAST(n AS DOUBLE) / 6.0
+               * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+                  + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0), 6)
+       END AS jb_stat
+FROM c
+"""
+
+SPARK_QUERIES["events_value_jarque_bera"] = events_value_jarque_bera
+ORACLE_SQL["events_value_jarque_bera"] = JARQUE_BERA_SQL
+
+
+def events_type_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's equal-variance W across event types (`operators/stats.py
+    levene_test`): the heteroscedasticity gatekeeper that decides
+    whether events_value_anova's pooled-variance F is trustworthy."""
+    from onetl_spark.operators.stats import levene_test
+
+    ensure_views(spark, sf_dir)
+    return levene_test(spark.table("events"), "value", "event_type")
+
+
+LEVENE_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+), means AS (
+  SELECT g, CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS mg
+  FROM base GROUP BY g
+), z AS (
+  SELECT base.g, round(abs(base.v - means.mg), 9) AS z
+  FROM base JOIN means ON base.g = means.g
+), gagg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(z AS DECIMAL(38,9))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(round(z * z, 9) AS DECIMAL(38,9))) AS DOUBLE) AS q
+  FROM z GROUP BY g
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CAST(round(s, 9) AS DECIMAL(38,9))) AS DOUBLE) AS st,
+         CAST(SUM(CAST(round(q, 9) AS DECIMAL(38,9))) AS DOUBLE) AS qt,
+         CAST(SUM(CAST(round(s * s / n, 9) AS DECIMAL(38,9))) AS DOUBLE) AS br
+  FROM gagg
+)
+SELECT k, n_total,
+       CASE WHEN k > 1 AND n_total > k AND qt - br > 0 THEN
+         round(((br - st * st / n_total) / (k - 1))
+               / ((qt - br) / (n_total - k)), 6)
+       END AS w_stat
+FROM tot
+"""
+
+SPARK_QUERIES["events_type_levene"] = events_type_levene
+ORACLE_SQL["events_type_levene"] = LEVENE_SQL
+
+
+def events_type_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD q statistic for every event-type pair
+    (`operators/stats.py tukey_hsd`): the post-hoc step after
+    events_value_anova — WHICH pairs of types differ in mean value, from
+    the same one-scan group moments."""
+    from onetl_spark.operators.stats import tukey_hsd
+
+    ensure_views(spark, sf_dir)
+    return tukey_hsd(spark.table("events"), "value", "event_type")
+
+
+TUKEY_SQL = """
+WITH g AS (
+  SELECT event_type AS gg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS q
+  FROM (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL)
+  GROUP BY event_type
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(CAST(round(q, 6) AS DECIMAL(38,6))) AS DOUBLE) AS qt,
+         CAST(SUM(CAST(round(s * s / n, 9) AS DECIMAL(38,9))) AS DOUBLE) AS br
+  FROM g
+)
+SELECT a.gg AS group_a, b.gg AS group_b,
+       a.n AS n_a, b.n AS n_b,
+       round(a.s / a.n - b.s / b.n, 6) AS mean_diff,
+       CASE WHEN sqrt((tot.qt - tot.br) / (tot.nt - tot.k) / 2.0
+                      * (1.0 / a.n + 1.0 / b.n)) > 0 THEN
+         round(abs(a.s / a.n - b.s / b.n)
+               / sqrt((tot.qt - tot.br) / (tot.nt - tot.k) / 2.0
+                      * (1.0 / a.n + 1.0 / b.n)), 6)
+       END AS q_stat
+FROM g a JOIN g b ON a.gg < b.gg CROSS JOIN tot
+ORDER BY group_a, group_b
+"""
+
+SPARK_QUERIES["events_type_tukey_hsd"] = events_type_tukey_hsd
+ORACLE_SQL["events_type_tukey_hsd"] = TUKEY_SQL

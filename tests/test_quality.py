@@ -1181,3 +1181,54 @@ def test_cliffs_delta_hand_cases(spark):
     c = spark.createDataFrame([(5.0,), (6.0,)], "v double")
     row = cliffs_delta(c, c, "v").collect()[0]
     assert row["cliffs_delta"] == 0.0 and row["magnitude"] == "negligible"
+
+
+def test_jarque_bera_hand_case(spark):
+    from onetl_spark.operators.stats import jarque_bera
+
+    # {1..5}: m2=2, skew=0, m4=6.8 -> kurt=-1.3, JB = 5/6 * 1.69/4
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)], "v double")
+    row = jarque_bera(df, "v").collect()[0]
+    assert row["n"] == 5
+    assert row["skewness"] == 0.0
+    assert abs(row["excess_kurtosis"] - (-1.3)) < 1e-6
+    assert abs(row["jb_stat"] - round(5 / 6.0 * (1.69 / 4.0), 6)) < 1e-6
+
+    const = spark.createDataFrame([(2.0,), (2.0,)], "v double")
+    row = jarque_bera(const, "v").collect()[0]
+    assert row["jb_stat"] is None and row["skewness"] is None
+
+
+def test_levene_hand_case(spark):
+    from onetl_spark.operators.stats import levene_test
+
+    # a={1,2,9} (mean 4, z={3,2,5}), b={3,7} (mean 5, z={2,2})
+    # ssb=32/15, ssw=14/3 -> W = (32/15)/(14/9) = 48/35
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 9.0), ("b", 3.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    row = levene_test(df, "v", "g").collect()[0]
+    assert row["k"] == 2 and row["n_total"] == 5
+    assert abs(row["w_stat"] - round(48 / 35.0, 6)) < 1e-6
+
+    # zero within-variance of deviations -> NULL, not ANSI divide error
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 2.0), ("b", 4.0)], "g string, v double"
+    )
+    assert levene_test(df, "v", "g").collect()[0]["w_stat"] is None
+
+
+def test_tukey_hsd_hand_case(spark):
+    from onetl_spark.operators.stats import tukey_hsd
+
+    # a={1,2}, b={3,5}: msw=1.25, se=sqrt(0.625), q=2.5/se
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 5.0)], "g string, v double"
+    )
+    rows = tukey_hsd(df, "v", "g").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["group_a"], r["group_b"], r["n_a"], r["n_b"]) == ("a", "b", 2, 2)
+    assert abs(r["mean_diff"] - (-2.5)) < 1e-6
+    assert abs(r["q_stat"] - round(2.5 / (0.625 ** 0.5), 6)) < 1e-6
