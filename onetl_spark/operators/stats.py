@@ -1531,3 +1531,83 @@ def tukey_hsd(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         F.round(md, 6).alias("mean_diff"),
         q.alias("q_stat"),
     ).orderBy("group_a", "group_b")
+
+
+def mcnemar_test(df: DataFrame, flag_a: str, flag_b: str) -> DataFrame:
+    """McNemar's test on paired binary flags — the paired-data answer to
+    "did the second condition flip outcomes?", which an unpaired
+    two-proportion z silently gets wrong when the two flags live on the
+    SAME subjects. Consumes 0/1 (or boolean) columns; only the
+    discordant cells enter: ``chi2 = (b−c)²/(b+c)`` (no continuity
+    correction — one exact formula both engines). Returns one row
+    ``(n, n_a_only, n_b_only, chi2)``; ``b+c = 0`` (perfect agreement)
+    pins chi2 to NULL. One map-side-combined aggregate — no shuffle
+    beyond the single reduce."""
+    a = F.col(flag_a).cast("int")
+    b = F.col(flag_b).cast("int")
+    m = df.filter(a.isNotNull() & b.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a * (1 - b)).alias("n_a_only"),
+        F.sum((1 - a) * b).alias("n_b_only"),
+    )
+    d = (F.col("n_a_only") - F.col("n_b_only")).cast("double")
+    s = (F.col("n_a_only") + F.col("n_b_only")).cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a_only").cast("long").alias("n_a_only"),
+        F.col("n_b_only").cast("long").alias("n_b_only"),
+        F.when(s > 0, F.round(d * d / s, 9)).alias("chi2"),
+    )
+
+
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa between two categorical raters — chance-corrected
+    agreement (raw accuracy flatters raters that both predict the
+    majority class). Returns one row ``(n, n_agree, po, pe, kappa)``
+    with ``kappa = (po − pe)/(1 − pe)`` computed from the ROUND-9
+    po/pe so both engines share one arithmetic path; ``pe = 1``
+    (a single shared category) pins kappa to NULL.
+
+    Scale shape: one groupBy(a, b) cell aggregate over the fact rows
+    (category-bounded), then marginal joins on the tiny cell relation —
+    the k×k grid never leaves the executors until the final scalar
+    reduce."""
+    base = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(F.col(rater_a).alias("_a"), F.col(rater_b).alias("_b"))
+    cells = (
+        base.groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("_n").alias("n"))
+    diag = cells.filter(F.col("_a") == F.col("_b")).agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_agree")
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_n").alias("_ta"))
+    cb = cells.groupBy("_b").agg(F.sum("_n").alias("_tb"))
+    cross = ra.join(cb, ra["_a"] == cb["_b"]).agg(
+        F.coalesce(
+            F.sum(
+                F.col("_ta").cast("decimal(19,0)") * F.col("_tb").cast("decimal(19,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("_x")
+    )
+    m = tot.crossJoin(diag).crossJoin(cross)
+    n_d = F.col("n").cast("double")
+    po = F.round(F.col("n_agree").cast("double") / n_d, 9)
+    pe = F.round(F.col("_x").cast("double") / (n_d * n_d), 9)
+    out = m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        po.alias("po"),
+        pe.alias("pe"),
+    )
+    return out.withColumn(
+        "kappa",
+        F.when(
+            F.lit(1.0) - F.col("pe") != 0,
+            F.round((F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")), 9),
+        ),
+    )

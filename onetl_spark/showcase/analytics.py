@@ -5176,3 +5176,51 @@ ORDER BY group_a, group_b
 
 SPARK_QUERIES["events_type_tukey_hsd"] = events_type_tukey_hsd
 ORACLE_SQL["events_type_tukey_hsd"] = TUKEY_SQL
+
+
+def user_click_purchase_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on per-user click vs purchase flags
+    (`operators/stats.py mcnemar_test`): are users systematically
+    click-only more than purchase-only — the PAIRED companion to
+    ab_conversion_ztest's unpaired proportions."""
+    from onetl_spark.operators.stats import mcnemar_test
+
+    ensure_views(spark, sf_dir)
+    flags = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("has_click"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_purchase"),
+        )
+    )
+    return mcnemar_test(flags, "has_click", "has_purchase")
+
+
+MCNEMAR_SQL = """
+WITH f AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n_a_only,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n_b_only
+  FROM f
+)
+SELECT n, n_a_only, n_b_only,
+       CASE WHEN n_a_only + n_b_only > 0 THEN
+         round((CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+               * (CAST(n_a_only AS DOUBLE) - CAST(n_b_only AS DOUBLE))
+               / (CAST(n_a_only AS DOUBLE) + CAST(n_b_only AS DOUBLE)), 9)
+       END AS chi2
+FROM m
+"""
+
+SPARK_QUERIES["user_click_purchase_mcnemar"] = user_click_purchase_mcnemar
+ORACLE_SQL["user_click_purchase_mcnemar"] = MCNEMAR_SQL

@@ -3224,7 +3224,10 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_confusion_sql() -> str:
+def _lang_pred_cte() -> str:
+    """Shared DuckDB CTE chain ``t → s → b → pred`` reproducing
+    `llm/text.py lang_id` (labeled vs predicted language per doc) — the
+    common prefix of the confusion-matrix and kappa oracles."""
     score_cols = []
     for lang, words in text.LANG_STOPWORDS.items():
         arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
@@ -3233,8 +3236,7 @@ def _lang_confusion_sql() -> str:
     cases = " ".join(
         f"WHEN s_{l} = best AND best > 0 THEN '{l}'" for l in text.LANG_PRIORITY
     )
-    return rf"""
-WITH t AS (
+    return rf"""t AS (
   SELECT COALESCE(lang, '<null>') AS labeled, list_distinct({SQL_TOKENS}) AS dw
   FROM documents
 ), s AS (
@@ -3243,7 +3245,12 @@ WITH t AS (
   SELECT *, {best} AS best FROM s
 ), pred AS (
   SELECT labeled, CASE {cases} ELSE 'und' END AS predicted FROM b
-), cells AS (
+)"""
+
+
+def _lang_confusion_sql() -> str:
+    return rf"""
+WITH {_lang_pred_cte()}, cells AS (
   SELECT labeled, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
 ), totals AS (
   SELECT labeled, SUM(n) AS t FROM cells GROUP BY labeled
@@ -4578,3 +4585,49 @@ GROUP BY 1 ORDER BY decile
 
 SPARK_QUERIES["corpus_novelty_decay"] = corpus_novelty_decay
 ORACLE_SQL["corpus_novelty_decay"] = NOVELTY_SQL
+
+
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the heuristic language identifier against the
+    labeled lang column (`operators/stats.py cohens_kappa`):
+    chance-corrected agreement — the one-scalar summary of
+    lang_id_confusion that raw accuracy flatters on skewed corpora."""
+    from onetl_spark.operators.stats import cohens_kappa
+
+    ensure_views(spark, sf_dir)
+    pred = spark.table("documents").select(
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("labeled"),
+        text.lang_id(F.col("text")).alias("predicted"),
+    )
+    return cohens_kappa(pred, "labeled", "predicted")
+
+
+def _lang_kappa_sql() -> str:
+    return rf"""
+WITH {_lang_pred_cte()}, cells AS (
+  SELECT labeled, predicted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells),
+diag AS (
+  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_agree
+  FROM cells WHERE labeled = predicted
+), ra AS (SELECT labeled AS c, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+cb AS (SELECT predicted AS c, CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY 1),
+x AS (
+  SELECT CAST(COALESCE(SUM(ra.t * cb.t), 0) AS BIGINT) AS x
+  FROM ra JOIN cb USING (c)
+), m AS (
+  SELECT tot.n, diag.n_agree,
+         round(CAST(diag.n_agree AS DOUBLE) / tot.n, 9) AS po,
+         round(CAST(x.x AS DOUBLE)
+               / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)), 9) AS pe
+  FROM tot CROSS JOIN diag CROSS JOIN x
+)
+SELECT n, n_agree, po, pe,
+       CASE WHEN 1.0 - pe <> 0 THEN round((po - pe) / (1.0 - pe), 9) END AS kappa
+FROM m
+"""
+
+
+SPARK_QUERIES["lang_id_kappa"] = lang_id_kappa
+ORACLE_SQL["lang_id_kappa"] = _lang_kappa_sql()

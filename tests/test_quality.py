@@ -1232,3 +1232,42 @@ def test_tukey_hsd_hand_case(spark):
     assert (r["group_a"], r["group_b"], r["n_a"], r["n_b"]) == ("a", "b", 2, 2)
     assert abs(r["mean_diff"] - (-2.5)) < 1e-6
     assert abs(r["q_stat"] - round(2.5 / (0.625 ** 0.5), 6)) < 1e-6
+
+
+def test_mcnemar_hand_case(spark):
+    from onetl_spark.operators.stats import mcnemar_test
+
+    # b=3 a-only, c=1 b-only -> chi2 = 4/4 = 1
+    rows = [(1, 0)] * 3 + [(0, 1)] + [(1, 1)] * 2 + [(0, 0)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_a_only"], r["n_b_only"]) == (7, 3, 1)
+    assert r["chi2"] == 1.0
+
+    # perfect agreement -> NULL chi2
+    df = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    assert mcnemar_test(df, "a", "b").collect()[0]["chi2"] is None
+
+
+def test_cohens_kappa_hand_case(spark):
+    from onetl_spark.operators.stats import cohens_kappa
+
+    # classic 2x2: agree 20+15, a-marg {25,25}, b-marg {30,20}, n=50
+    # po=0.7, pe=(25*30+25*20)/2500=0.5 -> kappa=0.4
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5 + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r["n"], r["n_agree"]) == (50, 35)
+    assert abs(r["po"] - 0.7) < 1e-9 and abs(r["pe"] - 0.5) < 1e-9
+    assert abs(r["kappa"] - 0.4) < 1e-9
+
+    # single shared category: pe=1 -> NULL kappa
+    df = spark.createDataFrame([("x", "x")] * 3, "a string, b string")
+    assert cohens_kappa(df, "a", "b").collect()[0]["kappa"] is None
+
+    # disjoint label sets: zero agreement, pe=0 -> kappa=0? no: po=0, pe=0 -> kappa 0
+    df = spark.createDataFrame([("x", "y"), ("x", "z")], "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n_agree"] == 0 and r["kappa"] == 0.0
