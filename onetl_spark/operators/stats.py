@@ -1611,3 +1611,160 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
             F.round((F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")), 9),
         ),
     )
+
+
+def durbin_watson(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic of the residuals from
+    the OLS trend of ``value_col`` on integer ``order_col`` — the
+    autocorrelation-in-residuals check that tells you whether the
+    trend's stderr is lying (DW≈2 independent, →0 positive, →4
+    negative serial correlation). Returns one row
+    ``(n, slope, intercept, dw_stat, rho_approx)`` with
+    ``rho_approx = 1 − DW/2``.
+
+    Intended for CALENDAR-BOUNDED series (daily aggregates): the input
+    is a small derived relation, never fact rows. Exactness contract:
+    BOTH columns must be exact integers (scale values to micro-units
+    first — DW is scale-invariant, slope/intercept come back in the
+    scaled units) so the five moment sums are exact decimals and the
+    rounded-9 slope/intercept are bit-identical across engines.
+    Residuals evaluate from the ROUNDED slope/intercept in fixed double
+    arithmetic; the numerator pairs consecutive order values via a
+    self-join on ``t+1`` (gap days simply contribute no pair — no
+    window, no sort), and both quadratic sums re-accumulate as round-9
+    decimals so the reduction is order-independent. Zero residual
+    variance pins DW to NULL.
+    """
+    pts = df.select(
+        F.col(order_col).cast("decimal(38,0)").alias("_x"),
+        F.col(value_col).cast("decimal(38,0)").alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    pts = pts.localCheckpoint(eager=True)
+    m = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").cast("double").alias("sx"),
+        F.sum("_y").cast("double").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("double").alias("syy"),
+    )
+    fit = ols_from_moments(m, n_col="_n").select(
+        F.col("_n").alias("n"), "slope", "intercept"
+    )
+    resid = pts.crossJoin(F.broadcast(fit)).select(
+        F.col("_x").cast("long").alias("_t"),
+        "n",
+        "slope",
+        "intercept",
+        (
+            F.col("_y").cast("double")
+            - (F.col("intercept") + F.col("slope") * F.col("_x").cast("double"))
+        ).alias("_e"),
+    )
+    resid = resid.localCheckpoint(eager=True)
+    den_row = resid.agg(
+        F.sum(F.round(F.col("_e") * F.col("_e"), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_den"),
+        F.first("n").alias("n"),
+        F.first("slope").alias("slope"),
+        F.first("intercept").alias("intercept"),
+    )
+    nxt = resid.select(F.col("_t").alias("_t2"), F.col("_e").alias("_e2"))
+    num_row = resid.join(nxt, F.col("_t2") == F.col("_t") + 1).agg(
+        F.coalesce(
+            F.sum(
+                F.round(
+                    (F.col("_e2") - F.col("_e")) * (F.col("_e2") - F.col("_e")), 9
+                ).cast("decimal(38,9)")
+            ),
+            F.lit(0).cast("decimal(38,9)"),
+        )
+        .cast("double")
+        .alias("_num")
+    )
+    m = den_row.crossJoin(num_row)
+    dw = F.when(F.col("_den") > 0, F.round(F.col("_num") / F.col("_den"), 9))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        "slope",
+        "intercept",
+        dw.alias("dw_stat"),
+        F.when(
+            F.col("_den") > 0,
+            F.round(F.lit(1.0) - (F.col("_num") / F.col("_den")) / F.lit(2.0), 9),
+        ).alias("rho_approx"),
+    )
+
+
+def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of a BOUNDED ordered
+    series around its median — "is this daily metric drifting/cyclic
+    rather than noise?" without assuming any distribution. Values equal
+    to the median are dropped (the standard convention); the median is
+    the LOWER median (smallest value whose cumulative count reaches
+    ⌈n/2⌉), computed by an exact bounded cumsum so both engines agree
+    with zero interpolation. Returns one row ``(n_above, n_below,
+    n_runs, z_score)`` (normal approximation; degenerate one-sided
+    series pins z to NULL).
+
+    The series is expected to be a calendar-bounded aggregate (≤ a few
+    thousand rows): the ordered lag runs in ONE window over that small
+    relation — documented bounded-input exception to the
+    no-single-partition-window rule, matching the daily ACF family.
+    """
+    from pyspark.sql.window import Window as W
+
+    pts = df.select(
+        F.col(order_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_y"),
+    ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
+    pts = pts.localCheckpoint(eager=True)
+    n_row = pts.agg(F.count(F.lit(1)).alias("_n"))
+    vcounts = pts.groupBy("_y").agg(F.count(F.lit(1)).alias("_c"))
+    wv = W.orderBy("_y").rowsBetween(W.unboundedPreceding, W.currentRow)
+    med = (
+        vcounts.withColumn("_cum", F.sum("_c").over(wv))
+        .crossJoin(F.broadcast(n_row))
+        .filter(F.col("_cum") >= F.ceil(F.col("_n") / F.lit(2.0)))
+        .agg(F.min("_y").alias("_med"))
+    )
+    signed = (
+        pts.crossJoin(F.broadcast(med))
+        .filter(F.col("_y") != F.col("_med"))
+        .select("_t", (F.col("_y") > F.col("_med")).cast("int").alias("_s"))
+    )
+    wo = W.orderBy("_t")
+    runs = signed.withColumn("_prev", F.lag("_s").over(wo)).agg(
+        F.sum(F.col("_s")).alias("n_above"),
+        F.sum(F.lit(1) - F.col("_s")).alias("n_below"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_s")), 1
+                ).otherwise(0)
+            )
+        ).alias("n_runs"),
+    )
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    nn = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - nn)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (var > 0),
+        F.round((F.col("n_runs").cast("double") - mu) / F.sqrt(var), 9),
+    )
+    return runs.select(
+        F.col("n_above").cast("long").alias("n_above"),
+        F.col("n_below").cast("long").alias("n_below"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        z.alias("z_score"),
+    )

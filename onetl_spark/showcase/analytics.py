@@ -5224,3 +5224,145 @@ FROM m
 
 SPARK_QUERIES["user_click_purchase_mcnemar"] = user_click_purchase_mcnemar
 ORACLE_SQL["user_click_purchase_mcnemar"] = MCNEMAR_SQL
+
+
+def events_daily_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of the daily-total OLS
+    trend (`operators/stats.py durbin_watson`): is yesterday's surprise
+    predicting today's — the serial-correlation audit that decides
+    whether events_type_ols_trend's stderr can be believed."""
+    from onetl_spark.operators.stats import durbin_watson
+
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+        .select(
+            F.unix_date("day").alias("t"),
+            _micro_units(F.col("v")).alias("y"),
+        )
+    )
+    dw = durbin_watson(daily, "t", "y")
+    # y was exact integer micro-units: rescale the fit back (DW itself
+    # is scale-invariant), as a pinned post-rounding double op
+    return dw.select(
+        "n",
+        F.round(F.col("slope") / F.lit(1000000.0), 9).alias("slope"),
+        F.round(F.col("intercept") / F.lit(1000000.0), 9).alias("intercept"),
+        "dw_stat",
+        "rho_approx",
+    )
+
+
+DW_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(day - DATE '1970-01-01' AS HUGEINT) AS t,
+         CAST(CAST(v AS DECIMAL(30,6)) * 1000000 AS HUGEINT) AS y
+  FROM daily
+), m AS (
+  SELECT COUNT(*) AS n_i,
+         CAST(SUM(t) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(t * y) AS DOUBLE) AS sxy,
+         CAST(SUM(t * t) AS DOUBLE) AS sxx
+  FROM s
+), fit AS (
+  SELECT n_i,
+         round((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0), 9) AS slope,
+         round((sy - ((sxy - sx * sy / n) / NULLIF(sxx - sx * sx / n, 0)) * sx) / n,
+               9) AS intercept
+  FROM (SELECT *, CAST(n_i AS DOUBLE) AS n FROM m)
+), r AS (
+  SELECT CAST(s.t AS BIGINT) AS t,
+         CAST(s.y AS DOUBLE) - (fit.intercept + fit.slope * CAST(s.t AS DOUBLE)) AS e,
+         fit.n_i, fit.slope, fit.intercept
+  FROM s CROSS JOIN fit
+), den AS (
+  SELECT CAST(SUM(CAST(round(e * e, 9) AS DECIMAL(38,9))) AS DOUBLE) AS den,
+         MIN(n_i) AS n, MIN(slope) AS slope, MIN(intercept) AS intercept
+  FROM r
+), num AS (
+  SELECT CAST(COALESCE(SUM(CAST(round((b.e - a.e) * (b.e - a.e), 9)
+                                AS DECIMAL(38,9))), 0) AS DOUBLE) AS num
+  FROM r a JOIN r b ON b.t = a.t + 1
+)
+SELECT CAST(den.n AS BIGINT) AS n,
+       round(den.slope / 1000000.0, 9) AS slope,
+       round(den.intercept / 1000000.0, 9) AS intercept,
+       CASE WHEN den.den > 0 THEN round(num.num / den.den, 9) END AS dw_stat,
+       CASE WHEN den.den > 0
+            THEN round(1.0 - (num.num / den.den) / 2.0, 9) END AS rho_approx
+FROM den CROSS JOIN num
+"""
+
+SPARK_QUERIES["events_daily_durbin_watson"] = events_daily_durbin_watson
+ORACLE_SQL["events_daily_durbin_watson"] = DW_SQL
+
+
+def events_daily_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the daily total value around its
+    lower median (`operators/stats.py runs_test`): the distribution-free
+    randomness check — too few runs = drift/regime, too many =
+    oscillation — on the calendar-bounded daily series."""
+    from onetl_spark.operators.stats import runs_test
+
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("v"))
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).alias("t"),
+            F.col("v").cast("double").alias("y"),
+        )
+    )
+    return runs_test(daily, "t", "y")
+
+
+RUNS_SQL = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS t, y FROM daily
+), nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+vc AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY y),
+med AS (
+  SELECT MIN(y) AS med FROM (
+    SELECT y, SUM(c) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+    FROM vc
+  ) q CROSS JOIN nrow WHERE q.cum >= ceil(nrow.n / 2.0)
+), sg AS (
+  SELECT t, CASE WHEN y > med THEN 1 ELSE 0 END AS sgn
+  FROM s CROSS JOIN med WHERE y <> med
+), runs AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS n_above,
+         CAST(SUM(1 - sgn) AS BIGINT) AS n_below,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND prev <> sgn
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  FROM (SELECT sgn, LAG(sgn) OVER (ORDER BY t) AS prev FROM sg)
+)
+SELECT n_above, n_below, n_runs,
+       CASE WHEN n_above > 0 AND n_below > 0
+                 AND 2.0 * n_above * n_below
+                     * (2.0 * n_above * n_below - (n_above + n_below))
+                     / ((n_above + n_below) * (n_above + n_below)
+                        * (n_above + n_below - 1.0)) > 0 THEN
+         round((CAST(n_runs AS DOUBLE)
+                - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+               / sqrt(2.0 * n_above * n_below
+                      * (2.0 * n_above * n_below - (n_above + n_below))
+                      / ((n_above + n_below) * (n_above + n_below)
+                         * (n_above + n_below - 1.0))), 9)
+       END AS z_score
+FROM runs
+"""
+
+SPARK_QUERIES["events_daily_runs_test"] = events_daily_runs_test
+ORACLE_SQL["events_daily_runs_test"] = RUNS_SQL

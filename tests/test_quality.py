@@ -1271,3 +1271,49 @@ def test_cohens_kappa_hand_case(spark):
     df = spark.createDataFrame([("x", "y"), ("x", "z")], "a string, b string")
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r["n_agree"] == 0 and r["kappa"] == 0.0
+
+
+def test_durbin_watson_hand_case(spark):
+    from onetl_spark.operators.stats import durbin_watson
+
+    # perfectly linear series -> zero residuals -> NULL DW
+    df = spark.createDataFrame([(i, 10 * i) for i in range(1, 6)], "t long, y long")
+    r = durbin_watson(df, "t", "y").collect()[0]
+    assert r["slope"] == 10.0 and r["dw_stat"] is None
+
+    # alternating residuals around a flat trend: y = {0,2,0,2} on t={1..4}
+    # slope ~ 0.4, residuals e={-0.6, 1.0, -1.4, 0.2}... verify vs numpy-style calc
+    df = spark.createDataFrame([(1, 0), (2, 2), (3, 0), (4, 2)], "t long, y long")
+    r = durbin_watson(df, "t", "y").collect()[0]
+    # moments: n=4 sx=10 sy=4 sxy=12 sxx=30 -> slope=(12-10)/ (30-25)=0.4
+    # intercept=(4-0.4*10)/4=0.0; e={-0.4,1.2,-1.2,0.4}
+    # num=(1.6^2+2.4^2+1.6^2)=2.56+5.76+2.56=10.88 den=0.16+1.44+1.44+0.16=3.2
+    assert abs(r["slope"] - 0.4) < 1e-9 and r["intercept"] == 0.0
+    assert abs(r["dw_stat"] - 3.4) < 1e-9
+    assert abs(r["rho_approx"] - (1.0 - 1.7)) < 1e-9
+
+
+def test_runs_test_hand_case(spark):
+    from onetl_spark.operators.stats import runs_test
+
+    # series 1,9,1,9,1,9 around lower median 1 -> equals-median dropped (three 1s)
+    # kept: 9,9,9 -> one run, all above
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 9.0), (3, 1.0), (4, 9.0), (5, 1.0), (6, 9.0)],
+        "t long, y double",
+    )
+    r = runs_test(df, "t", "y").collect()[0]
+    assert (r["n_above"], r["n_below"], r["n_runs"]) == (3, 0, 1)
+    assert r["z_score"] is None
+
+    # alternating around median of {1..6}: med=3 (lower), drop the 3
+    # signs by t: 1:below 2:below 6:above 4:above 5:above -> order t: b,b,a,a,a -> 2 runs
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 6.0), (4, 4.0), (5, 5.0), (6, 3.0)],
+        "t long, y double",
+    )
+    r = runs_test(df, "t", "y").collect()[0]
+    assert (r["n_above"], r["n_below"], r["n_runs"]) == (3, 2, 2)
+    # mu = 2*3*2/5+1 = 3.4; var = 12*(12-5)/(25*4) = 0.84
+    want = round((2 - 3.4) / (0.84 ** 0.5), 9)
+    assert abs(r["z_score"] - want) < 1e-8
