@@ -856,3 +856,72 @@ def grouped_quantiles(
             "value",
         )
     )
+
+
+def distribution_distance(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    bounds: "list[float]",
+) -> DataFrame:
+    """Bhattacharyya coefficient, Hellinger distance, and total-variation
+    distance between two periods of a numeric column over PINNED bin
+    edges — the bounded-metric companions to PSI (whose log terms
+    explode on near-empty bins; Hellinger/TVD stay in [0,1] and rank
+    drift severity stably). Returns one row ``(n_ref, n_cur,
+    bhattacharyya, hellinger, tvd)``.
+
+    Same monitor convention as :func:`population_stability`: freeze the
+    bins, one scan + one ``len(bounds)+1``-row aggregate per side, NULLs
+    excluded (PSI's NULL bucket owns missing-rate drift). Per-bin terms
+    round to 9 and re-accumulate as decimals (order-independent); the
+    ``1 − BC`` radicand is clamped at 0 so round-9 noise can never push
+    the sqrt negative under ANSI. Both sides must be non-empty.
+    """
+    from onetl_spark.operators.ranking import ascending_bucket
+
+    bounds = sorted(set(float(b) for b in bounds))
+    if not bounds:
+        raise ValueError("distribution_distance: bounds must be non-empty")
+
+    def side_counts(df: DataFrame, alias: str) -> DataFrame:
+        v = F.col(column).cast("double")
+        return (
+            df.filter(v.isNotNull())
+            .select(ascending_bucket(bounds, v).cast("int").alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    cells = (
+        side_counts(df_ref, "_nr")
+        .join(side_counts(df_cur, "_nc"), "_b", "full_outer")
+        .select(
+            F.coalesce("_nr", F.lit(0)).alias("_nr"),
+            F.coalesce("_nc", F.lit(0)).alias("_nc"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("_nr").alias("_tr"), F.sum("_nc").alias("_tc")).collect()[0]
+    tr, tc = tot["_tr"], tot["_tc"]
+    if not tr or not tc:
+        raise ValueError("distribution_distance: both samples must be non-empty")
+    pr = F.col("_nr").cast("double") / F.lit(float(tr))
+    pc = F.col("_nc").cast("double") / F.lit(float(tc))
+    m = cells.agg(
+        F.sum(F.round(F.sqrt(pr * pc), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_bc"),
+        F.sum(F.round(F.abs(pr - pc), 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("_tv"),
+    )
+    rad = F.lit(1.0) - F.col("_bc")
+    rad = F.when(rad < 0, F.lit(0.0)).otherwise(rad)
+    return m.select(
+        F.lit(tr).cast("long").alias("n_ref"),
+        F.lit(tc).cast("long").alias("n_cur"),
+        F.round(F.col("_bc"), 9).alias("bhattacharyya"),
+        F.round(F.sqrt(rad), 9).alias("hellinger"),
+        F.round(F.col("_tv") / F.lit(2.0), 9).alias("tvd"),
+    )

@@ -1768,3 +1768,36 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
         F.col("n_runs").cast("long").alias("n_runs"),
         z.alias("z_score"),
     )
+
+
+def dispersion_index(df: DataFrame, count_col: str) -> DataFrame:
+    """Variance-to-mean dispersion index of a count column, with the
+    chi-square overdispersion statistic ``(n−1)·D`` — the one-aggregate
+    screen for "is this Poisson or do I need the negative binomial?"
+    (D≈1 Poisson, ≫1 overdispersed/bursty). Returns one row
+    ``(n, mean, variance, dispersion, chi2)``.
+
+    Counts are integers, so the two moment sums are exact decimals and
+    every statistic evaluates in one pinned double parenthesization —
+    bit-identical across engines. ``n ≤ 1`` or zero mean pins the
+    ratios to NULL. One map-side-combined aggregate, no shuffle beyond
+    the single reduce.
+    """
+    c = F.col(count_col).cast("decimal(38,0)")
+    m = df.filter(c.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).cast("double").alias("_s1"),
+        F.sum(c * c).cast("double").alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s1") / n
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - F.lit(1.0))
+    d = var / mean
+    ok = (F.col("n") > 1) & (mean > 0)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(F.col("n") > 0, F.round(mean, 9)).alias("mean"),
+        F.when(F.col("n") > 1, F.round(var, 9)).alias("variance"),
+        F.when(ok, F.round(d, 9)).alias("dispersion"),
+        F.when(ok, F.round((n - F.lit(1.0)) * d, 9)).alias("chi2"),
+    )

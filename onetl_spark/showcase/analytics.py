@@ -5366,3 +5366,43 @@ FROM runs
 
 SPARK_QUERIES["events_daily_runs_test"] = events_daily_runs_test
 ORACLE_SQL["events_daily_runs_test"] = RUNS_SQL
+
+
+def user_activity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean dispersion index of per-user event counts
+    (`operators/stats.py dispersion_index`): the Poisson-vs-negative-
+    binomial screen that justifies user_activity_negbinom_fit — D >> 1
+    means bursty users, not uniform traffic."""
+    from onetl_spark.operators.stats import dispersion_index
+
+    ensure_views(spark, sf_dir)
+    counts = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return dispersion_index(counts, "c")
+
+
+DISPERSION_SQL = """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s1,
+         CAST(SUM(c * c) AS DOUBLE) AS s2
+  FROM counts
+)
+SELECT n,
+       CASE WHEN n > 0 THEN round(s1 / n, 9) END AS mean,
+       CASE WHEN n > 1 THEN round((s2 - s1 * s1 / n) / (n - 1.0), 9) END AS variance,
+       CASE WHEN n > 1 AND s1 / n > 0 THEN
+         round(((s2 - s1 * s1 / n) / (n - 1.0)) / (s1 / n), 9) END AS dispersion,
+       CASE WHEN n > 1 AND s1 / n > 0 THEN
+         round((n - 1.0) * (((s2 - s1 * s1 / n) / (n - 1.0)) / (s1 / n)), 9)
+       END AS chi2
+FROM m
+"""
+
+SPARK_QUERIES["user_activity_dispersion"] = user_activity_dispersion
+ORACLE_SQL["user_activity_dispersion"] = DISPERSION_SQL

@@ -1570,3 +1570,55 @@ FROM d
 
 SPARK_QUERIES["events_value_cliffs_delta"] = events_value_cliffs_delta
 ORACLE_SQL["events_value_cliffs_delta"] = EVENTS_CLIFFS_SQL
+
+
+def events_value_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bhattacharyya / Hellinger / total-variation distances between the
+    two month-halves of event value over the SAME pinned bins as
+    events_value_psi (`operators/quality.py distribution_distance`):
+    the bounded-metric drift trio that stays in [0,1] where PSI's log
+    terms explode on near-empty bins."""
+    from onetl_spark.operators.quality import distribution_distance
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    ref = ev.filter(F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"))
+    cur = ev.filter(F.col("ts") >= F.lit(_PSI_SPLIT).cast("timestamp"))
+    return distribution_distance(ref, cur, "value", bounds=_PSI_BOUNDS)
+
+
+def _hellinger_sql() -> str:
+    blist = "[" + ", ".join(f"{x!r}" for x in _PSI_BOUNDS) + "]"
+    return f"""
+WITH ev AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST(ts AS TIMESTAMP) < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM events WHERE value IS NOT NULL
+), bk AS (
+  SELECT len(list_filter({blist}, x -> v > x)) AS bucket, is_ref FROM ev
+), cnt AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nr,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS nc
+  FROM bk GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(nr) AS BIGINT) AS tr, CAST(SUM(nc) AS BIGINT) AS tc FROM cnt
+), m AS (
+  SELECT CAST(SUM(CAST(round(sqrt((CAST(nr AS DOUBLE) / CAST(tot.tr AS DOUBLE))
+                                   * (CAST(nc AS DOUBLE) / CAST(tot.tc AS DOUBLE))), 9)
+                        AS DECIMAL(38,9))) AS DOUBLE) AS bc,
+         CAST(SUM(CAST(round(abs(CAST(nr AS DOUBLE) / CAST(tot.tr AS DOUBLE)
+                                 - CAST(nc AS DOUBLE) / CAST(tot.tc AS DOUBLE)), 9)
+                        AS DECIMAL(38,9))) AS DOUBLE) AS tv
+  FROM cnt CROSS JOIN tot
+)
+SELECT tot.tr AS n_ref, tot.tc AS n_cur,
+       round(bc, 9) AS bhattacharyya,
+       round(sqrt(CASE WHEN 1.0 - bc < 0 THEN 0.0 ELSE 1.0 - bc END), 9) AS hellinger,
+       round(tv / 2.0, 9) AS tvd
+FROM m CROSS JOIN tot
+"""
+
+
+SPARK_QUERIES["events_value_hellinger"] = events_value_hellinger
+ORACLE_SQL["events_value_hellinger"] = _hellinger_sql()

@@ -1317,3 +1317,47 @@ def test_runs_test_hand_case(spark):
     # mu = 2*3*2/5+1 = 3.4; var = 12*(12-5)/(25*4) = 0.84
     want = round((2 - 3.4) / (0.84 ** 0.5), 9)
     assert abs(r["z_score"] - want) < 1e-8
+
+
+def test_distribution_distance_hand_case(spark):
+    from onetl_spark.operators.quality import distribution_distance
+
+    # identical distributions (dyadic shares, exact under round-9):
+    # BC=1, H=0, TVD=0
+    a = spark.createDataFrame([(1.0,), (5.0,), (9.0,), (9.5,)], "v double")
+    r = distribution_distance(a, a, "v", bounds=[4.0, 8.0]).collect()[0]
+    assert r["bhattacharyya"] == 1.0 and r["hellinger"] == 0.0 and r["tvd"] == 0.0
+
+    # disjoint bins -> BC=0, H=1, TVD=1
+    lo = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    hi = spark.createDataFrame([(9.0,), (9.5,)], "v double")
+    r = distribution_distance(lo, hi, "v", bounds=[4.0, 8.0]).collect()[0]
+    assert r["bhattacharyya"] == 0.0 and r["hellinger"] == 1.0 and r["tvd"] == 1.0
+
+    # half overlap: p=(1,0), q=(0.5,0.5) over bounds [4]:
+    # BC = sqrt(0.5), TVD = 0.5
+    q = spark.createDataFrame([(1.0,), (9.0,)], "v double")
+    r = distribution_distance(lo, q, "v", bounds=[4.0]).collect()[0]
+    assert abs(r["bhattacharyya"] - round(0.5 ** 0.5, 9)) < 1e-9
+    assert abs(r["tvd"] - 0.5) < 1e-9
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "v double")
+    with _pt.raises(ValueError, match="non-empty"):
+        distribution_distance(lo, empty, "v", bounds=[4.0])
+
+
+def test_dispersion_index_hand_case(spark):
+    from onetl_spark.operators.stats import dispersion_index
+
+    # counts {1,2,3}: mean 2, var 1 -> D=0.5, chi2=1
+    df = spark.createDataFrame([(1,), (2,), (3,)], "c long")
+    r = dispersion_index(df, "c").collect()[0]
+    assert (r["n"], r["mean"], r["variance"]) == (3, 2.0, 1.0)
+    assert r["dispersion"] == 0.5 and r["chi2"] == 1.0
+
+    # single row -> NULL variance/dispersion
+    df = spark.createDataFrame([(4,)], "c long")
+    r = dispersion_index(df, "c").collect()[0]
+    assert r["variance"] is None and r["dispersion"] is None
