@@ -1801,3 +1801,66 @@ def dispersion_index(df: DataFrame, count_col: str) -> DataFrame:
         F.when(ok, F.round(d, 9)).alias("dispersion"),
         F.when(ok, F.round((n - F.lit(1.0)) * d, 9)).alias("chi2"),
     )
+
+
+def erfc_approx(x):
+    """Abramowitz–Stegun 7.1.26 complementary error function (|error| <
+    1.5e-7) as a pinned Horner chain over ``exp``/division only — both
+    engines evaluate the identical IEEE expression tree, making
+    normal-tail p-values reproducible cross-engine without a native
+    ``erf`` (which Spark SQL lacks). Valid for x >= 0."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    return poly * F.exp(-(x * x))
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    tie_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR adjustment over a BOUNDED family
+    of tests — the multiple-comparisons discipline for "which of these
+    k metrics actually moved?" (per-test α over k tests fires k·α false
+    alarms; BH controls the false-discovery RATE instead). Appends
+    ``p_rank``, ``p_adj`` (the standard running-min ``min_{j≥i} m·p_(j)
+    /j`` capped at 1, rounded 9) and ``rejected`` (``p_adj ≤ alpha``).
+
+    The input is a per-test relation (one row per hypothesis — event
+    types, metrics, segments), inherently category-bounded: the ordered
+    windows run over k rows, never fact rows — the documented
+    bounded-input exception to the no-single-partition-window rule.
+    NULL p-values (degenerate tests) are dropped, and ``m`` counts only
+    the surviving tests; ties order deterministically via ``tie_cols``.
+    """
+    from pyspark.sql.window import Window as W
+
+    t = df.filter(F.col(p_col).isNotNull())
+    m_row = t.agg(F.count(F.lit(1)).alias("_m"))
+    order = [F.col(p_col)] + [F.col(c) for c in tie_cols]
+    t = t.crossJoin(F.broadcast(m_row)).withColumn(
+        "p_rank", F.row_number().over(W.orderBy(*order))
+    )
+    raw = (
+        F.col("_m").cast("double")
+        * F.col(p_col)
+        / F.col("p_rank").cast("double")
+    )
+    wmin = W.orderBy(F.col("p_rank").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    adj = F.least(F.min(raw).over(wmin), F.lit(1.0))
+    out = t.withColumn("p_adj", F.round(adj, 9)).drop("_m")
+    return out.withColumn("rejected", F.col("p_adj") <= F.lit(alpha))

@@ -5406,3 +5406,110 @@ FROM m
 
 SPARK_QUERIES["user_activity_dispersion"] = user_activity_dispersion
 ORACLE_SQL["user_activity_dispersion"] = DISPERSION_SQL
+
+
+def events_type_share_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type share-shift z-tests between the month halves, with
+    Benjamini-Hochberg FDR adjustment across the family
+    (`operators/stats.py bh_adjust` + `erfc_approx`): WHICH event types'
+    traffic mix actually moved, at a controlled false-discovery rate —
+    the multiple-comparisons-honest version of eyeballing five
+    ab_conversion_ztest rows."""
+    from onetl_spark.operators.stats import bh_adjust, erfc_approx
+
+    ensure_views(spark, sf_dir)
+    split = F.lit("2024-01-16").cast("timestamp")
+    g = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n1t"),
+            F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("n2t"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(F.sum("n1t").alias("_n1"), F.sum("n2t").alias("_n2"))
+    t = g.crossJoin(F.broadcast(tot))
+    p1 = F.col("n1t").cast("double") / F.col("_n1").cast("double")
+    p2 = F.col("n2t").cast("double") / F.col("_n2").cast("double")
+    pp = (F.col("n1t") + F.col("n2t")).cast("double") / (
+        F.col("_n1") + F.col("_n2")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("_n1").cast("double")
+            + F.lit(1.0) / F.col("_n2").cast("double")
+        )
+    )
+    z = F.when(se > 0, F.round((p1 - p2) / se, 9))
+    tests = t.select(
+        "event_type",
+        F.col("n1t").cast("long").alias("n_ref"),
+        F.col("n2t").cast("long").alias("n_cur"),
+        z.alias("z_score"),
+    ).withColumn(
+        "p_value",
+        F.round(erfc_approx(F.abs(F.col("z_score")) / F.sqrt(F.lit(2.0))), 9),
+    )
+    return bh_adjust(tests, "p_value", alpha=0.05, tie_cols=("event_type",)).orderBy(
+        "event_type"
+    )
+
+
+BH_SQL = """
+WITH g AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n1t,
+         CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n2t
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n1t) AS BIGINT) AS t1, CAST(SUM(n2t) AS BIGINT) AS t2 FROM g
+), z AS (
+  SELECT event_type, n1t AS n_ref, n2t AS n_cur,
+         CASE WHEN sqrt(((n1t + n2t) / CAST(t1 + t2 AS DOUBLE))
+                        * (1.0 - (n1t + n2t) / CAST(t1 + t2 AS DOUBLE))
+                        * (1.0 / CAST(t1 AS DOUBLE) + 1.0 / CAST(t2 AS DOUBLE))) > 0
+         THEN round((CAST(n1t AS DOUBLE) / CAST(t1 AS DOUBLE)
+                     - CAST(n2t AS DOUBLE) / CAST(t2 AS DOUBLE))
+                    / sqrt(((n1t + n2t) / CAST(t1 + t2 AS DOUBLE))
+                           * (1.0 - (n1t + n2t) / CAST(t1 + t2 AS DOUBLE))
+                           * (1.0 / CAST(t1 AS DOUBLE) + 1.0 / CAST(t2 AS DOUBLE))), 9)
+         END AS z_score
+  FROM g CROSS JOIN tot
+), p AS (
+  SELECT *,
+         round((1.0 / (1.0 + 0.3275911 * (abs(z_score) / sqrt(2.0))))
+               * (0.254829592
+                  + (1.0 / (1.0 + 0.3275911 * (abs(z_score) / sqrt(2.0))))
+                    * (-0.284496736
+                       + (1.0 / (1.0 + 0.3275911 * (abs(z_score) / sqrt(2.0))))
+                         * (1.421413741
+                            + (1.0 / (1.0 + 0.3275911 * (abs(z_score) / sqrt(2.0))))
+                              * (-1.453152027
+                                 + (1.0 / (1.0 + 0.3275911 * (abs(z_score) / sqrt(2.0))))
+                                   * 1.061405429))))
+               * exp(-((abs(z_score) / sqrt(2.0)) * (abs(z_score) / sqrt(2.0)))), 9)
+           AS p_value
+  FROM z
+), r AS (
+  SELECT *, CAST(COUNT(*) OVER () AS BIGINT) AS m,
+         ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS p_rank
+  FROM p WHERE p_value IS NOT NULL
+), adj AS (
+  SELECT *,
+         round(least(MIN(CAST(m AS DOUBLE) * p_value / CAST(p_rank AS DOUBLE))
+                       OVER (ORDER BY p_rank DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW), 1.0), 9) AS p_adj
+  FROM r
+)
+SELECT event_type, n_ref, n_cur, z_score, p_value,
+       CAST(p_rank AS INTEGER) AS p_rank, p_adj, p_adj <= 0.05 AS rejected
+FROM adj ORDER BY event_type
+"""
+
+SPARK_QUERIES["events_type_share_bh"] = events_type_share_bh
+ORACLE_SQL["events_type_share_bh"] = BH_SQL

@@ -1361,3 +1361,32 @@ def test_dispersion_index_hand_case(spark):
     df = spark.createDataFrame([(4,)], "c long")
     r = dispersion_index(df, "c").collect()[0]
     assert r["variance"] is None and r["dispersion"] is None
+
+
+def test_bh_adjust_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.stats import bh_adjust, erfc_approx
+
+    # erfc(0) ~ 1, erfc(large) ~ 0 (A&S 7.1.26, |err| < 1.5e-7)
+    probe = spark.range(1).select(
+        erfc_approx(F.lit(0.0)).alias("e0"), erfc_approx(F.lit(5.0)).alias("e5")
+    ).collect()[0]
+    assert abs(probe["e0"] - 1.0) < 2e-7 and probe["e5"] < 1e-9
+
+    df = spark.createDataFrame(
+        [("a", 0.005), ("b", 0.04), ("c", 0.2), ("d", 0.9)], "t string, p double"
+    )
+    rows = {
+        r["t"]: r
+        for r in bh_adjust(df, "p", alpha=0.05, tie_cols=("t",)).collect()
+    }
+    assert rows["a"]["p_adj"] == 0.02 and rows["a"]["rejected"]
+    assert rows["b"]["p_adj"] == 0.08 and not rows["b"]["rejected"]
+    assert abs(rows["c"]["p_adj"] - round(0.8 / 3, 9)) < 1e-9
+    assert rows["d"]["p_adj"] == 0.9
+
+    # NULL p dropped, m shrinks to the survivors
+    df = spark.createDataFrame([("a", 0.03), ("b", None)], "t string, p double")
+    rows = bh_adjust(df, "p", tie_cols=("t",)).collect()
+    assert len(rows) == 1 and rows[0]["p_adj"] == 0.03 and rows[0]["rejected"]
