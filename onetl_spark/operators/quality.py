@@ -925,3 +925,67 @@ def distribution_distance(
         F.round(F.sqrt(rad), 9).alias("hellinger"),
         F.round(F.col("_tv") / F.lit(2.0), 9).alias("tvd"),
     )
+
+
+def calibration_report(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    score_col: str,
+    label_col: str,
+    bounds: "list[float]",
+) -> DataFrame:
+    """Calibration audit of a bucket-rate model: train per-bucket
+    positive rates on the REFERENCE period over PINNED score-bucket
+    edges, evaluate them as predicted probabilities on the CURRENT
+    period — the reliability-diagram + Brier decomposition a
+    quality-filter or propensity score ships with. One row per bucket
+    seen in the current period: ``(bucket, n_cur, predicted, observed,
+    gap, ece_contrib, brier_contrib)`` (summing the two contrib columns
+    gives ECE and the Brier score; buckets unseen in training keep NULL
+    predictions rather than silently imputing).
+
+    Same frozen-bins convention as :func:`population_stability`; each
+    side pays one scan + one bucket-sized aggregate, and with constant
+    per-bucket predictions the Brier sum collapses to exact integer
+    counts: ``Σ(p̂−y)² = n·p̂² − 2·p̂·pos + pos`` per bucket — no
+    per-row epilogue. NULL scores/labels excluded.
+    """
+    from onetl_spark.operators.ranking import ascending_bucket
+
+    bounds = sorted(set(float(b) for b in bounds))
+    if not bounds:
+        raise ValueError("calibration_report: bounds must be non-empty")
+
+    def side(df: DataFrame, n_alias: str, p_alias: str) -> DataFrame:
+        v = F.col(score_col).cast("double")
+        y = F.col(label_col).cast("int")
+        return (
+            df.filter(v.isNotNull() & y.isNotNull())
+            .select(ascending_bucket(bounds, v).cast("int").alias("bucket"), y.alias("_y"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(n_alias), F.sum("_y").alias(p_alias))
+        )
+    ref = side(df_ref, "_nr", "_pr")
+    cur = side(df_cur, "_nc", "_pc").localCheckpoint(eager=True)
+    n_cur_total = cur.agg(F.sum("_nc")).collect()[0][0]
+    if not n_cur_total:
+        raise ValueError("calibration_report: current period is empty")
+    j = cur.join(ref, "bucket", "left")
+    pred = F.col("_pr").cast("double") / F.col("_nr").cast("double")
+    obs = F.col("_pc").cast("double") / F.col("_nc").cast("double")
+    nc_d = F.col("_nc").cast("double")
+    brier = (
+        nc_d * pred * pred
+        - F.lit(2.0) * pred * F.col("_pc").cast("double")
+        + F.col("_pc").cast("double")
+    ) / F.lit(float(n_cur_total))
+    ece = nc_d / F.lit(float(n_cur_total)) * F.abs(obs - pred)
+    return j.select(
+        "bucket",
+        F.col("_nc").cast("long").alias("n_cur"),
+        F.round(pred, 9).alias("predicted"),
+        F.round(obs, 9).alias("observed"),
+        F.round(obs - pred, 9).alias("gap"),
+        F.round(ece, 9).alias("ece_contrib"),
+        F.round(brier, 9).alias("brier_contrib"),
+    ).orderBy("bucket")

@@ -1864,3 +1864,58 @@ def bh_adjust(
     adj = F.least(F.min(raw).over(wmin), F.lit(1.0))
     out = t.withColumn("p_adj", F.round(adj, 9)).drop("_m")
     return out.withColumn("rejected", F.col("p_adj") <= F.lit(alpha))
+
+
+def pr_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact average precision (PR-AUC) of a score against a binary
+    label — the ranking metric that, unlike ROC-AUC, does not reward a
+    classifier for ranking the ocean of easy negatives correctly: the
+    right headline for rare-positive problems (purchase prediction,
+    toxicity flags). ``AP = Σ_v ΔR_v · P_v`` over DESCENDING distinct
+    score thresholds, ties grouped. Returns one row ``(n_pos, n_neg,
+    pr_auc, prevalence)`` — prevalence is the random-classifier
+    baseline AP.
+
+    Same bucketed prefix-sum scaffold as :func:`roc_auc` (ascending
+    cumsums flipped into descending-inclusive TP/total counts — no
+    single-partition window); every per-threshold term is exact-integer
+    ratios rounded to 9 then decimal-accumulated, so the reduction is
+    order-independent. Raises when either class is empty.
+    """
+    s = df.select(
+        F.col(score_col).cast("double").alias("_v"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+    counts = (
+        s.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_nv"), F.sum("_y").alias("_na"))
+        .localCheckpoint(eager=True)
+    )
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    stitched, totals = stitched_cumsums(counts, "_v", ("_nv", "_na"), buckets)
+    n_total, n_pos = totals["_nv"], totals["_na"]
+    n_neg = n_total - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"pr_auc: need both classes, got n_pos={n_pos}, n_neg={n_neg}"
+        )
+    tp = F.lit(n_pos) - F.col("_cum__na") + F.col("_na")
+    tot = F.lit(n_total) - F.col("_cum__nv") + F.col("_nv")
+    term = (F.col("_na").cast("double") / F.lit(float(n_pos))) * (
+        tp.cast("double") / tot.cast("double")
+    )
+    m = stitched.agg(
+        F.sum(F.round(term, 9).cast("decimal(38,9)")).cast("double").alias("_ap")
+    )
+    return m.select(
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        F.round(F.col("_ap"), 9).alias("pr_auc"),
+        F.round(F.lit(float(n_pos)) / F.lit(float(n_total)), 9).alias("prevalence"),
+    )

@@ -1622,3 +1622,118 @@ FROM m CROSS JOIN tot
 
 SPARK_QUERIES["events_value_hellinger"] = events_value_hellinger
 ORACLE_SQL["events_value_hellinger"] = _hellinger_sql()
+
+
+def events_purchase_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision of event value as a purchase predictor
+    (`operators/stats.py pr_auc`): the rare-positive companion to
+    events_purchase_auc — same bucketed rank scaffold, descending
+    threshold sweep with ties grouped."""
+    from onetl_spark.operators.stats import pr_auc
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return pr_auc(ev, "value", "is_purchase")
+
+
+EVENTS_PR_AUC_SQL = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS nv, CAST(SUM(y) AS BIGINT) AS na
+  FROM s GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS np, CAST(SUM(nv) AS BIGINT) AS n FROM c
+), staged AS (
+  SELECT na, nv,
+         SUM(nv) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cv,
+         SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS ca
+  FROM c
+), m AS (
+  SELECT CAST(SUM(CAST(round((CAST(na AS DOUBLE) / CAST(tot.np AS DOUBLE))
+                              * (CAST(tot.np - ca + na AS DOUBLE)
+                                 / CAST(tot.n - cv + nv AS DOUBLE)), 9)
+                        AS DECIMAL(38,9))) AS DOUBLE) AS ap
+  FROM staged CROSS JOIN tot
+)
+SELECT tot.np AS n_pos, tot.n - tot.np AS n_neg,
+       round(ap, 9) AS pr_auc,
+       round(CAST(tot.np AS DOUBLE) / CAST(tot.n AS DOUBLE), 9) AS prevalence
+FROM m CROSS JOIN tot
+"""
+
+SPARK_QUERIES["events_purchase_pr_auc"] = events_purchase_pr_auc
+ORACLE_SQL["events_purchase_pr_auc"] = EVENTS_PR_AUC_SQL
+
+
+def events_purchase_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier/ECE decomposition of a bucket-rate
+    purchase model trained on the first month-half and scored on the
+    second (`operators/quality.py calibration_report`), over the same
+    pinned value bins as events_value_psi — the calibration audit next
+    to the discrimination metrics (ROC/PR AUC)."""
+    from onetl_spark.operators.quality import calibration_report
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "ts",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    return calibration_report(
+        ev.filter(F.col("ts") < split),
+        ev.filter(F.col("ts") >= split),
+        "value",
+        "is_purchase",
+        bounds=_PSI_BOUNDS,
+    )
+
+
+def _calibration_sql() -> str:
+    blist = "[" + ", ".join(f"{x!r}" for x in _PSI_BOUNDS) + "]"
+    return f"""
+WITH ev AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(ts AS TIMESTAMP) < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM events WHERE value IS NOT NULL
+), bk AS (
+  SELECT CAST(len(list_filter({blist}, x -> v > x)) AS INTEGER) AS bucket,
+         y, is_ref
+  FROM ev
+), ref AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nr, CAST(SUM(y) AS BIGINT) AS pr
+  FROM bk WHERE is_ref GROUP BY bucket
+), cur AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nc, CAST(SUM(y) AS BIGINT) AS pc
+  FROM bk WHERE NOT is_ref GROUP BY bucket
+), tot AS (SELECT CAST(SUM(nc) AS DOUBLE) AS tn FROM cur)
+SELECT cur.bucket, cur.nc AS n_cur,
+       round(CAST(ref.pr AS DOUBLE) / CAST(ref.nr AS DOUBLE), 9) AS predicted,
+       round(CAST(cur.pc AS DOUBLE) / CAST(cur.nc AS DOUBLE), 9) AS observed,
+       round(CAST(cur.pc AS DOUBLE) / CAST(cur.nc AS DOUBLE)
+             - CAST(ref.pr AS DOUBLE) / CAST(ref.nr AS DOUBLE), 9) AS gap,
+       round(CAST(cur.nc AS DOUBLE) / tot.tn
+             * abs(CAST(cur.pc AS DOUBLE) / CAST(cur.nc AS DOUBLE)
+                   - CAST(ref.pr AS DOUBLE) / CAST(ref.nr AS DOUBLE)), 9) AS ece_contrib,
+       round((CAST(cur.nc AS DOUBLE)
+                * (CAST(ref.pr AS DOUBLE) / CAST(ref.nr AS DOUBLE))
+                * (CAST(ref.pr AS DOUBLE) / CAST(ref.nr AS DOUBLE))
+              - 2.0 * (CAST(ref.pr AS DOUBLE) / CAST(ref.nr AS DOUBLE))
+                    * CAST(cur.pc AS DOUBLE)
+              + CAST(cur.pc AS DOUBLE)) / tot.tn, 9) AS brier_contrib
+FROM cur LEFT JOIN ref USING (bucket) CROSS JOIN tot
+ORDER BY bucket
+"""
+
+
+SPARK_QUERIES["events_purchase_calibration"] = events_purchase_calibration
+ORACLE_SQL["events_purchase_calibration"] = _calibration_sql()

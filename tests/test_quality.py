@@ -1390,3 +1390,48 @@ def test_bh_adjust_hand_case(spark):
     df = spark.createDataFrame([("a", 0.03), ("b", None)], "t string, p double")
     rows = bh_adjust(df, "p", tie_cols=("t",)).collect()
     assert len(rows) == 1 and rows[0]["p_adj"] == 0.03 and rows[0]["rejected"]
+
+
+def test_pr_auc_hand_case(spark):
+    from onetl_spark.operators.stats import pr_auc
+
+    # scores {3,2,1}, labels {1,0,1}: AP = 1/2*1 + 1/2*(2/3) = 5/6
+    df = spark.createDataFrame([(3.0, 1), (2.0, 0), (1.0, 1)], "v double, y int")
+    r = pr_auc(df, "v", "y").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (2, 1)
+    assert abs(r["pr_auc"] - (0.5 + round(1 / 3, 9))) < 1e-8
+    assert abs(r["prevalence"] - round(2 / 3, 9)) < 1e-9
+
+    # perfect ranking -> AP = 1
+    df = spark.createDataFrame([(3.0, 1), (2.0, 1), (1.0, 0)], "v double, y int")
+    assert pr_auc(df, "v", "y").collect()[0]["pr_auc"] == 1.0
+
+    import pytest as _pt
+
+    allpos = spark.createDataFrame([(1.0, 1)], "v double, y int")
+    with _pt.raises(ValueError, match="both classes"):
+        pr_auc(allpos, "v", "y")
+
+
+def test_calibration_report_hand_case(spark):
+    from onetl_spark.operators.quality import calibration_report
+
+    ref = spark.createDataFrame(
+        [(1.0, 1), (1.0, 0), (9.0, 1)], "v double, y int"
+    )
+    cur = spark.createDataFrame([(1.0, 1), (9.0, 0)], "v double, y int")
+    rows = {
+        r["bucket"]: r
+        for r in calibration_report(ref, cur, "v", "y", bounds=[5.0]).collect()
+    }
+    b0, b1 = rows[0], rows[1]
+    assert b0["predicted"] == 0.5 and b0["observed"] == 1.0 and b0["gap"] == 0.5
+    assert b0["ece_contrib"] == 0.25 and b0["brier_contrib"] == 0.125
+    assert b1["predicted"] == 1.0 and b1["observed"] == 0.0
+    assert b1["ece_contrib"] == 0.5 and b1["brier_contrib"] == 0.5
+
+    # bucket unseen in training -> NULL prediction, never imputed
+    cur2 = spark.createDataFrame([(1.0, 0)], "v double, y int")
+    ref2 = spark.createDataFrame([(9.0, 1)], "v double, y int")
+    r = calibration_report(ref2, cur2, "v", "y", bounds=[5.0]).collect()[0]
+    assert r["predicted"] is None and r["gap"] is None
