@@ -1060,3 +1060,115 @@ def hits_fixed_point(
             F.coalesce("_a", F.lit(0)).cast("long").alias("auth_fp"),
         )
     )
+
+
+def adamic_adar(edges: DataFrame, top_k: int = 20) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected edge list
+    ``(src, dst)`` (unique pairs, ``src < dst``): score candidate NEW
+    edges by ``Σ_{n ∈ N(a)∩N(b)} 1/ln(deg(n))`` — the
+    rare-neighbor-weighted refinement of the neighborhood-Jaccard
+    baseline (a shared 2-degree broker is strong evidence; a shared
+    3000-degree hub is none). Reference semantics: Adamic & Adar,
+    "Friends and neighbors on the Web" (2003).
+
+    Scale shape: candidates come from the WEDGE join (pairs sharing a
+    neighbor), never an all-pairs scan; each wedge row contributes a
+    round-9 ``1/ln(deg)`` term re-accumulated as a decimal so the
+    per-pair sum is order-independent; existing edges drop via
+    anti-join; the global top-k has a deterministic tie-break (score
+    desc, pair asc). A shared neighbor has degree ≥ 2 by construction,
+    so ``ln(deg)`` is never 0.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    both = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = both.select(F.col("dst").alias("n"), F.col("src").alias("a"))
+    w2 = both.select(F.col("dst").alias("n"), F.col("src").alias("b"))
+    wedge = w1.join(w2, "n").filter(F.col("a") < F.col("b"))
+    term = F.round(
+        F.lit(1.0) / F.log(F.col("deg").cast("double")), 9
+    ).cast("decimal(38,9)")
+    cand = (
+        wedge.join(deg.select(F.col("src").alias("n"), "deg"), "n")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(term).cast("double").alias("_aa"),
+        )
+        .join(
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    )
+    return (
+        cand.select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            F.round(F.col("_aa"), 9).alias("adamic_adar"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), F.col("src").asc(), F.col("dst").asc())
+        .limit(top_k)
+    )
+
+
+def partition_modularity(
+    edges: DataFrame, labels: DataFrame, label_col: str = "community"
+) -> DataFrame:
+    """Newman modularity contribution of each community of a GIVEN node
+    partition over an undirected edge list ``(src, dst)`` — "does this
+    attribute partition (nation, region, detected community) actually
+    concentrate edges?": ``q_c = e_c/m − (d_c/2m)²`` per community,
+    summing to Q. ``labels`` maps ``node →`` *label_col*; nodes absent
+    from the graph contribute nothing, unlabeled graph nodes are
+    dropped (document the coverage separately). Returns one row per
+    community ``(community, n_nodes, internal_edges, degree_sum,
+    q_contrib)``, ordered, with exact integer counts and one pinned
+    double expression per row.
+
+    Scale shape: two broadcast-label joins on the edge list + one
+    degree aggregate — no wedge/pair blowup, community count is
+    attribute-bounded.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("_id"), F.col(label_col).alias("_c")
+    )
+    m_edges = e.count()
+    if m_edges == 0:
+        raise ValueError("partition_modularity: edge list is empty")
+    both = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    node_c = deg.join(
+        F.broadcast(lab), deg["src"] == lab["_id"]
+    ).select("src", "_deg", "_c")
+    per_c = node_c.groupBy("_c").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("_deg").alias("degree_sum")
+    )
+    la = lab.select(F.col("_id").alias("src"), F.col("_c").alias("_ca"))
+    lb = lab.select(F.col("_id").alias("dst"), F.col("_c").alias("_cb"))
+    internal = (
+        e.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    j = per_c.join(internal, "_c", "left").select(
+        F.col("_c").alias(label_col),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.coalesce("internal_edges", F.lit(0)).cast("long").alias("internal_edges"),
+        F.col("degree_sum").cast("long").alias("degree_sum"),
+    )
+    md = float(m_edges)
+    q = (
+        F.col("internal_edges").cast("double") / F.lit(md)
+        - (F.col("degree_sum").cast("double") / F.lit(2.0 * md))
+        * (F.col("degree_sum").cast("double") / F.lit(2.0 * md))
+    )
+    return j.withColumn("q_contrib", F.round(q, 9)).orderBy(label_col)

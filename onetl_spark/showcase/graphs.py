@@ -1022,3 +1022,103 @@ FROM d2
 
 SPARK_QUERIES["supplier_diameter_sweep"] = supplier_diameter_sweep
 ORACLE_SQL["supplier_diameter_sweep"] = DIAMETER_SQL
+
+
+def part_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the PART co-purchase graph
+    (`operators/graph.py adamic_adar`): the rare-neighbor-weighted
+    companion to supplier_link_prediction's Jaccard, run on the sparse
+    leaf-heavy part graph where open wedges actually exist (the
+    supplier graph saturates into a clique at small scale) — wedge-join
+    candidates only, round-9 decimal-accumulated 1/ln(deg) terms,
+    deterministic top-k."""
+    from onetl_spark.operators.graph import adamic_adar
+
+    return adamic_adar(_part_edges(spark, sf_dir), top_k=_LP_TOPK)
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH {_PART_EDGES_SQL},
+bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
+wedge AS (
+  SELECT w1.src AS a, w2.src AS b, w1.dst AS n
+  FROM bidir w1 JOIN bidir w2 ON w1.dst = w2.dst AND w1.src < w2.src
+), cand AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(CAST(round(1.0 / ln(CAST(deg.deg AS DOUBLE)), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS aa
+  FROM wedge JOIN deg ON wedge.n = deg.src
+  GROUP BY a, b
+), fresh AS (
+  SELECT cand.a, cand.b, cand.cn, cand.aa
+  FROM cand LEFT JOIN ed ON cand.a = ed.u AND cand.b = ed.v
+  WHERE ed.u IS NULL
+)
+SELECT a AS src, b AS dst, cn AS common_neighbors, round(aa, 9) AS adamic_adar
+FROM fresh
+ORDER BY adamic_adar DESC, src ASC, dst ASC
+LIMIT {_LP_TOPK}
+"""
+
+SPARK_QUERIES["part_adamic_adar"] = part_adamic_adar
+ORACLE_SQL["part_adamic_adar"] = ADAMIC_ADAR_SQL
+
+
+def supplier_nation_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition on the supplier
+    co-occurrence graph (`operators/graph.py partition_modularity`):
+    does geography concentrate trading edges — the attribute-partition
+    companion to the detected supplier_communities, with per-nation
+    q contributions summing to Q."""
+    from onetl_spark.operators.graph import partition_modularity
+
+    ensure_views(spark, sf_dir)
+    labels = (
+        spark.table("supplier")
+        .join(
+            spark.table("nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("node"), F.col("n_name").alias("community"))
+    )
+    return partition_modularity(
+        _supplier_edges(spark, sf_dir), labels, label_col="community"
+    )
+
+
+NATION_MODULARITY_SQL = f"""
+WITH {_EDGES_SQL},
+lab AS (
+  SELECT s_suppkey AS id, n_name AS c
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM ed),
+bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
+node_c AS (
+  SELECT deg.src, deg.deg, lab.c FROM deg JOIN lab ON deg.src = lab.id
+),
+per_c AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg) AS BIGINT) AS degree_sum
+  FROM node_c GROUP BY c
+),
+internal AS (
+  SELECT la.c, CAST(COUNT(*) AS BIGINT) AS internal_edges
+  FROM ed JOIN lab la ON ed.u = la.id JOIN lab lb ON ed.v = lb.id
+  WHERE la.c = lb.c GROUP BY la.c
+)
+SELECT per_c.c AS community, per_c.n_nodes,
+       CAST(COALESCE(internal.internal_edges, 0) AS BIGINT) AS internal_edges,
+       per_c.degree_sum,
+       round(CAST(COALESCE(internal.internal_edges, 0) AS DOUBLE) / m.m_edges
+             - (CAST(per_c.degree_sum AS DOUBLE) / (2.0 * m.m_edges))
+               * (CAST(per_c.degree_sum AS DOUBLE) / (2.0 * m.m_edges)), 9)
+         AS q_contrib
+FROM per_c LEFT JOIN internal USING (c) CROSS JOIN m
+ORDER BY community
+"""
+
+SPARK_QUERIES["supplier_nation_modularity"] = supplier_nation_modularity
+ORACLE_SQL["supplier_nation_modularity"] = NATION_MODULARITY_SQL

@@ -778,3 +778,43 @@ def test_hits_guards(spark):
         hits_fixed_point(df, scale=10**12)  # overflow contract
     empty = spark.createDataFrame([], "src long, dst long")
     assert hits_fixed_point(empty).count() == 0
+
+
+def test_adamic_adar_hand_case(spark):
+    from onetl_spark.operators.graph import adamic_adar
+
+    # path 1-2-3: the only candidate is (1,3) through hub 2 (deg 2)
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    rows = adamic_adar(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src"], r["dst"], r["common_neighbors"]) == (1, 3, 1)
+    import math
+
+    assert abs(r["adamic_adar"] - round(1.0 / math.log(2.0), 9)) < 1e-9
+
+    # existing edges never reappear: triangle has no candidates
+    tri = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src int, dst int")
+    assert adamic_adar(tri).count() == 0
+
+
+def test_partition_modularity_hand_case(spark):
+    from onetl_spark.operators.graph import partition_modularity
+
+    # triangle {1,2,3} + pendant 4 on 3; A={1,2,3}, B={4}
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int")
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B")], "node int, community string"
+    )
+    rows = {r["community"]: r for r in partition_modularity(e, labels).collect()}
+    a, b = rows["A"], rows["B"]
+    assert (a["n_nodes"], a["internal_edges"], a["degree_sum"]) == (3, 3, 7)
+    assert abs(a["q_contrib"] - (3 / 4 - (7 / 8) ** 2)) < 1e-9
+    assert (b["n_nodes"], b["internal_edges"], b["degree_sum"]) == (1, 0, 1)
+    assert abs(b["q_contrib"] - (-(1 / 8) ** 2)) < 1e-9
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    with _pt.raises(ValueError, match="empty"):
+        partition_modularity(empty, labels)
