@@ -1919,3 +1919,134 @@ def pr_auc(
         F.round(F.col("_ap"), 9).alias("pr_auc"),
         F.round(F.lit(float(n_pos)) / F.lit(float(n_total)), 9).alias("prevalence"),
     )
+
+
+def info_gain(
+    df: DataFrame, label_col: str, feature_cols: "tuple[str, ...]"
+) -> DataFrame:
+    """Information gain (and gain ratio) of each categorical feature
+    against a binary label — the C4.5-style feature ranking ("which of
+    these bounded attributes actually predicts the outcome?") that
+    precedes any model fit. One row per feature: ``(feature, n_values,
+    entropy_y, cond_entropy, info_gain, gain_ratio)``, entropies in
+    nats; ``gain_ratio`` divides by the feature's own entropy (NULL for
+    a constant feature) to stop high-cardinality features winning for
+    free.
+
+    Exactness: every per-value term — weighted conditional entropy and
+    feature entropy — is a pinned double expression over exact integer
+    counts, rounded to 9 and decimal-accumulated (order-independent
+    across values); ``0·ln 0`` pins to 0 via explicit guards, never NaN.
+    Scale shape: one groupBy per feature over the fact rows (bounded
+    category relations), a k-feature union of one-row aggregates; NULL
+    feature values become the ``'<null>'`` category, NULL labels are
+    excluded.
+    """
+    y = F.col(label_col).cast("int")
+    base = df.select(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias(c)
+            for c in feature_cols
+        ],
+        y.alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    base = base.localCheckpoint(eager=True)
+    tot = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_r")
+    ).collect()[0]
+    n_total, r_total = tot["_n"], tot["_r"]
+    if not n_total:
+        raise ValueError("info_gain: input must be non-empty")
+
+    def binary_entropy(r, n):
+        p = r.cast("double") / n.cast("double")
+        q = (n - r).cast("double") / n.cast("double")
+        tp = F.when(r > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
+        tq = F.when(n - r > 0, -(q * F.log(q))).otherwise(F.lit(0.0))
+        return tp + tq
+
+    outs = []
+    for c in feature_cols:
+        cells = base.groupBy(F.col(c).alias("_v")).agg(
+            F.count(F.lit(1)).alias("_nv"), F.sum("_y").alias("_rv")
+        )
+        w = F.col("_nv").cast("double") / F.lit(float(n_total))
+        cond_term = F.round(w * binary_entropy(F.col("_rv"), F.col("_nv")), 9)
+        hx_term = F.round(-(w * F.log(w)), 9)
+        agg = cells.agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(cond_term.cast("decimal(38,9)")).cast("double").alias("_cond"),
+            F.sum(hx_term.cast("decimal(38,9)")).cast("double").alias("_hx"),
+        )
+        hy = F.round(
+            binary_entropy(F.lit(r_total).cast("long"), F.lit(n_total).cast("long")),
+            9,
+        )
+        row = agg.select(
+            F.lit(c).alias("feature"),
+            F.col("n_values").cast("long").alias("n_values"),
+            hy.alias("entropy_y"),
+            F.round(F.col("_cond"), 9).alias("cond_entropy"),
+            F.round(hy - F.round(F.col("_cond"), 9), 9).alias("info_gain"),
+            F.when(
+                F.col("_hx") > 0,
+                F.round(
+                    F.round(hy - F.round(F.col("_cond"), 9), 9)
+                    / F.round(F.col("_hx"), 9),
+                    9,
+                ),
+            ).alias("gain_ratio"),
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("feature")
+
+
+def cochran_armitage(
+    df: DataFrame, score_col: str, flag_col: str
+) -> DataFrame:
+    """Cochran–Armitage trend test: does the rate of a binary outcome
+    move MONOTONICALLY across ordered integer categories (dose levels,
+    priority tiers, quality buckets) — strictly more powerful than the
+    omnibus chi-square when the alternative is a trend. Returns one row
+    ``(n, n_pos, t_stat, z_score)`` with ``T = Σw·r − R·Σw·n/N`` and
+    the standard variance ``R(N−R)/(N(N−1))·(Σw²n − (Σwn)²/N)``.
+
+    One bounded groupBy(score) aggregate over the fact rows; all sums
+    are exact integers, the statistic is one pinned double expression.
+    Degenerate variance (single level, or all/no positives) pins z to
+    NULL.
+    """
+    s = df.select(
+        F.col(score_col).cast("long").alias("_w"),
+        F.col(flag_col).cast("int").alias("_y"),
+    ).filter(F.col("_w").isNotNull() & F.col("_y").isNotNull())
+    cells = s.groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_r")
+    )
+    wd = F.col("_w").cast("decimal(19,0)")
+    m = cells.agg(
+        F.sum("_n").alias("n"),
+        F.sum("_r").alias("n_pos"),
+        F.sum(wd * F.col("_n").cast("decimal(19,0)")).cast("double").alias("_swn"),
+        F.sum(wd * F.col("_r").cast("decimal(19,0)")).cast("double").alias("_swr"),
+        F.sum(wd * wd * F.col("_n").cast("decimal(19,0)")).cast("double").alias("_sw2n"),
+    )
+    n = F.col("n").cast("double")
+    r = F.col("n_pos").cast("double")
+    t = F.col("_swr") - r * F.col("_swn") / n
+    var = (
+        r
+        * (n - r)
+        / (n * (n - F.lit(1.0)))
+        * (F.col("_sw2n") - F.col("_swn") * F.col("_swn") / n)
+    )
+    z = F.when(var > 0, F.round(t / F.sqrt(var), 9))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(t, 9).alias("t_stat"),
+        z.alias("z_score"),
+    )

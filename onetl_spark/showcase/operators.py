@@ -1737,3 +1737,150 @@ ORDER BY bucket
 
 SPARK_QUERIES["events_purchase_calibration"] = events_purchase_calibration
 ORACLE_SQL["events_purchase_calibration"] = _calibration_sql()
+
+
+def events_purchase_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4.5-style information-gain ranking of bounded features (market
+    segment, hour bucket, pinned value bucket, day-of-week) against the
+    purchase label (`operators/stats.py info_gain`): WHICH attribute
+    predicts purchases — the feature-selection step before any model,
+    with gain ratio guarding against cardinality bias."""
+    from onetl_spark.operators.stats import info_gain
+
+    ensure_views(spark, sf_dir)
+    from onetl_spark.operators.ranking import ascending_bucket
+
+    ev = spark.table("events").join(
+        spark.table("customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        ),
+        "user_id",
+    )
+    feat = ev.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.hour("ts") / F.lit(6)).cast("string").alias("hour_bucket"),
+        F.when(
+            F.col("value").isNotNull(),
+            ascending_bucket(_PSI_BOUNDS, F.col("value").cast("double")),
+        )
+        .cast("string")
+        .alias("value_bucket"),
+        (F.dayofweek("ts") - F.lit(1)).cast("string").alias("dow"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return info_gain(
+        feat, "is_purchase", ("segment", "hour_bucket", "value_bucket", "dow")
+    )
+
+
+def _info_gain_sql() -> str:
+    blist = "[" + ", ".join(f"{x!r}" for x in _PSI_BOUNDS) + "]"
+    feats = {
+        "segment": "CAST(c.c_mktsegment AS VARCHAR)",
+        "hour_bucket": "CAST(CAST(floor(hour(CAST(e.ts AS TIMESTAMP)) / 6) AS BIGINT) AS VARCHAR)",
+        "value_bucket": (
+            "CASE WHEN e.value IS NULL THEN NULL ELSE "
+            f"CAST(len(list_filter({blist}, x -> CAST(e.value AS DOUBLE) > x)) AS VARCHAR) END"
+        ),
+        "dow": "CAST(dayofweek(CAST(e.ts AS TIMESTAMP)) AS VARCHAR)",
+    }
+    be = (
+        "(CASE WHEN {r} > 0 THEN -((CAST({r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        " * ln(CAST({r} AS DOUBLE) / CAST({n} AS DOUBLE))) ELSE 0.0 END"
+        " + CASE WHEN {n} - {r} > 0 THEN -((CAST({n} - {r} AS DOUBLE) / CAST({n} AS DOUBLE))"
+        " * ln(CAST({n} - {r} AS DOUBLE) / CAST({n} AS DOUBLE))) ELSE 0.0 END)"
+    )
+    blocks = []
+    for name, expr in feats.items():
+        cond = (
+            f"round((CAST(nv AS DOUBLE) / CAST(tot.n AS DOUBLE)) * "
+            + be.format(r="rv", n="nv")
+            + ", 9)"
+        )
+        hx = (
+            "round(-((CAST(nv AS DOUBLE) / CAST(tot.n AS DOUBLE))"
+            " * ln(CAST(nv AS DOUBLE) / CAST(tot.n AS DOUBLE))), 9)"
+        )
+        blocks.append(f"""
+SELECT '{name}' AS feature,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       round({be.format(r='tot.r', n='tot.n')}, 9) AS entropy_y,
+       round(CAST(SUM(CAST({cond} AS DECIMAL(38,9))) AS DOUBLE), 9) AS cond_entropy,
+       round(round({be.format(r='tot.r', n='tot.n')}, 9)
+             - round(CAST(SUM(CAST({cond} AS DECIMAL(38,9))) AS DOUBLE), 9), 9)
+         AS info_gain,
+       CASE WHEN round(CAST(SUM(CAST({hx} AS DECIMAL(38,9))) AS DOUBLE), 9) > 0 THEN
+         round(round(round({be.format(r='tot.r', n='tot.n')}, 9)
+                     - round(CAST(SUM(CAST({cond} AS DECIMAL(38,9))) AS DOUBLE), 9), 9)
+               / round(CAST(SUM(CAST({hx} AS DECIMAL(38,9))) AS DOUBLE), 9), 9)
+       END AS gain_ratio
+FROM (
+  SELECT COALESCE({expr}, '<null>') AS v,
+         CAST(COUNT(*) AS BIGINT) AS nv,
+         CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS rv
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  GROUP BY 1
+) cells CROSS JOIN tot
+GROUP BY tot.n, tot.r
+""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+)
+SELECT * FROM ({body}) u ORDER BY feature
+"""
+
+
+SPARK_QUERIES["events_purchase_info_gain"] = events_purchase_info_gain
+ORACLE_SQL["events_purchase_info_gain"] = _info_gain_sql()
+
+
+def orders_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test of the high-value-order rate across
+    the ordered priority tiers 1-URGENT..5-LOW (`operators/stats.py
+    cochran_armitage`): does value trend monotonically with declared
+    priority — the dose-response question the omnibus chi-square can't
+    ask."""
+    from onetl_spark.operators.stats import cochran_armitage
+
+    ensure_views(spark, sf_dir)
+    o = spark.table("orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("priority"),
+        (F.col("o_totalprice") > 150000).cast("int").alias("is_high"),
+    )
+    return cochran_armitage(o, "priority", "is_high")
+
+
+CA_TREND_SQL = """
+WITH s AS (
+  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+  FROM orders
+), cells AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS r
+  FROM s GROUP BY w
+), m AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS n_pos,
+         CAST(SUM(w * n) AS DOUBLE) AS swn,
+         CAST(SUM(w * r) AS DOUBLE) AS swr,
+         CAST(SUM(w * w * n) AS DOUBLE) AS sw2n
+  FROM cells
+)
+SELECT n, n_pos,
+       round(swr - CAST(n_pos AS DOUBLE) * swn / CAST(n AS DOUBLE), 9) AS t_stat,
+       CASE WHEN CAST(n_pos AS DOUBLE) * (CAST(n AS DOUBLE) - n_pos)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                 * (sw2n - swn * swn / CAST(n AS DOUBLE)) > 0 THEN
+         round((swr - CAST(n_pos AS DOUBLE) * swn / CAST(n AS DOUBLE))
+               / sqrt(CAST(n_pos AS DOUBLE) * (CAST(n AS DOUBLE) - n_pos)
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                      * (sw2n - swn * swn / CAST(n AS DOUBLE))), 9)
+       END AS z_score
+FROM m
+"""
+
+SPARK_QUERIES["orders_priority_trend"] = orders_priority_trend
+ORACLE_SQL["orders_priority_trend"] = CA_TREND_SQL

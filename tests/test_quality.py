@@ -1435,3 +1435,41 @@ def test_calibration_report_hand_case(spark):
     ref2 = spark.createDataFrame([(9.0, 1)], "v double, y int")
     r = calibration_report(ref2, cur2, "v", "y", bounds=[5.0]).collect()[0]
     assert r["predicted"] is None and r["gap"] is None
+
+
+def test_info_gain_hand_case(spark):
+    import math
+
+    from onetl_spark.operators.stats import info_gain
+
+    # perfect predictor f1 (IG = H(y) = ln 2); useless predictor f2 (IG = 0)
+    rows = [("a", "x", 1), ("a", "y", 1), ("b", "x", 0), ("b", "y", 0)]
+    df = spark.createDataFrame(rows, "f1 string, f2 string, y int")
+    out = {r["feature"]: r for r in info_gain(df, "y", ("f1", "f2")).collect()}
+    ln2 = round(math.log(2.0), 9)
+    assert abs(out["f1"]["entropy_y"] - ln2) < 1e-9
+    assert out["f1"]["cond_entropy"] == 0.0
+    assert abs(out["f1"]["info_gain"] - ln2) < 1e-9
+    assert abs(out["f1"]["gain_ratio"] - 1.0) < 1e-6
+    assert abs(out["f2"]["info_gain"]) < 1e-8
+    assert out["f2"]["n_values"] == 2
+
+
+def test_cochran_armitage_hand_case(spark):
+    from onetl_spark.operators.stats import cochran_armitage
+
+    # rates rise with score: w=1 0/2 pos, w=2 1/2, w=3 2/2
+    rows = [(1, 0), (1, 0), (2, 1), (2, 0), (3, 1), (3, 1)]
+    df = spark.createDataFrame(rows, "w long, y int")
+    r = cochran_armitage(df, "w", "y").collect()[0]
+    assert (r["n"], r["n_pos"]) == (6, 3)
+    # T = sum(w*r) - R*sum(w*n)/N = (2+6) - 3*12/6 = 2
+    assert r["t_stat"] == 2.0
+    # Var = R(N-R)/(N(N-1)) * (sum(w^2 n) - (sum(wn))^2/N)
+    #     = 9/30 * (2+8+18 - 144/6) = 0.3 * 4 = 1.2
+    want = round(2.0 / (1.2 ** 0.5), 9)
+    assert abs(r["z_score"] - want) < 1e-9
+
+    # single level -> zero variance -> NULL z
+    df = spark.createDataFrame([(2, 1), (2, 0)], "w long, y int")
+    assert cochran_armitage(df, "w", "y").collect()[0]["z_score"] is None
