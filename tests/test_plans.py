@@ -641,3 +641,70 @@ def test_abc_classification_cumsum_is_bucketed(tables, spark):
     df = part_abc_classification(spark, SF_DIR)
     plan = executed_plan(df)
     assert "_bkt" in plan  # stitched scaffold, not a global ORDER BY window
+
+
+def test_kruskal_and_pr_auc_ride_bucketed_windows(tables):
+    import re
+
+    from onetl_spark.operators.stats import kruskal_wallis, pr_auc
+
+    ev = tables.table("events")
+    # the localCheckpoint of the ranked relation hides the window stages
+    # from the FINAL plan, so guard the scaffold directly plus the
+    # epilogue: no single-partition exchange may appear anywhere
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    counts = (
+        ev.select(F.col("value").cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_nv"))
+    )
+    stitched, _ = stitched_cumsums(counts.localCheckpoint(eager=True), "_v", ("_nv",))
+    splan = executed_plan(stitched)
+    assert "_bkt" in splan
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", splan)
+    assert w_specs and all("_bkt" in ws for ws in w_specs)
+    # the final KW plan may contain the benign 1-row reduce exchanges
+    # (partial_sum -> SinglePartition -> sum), but never a global-ORDER
+    # window: every windowspec anywhere must be bucket-partitioned
+    plan = executed_plan(kruskal_wallis(ev, "value", "event_type"))
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert all("_bkt" in ws for ws in w_specs)
+
+    lab = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    plan = executed_plan(pr_auc(lab, "value", "y"))
+    assert "_bkt" in plan
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert w_specs and all("_bkt" in ws for ws in w_specs)
+
+
+def test_adamic_adar_wedge_join_no_cartesian(tables):
+    from onetl_spark.showcase.graphs import _part_edges
+
+    from onetl_spark.operators.graph import adamic_adar
+
+    df = adamic_adar(_part_edges(tables, SF_DIR), top_k=5)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # top-k must run as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partition_modularity_labels_are_broadcast(tables):
+    from onetl_spark.showcase.graphs import supplier_nation_modularity
+
+    df = supplier_nation_modularity(tables, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_info_gain_no_cartesian_single_scan_per_feature(tables):
+    from onetl_spark.showcase.operators import events_purchase_info_gain
+
+    df = events_purchase_info_gain(tables, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
