@@ -2050,3 +2050,96 @@ def cochran_armitage(
         F.round(t, 9).alias("t_stat"),
         z.alias("z_score"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman rank test over complete blocks — "does any treatment
+    differ when every block (day, user cohort) sees ALL treatments?",
+    the repeated-measures companion to :func:`kruskal_wallis` (which
+    assumes independent groups and is confounded by block effects).
+    Returns one row ``(n_blocks, k_treatments, chi2)`` using the
+    tie-robust variance form ``χ² = n²(k−1)·Σ_j(R̄_j − r̄)² /
+    Σ_ij(r_ij − r̄)²`` (reduces to the classic 12/(nk(k+1)) formula
+    when ties are absent).
+
+    Blocks missing any treatment are dropped (Friedman requires
+    complete blocks); within-block average ranks come from a self-join
+    on the block key — the block size is the TREATMENT count, so the
+    join fan-out is k², attribute-bounded, never row-bounded. Doubled
+    ranks are integers: the denominator is an exact integer sum, the
+    k numerator terms round to 9 and decimal-accumulate. Degenerate
+    rank variance pins χ² to NULL.
+    """
+    cell = (
+        df.select(
+            F.col(block_col).alias("_b"),
+            F.col(treatment_col).alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(
+            F.col("_b").isNotNull() & F.col("_t").isNotNull() & F.col("_v").isNotNull()
+        )
+        .groupBy("_b", "_t")
+        .agg(F.sum(F.col("_v").cast("decimal(38,6)")).cast("double").alias("_v"))
+        .localCheckpoint(eager=True)
+    )
+    k = cell.select("_t").distinct().count()
+    if k < 2:
+        raise ValueError("friedman_test: need at least 2 treatments")
+    complete = (
+        cell.groupBy("_b").agg(F.count(F.lit(1)).alias("_cnt")).filter(
+            F.col("_cnt") == k
+        )
+    )
+    kept = cell.join(complete.select("_b"), "_b").localCheckpoint(eager=True)
+    n = kept.select("_b").distinct().count()
+    if n == 0:
+        raise ValueError("friedman_test: no complete blocks")
+    o = kept.select(
+        F.col("_b").alias("_b2"), F.col("_t").alias("_t2"), F.col("_v").alias("_v2")
+    )
+    # doubled within-block average rank: 2·cnt_less + cnt_eq(+self) + 1
+    r2 = (
+        kept.join(o, F.col("_b") == F.col("_b2"))
+        .groupBy("_b", "_t", "_v")
+        .agg(
+            (
+                F.lit(2) * F.sum(F.when(F.col("_v2") < F.col("_v"), 1).otherwise(0))
+                + F.sum(F.when(F.col("_v2") == F.col("_v"), 1).otherwise(0))
+                + F.lit(1)
+            ).alias("_r2")
+        )
+    ).localCheckpoint(eager=True)
+    rbar2 = k + 1  # doubled mid-rank
+    den_row = r2.agg(
+        F.sum(
+            (F.col("_r2") - F.lit(rbar2)).cast("decimal(19,0)")
+            * (F.col("_r2") - F.lit(rbar2)).cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("_den4")
+    )
+    per_t = r2.groupBy("_t").agg(F.sum("_r2").cast("double").alias("_s2"))
+    dev = F.col("_s2") / F.lit(2.0 * n) - F.lit((k + 1) / 2.0)
+    num_row = per_t.select(
+        F.round(dev * dev, 9).cast("decimal(38,9)").alias("_term")
+    ).agg(F.sum("_term").cast("double").alias("_num"))
+    m = num_row.crossJoin(den_row)
+    chi2 = F.when(
+        F.col("_den4") > 0,
+        F.round(
+            (F.lit(float(n * n * (k - 1))) * F.col("_num"))
+            / (F.col("_den4") / F.lit(4.0)),
+            9,
+        ),
+    )
+    return m.select(
+        F.lit(n).cast("long").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k_treatments"),
+        chi2.alias("chi2"),
+    )

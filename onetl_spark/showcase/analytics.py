@@ -5513,3 +5513,61 @@ FROM adj ORDER BY event_type
 
 SPARK_QUERIES["events_type_share_bh"] = events_type_share_bh
 ORACLE_SQL["events_type_share_bh"] = BH_SQL
+
+
+def events_type_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of daily total value across event types with
+    days as complete blocks (`operators/stats.py friedman_test`): the
+    repeated-measures companion to events_value_anova/kruskal —
+    day-level traffic effects cancel inside each block instead of
+    inflating the between-type variance."""
+    from onetl_spark.operators.stats import friedman_test
+
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("ts").cast("date").alias("day"), "event_type", "value")
+    )
+    return friedman_test(daily, "day", "event_type", "value")
+
+
+FRIEDMAN_SQL = """
+WITH cell AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS b, event_type AS t,
+         CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), kk AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cell),
+complete AS (
+  SELECT b FROM cell GROUP BY b HAVING COUNT(*) = (SELECT k FROM kk)
+), kept AS (
+  SELECT cell.b, cell.t, cell.v FROM cell JOIN complete USING (b)
+), nn AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM kept),
+r2 AS (
+  SELECT a.b, a.t,
+         2 * SUM(CASE WHEN o.v < a.v THEN 1 ELSE 0 END)
+         + SUM(CASE WHEN o.v = a.v THEN 1 ELSE 0 END) + 1 AS r2
+  FROM kept a JOIN kept o ON a.b = o.b
+  GROUP BY a.b, a.t, a.v
+), den AS (
+  SELECT CAST(SUM((r2 - (kk.k + 1)) * (r2 - (kk.k + 1))) AS DOUBLE) AS den4
+  FROM r2 CROSS JOIN kk
+), pt AS (
+  SELECT t, CAST(SUM(r2) AS DOUBLE) AS s2 FROM r2 GROUP BY t
+), num AS (
+  SELECT CAST(SUM(CAST(round((s2 / (2.0 * nn.n) - (kk.k + 1) / 2.0)
+                              * (s2 / (2.0 * nn.n) - (kk.k + 1) / 2.0), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS num
+  FROM pt CROSS JOIN nn CROSS JOIN kk
+)
+SELECT nn.n AS n_blocks, kk.k AS k_treatments,
+       CASE WHEN den.den4 > 0 THEN
+         round((CAST(nn.n * nn.n * (kk.k - 1) AS DOUBLE) * num.num)
+               / (den.den4 / 4.0), 9)
+       END AS chi2
+FROM num CROSS JOIN den CROSS JOIN nn CROSS JOIN kk
+"""
+
+SPARK_QUERIES["events_type_friedman"] = events_type_friedman
+ORACLE_SQL["events_type_friedman"] = FRIEDMAN_SQL

@@ -4631,3 +4631,70 @@ FROM m
 
 SPARK_QUERIES["lang_id_kappa"] = lang_id_kappa
 ORACLE_SQL["lang_id_kappa"] = _lang_kappa_sql()
+
+
+def source_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity panel: type-token ratio, hapax share
+    (vocabulary occurring once), and Simpson repeat probability
+    ``Σc(c−1)/(N(N−1))`` — the corpus-health trio that separates
+    template-generated sources (low TTR, high Simpson) from organic
+    text, complementing source_distinct_ngrams' bigram view. One
+    term-count shuffle keyed by (source, token); ratios from exact
+    integer counts."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = docs.select(
+        "source", F.explode(text.word_tokens("text")).alias("_w")
+    )
+    tc = toks.groupBy("source", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    g = tc.groupBy("source").agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_v"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("_h"),
+        F.sum(
+            F.col("_c").cast("decimal(19,0)")
+            * (F.col("_c") - 1).cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    return g.select(
+        "source",
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("_v").cast("long").alias("vocab"),
+        F.col("_h").cast("long").alias("hapax"),
+        F.round(F.col("_v").cast("double") / n, 9).alias("ttr"),
+        F.when(
+            F.col("_v") > 0,
+            F.round(F.col("_h").cast("double") / F.col("_v").cast("double"), 9),
+        ).alias("hapax_share"),
+        F.when(
+            F.col("_n") > 1, F.round(F.col("_s2") / (n * (n - F.lit(1.0))), 9)
+        ).alias("simpson"),
+    ).orderBy("source")
+
+
+TOKEN_DIVERSITY_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({SQL_TOKENS}) AS w FROM documents
+), tc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY source, w
+), g AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h,
+         CAST(SUM(c * (c - 1)) AS DOUBLE) AS s2
+  FROM tc GROUP BY source
+)
+SELECT source, n AS n_tokens, v AS vocab, h AS hapax,
+       round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 9) AS ttr,
+       CASE WHEN v > 0 THEN round(CAST(h AS DOUBLE) / CAST(v AS DOUBLE), 9) END
+         AS hapax_share,
+       CASE WHEN n > 1 THEN
+         round(s2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 9) END
+         AS simpson
+FROM g ORDER BY source
+"""
+
+SPARK_QUERIES["source_token_diversity"] = source_token_diversity
+ORACLE_SQL["source_token_diversity"] = TOKEN_DIVERSITY_SQL

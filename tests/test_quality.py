@@ -1473,3 +1473,33 @@ def test_cochran_armitage_hand_case(spark):
     # single level -> zero variance -> NULL z
     df = spark.createDataFrame([(2, 1), (2, 0)], "w long, y int")
     assert cochran_armitage(df, "w", "y").collect()[0]["z_score"] is None
+
+
+def test_friedman_hand_case(spark):
+    from onetl_spark.operators.stats import friedman_test
+
+    # two identical blocks, consistent ordering A<B<C -> chi2 = n(k-1) = 4
+    rows = []
+    for b in ("d1", "d2"):
+        rows += [(b, "A", 1.0), (b, "B", 2.0), (b, "C", 3.0)]
+    df = spark.createDataFrame(rows, "b string, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    assert (r["n_blocks"], r["k_treatments"]) == (2, 3)
+    assert abs(r["chi2"] - 4.0) < 1e-9
+
+    # incomplete block dropped: d3 lacks treatment C
+    rows2 = rows + [("d3", "A", 9.0), ("d3", "B", 1.0)]
+    df = spark.createDataFrame(rows2, "b string, t string, v double")
+    r = friedman_test(df, "b", "t", "v").collect()[0]
+    assert r["n_blocks"] == 2 and abs(r["chi2"] - 4.0) < 1e-9
+
+    # all-tied values inside every block -> zero rank variance -> NULL
+    tied = [(b, t, 5.0) for b in ("d1", "d2") for t in ("A", "B")]
+    df = spark.createDataFrame(tied, "b string, t string, v double")
+    assert friedman_test(df, "b", "t", "v").collect()[0]["chi2"] is None
+
+    import pytest as _pt
+
+    one = spark.createDataFrame([("d1", "A", 1.0)], "b string, t string, v double")
+    with _pt.raises(ValueError, match="2 treatments"):
+        friedman_test(one, "b", "t", "v")
