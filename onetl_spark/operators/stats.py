@@ -2143,3 +2143,116 @@ def friedman_test(
         F.lit(k).cast("long").alias("k_treatments"),
         chi2.alias("chi2"),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the
+    confounding-aware version of a single 2×2 odds ratio ("does the
+    exposure move the outcome once the stratifying attribute is
+    controlled for?"), the workhorse of stratified A/B readouts.
+    Consumes binary (0/1) exposure/outcome columns plus a bounded
+    stratum key; returns one row ``(n, n_strata, or_mh, log_or_mh)``
+    with ``OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i)``.
+
+    One groupBy(stratum) aggregate builds every 2×2 from exact integer
+    sums; the per-stratum ``ad/n`` and ``bc/n`` terms round to 9 and
+    decimal-accumulate (order-independent); a zero denominator (no
+    discordant cells anywhere) pins the ratio to NULL. Strata are
+    attribute-bounded — the epilogue never touches fact rows.
+    """
+    e = F.col(exposure_col).cast("int")
+    y = F.col(outcome_col).cast("int")
+    s = df.filter(
+        F.col(stratum_col).isNotNull() & e.isNotNull() & y.isNotNull()
+    ).select(F.col(stratum_col).alias("_s"), e.alias("_e"), y.alias("_y"))
+    g = s.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_e") * F.col("_y")).alias("_a"),
+        F.sum(F.col("_e") * (1 - F.col("_y"))).alias("_b"),
+        F.sum((1 - F.col("_e")) * F.col("_y")).alias("_c"),
+        F.sum((1 - F.col("_e")) * (1 - F.col("_y"))).alias("_d"),
+    )
+    nd = F.col("_n").cast("double")
+    ad = F.round(F.col("_a").cast("double") * F.col("_d").cast("double") / nd, 9)
+    bc = F.round(F.col("_b").cast("double") * F.col("_c").cast("double") / nd, 9)
+    m = g.agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(ad.cast("decimal(38,9)")).cast("double").alias("_num"),
+        F.sum(bc.cast("decimal(38,9)")).cast("double").alias("_den"),
+    )
+    orr = F.when(F.col("_den") > 0, F.round(F.col("_num") / F.col("_den"), 9))
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_strata").cast("long").alias("n_strata"),
+        orr.alias("or_mh"),
+        F.when(
+            (F.col("_den") > 0) & (F.col("_num") > 0),
+            F.round(F.log(F.col("_num") / F.col("_den")), 9),
+        ).alias("log_or_mh"),
+    )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: "tuple[str, ...]") -> DataFrame:
+    """Cronbach's alpha over k numeric item columns — internal
+    consistency ("do these per-entity signals measure one underlying
+    trait?"), e.g. whether a user's per-event-type activity counts form
+    one coherent engagement scale. ``α = k/(k−1)·(1 − Σσ²_i/σ²_total)``
+    with VARIANCES of items and of the row-sum total. Returns one row
+    ``(n, k_items, alpha)``.
+
+    Exactness: item values are cast to exact decimals; every variance
+    comes from integer/decimal moment sums evaluated in one pinned
+    double parenthesization, per-item variances round to 9 and
+    decimal-accumulate across the k bounded items. One
+    map-side-combined aggregate; zero total variance pins α to NULL.
+    Rows with any NULL item are excluded (complete-case convention).
+    """
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha: need at least 2 items")
+    cols = [F.col(c).cast("decimal(19,0)") for c in item_cols]
+    cond = cols[0].isNotNull()
+    for c in cols[1:]:
+        cond = cond & c.isNotNull()
+    base = df.filter(cond).select(
+        *[c.alias(f"_i{i}") for i, c in enumerate(cols)]
+    )
+    total = None
+    for i in range(k):
+        total = F.col(f"_i{i}") if total is None else total + F.col(f"_i{i}")
+    base = base.withColumn("_tot", total)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(k):
+        c = F.col(f"_i{i}")
+        aggs.append(F.sum(c).cast("double").alias(f"_s{i}"))
+        aggs.append(F.sum(c * c).cast("double").alias(f"_q{i}"))
+    t = F.col("_tot")
+    aggs.append(F.sum(t).cast("double").alias("_st"))
+    aggs.append(F.sum(t * t).cast("double").alias("_qt"))
+    m = base.agg(*aggs)
+    n = F.col("_n").cast("double")
+
+    def var(s, q):
+        return (F.col(q) - F.col(s) * F.col(s) / n) / (n - F.lit(1.0))
+
+    # the k variances live on ONE aggregate row, so a fixed left-assoc
+    # double chain is already order-independent — no round-9 decimal
+    # re-accumulation (which would re-introduce cross-engine round()
+    # divergence on arbitrary doubles)
+    item_var_sum = None
+    for i in range(k):
+        term = var(f"_s{i}", f"_q{i}")
+        item_var_sum = term if item_var_sum is None else item_var_sum + term
+    tot_var = var("_st", "_qt")
+    alpha = F.lit(float(k) / (k - 1.0)) * (F.lit(1.0) - item_var_sum / tot_var)
+    return m.select(
+        F.col("_n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k_items"),
+        F.when((F.col("_n") > 1) & (tot_var > 0), F.round(alpha, 9)).alias("alpha"),
+    )

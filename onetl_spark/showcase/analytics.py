@@ -5571,3 +5571,126 @@ FROM num CROSS JOIN den CROSS JOIN nn CROSS JOIN kk
 
 SPARK_QUERIES["events_type_friedman"] = events_type_friedman
 ORACLE_SQL["events_type_friedman"] = FRIEDMAN_SQL
+
+
+def segment_mh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio of purchasing in the second
+    month-half vs the first, stratified by market segment
+    (`operators/stats.py mantel_haenszel`): the confounding-controlled
+    readout of "did conversion really shift?" that a single pooled 2x2
+    gets wrong when segment mix changes (Simpson's paradox guard)."""
+    from onetl_spark.operators.stats import mantel_haenszel
+
+    ensure_views(spark, sf_dir)
+    split = F.lit("2024-01-16").cast("timestamp")
+    j = (
+        spark.table("events")
+        .join(
+            spark.table("customer").select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"
+            ),
+            "user_id",
+        )
+        .select(
+            "c_mktsegment",
+            (F.col("ts") >= split).cast("int").alias("is_second_half"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        )
+    )
+    return mantel_haenszel(j, "c_mktsegment", "is_second_half", "is_purchase")
+
+
+MH_OR_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS s,
+         CASE WHEN CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+              THEN 1 ELSE 0 END AS x,
+         CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+  WHERE c.c_mktsegment IS NOT NULL
+), g AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x * y) AS BIGINT) AS a,
+         CAST(SUM(x * (1 - y)) AS BIGINT) AS b,
+         CAST(SUM((1 - x) * y) AS BIGINT) AS c,
+         CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS d
+  FROM j GROUP BY s
+), m AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                             / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)))
+              AS DOUBLE) AS num,
+         CAST(SUM(CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                             / CAST(n AS DOUBLE), 9) AS DECIMAL(38,9)))
+              AS DOUBLE) AS den
+  FROM g
+)
+SELECT n, n_strata,
+       CASE WHEN den > 0 THEN round(num / den, 9) END AS or_mh,
+       CASE WHEN den > 0 AND num > 0 THEN round(ln(num / den), 9) END AS log_or_mh
+FROM m
+"""
+
+SPARK_QUERIES["segment_mh_odds_ratio"] = segment_mh_odds_ratio
+ORACLE_SQL["segment_mh_odds_ratio"] = MH_OR_SQL
+
+
+_CRONBACH_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_engagement_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over per-user event-type counts
+    (`operators/stats.py cronbach_alpha`): do the five activity signals
+    form one coherent engagement scale — the internal-consistency check
+    before collapsing them into a single engagement score."""
+    from onetl_spark.operators.stats import cronbach_alpha
+
+    ensure_views(spark, sf_dir)
+    items = spark.table("events").groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in _CRONBACH_TYPES
+        ]
+    )
+    return cronbach_alpha(items, tuple(f"n_{t}" for t in _CRONBACH_TYPES))
+
+
+def _cronbach_sql() -> str:
+    k = len(_CRONBACH_TYPES)
+    item_defs = ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS i{j}"
+        for j, t in enumerate(_CRONBACH_TYPES)
+    )
+    tot = " + ".join(f"i{j}" for j in range(k))
+    moment_defs = ", ".join(
+        f"CAST(SUM(i{j}) AS DOUBLE) AS s{j}, CAST(SUM(i{j} * i{j}) AS DOUBLE) AS q{j}"
+        for j in range(k)
+    )
+    var = (
+        "((q{j} - s{j} * s{j} / CAST(cnt AS DOUBLE))"
+        " / (CAST(cnt AS DOUBLE) - 1.0))"
+    )
+    item_var_sum = " + ".join(var.format(j=j) for j in range(k))
+    tot_var = "((qt - st * st / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0))"
+    return f"""
+WITH items AS (
+  SELECT user_id, {item_defs}
+  FROM events GROUP BY user_id
+), w AS (
+  SELECT *, {tot} AS tt FROM items
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt, {moment_defs},
+         CAST(SUM(tt) AS DOUBLE) AS st, CAST(SUM(tt * tt) AS DOUBLE) AS qt
+  FROM w
+)
+SELECT cnt AS n, CAST({k} AS BIGINT) AS k_items,
+       CASE WHEN cnt > 1 AND {tot_var} > 0 THEN
+         round({k}.0 / ({k} - 1.0)
+               * (1.0 - ({item_var_sum}) / {tot_var}), 9)
+       END AS alpha
+FROM m
+"""
+
+
+SPARK_QUERIES["user_engagement_cronbach"] = user_engagement_cronbach
+ORACLE_SQL["user_engagement_cronbach"] = _cronbach_sql()

@@ -1503,3 +1503,41 @@ def test_friedman_hand_case(spark):
     one = spark.createDataFrame([("d1", "A", 1.0)], "b string, t string, v double")
     with _pt.raises(ValueError, match="2 treatments"):
         friedman_test(one, "b", "t", "v")
+
+
+def test_mantel_haenszel_hand_case(spark):
+    from onetl_spark.operators.stats import mantel_haenszel
+
+    # one stratum: a=2 d=3 b=1 c=1, n=7 -> OR = (2*3/7)/(1*1/7) = 6
+    rows = (
+        [("s1", 1, 1)] * 2 + [("s1", 1, 0)] + [("s1", 0, 1)] + [("s1", 0, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "s string, e int, y int")
+    r = mantel_haenszel(df, "s", "e", "y").collect()[0]
+    assert (r["n"], r["n_strata"]) == (7, 1)
+    assert abs(r["or_mh"] - 6.0) < 1e-7
+
+    # no discordant cells -> NULL
+    rows = [("s1", 1, 1), ("s1", 0, 1)]
+    df = spark.createDataFrame(rows, "s string, e int, y int")
+    assert mantel_haenszel(df, "s", "e", "y").collect()[0]["or_mh"] is None
+
+
+def test_cronbach_alpha_hand_case(spark):
+    from onetl_spark.operators.stats import cronbach_alpha
+
+    # two perfectly correlated items: var_i = v each, var_tot = 4v
+    # alpha = 2 * (1 - 2v/4v) = 1
+    df = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "a long, b long")
+    r = cronbach_alpha(df, ("a", "b")).collect()[0]
+    assert (r["n"], r["k_items"]) == (3, 2)
+    assert abs(r["alpha"] - 1.0) < 1e-9
+
+    # independent-ish: b reversed -> total constant -> zero total var -> NULL
+    df = spark.createDataFrame([(1, 3), (2, 2), (3, 1)], "a long, b long")
+    assert cronbach_alpha(df, ("a", "b")).collect()[0]["alpha"] is None
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="2 items"):
+        cronbach_alpha(df, ("a",))
