@@ -5694,3 +5694,150 @@ FROM m
 
 SPARK_QUERIES["user_engagement_cronbach"] = user_engagement_cronbach
 ORACLE_SQL["user_engagement_cronbach"] = _cronbach_sql()
+
+
+_STATIONARY_ITERS = 12
+
+
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user event-type Markov chain by
+    fixed-count power iteration (12 steps of v·P on the 5x5 transition
+    matrix from event_transition_matrix): the long-run traffic mix the
+    chain predicts, to compare against the observed type shares. The
+    iteration runs entirely on attribute-bounded relations (k states,
+    k² transitions) — per step one k²-row join + one k-row aggregate —
+    with each step's vector rounded to 9 and held as exact decimal so
+    every engine replays the identical trajectory."""
+    ensure_views(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        spark.table("events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    p = (
+        counts.join(tot, "event_type")
+        .select(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+            (F.col("n").cast("double") / F.col("tn").cast("double")).alias("pr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    states = p.select(F.col("src").alias("state")).distinct()
+    k = states.count()
+    if k == 0:
+        raise ValueError("event_markov_stationary: no transitions")
+    v = states.select(
+        "state",
+        F.round(F.lit(1.0) / F.lit(float(k)), 9).cast("decimal(38,9)").alias("v"),
+    )
+    for _ in range(_STATIONARY_ITERS):
+        v = (
+            v.join(p, v["state"] == p["src"])
+            .groupBy(F.col("dst").alias("state"))
+            .agg(
+                F.sum(
+                    F.round(F.col("v").cast("double") * F.col("pr"), 9).cast(
+                        "decimal(38,9)"
+                    )
+                )
+                .cast("decimal(38,9)")
+                .alias("v")
+            )
+        )
+    return v.select(
+        "state", F.col("v").cast("double").alias("stationary_prob")
+    ).orderBy("state")
+
+
+def _stationary_sql() -> str:
+    its = []
+    for i in range(1, _STATIONARY_ITERS + 1):
+        its.append(f"""v{i} AS (
+  SELECT p.dst AS state,
+         CAST(SUM(CAST(round(CAST(v{i-1}.v AS DOUBLE) * p.pr, 9)
+                       AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS v
+  FROM v{i-1} JOIN p ON v{i-1}.state = p.src
+  GROUP BY p.dst
+)""")
+    chain = ",\n".join(its)
+    return f"""
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), counts AS (
+  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), tot AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn FROM counts GROUP BY event_type
+), p AS (
+  SELECT counts.event_type AS src, counts.next_type AS dst,
+         CAST(counts.n AS DOUBLE) / CAST(tot.tn AS DOUBLE) AS pr
+  FROM counts JOIN tot ON counts.event_type = tot.event_type
+), states AS (SELECT DISTINCT src AS state FROM p),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+v0 AS (
+  SELECT state, CAST(round(1.0 / CAST(kk.k AS DOUBLE), 9) AS DECIMAL(38,9)) AS v
+  FROM states CROSS JOIN kk
+),
+{chain}
+SELECT state, CAST(v AS DOUBLE) AS stationary_prob
+FROM v{_STATIONARY_ITERS} ORDER BY state
+"""
+
+
+SPARK_QUERIES["event_markov_stationary"] = event_markov_stationary
+ORACLE_SQL["event_markov_stationary"] = _stationary_sql()
+
+
+_SYS_SAMPLE_STEP = 100
+
+
+def orders_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic 1-in-100 sample of orders by the distributed global
+    row index (`operators/ranking.py global_row_index` — no
+    single-partition sort), summarized as count/key-range/price
+    moments: the deterministic equal-interval design that, unlike
+    RNG-based sampling, any engine reproduces exactly and that
+    guarantees perfectly even coverage of the keyspace."""
+    from onetl_spark.operators.ranking import global_row_index
+
+    ensure_views(spark, sf_dir)
+    o = spark.table("orders").select("o_orderkey", "o_totalprice")
+    idx = global_row_index(o, "o_orderkey")
+    samp = idx.filter((F.col("row_idx") % _SYS_SAMPLE_STEP) == 1)
+    return samp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("sum_price"),
+    )
+
+
+SYS_SAMPLE_SQL = f"""
+WITH idx AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_idx
+  FROM orders
+), samp AS (
+  SELECT * FROM idx WHERE row_idx % {_SYS_SAMPLE_STEP} = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       MIN(o_orderkey) AS first_key,
+       MAX(o_orderkey) AS last_key,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price
+FROM samp
+"""
+
+SPARK_QUERIES["orders_systematic_sample"] = orders_systematic_sample
+ORACLE_SQL["orders_systematic_sample"] = SYS_SAMPLE_SQL
