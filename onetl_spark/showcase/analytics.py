@@ -5841,3 +5841,106 @@ FROM samp
 
 SPARK_QUERIES["orders_systematic_sample"] = orders_systematic_sample
 ORACLE_SQL["orders_systematic_sample"] = SYS_SAMPLE_SQL
+
+
+def events_hourly_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap-fill summary of each event type's hourly value series
+    over the full hour grid between its first and last observation —
+    the resample-and-interpolate accounting every sensor/metric
+    pipeline needs before windowed models. Per type: grid size,
+    observed/filled slot counts, observed mass, and the total linearly
+    interpolated mass of the filled slots.
+
+    Exactness: the interior of a gap of L hours sums in CLOSED FORM —
+    an arithmetic series, ``(L−1)·(prev+next)/2`` — so the whole
+    computation stays in exact decimals with ZERO per-slot divisions or
+    high-precision rounding of large doubles (the half-boundary
+    misround trap the per-slot formulation hits). One lead window over
+    the calendar-bounded hourly relation per type; no grid explode
+    needed for the summary."""
+    ensure_views(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).alias("v"))
+    )
+    wn = W.partitionBy("event_type").orderBy("h")
+    t = hourly.select(
+        "event_type",
+        "h",
+        "v",
+        F.lead("h").over(wn).alias("_nh"),
+        F.lead("v").over(wn).alias("_nv"),
+    )
+    gap_hours = (
+        (F.unix_timestamp("_nh") - F.unix_timestamp("h")) / F.lit(3600)
+    ).cast("decimal(10,0)")
+    fill_cnt = F.when(F.col("_nh").isNotNull(), gap_hours - 1).otherwise(
+        F.lit(0).cast("decimal(10,0)")
+    )
+    # (L-1)*(v+nv)/2 exactly: multiply by 0.5 as DECIMAL(1,1) -> scale 7
+    gap_mass = (
+        ((F.col("v") + F.col("_nv")) * fill_cnt.cast("decimal(19,0)")).cast(
+            "decimal(38,6)"
+        )
+        * F.lit(0.5).cast("decimal(1,1)")
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            (
+                (
+                    (F.max("h").cast("long") - F.min("h").cast("long"))
+                    / F.lit(3600)
+                ).cast("long")
+                + F.lit(1)
+            ).alias("n_slots"),
+            F.count(F.lit(1)).cast("long").alias("n_observed"),
+            F.sum(fill_cnt).cast("long").alias("n_filled"),
+            F.sum("v").cast("double").alias("observed_mass"),
+            F.coalesce(
+                F.sum(F.when(F.col("_nh").isNotNull(), gap_mass)),
+                F.lit(0).cast("decimal(38,7)"),
+            )
+            .cast("double")
+            .alias("filled_mass"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTERP_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), t AS (
+  SELECT event_type, h, v,
+         lead(h) OVER (PARTITION BY event_type ORDER BY h) AS nh,
+         lead(v) OVER (PARTITION BY event_type ORDER BY h) AS nv
+  FROM hourly
+), g AS (
+  SELECT event_type, h, v, nh, nv,
+         CASE WHEN nh IS NOT NULL
+              THEN CAST(date_diff('hour', h, nh) - 1 AS DECIMAL(10,0))
+              ELSE CAST(0 AS DECIMAL(10,0)) END AS fill_cnt
+  FROM t
+)
+SELECT event_type,
+       CAST(date_diff('hour', MIN(h), MAX(h)) + 1 AS BIGINT) AS n_slots,
+       CAST(COUNT(*) AS BIGINT) AS n_observed,
+       CAST(SUM(fill_cnt) AS BIGINT) AS n_filled,
+       CAST(SUM(v) AS DOUBLE) AS observed_mass,
+       CAST(COALESCE(SUM(CASE WHEN nh IS NOT NULL THEN
+                       CAST(CAST((v + nv) * CAST(fill_cnt AS DECIMAL(19,0))
+                                 AS DECIMAL(38,6)) * CAST(0.5 AS DECIMAL(1,1))
+                            AS DECIMAL(38,7)) END),
+                     0) AS DOUBLE) AS filled_mass
+FROM g GROUP BY event_type ORDER BY event_type
+"""
+
+
+SPARK_QUERIES["events_hourly_interpolation"] = events_hourly_interpolation
+ORACLE_SQL["events_hourly_interpolation"] = INTERP_SQL
