@@ -1884,3 +1884,149 @@ FROM m
 
 SPARK_QUERIES["orders_priority_trend"] = orders_priority_trend
 ORACLE_SQL["orders_priority_trend"] = CA_TREND_SQL
+
+
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency deciles of order→ship latency in days
+    (`operators/ranking.py exact_ntile` over datediff(l_shipdate,
+    o_orderdate)): the fulfillment-SLA distribution — one fact join +
+    the distributed NTILE reconstruction, no single-partition sort."""
+    from onetl_spark.operators.ranking import exact_ntile
+
+    ensure_views(spark, sf_dir)
+    j = (
+        spark.table("lineitem")
+        .join(
+            spark.table("orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat_days"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .filter(F.col("lat_days").isNotNull())
+    )
+    t = exact_ntile(j, 10, "lat_days", ("l_orderkey", "l_linenumber"), tile_col="decile")
+    return (
+        t.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lat_days").alias("lo_days"),
+            F.max("lat_days").alias("hi_days"),
+            F.round(
+                F.sum(F.col("lat_days").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("mean_days"),
+        )
+        .orderBy("decile")
+    )
+
+
+SHIP_LATENCY_SQL = """
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(lat_days) AS lo_days, MAX(lat_days) AS hi_days,
+       round(CAST(SUM(CAST(lat_days AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_days
+FROM (
+  SELECT lat_days, NTILE(10) OVER (ORDER BY lat_days, l_orderkey, l_linenumber)
+           AS decile
+  FROM (
+    SELECT CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS lat_days,
+           l.l_orderkey, l.l_linenumber
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  ) WHERE lat_days IS NOT NULL
+)
+GROUP BY decile ORDER BY decile
+"""
+
+SPARK_QUERIES["order_to_ship_latency"] = order_to_ship_latency
+ORACLE_SQL["order_to_ship_latency"] = SHIP_LATENCY_SQL
+
+
+def priority_region_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted (Haberman) standardized residuals of the order-priority ×
+    customer-region contingency: WHICH cells drive a significant
+    chi-square — the cell-level diagnostic the omnibus statistic hides.
+    ``(o − e)/sqrt(e(1−r/N)(1−c/N))`` per cell from exact integer
+    marginals; |residual| > 2 flags the deviating cells. One bounded
+    5×5 aggregate after the dimension joins (region via nation,
+    broadcast-sized)."""
+    ensure_views(spark, sf_dir)
+    j = (
+        spark.table("orders")
+        .join(
+            spark.table("customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                spark.table("nation").select("n_nationkey", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(spark.table("region").select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("o_orderpriority").alias("priority"), F.col("r_name").alias("region"))
+    )
+    cells = j.groupBy("priority", "region").agg(F.count(F.lit(1)).alias("o"))
+    cells = cells.localCheckpoint(eager=True)
+    rm = cells.groupBy("priority").agg(F.sum("o").alias("_r"))
+    cm = cells.groupBy("region").agg(F.sum("o").alias("_c"))
+    nn = cells.agg(F.sum("o").alias("_n"))
+    t = (
+        cells.join(F.broadcast(rm), "priority")
+        .join(F.broadcast(cm), "region")
+        .crossJoin(F.broadcast(nn))
+    )
+    nd = F.col("_n").cast("double")
+    e = F.col("_r").cast("double") * F.col("_c").cast("double") / nd
+    adj_den = F.sqrt(
+        e
+        * (F.lit(1.0) - F.col("_r").cast("double") / nd)
+        * (F.lit(1.0) - F.col("_c").cast("double") / nd)
+    )
+    adj = F.when(adj_den > 0, F.round((F.col("o").cast("double") - e) / adj_den, 6))
+    return t.select(
+        "priority",
+        "region",
+        F.col("o").cast("long").alias("observed"),
+        F.round(e, 6).alias("expected"),
+        adj.alias("adj_residual"),
+    ).orderBy("priority", "region")
+
+
+PRIORITY_REGION_RESID_SQL = """
+WITH j AS (
+  SELECT o.o_orderpriority AS priority, r.r_name AS region
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), cells AS (
+  SELECT priority, region, CAST(COUNT(*) AS BIGINT) AS o
+  FROM j GROUP BY priority, region
+), rm AS (SELECT priority, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY priority),
+cm AS (SELECT region, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY region),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+SELECT cells.priority, cells.region, cells.o AS observed,
+       round(CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+         AS expected,
+       CASE WHEN sqrt(CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                      * (1.0 - CAST(rm.r AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                      * (1.0 - CAST(cm.c AS DOUBLE) / CAST(nn.n AS DOUBLE))) > 0 THEN
+         round((CAST(cells.o AS DOUBLE)
+                - CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE) / CAST(nn.n AS DOUBLE))
+               / sqrt(CAST(rm.r AS DOUBLE) * CAST(cm.c AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                      * (1.0 - CAST(rm.r AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                      * (1.0 - CAST(cm.c AS DOUBLE) / CAST(nn.n AS DOUBLE))), 6)
+       END AS adj_residual
+FROM cells JOIN rm USING (priority) JOIN cm USING (region) CROSS JOIN nn
+ORDER BY priority, region
+"""
+
+SPARK_QUERIES["priority_region_residuals"] = priority_region_residuals
+ORACLE_SQL["priority_region_residuals"] = PRIORITY_REGION_RESID_SQL
