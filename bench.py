@@ -17,6 +17,33 @@ import sys
 import time
 
 HEADLINE = [
+    "events_type_kruskal_wallis",
+    "events_value_cliffs_delta",
+    "events_value_jarque_bera",
+    "events_type_levene",
+    "events_type_tukey_hsd",
+    "user_click_purchase_mcnemar",
+    "lang_id_kappa",
+    "events_daily_durbin_watson",
+    "events_daily_runs_test",
+    "events_value_hellinger",
+    "user_activity_dispersion",
+    "events_type_share_bh",
+    "events_purchase_pr_auc",
+    "events_purchase_calibration",
+    "part_adamic_adar",
+    "supplier_nation_modularity",
+    "events_purchase_info_gain",
+    "orders_priority_trend",
+    "events_type_friedman",
+    "source_token_diversity",
+    "segment_mh_odds_ratio",
+    "user_engagement_cronbach",
+    "event_markov_stationary",
+    "orders_systematic_sample",
+    "events_hourly_interpolation",
+    "order_to_ship_latency",
+    "priority_region_residuals",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
