@@ -1754,3 +1754,91 @@ def ivf_recall_eval(
             ),
         )
     )
+
+
+def centroid_silhouette(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Centroid-based silhouette per label: ``s = (b − a)/max(a, b)``
+    with ``a`` the Euclidean distance to the OWN label centroid and
+    ``b`` the distance to the nearest OTHER centroid — the
+    O(n·k) simplification of the classic O(n²) silhouette that stays
+    corpus-scan-shaped (the standard label-quality score before
+    trusting kNN votes or training on weak labels). Returns one row per
+    label: ``(label, n, mean_silhouette, mean_a, mean_b)``.
+
+    Scale shape: centroids come from ONE exploded scan map-side combined
+    to |labels|×dim partial sums (the label_centroid_similarity
+    discipline, decimal-exact means); each point then meets the
+    broadcast k-row centroid table — no pairwise corpus join. Distance
+    folds run left-to-right over the dims on both engines; per-point
+    silhouettes are O(1)-scale, so their round-9 decimal accumulation
+    is cross-engine safe. Degenerate ``max(a,b) = 0`` pins s to NULL.
+    """
+    dims = embeddings.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_i", "_x"),
+    )
+    cent = dims.groupBy("_lbl", "_i").agg(
+        (
+            F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_mu")
+    )
+    vecs = cent.groupBy("_lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_mu"))), lambda s: s["_mu"]
+        ).alias("_cv")
+    )
+    pts = embeddings.filter(
+        F.col(label_col).isNotNull() & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lbl"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    pairs = pts.crossJoin(
+        F.broadcast(vecs.select(F.col("_lbl").alias("_cl"), "_cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("_v", "_cv", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    per_pt = (
+        pairs.select("_id", "_lbl", "_cl", F.sqrt(d2).alias("_d"))
+        .groupBy("_id", "_lbl")
+        .agg(
+            F.max(F.when(F.col("_cl") == F.col("_lbl"), F.col("_d"))).alias("_a"),
+            F.min(F.when(F.col("_cl") != F.col("_lbl"), F.col("_d"))).alias("_b"),
+        )
+    )
+    mx = F.greatest(F.col("_a"), F.col("_b"))
+    s = F.when(mx > 0, (F.col("_b") - F.col("_a")) / mx)
+
+    def dmean(col, n):
+        return F.round(
+            F.sum(F.round(col, 9).cast("decimal(38,9)")).cast("double") / n, 9
+        )
+
+    out = per_pt.groupBy("_lbl").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(s, 9).cast("decimal(38,9)")).cast("double").alias("_ss"),
+        F.sum(F.round(F.col("_a"), 9).cast("decimal(38,9)")).cast("double").alias("_sa"),
+        F.sum(F.round(F.col("_b"), 9).cast("decimal(38,9)")).cast("double").alias("_sb"),
+    )
+    n = F.col("_n").cast("double")
+    return out.select(
+        F.col("_lbl").alias("label"),
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.col("_ss") / n, 9).alias("mean_silhouette"),
+        F.round(F.col("_sa") / n, 9).alias("mean_a"),
+        F.round(F.col("_sb") / n, 9).alias("mean_b"),
+    ).orderBy("label")

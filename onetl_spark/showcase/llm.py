@@ -4698,3 +4698,56 @@ FROM g ORDER BY source
 
 SPARK_QUERIES["source_token_diversity"] = source_token_diversity
 ORACLE_SQL["source_token_diversity"] = TOKEN_DIVERSITY_SQL
+
+
+def embedding_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per embedding label (`llm/similarity.py
+    centroid_silhouette`): the O(n·k) label-quality score — own-centroid
+    vs nearest-other-centroid Euclidean distances — that grades the
+    weak labels before knn_label_vote trusts them."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm import similarity
+
+    return similarity.centroid_silhouette(spark.table("embeddings"))
+
+
+SILHOUETTE_SQL = """
+WITH dims AS (
+  SELECT label AS lbl, r.i AS i, CAST(embedding[r.i] AS DOUBLE) AS x
+  FROM embeddings, range(1, 65) r(i)
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+), cent AS (
+  SELECT lbl, i,
+         CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+  FROM dims GROUP BY lbl, i
+), vecs AS (
+  SELECT lbl, list(mu ORDER BY i) AS cv FROM cent GROUP BY lbl
+), pts AS (
+  SELECT vec_id, label AS lbl,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+), pairs AS (
+  SELECT p.vec_id, p.lbl, c.lbl AS cl,
+         sqrt(list_sum(list_transform(range(1, 65),
+              i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))) AS d
+  FROM pts p CROSS JOIN vecs c
+), per_pt AS (
+  SELECT vec_id, lbl,
+         MAX(CASE WHEN cl = lbl THEN d END) AS a,
+         MIN(CASE WHEN cl <> lbl THEN d END) AS b
+  FROM pairs GROUP BY vec_id, lbl
+)
+SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(round(CASE WHEN greatest(a, b) > 0
+                                      THEN (b - a) / greatest(a, b) END, 9)
+                           AS DECIMAL(38,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_silhouette,
+       round(CAST(SUM(CAST(round(a, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_a,
+       round(CAST(SUM(CAST(round(b, 9) AS DECIMAL(38,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 9) AS mean_b
+FROM per_pt GROUP BY lbl ORDER BY lbl
+"""
+
+SPARK_QUERIES["embedding_centroid_silhouette"] = embedding_centroid_silhouette
+ORACLE_SQL["embedding_centroid_silhouette"] = SILHOUETTE_SQL

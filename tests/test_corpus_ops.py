@@ -1643,3 +1643,29 @@ def test_ivf_recall_eval_bounds_and_exact_match(spark):
 
     with pytest.raises(ValueError):
         ivf_recall_eval(df, [])
+
+
+def test_centroid_silhouette_hand_case(spark):
+    from onetl_spark.llm.similarity import centroid_silhouette
+
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [2.0, 0.0], 0),
+        (3, [10.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in centroid_silhouette(df).collect()}
+    # label 0 centroid (1,0); label 1 centroid (10,0)
+    # pt1: a=1 b=10 -> 0.9 ; pt2: a=1 b=8 -> 0.875 ; pt3: a=0 b=9 -> 1.0
+    assert out[0]["n"] == 2 and out[1]["n"] == 1
+    assert abs(out[0]["mean_silhouette"] - 0.8875) < 1e-9
+    assert abs(out[1]["mean_silhouette"] - 1.0) < 1e-9
+    assert abs(out[0]["mean_a"] - 1.0) < 1e-9
+    assert abs(out[1]["mean_b"] - 9.0) < 1e-9
+
+    # single label: no other centroid -> NULL silhouette mean stays NULL-safe
+    one = spark.createDataFrame(
+        [(1, [0.0], 0), (2, [2.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    r = centroid_silhouette(one).collect()[0]
+    assert r["mean_silhouette"] is None and r["mean_b"] is None
