@@ -2030,3 +2030,193 @@ ORDER BY priority, region
 
 SPARK_QUERIES["priority_region_residuals"] = priority_region_residuals
 ORACLE_SQL["priority_region_residuals"] = PRIORITY_REGION_RESID_SQL
+
+
+_WILSON_Z = 1.959963984540054
+
+
+def purchase_rate_by_value_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned response curve: purchase rate per PINNED value bucket with
+    95% Wilson score intervals — the partial-dependence view ("does
+    purchase propensity rise with event value?") that turns the
+    info-gain ranking into an inspectable curve, with small-bin-honest
+    CIs. One scan + one 9-row aggregate; exact integer numerators, one
+    pinned double expression per bin."""
+    from onetl_spark.operators.ranking import ascending_bucket
+
+    ensure_views(spark, sf_dir)
+    z = _WILSON_Z
+    g = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            ascending_bucket(_PSI_BOUNDS, F.col("value").cast("double"))
+            .cast("int")
+            .alias("bucket"),
+            (F.col("event_type") == "purchase").cast("long").alias("_y"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("successes"))
+    )
+    p = F.col("successes").cast("double") / F.col("n")
+    nn = F.col("n").cast("double")
+    denom = F.lit(1.0) + F.lit(z * z) / nn
+    center = (p + F.lit(z * z) / (F.lit(2.0) * nn)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + F.lit(z * z) / (F.lit(4.0) * nn * nn))
+        / denom
+    )
+    return g.select(
+        "bucket",
+        "n",
+        "successes",
+        F.round(p, 9).alias("rate"),
+        F.round(center - half, 9).alias("wilson_low"),
+        F.round(center + half, 9).alias("wilson_high"),
+    ).orderBy("bucket")
+
+
+def _rate_curve_sql() -> str:
+    blist = "[" + ", ".join(f"{x!r}" for x in _PSI_BOUNDS) + "]"
+    z = repr(_WILSON_Z)
+    p = "(CAST(successes AS DOUBLE) / n)"
+    denom = f"(1.0 + {z} * {z} / n)"
+    half = (
+        f"{z} * sqrt({p} * (1.0 - {p}) / n + {z} * {z} / (4.0 * n * n)) / {denom}"
+    )
+    center = f"({p} + {z} * {z} / (2.0 * n)) / {denom}"
+    return f"""
+WITH b AS (
+  SELECT CAST(len(list_filter({blist}, x -> CAST(value AS DOUBLE) > x)) AS INTEGER)
+           AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS successes
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n, successes,
+       round({p}, 9) AS rate,
+       round({center} - {half}, 9) AS wilson_low,
+       round({center} + {half}, 9) AS wilson_high
+FROM g ORDER BY bucket
+"""
+
+
+SPARK_QUERIES["purchase_rate_by_value_bin"] = purchase_rate_by_value_bin
+ORACLE_SQL["purchase_rate_by_value_bin"] = _rate_curve_sql()
+
+
+def events_weekly_psi_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week PSI trajectory of event value against week 0's
+    distribution, over the pinned bins — the drift MONITOR TIME SERIES
+    (one PSI total per week) that turns the single-split
+    events_value_psi into an alerting curve. ONE scan builds all
+    (week, bucket) counts; the epsilon-floored log terms are
+    O(1)-scale, round-9 decimal-accumulated per week."""
+    from onetl_spark.operators.ranking import ascending_bucket
+
+    ensure_views(spark, sf_dir)
+    eps = 1e-6
+    b = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                )
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week"),
+            ascending_bucket(_PSI_BOUNDS, F.col("value").cast("double"))
+            .cast("int")
+            .alias("bucket"),
+        )
+        .groupBy("week", "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    wk_tot = b.groupBy("week").agg(F.sum("_c").alias("_wt"))
+    ref = (
+        b.filter(F.col("week") == 0)
+        .select("bucket", F.col("_c").alias("_rc"))
+    )
+    ref_tot = ref.agg(F.sum("_rc").alias("_rt"))
+    # every (week, bucket-of-ref ∪ bucket-of-week) pair needs a row:
+    # outer join week buckets against ref buckets on the bucket key
+    weeks = b.select("week").distinct()
+    grid = weeks.crossJoin(
+        F.broadcast(
+            b.select("bucket").distinct().unionByName(ref.select("bucket")).distinct()
+        )
+    )
+    j = (
+        grid.join(b, ["week", "bucket"], "left")
+        .join(F.broadcast(ref), "bucket", "left")
+        .join(F.broadcast(wk_tot), "week")
+        .crossJoin(F.broadcast(ref_tot))
+        .select(
+            "week",
+            F.coalesce("_c", F.lit(0)).alias("_c"),
+            F.coalesce("_rc", F.lit(0)).alias("_rc"),
+            "_wt",
+            "_rt",
+        )
+    )
+    pc = F.col("_c").cast("double") / F.col("_wt").cast("double")
+    pr = F.col("_rc").cast("double") / F.col("_rt").cast("double")
+    term = (pc - pr) * F.log(
+        F.greatest(pc, F.lit(eps)) / F.greatest(pr, F.lit(eps))
+    )
+    out = j.groupBy("week").agg(
+        F.max("_wt").cast("long").alias("n_week"),
+        F.sum(F.round(term, 9).cast("decimal(38,9)")).cast("double").alias("_psi"),
+    )
+    return out.select(
+        "week", "n_week", F.round(F.col("_psi"), 9).alias("psi")
+    ).orderBy("week")
+
+
+def _weekly_psi_sql() -> str:
+    blist = "[" + ", ".join(f"{x!r}" for x in _PSI_BOUNDS) + "]"
+    return f"""
+WITH b AS (
+  SELECT CAST(floor((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01') / 7)
+              AS INTEGER) AS week,
+         CAST(len(list_filter({blist}, x -> CAST(value AS DOUBLE) > x)) AS INTEGER)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), wk_tot AS (SELECT week, CAST(SUM(c) AS BIGINT) AS wt FROM b GROUP BY week),
+ref AS (SELECT bucket, c AS rc FROM b WHERE week = 0),
+ref_tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rt FROM ref),
+buckets AS (SELECT DISTINCT bucket FROM b),
+grid AS (SELECT w.week, k.bucket FROM (SELECT DISTINCT week FROM b) w CROSS JOIN buckets k),
+j AS (
+  SELECT grid.week,
+         COALESCE(b.c, 0) AS c, COALESCE(ref.rc, 0) AS rc,
+         wk_tot.wt, ref_tot.rt
+  FROM grid
+  LEFT JOIN b USING (week, bucket)
+  LEFT JOIN ref USING (bucket)
+  JOIN wk_tot USING (week)
+  CROSS JOIN ref_tot
+)
+SELECT week, MAX(wt) AS n_week,
+       round(CAST(SUM(CAST(round((CAST(c AS DOUBLE) / CAST(wt AS DOUBLE)
+                                  - CAST(rc AS DOUBLE) / CAST(rt AS DOUBLE))
+                                 * ln(greatest(CAST(c AS DOUBLE) / CAST(wt AS DOUBLE),
+                                               1e-06)
+                                      / greatest(CAST(rc AS DOUBLE) / CAST(rt AS DOUBLE),
+                                                 1e-06)), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE), 9) AS psi
+FROM j GROUP BY week ORDER BY week
+"""
+
+
+SPARK_QUERIES["events_weekly_psi_trajectory"] = events_weekly_psi_trajectory
+ORACLE_SQL["events_weekly_psi_trajectory"] = _weekly_psi_sql()
