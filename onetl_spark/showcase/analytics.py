@@ -5944,3 +5944,220 @@ FROM g GROUP BY event_type ORDER BY event_type
 
 SPARK_QUERIES["events_hourly_interpolation"] = events_hourly_interpolation
 ORACLE_SQL["events_hourly_interpolation"] = INTERP_SQL
+
+
+def interarrival_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of the pooled per-user
+    interarrival gaps against the fitted exponential (rate = 1/mean):
+    "is arrival really Poisson?" — the distributional companion to
+    user_interarrival_burstiness's CV summary. Exact integer-microsecond
+    gaps ride the stitched bucketed ECDF (no single-partition window);
+    the theoretical CDF ``1 − exp(−x/mean)`` is O(1)-scale so its
+    round-9 terms are cross-engine safe. Returns one row
+    ``(n_gaps, mean_gap_s, ks_stat, at_gap_us)``."""
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    ensure_views(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    t = (
+        spark.table("events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+    )
+    gaps = (
+        t.select((F.col("us") - F.lag("us").over(w)).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    counts = (
+        gaps.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.sum("_cnt").alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,0)") * F.col("_cnt").cast("decimal(38,0)"))
+        .alias("_sg"),
+    ).collect()[0]
+    n, sg = tot["_n"], int(tot["_sg"])
+    if not n:
+        raise ValueError("interarrival_ks_exponential: no gaps")
+    mean = float(sg) / float(n)
+    stitched, _ = stitched_cumsums(counts, "_v", ("_cnt",))
+    fx = F.lit(1.0) - F.exp(-(F.col("_v").cast("double") / F.lit(mean)))
+    nn = F.lit(float(n))
+    d_hi = F.abs(F.col("_cum__cnt").cast("double") / nn - fx)
+    d_lo = F.abs((F.col("_cum__cnt") - F.col("_cnt")).cast("double") / nn - fx)
+    d = stitched.select(
+        "_v", F.round(F.greatest(d_hi, d_lo), 9).alias("_d")
+    )
+    best = d.agg(
+        F.max(
+            F.struct(F.col("_d"), (-F.col("_v")).alias("_nv"), F.col("_v").alias("_at"))
+        ).alias("_b")
+    )
+    return best.select(
+        F.lit(n).cast("long").alias("n_gaps"),
+        F.round(F.lit(mean) / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        F.col("_b._d").alias("ks_stat"),
+        F.col("_b._at").cast("long").alias("at_gap_us"),
+    )
+
+
+KS_EXPON_SQL = """
+WITH t AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS v
+  FROM t
+), c AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM g WHERE v IS NOT NULL GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sg
+  FROM c
+), ecdf AS (
+  SELECT v, cnt,
+         SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum
+  FROM c
+), d AS (
+  SELECT v,
+         round(greatest(
+           abs(CAST(cum AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               - (1.0 - exp(-(CAST(v AS DOUBLE)
+                              / (CAST(sg AS DOUBLE) / CAST(tot.n AS DOUBLE)))))),
+           abs(CAST(cum - cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               - (1.0 - exp(-(CAST(v AS DOUBLE)
+                              / (CAST(sg AS DOUBLE) / CAST(tot.n AS DOUBLE))))))
+         ), 9) AS d
+  FROM ecdf CROSS JOIN tot
+)
+SELECT tot.n AS n_gaps,
+       round((CAST(sg AS DOUBLE) / CAST(tot.n AS DOUBLE)) / 1000000.0, 6)
+         AS mean_gap_s,
+       (SELECT MAX(d) FROM d) AS ks_stat,
+       CAST((SELECT MIN(v) FROM d WHERE d = (SELECT MAX(d) FROM d)) AS BIGINT)
+         AS at_gap_us
+FROM tot
+"""
+
+SPARK_QUERIES["interarrival_ks_exponential"] = interarrival_ks_exponential
+ORACLE_SQL["interarrival_ks_exponential"] = KS_EXPON_SQL
+
+
+_QQ_Z = {
+    1: -1.2815515655446004,
+    2: -0.8416212335729142,
+    3: -0.5244005127080407,
+    4: -0.2533471031357997,
+    5: 0.0,
+    6: 0.2533471031357997,
+    7: 0.5244005127080409,
+    8: 0.8416212335729143,
+    9: 1.2815515655446004,
+}
+
+
+def events_value_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normal QQ decile gaps for event value: exact type-1 empirical
+    deciles (smallest value whose global cumulative count reaches
+    ``ceil(p·n)`` — integer rank formula, no interpolation) against the
+    fitted-normal theoretical quantiles ``μ + σ·z_p`` with PINNED z
+    literals — the tail-shape diagnostic that says WHERE normality
+    fails, complementing events_value_jarque_bera's single statistic.
+    Distinct-value ECDF on the stitched bucketed scaffold; μ/σ from
+    exact decimal moments."""
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    ensure_views(spark, sf_dir)
+    v = F.col("value").cast("double")
+    base = spark.table("events").filter(v.isNotNull()).select(v.alias("_v"))
+    counts = (
+        base.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt")).localCheckpoint(
+            eager=True
+        )
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(38,6)")).cast("double").alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_q"),
+    ).collect()[0]
+    n = m["_n"]
+    if n < 2:
+        raise ValueError("events_value_qq_normal: need at least 2 values")
+    stitched, _ = stitched_cumsums(counts, "_v", ("_cnt",))
+    aggs = []
+    for p10 in sorted(_QQ_Z):
+        k = (n * p10 + 9) // 10
+        aggs.append(
+            F.min(F.when(F.col("_cum__cnt") >= F.lit(k), F.col("_v"))).alias(
+                f"_e{p10}"
+            )
+        )
+    emp = stitched.agg(*aggs)
+    nn = F.lit(float(n))
+    mu = F.lit(m["_s"]) / nn
+    var = (F.lit(m["_q"]) - F.lit(m["_s"]) * F.lit(m["_s"]) / nn) / (nn - F.lit(1.0))
+    sigma = F.sqrt(var)
+    rows = None
+    for p10, z in sorted(_QQ_Z.items()):
+        theo = mu + sigma * F.lit(z)
+        r = emp.select(
+            F.lit(p10 * 10).alias("pct"),
+            F.round(F.col(f"_e{p10}"), 6).alias("empirical_q"),
+            F.round(theo, 6).alias("theoretical_q"),
+            F.round(F.col(f"_e{p10}") - theo, 6).alias("gap"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("pct")
+
+
+QQ_NORMAL_SQL = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY v
+), m AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(38,6)) * cnt) AS DOUBLE) AS s,
+         CAST(SUM(CAST(v * v AS DECIMAL(38,6)) * cnt) AS DOUBLE) AS q
+  FROM c
+), ecdf AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+  FROM c
+), emp AS (
+  SELECT p.p10,
+         MIN(CASE WHEN ecdf.cum >= (m.n * p.p10 + 9) // 10 THEN ecdf.v END) AS e
+  FROM ecdf CROSS JOIN m
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS p10) p
+  GROUP BY p.p10
+), z AS (
+  SELECT * FROM (VALUES
+    (1, -1.2815515655446004), (2, -0.8416212335729142),
+    (3, -0.5244005127080407), (4, -0.2533471031357997), (5, 0.0),
+    (6, 0.2533471031357997), (7, 0.5244005127080409),
+    (8, 0.8416212335729143), (9, 1.2815515655446004)) t(p10, zv)
+)
+SELECT CAST(emp.p10 * 10 AS INTEGER) AS pct,
+       round(emp.e, 6) AS empirical_q,
+       round(m.s / CAST(m.n AS DOUBLE)
+             + sqrt((m.q - m.s * m.s / CAST(m.n AS DOUBLE))
+                    / (CAST(m.n AS DOUBLE) - 1.0)) * z.zv, 6) AS theoretical_q,
+       round(emp.e - (m.s / CAST(m.n AS DOUBLE)
+                      + sqrt((m.q - m.s * m.s / CAST(m.n AS DOUBLE))
+                             / (CAST(m.n AS DOUBLE) - 1.0)) * z.zv), 6) AS gap
+FROM emp JOIN z USING (p10) CROSS JOIN m
+ORDER BY pct
+"""
+
+SPARK_QUERIES["events_value_qq_normal"] = events_value_qq_normal
+ORACLE_SQL["events_value_qq_normal"] = QQ_NORMAL_SQL
