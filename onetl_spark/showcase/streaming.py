@@ -636,3 +636,42 @@ GROUP BY 1, 2
 
 SPARK_QUERIES["streaming_value_histogram"] = streaming_value_histogram
 ORACLE_SQL["streaming_value_histogram"] = STREAMING_HISTOGRAM_SQL
+
+
+def streaming_type_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (`streaming/ops.py stateful_topk`):
+    per-event_type running top-3 values in applyInPandasWithState —
+    bounded state per key forever, the streaming per-group TakeOrdered.
+    The top-k multiset is order-independent, so the final state must
+    equal the batch per-group top-3 exactly; the result explodes to
+    (event_type, rank, value) scalar rows."""
+    from onetl_spark.streaming.ops import stateful_topk
+
+    events = _events_stream(spark, sf_dir)
+    updates = stateful_topk(
+        events.select("event_type", "value"),
+        key_cols=["event_type"],
+        value_col="value",
+        k=3,
+    )
+    sink = _run_to_table(updates, "update")
+    final = sink.groupBy("event_type").agg(
+        F.max_by("topk_values", "n_seen").alias("_tv")
+    )
+    return final.select(
+        "event_type", F.posexplode("_tv").alias("rank", "value")
+    )
+
+
+STREAMING_TOPK_SQL = """
+SELECT event_type, CAST(rk - 1 AS INTEGER) AS rank, CAST(value AS DOUBLE) AS value
+FROM (
+  SELECT event_type, CAST(value AS DOUBLE) AS value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE) DESC)
+           AS rk
+  FROM events WHERE value IS NOT NULL
+) WHERE rk <= 3
+"""
+
+SPARK_QUERIES["streaming_type_topk_values"] = streaming_type_topk_values
+ORACLE_SQL["streaming_type_topk_values"] = STREAMING_TOPK_SQL

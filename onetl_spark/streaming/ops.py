@@ -255,3 +255,61 @@ def stateful_histogram(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Custom stateful operator: per-key running top-k values maintained
+    in ``applyInPandasWithState`` — bounded state (k floats + one
+    counter per key) no matter how long the stream runs, the streaming
+    form of a per-group TakeOrdered. The top-k MULTISET of a stream is
+    ORDER-INDEPENDENT (merge is commutative/associative), so the final
+    state per key equals the batch per-group top-k exactly — the same
+    property that makes the histogram operator oracle-checkable where
+    an order-sensitive EWMA would not be. Emits one row per key per
+    micro-batch: ``(keys..., topk_values (desc), n_seen)``.
+    """
+    if k < 1:
+        raise ValueError("stateful_topk: k must be >= 1")
+    output_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType) for c in key_cols]
+        + [
+            T.StructField("topk_values", T.ArrayType(T.DoubleType())),
+            T.StructField("n_seen", T.LongType()),
+        ],
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("topk", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ],
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            top, n = list(state.get[0]), int(state.get[1])
+        else:
+            top, n = [], 0
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if v is None or pd.isna(v):
+                    continue
+                n += 1
+                top.append(float(v))
+        top = sorted(top, reverse=True)[:k]
+        state.update((top, n))
+        yield pd.DataFrame(
+            [[*key, top, n]], columns=[*key_cols, "topk_values", "n_seen"]
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -897,3 +897,33 @@ def test_stateful_histogram_accumulates_across_batches(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stateful_histogram(_file_stream(spark, src), ["user"], "value", edges=[2.0, 1.0])
+
+
+def test_stateful_topk_accumulates_across_batches(spark, tmp_path):
+    """The per-key top-k survives micro-batch boundaries and the final
+    emission equals the batch per-group top-k multiset (the property
+    the streaming_type_topk_values oracle relies on)."""
+    from onetl_spark.streaming.ops import stateful_topk
+
+    src = tmp_path / "tk-src"
+    src.mkdir()
+    _write_batch_file(spark, tmp_path, src, "00",
+                      [(1, "u1", "2026-01-01 10:00:00", 5.0),
+                       (2, "u1", "2026-01-01 10:01:00", 15.0)], 1_000_000_000)
+    _write_batch_file(spark, tmp_path, src, "01",
+                      [(3, "u1", "2026-01-01 10:02:00", 40.0),
+                       (4, "u1", "2026-01-01 10:03:00", 15.0)], 1_000_000_100)
+
+    top = stateful_topk(_file_stream(spark, src), ["user"], "value", k=3)
+    _run_append(top, tmp_path, "tk_sink", output_mode="update")
+    rows = sorted(
+        (r["n_seen"], tuple(r["topk_values"]))
+        for r in spark.table("tk_sink").collect()
+    )
+    # batch 1: {15, 5}; batch 2 merges {40, 15} -> top3 = [40, 15, 15]
+    assert rows == [(2, (15.0, 5.0)), (4, (40.0, 15.0, 15.0))]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stateful_topk(_file_stream(spark, src), ["user"], "value", k=0)
