@@ -6161,3 +6161,162 @@ ORDER BY pct
 
 SPARK_QUERIES["events_value_qq_normal"] = events_value_qq_normal
 ORACLE_SQL["events_value_qq_normal"] = QQ_NORMAL_SQL
+
+
+_SES_ALPHA = 0.3
+# (1-alpha)^k as PINNED literals built by repeated IEEE multiplication —
+# both engines read the same numbers, so no cross-engine pow() in play
+_SES_W = [1.0]
+for _ in range(60):
+    _SES_W.append(_SES_W[-1] * (1.0 - _SES_ALPHA))
+
+
+def events_ses_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple exponential smoothing of the daily total value (α=0.3,
+    init l₁=y₁) evaluated in CLOSED FORM — ``l_t = αΣ(1−α)^{t−i}y_i +
+    (1−α)^{t−1}y₁`` — so the order-sensitive recursion becomes an
+    order-independent weighted sum: per-day (i ≤ t) pairs over the
+    calendar-bounded series, weights from a pinned literal table (no
+    cross-engine pow), round-6 decimal accumulation. Returns
+    ``(n_days, final_level, mae_one_step)`` — the one-step-ahead MAE is
+    the smoothing-quality score."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("y"))
+    )
+    idx = daily.select(
+        F.datediff(
+            F.col("day"), F.lit("2024-01-01").cast("date")
+        ).alias("t"),
+        "y",
+    ).localCheckpoint(eager=True)
+    a, b = idx.alias("a"), idx.alias("b")
+    t0 = idx.agg(F.min("t").alias("_t0"))
+    w_arr = F.array(*[F.lit(w) for w in _SES_W])
+    pairs = (
+        a.join(b, F.col("b.t") <= F.col("a.t"))
+        .crossJoin(F.broadcast(t0))
+        .select(
+            F.col("a.t").alias("t"),
+            F.col("b.t").alias("i"),
+            F.col("b.y").alias("yi"),
+            "_t0",
+        )
+    )
+    weight = F.when(
+        F.col("i") == F.col("_t0"), F.get(w_arr, F.col("t") - F.col("i"))
+    ).otherwise(F.lit(_SES_ALPHA) * F.get(w_arr, F.col("t") - F.col("i")))
+    levels = pairs.groupBy("t").agg(
+        F.sum(
+            F.round(weight * F.col("yi"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("level")
+    )
+    nxt = idx.select((F.col("t") - 1).alias("t"), F.col("y").alias("y_next"))
+    scored = levels.join(nxt, "t", "left")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max_by("level", "t"), 6).alias("final_level"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("y_next").isNotNull(),
+                    F.round(F.abs(F.col("y_next") - F.col("level")), 6).cast(
+                        "decimal(38,6)"
+                    ),
+                )
+            ).cast("double")
+            / F.sum(F.when(F.col("y_next").isNotNull(), 1).otherwise(0)).cast(
+                "double"
+            ),
+            6,
+        ).alias("mae_one_step"),
+    )
+
+
+def _ses_sql() -> str:
+    wlist = "[" + ", ".join(repr(w) for w in _SES_W) + "]"
+    return f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT CAST(day - DATE '2024-01-01' AS BIGINT) AS t, y FROM daily
+), t0 AS (SELECT MIN(t) AS t0 FROM idx),
+pairs AS (
+  SELECT a.t, b.t AS i, b.y AS yi, t0.t0
+  FROM idx a JOIN idx b ON b.t <= a.t CROSS JOIN t0
+), lv AS (
+  SELECT t,
+         CAST(SUM(CAST(round(
+           (CASE WHEN i = t0 THEN {wlist}[CAST(t - i AS INTEGER) + 1]
+                 ELSE {_SES_ALPHA!r} * {wlist}[CAST(t - i AS INTEGER) + 1] END)
+           * yi, 6) AS DECIMAL(38,6))) AS DOUBLE) AS level
+  FROM pairs GROUP BY t
+), nxt AS (SELECT t - 1 AS t, y AS y_next FROM idx),
+s AS (SELECT lv.t, lv.level, nxt.y_next FROM lv LEFT JOIN nxt USING (t))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(max_by(level, t), 6) AS final_level,
+       round(CAST(SUM(CASE WHEN y_next IS NOT NULL THEN
+                       CAST(round(abs(y_next - level), 6) AS DECIMAL(38,6)) END)
+                  AS DOUBLE)
+             / CAST(SUM(CASE WHEN y_next IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE),
+             6) AS mae_one_step
+FROM s
+"""
+
+
+SPARK_QUERIES["events_ses_level"] = events_ses_level
+ORACLE_SQL["events_ses_level"] = _ses_sql()
+
+
+def orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality of order volume across the full
+    multi-year history: per month, order count, share, and the
+    chi-square contribution against a uniform-month null — the
+    calendar-seasonality screen before any forecast. One bounded
+    12-row aggregate; exact integer counts."""
+    ensure_views(spark, sf_dir)
+    g = (
+        spark.table("orders")
+        .groupBy(F.month("o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(F.sum("n").alias("_t"), F.count(F.lit(1)).alias("_k"))
+    j = g.crossJoin(F.broadcast(tot))
+    exp = F.col("_t").cast("double") / F.col("_k").cast("double")
+    return j.select(
+        "month",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("n").cast("double") / F.col("_t").cast("double"), 9).alias(
+            "share"
+        ),
+        F.round(
+            (F.col("n").cast("double") - exp) * (F.col("n").cast("double") - exp)
+            / exp,
+            9,
+        ).alias("chi2_contrib"),
+    ).orderBy("month")
+
+
+MONTH_SEASONALITY_SQL = """
+WITH g AS (
+  SELECT CAST(month(o_orderdate) AS INTEGER) AS month, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k FROM g)
+SELECT month, n AS n_orders,
+       round(CAST(n AS DOUBLE) / CAST(tot.t AS DOUBLE), 9) AS share,
+       round((CAST(n AS DOUBLE) - CAST(tot.t AS DOUBLE) / CAST(tot.k AS DOUBLE))
+             * (CAST(n AS DOUBLE) - CAST(tot.t AS DOUBLE) / CAST(tot.k AS DOUBLE))
+             / (CAST(tot.t AS DOUBLE) / CAST(tot.k AS DOUBLE)), 9) AS chi2_contrib
+FROM g CROSS JOIN tot ORDER BY month
+"""
+
+SPARK_QUERIES["orders_month_seasonality"] = orders_month_seasonality
+ORACLE_SQL["orders_month_seasonality"] = MONTH_SEASONALITY_SQL
