@@ -17,6 +17,14 @@ import sys
 import time
 
 HEADLINE = [
+    "embedding_centroid_silhouette",
+    "purchase_rate_by_value_bin",
+    "events_weekly_psi_trajectory",
+    "interarrival_ks_exponential",
+    "events_value_qq_normal",
+    "streaming_type_topk_values",
+    "events_ses_level",
+    "orders_month_seasonality",
     "events_type_kruskal_wallis",
     "events_value_cliffs_delta",
     "events_value_jarque_bera",
