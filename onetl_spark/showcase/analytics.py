@@ -6320,3 +6320,71 @@ FROM g CROSS JOIN tot ORDER BY month
 
 SPARK_QUERIES["orders_month_seasonality"] = orders_month_seasonality
 ORACLE_SQL["orders_month_seasonality"] = MONTH_SEASONALITY_SQL
+
+
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-of-month open-order backlog over the full history: an order
+    opens at o_orderdate and closes at its LAST line-item shipment
+    (max l_shipdate); the backlog is the running difference of the
+    two monthly event streams — the classic operational WIP curve. One
+    aggregate per stream, a cumulative sum over the calendar-bounded
+    month relation (single window over ≤ ~100 rows). Emits every month
+    with activity: opened, closed, and end-of-month backlog — exact
+    integers."""
+    ensure_views(spark, sf_dir)
+    opened = (
+        spark.table("orders")
+        .groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_opened"))
+    )
+    closed = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("_closed"))
+        .groupBy(F.trunc("_closed", "month").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    m = opened.join(closed, "month", "full_outer").select(
+        "month",
+        F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+    )
+    w = W.orderBy("month").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        m.withColumn(
+            "backlog", F.sum(F.col("n_opened") - F.col("n_closed")).over(w)
+        )
+        .select(
+            F.col("month").cast("string").alias("month"),
+            F.col("n_opened").cast("long").alias("n_opened"),
+            F.col("n_closed").cast("long").alias("n_closed"),
+            F.col("backlog").cast("long").alias("backlog"),
+        )
+        .orderBy("month")
+    )
+
+
+BACKLOG_SQL = """
+WITH opened AS (
+  SELECT date_trunc('month', o_orderdate) AS month, CAST(COUNT(*) AS BIGINT) AS n_opened
+  FROM orders GROUP BY 1
+), per_order AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS closed FROM lineitem GROUP BY l_orderkey
+), closed AS (
+  SELECT date_trunc('month', closed) AS month, CAST(COUNT(*) AS BIGINT) AS n_closed
+  FROM per_order GROUP BY 1
+), m AS (
+  SELECT COALESCE(opened.month, closed.month) AS month,
+         COALESCE(n_opened, 0) AS n_opened,
+         COALESCE(n_closed, 0) AS n_closed
+  FROM opened FULL OUTER JOIN closed ON opened.month = closed.month
+)
+SELECT CAST(CAST(month AS DATE) AS VARCHAR) AS month,
+       n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (ORDER BY month ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+FROM m ORDER BY month
+"""
+
+SPARK_QUERIES["orders_backlog_curve"] = orders_backlog_curve
+ORACLE_SQL["orders_backlog_curve"] = BACKLOG_SQL

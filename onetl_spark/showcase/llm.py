@@ -4751,3 +4751,86 @@ FROM per_pt GROUP BY lbl ORDER BY lbl
 
 SPARK_QUERIES["embedding_centroid_silhouette"] = embedding_centroid_silhouette
 ORACLE_SQL["embedding_centroid_silhouette"] = SILHOUETTE_SQL
+
+
+_QQ_SRC_A, _QQ_SRC_B = "src0", "src1"
+
+
+def doc_length_qq_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile quantile-quantile comparison of document length (n_chars)
+    between two sources: exact type-1 empirical deciles per side
+    (smallest value whose cumulative count reaches ceil(p·n) — integer
+    rank formula over the bounded distinct-length relation) and their
+    INTEGER gaps — the length-distribution mismatch diagnostic behind a
+    source-mix decision, fully exact end to end."""
+    ensure_views(spark, sf_dir)
+    from pyspark.sql.window import Window as W
+
+    docs = spark.table("documents").filter(F.col("n_chars").isNotNull())
+
+    def side(src: str, e_alias: str):
+        c = (
+            docs.filter(F.col("source") == src)
+            .groupBy(F.col("n_chars").alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = W.orderBy("_v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        cum = c.withColumn("_cum", F.sum("_c").over(w))
+        n_row = c.agg(F.sum("_c").alias("_n"))
+        g = cum.crossJoin(F.broadcast(n_row))
+        aggs = []
+        for p10 in range(1, 10):
+            # K = ceil(p*n) via exact integer arithmetic: (n*p10 + 9) div 10
+            k = F.expr(f"(_n * {p10} + 9) div 10")
+            aggs.append(
+                F.min(F.when(F.col("_cum") >= k, F.col("_v"))).alias(
+                    f"{e_alias}{p10}"
+                )
+            )
+        return g.agg(*aggs)
+
+    a = side(_QQ_SRC_A, "_a")
+    b = side(_QQ_SRC_B, "_b")
+    both = a.crossJoin(b)
+    rows = None
+    for p10 in range(1, 10):
+        r = both.select(
+            F.lit(p10 * 10).alias("pct"),
+            F.col(f"_a{p10}").cast("long").alias("q_src_a"),
+            F.col(f"_b{p10}").cast("long").alias("q_src_b"),
+            (F.col(f"_a{p10}") - F.col(f"_b{p10}")).cast("long").alias("gap"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("pct")
+
+
+def _qq_sources_sql() -> str:
+    def side_cte(src: str, tag: str) -> str:
+        return f"""c{tag} AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents
+  WHERE n_chars IS NOT NULL AND source = '{src}' GROUP BY n_chars
+), e{tag} AS (
+  SELECT p.p10,
+         MIN(CASE WHEN q.cum >= (q.n * p.p10 + 9) // 10 THEN q.v END) AS e
+  FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+           SUM(c) OVER () AS n
+    FROM c{tag}
+  ) q CROSS JOIN (SELECT unnest(range(1, 10)) AS p10) p
+  GROUP BY p.p10
+)"""
+
+    return f"""
+WITH {side_cte(_QQ_SRC_A, 'a')}, {side_cte(_QQ_SRC_B, 'b')}
+SELECT CAST(ea.p10 * 10 AS INTEGER) AS pct,
+       CAST(ea.e AS BIGINT) AS q_src_a,
+       CAST(eb.e AS BIGINT) AS q_src_b,
+       CAST(ea.e - eb.e AS BIGINT) AS gap
+FROM ea JOIN eb USING (p10)
+ORDER BY pct
+"""
+
+
+SPARK_QUERIES["doc_length_qq_sources"] = doc_length_qq_sources
+ORACLE_SQL["doc_length_qq_sources"] = _qq_sources_sql()
