@@ -309,3 +309,61 @@ def interarrival_burstiness(
         F.round(sigma / F.nullif(mu, F.lit(0.0)), 9).alias("cv_gap"),
         F.round((sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)), 9).alias("burstiness"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tie_break: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse a change stream into SCD Type 2 validity intervals.
+
+    Classic warehouse dimension maintenance (reference spec: the
+    incremental-load surface of onetl's DBWriter + strategy machinery,
+    ``onetl/strategy/incremental_strategy.py`` — this operator is the
+    *dimension build* step downstream of such a captured change feed):
+    consecutive rows per key with the SAME ``value_col`` merge into one
+    run; each run becomes a row with ``effective_from`` (first change
+    ts), ``effective_to`` (next run's first ts, NULL while current),
+    ``is_current`` and ``n_events`` (run length).
+
+    Scale shape: two windows, both partitioned by the full key — one
+    LAG to detect change points, one cumulative sum to number runs,
+    then a grouped aggregate and a LEAD over the (key, run) relation,
+    which is strictly smaller than the input. No single-partition
+    window anywhere; skewed keys cost what the per-key history costs.
+    Determinism: supply ``tie_break`` columns (e.g. a unique event id)
+    so equal-timestamp rows order identically on every engine.
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = [F.col(ts_col)] + [F.col(c) for c in tie_break]
+    w = W.partitionBy(*keys).orderBy(*order)
+    flagged = df.withColumn(
+        "_chg",
+        F.when(
+            F.lag(value_col).over(w).isNull()
+            | (F.lag(value_col).over(w) != F.col(value_col)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_chg").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    runs = flagged.groupBy(*keys, F.col("_run")).agg(
+        F.min(value_col).alias("value"),
+        F.min(ts_col).alias("effective_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = W.partitionBy(*keys).orderBy("_run")
+    return runs.select(
+        *keys,
+        F.col("value"),
+        F.col("effective_from"),
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        F.lead("effective_from").over(w2).isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )

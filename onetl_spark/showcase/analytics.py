@@ -6388,3 +6388,86 @@ FROM m ORDER BY month
 
 SPARK_QUERIES["orders_backlog_curve"] = orders_backlog_curve
 ORACLE_SQL["orders_backlog_curve"] = BACKLOG_SQL
+
+
+def order_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets at the brand level — the Apriori join step
+    (Agrawal & Srikant VLDB'94) one level above `order_basket_lift_rules`
+    pairs. Per-order distinct brand sets are generated once, pruned by a
+    broadcast semi-join against support-frequent singletons (the Apriori
+    monotonicity cut: no infrequent item appears in a frequent triple),
+    then the ordered three-way self-equi-join on the order key emits each
+    candidate triple exactly once (b1 < b2 < b3). Fan-out per basket is
+    C(k,3) of its DISTINCT-brand size k (~4 in TPC-H), independent of
+    corpus size, and the support filter is exact integer arithmetic
+    (cnt·1000 ≥ 3·n_orders ⇔ support ≥ 0.3%). Top rows by support."""
+    ensure_views(spark, sf_dir)
+    ob = (
+        spark.table("lineitem")
+        .join(
+            spark.table("part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n_orders = ob.select("ok").distinct().count()
+    f1 = (
+        ob.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .filter(F.col("n1") * 1000 >= 3 * F.lit(n_orders))
+        .select("b")
+    )
+    obf = ob.join(F.broadcast(f1), "b").select("ok", "b")
+    a = obf.select("ok", F.col("b").alias("b1"))
+    c = obf.select("ok", F.col("b").alias("b2"))
+    d = obf.select("ok", F.col("b").alias("b3"))
+    triples = (
+        a.join(c, "ok")
+        .filter(F.col("b1") < F.col("b2"))
+        .join(d, "ok")
+        .filter(F.col("b2") < F.col("b3"))
+        .groupBy("b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("n_orders_with"))
+        .filter(F.col("n_orders_with") * 1000 >= 3 * F.lit(n_orders))
+    )
+    return (
+        triples.select(
+            "b1",
+            "b2",
+            "b3",
+            F.col("n_orders_with").cast("long").alias("n_orders_with"),
+            F.round(
+                F.col("n_orders_with").cast("double") / F.lit(float(n_orders)), 9
+            ).alias("support"),
+        )
+        .orderBy(F.col("n_orders_with").desc(), "b1", "b2", "b3")
+        .limit(150)
+    )
+
+
+BRAND_TRIPLES_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM ob),
+f1 AS (
+  SELECT b FROM ob CROSS JOIN no GROUP BY b, no.n
+  HAVING COUNT(*) * 1000 >= 3 * no.n
+), obf AS (SELECT ok, b FROM ob WHERE b IN (SELECT b FROM f1)),
+t AS (
+  SELECT a.b AS b1, c.b AS b2, d.b AS b3, CAST(COUNT(*) AS BIGINT) AS n_orders_with
+  FROM obf a JOIN obf c ON a.ok = c.ok AND a.b < c.b
+             JOIN obf d ON a.ok = d.ok AND c.b < d.b
+  GROUP BY 1, 2, 3
+)
+SELECT b1, b2, b3, n_orders_with,
+       round(CAST(n_orders_with AS DOUBLE) / no.n, 9) AS support
+FROM t CROSS JOIN no
+WHERE n_orders_with * 1000 >= 3 * no.n
+ORDER BY n_orders_with DESC, b1, b2, b3
+LIMIT 150
+"""
+
+SPARK_QUERIES["order_brand_triples"] = order_brand_triples
+ORACLE_SQL["order_brand_triples"] = BRAND_TRIPLES_SQL

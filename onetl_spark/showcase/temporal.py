@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from onetl_spark.operators.temporal import asof_join, range_join
+from onetl_spark.operators.temporal import asof_join, range_join, scd2_intervals
 from onetl_spark.showcase.util import ensure_views
 
 
@@ -123,3 +123,61 @@ ORACLE_SQL = {
     "asof_join_tolerance": ASOF_TOLERANCE_SQL,
     "range_join_events": RANGE_SQL,
 }
+
+
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build over the per-user event-type change
+    stream (users sampled by ``user_id % 13`` to bound the showcase
+    output): consecutive same-type events merge into one validity
+    interval with ``effective_from``/``effective_to``/``is_current``.
+    The warehouse-dimension op downstream of an incremental capture —
+    two per-key windows plus a grouped aggregate, no single-partition
+    stage (see operators/temporal.py scd2_intervals)."""
+    ensure_views(spark, sf_dir)
+    src = (
+        spark.table("events")
+        .filter(F.col("user_id") % 13 == 0)
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    out = scd2_intervals(
+        src, ["user_id"], "ts", "event_type", tie_break=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "value",
+        "effective_from",
+        "effective_to",
+        F.col("is_current").cast("int").alias("is_current"),
+        "n_events",
+    ).orderBy("user_id", "effective_from")
+
+
+SCD2_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+  FROM events WHERE user_id % 13 = 0
+), f AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM s
+), r AS (
+  SELECT user_id, ts, event_type, chg,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM f
+), g AS (
+  SELECT user_id, run, MIN(event_type) AS value, MIN(ts) AS effective_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM r GROUP BY user_id, run
+)
+SELECT user_id, value, effective_from,
+       LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY run) AS effective_to,
+       CAST(LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL AS INT) AS is_current,
+       n_events
+FROM g ORDER BY user_id, effective_from
+"""
+
+SPARK_QUERIES["user_state_scd2"] = user_state_scd2
+ORACLE_SQL["user_state_scd2"] = SCD2_SQL

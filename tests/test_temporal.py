@@ -360,3 +360,51 @@ def test_interarrival_burstiness_hand_cases(spark):
     var = (10**2 + 10**2 + 1000**2) / 3 - mu**2
     b = (math.sqrt(var) - mu) / (math.sqrt(var) + mu)
     assert abs(out[2]["burstiness"] - b) < 1e-6
+
+
+def test_scd2_intervals_hand_case(spark):
+    from onetl_spark.operators.temporal import scd2_intervals
+
+    # key "u": A A B A  (ts 1,2,3,4)  → 3 runs; key "v": C (ts 1) → 1 run
+    df = spark.createDataFrame(
+        [
+            ("u", 1, "A", 1),
+            ("u", 2, "A", 2),
+            ("u", 3, "B", 3),
+            ("u", 4, "A", 4),
+            ("v", 1, "C", 5),
+        ],
+        "k string, t long, state string, eid long",
+    )
+    rows = sorted(
+        scd2_intervals(df, ["k"], "t", "state", tie_break=["eid"]).collect(),
+        key=lambda r: (r["k"], r["effective_from"]),
+    )
+    got = [
+        (r["k"], r["value"], r["effective_from"], r["effective_to"],
+         r["is_current"], r["n_events"])
+        for r in rows
+    ]
+    assert got == [
+        ("u", "A", 1, 3, False, 2),
+        ("u", "B", 3, 4, False, 1),
+        ("u", "A", 4, None, True, 1),
+        ("v", "C", 1, None, True, 1),
+    ]
+
+
+def test_scd2_intervals_tie_break_determinism(spark):
+    from onetl_spark.operators.temporal import scd2_intervals
+
+    # two rows at the SAME ts with different states: eid decides order
+    df = spark.createDataFrame(
+        [("u", 1, "A", 2), ("u", 1, "B", 1)],
+        "k string, t long, state string, eid long",
+    )
+    rows = sorted(
+        scd2_intervals(df, ["k"], "t", "state", tie_break=["eid"]).collect(),
+        key=lambda r: not r["is_current"],
+    )
+    # eid=1 (B) first, then eid=2 (A) which stays current
+    assert [r["value"] for r in rows] == ["A", "B"]
+    assert rows[0]["is_current"] is True
