@@ -6471,3 +6471,332 @@ LIMIT 150
 
 SPARK_QUERIES["order_brand_triples"] = order_brand_triples
 ORACLE_SQL["order_brand_triples"] = BRAND_TRIPLES_SQL
+
+
+def user_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (MDM record fusion): one fused row per
+    user, each attribute surviving by its own rule — recency for the
+    last state (max_by over the (ts, event_id) struct — the same trick
+    as the CDC snapshot), most-recent-NON-NULL for the value field
+    (survivorship's "last known good"), and modal event_type with a
+    deterministic lexicographic tie-break. One grouped aggregate over
+    the full log plus one type-bounded modal aggregate — no per-key
+    windows, no driver loop; exactly the fuse step a 100-TB identity
+    pipeline runs after match/merge."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+        F.round(
+            F.max_by(
+                F.when(F.col("value").isNotNull(), F.col("value")),
+                F.when(
+                    F.col("value").isNotNull(), F.struct("ts", "event_id")
+                ),
+            ),
+            6,
+        ).alias("last_value"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    modal = tc.groupBy("user_id").agg(
+        F.min(
+            F.struct((-F.col("_n")).alias("_neg"), F.col("event_type"))
+        )["event_type"].alias("modal_type")
+    )
+    return base.join(modal, "user_id").orderBy("user_id")
+
+
+GOLDEN_RECORD_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_records,
+         MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+         MAX(struct_pack(t := CAST(ts AS TIMESTAMP), e := event_id,
+                         v := event_type))['v'] AS last_type,
+         round(MAX(struct_pack(t := CAST(ts AS TIMESTAMP), e := event_id,
+                               v := value))
+               FILTER (WHERE value IS NOT NULL)['v'], 6) AS last_value,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY user_id
+), tc AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), modal AS (
+  SELECT user_id,
+         MIN(struct_pack(neg := -n, t := event_type))['t'] AS modal_type
+  FROM tc GROUP BY user_id
+)
+SELECT base.*, modal.modal_type
+FROM base JOIN modal USING (user_id) ORDER BY user_id
+"""
+
+SPARK_QUERIES["user_golden_record"] = user_golden_record
+ORACLE_SQL["user_golden_record"] = GOLDEN_RECORD_SQL
+
+
+_PERM_B = 200
+_LCG_A, _LCG_C, _LCG_D, _LCG_M = 1103515245, 12345, 6789, 2147483648
+
+
+def events_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed randomization (approximate permutation) test of the
+    purchase-vs-click mean value gap: the pooled values are relabeled
+    {_PERM_B}× by a PINNED integer LCG over (event_id, b) — fully
+    deterministic, identical on every engine and every cluster size —
+    and the two-sided p-value is (1 + #{|d_b| ≥ |d_obs|}) / (B+1)
+    (Phipson-Smyth add-one). The explode is map-side (rows × B partial-
+    aggregated before any shuffle: one groupBy(b) over B·n rows → B
+    rows), so the whole test is one scan + one bounded shuffle — the
+    scale-correct way to get exact-inference p-values without SciPy.
+    Per-relabel means use round-6 decimal term accumulation on BOTH
+    engines, making every |d_b| ≥ |d_obs| comparison bit-stable."""
+    ensure_views(spark, sf_dir)
+    pool = (
+        spark.table("events")
+        .filter(
+            F.col("event_type").isin("purchase", "click")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_id",
+            (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+            F.round("value", 6).cast("decimal(38,6)").alias("v"),
+        )
+    )
+    obs = pool.agg(
+        F.sum(F.when(F.col("is_p") == 1, F.col("v"))).alias("s1"),
+        F.sum(F.when(F.col("is_p") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("is_p") == 0, F.col("v"))).alias("s0"),
+        F.sum(F.when(F.col("is_p") == 0, 1).otherwise(0)).alias("n0"),
+    ).select(
+        (
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s0").cast("double") / F.col("n0").cast("double")
+        ).alias("d_obs"),
+        F.col("n1").cast("long").alias("n_purchase"),
+        F.col("n0").cast("long").alias("n_click"),
+    )
+    h = F.pmod(
+        F.col("event_id") * F.lit(_LCG_A)
+        + F.col("b") * F.lit(_LCG_C)
+        + F.lit(_LCG_D),
+        F.lit(_LCG_M),
+    )
+    perm = (
+        pool.select(
+            "event_id",
+            "v",
+            F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+        )
+        .select("b", "v", (h % 2).alias("g"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("g") == 1, F.col("v"))).alias("s1"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("g") == 0, F.col("v"))).alias("s0"),
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n0"),
+        )
+        .select(
+            (
+                F.col("s1").cast("double") / F.col("n1").cast("double")
+                - F.col("s0").cast("double") / F.col("n0").cast("double")
+            ).alias("d_b")
+        )
+    )
+    tail = perm.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+        ).alias("n_exceed")
+    )
+    return tail.crossJoin(F.broadcast(obs)).select(
+        F.col("n_purchase"),
+        F.col("n_click"),
+        F.round(F.col("d_obs"), 6).alias("mean_diff_obs"),
+        F.lit(_PERM_B).cast("long").alias("n_permutations"),
+        F.col("n_exceed").cast("long").alias("n_exceed"),
+        F.round(
+            (F.col("n_exceed") + 1).cast("double") / F.lit(float(_PERM_B + 1)),
+            6,
+        ).alias("p_value"),
+    )
+
+
+PERMUTATION_SQL = f"""
+WITH pool AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CAST(round(value, 6) AS DECIMAL(38,6)) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), obs AS (
+  SELECT CAST(SUM(CASE WHEN is_p = 1 THEN v END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN is_p = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         - CAST(SUM(CASE WHEN is_p = 0 THEN v END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN is_p = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS d_obs,
+         CAST(SUM(CASE WHEN is_p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(SUM(CASE WHEN is_p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_click
+  FROM pool
+), perm AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN g = 1 THEN v END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         - CAST(SUM(CASE WHEN g = 0 THEN v END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS d_b
+  FROM (
+    SELECT p.v, t.b,
+           ((p.event_id * {_LCG_A} + t.b * {_LCG_C} + {_LCG_D}) % {_LCG_M}) % 2 AS g
+    FROM pool p CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b) t
+  ) GROUP BY b
+), tail AS (
+  SELECT CAST(SUM(CASE WHEN abs(d_b) >= abs(obs.d_obs) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_exceed
+  FROM perm CROSS JOIN obs
+)
+SELECT obs.n_purchase, obs.n_click,
+       round(obs.d_obs, 6) AS mean_diff_obs,
+       CAST({_PERM_B} AS BIGINT) AS n_permutations,
+       tail.n_exceed,
+       round(CAST(tail.n_exceed + 1 AS DOUBLE) / {float(_PERM_B + 1)!r}, 6) AS p_value
+FROM tail CROSS JOIN obs
+"""
+
+SPARK_QUERIES["events_value_permutation_test"] = events_value_permutation_test
+ORACLE_SQL["events_value_permutation_test"] = PERMUTATION_SQL
+
+
+_HOLT_A, _HOLT_B = 0.3, 0.1
+
+
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double exponential) smoothing of the daily total
+    value — level AND trend, extending `events_ses_level`. The daily
+    series is calendar-bounded (≤ a few hundred rows at ANY corpus
+    scale), so after one distributed aggregate the recursion
+    ``l_t = αy_t + (1−α)(l_{t−1}+b_{t−1});  b_t = β(l_t−l_{t−1}) +
+    (1−β)b_{t−1}`` (init l₁=y₁, b₁=0) runs as a single left-to-right
+    ``F.aggregate`` fold over the sorted array — the oracle replays the
+    identical double-arithmetic sequence with a recursive CTE, so every
+    intermediate is bit-identical. Emits final level/trend, the h=3
+    forecast, and the one-step-ahead MAE."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("y"))
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    A, B = _HOLT_A, _HOLT_B
+    init = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("errsum"),
+    )
+
+    def step(acc, x):
+        first = acc["n"] == 0
+        l_new = F.lit(A) * x["y"] + F.lit(1 - A) * (acc["l"] + acc["b"])
+        b_new = F.lit(B) * (l_new - acc["l"]) + F.lit(1 - B) * acc["b"]
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            F.when(first, x["y"]).otherwise(l_new).alias("l"),
+            F.when(first, F.lit(0.0)).otherwise(b_new).alias("b"),
+            F.when(first, F.lit(0.0))
+            .otherwise(acc["errsum"] + F.abs(x["y"] - (acc["l"] + acc["b"])))
+            .alias("errsum"),
+        )
+
+    out = arr.select(F.aggregate("s", init, step).alias("r"))
+    return out.select(
+        F.col("r.n").cast("long").alias("n_days"),
+        F.round("r.l", 4).alias("final_level"),
+        F.round("r.b", 4).alias("final_trend"),
+        F.round(F.col("r.l") + 3 * F.col("r.b"), 4).alias("forecast_h3"),
+        F.round(
+            F.col("r.errsum") / (F.col("r.n") - 1).cast("double"), 4
+        ).alias("mae_one_step"),
+    )
+
+
+def _holt_sql() -> str:
+    A, B = _HOLT_A, _HOLT_B
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), s AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, y FROM daily
+), rec AS (
+  SELECT 1 AS i, y AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST(0.0 AS DOUBLE) AS errsum FROM s WHERE i = 1
+  UNION ALL
+  SELECT r.i + 1,
+         {A!r} * s.y + {1 - A!r} * (r.l + r.b),
+         {B!r} * (({A!r} * s.y + {1 - A!r} * (r.l + r.b)) - r.l)
+           + {1 - B!r} * r.b,
+         r.errsum + abs(s.y - (r.l + r.b))
+  FROM rec r JOIN s ON s.i = r.i + 1
+)
+SELECT CAST(i AS BIGINT) AS n_days,
+       round(l, 4) AS final_level,
+       round(b, 4) AS final_trend,
+       round(l + 3 * b, 4) AS forecast_h3,
+       round(errsum / CAST(i - 1 AS DOUBLE), 4) AS mae_one_step
+FROM rec ORDER BY i DESC LIMIT 1
+"""
+
+
+SPARK_QUERIES["events_holt_trend"] = events_holt_trend
+ORACLE_SQL["events_holt_trend"] = _holt_sql()
+
+
+def orders_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidimensional CUBE over (priority, status) with grouping_id —
+    all four aggregation granularities (detail, two marginals, grand
+    total) in ONE pass: Spark expands the cube map-side into partial
+    aggregates, so the cost is one scan + one shuffle regardless of how
+    many grouping sets the cube spans. Decimal revenue sums keep the
+    subtotal/total identity exact (children sum bit-exactly to
+    parents)."""
+    ensure_views(spark, sf_dir)
+    out = (
+        spark.table("orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("_rev"),
+        )
+    )
+    return out.select(
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+        "gid",
+        "n_orders",
+        F.col("_rev").cast("decimal(38,2)").alias("revenue"),
+    ).orderBy("gid", "priority", "status")
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+       COALESCE(o_orderstatus, '(all)') AS status,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY gid, priority, status
+"""
+
+SPARK_QUERIES["orders_cube_priority_status"] = orders_cube_priority_status
+ORACLE_SQL["orders_cube_priority_status"] = CUBE_SQL
