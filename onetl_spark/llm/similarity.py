@@ -1842,3 +1842,97 @@ def centroid_silhouette(
         F.round(F.col("_sa") / n, 9).alias("mean_a"),
         F.round(F.col("_sb") / n, 9).alias("mean_b"),
     ).orderBy("label")
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over the embedding corpus, fully deterministic:
+    centroids initialize from the ``k`` SMALLEST ids (no RNG), each of
+    the ``iters`` rounds assigns every point to its argmin-squared-
+    Euclidean centroid (ties broken by cluster index via a min-struct —
+    identical on every engine because both fold the distance
+    left-to-right over the dims) and recomputes per-cluster per-dim
+    means with decimal(38,12) accumulation. Returns one row per
+    surviving cluster: ``(cluster, n_points, inertia)`` with inertia
+    accumulated as round-9 decimals.
+
+    Scale shape: per round, one broadcast of the k×d centroid table
+    against the corpus (no pairwise join) plus one |k|·d-row grouped
+    aggregate; the point relation is checkpoint-cut once so the
+    ``iters``+1 scans don't replay upstream lineage. Empty clusters
+    drop out deterministically (both engines see identical
+    assignments)."""
+    pts = (
+        widen_small_scan(embeddings)
+        .filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seed = pts.orderBy("_id").limit(k)
+    cents = seed.select(
+        (F.row_number().over(W.orderBy("_id")) - 1).alias("_j"),
+        F.col("_v").alias("_cv"),
+    )
+
+    def d2_expr():
+        return F.aggregate(
+            F.zip_with("_v", "_cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    for _ in range(iters):
+        pairs = pts.crossJoin(F.broadcast(cents))
+        assign = (
+            pairs.select(
+                "_id",
+                "_v",
+                F.struct(d2_expr().alias("d"), F.col("_j").alias("j")).alias("_dj"),
+            )
+            .groupBy("_id", "_v")
+            .agg(F.min("_dj")["j"].alias("_j"))
+        )
+        dims = assign.select(
+            "_j", F.posexplode("_v").alias("_i", "_x")
+        )
+        cent = dims.groupBy("_j", "_i").agg(
+            (
+                F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mu")
+        )
+        cents = cent.groupBy("_j").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_mu"))),
+                lambda s: s["_mu"],
+            ).alias("_cv")
+        )
+
+    final = (
+        pts.crossJoin(F.broadcast(cents))
+        .select(
+            "_id",
+            F.struct(d2_expr().alias("d"), F.col("_j").alias("j")).alias("_dj"),
+        )
+        .groupBy("_id")
+        .agg(F.min("_dj").alias("_m"))
+        .select(F.col("_m")["j"].alias("cluster"), F.col("_m")["d"].alias("_d"))
+    )
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(
+                F.sum(F.round("_d", 9).cast("decimal(38,9)")).cast("double"), 9
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

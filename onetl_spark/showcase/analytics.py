@@ -6800,3 +6800,101 @@ ORDER BY gid, priority, status
 
 SPARK_QUERIES["orders_cube_priority_status"] = orders_cube_priority_status
 ORACLE_SQL["orders_cube_priority_status"] = CUBE_SQL
+
+
+def brand_ranking_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality eval — NDCG@10 and reciprocal rank per brand:
+    the "system ranking" orders each brand's parts by retail price
+    (desc, partkey tie-break) and graded relevance is the pinned
+    deterministic mapping rel = p_size % 4 ∈ {0..3}. DCG terms
+    (2^rel − 1)/log2(pos+1) are round-9 decimal-accumulated; the ideal
+    ranking re-ranks by rel desc (term values depend only on the rel
+    multiset, so ties are value-free). The retrieval/recsys eval every
+    search pipeline needs, expressed as two brand-keyed windows + one
+    grouped aggregate — at 100 TB each brand shuffles once and only
+    rank ≤ 10 rows survive to the aggregate."""
+    ensure_views(spark, sf_dir)
+    p = spark.table("part").select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        (F.col("p_size") % 4).cast("int").alias("rel"),
+    )
+    w_sys = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    w_ideal = W.partitionBy("p_brand").orderBy(
+        F.col("rel").desc(), F.col("p_partkey").asc()
+    )
+    ranked = p.select(
+        "p_brand",
+        "rel",
+        F.row_number().over(w_sys).alias("pos_s"),
+        F.row_number().over(w_ideal).alias("pos_i"),
+    ).filter((F.col("pos_s") <= 10) | (F.col("pos_i") <= 10))
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1
+    term_s = F.when(
+        F.col("pos_s") <= 10, gain / F.log2(F.col("pos_s") + 1)
+    )
+    term_i = F.when(
+        F.col("pos_i") <= 10, gain / F.log2(F.col("pos_i") + 1)
+    )
+    agg = ranked.groupBy("p_brand").agg(
+        F.sum(F.round(term_s, 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("dcg"),
+        F.sum(F.round(term_i, 9).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("idcg"),
+        F.min(F.when((F.col("rel") >= 2) & (F.col("pos_s") <= 10), F.col("pos_s")))
+        .alias("_fr"),
+    )
+    return agg.select(
+        F.col("p_brand").alias("brand"),
+        F.round("dcg", 9).alias("dcg10"),
+        F.round("idcg", 9).alias("idcg10"),
+        F.round(
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")), 9
+        ).alias("ndcg10"),
+        F.round(
+            F.when(
+                F.col("_fr").isNotNull(), F.lit(1.0) / F.col("_fr")
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("rr10"),
+    ).orderBy("brand")
+
+
+NDCG_SQL = """
+WITH p AS (
+  SELECT p_brand, p_partkey, p_retailprice, CAST(p_size % 4 AS INTEGER) AS rel
+  FROM part
+), ranked AS (
+  SELECT p_brand, rel,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS pos_s,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY rel DESC, p_partkey ASC) AS pos_i
+  FROM p
+), f AS (SELECT * FROM ranked WHERE pos_s <= 10 OR pos_i <= 10),
+agg AS (
+  SELECT p_brand,
+         CAST(SUM(CAST(round(CASE WHEN pos_s <= 10 THEN
+               (pow(2.0, rel) - 1) / log2(pos_s + 1) END, 9)
+             AS DECIMAL(38,9))) AS DOUBLE) AS dcg,
+         CAST(SUM(CAST(round(CASE WHEN pos_i <= 10 THEN
+               (pow(2.0, rel) - 1) / log2(pos_i + 1) END, 9)
+             AS DECIMAL(38,9))) AS DOUBLE) AS idcg,
+         MIN(CASE WHEN rel >= 2 AND pos_s <= 10 THEN pos_s END) AS fr
+  FROM f GROUP BY p_brand
+)
+SELECT p_brand AS brand,
+       round(dcg, 9) AS dcg10,
+       round(idcg, 9) AS idcg10,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg END, 9) AS ndcg10,
+       round(CASE WHEN fr IS NOT NULL THEN 1.0 / fr ELSE 0.0 END, 9) AS rr10
+FROM agg ORDER BY brand
+"""
+
+SPARK_QUERIES["brand_ranking_ndcg"] = brand_ranking_ndcg
+ORACLE_SQL["brand_ranking_ndcg"] = NDCG_SQL

@@ -4834,3 +4834,70 @@ ORDER BY pct
 
 SPARK_QUERIES["doc_length_qq_sources"] = doc_length_qq_sources
 ORACLE_SQL["doc_length_qq_sources"] = _qq_sources_sql()
+
+
+_KM_K, _KM_ITERS = 4, 3
+
+
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k={_KM_K}, {_KM_ITERS} rounds, seeds
+    = the {_KM_K} smallest vec_ids) over the embedding corpus —
+    `llm/similarity.py kmeans_lloyd`. Per-cluster size and round-9
+    inertia; the oracle unrolls the identical rounds as CTEs."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        spark.table("embeddings"), k=_KM_K, iters=_KM_ITERS
+    )
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))"
+    )
+    parts = [
+        """pts AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+)""",
+        f"""c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS j, v AS cv
+  FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k})
+)""",
+    ]
+    prev = "c0"
+    for r in range(1, iters + 1):
+        parts.append(f"""a{r} AS (
+  SELECT p.id, p.v,
+         MIN(struct_pack(d := {d2}, j := c.j))['j'] AS j
+  FROM pts p CROSS JOIN {prev} c GROUP BY p.id, p.v
+)""")
+        parts.append(f"""m{r} AS (
+  SELECT a.j, r.i,
+         CAST(SUM(CAST(a.v[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+  FROM a{r} a CROSS JOIN range(1, 65) r(i) GROUP BY a.j, r.i
+)""")
+        parts.append(
+            f"c{r} AS (SELECT j, list(mu ORDER BY i) AS cv FROM m{r} GROUP BY j)"
+        )
+        prev = f"c{r}"
+    parts.append(f"""fin AS (
+  SELECT p.id, MIN(struct_pack(d := {d2}, j := c.j)) AS m
+  FROM pts p CROSS JOIN {prev} c GROUP BY p.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT m['j'] AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+       round(CAST(SUM(CAST(round(m['d'], 9) AS DECIMAL(38,9))) AS DOUBLE), 9)
+         AS inertia
+FROM fin GROUP BY 1 ORDER BY cluster
+"""
+    )
+
+
+SPARK_QUERIES["embedding_kmeans_clusters"] = embedding_kmeans_clusters
+ORACLE_SQL["embedding_kmeans_clusters"] = _kmeans_sql(_KM_K, _KM_ITERS)

@@ -1669,3 +1669,39 @@ def test_centroid_silhouette_hand_case(spark):
     )
     r = centroid_silhouette(one).collect()[0]
     assert r["mean_silhouette"] is None and r["mean_b"] is None
+
+
+def test_kmeans_lloyd_separated_clusters(spark):
+    from onetl_spark.llm.similarity import kmeans_lloyd
+
+    # two tight blobs in 64-d: ids 1-3 near e1, ids 4-6 near e2;
+    # k=2 seeds from the two smallest ids land one seed per blob
+    def vec(axis, bump):
+        v = [0.0] * 64
+        v[axis] = 10.0
+        v[(axis + 2) % 64] = bump
+        return v
+
+    rows = [(1, vec(0, 0.0)), (2, vec(0, 0.1)), (3, vec(0, 0.2)),
+            (4, vec(1, 0.0)), (5, vec(1, 0.1)), (6, vec(1, 0.2))]
+    # seed 2 (id=2) starts inside blob A — iterate once to steal id 4-6
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cluster"]: r for r in kmeans_lloyd(df, k=2, iters=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_points"] == 3 and out[1]["n_points"] == 3
+    # within-blob spread is the bump column only: inertia per blob =
+    # sum of squared distances to the per-dim mean (0.1): 2*(0.1^2)+0^2
+    for j in (0, 1):
+        assert out[j]["inertia"] == pytest.approx(0.02, abs=1e-6)
+
+
+def test_kmeans_lloyd_empty_cluster_drops(spark):
+    from onetl_spark.llm.similarity import kmeans_lloyd
+
+    # all points identical: after round 1 every point goes to cluster 0
+    rows = [(i, [1.0] * 64) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_lloyd(df, k=2, iters=1).collect()
+    assert len(out) == 1
+    assert out[0]["cluster"] == 0 and out[0]["n_points"] == 4
+    assert out[0]["inertia"] == 0.0
