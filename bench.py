@@ -17,6 +17,16 @@ import sys
 import time
 
 HEADLINE = [
+    "user_state_scd2",
+    "order_brand_triples",
+    "user_golden_record",
+    "events_value_permutation_test",
+    "events_holt_trend",
+    "orders_cube_priority_status",
+    "embedding_kmeans_clusters",
+    "brand_ranking_ndcg",
+    "orders_backlog_curve",
+    "doc_length_qq_sources",
     "embedding_centroid_silhouette",
     "purchase_rate_by_value_bin",
     "events_weekly_psi_trajectory",
