@@ -17,6 +17,10 @@ import sys
 import time
 
 HEADLINE = [
+    "events_conformal_coverage",
+    "events_bootstrap_mean_ci",
+    "events_value_permutation_test",
+    "kmeans_cluster_profile",
     "user_state_scd2",
     "order_brand_triples",
     "user_golden_record",

@@ -1844,22 +1844,21 @@ def centroid_silhouette(
     ).orderBy("label")
 
 
-def kmeans_lloyd(
+def kmeans_assign(
     embeddings: DataFrame,
     k: int = 4,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Lloyd k-means over the embedding corpus, fully deterministic:
+    """Per-point Lloyd k-means assignments, fully deterministic:
     centroids initialize from the ``k`` SMALLEST ids (no RNG), each of
     the ``iters`` rounds assigns every point to its argmin-squared-
     Euclidean centroid (ties broken by cluster index via a min-struct —
     identical on every engine because both fold the distance
     left-to-right over the dims) and recomputes per-cluster per-dim
-    means with decimal(38,12) accumulation. Returns one row per
-    surviving cluster: ``(cluster, n_points, inertia)`` with inertia
-    accumulated as round-9 decimals.
+    means with decimal(38,12) accumulation. Returns one row per point:
+    ``(<id_col>, cluster, _d)`` with ``_d`` the final squared distance.
 
     Scale shape: per round, one broadcast of the k×d centroid table
     against the corpus (no pairwise join) plus one |k|·d-row grouped
@@ -1916,7 +1915,7 @@ def kmeans_lloyd(
             ).alias("_cv")
         )
 
-    final = (
+    return (
         pts.crossJoin(F.broadcast(cents))
         .select(
             "_id",
@@ -1924,7 +1923,26 @@ def kmeans_lloyd(
         )
         .groupBy("_id")
         .agg(F.min("_dj").alias("_m"))
-        .select(F.col("_m")["j"].alias("cluster"), F.col("_m")["d"].alias("_d"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_m")["j"].alias("cluster"),
+            F.col("_m")["d"].alias("_d"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster summary of :func:`kmeans_assign`: one row per
+    surviving cluster — ``(cluster, n_points, inertia)`` with inertia
+    accumulated as round-9 decimals (cross-engine exact)."""
+    final = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
     return (
         final.groupBy("cluster")

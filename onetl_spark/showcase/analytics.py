@@ -6541,13 +6541,12 @@ ORACLE_SQL["user_golden_record"] = GOLDEN_RECORD_SQL
 
 
 _PERM_B = 200
-_LCG_A, _LCG_C, _LCG_D, _LCG_M = 1103515245, 12345, 6789, 2147483648
 
 
 def events_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed randomization (approximate permutation) test of the
     purchase-vs-click mean value gap: the pooled values are relabeled
-    {_PERM_B}× by a PINNED integer LCG over (event_id, b) — fully
+    {_PERM_B}× by the repo's portable md5 hash over 'event_id:b' — fully
     deterministic, identical on every engine and every cluster size —
     and the two-sided p-value is (1 + #{|d_b| ≥ |d_obs|}) / (B+1)
     (Phipson-Smyth add-one). The explode is map-side (rows × B partial-
@@ -6582,11 +6581,14 @@ def events_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n1").cast("long").alias("n_purchase"),
         F.col("n0").cast("long").alias("n_click"),
     )
-    h = F.pmod(
-        F.col("event_id") * F.lit(_LCG_A)
-        + F.col("b") * F.lit(_LCG_C)
-        + F.lit(_LCG_D),
-        F.lit(_LCG_M),
+    from onetl_spark.llm.text import md5_long
+
+    h = md5_long(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
     )
     perm = (
         pool.select(
@@ -6650,7 +6652,8 @@ WITH pool AS (
            / CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS d_b
   FROM (
     SELECT p.v, t.b,
-           ((p.event_id * {_LCG_A} + t.b * {_LCG_C} + {_LCG_D}) % {_LCG_M}) % 2 AS g
+           ('0x' || substr(md5(CAST(p.event_id AS VARCHAR) || ':' ||
+                               CAST(t.b AS VARCHAR)), 1, 15))::BIGINT % 2 AS g
     FROM pool p CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b) t
   ) GROUP BY b
 ), tail AS (
@@ -6898,3 +6901,243 @@ FROM agg ORDER BY brand
 
 SPARK_QUERIES["brand_ranking_ndcg"] = brand_ranking_ndcg
 ORACLE_SQL["brand_ranking_ndcg"] = NDCG_SQL
+
+
+def events_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction on event values: rows split 70/20/10
+    into train/calibration/test by the portable md5 hash (no RNG), the
+    "model" is the per-event-type TRAIN mean, the conformal radius
+    q_hat is the exact type-1 empirical quantile of calibration
+    absolute residuals at the ceil((n+1)·0.9)-th rank (the
+    finite-sample-valid split-conformal formula, Vovk et al.), and the
+    TEST coverage of pred ± q_hat is reported — distribution-free
+    uncertainty calibration, all in exact integer-rank arithmetic over
+    a cumulative residual relation. One scan for the split + means, one
+    bounded quantile pass, one test aggregate."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    h = md5_long(F.col("event_id").cast("string"))
+    ev = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round("value", 6).cast("decimal(38,6)").alias("v"),
+            (h % 10).alias("_s"),
+        )
+    )
+    means = (
+        ev.filter(F.col("_s") <= 6)
+        .groupBy("event_type")
+        .agg(
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("pred")
+        )
+    )
+    resid = (
+        ev.filter(F.col("_s").isin(7, 8))
+        .join(F.broadcast(means), "event_type")
+        .select(
+            F.round(F.abs(F.col("v").cast("double") - F.col("pred")), 6).alias("r")
+        )
+    )
+    rc = resid.groupBy("r").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = W.orderBy("r").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = rc.withColumn("_cum", F.sum("_c").over(wcum))
+    n_row = rc.agg(F.sum("_c").alias("_n"))
+    # rank k = ceil(0.9 * (n + 1)) by integer arithmetic, capped at n
+    k = F.least(F.expr("(9 * (_n + 1) + 9) div 10"), F.col("_n"))
+    qhat = (
+        cum.crossJoin(F.broadcast(n_row))
+        .agg(
+            F.min(F.when(F.col("_cum") >= k, F.col("r"))).alias("q_hat"),
+            F.max("_n").alias("n_cal"),
+        )
+    )
+    test = ev.filter(F.col("_s") == 9).join(F.broadcast(means), "event_type")
+    out = test.crossJoin(F.broadcast(qhat)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.round(F.max("q_hat"), 6).alias("q_hat"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.round(
+                        F.abs(F.col("v").cast("double") - F.col("pred")), 6
+                    )
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+    return out
+
+
+CONFORMAL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value, 6) AS DECIMAL(38,6)) AS v,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 10 AS s
+  FROM events WHERE value IS NOT NULL
+), means AS (
+  SELECT event_type,
+         CAST(SUM(v) AS DOUBLE) / COUNT(*) AS pred
+  FROM ev WHERE s <= 6 GROUP BY event_type
+), resid AS (
+  SELECT round(abs(CAST(ev.v AS DOUBLE) - means.pred), 6) AS r
+  FROM ev JOIN means USING (event_type) WHERE s IN (7, 8)
+), rc AS (SELECT r, COUNT(*) AS c FROM resid GROUP BY r),
+cum AS (
+  SELECT r, SUM(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum,
+         SUM(c) OVER () AS n
+  FROM rc
+), qh AS (
+  SELECT MIN(CASE WHEN cum >= least((9 * (n + 1) + 9) // 10, n) THEN r END)
+           AS q_hat,
+         MAX(n) AS n_cal
+  FROM cum
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(MAX(qh.n_cal) AS BIGINT) AS n_cal,
+       round(MAX(qh.q_hat), 6) AS q_hat,
+       round(CAST(SUM(CASE WHEN round(abs(CAST(ev.v AS DOUBLE) - means.pred), 6)
+                                <= qh.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+FROM ev JOIN means USING (event_type) CROSS JOIN qh
+WHERE s = 9
+"""
+
+SPARK_QUERIES["events_conformal_coverage"] = events_conformal_coverage
+ORACLE_SQL["events_conformal_coverage"] = CONFORMAL_SQL
+
+
+_POIS_T = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean purchase value — the
+    SCALABLE bootstrap (Chamandy et al. 2012): instead of resampling n
+    rows with replacement (global coordination), every row draws an
+    independent Poisson(1) replicate weight via the portable md5-hash
+    uniform pushed through pinned inverse-CDF literals — fully deterministic,
+    no RNG, embarrassingly parallel. The replicate weighted means
+    (decimal-exact numerators) reduce map-side to B rows; the
+    percentile CI is the exact type-1 empirical quantile pair at ranks
+    ceil(0.025·B) / ceil(0.975·B) over that B-row relation."""
+    ensure_views(spark, sf_dir)
+    pool = (
+        spark.table("events")
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(
+            "event_id", F.round("value", 6).cast("decimal(38,6)").alias("v")
+        )
+    )
+    obs = pool.agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_obs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    from onetl_spark.llm.text import md5_long
+
+    u = md5_long(
+        F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    ).cast("double") / F.lit(float(16**15))
+    uu = F.col("_u")
+    w = (
+        F.when(uu < _POIS_T[0], 0)
+        .when(uu < _POIS_T[1], 1)
+        .when(uu < _POIS_T[2], 2)
+        .when(uu < _POIS_T[3], 3)
+        .when(uu < _POIS_T[4], 4)
+        .otherwise(5)
+    )
+    reps = (
+        pool.select(
+            "event_id",
+            "v",
+            F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+        )
+        .select("v", "b", u.alias("_u"))
+        .select("b", "v", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("v")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("m")
+        )
+    )
+    rn = F.row_number().over(W.orderBy("m"))
+    ranked = reps.select("m", rn.alias("_rn"))
+    k_lo = (25 * _PERM_B + 999) // 1000
+    k_hi = (975 * _PERM_B + 999) // 1000
+    ci = ranked.agg(
+        F.min(F.when(F.col("_rn") >= k_lo, F.col("m"))).alias("lo"),
+        F.min(F.when(F.col("_rn") >= k_hi, F.col("m"))).alias("hi"),
+    )
+    return obs.crossJoin(F.broadcast(ci)).select(
+        "n",
+        F.round("mean_obs", 6).alias("mean_obs"),
+        F.round("lo", 6).alias("ci_lo"),
+        F.round("hi", 6).alias("ci_hi"),
+        F.lit(_PERM_B).cast("long").alias("n_replicates"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    t = _POIS_T
+    return f"""
+WITH pool AS (
+  SELECT event_id, CAST(round(value, 6) AS DECIMAL(38,6)) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), obs AS (
+  SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_obs,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pool
+), reps AS (
+  SELECT b,
+         CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+  FROM (
+    SELECT v, b,
+           CASE WHEN u < {t[0]!r} THEN 0 WHEN u < {t[1]!r} THEN 1
+                WHEN u < {t[2]!r} THEN 2 WHEN u < {t[3]!r} THEN 3
+                WHEN u < {t[4]!r} THEN 4 ELSE 5 END AS w
+    FROM (
+      SELECT p.v AS v, t.b AS b,
+             CAST(('0x' || substr(md5(CAST(p.event_id AS VARCHAR) || ':' ||
+                   CAST(t.b AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+               / 1.152921504606847e+18 AS u
+      FROM pool p CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b) t
+    )
+  ) GROUP BY b
+), ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM reps
+), ci AS (
+  SELECT MIN(CASE WHEN rn >= {(25 * _PERM_B + 999) // 1000} THEN m END) AS lo,
+         MIN(CASE WHEN rn >= {(975 * _PERM_B + 999) // 1000} THEN m END) AS hi
+  FROM ranked
+)
+SELECT obs.n, round(obs.mean_obs, 6) AS mean_obs,
+       round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi,
+       CAST({_PERM_B} AS BIGINT) AS n_replicates
+FROM obs CROSS JOIN ci
+"""
+
+
+SPARK_QUERIES["events_bootstrap_mean_ci"] = events_bootstrap_mean_ci
+ORACLE_SQL["events_bootstrap_mean_ci"] = _bootstrap_sql()

@@ -4852,7 +4852,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_sql(k: int, iters: int) -> str:
+def _kmeans_cte_prefix(k: int, iters: int) -> str:
     d2 = (
         "list_sum(list_transform(range(1, 65), "
         "i -> (p.v[i] - c.cv[i]) * (p.v[i] - c.cv[i])))"
@@ -4887,9 +4887,12 @@ def _kmeans_sql(k: int, iters: int) -> str:
   SELECT p.id, MIN(struct_pack(d := {d2}, j := c.j)) AS m
   FROM pts p CROSS JOIN {prev} c GROUP BY p.id
 )""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
     return (
-        "WITH "
-        + ",\n".join(parts)
+        _kmeans_cte_prefix(k, iters)
         + """
 SELECT m['j'] AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
        round(CAST(SUM(CAST(round(m['d'], 9) AS DECIMAL(38,9))) AS DOUBLE), 9)
@@ -4901,3 +4904,45 @@ FROM fin GROUP BY 1 ORDER BY cluster
 
 SPARK_QUERIES["embedding_kmeans_clusters"] = embedding_kmeans_clusters
 ORACLE_SQL["embedding_kmeans_clusters"] = _kmeans_sql(_KM_K, _KM_ITERS)
+
+
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation handoff of the deterministic k-means: per (cluster,
+    lang) composition of the clustered corpus — assignments from
+    `kmeans_assign` broadcast-joined to the documents table on
+    vec_id = doc_id, with exact integer length totals. The step that
+    turns geometric clusters into actionable data-mix facts (which
+    languages concentrate where, what to up/down-sample)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.similarity import kmeans_assign
+
+    a = kmeans_assign(
+        spark.table("embeddings"), k=_KM_K, iters=_KM_ITERS
+    ).select("vec_id", "cluster")
+    d = spark.table("documents").select(
+        F.col("doc_id").alias("vec_id"), "lang", "n_chars"
+    )
+    return (
+        a.join(d, "vec_id")
+        .groupBy("cluster", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("cluster", "lang")
+    )
+
+
+KMEANS_PROFILE_SQL = (
+    _kmeans_cte_prefix(_KM_K, _KM_ITERS)
+    + """
+SELECT fin.m['j'] AS cluster, d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM fin JOIN documents d ON fin.id = d.doc_id
+GROUP BY 1, 2 ORDER BY cluster, lang
+"""
+)
+
+SPARK_QUERIES["kmeans_cluster_profile"] = kmeans_cluster_profile
+ORACLE_SQL["kmeans_cluster_profile"] = KMEANS_PROFILE_SQL
