@@ -24,7 +24,6 @@ HEADLINE = [
     "user_state_scd2",
     "order_brand_triples",
     "user_golden_record",
-    "events_value_permutation_test",
     "events_holt_trend",
     "orders_cube_priority_status",
     "embedding_kmeans_clusters",
