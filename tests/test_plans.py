@@ -708,3 +708,68 @@ def test_info_gain_no_cartesian_single_scan_per_feature(tables):
     df = events_purchase_info_gain(tables, SF_DIR)
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_are_key_partitioned(tables):
+    import re
+
+    from onetl_spark.showcase.temporal import user_state_scd2
+
+    plan = executed_plan(user_state_scd2(tables, SF_DIR))
+    # every window is partitioned by user_id — no global-order window
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert w_specs and all("user_id" in ws for ws in w_specs)
+    assert "CartesianProduct" not in plan
+
+
+def test_brand_triples_prune_is_broadcast_no_cartesian(tables):
+    from onetl_spark.showcase.analytics import order_brand_triples
+
+    plan = executed_plan(order_brand_triples(tables, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # singleton-frequent prune
+
+
+def test_permutation_test_shuffles_only_on_b(tables):
+    from onetl_spark.showcase.analytics import events_value_permutation_test
+
+    plan = executed_plan(events_value_permutation_test(tables, SF_DIR))
+    # the exploded B x n relation must partial-aggregate map-side:
+    # the shuffle key is the replicate id, never a global sort
+    assert "Generate explode" in plan
+    assert "partial_" in plan.lower() or "partial" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_ci_rank_window_is_bounded_relation(tables):
+    import re
+
+    from onetl_spark.showcase.analytics import events_bootstrap_mean_ci
+
+    plan = executed_plan(events_bootstrap_mean_ci(tables, SF_DIR))
+    # the only unpartitioned window orders the B-row replicate relation
+    # (bounded by construction); the corpus-scale stages are agg-only
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(w_specs) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_centroids_are_broadcast(tables):
+    from onetl_spark.llm.similarity import kmeans_lloyd
+
+    df = kmeans_lloyd(tables.table("embeddings"), k=2, iters=1)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # the centroid table meets the corpus as a broadcast nested loop of
+    # a k-row side at worst — never a shuffled corpus-vs-corpus join
+    assert "Broadcast" in plan
+
+
+def test_ndcg_windows_are_brand_partitioned(tables):
+    import re
+
+    from onetl_spark.showcase.analytics import brand_ranking_ndcg
+
+    plan = executed_plan(brand_ranking_ndcg(tables, SF_DIR))
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert w_specs and all("p_brand" in ws for ws in w_specs)
