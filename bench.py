@@ -17,6 +17,9 @@ import sys
 import time
 
 HEADLINE = [
+    "user_rate_eb_shrinkage",
+    "events_did_estimate",
+    "user_uplift_by_band",
     "events_conformal_coverage",
     "events_bootstrap_mean_ci",
     "events_value_permutation_test",

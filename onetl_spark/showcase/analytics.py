@@ -7141,3 +7141,304 @@ FROM obs CROSS JOIN ci
 
 SPARK_QUERIES["events_bootstrap_mean_ci"] = events_bootstrap_mean_ci
 ORACLE_SQL["events_bootstrap_mean_ci"] = _bootstrap_sql()
+
+
+def user_rate_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates (the James-Stein cure for small-n rate rankings): the prior
+    (α+β) strength is fit by method of moments from the population of
+    raw rates — M = (m(1−m) − v)/v with m, v the decimal-exact mean and
+    variance of the per-user rates — and every user's rate shrinks to
+    ``(k + M·m)/(n + M)``. Two aggregates over the per-user relation
+    (one for moments, one broadcast back); no windows. Returns the 10
+    largest raw-vs-shrunk movers — exactly the users a naive rate
+    ranking gets wrong."""
+    ensure_views(spark, sf_dir)
+    per_user = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "k",
+            (F.col("k").cast("double") / F.col("n").cast("double")).alias("p"),
+        )
+    )
+    mom = per_user.agg(
+        (
+            F.sum(F.round("p", 9).cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m"),
+        (
+            F.sum(
+                F.round(F.col("p") * F.col("p"), 9).cast("decimal(38,9)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m2"),
+    ).select(
+        "m",
+        (F.col("m2") - F.col("m") * F.col("m")).alias("v"),
+    ).select(
+        "m",
+        "v",
+        F.when(
+            F.col("v") > 0,
+            (F.col("m") * (1 - F.col("m")) - F.col("v")) / F.col("v"),
+        ).alias("bigm"),
+    )
+    out = per_user.crossJoin(F.broadcast(mom)).select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("p", 9).alias("rate_raw"),
+        F.round(
+            (F.col("k").cast("double") + F.col("bigm") * F.col("m"))
+            / (F.col("n").cast("double") + F.col("bigm")),
+            9,
+        ).alias("rate_shrunk"),
+    )
+    return (
+        out.withColumn(
+            "shift", F.round(F.abs(F.col("rate_raw") - F.col("rate_shrunk")), 9)
+        )
+        .orderBy(F.col("shift").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+EB_SHRINK_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS p
+  FROM events GROUP BY user_id
+), mom0 AS (
+  SELECT CAST(SUM(CAST(round(p, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m,
+         CAST(SUM(CAST(round(p * p, 9) AS DECIMAL(38,9))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS m2
+  FROM per_user
+), mom AS (
+  SELECT m, m2 - m * m AS v,
+         CASE WHEN m2 - m * m > 0
+              THEN (m * (1 - m) - (m2 - m * m)) / (m2 - m * m) END AS bigm
+  FROM mom0
+)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(p, 9) AS rate_raw,
+       round((CAST(k AS DOUBLE) + bigm * m) / (CAST(n AS DOUBLE) + bigm), 9)
+         AS rate_shrunk,
+       round(abs(round(p, 9)
+                 - round((CAST(k AS DOUBLE) + bigm * m)
+                         / (CAST(n AS DOUBLE) + bigm), 9)), 9) AS shift
+FROM per_user CROSS JOIN mom
+ORDER BY shift DESC, user_id ASC
+LIMIT 10
+"""
+
+SPARK_QUERIES["user_rate_eb_shrinkage"] = user_rate_eb_shrinkage
+ORACLE_SQL["user_rate_eb_shrinkage"] = EB_SHRINK_SQL
+
+
+_DID_SPLIT_DAY = "2024-01-16"
+
+
+def events_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the per-event value gap:
+    users split into treat/control by the portable md5 hash (a synthetic
+    assignment — the showcase is the ESTIMATOR shape), periods split at
+    a pinned calendar date. The 2×2 cell means use decimal-exact
+    numerators; DiD = (T,post − T,pre) − (C,post − C,pre) in one pinned
+    double expression. One grouped aggregate + a 1-row epilogue — the
+    canonical quasi-experimental readout at any scale."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    ev = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (md5_long(F.col("user_id").cast("string")) % 2).alias("treat"),
+            (F.col("ts").cast("date") >= F.lit(_DID_SPLIT_DAY).cast("date"))
+            .cast("int")
+            .alias("post"),
+            F.round("value", 6).cast("decimal(38,6)").alias("v"),
+        )
+    )
+    cells = ev.groupBy("treat", "post").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_v"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    agg = cells.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), F.col("mean_v"))).alias("t_post"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), F.col("mean_v"))).alias("t_pre"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1), F.col("mean_v"))).alias("c_post"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0), F.col("mean_v"))).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return agg.select(
+        F.round("t_pre", 6).alias("t_pre"),
+        F.round("t_post", 6).alias("t_post"),
+        F.round("c_pre", 6).alias("c_pre"),
+        F.round("c_post", 6).alias("c_post"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+        "n_total",
+    )
+
+
+DID_SQL = f"""
+WITH ev AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+           AS treat,
+         CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '{_DID_SPLIT_DAY}'
+              THEN 1 ELSE 0 END AS post,
+         CAST(round(value, 6) AS DECIMAL(38,6)) AS v
+  FROM events WHERE value IS NOT NULL
+), cells AS (
+  SELECT treat, post,
+         CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY treat, post
+), agg AS (
+  SELECT MAX(CASE WHEN treat = 1 AND post = 1 THEN mean_v END) AS t_post,
+         MAX(CASE WHEN treat = 1 AND post = 0 THEN mean_v END) AS t_pre,
+         MAX(CASE WHEN treat = 0 AND post = 1 THEN mean_v END) AS c_post,
+         MAX(CASE WHEN treat = 0 AND post = 0 THEN mean_v END) AS c_pre,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT round(t_pre, 6) AS t_pre, round(t_post, 6) AS t_post,
+       round(c_pre, 6) AS c_pre, round(c_post, 6) AS c_post,
+       round((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate,
+       n_total
+FROM agg
+"""
+
+SPARK_QUERIES["events_did_estimate"] = events_did_estimate
+ORACLE_SQL["events_did_estimate"] = DID_SQL
+
+
+def user_uplift_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift readout by targeting band: users split treat/control by
+    the portable md5 hash, outcome = any post-period purchase, targeting
+    score = PRE-period purchase share bucketed into pinned RATIO bands
+    (integer cross-multiplication, scale-free)
+    (no global quantiles — band edges are literals, so the relation
+    never needs a corpus-wide sort). Per band: group sizes, purchase
+    rates (exact integer numerators), and the uplift difference — the
+    table an uplift model is judged against. Two grouped aggregates,
+    both map-side combinable."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    ev = spark.table("events").select(
+        "user_id",
+        (F.col("ts").cast("date") >= F.lit(_DID_SPLIT_DAY).cast("date"))
+        .cast("int")
+        .alias("post"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("post") == 0, 1).otherwise(0)).alias("n_pre"),
+        F.sum(
+            F.when((F.col("post") == 0) & (F.col("is_p") == 1), 1).otherwise(0)
+        ).alias("k_pre"),
+        F.max(F.when(F.col("post") == 1, F.col("is_p")).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    # scale-free targeting score: PRE-period purchase share (integer
+    # cross-multiplication — no division, no global quantiles)
+    band = (
+        F.when(F.col("n_pre") == 0, F.lit("a:<15%"))
+        .when(F.col("k_pre") * 100 < F.col("n_pre") * 15, F.lit("a:<15%"))
+        .when(F.col("k_pre") * 100 < F.col("n_pre") * 20, F.lit("b:15-20%"))
+        .when(F.col("k_pre") * 100 < F.col("n_pre") * 25, F.lit("c:20-25%"))
+        .otherwise(F.lit("d:>=25%"))
+    )
+    scored = per_user.select(
+        band.alias("band"),
+        (md5_long(F.col("user_id").cast("string")) % 2).alias("treat"),
+        "converted",
+    )
+    agg = scored.groupBy("band").agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(
+            F.when((F.col("treat") == 1) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("k_t"),
+        F.sum(
+            F.when((F.col("treat") == 0) & (F.col("converted") == 1), 1).otherwise(0)
+        ).alias("k_c"),
+    )
+    rate_t = F.when(
+        F.col("n_t") > 0, F.col("k_t").cast("double") / F.col("n_t").cast("double")
+    )
+    rate_c = F.when(
+        F.col("n_c") > 0, F.col("k_c").cast("double") / F.col("n_c").cast("double")
+    )
+    return agg.select(
+        "band",
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        F.round(rate_t, 9).alias("rate_treat"),
+        F.round(rate_c, 9).alias("rate_ctrl"),
+        F.round(rate_t - rate_c, 9).alias("uplift"),
+    ).orderBy("band")
+
+
+UPLIFT_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '{_DID_SPLIT_DAY}'
+              THEN 1 ELSE 0 END AS post,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN post = 0 THEN 1 ELSE 0 END) AS n_pre,
+         SUM(CASE WHEN post = 0 AND is_p = 1 THEN 1 ELSE 0 END) AS k_pre,
+         MAX(CASE WHEN post = 1 THEN is_p ELSE 0 END) AS converted
+  FROM ev GROUP BY user_id
+), scored AS (
+  SELECT CASE WHEN n_pre = 0 THEN 'a:<15%'
+              WHEN k_pre * 100 < n_pre * 15 THEN 'a:<15%'
+              WHEN k_pre * 100 < n_pre * 20 THEN 'b:15-20%'
+              WHEN k_pre * 100 < n_pre * 25 THEN 'c:20-25%'
+              ELSE 'd:>=25%' END AS band,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+           AS treat,
+         converted
+  FROM per_user
+), agg AS (
+  SELECT band,
+         SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS n_t,
+         SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS n_c,
+         SUM(CASE WHEN treat = 1 AND converted = 1 THEN 1 ELSE 0 END) AS k_t,
+         SUM(CASE WHEN treat = 0 AND converted = 1 THEN 1 ELSE 0 END) AS k_c
+  FROM scored GROUP BY band
+)
+SELECT band,
+       CAST(n_t AS BIGINT) AS n_treat, CAST(n_c AS BIGINT) AS n_ctrl,
+       round(CASE WHEN n_t > 0 THEN CAST(k_t AS DOUBLE) / n_t END, 9) AS rate_treat,
+       round(CASE WHEN n_c > 0 THEN CAST(k_c AS DOUBLE) / n_c END, 9) AS rate_ctrl,
+       round(CASE WHEN n_t > 0 THEN CAST(k_t AS DOUBLE) / n_t END
+             - CASE WHEN n_c > 0 THEN CAST(k_c AS DOUBLE) / n_c END, 9) AS uplift
+FROM agg ORDER BY band
+"""
+
+SPARK_QUERIES["user_uplift_by_band"] = user_uplift_by_band
+ORACLE_SQL["user_uplift_by_band"] = UPLIFT_SQL
