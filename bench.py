@@ -17,6 +17,8 @@ import sys
 import time
 
 HEADLINE = [
+    "fk_candidate_profile",
+    "surrogate_key_audit",
     "user_rate_eb_shrinkage",
     "events_did_estimate",
     "user_uplift_by_band",

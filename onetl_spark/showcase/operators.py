@@ -2220,3 +2220,135 @@ FROM j GROUP BY week ORDER BY week
 
 SPARK_QUERIES["events_weekly_psi_trajectory"] = events_weekly_psi_trajectory
 ORACLE_SQL["events_weekly_psi_trajectory"] = _weekly_psi_sql()
+
+
+_FK_CANDIDATES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem", "l_orderkey", "part", "p_partkey"),
+)
+
+
+def fk_candidate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key discovery profiling (the metadata-inference step a
+    catalog runs before anyone writes a join): for each candidate
+    (child.column → parent.key) pair, the DISTINCT-value containment
+    ratio |child ∩ parent| / |child distinct|, null rate, and exact
+    distinct counts — containment ≈ 1.0 flags a real FK, the
+    deliberately-false candidate (lineitem.l_orderkey → part) shows a
+    partial ratio. Each pair costs two distinct-aggregates and one
+    distinct-key join (never a row-level join); pairs union into one
+    result. Scale: distinct relations are key-sized, not row-sized."""
+    ensure_views(spark, sf_dir)
+    out = None
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        child = spark.table(child_t).select(F.col(child_c).alias("_k"))
+        parent = (
+            spark.table(parent_t).select(F.col(parent_c).alias("_k")).distinct()
+        )
+        stats = child.agg(
+            F.count(F.lit(1)).alias("_n_rows"),
+            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0)).alias("_n_null"),
+        )
+        cd = child.filter(F.col("_k").isNotNull()).distinct()
+        inter = cd.join(parent, "_k").agg(F.count(F.lit(1)).alias("_n_inter"))
+        dcounts = cd.agg(F.count(F.lit(1)).alias("_n_child_distinct"))
+        row = (
+            stats.crossJoin(F.broadcast(inter))
+            .crossJoin(F.broadcast(dcounts))
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                F.col("_n_rows").cast("long").alias("n_rows"),
+                F.col("_n_null").cast("long").alias("n_null"),
+                F.col("_n_child_distinct").cast("long").alias("n_child_distinct"),
+                F.col("_n_inter").cast("long").alias("n_contained"),
+                F.round(
+                    F.col("_n_inter").cast("double")
+                    / F.col("_n_child_distinct").cast("double"),
+                    9,
+                ).alias("containment"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("child", "parent")
+
+
+def _fk_profile_sql() -> str:
+    parts = []
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        parts.append(f"""
+SELECT '{child_t}.{child_c}' AS child, '{parent_t}.{parent_c}' AS parent,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child_t}) AS n_rows,
+       (SELECT CAST(SUM(CASE WHEN {child_c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM {child_t}) AS n_null,
+       (SELECT CAST(COUNT(DISTINCT {child_c}) AS BIGINT) FROM {child_t}
+        WHERE {child_c} IS NOT NULL) AS n_child_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT DISTINCT {child_c} AS k FROM {child_t}
+           WHERE {child_c} IS NOT NULL) c
+          JOIN (SELECT DISTINCT {parent_c} AS k FROM {parent_t}) p USING (k))
+         AS n_contained,
+       round(
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM
+            (SELECT DISTINCT {child_c} AS k FROM {child_t}
+             WHERE {child_c} IS NOT NULL) c
+            JOIN (SELECT DISTINCT {parent_c} AS k FROM {parent_t}) p USING (k))
+         / (SELECT CAST(COUNT(DISTINCT {child_c}) AS DOUBLE) FROM {child_t}
+            WHERE {child_c} IS NOT NULL), 9) AS containment""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY child, parent"
+
+
+SPARK_QUERIES["fk_candidate_profile"] = fk_candidate_profile
+ORACLE_SQL["fk_candidate_profile"] = _fk_profile_sql()
+
+
+def surrogate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash surrogate-key generation audit (the data-vault/Kimball hash
+    key discipline): business key (l_orderkey, l_linenumber) → md5-based
+    64-bit surrogate; the audit proves injectivity ON THIS CORPUS by
+    comparing distinct business keys against distinct surrogates, and
+    surfaces GRAIN violations as a bonus (n_rows > n_business_keys means
+    the declared business key is not unique — true of this synthetic
+    lineitem) — the check every warehouse load runs before trusting
+    hash keys at 100 TB (two distinct-aggregates, no join)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.text import md5_long
+
+    li = spark.table("lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("_bk")
+    )
+    keyed = li.select("_bk", md5_long(F.col("_bk")).alias("_sk"))
+    return keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("_bk").cast("long").alias("n_business_keys"),
+        F.countDistinct("_sk").cast("long").alias("n_surrogates"),
+        (F.countDistinct("_bk") - F.countDistinct("_sk"))
+        .cast("long")
+        .alias("n_collisions"),
+    )
+
+
+SURROGATE_SQL = """
+WITH keyed AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+           AS bk,
+         ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+                             CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+           AS sk
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_business_keys,
+       CAST(COUNT(DISTINCT sk) AS BIGINT) AS n_surrogates,
+       CAST(COUNT(DISTINCT bk) - COUNT(DISTINCT sk) AS BIGINT) AS n_collisions
+FROM keyed
+"""
+
+SPARK_QUERIES["surrogate_key_audit"] = surrogate_key_audit
+ORACLE_SQL["surrogate_key_audit"] = SURROGATE_SQL
