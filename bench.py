@@ -17,6 +17,8 @@ import sys
 import time
 
 HEADLINE = [
+    "bpe_fertility_by_lang",
+    "dedup_savings_report",
     "fk_candidate_profile",
     "surrogate_key_audit",
     "user_rate_eb_shrinkage",

@@ -4946,3 +4946,142 @@ GROUP BY 1, 2 ORDER BY cluster, lang
 
 SPARK_QUERIES["kmeans_cluster_profile"] = kmeans_cluster_profile
 ORACLE_SQL["kmeans_cluster_profile"] = KMEANS_PROFILE_SQL
+
+
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens/word and tokens/char
+    under the SAME trained-on-a-third BPE vocabulary as
+    `bpe_token_encode`: the metric that tells a multilingual-corpus
+    owner which languages the tokenizer punishes (high fertility =
+    more compute per character). Per-doc counts ride the existing
+    encode path, then one lang-keyed aggregate with exact integer
+    numerators. Fertility is a first-order LLM data-mix cost input."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    train = docs.filter(F.col("doc_id") % 3 == 0)
+    _merges, vocab = text.bpe_train_merges(train, num_merges=1)
+    per_doc = text.bpe_token_counts(docs, vocab)
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(text.word_tokens("text")).alias("_n_words"),
+    )
+    j = per_doc.join(meta, "doc_id")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+            F.sum("_n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                9,
+            ).alias("tokens_per_word"),
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("total_chars").cast("double"),
+                9,
+            ).alias("tokens_per_char"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    # reuse the per-doc encode CTE chain, regrouped by language
+    body = BPE_ENCODE_SQL.strip().rstrip()
+    head, _, _tail = body.rpartition("SELECT d.doc_id")
+    return (
+        head
+        + f""", per_doc AS (
+  SELECT d.doc_id, CAST(COALESCE(SUM(cost.c), 0) AS BIGINT) AS n_bpe_tokens
+  FROM documents d LEFT JOIN cost ON cost.doc_id = d.doc_id
+  GROUP BY d.doc_id
+), meta AS (
+  SELECT doc_id, lang, n_chars, len({SQL_TOKENS}) AS n_words
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE), 9)
+         AS tokens_per_word,
+       round(CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_chars) AS DOUBLE), 9)
+         AS tokens_per_char
+FROM per_doc JOIN meta USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+    )
+
+
+SPARK_QUERIES["bpe_fertility_by_lang"] = bpe_fertility_by_lang
+ORACLE_SQL["bpe_fertility_by_lang"] = _bpe_fertility_sql()
+
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage/compute savings ledger of the NEAR-duplicate dedup stage —
+    the readout that justifies it to a capacity planner: per duplicate-
+    cluster size, how many clusters, how many redundant documents a
+    survivorship pass drops, and how many characters (∝ bytes ∝
+    training tokens) that saves. Clusters are the same MinHash-LSH
+    transitive components as `dedup_survivors` (rep = min doc_id); the
+    survivor keeps its own chars, everything else in the cluster is
+    savings. One join of the rep assignment to the char column + two
+    grouped aggregates; the report relation is bounded by the largest
+    cluster size."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    surv = dedup.dedup_survivors(docs, pairs, collect_threshold=0)
+    j = surv.join(docs.select("doc_id", "n_chars"), "doc_id")
+    clusters = j.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("_size"),
+        F.sum("n_chars").alias("_chars"),
+        F.min_by("n_chars", "doc_id").alias("_surv_chars"),
+    )
+    return (
+        clusters.groupBy(F.col("_size").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.col("_size") - 1).cast("long").alias("n_redundant_docs"),
+            F.sum(F.col("_chars") - F.col("_surv_chars"))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _dedup_savings_sql() -> str:
+    surv = _survivors_sql().strip()
+    # turn the survivors query into a CTE: it already starts WITH RECURSIVE
+    head, _, final = surv.rpartition("SELECT d.doc_id")
+    return (
+        head
+        + """, surv AS (
+  SELECT d.doc_id, coalesce(MIN(reach.r), d.doc_id) AS rep_id, MIN(d.n_chars) AS n_chars
+  FROM documents d LEFT JOIN reach ON reach.node = d.doc_id
+  GROUP BY d.doc_id
+), clusters AS (
+  SELECT rep_id, COUNT(*) AS size, SUM(n_chars) AS chars,
+         arg_min(n_chars, doc_id) AS surv_chars
+  FROM surv GROUP BY rep_id
+)
+SELECT size AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(size - 1) AS BIGINT) AS n_redundant_docs,
+       CAST(SUM(chars - surv_chars) AS BIGINT) AS chars_saved
+FROM clusters GROUP BY size ORDER BY cluster_size
+"""
+    )
+
+
+SPARK_QUERIES["dedup_savings_report"] = dedup_savings_report
+ORACLE_SQL["dedup_savings_report"] = _dedup_savings_sql()
