@@ -17,6 +17,7 @@ import sys
 import time
 
 HEADLINE = [
+    "events_value_wasserstein",
     "bpe_fertility_by_lang",
     "dedup_savings_report",
     "fk_candidate_profile",

@@ -2352,3 +2352,58 @@ FROM keyed
 
 SPARK_QUERIES["surrogate_key_audit"] = surrogate_key_audit
 ORACLE_SQL["surrogate_key_audit"] = SURROGATE_SQL
+
+
+def events_value_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein drift on event value, first vs second half
+    of the month (`operators/stats.py wasserstein_1`): the earth-mover
+    companion to KS (sup gap) and PSI (pinned bins) — it integrates the
+    full ECDF gap over the value axis, so a wide moderate shift scores
+    higher than a narrow spike. Same stitched-bucket scaffold, no
+    single-partition window."""
+    from onetl_spark.operators.stats import wasserstein_1
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return wasserstein_1(
+        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
+    )
+
+
+EVENTS_W1_SQL = """
+WITH a AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+), c AS (
+  SELECT COALESCE(ac.v, bc.v) AS v,
+         COALESCE(ac.na, 0) AS na, COALESCE(bc.nb, 0) AS nb
+  FROM (SELECT v, COUNT(*) AS na FROM a GROUP BY v) ac
+  FULL OUTER JOIN (SELECT v, COUNT(*) AS nb FROM b GROUP BY v) bc
+    ON ac.v = bc.v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c
+), ecdf AS (
+  SELECT v, na, nb,
+         SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+         LAG(v) OVER (ORDER BY v) AS lagv
+  FROM c
+), terms AS (
+  SELECT CAST(round(
+           abs(CAST(ca - na AS DOUBLE) / tot.ta - CAST(cb - nb AS DOUBLE) / tot.tb)
+           * COALESCE(v - lagv, 0.0), 8) AS DECIMAL(38,8)) AS term
+  FROM ecdf CROSS JOIN tot
+)
+SELECT (SELECT ta FROM tot) AS n_ref,
+       (SELECT tb FROM tot) AS n_cur,
+       round(CAST(SUM(term) AS DOUBLE), 8) AS w1_distance
+FROM terms
+"""
+
+SPARK_QUERIES["events_value_wasserstein"] = events_value_wasserstein
+ORACLE_SQL["events_value_wasserstein"] = EVENTS_W1_SQL
+

@@ -1,5 +1,7 @@
 """Data-quality operators: profile / k-anonymity / expectations."""
 
+import pytest
+
 from onetl_spark.operators.quality import Expectation, expect, k_anonymity, profile
 
 
@@ -1541,3 +1543,50 @@ def test_cronbach_alpha_hand_case(spark):
 
     with _pt.raises(ValueError, match="2 items"):
         cronbach_alpha(df, ("a",))
+
+
+def test_wasserstein_1_hand_case(spark):
+    from onetl_spark.operators.stats import wasserstein_1
+
+    # ref = {0, 1}, cur = {1, 2}: F_ref - F_cur = 0.5 on [0,1) and on
+    # [1,2) => W1 = 0.5*1 + 0.5*1 = 1.0  (classic shifted-by-1 example)
+    a = spark.createDataFrame([(0.0,), (1.0,)], "x double")
+    b = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    r = wasserstein_1(a, b, "x").collect()[0]
+    assert r["n_ref"] == 2 and r["n_cur"] == 2
+    assert r["w1_distance"] == pytest.approx(1.0, abs=1e-8)
+
+
+def test_wasserstein_1_identical_is_zero(spark):
+    from onetl_spark.operators.stats import wasserstein_1
+
+    a = spark.createDataFrame([(float(i % 7),) for i in range(50)], "x double")
+    r = wasserstein_1(a, a, "x").collect()[0]
+    assert r["w1_distance"] == 0.0
+
+
+def test_wasserstein_1_bucket_boundaries_exact(spark):
+    import random
+
+    from onetl_spark.operators.stats import wasserstein_1
+
+    # many distinct values + few buckets => boundary terms must stitch:
+    # compare against the O(n) single-machine reference
+    rng = random.Random(7)
+    xs = sorted(rng.uniform(0, 100) for _ in range(200))
+    ys = sorted(rng.uniform(10, 110) for _ in range(150))
+    a = spark.createDataFrame([(x,) for x in xs], "x double")
+    b = spark.createDataFrame([(y,) for y in ys], "x double")
+    r = wasserstein_1(a, b, "x", buckets=5).collect()[0]
+
+    vs = sorted(set(xs) | set(ys))
+    import bisect
+
+    def ecdf(sorted_vals, v):
+        return bisect.bisect_right(sorted_vals, v) / len(sorted_vals)
+
+    ref = sum(
+        abs(ecdf(xs, vs[i - 1]) - ecdf(ys, vs[i - 1])) * (vs[i] - vs[i - 1])
+        for i in range(1, len(vs))
+    )
+    assert r["w1_distance"] == pytest.approx(ref, abs=1e-6)
