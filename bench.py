@@ -17,6 +17,8 @@ import sys
 import time
 
 HEADLINE = [
+    "order_linenumber_gaps",
+    "q18_large_volume_customer",
     "events_value_wasserstein",
     "bpe_fertility_by_lang",
     "dedup_savings_report",

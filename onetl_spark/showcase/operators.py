@@ -2407,3 +2407,58 @@ FROM terms
 SPARK_QUERIES["events_value_wasserstein"] = events_value_wasserstein
 ORACLE_SQL["events_value_wasserstein"] = EVENTS_W1_SQL
 
+
+
+def order_linenumber_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection over a per-key line-number column — the
+    CDC/ingest QA check that catches dropped records BEFORE they become
+    silent undercounts: a complete order carries line numbers 1..max
+    with no repeats, so per order ``missing = max − #distinct`` (when
+    min = 1) and any duplicate or offset start is flagged separately.
+    One grouped aggregate; the summary is a 1-row epilogue. At 100 TB
+    this is the cheapest possible completeness audit (no joins, no
+    windows)."""
+    ensure_views(spark, sf_dir)
+    per_order = spark.table("lineitem").groupBy("l_orderkey").agg(
+        F.min("l_linenumber").alias("_mn"),
+        F.max("l_linenumber").alias("_mx"),
+        F.countDistinct("l_linenumber").alias("_nd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    flagged = per_order.select(
+        (F.col("_mn") != 1).cast("int").alias("bad_start"),
+        (F.col("_n") != F.col("_nd")).cast("int").alias("has_dupes"),
+        F.when(F.col("_mn") == 1, F.col("_mx") - F.col("_nd"))
+        .otherwise(0)
+        .alias("n_missing"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("bad_start").cast("long").alias("n_bad_start"),
+        F.sum("has_dupes").cast("long").alias("n_with_dupes"),
+        F.sum((F.col("n_missing") > 0).cast("int")).cast("long").alias("n_with_gaps"),
+        F.sum("n_missing").cast("long").alias("total_missing"),
+    )
+
+
+LINENUMBER_GAPS_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx,
+         COUNT(DISTINCT l_linenumber) AS nd, COUNT(*) AS n
+  FROM lineitem GROUP BY l_orderkey
+), flagged AS (
+  SELECT CASE WHEN mn <> 1 THEN 1 ELSE 0 END AS bad_start,
+         CASE WHEN n <> nd THEN 1 ELSE 0 END AS has_dupes,
+         CASE WHEN mn = 1 THEN mx - nd ELSE 0 END AS n_missing
+  FROM per_order
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(bad_start) AS BIGINT) AS n_bad_start,
+       CAST(SUM(has_dupes) AS BIGINT) AS n_with_dupes,
+       CAST(SUM(CASE WHEN n_missing > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_gaps,
+       CAST(SUM(n_missing) AS BIGINT) AS total_missing
+FROM flagged
+"""
+
+SPARK_QUERIES["order_linenumber_gaps"] = order_linenumber_gaps
+ORACLE_SQL["order_linenumber_gaps"] = LINENUMBER_GAPS_SQL

@@ -681,3 +681,70 @@ ORACLE_SQL.update({
     "q2_min_cost_supplier": Q2_SQL,
     "q11_important_parts": Q11_SQL,
 })
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) shape — reference parity target:
+    the HAVING-filtered aggregate feeding a semi-join back into a
+    three-table join (reference test surface:
+    onetl/tests/.../test_db_reader — complex SELECT rendering; here the
+    full Spark-native shape). The qualifying-orders aggregate runs
+    FIRST (one shuffle on orderkey, HAVING SUM(qty) > threshold), the
+    survivors semi-join orders+customer+lineitem — Catalyst broadcasts
+    the qualifying key set when small, which is exactly the 100-TB
+    plan. Threshold 150 keeps a non-empty result at the test SFs."""
+    ensure_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    qualifying = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(F.col("l_orderkey").alias("_qk"))
+    )
+    li2 = li.select(
+        F.col("l_orderkey").alias("_lk"), F.col("l_quantity")
+    )
+    j = (
+        spark.table("orders")
+        .join(qualifying, F.col("o_orderkey") == F.col("_qk"))
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(li2, F.col("o_orderkey") == F.col("_lk"))
+    )
+    return (
+        j.groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("sum_qty"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(38,2)").alias("o_totalprice"),
+            F.col("sum_qty").cast("decimal(38,2)").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DECIMAL(38,2)) AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+SPARK_QUERIES["q18_large_volume_customer"] = q18_large_volume_customer
+ORACLE_SQL["q18_large_volume_customer"] = Q18_SQL
