@@ -1471,3 +1471,30 @@ def phrase_blocklist_counts(
         F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
         F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
     )
+
+
+def mix31(a: Column, b: Column) -> Column:
+    """Nonlinear 31-bit integer mix of two non-negative integer columns —
+    the cheap portable hash for RESAMPLING schemes (one value per
+    (row, replicate) pair, where md5-of-string costs dominate at B×n
+    scale). Two multiply-mod-2^31 rounds separated by xor-shift steps:
+    the xor-shifts break affinity in ``b`` (an affine-only scheme makes
+    all replicates near-identical — see BENCH_NOTES/PLANS), and every
+    intermediate stays < 2^62 so Spark's ANSI overflow check never
+    fires. DuckDB mirror: :func:`mix31_sql`."""
+    m = F.lit(2147483648)
+    a, b = a.cast("long"), b.cast("long")
+    x = F.pmod(a * F.lit(1103515245) + b * F.lit(654435761) + F.lit(12345), m)
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = F.pmod(x * F.lit(1103515245) + F.lit(6789), m)
+    return x.bitwiseXOR(F.shiftright(x, 7))
+
+
+def mix31_sql(a: str, b: str) -> str:
+    """DuckDB expression identical to :func:`mix31` (same constants,
+    same operation order; xor() and >> are exact integer ops on both
+    engines)."""
+    x1 = f"(({a}) * 1103515245 + ({b}) * 654435761 + 12345) % 2147483648"
+    x2 = f"xor({x1}, ({x1}) >> 13)"
+    x3 = f"(({x2}) * 1103515245 + 6789) % 2147483648"
+    return f"xor({x3}, ({x3}) >> 7)"

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from onetl_spark.llm.text import mix31_sql
 from onetl_spark.showcase.util import dsum, ensure_views, sql_dsum
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -6546,7 +6547,8 @@ _PERM_B = 200
 def events_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed randomization (approximate permutation) test of the
     purchase-vs-click mean value gap: the pooled values are relabeled
-    {_PERM_B}× by the repo's portable md5 hash over 'event_id:b' — fully
+    {_PERM_B}× by the portable nonlinear integer mix (llm/text.py mix31;
+    B×n md5-of-string calls would dominate the runtime) — fully
     deterministic, identical on every engine and every cluster size —
     and the two-sided p-value is (1 + #{|d_b| ≥ |d_obs|}) / (B+1)
     (Phipson-Smyth add-one). The explode is map-side (rows × B partial-
@@ -6581,15 +6583,9 @@ def events_value_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n1").cast("long").alias("n_purchase"),
         F.col("n0").cast("long").alias("n_click"),
     )
-    from onetl_spark.llm.text import md5_long
+    from onetl_spark.llm.text import mix31
 
-    h = md5_long(
-        F.concat(
-            F.col("event_id").cast("string"),
-            F.lit(":"),
-            F.col("b").cast("string"),
-        )
-    )
+    h = mix31(F.col("event_id"), F.col("b"))
     perm = (
         pool.select(
             "event_id",
@@ -6652,8 +6648,7 @@ WITH pool AS (
            / CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS d_b
   FROM (
     SELECT p.v, t.b,
-           ('0x' || substr(md5(CAST(p.event_id AS VARCHAR) || ':' ||
-                               CAST(t.b AS VARCHAR)), 1, 15))::BIGINT % 2 AS g
+           {mix31_sql('p.event_id', 't.b')} % 2 AS g
     FROM pool p CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b) t
   ) GROUP BY b
 ), tail AS (
@@ -7028,8 +7023,8 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson bootstrap 95% CI for the mean purchase value — the
     SCALABLE bootstrap (Chamandy et al. 2012): instead of resampling n
     rows with replacement (global coordination), every row draws an
-    independent Poisson(1) replicate weight via the portable md5-hash
-    uniform pushed through pinned inverse-CDF literals — fully deterministic,
+    independent Poisson(1) replicate weight via the portable nonlinear
+    integer-mix uniform (mix31) pushed through pinned inverse-CDF literals — fully deterministic,
     no RNG, embarrassingly parallel. The replicate weighted means
     (decimal-exact numerators) reduce map-side to B rows; the
     percentile CI is the exact type-1 empirical quantile pair at ranks
@@ -7048,15 +7043,11 @@ def events_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_obs"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    from onetl_spark.llm.text import md5_long
+    from onetl_spark.llm.text import mix31
 
-    u = md5_long(
-        F.concat(
-            F.col("event_id").cast("string"),
-            F.lit(":"),
-            F.col("b").cast("string"),
-        )
-    ).cast("double") / F.lit(float(16**15))
+    u = mix31(F.col("event_id"), F.col("b")).cast("double") / F.lit(
+        2147483648.0
+    )
     uu = F.col("_u")
     w = (
         F.when(uu < _POIS_T[0], 0)
@@ -7119,9 +7110,8 @@ WITH pool AS (
                 WHEN u < {t[4]!r} THEN 4 ELSE 5 END AS w
     FROM (
       SELECT p.v AS v, t.b AS b,
-             CAST(('0x' || substr(md5(CAST(p.event_id AS VARCHAR) || ':' ||
-                   CAST(t.b AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
-               / 1.152921504606847e+18 AS u
+             CAST({mix31_sql('p.event_id', 't.b')} AS DOUBLE)
+               / 2147483648.0 AS u
       FROM pool p CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b) t
     )
   ) GROUP BY b
