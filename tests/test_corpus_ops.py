@@ -1705,3 +1705,38 @@ def test_kmeans_lloyd_empty_cluster_drops(spark):
     assert len(out) == 1
     assert out[0]["cluster"] == 0 and out[0]["n_points"] == 4
     assert out[0]["inertia"] == 0.0
+
+
+def test_mix31_matches_python_reference_and_sql(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from onetl_spark.llm.text import mix31, mix31_sql
+
+    M = 2147483648
+
+    def ref(a, b):
+        x = (a * 1103515245 + b * 654435761 + 12345) % M
+        x ^= x >> 13
+        x = (x * 1103515245 + 6789) % M
+        return x ^ (x >> 7)
+
+    rows = [(a, b) for a in (0, 1, 7, 99999, 2**31 - 1) for b in (1, 2, 200)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["h"]
+        for r in df.select("a", "b", mix31(F.col("a"), F.col("b")).alias("h")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == ref(a, b), (a, b)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for a, b, h in con.execute(f"SELECT a, b, {mix31_sql('a','b')} FROM t").fetchall():
+        assert h == ref(a, b), (a, b)
+
+    # INT-typed inputs (the explode(sequence) case) must not overflow
+    df2 = spark.createDataFrame([(9999, 200)], "a int, b int")
+    assert df2.select(mix31(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"] == ref(9999, 200)
