@@ -17,6 +17,8 @@ import sys
 import time
 
 HEADLINE = [
+    "events_time_grouping_sets",
+    "region_nation_revenue_share",
     "order_linenumber_gaps",
     "q18_large_volume_customer",
     "events_value_wasserstein",

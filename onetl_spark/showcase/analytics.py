@@ -7432,3 +7432,150 @@ FROM agg ORDER BY band
 
 SPARK_QUERIES["user_uplift_by_band"] = user_uplift_by_band
 ORACLE_SQL["user_uplift_by_band"] = UPLIFT_SQL
+
+
+def events_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time rollup in ONE pass — GROUPING SETS over
+    (day), (week), (month): the warehouse pattern that feeds daily,
+    weekly and monthly dashboards from a single scan + shuffle instead
+    of three jobs. Spark expands the sets map-side; grouping_id
+    disambiguates the granularities. Counts and decimal value sums stay
+    exact across levels (a day's children sum bit-exactly into its
+    week and month)."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+        F.round("value", 6).cast("decimal(38,6)").alias("v"),
+    )
+    out = (
+        ev.groupingSets(
+            [["day"], ["week"], ["month"]],
+            "day",
+            "week",
+            "month",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("decimal(38,6)").alias("total_value"),
+        )
+    )
+    return out.select(
+        F.coalesce(
+            F.col("day").cast("string"),
+            F.col("week").cast("string"),
+            F.col("month").cast("string"),
+        ).alias("bucket"),
+        F.when(F.col("day").isNotNull(), "day")
+        .when(F.col("week").isNotNull(), "week")
+        .otherwise("month")
+        .alias("grain"),
+        "gid",
+        "n_events",
+        "total_value",
+    ).orderBy("grain", "bucket")
+
+
+TIME_GROUPING_SETS_SQL = """
+WITH ev AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+         CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+         CAST(round(value, 6) AS DECIMAL(38,6)) AS v
+  FROM events
+)
+SELECT COALESCE(CAST(day AS VARCHAR), CAST(week AS VARCHAR),
+                CAST(month AS VARCHAR)) AS bucket,
+       CASE WHEN day IS NOT NULL THEN 'day'
+            WHEN week IS NOT NULL THEN 'week'
+            ELSE 'month' END AS grain,
+       CAST(GROUPING(day, week, month) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS DECIMAL(38,6)) AS total_value
+FROM ev
+GROUP BY GROUPING SETS ((day), (week), (month))
+ORDER BY grain, bucket
+"""
+
+SPARK_QUERIES["events_time_grouping_sets"] = events_time_grouping_sets
+ORACLE_SQL["events_time_grouping_sets"] = TIME_GROUPING_SETS_SQL
+
+
+def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy report — nation revenue as a share
+    of its region and of the grand total, the canonical BI drill-path
+    readout: ONE revenue aggregate at the leaf grain, then region and
+    grand totals derive from the nation relation itself (25 rows), so
+    the corpus is scanned once and every share divides exact decimal
+    sums. No window over data; shares are broadcast joins of bounded
+    aggregates."""
+    ensure_views(spark, sf_dir)
+    rev = (
+        spark.table("orders")
+        .join(
+            spark.table("customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                spark.table("nation").select(
+                    "n_nationkey", "n_name", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(spark.table("region").select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("_rev")
+        )
+    )
+    regional = rev.groupBy("r_name").agg(F.sum("_rev").alias("_rrev"))
+    total = rev.agg(F.sum("_rev").alias("_trev"))
+    return (
+        rev.join(F.broadcast(regional), "r_name")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("_rev").cast("decimal(38,2)").alias("revenue"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_rrev").cast("double"), 9
+            ).alias("share_of_region"),
+            F.round(
+                F.col("_rev").cast("double") / F.col("_trev").cast("double"), 9
+            ).alias("share_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+REGION_SHARE_SQL = """
+WITH rev AS (
+  SELECT r_name AS region, n_name AS nation,
+         SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+), reg AS (
+  SELECT region, SUM(rev) AS rrev FROM rev GROUP BY region
+), tot AS (SELECT SUM(rev) AS trev FROM rev)
+SELECT rev.region, rev.nation,
+       CAST(rev.rev AS DECIMAL(38,2)) AS revenue,
+       round(CAST(rev.rev AS DOUBLE) / CAST(reg.rrev AS DOUBLE), 9)
+         AS share_of_region,
+       round(CAST(rev.rev AS DOUBLE) / CAST(tot.trev AS DOUBLE), 9)
+         AS share_of_total
+FROM rev JOIN reg USING (region) CROSS JOIN tot
+ORDER BY region, nation
+"""
+
+SPARK_QUERIES["region_nation_revenue_share"] = region_nation_revenue_share
+ORACLE_SQL["region_nation_revenue_share"] = REGION_SHARE_SQL
