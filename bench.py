@@ -17,6 +17,7 @@ import sys
 import time
 
 HEADLINE = [
+    "events_purchase_auc_delong",
     "events_time_grouping_sets",
     "region_nation_revenue_share",
     "order_linenumber_gaps",

@@ -2365,3 +2365,86 @@ def wasserstein_1(
         F.lit(acc_b).cast("long").alias("n_cur"),
         F.round(F.sum("_term").cast("double"), 8).alias("w1_distance"),
     )
+
+
+_Z975 = 1.959963984540054
+
+
+def auc_delong(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """ROC-AUC with the DeLong (1988) standard error and 95% CI — the
+    inference-grade companion to :func:`roc_auc`: a point AUC without
+    its sampling error is uninterpretable when comparing models.
+
+    Mid-rank placement formulation (Sun & Xu 2014): for each positive,
+    its placement is the tie-corrected fraction of negatives below it —
+    derivable from the SAME inclusive cumulative counts the rank
+    scaffold already produces (placement at value v = (cum_neg(v) −
+    0.5·n_neg(v)) / N_neg), so no per-row lag and no second shuffle.
+    AUC = mean positive placement; Var = S₁₀/m + S₀₁/n with S the
+    sample variances of the two placement populations, computed from
+    round-9 decimal moment sums (placements ∈ [0,1] — magnitude-safe).
+    Returns ``(n_pos, n_neg, auc, se, ci_lo, ci_hi)``.
+
+    Scale shape: identical to ks_two_sample — distinct-value counts,
+    stitched bucketed cumsums, 1-row epilogue with pinned arithmetic.
+    """
+    s = df.select(
+        F.col(score_col).cast("double").alias("_v"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+    counts = (
+        s.groupBy("_v")
+        .agg(
+            F.sum("_y").alias("_np"),
+            F.sum(1 - F.col("_y")).alias("_nn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    stitched, totals = stitched_cumsums(counts, "_v", ("_np", "_nn"), buckets)
+    m, n = totals["_np"], totals["_nn"]
+    if m == 0 or n == 0:
+        raise ValueError("auc_delong: need at least one positive and one negative")
+    plc_pos = (
+        F.col("_cum__nn").cast("double") - 0.5 * F.col("_nn").cast("double")
+    ) / F.lit(float(n))
+    plc_neg = (
+        F.col("_cum__np").cast("double") - 0.5 * F.col("_np").cast("double")
+    ) / F.lit(float(m))
+
+    def dmom(expr, w):
+        return F.sum(
+            F.round(expr * F.col(w).cast("double"), 9).cast("decimal(38,9)")
+        ).cast("double")
+
+    agg = stitched.agg(
+        dmom(plc_pos, "_np").alias("_sp"),
+        dmom(plc_pos * plc_pos, "_np").alias("_spp"),
+        dmom(plc_neg, "_nn").alias("_sn"),
+        dmom((1 - plc_neg) * (1 - plc_neg), "_nn").alias("_snn"),
+    )
+    auc = F.col("_sp") / F.lit(float(m))
+    # S10: variance of positive placements; S01: of (1 - negative placements)
+    s10 = (F.col("_spp") - F.col("_sp") * F.col("_sp") / F.lit(float(m))) / F.lit(
+        float(m - 1) if m > 1 else 1.0
+    )
+    sn1 = F.lit(float(n)) - F.col("_sn")  # sum of (1 - plc_neg)
+    s01 = (F.col("_snn") - sn1 * sn1 / F.lit(float(n))) / F.lit(
+        float(n - 1) if n > 1 else 1.0
+    )
+    var = s10 / F.lit(float(m)) + s01 / F.lit(float(n))
+    se = F.sqrt(F.when(var < 0, F.lit(0.0)).otherwise(var))
+    return agg.select(
+        F.lit(m).cast("long").alias("n_pos"),
+        F.lit(n).cast("long").alias("n_neg"),
+        F.round(auc, 9).alias("auc"),
+        F.round(se, 9).alias("se"),
+        F.round(auc - F.lit(_Z975) * se, 9).alias("ci_lo"),
+        F.round(auc + F.lit(_Z975) * se, 9).alias("ci_hi"),
+    )

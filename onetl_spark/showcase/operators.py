@@ -2462,3 +2462,68 @@ FROM flagged
 
 SPARK_QUERIES["order_linenumber_gaps"] = order_linenumber_gaps
 ORACLE_SQL["order_linenumber_gaps"] = LINENUMBER_GAPS_SQL
+
+
+def events_purchase_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of value-predicts-purchase with the DeLong standard
+    error and 95% CI (`operators/stats.py auc_delong`) — the
+    placement-variance inference the bare AUC lacks; mid-rank tie
+    handling, stitched scaffold, 1-row epilogue."""
+    from onetl_spark.operators.stats import auc_delong
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    return auc_delong(ev, "value", "is_purchase")
+
+
+AUC_DELONG_SQL = """
+WITH s AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT v, SUM(y) AS np, SUM(1 - y) AS nn FROM s GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS m, CAST(SUM(nn) AS BIGINT) AS n FROM c
+), cum AS (
+  SELECT v, np, nn,
+         SUM(np) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cp,
+         SUM(nn) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cn
+  FROM c
+), plc AS (
+  SELECT np, nn,
+         (CAST(cn AS DOUBLE) - 0.5 * CAST(nn AS DOUBLE)) / tot.n AS pp,
+         (CAST(cp AS DOUBLE) - 0.5 * CAST(np AS DOUBLE)) / tot.m AS pn
+  FROM cum CROSS JOIN tot
+), agg AS (
+  SELECT CAST(SUM(CAST(round(pp * np, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST(round(pp * pp * np, 9) AS DECIMAL(38,9))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST(round(pn * nn, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sn,
+         CAST(SUM(CAST(round((1 - pn) * (1 - pn) * nn, 9) AS DECIMAL(38,9)))
+              AS DOUBLE) AS snn
+  FROM plc
+)
+SELECT tot.m AS n_pos, tot.n AS n_neg,
+       round(sp / tot.m, 9) AS auc,
+       round(sqrt(greatest(
+         (spp - sp * sp / tot.m) / (tot.m - 1) / tot.m
+         + (snn - (tot.n - sn) * (tot.n - sn) / tot.n) / (tot.n - 1) / tot.n,
+         0.0)), 9) AS se,
+       round(sp / tot.m - 1.959963984540054 * sqrt(greatest(
+         (spp - sp * sp / tot.m) / (tot.m - 1) / tot.m
+         + (snn - (tot.n - sn) * (tot.n - sn) / tot.n) / (tot.n - 1) / tot.n,
+         0.0)), 9) AS ci_lo,
+       round(sp / tot.m + 1.959963984540054 * sqrt(greatest(
+         (spp - sp * sp / tot.m) / (tot.m - 1) / tot.m
+         + (snn - (tot.n - sn) * (tot.n - sn) / tot.n) / (tot.n - 1) / tot.n,
+         0.0)), 9) AS ci_hi
+FROM agg CROSS JOIN tot
+"""
+
+SPARK_QUERIES["events_purchase_auc_delong"] = events_purchase_auc_delong
+ORACLE_SQL["events_purchase_auc_delong"] = AUC_DELONG_SQL

@@ -1590,3 +1590,36 @@ def test_wasserstein_1_bucket_boundaries_exact(spark):
         for i in range(1, len(vs))
     )
     assert r["w1_distance"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_auc_delong_matches_bruteforce(spark):
+    import random
+
+    from onetl_spark.operators.stats import auc_delong
+
+    rng = random.Random(11)
+    rows = [(rng.gauss(1.0 if rng.random() < 0.4 else 0.0, 1.0),) for _ in range(300)]
+    labeled = [(v, 1 if i % 3 == 0 else 0) for i, (v,) in enumerate(rows)]
+    df = spark.createDataFrame(labeled, "v double, y int")
+    r = auc_delong(df, "v", "y", buckets=5).collect()[0]
+
+    pos = sorted(v for v, y in labeled if y == 1)
+    neg = sorted(v for v, y in labeled if y == 0)
+    import bisect
+
+    def plc_against(other, v):
+        lo = bisect.bisect_left(other, v)
+        hi = bisect.bisect_right(other, v)
+        return (lo + 0.5 * (hi - lo)) / len(other)
+
+    pp = [plc_against(neg, v) for v in pos]
+    pn = [1 - plc_against(pos, v) for v in neg]
+    m, n = len(pos), len(neg)
+    auc = sum(pp) / m
+    import statistics
+
+    var = statistics.variance(pp) / m + statistics.variance(pn) / n
+    assert r["n_pos"] == m and r["n_neg"] == n
+    assert r["auc"] == pytest.approx(auc, abs=1e-6)
+    assert r["se"] == pytest.approx(var ** 0.5, abs=1e-6)
+    assert r["ci_lo"] < r["auc"] < r["ci_hi"]
