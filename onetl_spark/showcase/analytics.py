@@ -7579,3 +7579,165 @@ ORDER BY region, nation
 
 SPARK_QUERIES["region_nation_revenue_share"] = region_nation_revenue_share
 ORACLE_SQL["region_nation_revenue_share"] = REGION_SHARE_SQL
+
+
+_PW_KNOT = 15  # day index of the pinned trend knot
+
+
+def events_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-linear trend with a pinned knot (hinge regression,
+    y ~ 1 + t + max(0, t−{_PW_KNOT})) on the daily total value — the
+    changepoint-trend readout (did growth bend mid-month, and by how
+    much?). All nine normal-equation moments are EXACT integers
+    (micro-unit daily sums × integer day index, decimal(38,0)
+    accumulation), so the 3×3 Cramer solve runs on bit-identical inputs
+    in both engines with one pinned expansion order. One grouped
+    aggregate + a 1-row epilogue; the daily relation is
+    calendar-bounded at any corpus scale."""
+    ensure_views(spark, sf_dir)
+    daily = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            (dsum("value") * 1000000).cast("decimal(38,0)").alias("y_mu")
+        )
+    )
+    t = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    h = F.greatest(t - F.lit(_PW_KNOT), F.lit(0))
+    d = daily.select(
+        t.cast("long").alias("t"), h.cast("long").alias("h"), "y_mu"
+    )
+    mo = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum("h").cast("double").alias("sh"),
+        F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
+        F.sum(F.col("t") * F.col("h")).cast("double").alias("sth"),
+        F.sum(F.col("h") * F.col("h")).cast("double").alias("shh"),
+        F.sum("y_mu").cast("double").alias("sy"),
+        F.sum(F.col("y_mu") * F.col("t").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sty"),
+        F.sum(F.col("y_mu") * F.col("h").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("shy"),
+        F.sum(F.col("y_mu") * F.col("y_mu")).cast("double").alias("syy"),
+    )
+    n, st, sh = F.col("n"), F.col("st"), F.col("sh")
+    stt, sth, shh = F.col("stt"), F.col("sth"), F.col("shh")
+    sy, sty, shy, syy = F.col("sy"), F.col("sty"), F.col("shy"), F.col("syy")
+    det = (
+        n * (stt * shh - sth * sth)
+        - st * (st * shh - sth * sh)
+        + sh * (st * sth - stt * sh)
+    )
+    b0 = (
+        sy * (stt * shh - sth * sth)
+        - st * (sty * shh - sth * shy)
+        + sh * (sty * sth - stt * shy)
+    ) / det
+    b1 = (
+        n * (sty * shh - sth * shy)
+        - sy * (st * shh - sth * sh)
+        + sh * (st * shy - sty * sh)
+    ) / det
+    b2 = (
+        n * (stt * shy - sty * sth)
+        - st * (st * shy - sty * sh)
+        + sy * (st * sth - stt * sh)
+    ) / det
+    ss_tot = syy - sy * sy / n
+    ss_res = syy - b0 * sy - b1 * sty - b2 * shy
+    r2 = F.when(ss_tot > 0, 1 - ss_res / ss_tot)
+    u = F.lit(1000000.0)
+    return mo.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(b0 / u, 4).alias("intercept"),
+        F.round(b1 / u, 4).alias("slope_pre"),
+        F.round(b2 / u, 4).alias("slope_change"),
+        F.round((b1 + b2) / u, 4).alias("slope_post"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+PIECEWISE_SQL = f"""
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(38,6))) * 1000000
+              AS HUGEINT) AS y_mu
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), d AS (
+  SELECT CAST(day - DATE '2024-01-01' AS BIGINT) AS t,
+         CAST(greatest(day - DATE '2024-01-01' - {_PW_KNOT}, 0) AS BIGINT) AS h,
+         y_mu
+  FROM daily
+), mo AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(h) AS DOUBLE) AS sh,
+         CAST(SUM(t * t) AS DOUBLE) AS stt,
+         CAST(SUM(t * h) AS DOUBLE) AS sth,
+         CAST(SUM(h * h) AS DOUBLE) AS shh,
+         CAST(SUM(y_mu) AS DOUBLE) AS sy,
+         CAST(SUM(y_mu * t) AS DOUBLE) AS sty,
+         CAST(SUM(y_mu * h) AS DOUBLE) AS shy,
+         CAST(SUM(y_mu * y_mu) AS DOUBLE) AS syy
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round((sy * (stt * shh - sth * sth)
+              - st * (sty * shh - sth * shy)
+              + sh * (sty * sth - stt * shy))
+             / (n * (stt * shh - sth * sth)
+                - st * (st * shh - sth * sh)
+                + sh * (st * sth - stt * sh)) / 1000000.0, 4) AS intercept,
+       round((n * (sty * shh - sth * shy)
+              - sy * (st * shh - sth * sh)
+              + sh * (st * shy - sty * sh))
+             / (n * (stt * shh - sth * sth)
+                - st * (st * shh - sth * sh)
+                + sh * (st * sth - stt * sh)) / 1000000.0, 4) AS slope_pre,
+       round((n * (stt * shy - sty * sth)
+              - st * (st * shy - sty * sh)
+              + sy * (st * sth - stt * sh))
+             / (n * (stt * shh - sth * sth)
+                - st * (st * shh - sth * sh)
+                + sh * (st * sth - stt * sh)) / 1000000.0, 4) AS slope_change,
+       round(((n * (sty * shh - sth * shy)
+               - sy * (st * shh - sth * sh)
+               + sh * (st * shy - sty * sh))
+              / (n * (stt * shh - sth * sth)
+                 - st * (st * shh - sth * sh)
+                 + sh * (st * sth - stt * sh))
+              + (n * (stt * shy - sty * sth)
+                 - st * (st * shy - sty * sh)
+                 + sy * (st * sth - stt * sh))
+              / (n * (stt * shh - sth * sth)
+                 - st * (st * shh - sth * sh)
+                 + sh * (st * sth - stt * sh))) / 1000000.0, 4) AS slope_post,
+       round(CASE WHEN syy - sy * sy / n > 0 THEN
+         1 - (syy
+              - (sy * (stt * shh - sth * sth)
+                 - st * (sty * shh - sth * shy)
+                 + sh * (sty * sth - stt * shy))
+                / (n * (stt * shh - sth * sth)
+                   - st * (st * shh - sth * sh)
+                   + sh * (st * sth - stt * sh)) * sy
+              - (n * (sty * shh - sth * shy)
+                 - sy * (st * shh - sth * sh)
+                 + sh * (st * shy - sty * sh))
+                / (n * (stt * shh - sth * sth)
+                   - st * (st * shh - sth * sh)
+                   + sh * (st * sth - stt * sh)) * sty
+              - (n * (stt * shy - sty * sth)
+                 - st * (st * shy - sty * sh)
+                 + sy * (st * sth - stt * sh))
+                / (n * (stt * shh - sth * sth)
+                   - st * (st * shh - sth * sh)
+                   + sh * (st * sth - stt * sh)) * shy)
+           / (syy - sy * sy / n) END, 6) AS r2
+FROM mo
+"""
+
+SPARK_QUERIES["events_piecewise_trend"] = events_piecewise_trend
+ORACLE_SQL["events_piecewise_trend"] = PIECEWISE_SQL
