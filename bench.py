@@ -17,6 +17,7 @@ import sys
 import time
 
 HEADLINE = [
+    "source_loo_lm_value",
     "events_piecewise_trend",
     "events_purchase_auc_delong",
     "events_time_grouping_sets",

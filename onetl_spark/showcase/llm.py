@@ -5085,3 +5085,154 @@ FROM clusters GROUP BY size ORDER BY cluster_size
 
 SPARK_QUERIES["dedup_savings_report"] = dedup_savings_report
 ORACLE_SQL["dedup_savings_report"] = _dedup_savings_sql()
+
+
+def source_loo_lm_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation — which sources actually
+    improve a language model? For every source s, score a held-out
+    split (md5(doc_id) % 5 == 4 — hash split; a modulo split is
+    CONFOUNDED with the synthetic source = doc_id %% 20 assignment) under the add-one unigram LM trained on
+    ALL-minus-s, and report the per-token log-likelihood delta vs the
+    full model (positive value ⇒ removing s hurts ⇒ s is worth its
+    tokens). The trick that makes full LOO affordable at corpus scale:
+    unigram counts are SUBTRACTABLE aggregates, so one global count
+    table and one (source, word) table yield every leave-one-out model
+    by arithmetic — |sources| models for the cost of two grouped
+    aggregates, never |sources| training passes. Log terms follow the
+    repo's round-9-then-decimal convention; smoothing uses the pinned
+    full-train vocabulary V for every model."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    split = text.md5_long(F.col("doc_id").cast("string")) % 5
+    tr = docs.filter(split != 4)
+    ho = docs.filter(split == 4)
+    tr_tok = tr.select(
+        "source", F.explode(text.word_tokens("text")).alias("w")
+    )
+    g = tr_tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    sc = tr_tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cs"))
+    tot = g.agg(
+        F.sum("c").cast("double").alias("bign"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ns = tr_tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("ns")
+    )
+    hoc = (
+        ho.select(F.explode(text.word_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cho"))
+    )
+    base = hoc.join(g, "w", "left").select(
+        "w", "cho", F.coalesce("c", F.lit(0)).alias("c")
+    ).localCheckpoint(eager=False)
+    full = base.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.col("cho")
+                * F.round(
+                    F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("bign") + F.col("v"))
+                    ),
+                    9,
+                ),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("ll_full"),
+        F.sum("cho").cast("double").alias("n_ho"),
+    )
+    expanded = (
+        base.crossJoin(F.broadcast(ns))
+        .join(sc, ["source", "w"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "ns",
+            F.round(
+                F.col("cho")
+                * F.round(
+                    F.log(
+                        (F.col("c") - F.coalesce("cs", F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        / (F.col("bign") - F.col("ns") + F.col("v"))
+                    ),
+                    9,
+                ),
+                9,
+            )
+            .cast("decimal(38,9)")
+            .alias("_t"),
+        )
+    )
+    loo = expanded.groupBy("source").agg(
+        F.max("ns").alias("ns"),
+        F.sum("_t").cast("double").alias("ll_loo"),
+    )
+    return (
+        loo.crossJoin(F.broadcast(full))
+        .select(
+            "source",
+            F.col("ns").cast("long").alias("n_tokens_removed"),
+            F.round(F.col("ll_full") / F.col("n_ho"), 6).alias(
+                "ll_full_per_token"
+            ),
+            F.round(F.col("ll_loo") / F.col("n_ho"), 6).alias(
+                "ll_loo_per_token"
+            ),
+            F.round(
+                (F.col("ll_full") - F.col("ll_loo")) / F.col("n_ho"), 6
+            ).alias("value_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+LOO_LM_SQL = rf"""
+WITH tr AS (
+  SELECT source, unnest({SQL_TOKENS}) AS w FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 <> 4
+), ho AS (
+  SELECT unnest({SQL_TOKENS}) AS w FROM documents
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 4
+), g AS (SELECT w, COUNT(*) AS c FROM tr GROUP BY w),
+sc AS (SELECT source, w, COUNT(*) AS cs FROM tr GROUP BY source, w),
+tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS bign, CAST(COUNT(*) AS DOUBLE) AS v FROM g
+), ns AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS ns FROM tr GROUP BY source
+), hoc AS (SELECT w, COUNT(*) AS cho FROM ho GROUP BY w),
+base AS (
+  SELECT hoc.w, hoc.cho, COALESCE(g.c, 0) AS c
+  FROM hoc LEFT JOIN g ON g.w = hoc.w
+), fullm AS (
+  SELECT CAST(SUM(CAST(round(cho * round(ln(CAST(c + 1 AS DOUBLE)
+                                            / (tot.bign + tot.v)), 9), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE) AS ll_full,
+         CAST(SUM(cho) AS DOUBLE) AS n_ho
+  FROM base CROSS JOIN tot
+), expanded AS (
+  SELECT ns.source, ns.ns,
+         CAST(round(base.cho * round(ln(CAST(base.c - COALESCE(sc.cs, 0) + 1
+                                             AS DOUBLE)
+                                        / (tot.bign - ns.ns + tot.v)), 9), 9)
+              AS DECIMAL(38,9)) AS t
+  FROM base CROSS JOIN ns
+  LEFT JOIN sc ON sc.source = ns.source AND sc.w = base.w
+  CROSS JOIN tot
+), loo AS (
+  SELECT source, MAX(ns) AS ns, CAST(SUM(t) AS DOUBLE) AS ll_loo
+  FROM expanded GROUP BY source
+)
+SELECT source, CAST(ns AS BIGINT) AS n_tokens_removed,
+       round(fullm.ll_full / fullm.n_ho, 6) AS ll_full_per_token,
+       round(loo.ll_loo / fullm.n_ho, 6) AS ll_loo_per_token,
+       round((fullm.ll_full - loo.ll_loo) / fullm.n_ho, 6) AS value_per_token
+FROM loo CROSS JOIN fullm ORDER BY source
+"""
+
+SPARK_QUERIES["source_loo_lm_value"] = source_loo_lm_value
+ORACLE_SQL["source_loo_lm_value"] = LOO_LM_SQL
