@@ -266,7 +266,6 @@ HEADLINE = [
     "embedding_geometric_median",
     "corpus_heaps_law",
     "source_js_divergence",
-    "events_value_wasserstein",
     "supplier_link_prediction",
     "user_churn_nelson_aalen",
     "source_burrows_delta",

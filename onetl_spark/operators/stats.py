@@ -972,127 +972,6 @@ def kendall_tau_b(
     )
 
 
-def wasserstein_1d(
-    df_ref: DataFrame,
-    df_cur: DataFrame,
-    column: str,
-    buckets: int = 32,
-) -> DataFrame:
-    """Exact 1-D Wasserstein-1 (earth-mover) distance between two
-    samples: ``W1 = ∫ |F_ref(x) − F_cur(x)| dx`` — the drift number that
-    weighs HOW FAR the mass moved, where KS (`ks_two_sample`) only sees
-    the largest gap and PSI depends on a binning choice. The metric
-    training-mixture monitors alert on when a source's value
-    distribution slides.
-
-    Scale shape: the same distinct-value bucketed scaffold as KS — one
-    row per distinct value, quantile buckets, per-bucket windows — plus
-    the successor value per row (``lead`` INSIDE each bucket; each
-    bucket's last row takes the next non-empty bucket's minimum, a
-    ≤buckets-sized driver stitch, broadcast back as a CASE projection).
-    NO single-partition window; shuffles carry distinct values only.
-    Exactness: per-step terms ``|ΔF|·Δx`` round to 12 and accumulate as
-    exact decimals. NULLs excluded (as in KS). Returns one row
-    ``(n_ref, n_cur, w1)``.
-    """
-    from pyspark.sql import Window as W
-
-    from pyspark.sql.window import Window as W
-
-    from onetl_spark.operators.ranking import (
-        ascending_bucket,
-        bucket_prefix_offsets,
-        prefix_offset_expr,
-    )
-
-    a = df_ref.select(F.col(column).cast("double").alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
-    b = df_cur.select(F.col(column).cast("double").alias("_v")).filter(
-        F.col("_v").isNotNull()
-    )
-    counts = (
-        a.groupBy("_v")
-        .agg(F.count(F.lit(1)).alias("_na"))
-        .join(
-            b.groupBy("_v").agg(F.count(F.lit(1)).alias("_nb")),
-            "_v",
-            "full_outer",
-        )
-        .select(
-            "_v",
-            F.coalesce("_na", F.lit(0)).alias("_na"),
-            F.coalesce("_nb", F.lit(0)).alias("_nb"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    qs = [i / buckets for i in range(1, buckets)]
-    bounds = sorted(set(counts.stat.approxQuantile("_v", qs, 0.001)))
-    t = counts.withColumn("_bkt", ascending_bucket(bounds, F.col("_v")))
-    per_bucket = (
-        t.groupBy("_bkt")
-        .agg(
-            F.sum("_na").alias("_na"),
-            F.sum("_nb").alias("_nb"),
-            F.min("_v").alias("_min"),
-        )
-        .collect()
-    )
-    n_buckets = len(bounds) + 1
-    offs_a, acc_a = bucket_prefix_offsets(
-        {r["_bkt"]: r["_na"] for r in per_bucket}, n_buckets
-    )
-    offs_b, acc_b = bucket_prefix_offsets(
-        {r["_bkt"]: r["_nb"] for r in per_bucket}, n_buckets
-    )
-    if acc_a == 0 or acc_b == 0:
-        raise ValueError("wasserstein_1d: both samples must be non-empty")
-    # each non-empty bucket's NEXT non-empty bucket minimum (driver stitch)
-    mins = sorted((r["_bkt"], r["_min"]) for r in per_bucket)
-    next_min = {}
-    for i, (bkt, _) in enumerate(mins[:-1]):
-        next_min[bkt] = mins[i + 1][1]
-    nm_expr = F.lit(None).cast("double")
-    for bkt, v in next_min.items():
-        nm_expr = F.when(F.col("_bkt") == bkt, F.lit(v)).otherwise(nm_expr)
-
-    w = W.partitionBy("_bkt").orderBy("_v")
-    cum = t.select(
-        "_v",
-        "_bkt",
-        (
-            F.sum("_na").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            + prefix_offset_expr(offs_a, "_bkt")
-        ).alias("_ca"),
-        (
-            F.sum("_nb").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            + prefix_offset_expr(offs_b, "_bkt")
-        ).alias("_cb"),
-        F.coalesce(F.lead("_v").over(w), nm_expr).alias("_nv"),
-    )
-    terms = cum.filter(F.col("_nv").isNotNull()).select(
-        F.round(
-            F.abs(
-                F.col("_ca") / F.lit(float(acc_a))
-                - F.col("_cb") / F.lit(float(acc_b))
-            )
-            * (F.col("_nv") - F.col("_v")),
-            12,
-        )
-        .cast("decimal(30,12)")
-        .alias("_t")
-    )
-    summed = terms.agg(
-        F.round(
-            F.coalesce(F.sum("_t"), F.lit(0).cast("decimal(30,12)")).cast("double"),
-            9,
-        ).alias("w1")
-    )
-    return summed.select(
-        F.lit(acc_a).cast("long").alias("n_ref"),
-        F.lit(acc_b).cast("long").alias("n_cur"),
-        "w1",
-    )
 
 
 def nelson_aalen(

@@ -1320,59 +1320,6 @@ SPARK_QUERIES["events_purchase_gains"] = events_purchase_gains
 ORACLE_SQL["events_purchase_gains"] = EVENTS_GAINS_SQL
 
 
-def events_value_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Wasserstein-1 (earth-mover) drift on event value, first vs
-    second half of the month (`operators/stats.py wasserstein_1d`): the
-    integral ∫|F_ref−F_cur|dx companion to the KS max-gap — it weighs
-    how FAR the mass moved, not just the largest ECDF gap. Bucketed
-    distributed ECDFs + a bucket-stitched successor value; no
-    single-partition window."""
-    from onetl_spark.operators.stats import wasserstein_1d
-
-    ensure_views(spark, sf_dir)
-    ev = spark.table("events")
-    split = F.lit("2024-01-16").cast("timestamp")
-    return wasserstein_1d(
-        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
-    )
-
-
-EVENTS_W1_SQL = """
-WITH a AS (
-  SELECT CAST(value AS DOUBLE) AS v FROM events
-  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
-), b AS (
-  SELECT CAST(value AS DOUBLE) AS v FROM events
-  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
-), c AS (
-  SELECT COALESCE(ac.v, bc.v) AS v,
-         COALESCE(ac.na, 0) AS na, COALESCE(bc.nb, 0) AS nb
-  FROM (SELECT v, COUNT(*) AS na FROM a GROUP BY v) ac
-  FULL OUTER JOIN (SELECT v, COUNT(*) AS nb FROM b GROUP BY v) bc
-    ON ac.v = bc.v
-), tot AS (
-  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c
-), ecdf AS (
-  SELECT v,
-         SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
-         SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
-         LEAD(v) OVER (ORDER BY v) AS nv
-  FROM c
-), terms AS (
-  SELECT CAST(round(abs(CAST(ca AS DOUBLE) / tot.ta - CAST(cb AS DOUBLE) / tot.tb)
-                    * (nv - v), 12) AS DECIMAL(30,12)) AS t
-  FROM ecdf CROSS JOIN tot
-  WHERE nv IS NOT NULL
-)
-SELECT tot.ta AS n_ref, tot.tb AS n_cur,
-       (SELECT round(CAST(COALESCE(SUM(t), 0) AS DOUBLE), 9) FROM terms) AS w1
-FROM tot
-"""
-
-SPARK_QUERIES["events_value_wasserstein"] = events_value_wasserstein
-ORACLE_SQL["events_value_wasserstein"] = EVENTS_W1_SQL
-
-
 def user_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve of per-user total spend at decile resolution: users
     ranked ascending by spend (ties by user id) via the DISTRIBUTED

@@ -617,15 +617,15 @@ def test_hits_half_step_is_edge_keyed(tables, spark):
 
 
 def test_wasserstein_no_single_partition_exchange(tables):
-    from onetl_spark.operators.stats import wasserstein_1d
+    from onetl_spark.operators.stats import wasserstein_1
 
     ev = tables.table("events")
     split = F.lit("2024-01-16").cast("timestamp")
-    df = wasserstein_1d(
+    df = wasserstein_1(
         ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
     )
     plan = executed_plan(df)
-    # the ECDF cumsums and the successor lead must be bucket-partitioned
+    # the ECDF cumsums and the in-bucket lag must be bucket-partitioned
     # windows — a global ORDER BY window would plan Exchange SinglePartition
     # over the distinct-value relation
     assert "_bkt" in plan

