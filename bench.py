@@ -17,6 +17,8 @@ import sys
 import time
 
 HEADLINE = [
+    "events_value_energy_distance",
+    "events_value_cvm",
     "source_loo_lm_value",
     "events_piecewise_trend",
     "events_purchase_auc_delong",

@@ -2139,28 +2139,23 @@ def cronbach_alpha(df: DataFrame, item_cols: "tuple[str, ...]") -> DataFrame:
     )
 
 
-def wasserstein_1(
+def _ecdf_segment_grid(
     df_ref: DataFrame,
     df_cur: DataFrame,
     column: str,
-    buckets: int = 32,
-) -> DataFrame:
-    """Exact 1-Wasserstein (earth-mover) distance between two empirical
-    distributions: ``W1 = ∫|F_ref − F_cur| dx`` — the drift metric that,
-    unlike KS (sup only) or PSI (binned), weighs BOTH how far apart the
-    CDFs are and over how wide a value range. With piecewise-constant
-    ECDFs this is Σᵢ |d(vᵢ₋₁)|·(vᵢ − vᵢ₋₁) over sorted distinct values.
-
-    Scale shape: the same stitched-bucket discipline as
-    :func:`ks_two_sample` — per-distinct-value counts, quantile buckets,
-    per-bucket windows, driver prefix offsets. The previous-value ``d``
-    needs NO lag: with inclusive cumsums, d(vᵢ₋₁) = (cumᵢ−nᵢ)/A −
-    (cumᵢ'−nᵢ')/B, which is exact even at bucket boundaries (the
-    exclusive prefix IS the previous bucket's closing cumulative). Only
-    Δv at a bucket's first row needs the predecessor bucket's max value
-    — a ≤``buckets``-entry literal map. Terms are round-8 decimal
-    accumulated (order-independent, magnitude-safe cross-engine).
-    """
+    buckets: int,
+    op_name: str,
+) -> "tuple[DataFrame, int, int]":
+    """Shared scaffold for ECDF-functional two-sample statistics
+    (:func:`wasserstein_1`, :func:`energy_distance`): one row per
+    distinct value carrying the PREVIOUS-value ECDFs of both samples
+    (``_fa``, ``_fb`` — via the cum-minus-own-count identity, exact
+    across bucket boundaries) and the segment width ``_delta`` (in-
+    bucket lag; bucket-first rows take the predecessor bucket's max
+    value from a ≤``buckets``-entry literal map; the global first row
+    gets 0, and its ECDFs are exactly 0 anyway). Same stitched-bucket
+    discipline as :func:`ks_two_sample` — no single-partition window,
+    shuffles carry distinct values only."""
     from pyspark.sql.window import Window as W
 
     from onetl_spark.operators.ranking import (
@@ -2206,7 +2201,7 @@ def wasserstein_1(
         {r["_bkt"]: r["_nb"] for r in per_bucket}, n_buckets
     )
     if acc_a == 0 or acc_b == 0:
-        raise ValueError("wasserstein_1: both samples must be non-empty")
+        raise ValueError(f"{op_name}: both samples must be non-empty")
     # predecessor bucket's max value, for each bucket that has one
     vmax = {r["_bkt"]: r["_vmax"] for r in per_bucket}
     prev_vmax: dict = {}
@@ -2233,16 +2228,147 @@ def wasserstein_1(
     boundary_v = (
         prev_expr.otherwise(F.lit(None)) if prev_expr is not None else F.lit(None)
     )
-    d_prev = (cum_a - F.col("_na")).cast("double") / F.lit(float(acc_a)) - (
-        cum_b - F.col("_nb")
-    ).cast("double") / F.lit(float(acc_b))
+    fa = (cum_a - F.col("_na")).cast("double") / F.lit(float(acc_a))
+    fb = (cum_b - F.col("_nb")).cast("double") / F.lit(float(acc_b))
     delta = F.coalesce(F.col("_v") - F.coalesce(lagv, boundary_v), F.lit(0.0))
-    term = F.round(F.abs(d_prev) * delta, 8).cast("decimal(38,8)")
-    scored = t.select(term.alias("_term"))
+    grid = t.select(
+        "_v",
+        "_na",
+        "_nb",
+        fa.alias("_fa"),
+        fb.alias("_fb"),
+        delta.alias("_delta"),
+    )
+    return grid, acc_a, acc_b
+
+
+def wasserstein_1(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between two empirical
+    distributions: ``W1 = ∫|F_ref − F_cur| dx`` — the drift metric that,
+    unlike KS (sup only) or PSI (binned), weighs BOTH how far apart the
+    CDFs are and over how wide a value range. Rides
+    :func:`_ecdf_segment_grid` (no lag across buckets — the exclusive
+    cumulative prefix IS the previous value's ECDF); terms are round-8
+    decimal accumulated (order-independent, magnitude-safe
+    cross-engine)."""
+    grid, acc_a, acc_b = _ecdf_segment_grid(
+        df_ref, df_cur, column, buckets, "wasserstein_1"
+    )
+    d_prev = F.col("_fa") - F.col("_fb")
+    term = F.round(F.abs(d_prev) * F.col("_delta"), 8).cast("decimal(38,8)")
+    scored = grid.select(term.alias("_term"))
     return scored.agg(
         F.lit(acc_a).cast("long").alias("n_ref"),
         F.lit(acc_b).cast("long").alias("n_cur"),
         F.round(F.sum("_term").cast("double"), 8).alias("w1_distance"),
+    )
+
+
+def energy_distance(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact (squared) energy distance between two samples —
+    ``D² = 2E|X−Y| − E|X−X'| − E|Y−Y'|`` (Székely & Rizzo) — the
+    two-sample test with power against ANY distributional difference,
+    where KS keys on the largest CDF gap and W1 on transported mass. In
+    1-D every expectation is an ECDF integral over the same segment
+    grid: ``E|X−Y| = ∫ (F_x(1−F_y) + F_y(1−F_x)) dt``, so all three
+    compute in the one pass :func:`_ecdf_segment_grid` already does for
+    W1 — no pairwise join ever. Also returns the normalized e-coefficient
+    ``D²/(2E|X−Y|)`` ∈ [0, 1]. Round-8 decimal term accumulation."""
+    grid, acc_a, acc_b = _ecdf_segment_grid(
+        df_ref, df_cur, column, buckets, "energy_distance"
+    )
+    fa, fb, dv = F.col("_fa"), F.col("_fb"), F.col("_delta")
+    t_xy = F.round((fa * (1 - fb) + fb * (1 - fa)) * dv, 8).cast("decimal(38,8)")
+    t_xx = F.round(2 * fa * (1 - fa) * dv, 8).cast("decimal(38,8)")
+    t_yy = F.round(2 * fb * (1 - fb) * dv, 8).cast("decimal(38,8)")
+    scored = grid.select(t_xy.alias("_xy"), t_xx.alias("_xx"), t_yy.alias("_yy"))
+    agg = scored.agg(
+        F.sum("_xy").cast("double").alias("e_xy"),
+        F.sum("_xx").cast("double").alias("e_xx"),
+        F.sum("_yy").cast("double").alias("e_yy"),
+    )
+    d2 = 2 * F.col("e_xy") - F.col("e_xx") - F.col("e_yy")
+    return agg.select(
+        F.lit(acc_a).cast("long").alias("n_ref"),
+        F.lit(acc_b).cast("long").alias("n_cur"),
+        F.round(F.col("e_xy"), 8).alias("e_between"),
+        F.round(F.col("e_xx"), 8).alias("e_within_ref"),
+        F.round(F.col("e_yy"), 8).alias("e_within_cur"),
+        F.round(d2, 8).alias("energy_d2"),
+        F.round(
+            F.when(F.col("e_xy") > 0, d2 / (2 * F.col("e_xy"))), 8
+        ).alias("e_coefficient"),
+    )
+
+
+def cramer_von_mises(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic — ``T = (nm/(n+m)²) ·
+    Σ_pooled (F_ref(x) − F_cur(x))²`` summed over every pooled
+    observation (with multiplicity) — the ECDF test weighing the WHOLE
+    squared gap profile where KS takes only its sup. Needs only the
+    INCLUSIVE stitched cumsums (no segment widths, no boundary map):
+    per distinct value, weight = combined multiplicity, gap evaluated
+    at the value itself. Round-9 decimal term accumulation of the per-value
+    weighted squared gap."""
+    a = df_ref.select(F.col(column).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    b = df_cur.select(F.col(column).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    counts = (
+        a.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_na"))
+        .join(
+            b.groupBy("_v").agg(F.count(F.lit(1)).alias("_nb")),
+            "_v",
+            "full_outer",
+        )
+        .select(
+            "_v",
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    stitched, totals = stitched_cumsums(counts, "_v", ("_na", "_nb"), buckets)
+    acc_a, acc_b = totals["_na"], totals["_nb"]
+    if acc_a == 0 or acc_b == 0:
+        raise ValueError("cramer_von_mises: both samples must be non-empty")
+    d = F.col("_cum__na").cast("double") / F.lit(float(acc_a)) - F.col(
+        "_cum__nb"
+    ).cast("double") / F.lit(float(acc_b))
+    # one pinned double product per row, THEN the decimal cast — a
+    # long × decimal(38,12) product would trip Spark's precision-loss
+    # rule and silently truncate the scale to ~6
+    term = F.round(
+        d * d * (F.col("_na") + F.col("_nb")).cast("double"), 9
+    ).cast("decimal(38,9)")
+    agg = stitched.select(term.alias("_t")).agg(
+        F.sum("_t").cast("double").alias("_s")
+    )
+    scale = float(acc_a) * float(acc_b) / float(acc_a + acc_b) ** 2
+    return agg.select(
+        F.lit(acc_a).cast("long").alias("n_ref"),
+        F.lit(acc_b).cast("long").alias("n_cur"),
+        F.round(F.lit(scale) * F.col("_s"), 9).alias("cvm_stat"),
     )
 
 

@@ -2474,3 +2474,117 @@ FROM agg CROSS JOIN tot
 
 SPARK_QUERIES["events_purchase_auc_delong"] = events_purchase_auc_delong
 ORACLE_SQL["events_purchase_auc_delong"] = AUC_DELONG_SQL
+
+
+def events_value_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared energy distance (Székely-Rizzo) on event value, first vs
+    second half of the month (`operators/stats.py energy_distance`):
+    all three pairwise-expectation terms as ECDF integrals on the same
+    segment grid as W1 — sensitivity to ANY distributional difference,
+    zero pairwise joins."""
+    from onetl_spark.operators.stats import energy_distance
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return energy_distance(
+        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
+    )
+
+
+ENERGY_SQL = """
+WITH a AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+), c AS (
+  SELECT COALESCE(ac.v, bc.v) AS v,
+         COALESCE(ac.na, 0) AS na, COALESCE(bc.nb, 0) AS nb
+  FROM (SELECT v, COUNT(*) AS na FROM a GROUP BY v) ac
+  FULL OUTER JOIN (SELECT v, COUNT(*) AS nb FROM b GROUP BY v) bc
+    ON ac.v = bc.v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c
+), grid AS (
+  SELECT v, na, nb,
+         CAST(SUM(na) OVER w - na AS DOUBLE) / tot.ta AS fa,
+         CAST(SUM(nb) OVER w - nb AS DOUBLE) / tot.tb AS fb,
+         COALESCE(v - LAG(v) OVER (ORDER BY v), 0.0) AS dv
+  FROM c CROSS JOIN tot
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT CAST(SUM(CAST(round((fa * (1 - fb) + fb * (1 - fa)) * dv, 8)
+                       AS DECIMAL(38,8))) AS DOUBLE) AS e_xy,
+         CAST(SUM(CAST(round(2 * fa * (1 - fa) * dv, 8)
+                       AS DECIMAL(38,8))) AS DOUBLE) AS e_xx,
+         CAST(SUM(CAST(round(2 * fb * (1 - fb) * dv, 8)
+                       AS DECIMAL(38,8))) AS DOUBLE) AS e_yy
+  FROM grid
+)
+SELECT tot.ta AS n_ref, tot.tb AS n_cur,
+       round(e_xy, 8) AS e_between,
+       round(e_xx, 8) AS e_within_ref,
+       round(e_yy, 8) AS e_within_cur,
+       round(2 * e_xy - e_xx - e_yy, 8) AS energy_d2,
+       round(CASE WHEN e_xy > 0
+                  THEN (2 * e_xy - e_xx - e_yy) / (2 * e_xy) END, 8)
+         AS e_coefficient
+FROM agg CROSS JOIN tot
+"""
+
+SPARK_QUERIES["events_value_energy_distance"] = events_value_energy_distance
+ORACLE_SQL["events_value_energy_distance"] = ENERGY_SQL
+
+
+def events_value_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises drift statistic on event value,
+    first vs second half of the month (`operators/stats.py
+    cramer_von_mises`): the whole squared ECDF-gap profile summed over
+    pooled observations — the integral companion where KS takes the
+    sup. Inclusive stitched cumsums only; no segment widths."""
+    from onetl_spark.operators.stats import cramer_von_mises
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return cramer_von_mises(
+        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
+    )
+
+
+CVM_SQL = """
+WITH a AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+), c AS (
+  SELECT COALESCE(ac.v, bc.v) AS v,
+         COALESCE(ac.na, 0) AS na, COALESCE(bc.nb, 0) AS nb
+  FROM (SELECT v, COUNT(*) AS na FROM a GROUP BY v) ac
+  FULL OUTER JOIN (SELECT v, COUNT(*) AS nb FROM b GROUP BY v) bc
+    ON ac.v = bc.v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c
+), grid AS (
+  SELECT na, nb,
+         CAST(SUM(na) OVER w AS DOUBLE) / tot.ta
+           - CAST(SUM(nb) OVER w AS DOUBLE) / tot.tb AS d
+  FROM c CROSS JOIN tot
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT CAST(SUM(CAST(round(d * d * (na + nb), 9) AS DECIMAL(38,9)))
+              AS DOUBLE) AS s
+  FROM grid
+)
+SELECT tot.ta AS n_ref, tot.tb AS n_cur,
+       round(CAST(tot.ta AS DOUBLE) * tot.tb
+             / ((tot.ta + tot.tb) * (tot.ta + tot.tb)) * s, 9) AS cvm_stat
+FROM agg CROSS JOIN tot
+"""
+
+SPARK_QUERIES["events_value_cvm"] = events_value_cvm
+ORACLE_SQL["events_value_cvm"] = CVM_SQL

@@ -1590,3 +1590,63 @@ def test_auc_delong_matches_bruteforce(spark):
     assert r["auc"] == pytest.approx(auc, abs=1e-6)
     assert r["se"] == pytest.approx(var ** 0.5, abs=1e-6)
     assert r["ci_lo"] < r["auc"] < r["ci_hi"]
+
+
+def test_energy_distance_point_masses(spark):
+    from onetl_spark.operators.stats import energy_distance
+
+    # X ≡ {0}, Y ≡ {1}: E|X−Y| = 1, within terms 0 → D² = 2, e-coef = 1
+    a = spark.createDataFrame([(0.0,)] * 4, "v double")
+    b = spark.createDataFrame([(1.0,)] * 6, "v double")
+    r = energy_distance(a, b, "v").collect()[0]
+    assert r["energy_d2"] == pytest.approx(2.0, abs=1e-7)
+    assert r["e_coefficient"] == pytest.approx(1.0, abs=1e-7)
+    # identical distributions: D² = 0
+    same = energy_distance(a, a, "v").collect()[0]
+    assert same["energy_d2"] == pytest.approx(0.0, abs=1e-7)
+
+
+def test_energy_distance_brute_force(spark):
+    import random
+
+    from onetl_spark.operators.stats import energy_distance
+
+    rng = random.Random(3)
+    xs = [round(rng.uniform(0, 10), 3) for _ in range(60)]
+    ys = [round(rng.gauss(6, 2), 3) for _ in range(90)]
+    a = spark.createDataFrame([(x,) for x in xs], "v double")
+    b = spark.createDataFrame([(y,) for y in ys], "v double")
+    r = energy_distance(a, b, "v", buckets=5).collect()[0]
+
+    def mean_abs(u, w):
+        return sum(abs(x - y) for x in u for y in w) / (len(u) * len(w))
+
+    exy = mean_abs(xs, ys)
+    exx = mean_abs(xs, xs)
+    eyy = mean_abs(ys, ys)
+    assert r["e_between"] == pytest.approx(exy, abs=1e-5)
+    assert r["e_within_ref"] == pytest.approx(exx, abs=1e-5)
+    assert r["e_within_cur"] == pytest.approx(eyy, abs=1e-5)
+    assert r["energy_d2"] == pytest.approx(2 * exy - exx - eyy, abs=1e-5)
+
+
+def test_cramer_von_mises_brute_force(spark):
+    import random
+    from bisect import bisect_right
+
+    from onetl_spark.operators.stats import cramer_von_mises
+
+    rng = random.Random(9)
+    xs = [round(rng.uniform(0, 10), 2) for _ in range(70)]
+    ys = [round(rng.uniform(2, 12), 2) for _ in range(50)]
+    a = spark.createDataFrame([(x,) for x in xs], "v double")
+    b = spark.createDataFrame([(y,) for y in ys], "v double")
+    r = cramer_von_mises(a, b, "v", buckets=4).collect()[0]
+
+    sx, sy = sorted(xs), sorted(ys)
+    n, m = len(xs), len(ys)
+    t = sum(
+        (bisect_right(sx, z) / n - bisect_right(sy, z) / m) ** 2
+        for z in xs + ys
+    ) * n * m / (n + m) ** 2
+    assert r["cvm_stat"] == pytest.approx(t, abs=1e-6)
