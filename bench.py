@@ -17,6 +17,7 @@ import sys
 import time
 
 HEADLINE = [
+    "events_value_anderson_darling",
     "events_value_energy_distance",
     "events_value_cvm",
     "source_loo_lm_value",

@@ -2453,3 +2453,74 @@ def auc_delong(
         F.round(auc - F.lit(_Z975) * se, 9).alias("ci_lo"),
         F.round(auc + F.lit(_Z975) * se, 9).alias("ci_hi"),
     )
+
+
+def anderson_darling_2s(
+    df_ref: DataFrame,
+    df_cur: DataFrame,
+    column: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-sample Anderson–Darling statistic (Pettitt 1976 rank form):
+    ``A² = (nm/N) · Σ_pooled (F_ref − F_cur)² / (H(1−H))`` with ``H``
+    the pooled ECDF, summed over pooled observations except where
+    H ∈ {0, 1} — the tail-weighted member of the ECDF family (KS: sup,
+    CvM: unweighted integral, W1/energy: mass-transport): the 1/(H(1−H))
+    weight makes it the drift test that catches tail divergence first.
+    Same inclusive stitched cumsums as :func:`cramer_von_mises`; the
+    per-value weighted term multiplies in DOUBLE with one pinned order,
+    rounds to 9, then decimal-accumulates. Returns
+    ``(n_ref, n_cur, ad_stat)``.
+    """
+    a = df_ref.select(F.col(column).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    b = df_cur.select(F.col(column).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    counts = (
+        a.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_na"))
+        .join(
+            b.groupBy("_v").agg(F.count(F.lit(1)).alias("_nb")),
+            "_v",
+            "full_outer",
+        )
+        .select(
+            "_v",
+            F.coalesce("_na", F.lit(0)).alias("_na"),
+            F.coalesce("_nb", F.lit(0)).alias("_nb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from onetl_spark.operators.ranking import stitched_cumsums
+
+    stitched, totals = stitched_cumsums(counts, "_v", ("_na", "_nb"), buckets)
+    acc_a, acc_b = totals["_na"], totals["_nb"]
+    if acc_a == 0 or acc_b == 0:
+        raise ValueError("anderson_darling_2s: both samples must be non-empty")
+    big_n = acc_a + acc_b
+    d = F.col("_cum__na").cast("double") / F.lit(float(acc_a)) - F.col(
+        "_cum__nb"
+    ).cast("double") / F.lit(float(acc_b))
+    h = (F.col("_cum__na") + F.col("_cum__nb")).cast("double") / F.lit(
+        float(big_n)
+    )
+    w = F.col("_na") + F.col("_nb")
+    term = F.when(
+        (h > 0) & (h < 1),
+        F.round(
+            d * d / (h * (1 - h)) * w.cast("double"), 9
+        ).cast("decimal(38,9)"),
+    )
+    agg = stitched.select(term.alias("_t")).agg(
+        F.sum("_t").cast("double").alias("_s")
+    )
+    scale = float(acc_a) * float(acc_b) / float(big_n)
+    return agg.select(
+        F.lit(acc_a).cast("long").alias("n_ref"),
+        F.lit(acc_b).cast("long").alias("n_cur"),
+        F.round(F.lit(scale) / F.lit(float(big_n)) * F.col("_s"), 9).alias(
+            "ad_stat"
+        ),
+    )

@@ -2588,3 +2588,58 @@ FROM agg CROSS JOIN tot
 
 SPARK_QUERIES["events_value_cvm"] = events_value_cvm
 ORACLE_SQL["events_value_cvm"] = CVM_SQL
+
+
+def events_value_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson–Darling drift on event value, first vs second
+    half of the month (`operators/stats.py anderson_darling_2s`): the
+    tail-weighted ECDF statistic completing the drift family (KS sup,
+    CvM integral, W1/energy transport) — 1/(H(1−H)) weighting catches
+    tail divergence first. Inclusive stitched cumsums, no widths."""
+    from onetl_spark.operators.stats import anderson_darling_2s
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return anderson_darling_2s(
+        ev.filter(F.col("ts") < split), ev.filter(F.col("ts") >= split), "value"
+    )
+
+
+AD_SQL = """
+WITH a AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+), b AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE value IS NOT NULL AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+), c AS (
+  SELECT COALESCE(ac.v, bc.v) AS v,
+         COALESCE(ac.na, 0) AS na, COALESCE(bc.nb, 0) AS nb
+  FROM (SELECT v, COUNT(*) AS na FROM a GROUP BY v) ac
+  FULL OUTER JOIN (SELECT v, COUNT(*) AS nb FROM b GROUP BY v) bc
+    ON ac.v = bc.v
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c
+), grid AS (
+  SELECT na, nb,
+         CAST(SUM(na) OVER w AS DOUBLE) / tot.ta
+           - CAST(SUM(nb) OVER w AS DOUBLE) / tot.tb AS d,
+         CAST(SUM(na) OVER w + SUM(nb) OVER w AS DOUBLE)
+           / (tot.ta + tot.tb) AS h
+  FROM c CROSS JOIN tot
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN h > 0 AND h < 1 THEN
+                   CAST(round(d * d / (h * (1 - h)) * (na + nb), 9)
+                        AS DECIMAL(38,9)) END) AS DOUBLE) AS s
+  FROM grid
+)
+SELECT tot.ta AS n_ref, tot.tb AS n_cur,
+       round(CAST(tot.ta AS DOUBLE) * tot.tb / (tot.ta + tot.tb)
+             / (tot.ta + tot.tb) * s, 9) AS ad_stat
+FROM agg CROSS JOIN tot
+"""
+
+SPARK_QUERIES["events_value_anderson_darling"] = events_value_anderson_darling
+ORACLE_SQL["events_value_anderson_darling"] = AD_SQL

@@ -1650,3 +1650,34 @@ def test_cramer_von_mises_brute_force(spark):
         for z in xs + ys
     ) * n * m / (n + m) ** 2
     assert r["cvm_stat"] == pytest.approx(t, abs=1e-6)
+
+
+def test_anderson_darling_2s_brute_force(spark):
+    import random
+    from bisect import bisect_right
+
+    from onetl_spark.operators.stats import anderson_darling_2s
+
+    rng = random.Random(17)
+    xs = [round(rng.uniform(0, 10), 2) for _ in range(60)]
+    ys = [round(rng.uniform(1, 14), 2) for _ in range(80)]
+    a = spark.createDataFrame([(x,) for x in xs], "v double")
+    b = spark.createDataFrame([(y,) for y in ys], "v double")
+    r = anderson_darling_2s(a, b, "v", buckets=4).collect()[0]
+
+    sx, sy = sorted(xs), sorted(ys)
+    n, m = len(xs), len(ys)
+    big = n + m
+    # Pettitt rank form over pooled observations with multiplicity,
+    # H in (0,1): (nm/N^2) * sum w * (Fa - Fb)^2 / (H (1-H))
+    t = 0.0
+    for z, w in sorted(
+        __import__("collections").Counter(xs + ys).items()
+    ):
+        fa = bisect_right(sx, z) / n
+        fb = bisect_right(sy, z) / m
+        h = (bisect_right(sx, z) + bisect_right(sy, z)) / big
+        if 0 < h < 1:
+            t += w * (fa - fb) ** 2 / (h * (1 - h))
+    t *= n * m / big**2
+    assert r["ad_stat"] == pytest.approx(t, abs=1e-6)
