@@ -17,6 +17,8 @@ import sys
 import time
 
 HEADLINE = [
+    "events_time_decay_attribution",
+    "supplier_personalized_pagerank",
     "events_value_anderson_darling",
     "events_value_energy_distance",
     "events_value_cvm",

@@ -1172,3 +1172,106 @@ def partition_modularity(
         * (F.col("degree_sum").cast("double") / F.lit(2.0 * md))
     )
     return j.withColumn("q_contrib", F.round(q, 9)).orderBy(label_col)
+
+
+def personalized_pagerank_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (restart at a SEED set) in the same
+    bit-exact fixed-point integer arithmetic as
+    :func:`pagerank_fixed_point`: the teleport mass — and every
+    dangling node's mass — returns to the seeds instead of the whole
+    graph, so ranks measure proximity TO THE SEEDS (the seed-based
+    relevance/recommendation primitive). ``seeds`` is a one-column
+    (``node``) DataFrame; seed rows not present in the graph are
+    ignored. Per iteration: one groupBy(dst) shuffle + a node-sized
+    join + a scalar dangling aggregate — identical cost shape to
+    global PageRank. Returns ``(node, rank_fp)``.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed_nodes = (
+        nodes.join(seeds.select(F.col("node")).distinct(), "node")
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank_fixed_point: no seed appears in the graph"
+        )
+    out_deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
+    base = (damping_den - damping_num) * scale // (damping_den * n_seeds)
+    marked = nodes.join(
+        seed_nodes.select(F.col("node"), F.lit(1).alias("_seed")), "node", "left"
+    ).select("node", F.coalesce("_seed", F.lit(0)).alias("_seed"))
+    ranks = marked.select(
+        "node",
+        F.when(F.col("_seed") == 1, F.lit(scale // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_fp"),
+    )
+    for _ in range(iterations):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["src"], "left"
+        ).select("node", "rank_fp", "out_deg")
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("out_deg").isNotNull()),
+                e["src"] == with_deg["node"],
+            )
+            .select("dst", F.expr("rank_fp div out_deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        ranks = (
+            marked.join(contribs, marked["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                "_seed",
+                (
+                    F.coalesce(F.col("in_mass"), F.lit(0))
+                    + F.when(
+                        F.col("_seed") == 1, F.lit(dangling // n_seeds)
+                    ).otherwise(F.lit(0))
+                ).alias("in_total"),
+            )
+            .select(
+                "node",
+                (
+                    F.when(F.col("_seed") == 1, F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_num} * in_total) div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -7741,3 +7741,81 @@ FROM mo
 
 SPARK_QUERIES["events_piecewise_trend"] = events_piecewise_trend
 ORACLE_SQL["events_piecewise_trend"] = PIECEWISE_SQL
+
+
+def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution with a 1-day half-life and a
+    pinned 7-day lookback: every purchase splits its credit over the
+    user's click/view touches in the window, weighted ``2^(−Δdays)`` —
+    exact binary rationals, so the per-conversion shares are
+    bit-identical on every engine. The touch×conversion pairing is an
+    equi-join on user bounded by the lookback (never an unbounded
+    history join); credit totals aggregate per touch type. The third
+    attribution model in the family (last-touch, U-shaped, time-decay)."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("conv_id")
+    )
+    dd = F.datediff(F.col("c_ts").cast("date"), F.col("t_ts").cast("date"))
+    paired = (
+        touches.join(convs, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("c_ts")) & (dd >= 0) & (dd <= 7)
+        )
+        .select(
+            "conv_id",
+            "touch_type",
+            F.pow(F.lit(2.0), -dd.cast("double")).alias("w"),
+        )
+    )
+    denom = paired.groupBy("conv_id").agg(F.sum("w").alias("sw"))
+    credited = paired.join(denom, "conv_id").select(
+        "touch_type", (F.col("w") / F.col("sw")).alias("credit")
+    )
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(
+                F.sum(F.round("credit", 9).cast("decimal(38,9)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total_credit"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+TIME_DECAY_SQL = """
+WITH touches AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t_ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+), convs AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, event_id AS conv_id
+  FROM events WHERE event_type = 'purchase'
+), paired AS (
+  SELECT conv_id, touch_type,
+         pow(2.0, -CAST(CAST(c_ts AS DATE) - CAST(t_ts AS DATE) AS DOUBLE)) AS w
+  FROM touches JOIN convs USING (user_id)
+  WHERE t_ts < c_ts
+    AND CAST(c_ts AS DATE) - CAST(t_ts AS DATE) BETWEEN 0 AND 7
+), denom AS (
+  SELECT conv_id, SUM(w) AS sw FROM paired GROUP BY conv_id
+)
+SELECT touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       round(CAST(SUM(CAST(round(w / sw, 9) AS DECIMAL(38,9))) AS DOUBLE), 6)
+         AS total_credit
+FROM paired JOIN denom USING (conv_id)
+GROUP BY touch_type ORDER BY touch_type
+"""
+
+SPARK_QUERIES["events_time_decay_attribution"] = events_time_decay_attribution
+ORACLE_SQL["events_time_decay_attribution"] = TIME_DECAY_SQL

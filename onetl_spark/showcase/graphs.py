@@ -1122,3 +1122,67 @@ ORDER BY community
 
 SPARK_QUERIES["supplier_nation_modularity"] = supplier_nation_modularity
 ORACLE_SQL["supplier_nation_modularity"] = NATION_MODULARITY_SQL
+
+
+def supplier_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank restarting at the seed suppliers
+    (node % 20 == 0) over the undirected co-occurrence graph
+    (`operators/graph.py personalized_pagerank_fixed_point`): seed-based
+    relevance in the SAME bit-exact fixed-point integer arithmetic as
+    the global rank — dangling and teleport mass return to the seeds.
+    3 iterations; the oracle unrolls them with integer division."""
+    from onetl_spark.operators.graph import personalized_pagerank_fixed_point
+
+    e = _supplier_edges(spark, sf_dir)
+    undirected = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+    )
+    nodes = (
+        undirected.select(F.col("src").alias("node")).distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 20 == 0)
+    return personalized_pagerank_fixed_point(undirected, seeds, iterations=3)
+
+
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+pi{cur} AS (SELECT d.dst AS node, SUM(pr{prev}.r // od.od) AS m
+            FROM dir d
+            JOIN pr{prev} ON pr{prev}.node = d.src
+            JOIN od ON od.src = d.src
+            GROUP BY d.dst),
+pdang{cur} AS (SELECT COALESCE(SUM(pr{prev}.r), 0) AS s
+               FROM pr{prev} LEFT JOIN od ON od.src = pr{prev}.node
+               WHERE od.src IS NULL),
+pr{cur} AS (SELECT m.node,
+                   (CASE WHEN m.is_seed = 1
+                         THEN (15 * {_PR_SCALE}) // (100 * ns.n) ELSE 0 END)
+                   + (85 * (COALESCE(pi{cur}.m, 0)
+                            + CASE WHEN m.is_seed = 1
+                                   THEN pdang{cur}.s // ns.n ELSE 0 END)) // 100
+                     AS r
+            FROM marked m CROSS JOIN ns CROSS JOIN pdang{cur}
+            LEFT JOIN pi{cur} ON pi{cur}.node = m.node)
+"""
+
+
+PPR_SQL = f"""
+WITH {_EDGES_SQL},
+dir AS (SELECT u AS src, v AS dst FROM ed
+        UNION ALL SELECT v AS src, u AS dst FROM ed),
+nodes AS (SELECT DISTINCT src AS node FROM dir),
+marked AS (SELECT node, CASE WHEN node % 20 = 0 THEN 1 ELSE 0 END AS is_seed
+           FROM nodes),
+ns AS (SELECT COUNT(*) AS n FROM marked WHERE is_seed = 1),
+od AS (SELECT src, COUNT(*) AS od FROM dir GROUP BY src),
+pr0 AS (SELECT node, CASE WHEN is_seed = 1 THEN {_PR_SCALE} // ns.n
+                          ELSE 0 END AS r
+        FROM marked CROSS JOIN ns),
+{_ppr_iter_sql("0", "1")},
+{_ppr_iter_sql("1", "2")},
+{_ppr_iter_sql("2", "3")}
+SELECT node, CAST(r AS BIGINT) AS rank_fp FROM pr3
+"""
+
+SPARK_QUERIES["supplier_personalized_pagerank"] = supplier_personalized_pagerank
+ORACLE_SQL["supplier_personalized_pagerank"] = PPR_SQL

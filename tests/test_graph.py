@@ -818,3 +818,37 @@ def test_partition_modularity_hand_case(spark):
     empty = spark.createDataFrame([], "src int, dst int")
     with _pt.raises(ValueError, match="empty"):
         partition_modularity(empty, labels)
+
+
+def test_personalized_pagerank_seed_proximity(spark):
+    from onetl_spark.operators.graph import personalized_pagerank_fixed_point
+
+    # star graph, seed at the hub: the hub outranks every leaf, the
+    # leaves are exactly symmetric, and mass is conserved to integer
+    # truncation. (A path graph would OSCILLATE at low iteration
+    # counts — bipartite parity — so symmetry is the honest invariant.)
+    pairs = [(0, i) for i in (1, 2, 3, 4)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    r = {
+        x["node"]: x["rank_fp"]
+        for x in personalized_pagerank_fixed_point(
+            edges, seeds, iterations=4
+        ).collect()
+    }
+    assert r[0] > r[1]
+    assert r[1] == r[2] == r[3] == r[4]
+    assert abs(sum(r.values()) - 10**12) < 100
+
+
+def test_personalized_pagerank_requires_graph_seed(spark):
+    import pytest as _pytest
+
+    from onetl_spark.operators.graph import personalized_pagerank_fixed_point
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    with _pytest.raises(ValueError):
+        personalized_pagerank_fixed_point(edges, seeds)
