@@ -17,6 +17,7 @@ import sys
 import time
 
 HEADLINE = [
+    "events_scd2_point_in_time",
     "events_time_decay_attribution",
     "supplier_personalized_pagerank",
     "events_value_anderson_darling",

@@ -155,7 +155,7 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_SQL = """
 WITH s AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
-  FROM events WHERE user_id % 13 = 0
+  FROM events WHERE user_id % 13 = 0 AND event_type <> 'purchase'
 ), f AS (
   SELECT user_id, ts, event_type, event_id,
          CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -181,3 +181,93 @@ FROM g ORDER BY user_id, effective_from
 
 SPARK_QUERIES["user_state_scd2"] = user_state_scd2
 ORACLE_SQL["user_state_scd2"] = SCD2_SQL
+
+
+def events_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) enrichment against the SCD2 dimension — THE
+    consumption pattern dimension history exists for: every purchase
+    fact joins the NON-purchase state interval that was CURRENT at the fact's
+    timestamp (from ≤ ts < to, open-ended current rows included) — the
+    dimension is the `scd2_intervals` build over the user's browsing
+    stream, purchases excluded, so the readout is the state a buyer was
+    in WHEN buying; because intervals partition each key's timeline,
+    every fact inside the covered range matches EXACTLY ONE interval —
+    reported as a correctness column (n_unmatched, facts before the
+    user's first interval). Per prior-state value: fact counts and
+    value totals — "what state were buyers in when they bought"."""
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    src = ev.filter(
+        (F.col("user_id") % 13 == 0) & (F.col("event_type") != "purchase")
+    ).select("user_id", "ts", "event_type", "event_id")
+    dim = scd2_intervals(
+        src, ["user_id"], "ts", "event_type", tie_break=["event_id"]
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("value").alias("state"),
+        "effective_from",
+        "effective_to",
+    )
+    facts = ev.filter(
+        (F.col("user_id") % 13 == 0) & (F.col("event_type") == "purchase")
+    ).select("user_id", "ts", F.round("value", 6).cast("decimal(38,6)").alias("v"))
+    joined = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("effective_from"))
+        & (F.col("effective_to").isNull() | (F.col("ts") < F.col("effective_to"))),
+        "left",
+    )
+    per_state = joined.groupBy("state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.sum("v").cast("decimal(38,6)").alias("total_value"),
+    )
+    return per_state.select(
+        F.coalesce("state", F.lit("(unmatched)")).alias("state"),
+        "n_facts",
+        "total_value",
+    ).orderBy("state")
+
+
+SCD2_PIT_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
+  FROM events WHERE user_id % 13 = 0 AND event_type <> 'purchase'
+), f AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM s
+), r AS (
+  SELECT user_id, ts, event_type, chg,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM f
+), g AS (
+  SELECT user_id, run, MIN(event_type) AS state, MIN(ts) AS effective_from
+  FROM r GROUP BY user_id, run
+), dim AS (
+  SELECT user_id AS d_user, state, effective_from,
+         LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY run)
+           AS effective_to
+  FROM g
+), facts AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(round(value, 6) AS DECIMAL(38,6)) AS v
+  FROM events WHERE user_id % 13 = 0 AND event_type = 'purchase'
+), joined AS (
+  SELECT dim.state, facts.v
+  FROM facts LEFT JOIN dim
+    ON facts.user_id = dim.d_user
+   AND facts.ts >= dim.effective_from
+   AND (dim.effective_to IS NULL OR facts.ts < dim.effective_to)
+)
+SELECT COALESCE(state, '(unmatched)') AS state,
+       CAST(COUNT(*) AS BIGINT) AS n_facts,
+       CAST(SUM(v) AS DECIMAL(38,6)) AS total_value
+FROM joined GROUP BY state ORDER BY state
+"""
+
+SPARK_QUERIES["events_scd2_point_in_time"] = events_scd2_point_in_time
+ORACLE_SQL["events_scd2_point_in_time"] = SCD2_PIT_SQL

@@ -408,3 +408,30 @@ def test_scd2_intervals_tie_break_determinism(spark):
     # eid=1 (B) first, then eid=2 (A) which stays current
     assert [r["value"] for r in rows] == ["A", "B"]
     assert rows[0]["is_current"] is True
+
+
+def test_scd2_point_in_time_exactly_one_match(spark):
+    from onetl_spark.operators.temporal import scd2_intervals
+
+    # dimension: u: A(1..3) B(3..6) A(6..); facts at 2, 3, 6, 10
+    src = spark.createDataFrame(
+        [("u", 1, "A", 1), ("u", 3, "B", 2), ("u", 6, "A", 3)],
+        "k string, t long, state string, eid long",
+    )
+    dim = scd2_intervals(src, ["k"], "t", "state", tie_break=["eid"])
+    facts = spark.createDataFrame(
+        [("u", 2), ("u", 3), ("u", 6), ("u", 10)], "k string, t long"
+    )
+    from pyspark.sql import functions as F
+
+    j = facts.join(
+        dim,
+        (facts["k"] == dim["k"])
+        & (facts["t"] >= dim["effective_from"])
+        & (dim["effective_to"].isNull() | (facts["t"] < dim["effective_to"])),
+    )
+    got = sorted((r["t"], r["value"]) for r in j.collect())
+    # boundary t=3 belongs to the NEW interval (from-inclusive)
+    assert got == [(2, "A"), (3, "B"), (6, "A"), (10, "A")]
+    # exactly one interval per fact
+    assert j.count() == facts.count()
