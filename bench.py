@@ -17,6 +17,7 @@ import sys
 import time
 
 HEADLINE = [
+    "q10_returned_items",
     "events_scd2_point_in_time",
     "events_time_decay_attribution",
     "supplier_personalized_pagerank",

@@ -748,3 +748,71 @@ LIMIT 100
 
 SPARK_QUERIES["q18_large_volume_customer"] = q18_large_volume_customer
 ORACLE_SQL["q18_large_volume_customer"] = Q18_SQL
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting) — reference parity
+    target for the wide-join + group-by-many-columns + top-k pattern:
+    customers ranked by revenue lost to returns (l_returnflag = 'R') in
+    a pinned quarter, joined through orders to nation. Revenue uses the
+    exact decimal l_extendedprice·(1−l_discount) micro-unit identity
+    shared with q1; the final top-20 plans as TakeOrderedAndProject,
+    never a global sort."""
+    ensure_views(spark, sf_dir)
+    rev = (
+        F.col("l_extendedprice").cast("decimal(38,6)")
+        * (F.lit(1).cast("decimal(38,6)") - F.col("l_discount").cast("decimal(38,6)"))
+    )
+    j = (
+        spark.table("lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            spark.table("orders").filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            spark.table("customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(spark.table("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(F.round(rev, 4).cast("decimal(38,4)")).alias("_rev"))
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("_rev").cast("decimal(38,4)").alias("revenue"),
+            F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "n_name",
+            "c_mktsegment",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(38,6))
+                           * (CAST(1 AS DECIMAL(38,6))
+                              - CAST(l_discount AS DECIMAL(38,6))), 4)
+                     AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name, c_mktsegment
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+SPARK_QUERIES["q10_returned_items"] = q10_returned_items
+ORACLE_SQL["q10_returned_items"] = Q10_SQL
