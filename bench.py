@@ -17,6 +17,8 @@ import sys
 import time
 
 HEADLINE = [
+    "events_revenue_bridge",
+    "orders_price_ending_audit",
     "q10_returned_items",
     "events_scd2_point_in_time",
     "events_time_decay_attribution",

