@@ -155,7 +155,7 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_SQL = """
 WITH s AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, event_id
-  FROM events WHERE user_id % 13 = 0 AND event_type <> 'purchase'
+  FROM events WHERE user_id % 13 = 0
 ), f AS (
   SELECT user_id, ts, event_type, event_id,
          CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
