@@ -17,6 +17,8 @@ import sys
 import time
 
 HEADLINE = [
+    "source_fightin_words",
+    "orders_price_date_skyline",
     "events_revenue_bridge",
     "orders_price_ending_audit",
     "q10_returned_items",

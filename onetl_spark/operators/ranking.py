@@ -349,3 +349,78 @@ def stitched_cumsums(
             f"_cum_{wc}", F.sum(wc).over(w) + prefix_offset_expr(offs[wc], "_bkt")
         )
     return out.drop("_bkt"), totals
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated on
+    (``minimize_col`` ↓, ``maximize_col`` ↑) — the multi-objective
+    "best tradeoffs" operator (Börzsönyi et al. ICDE'01). The classic
+    sweep — sort by the minimized axis, keep a point iff it beats the
+    running max of the maximized axis — needs a GLOBAL prefix max; here
+    it runs as the bucketed scaffold's MAX variant: same-price dominance
+    collapses map-side (one groupBy to (min_val → max of max_val)),
+    values bucket by sampled quantiles, the prefix max runs per bucket
+    (distributed windows) and a ≤``buckets``-entry literal map carries
+    each bucket's predecessor maximum. No single-partition window; the
+    swept relation is distinct-value-sized. Output (the skyline itself)
+    is famously tiny — O(log n) expected for independent dimensions.
+    Returns ``(<minimize_col>, <maximize_col>)`` sorted by the first.
+    """
+    from pyspark.sql.window import Window as W
+
+    pd_rel = (
+        df.select(
+            F.col(minimize_col).alias("_p"), F.col(maximize_col).alias("_d")
+        )
+        .filter(F.col("_p").isNotNull() & F.col("_d").isNotNull())
+        .groupBy("_p")
+        .agg(F.max("_d").alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+    qs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(
+        set(pd_rel.stat.approxQuantile("_p", qs, 0.001))
+    )
+    t = pd_rel.withColumn("_bkt", ascending_bucket(bounds, F.col("_p")))
+    per_bucket = t.groupBy("_bkt").agg(F.max("_d").alias("_dmax")).collect()
+    n_buckets = len(bounds) + 1
+    dmax = {r["_bkt"]: r["_dmax"] for r in per_bucket}
+    prev_max: dict = {}
+    running = None
+    for bkt in range(n_buckets):
+        if running is not None:
+            prev_max[bkt] = running
+        if bkt in dmax:
+            running = dmax[bkt] if running is None else max(running, dmax[bkt])
+    w = (
+        W.partitionBy("_bkt")
+        .orderBy("_p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    in_bucket_prev = F.max("_d").over(w)
+    prev_expr = None
+    for bkt, pv in prev_max.items():
+        c = F.when(F.col("_bkt") == bkt, F.lit(pv))
+        prev_expr = c if prev_expr is None else prev_expr.when(
+            F.col("_bkt") == bkt, F.lit(pv)
+        )
+    bucket_prev = (
+        prev_expr.otherwise(F.lit(None)) if prev_expr is not None else F.lit(None)
+    )
+    prevmax = F.greatest(
+        F.coalesce(in_bucket_prev, bucket_prev),
+        F.coalesce(bucket_prev, in_bucket_prev),
+    )
+    return (
+        t.withColumn("_pm", prevmax)
+        .filter(F.col("_pm").isNull() | (F.col("_d") > F.col("_pm")))
+        .select(
+            F.col("_p").alias(minimize_col), F.col("_d").alias(maximize_col)
+        )
+        .orderBy(minimize_col)
+    )

@@ -5236,3 +5236,95 @@ FROM loo CROSS JOIN fullm ORDER BY source
 
 SPARK_QUERIES["source_loo_lm_value"] = source_loo_lm_value
 ORACLE_SQL["source_loo_lm_value"] = LOO_LM_SQL
+
+
+_FW_SRC_A, _FW_SRC_B = "src0", "src1"
+_FW_ALPHA = 0.01
+
+
+def source_fightin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin' Words (Monroe-Colaresi-Quinn 2008): which words
+    distinguish source {_FW_SRC_A} from {_FW_SRC_B}? Log-odds-ratio with
+    an informative Dirichlet prior (α = {_FW_ALPHA} per word, the
+    pooled-corpus smoothing that kills the rare-word noise raw
+    log-odds and TF-IDF both suffer) and variance-stabilized z-scores
+    ``δ/√(1/(y_a+α) + 1/(y_b+α))``. Pure count arithmetic — two grouped
+    aggregates over the two sources' tokens, ln terms round-9 pinned —
+    then the top-8 words per side by |z|. The vocabulary relation is
+    corpus-vocabulary-sized, never row-sized."""
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    tok = docs.filter(
+        F.col("source").isin(_FW_SRC_A, _FW_SRC_B)
+    ).select(
+        "source", F.explode(text.word_tokens("text")).alias("w")
+    )
+    counts = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == _FW_SRC_A, 1).otherwise(0)).alias("ya"),
+        F.sum(F.when(F.col("source") == _FW_SRC_B, 1).otherwise(0)).alias("yb"),
+    )
+    tot = counts.agg(
+        F.sum("ya").cast("double").alias("na"),
+        F.sum("yb").cast("double").alias("nb"),
+        (F.count(F.lit(1)).cast("double") * F.lit(_FW_ALPHA)).alias("a0"),
+    )
+    a = F.lit(_FW_ALPHA)
+    j = counts.crossJoin(F.broadcast(tot))
+    delta = F.round(
+        F.log(
+            (F.col("ya") + a)
+            / (F.col("na") + F.col("a0") - F.col("ya") - a)
+        ),
+        9,
+    ) - F.round(
+        F.log(
+            (F.col("yb") + a)
+            / (F.col("nb") + F.col("a0") - F.col("yb") - a)
+        ),
+        9,
+    )
+    var = 1.0 / (F.col("ya") + a) + 1.0 / (F.col("yb") + a)
+    z = F.round(delta / F.sqrt(var), 9)
+    scored = j.select(
+        "w",
+        F.col("ya").cast("long").alias("n_src_a"),
+        F.col("yb").cast("long").alias("n_src_b"),
+        z.alias("zscore"),
+    )
+    top_a = scored.orderBy(F.col("zscore").desc(), F.col("w").asc()).limit(8)
+    top_b = scored.orderBy(F.col("zscore").asc(), F.col("w").asc()).limit(8)
+    return top_a.unionByName(top_b).orderBy(
+        F.col("zscore").desc(), F.col("w").asc()
+    )
+
+
+FIGHTIN_WORDS_SQL = rf"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKENS}) AS w FROM documents
+  WHERE source IN ('{_FW_SRC_A}', '{_FW_SRC_B}')
+), counts AS (
+  SELECT w,
+         SUM(CASE WHEN source = '{_FW_SRC_A}' THEN 1 ELSE 0 END) AS ya,
+         SUM(CASE WHEN source = '{_FW_SRC_B}' THEN 1 ELSE 0 END) AS yb
+  FROM tok GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(ya) AS DOUBLE) AS na, CAST(SUM(yb) AS DOUBLE) AS nb,
+         CAST(COUNT(*) AS DOUBLE) * {_FW_ALPHA!r} AS a0
+  FROM counts
+), scored AS (
+  SELECT w, CAST(ya AS BIGINT) AS n_src_a, CAST(yb AS BIGINT) AS n_src_b,
+         round((round(ln((ya + {_FW_ALPHA!r})
+                         / (na + a0 - ya - {_FW_ALPHA!r})), 9)
+                - round(ln((yb + {_FW_ALPHA!r})
+                           / (nb + a0 - yb - {_FW_ALPHA!r})), 9))
+               / sqrt(1.0 / (ya + {_FW_ALPHA!r})
+                      + 1.0 / (yb + {_FW_ALPHA!r})), 9) AS zscore
+  FROM counts CROSS JOIN tot
+), ta AS (SELECT * FROM scored ORDER BY zscore DESC, w ASC LIMIT 8),
+tb AS (SELECT * FROM scored ORDER BY zscore ASC, w ASC LIMIT 8)
+SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM tb)
+ORDER BY zscore DESC, w ASC
+"""
+
+SPARK_QUERIES["source_fightin_words"] = source_fightin_words
+ORACLE_SQL["source_fightin_words"] = FIGHTIN_WORDS_SQL

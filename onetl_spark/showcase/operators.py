@@ -2643,3 +2643,40 @@ FROM agg CROSS JOIN tot
 
 SPARK_QUERIES["events_value_anderson_darling"] = events_value_anderson_darling
 ORACLE_SQL["events_value_anderson_darling"] = AD_SQL
+
+
+def orders_price_date_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders on (cheapest ↓, most recent ↑) —
+    `operators/ranking.py skyline_2d`: the multi-objective shortlist no
+    single ORDER BY can produce (every returned order is undominated:
+    nothing both cheaper AND newer exists). Bucketed prefix-max sweep;
+    output is the frontier itself (O(log n) expected rows)."""
+    from onetl_spark.operators.ranking import skyline_2d
+
+    ensure_views(spark, sf_dir)
+    o = spark.table("orders").select(
+        F.col("o_totalprice").cast("decimal(38,2)").alias("price"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+    )
+    return skyline_2d(o, "price", "orderdate")
+
+
+SKYLINE_SQL = """
+WITH pd AS (
+  SELECT CAST(o_totalprice AS DECIMAL(38,2)) AS price,
+         MAX(CAST(o_orderdate AS DATE)) AS orderdate
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT price, orderdate,
+         MAX(orderdate) OVER (ORDER BY price
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prevmax
+  FROM pd
+)
+SELECT price, orderdate FROM s
+WHERE prevmax IS NULL OR orderdate > prevmax
+ORDER BY price
+"""
+
+SPARK_QUERIES["orders_price_date_skyline"] = orders_price_date_skyline
+ORACLE_SQL["orders_price_date_skyline"] = SKYLINE_SQL

@@ -234,3 +234,37 @@ def test_stitched_cumsums_fewer_distinct_than_buckets(spark):
     got = {r["v"]: r["_cum_w"] for r in out.collect()}
     assert got == {1.0: 5.0, 2.0: 6.0, 3.0: 16.0}
     assert totals["w"] == 16.0
+
+
+def test_skyline_2d_brute_force(spark):
+    import random
+
+    from onetl_spark.operators.ranking import skyline_2d
+
+    rng = random.Random(23)
+    pts = [(round(rng.uniform(0, 100), 2), rng.randint(0, 1000)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "p double, d long")
+    got = sorted(
+        (r["p"], r["d"]) for r in skyline_2d(df, "p", "d", buckets=5).collect()
+    )
+
+    def dominated(q):
+        return any(
+            (p[0] <= q[0] and p[1] >= q[1]) and (p[0] < q[0] or p[1] > q[1])
+            for p in pts
+        )
+
+    ref = sorted(set(q for q in pts if not dominated(q)))
+    assert got == ref
+
+
+def test_skyline_2d_single_point_and_ties(spark):
+    from onetl_spark.operators.ranking import skyline_2d
+
+    df = spark.createDataFrame(
+        [(1.0, 5), (1.0, 9), (2.0, 9), (3.0, 1)], "p double, d long"
+    )
+    got = sorted((r["p"], r["d"]) for r in skyline_2d(df, "p", "d").collect())
+    # (1.0, 9) dominates everything else: same-price 5, equal-d pricier 2.0,
+    # and strictly-worse (3.0, 1)
+    assert got == [(1.0, 9)]
