@@ -773,3 +773,25 @@ def test_ndcg_windows_are_brand_partitioned(tables):
     plan = executed_plan(brand_ranking_ndcg(tables, SF_DIR))
     w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert w_specs and all("p_brand" in ws for ws in w_specs)
+
+
+def test_skyline_prefix_max_is_bucketed(tables):
+    import re
+
+    from onetl_spark.operators.ranking import skyline_2d
+
+    o = tables.table("orders").select(
+        F.col("o_totalprice").alias("p"), F.col("o_orderdate").alias("d")
+    )
+    plan = executed_plan(skyline_2d(o, "p", "d"))
+    # the prefix-max sweep must ride bucket-partitioned windows
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert w_specs and all("_bkt" in ws for ws in w_specs)
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_pit_join_no_cartesian(tables):
+    from onetl_spark.showcase.temporal import events_scd2_point_in_time
+
+    plan = executed_plan(events_scd2_point_in_time(tables, SF_DIR))
+    assert "CartesianProduct" not in plan
