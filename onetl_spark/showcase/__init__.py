@@ -23,8 +23,21 @@ from onetl_spark.showcase import (
 def all_queries():
     out = {}
     for mod in _modules():
-        out.update(mod.SPARK_QUERIES)
+        _merge_unique(out, mod.SPARK_QUERIES, mod.__name__, "SPARK_QUERIES")
     return _debt_ordered(out)
+
+
+def _merge_unique(out, new, mod_name, kind):
+    """dict.update silently shadowed q10_returned_items across modules in
+    round 7 (358 declared, 357 reachable) — duplicate keys are now a hard
+    error at registry-build time."""
+    dup = out.keys() & new.keys()
+    if dup:
+        raise ValueError(
+            f"duplicate {kind} keys from {mod_name}: {sorted(dup)} — "
+            "rename the new entry; registry keys must be globally unique"
+        )
+    out.update(new)
 
 
 def _debt_ordered(queries):
@@ -56,14 +69,39 @@ def _debt_ordered(queries):
             if isinstance(row, dict) and row.get("hash_match"):
                 last_green[name] = max(last_green.get(name, -1), rnd)
     names = list(queries)
-    order = sorted(range(len(names)), key=lambda i: (last_green.get(names[i], -1), i))
+    order = sorted(
+        range(len(names)),
+        key=lambda i: (
+            names[i] not in REVERIFY_FIRST,
+            last_green.get(names[i], -1),
+            i,
+        ),
+    )
     return {names[i]: queries[names[i]] for i in order}
+
+
+# Queries whose OUTPUT CONTRACT changed since their last driver check must
+# lead the next window regardless of debt age — a contract change voids any
+# green history and a never-green entry must not queue behind 50 older ones.
+# r8: the seven DECIMAL→DOUBLE output-boundary fixes (judge r7 task 1).
+# Prune entries once CORRECTNESS_r*.json shows them green.
+REVERIFY_FIRST = frozenset(
+    {
+        "q18_large_volume_customer",
+        "q10_returned_item_reporting",
+        "orders_cube_priority_status",
+        "events_time_grouping_sets",
+        "region_nation_revenue_share",
+        "orders_price_date_skyline",
+        "events_scd2_point_in_time",
+    }
+)
 
 
 def all_oracles():
     out = {}
     for mod in _modules():
-        out.update(mod.ORACLE_SQL)
+        _merge_unique(out, mod.ORACLE_SQL, mod.__name__, "ORACLE_SQL")
     return out
 
 

@@ -6781,7 +6781,8 @@ def orders_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
         "gid",
         "n_orders",
-        F.col("_rev").cast("decimal(38,2)").alias("revenue"),
+        # exact decimal sum internally; DOUBLE at the output boundary
+        F.col("_rev").cast("decimal(38,2)").cast("double").alias("revenue"),
     ).orderBy("gid", "priority", "status")
 
 
@@ -6790,7 +6791,7 @@ SELECT COALESCE(o_orderpriority, '(all)') AS priority,
        COALESCE(o_orderstatus, '(all)') AS status,
        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY gid, priority, status
@@ -7459,7 +7460,8 @@ def events_time_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("v").cast("decimal(38,6)").alias("total_value"),
+            # exact decimal sum internally; DOUBLE at the output boundary
+            F.sum("v").cast("decimal(38,6)").cast("double").alias("total_value"),
         )
     )
     return out.select(
@@ -7493,7 +7495,7 @@ SELECT COALESCE(CAST(day AS VARCHAR), CAST(week AS VARCHAR),
             ELSE 'month' END AS grain,
        CAST(GROUPING(day, week, month) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(v) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
 FROM ev
 GROUP BY GROUPING SETS ((day), (week), (month))
 ORDER BY grain, bucket
@@ -7543,7 +7545,8 @@ def region_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("r_name").alias("region"),
             F.col("n_name").alias("nation"),
-            F.col("_rev").cast("decimal(38,2)").alias("revenue"),
+            # exact decimal sum internally; DOUBLE at the output boundary
+            F.col("_rev").cast("decimal(38,2)").cast("double").alias("revenue"),
             F.round(
                 F.col("_rev").cast("double") / F.col("_rrev").cast("double"), 9
             ).alias("share_of_region"),
@@ -7568,7 +7571,7 @@ WITH rev AS (
   SELECT region, SUM(rev) AS rrev FROM rev GROUP BY region
 ), tot AS (SELECT SUM(rev) AS trev FROM rev)
 SELECT rev.region, rev.nation,
-       CAST(rev.rev AS DECIMAL(38,2)) AS revenue,
+       CAST(CAST(rev.rev AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
        round(CAST(rev.rev AS DOUBLE) / CAST(reg.rrev AS DOUBLE), 9)
          AS share_of_region,
        round(CAST(rev.rev AS DOUBLE) / CAST(tot.trev AS DOUBLE), 9)

@@ -2658,7 +2658,10 @@ def orders_price_date_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(38,2)").alias("price"),
         F.col("o_orderdate").cast("date").alias("orderdate"),
     )
-    return skyline_2d(o, "price", "orderdate")
+    # exact decimal inside the sweep; DOUBLE at the output boundary
+    return skyline_2d(o, "price", "orderdate").select(
+        F.col("price").cast("double").alias("price"), "orderdate"
+    )
 
 
 SKYLINE_SQL = """
@@ -2673,7 +2676,7 @@ WITH pd AS (
                               AND 1 PRECEDING) AS prevmax
   FROM pd
 )
-SELECT price, orderdate FROM s
+SELECT CAST(price AS DOUBLE) AS price, orderdate FROM s
 WHERE prevmax IS NULL OR orderdate > prevmax
 ORDER BY price
 """

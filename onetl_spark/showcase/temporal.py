@@ -225,7 +225,8 @@ def events_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_state.select(
         F.coalesce("state", F.lit("(unmatched)")).alias("state"),
         "n_facts",
-        "total_value",
+        # exact decimal sum internally; DOUBLE at the output boundary
+        F.col("total_value").cast("double").alias("total_value"),
     ).orderBy("state")
 
 
@@ -265,7 +266,7 @@ WITH s AS (
 )
 SELECT COALESCE(state, '(unmatched)') AS state,
        CAST(COUNT(*) AS BIGINT) AS n_facts,
-       CAST(SUM(v) AS DECIMAL(38,6)) AS total_value
+       CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
 FROM joined GROUP BY state ORDER BY state
 """
 

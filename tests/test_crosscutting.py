@@ -272,3 +272,51 @@ def test_dialect_sql_matches_golden_file():
     with open(mod.GOLDEN_PATH) as f:
         want = json.load(f)
     assert mod.render_matrix() == want
+
+
+def test_registry_rejects_duplicate_keys():
+    """dict.update silently shadowed q10_returned_items in round 7 —
+    all_queries()/all_oracles() must raise on any cross-module key
+    collision, and the reachable count must equal the declared count."""
+    import onetl_spark.showcase as sc
+
+    queries = sc.all_queries()  # raises ValueError on any duplicate
+    declared = sum(len(m.SPARK_QUERIES) for m in sc._modules())
+    assert len(queries) == declared
+
+    with pytest.raises(ValueError, match="duplicate"):
+        sc._merge_unique({"a": 1}, {"a": 2, "b": 3}, "modX", "SPARK_QUERIES")
+
+
+def test_registry_output_types_safe(spark, sf_dir, testdata):
+    """Full-registry lazy-build sweep: no array/struct/map output column
+    (driver canonicalizer crash, r4 sequence_packing class) and no
+    DecimalType output column (driver hash mismatch, r7 q18 class —
+    exact decimals stay internal, the output boundary is DOUBLE per the
+    dsum convention in showcase/util.py)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_parity",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "driver_parity.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    import onetl_spark.showcase as sc
+
+    bad = []
+    for name, fn in sc.all_queries().items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, f"build error: {type(e).__name__}: {e}"))
+            continue
+        fields = mod.complex_type_fields(df)
+        if fields:
+            bad.append((name, f"complex output columns: {fields}"))
+        dfields = mod.decimal_type_fields(df)
+        if dfields:
+            bad.append((name, f"decimal output columns: {dfields}"))
+    assert bad == []

@@ -94,22 +94,45 @@ def complex_type_fields(df):
     ]
 
 
-def sweep_complex_types(spark, mod, sf_dir):
-    """Build every registered query lazily and flag complex output columns."""
+def decimal_type_fields(df):
+    """Names of DecimalType output columns — the driver's value hash treats
+    Decimal differently from the float path every green query has used
+    (q18 r7: rows/schema green, hash red, judge exact-value green 4/4).
+    Exact decimal arithmetic stays INTERNAL; the output boundary is DOUBLE
+    per the repo's dsum convention (showcase/util.py)."""
+    from pyspark.sql.types import DecimalType
+
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+
+
+def sweep_types(spark, mod, sf_dir, kinds=("complex",)):
+    """Build every registered query lazily and flag unsafe output columns.
+
+    kinds: any of "complex" (array/struct/map — canonicalizer crash) and
+    "decimal" (DecimalType — driver hash mismatch vs the DuckDB oracle).
+    """
     queries = mod.queries()
     bad = []
     for name, fn in queries.items():
         try:
-            fields = complex_type_fields(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
         except Exception as e:  # noqa: BLE001
             bad.append((name, f"build error: {type(e).__name__}: {e}"))
             continue
+        fields = complex_type_fields(df) if "complex" in kinds else []
         if fields:
             bad.append((name, f"complex output columns: {fields}"))
+        dfields = decimal_type_fields(df) if "decimal" in kinds else []
+        if dfields:
+            bad.append((name, f"decimal output columns: {dfields}"))
     for name, detail in bad:
         print(f"!! {name}: {detail[:300]}")
-    print(f"\n{len(queries) - len(bad)}/{len(queries)} queries canonicalizer-safe")
+    print(f"\n{len(queries) - len(bad)}/{len(queries)} queries output-type-safe")
     return bad
+
+
+def sweep_complex_types(spark, mod, sf_dir):
+    return sweep_types(spark, mod, sf_dir, kinds=("complex",))
 
 
 def main():
@@ -118,6 +141,7 @@ def main():
     args = sys.argv[1:]
     only = None
     sweep = False
+    sweep_kinds = ("complex",)
     while args:
         a = args.pop(0)
         if a == "--sf":
@@ -126,6 +150,9 @@ def main():
             only = set(args.pop(0).split(","))
         elif a == "--sweep-complex-types":
             sweep = True
+        elif a == "--sweep-decimal-types":
+            sweep = True
+            sweep_kinds = ("complex", "decimal")
         else:
             n = int(a)
 
@@ -145,7 +172,7 @@ def main():
 
     mod = load_entry()
     if sweep:
-        bad = sweep_complex_types(spark, mod, sf_dir)
+        bad = sweep_types(spark, mod, sf_dir, kinds=sweep_kinds)
         spark.stop()
         sys.exit(1 if bad else 0)
     queries = mod.queries()
