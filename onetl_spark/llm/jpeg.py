@@ -289,7 +289,11 @@ def _decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
             scan = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(c for c in frame[2] if c["id"] == cs)
+                comp = next((c for c in frame[2] if c["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG SOS references unknown component id {cs}"
+                    )
                 scan.append((comp, tt >> 4, tt & 0xF))
             data_pos = pos + seglen
             return _decode_scan(

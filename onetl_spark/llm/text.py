@@ -1479,11 +1479,13 @@ def mix31(a: Column, b: Column) -> Column:
     (row, replicate) pair, where md5-of-string costs dominate at B×n
     scale). Two multiply-mod-2^31 rounds separated by xor-shift steps:
     the xor-shifts break affinity in ``b`` (an affine-only scheme makes
-    all replicates near-identical — see BENCH_NOTES/PLANS), and every
-    intermediate stays < 2^62 so Spark's ANSI overflow check never
-    fires. DuckDB mirror: :func:`mix31_sql`."""
+    all replicates near-identical — see BENCH_NOTES/PLANS). Inputs are
+    pre-reduced mod 2^31, so every intermediate stays < 2^62 and Spark's
+    ANSI overflow check never fires AT ANY input magnitude (a bare
+    ``a * 1103515245`` would abort for a ≳ 8.4e9 — global row indexes
+    at multi-billion-row scale). DuckDB mirror: :func:`mix31_sql`."""
     m = F.lit(2147483648)
-    a, b = a.cast("long"), b.cast("long")
+    a, b = F.pmod(a.cast("long"), m), F.pmod(b.cast("long"), m)
     x = F.pmod(a * F.lit(1103515245) + b * F.lit(654435761) + F.lit(12345), m)
     x = x.bitwiseXOR(F.shiftright(x, 13))
     x = F.pmod(x * F.lit(1103515245) + F.lit(6789), m)
@@ -1494,7 +1496,10 @@ def mix31_sql(a: str, b: str) -> str:
     """DuckDB expression identical to :func:`mix31` (same constants,
     same operation order; xor() and >> are exact integer ops on both
     engines)."""
-    x1 = f"(({a}) * 1103515245 + ({b}) * 654435761 + 12345) % 2147483648"
+    x1 = (
+        f"((({a}) % 2147483648) * 1103515245"
+        f" + (({b}) % 2147483648) * 654435761 + 12345) % 2147483648"
+    )
     x2 = f"xor({x1}, ({x1}) >> 13)"
     x3 = f"(({x2}) * 1103515245 + 6789) % 2147483648"
     return f"xor({x3}, ({x3}) >> 7)"

@@ -930,12 +930,16 @@ def kendall_tau_b(
         )
         .agg(F.coalesce(F.sum(F.col("_c1") * F.col("_c2")), F.lit(0)).alias("q"))
     )
+    # t(t-1) and n(n-1) in DECIMAL(38,0): a LONG product overflows
+    # (ANSI abort) once a tie group / the row count exceeds ~3.04e9 —
+    # the advertised 100-TB fact-table shape (ADVICE r7).
+    _td = F.col("_t").cast("decimal(38,0)")
     tx = (
         cells.groupBy("_x")
         .agg(F.sum("_c").alias("_t"))
         .agg(
             F.coalesce(
-                F.sum(F.col("_t") * (F.col("_t") - 1)), F.lit(0)
+                F.sum(_td * (_td - 1)), F.lit(0).cast("decimal(38,0)")
             ).alias("tx2")
         )
     )
@@ -944,7 +948,7 @@ def kendall_tau_b(
         .agg(F.sum("_c").alias("_t"))
         .agg(
             F.coalesce(
-                F.sum(F.col("_t") * (F.col("_t") - 1)), F.lit(0)
+                F.sum(_td * (_td - 1)), F.lit(0).cast("decimal(38,0)")
             ).alias("ty2")
         )
     )
@@ -955,7 +959,8 @@ def kendall_tau_b(
         .crossJoin(F.broadcast(tx))
         .crossJoin(F.broadcast(ty))
     )
-    n0x2 = F.col("n") * (F.col("n") - 1)  # 2*n0, keeps everything integral
+    _nd = F.col("n").cast("decimal(38,0)")
+    n0x2 = _nd * (_nd - 1)  # 2*n0, exact at any row count (decimal, not long)
     den = F.sqrt(((n0x2 - F.col("tx2")) / 2).cast("double")) * F.sqrt(
         ((n0x2 - F.col("ty2")) / 2).cast("double")
     )

@@ -340,13 +340,16 @@ def scd2_intervals(
     keys = [F.col(k) for k in key_cols]
     order = [F.col(ts_col)] + [F.col(c) for c in tie_break]
     w = W.partitionBy(*keys).orderBy(*order)
+    # Null-safe change detection: `lag != value` is NULL (not true) when
+    # either side is NULL, which would merge a NULL following a non-null
+    # value into the previous run. First row per key is detected with
+    # row_number, NOT lag-is-null, so a NULL *value* can itself start and
+    # terminate runs like any other state.
     flagged = df.withColumn(
         "_chg",
-        F.when(
-            F.lag(value_col).over(w).isNull()
-            | (F.lag(value_col).over(w) != F.col(value_col)),
-            1,
-        ).otherwise(0),
+        F.when(F.row_number().over(w) == 1, 1)
+        .when(~F.lag(value_col).over(w).eqNullSafe(F.col(value_col)), 1)
+        .otherwise(0),
     ).withColumn(
         "_run",
         F.sum("_chg").over(

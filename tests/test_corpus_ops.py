@@ -1717,12 +1717,19 @@ def test_mix31_matches_python_reference_and_sql(spark):
     M = 2147483648
 
     def ref(a, b):
+        a, b = a % M, b % M  # inputs pre-reduced (ANSI-safe at any scale)
         x = (a * 1103515245 + b * 654435761 + 12345) % M
         x ^= x >> 13
         x = (x * 1103515245 + 6789) % M
         return x ^ (x >> 7)
 
-    rows = [(a, b) for a in (0, 1, 7, 99999, 2**31 - 1) for b in (1, 2, 200)]
+    # incl. inputs ABOVE 2^31: a bare a*1103515245 would ANSI-abort for
+    # a ≳ 8.4e9 (ADVICE r7 — global row indexes at multi-billion scale)
+    rows = [
+        (a, b)
+        for a in (0, 1, 7, 99999, 2**31 - 1, 2**33 + 5, 10**12)
+        for b in (1, 2, 200, 2**35)
+    ]
     df = spark.createDataFrame(rows, "a long, b long")
     got = {
         (r["a"], r["b"]): r["h"]

@@ -105,6 +105,14 @@ def test_unsupported_and_corrupt_variants_raise_valueerror():
         jpeg.encode_jpeg_gray(b"\x00" * 10, 4, 4)
     with pytest.raises(ValueError, match="quality"):
         jpeg.encode_jpeg_gray(b"\x00" * 16, 4, 4, quality=0)
+    # SOS referencing a component id absent from SOF must raise
+    # ValueError, not StopIteration (ADVICE r7: byte-path fallbacks
+    # catch only ValueError, so anything else kills the Spark task)
+    bad_sos = bytearray(good)
+    j = bad_sos.find(b"\xff\xda")
+    bad_sos[j + 5] = 0x7F  # scan component selector -> unknown id
+    with pytest.raises(ValueError, match="unknown component"):
+        jpeg.decode_jpeg_gray(bytes(bad_sos))
 
 
 def test_decode_image_gray_routes_jpeg():

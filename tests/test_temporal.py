@@ -393,6 +393,28 @@ def test_scd2_intervals_hand_case(spark):
     ]
 
 
+def test_scd2_intervals_null_values_are_states(spark):
+    from onetl_spark.operators.temporal import scd2_intervals
+
+    # a NULL value is a state like any other: a,NULL,NULL,a -> 3 runs.
+    # The pre-r8 lag-based change flag merged the first NULL into the
+    # 'a' run (lag != value is NULL, not true) and split the NULL pair
+    # (ADVICE r7: null-safe eqNullSafe + row_number first-row detection).
+    df = spark.createDataFrame(
+        [("u", 1, "a", 1), ("u", 2, None, 2), ("u", 3, None, 3), ("u", 4, "a", 4)],
+        "k string, t long, state string, eid long",
+    )
+    rows = sorted(
+        scd2_intervals(df, ["k"], "t", "state", tie_break=["eid"]).collect(),
+        key=lambda r: r["effective_from"],
+    )
+    got = [
+        (r["value"], r["effective_from"], r["effective_to"], r["n_events"])
+        for r in rows
+    ]
+    assert got == [("a", 1, 2, 1), (None, 2, 4, 2), ("a", 4, None, 1)]
+
+
 def test_scd2_intervals_tie_break_determinism(spark):
     from onetl_spark.operators.temporal import scd2_intervals
 
