@@ -267,10 +267,19 @@ def trim_to_token_budget(
     token_col: Column | str,
     id_col: str = "doc_id",
     buckets: int = 32,
+    persist: "StorageLevel | None" = None,
 ) -> DataFrame:
     """Keep the best-scoring documents whose cumulative token count fits a
     global ``budget`` — the data-mixing primitive ("give me the top-quality
     X-billion-token slice of this corpus").
+
+    ``persist``: storage level for the scored projection. The operator
+    makes THREE passes over ``df`` (quantile stats, bucket totals, the
+    final window) — when ``score_col``/``token_col`` are expensive
+    expressions (regex-chain quality scores), pass
+    ``StorageLevel.MEMORY_AND_DISK`` so they compute once; the cached
+    frame is the slim scored projection, not the corpus text. Left
+    cached for the caller to release (the output is lazy over it).
 
     Semantically this is ``SUM(tokens) OVER (ORDER BY score DESC, id)``
     filtered to ``cum <= budget`` — but a partition-less window is a
@@ -304,6 +313,8 @@ def trim_to_token_budget(
     # length as 0 tokens: the row still competes by score but costs
     # nothing against the budget.
     t = df.withColumn("_tok", F.coalesce(tok.cast("long"), F.lit(0)))
+    if persist is not None:
+        t = t.persist(persist)
 
     qs = [i / buckets for i in range(1, buckets)]
     # approxQuantile ignores NULL scores; treat NULL as the worst score

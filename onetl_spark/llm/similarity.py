@@ -866,8 +866,13 @@ def pq_codebooks(
     """
     d_sub = dim // m
     subs = _pq_subvectors(embeddings, m, d_sub, id_col, vec_col)
-    seed_ids = embeddings.filter(seed_filter).select(F.col(id_col).alias("_id"))
-    codebooks = subs.join(F.broadcast(seed_ids), "_id").select(
+    # seeds: filter the corpus FIRST, then expand subvectors — expanding
+    # the whole corpus and joining seed ids afterwards can't push the
+    # filter below the generate, so it cost a full corpus scan+explode
+    # for a K-row result (r8 job audit)
+    codebooks = _pq_subvectors(
+        embeddings.filter(seed_filter), m, d_sub, id_col, vec_col
+    ).select(
         "_m", F.col("_id").alias("code_id"), F.col("_sv").alias("cvec")
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
@@ -924,9 +929,11 @@ def pq_topk(
     )
     subs = _pq_subvectors(embeddings, m, d_sub, id_col, vec_col)
     codes = _pq_assign(subs, codebooks).select("_id", "_m", "code_id")
-    q_subs = subs.filter(F.col("_id") == query_id).select(
-        "_m", F.col("_sv").alias("_qsv")
-    )
+    # query subvectors: filter to the one query row BEFORE expanding
+    # (id pushdown reaches the parquet scan; the explode is then 1 row)
+    q_subs = _pq_subvectors(
+        embeddings.filter(F.col(id_col) == query_id), m, d_sub, id_col, vec_col
+    ).select("_m", F.col("_sv").alias("_qsv"))
     dtab = q_subs.join(codebooks, "_m").select(
         "_m",
         "code_id",

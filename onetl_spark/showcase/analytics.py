@@ -2473,15 +2473,22 @@ def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch(A∪B) == merge(sketch(A), sketch(B)) register for register).
     Exact distinct included for the error context."""
     ensure_views(spark, sf_dir)
-    from onetl_spark.operators.sketches import hll_estimate, hll_merge, hll_registers
+    from onetl_spark.operators.sketches import (
+        hll_estimate,
+        hll_fill_buckets,
+        hll_registers_by,
+    )
 
     ev = spark.table("events")
-    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
-    sketches = [
-        hll_registers(ev.filter(F.col("event_type") == t), "user_id", b=8)
-        for t in sorted(types)
-    ]
-    merged = hll_merge(*sketches)
+    # ALL per-type sketches in one aggregation (hll_registers_by) — the
+    # r7 version collected the type list and looped hll_registers per
+    # type: 21 Spark jobs whose driver round-trips dominated the bench
+    # (BENCH_NOTES r8). Register-wise max across types is the same exact
+    # merge, now one groupBy((type, bucket)) + one groupBy(bucket).
+    per_type = hll_registers_by(ev, "user_id", ["event_type"], b=8)
+    merged = hll_fill_buckets(
+        per_type.groupBy("bucket").agg(F.max("rho").alias("rho")), b=8
+    )
     est = hll_estimate(merged, b=8)
     exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
     return est.crossJoin(F.broadcast(exact))

@@ -328,8 +328,17 @@ def corpus_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("q"),
         token_count("text").alias("tok"),
     )
+    from pyspark import StorageLevel
+
+    # persist the slim scored projection: the regex-chain quality score
+    # otherwise recomputes in each of the operator's three passes
+    # (BENCH_NOTES r8 — multi-job queries amplify per-job overhead)
     kept = trim_to_token_budget(
-        docs, budget=_TRIM_BUDGET, score_col="q", token_col="tok"
+        docs,
+        budget=_TRIM_BUDGET,
+        score_col="q",
+        token_col="tok",
+        persist=StorageLevel.MEMORY_AND_DISK,
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
