@@ -469,10 +469,16 @@ def main() -> None:
     # from parquet. A fixed CANARY query is re-timed every 25 queries;
     # its trajectory is recorded in the side file so cross-round deltas
     # can be normalized by session drift instead of argued about.
+    # Guarded lookup: a registry rename/removal of the canary must degrade
+    # to "no canary track", not KeyError-crash the whole bench (ADVICE r8).
     CANARY = "q1_pricing_summary"
+    if CANARY not in queries:
+        CANARY = names[0] if names else None
     canary_track: list[float] = []
 
     def _run_canary():
+        if CANARY is None:
+            return
         start = time.perf_counter()
         execute_fully(queries[CANARY](spark, sf_dir))
         canary_track.append(round(time.perf_counter() - start, 3))

@@ -273,12 +273,14 @@ def trim_to_token_budget(
     global ``budget`` — the data-mixing primitive ("give me the top-quality
     X-billion-token slice of this corpus").
 
-    ``persist``: storage level for the scored projection. The operator
-    makes THREE passes over ``df`` (quantile stats, bucket totals, the
-    final window) — when ``score_col``/``token_col`` are expensive
-    expressions (regex-chain quality scores), pass
-    ``StorageLevel.MEMORY_AND_DISK`` so they compute once; the cached
-    frame is the slim scored projection, not the corpus text. Left
+    ``persist``: storage level for the input frame. The operator makes
+    THREE passes over ``df`` (quantile stats, bucket totals, the final
+    window) — when ``score_col``/``token_col`` are expensive expressions
+    (regex-chain quality scores), pass ``StorageLevel.MEMORY_AND_DISK``
+    so they compute once. CALLER CONTRACT: what gets cached is ``df``
+    with ALL its columns — pass a slim projection (id, score, tokens,
+    and only the columns you need back), NOT the raw corpus with its
+    text payload, or you cache the full corpus. The frame is left
     cached for the caller to release (the output is lazy over it).
 
     Semantically this is ``SUM(tokens) OVER (ORDER BY score DESC, id)``

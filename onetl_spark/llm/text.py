@@ -1495,11 +1495,14 @@ def mix31(a: Column, b: Column) -> Column:
 def mix31_sql(a: str, b: str) -> str:
     """DuckDB expression identical to :func:`mix31` (same constants,
     same operation order; xor() and >> are exact integer ops on both
-    engines)."""
-    x1 = (
-        f"((({a}) % 2147483648) * 1103515245"
-        f" + (({b}) % 2147483648) * 654435761 + 12345) % 2147483648"
-    )
+    engines). Input pre-reduction is sign-safe (``((x % m) + m) % m``)
+    because DuckDB's ``%`` is truncated (sign-following) while the Spark
+    side uses ``pmod`` — a bare ``%`` would diverge on negative inputs.
+    All later reductions operate on provably non-negative intermediates,
+    so plain ``%`` is exact there."""
+    ar = f"(((({a}) % 2147483648) + 2147483648) % 2147483648)"
+    br = f"(((({b}) % 2147483648) + 2147483648) % 2147483648)"
+    x1 = f"({ar} * 1103515245 + {br} * 654435761 + 12345) % 2147483648"
     x2 = f"xor({x1}, ({x1}) >> 13)"
     x3 = f"(({x2}) * 1103515245 + 6789) % 2147483648"
     return f"xor({x3}, ({x3}) >> 7)"

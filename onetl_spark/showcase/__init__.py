@@ -68,11 +68,18 @@ def _debt_ordered(queries):
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match"):
                 last_green[name] = max(last_green.get(name, -1), rnd)
+    # Self-pruning: an override member with a green row at/after the round
+    # its contract changed has been re-verified — it re-enters normal debt
+    # ordering automatically (r8 lesson: manual pruning left a stale
+    # override that displaced never-green queries out of the r9 window).
+    reverify = {
+        n for n in REVERIFY_FIRST if last_green.get(n, -1) < REVERIFY_SINCE
+    }
     names = list(queries)
     order = sorted(
         range(len(names)),
         key=lambda i: (
-            names[i] not in REVERIFY_FIRST,
+            names[i] not in reverify,
             last_green.get(names[i], -1),
             i,
         ),
@@ -84,7 +91,10 @@ def _debt_ordered(queries):
 # lead the next window regardless of debt age — a contract change voids any
 # green history and a never-green entry must not queue behind 50 older ones.
 # r8: the seven DECIMAL→DOUBLE output-boundary fixes (judge r7 task 1).
-# Prune entries once CORRECTNESS_r*.json shows them green.
+# Entries prune THEMSELVES once a CORRECTNESS_r*.json at round >=
+# REVERIFY_SINCE shows them green (see _debt_ordered); when adding new
+# members after a fresh contract change, bump REVERIFY_SINCE to that round.
+REVERIFY_SINCE = 8
 REVERIFY_FIRST = frozenset(
     {
         "q18_large_volume_customer",

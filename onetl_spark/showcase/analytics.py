@@ -2471,7 +2471,15 @@ def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged register-wise, then estimated — the oracle sketches the whole
     corpus directly, so the hash match PROVES merge exactness
     (sketch(A∪B) == merge(sketch(A), sketch(B)) register for register).
-    Exact distinct included for the error context."""
+    Exact distinct included for the error context.
+
+    NULL semantics (changed r8): the old per-type loop filtered
+    ``event_type == t`` and so silently DROPPED NULL-typed rows from the
+    merged sketch; ``hll_registers_by`` groups NULL event_type as its own
+    group and includes it in the merge — which matches the whole-corpus
+    oracle and the exact countDistinct. No NULL types exist in the
+    testdata, but on data with them the r7 and r8 outputs differ (r8 is
+    the correct one)."""
     ensure_views(spark, sf_dir)
     from onetl_spark.operators.sketches import (
         hll_estimate,

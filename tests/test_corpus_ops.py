@@ -1725,10 +1725,13 @@ def test_mix31_matches_python_reference_and_sql(spark):
 
     # incl. inputs ABOVE 2^31: a bare a*1103515245 would ANSI-abort for
     # a ≳ 8.4e9 (ADVICE r7 — global row indexes at multi-billion scale)
+    # incl. NEGATIVE inputs: Spark pmod vs DuckDB's truncated % diverge
+    # on negatives unless the SQL mirror uses a sign-safe reduction
+    # (ADVICE r8 — latent until a signed delta/diff feeds the hash)
     rows = [
         (a, b)
-        for a in (0, 1, 7, 99999, 2**31 - 1, 2**33 + 5, 10**12)
-        for b in (1, 2, 200, 2**35)
+        for a in (0, 1, 7, 99999, 2**31 - 1, 2**33 + 5, 10**12, -1, -(2**31) - 7)
+        for b in (1, 2, 200, 2**35, -12345)
     ]
     df = spark.createDataFrame(rows, "a long, b long")
     got = {

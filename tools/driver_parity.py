@@ -142,6 +142,7 @@ def main():
     only = None
     sweep = False
     sweep_kinds = ("complex",)
+    ansi = False
     while args:
         a = args.pop(0)
         if a == "--sf":
@@ -153,6 +154,14 @@ def main():
         elif a == "--sweep-decimal-types":
             sweep = True
             sweep_kinds = ("complex", "decimal")
+        elif a == "--ansi":
+            # ANSI sweep (judge r8 task 2): spark.sql.ansi.enabled=true turns
+            # silent integer wraparound / bad casts into runtime aborts —
+            # run the FULL registry at sf0.1 so overflow traps that only
+            # trigger past int32/int64 thresholds (mix31 row indexes,
+            # kendall n(n-1), long×decimal) surface systematically instead
+            # of one advice finding at a time.
+            ansi = True
         else:
             n = int(a)
 
@@ -166,6 +175,7 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        .config("spark.sql.ansi.enabled", str(ansi).lower())
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
