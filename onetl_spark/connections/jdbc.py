@@ -414,6 +414,16 @@ class JDBCConnection(BaseDBConnection):
         n = meta.getColumnCount()
         names = [meta.getColumnLabel(i + 1) for i in range(n)]
         types = [self._JDBC_TO_SPARK.get(meta.getColumnType(i + 1), "string") for i in range(n)]
+        # DECIMAL/NUMERIC: take precision/scale from the resultset metadata —
+        # a fixed decimal(38,18) silently lacks integral room for anything
+        # wider than 20 digits (DECIMAL(31,6) with a 25-digit integral part
+        # aborts on conversion; found by the r9 Derby type matrix). Unknown
+        # metadata (precision<=0, some drivers) falls back to (38,18).
+        for i, t in enumerate(types):
+            if t.startswith("decimal"):
+                p, s = meta.getPrecision(i + 1), meta.getScale(i + 1)
+                if 0 < p <= 38 and 0 <= s <= p:
+                    types[i] = f"decimal({p},{s})"
         schema = ", ".join(f"`{name}` {t}" for name, t in zip(names, types))
 
         rows = []

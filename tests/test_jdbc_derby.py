@@ -239,3 +239,70 @@ def test_execute_callable_out_parameters(derby):
             derby.execute("VALUES 1", options={"out_params": [(1, "INTEGER")]})
     finally:
         derby.execute("DROP PROCEDURE COPY_TO_OUT")
+
+
+def test_fetch_type_matrix(derby):
+    """Round-trip the full JDBC type surface through the ResultSet→DataFrame
+    conversion (connections/jdbc.py:_resultset_to_df) — the r7 decimal
+    lesson: type boundaries fail silently exactly where never exercised.
+    Reference shape: jdbc_mixin/connection.py:497-546. Every column also
+    carries a NULL row (row 3) so null handling is checked per type."""
+    from datetime import date, datetime
+    from decimal import Decimal
+
+    derby.execute(
+        "CREATE TABLE TYPE_MATRIX ("
+        " PK INT NOT NULL,"
+        " C_SMALLINT SMALLINT, C_INT INT, C_BIGINT BIGINT,"
+        " C_DEC_SMALL DECIMAL(10,2), C_DEC_WIDE DECIMAL(31,6),"
+        " C_REAL REAL, C_DOUBLE DOUBLE,"
+        " C_CHAR CHAR(5), C_VARCHAR VARCHAR(40),"
+        " C_DATE DATE, C_TS TIMESTAMP,"
+        " C_BOOL BOOLEAN)"
+    )
+    derby.execute(
+        "INSERT INTO TYPE_MATRIX VALUES "
+        "(1, 7, 123456, 9007199254740993, 12345.67, 1234567890123456789012345.123456,"
+        " 1.5, 2.25E10, 'ab', 'hello world', DATE('2024-02-29'),"
+        " TIMESTAMP('2024-02-29 23:59:58.123456'), TRUE),"
+        "(2, -7, -1, -9223372036854775808, -0.01, -0.000001,"
+        " -1.5, -2.25E-10, 'xyzzy', '', DATE('1970-01-01'),"
+        " TIMESTAMP('1970-01-01 00:00:00'), FALSE),"
+        "(3, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+    )
+    df = derby.fetch("SELECT * FROM TYPE_MATRIX ORDER BY PK")
+    try:
+        types = dict(df.dtypes)
+        assert types["C_SMALLINT"] == "smallint"
+        assert types["C_INT"] == "int"
+        assert types["C_BIGINT"] == "bigint"
+        assert types["C_DEC_SMALL"].startswith("decimal")
+        assert types["C_DEC_WIDE"].startswith("decimal")
+        assert types["C_REAL"] == "float"
+        assert types["C_DOUBLE"] == "double"
+        assert types["C_DATE"] == "date"
+        assert types["C_TS"] == "timestamp"
+        assert types["C_BOOL"] == "boolean"
+
+        r1, r2, r3 = df.collect()
+        assert (r1["C_SMALLINT"], r1["C_INT"]) == (7, 123456)
+        # 2^53+1: a float round-trip would corrupt this BIGINT
+        assert r1["C_BIGINT"] == 9007199254740993
+        assert r2["C_BIGINT"] == -9223372036854775808
+        assert r1["C_DEC_SMALL"] == Decimal("12345.67")
+        # 25 integral digits: exceeds decimal(38,18)'s 20 — must survive
+        assert r1["C_DEC_WIDE"] == Decimal("1234567890123456789012345.123456")
+        assert r2["C_DEC_SMALL"] == Decimal("-0.01")
+        assert r2["C_DEC_WIDE"] == Decimal("-0.000001")
+        assert r1["C_REAL"] == 1.5 and r2["C_REAL"] == -1.5
+        assert r1["C_DOUBLE"] == 2.25e10 and r2["C_DOUBLE"] == -2.25e-10
+        assert r1["C_CHAR"] == "ab   "  # CHAR(5) space-padded, kept verbatim
+        assert r1["C_VARCHAR"] == "hello world" and r2["C_VARCHAR"] == ""
+        assert r1["C_DATE"] == date(2024, 2, 29)
+        assert r1["C_TS"] == datetime(2024, 2, 29, 23, 59, 58, 123456)
+        assert r2["C_TS"] == datetime(1970, 1, 1)
+        assert r1["C_BOOL"] is True and r2["C_BOOL"] is False
+        # NULL row: every non-PK column None
+        assert all(r3[c] is None for c in df.columns if c != "PK")
+    finally:
+        derby.execute("DROP TABLE TYPE_MATRIX")
