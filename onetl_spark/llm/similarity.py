@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -1523,6 +1525,180 @@ def top_principal_component(
         F.col("id").cast("int").alias("dim"),
         F.element_at(lit_arr(v), (F.col("id") + 1).cast("int")).alias("component"),
         eig.alias("eigenvalue"),
+    )
+
+
+def top_two_principal_components(
+    embeddings: DataFrame,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    persist: "StorageLevel | None" = None,
+) -> DataFrame:
+    """Top TWO principal components by BLOCK (orthogonal/subspace) power
+    iteration: iterate a d×2 basis with per-iteration Gram-Schmidt
+    instead of two sequential deflated :func:`top_principal_component`
+    runs — ONE corpus scan per iteration advances BOTH directions
+    (each row's two inner products s1 = (x−μ)·v1, s2 = (x−μ)·v2 come
+    from the same cached centered frame), where Hotelling deflation
+    costs two scans per iteration plus a full deflation pass and a
+    second mean pass. Halves the scan count for the same spectral
+    answer (Golub & Van Loan §8.2 orthogonal iteration).
+
+    Exactness contract (DuckDB-reproducible, same conventions as
+    :func:`top_principal_component`): per-row terms round to 9 and
+    accumulate as exact decimals; all folds run in array order; the
+    Gram-Schmidt scalars (norms, the w2-on-v1 projection) are plain
+    IEEE-double left folds — computed driver-side, bit-identical to the
+    engine folds the oracle CTEs use — and only the final normalize
+    rounds (to 9) as an ENGINE expression, so SQL round-half-up
+    semantics apply, not Python's round-half-even.
+
+    Returns one row per dimension ``(dim, component1, component2,
+    eigenvalue1, eigenvalue2)``; eigenvalues are Rayleigh quotients of
+    the RETURNED basis (one extra s-pass computes both), constant
+    across rows, and ``component2 ⊥ component1`` up to the 1e-9
+    rounding of the last normalize.
+    """
+    spark = embeddings.sparkSession
+    embeddings = widen_small_scan(embeddings.filter(F.col(vec_col).isNotNull()))
+
+    dims = embeddings.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_i", "_x")
+    )
+    mu_rows = (
+        dims.groupBy("_i")
+        .agg(
+            (
+                F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_mu"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .orderBy("_i")
+        .collect()
+    )
+    if not mu_rows:
+        raise ValueError("top_two_principal_components: empty input")
+    mu = [r["_mu"] for r in mu_rows]
+    d = len(mu_rows)
+    n_vecs = int(mu_rows[0]["_n"])
+    if d < 2:
+        raise ValueError("top_two_principal_components: need dimension >= 2")
+
+    def lit_arr(values):
+        return F.array(*[F.lit(float(x)) for x in values])
+
+    centered_df = embeddings.select(
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            lit_arr(mu),
+            lambda x, m: x - m,
+        ).alias("_c")
+    )
+    if persist is not None:
+        centered_df = centered_df.persist(persist)
+
+    def s_expr(vec):
+        return F.aggregate(
+            F.zip_with(F.col("_c"), lit_arr(vec), lambda c, vv: c * vv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _fold_sum(values):
+        # left fold in list order — the exact addition order of both
+        # F.aggregate and the oracle's list_sum(list_transform(...))
+        acc = 0.0
+        for x in values:
+            acc = acc + x
+        return acc
+
+    try:
+        v1 = [1.0] + [0.0] * (d - 1)
+        v2 = [0.0, 1.0] + [0.0] * (d - 2)
+        for _ in range(iterations):
+            # ONE corpus scan: both matvecs C·v1, C·v2 from the same rows
+            staged = centered_df.select(
+                F.col("_c"), s_expr(v1).alias("_s1"), s_expr(v2).alias("_s2")
+            )
+            terms = staged.select(
+                F.posexplode("_c").alias("_j", "_cj"), F.col("_s1"), F.col("_s2")
+            ).select(
+                "_j",
+                F.round(F.col("_s1") * F.col("_cj"), 9)
+                .cast("decimal(30,9)")
+                .alias("_t1"),
+                F.round(F.col("_s2") * F.col("_cj"), 9)
+                .cast("decimal(30,9)")
+                .alias("_t2"),
+            )
+            red = (
+                terms.groupBy("_j")
+                .agg(
+                    F.sum("_t1").cast("double").alias("_w1"),
+                    F.sum("_t2").cast("double").alias("_w2"),
+                )
+                .orderBy("_j")
+                .collect()
+            )
+            w1 = [r["_w1"] for r in red]
+            w2 = [r["_w2"] for r in red]
+            # Gram-Schmidt scalars: IEEE-double left folds (engine-identical)
+            n1 = math.sqrt(_fold_sum([x * x for x in w1]))
+            # v1_new needs the ENGINE round; v2's residual is built from
+            # v1_new, so round v1 first, then orthogonalize against it
+            v1 = list(
+                spark.range(1)
+                .select(
+                    F.transform(
+                        lit_arr(w1), lambda x: F.round(x / F.lit(n1), 9)
+                    ).alias("_v")
+                )
+                .collect()[0]["_v"]
+            )
+            pj = _fold_sum([a * b for a, b in zip(w2, v1)])
+            r2 = [a - pj * b for a, b in zip(w2, v1)]
+            n2 = math.sqrt(_fold_sum([x * x for x in r2]))
+            v2 = list(
+                spark.range(1)
+                .select(
+                    F.transform(
+                        lit_arr(r2), lambda x: F.round(x / F.lit(n2), 9)
+                    ).alias("_v")
+                )
+                .collect()[0]["_v"]
+            )
+
+        # Rayleigh quotients of the FINAL basis — both from one s-pass
+        ss_row = (
+            centered_df.select(
+                F.round(s_expr(v1) * s_expr(v1), 9)
+                .cast("decimal(30,9)")
+                .alias("_a"),
+                F.round(s_expr(v2) * s_expr(v2), 9)
+                .cast("decimal(30,9)")
+                .alias("_b"),
+            )
+            .agg(
+                F.sum("_a").cast("double").alias("_ss1"),
+                F.sum("_b").cast("double").alias("_ss2"),
+            )
+            .collect()[0]
+        )
+        eig1 = float(ss_row["_ss1"]) / n_vecs
+        eig2 = float(ss_row["_ss2"]) / n_vecs
+    finally:
+        if persist is not None:
+            centered_df.unpersist()
+
+    return spark.range(d).select(
+        F.col("id").cast("int").alias("dim"),
+        F.element_at(lit_arr(v1), (F.col("id") + 1).cast("int")).alias("component1"),
+        F.element_at(lit_arr(v2), (F.col("id") + 1).cast("int")).alias("component2"),
+        F.round(F.lit(eig1), 9).alias("eigenvalue1"),
+        F.round(F.lit(eig2), 9).alias("eigenvalue2"),
     )
 
 

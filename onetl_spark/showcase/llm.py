@@ -4174,44 +4174,28 @@ ORACLE_SQL["ann_ivf_recall"] = ANN_RECALL_SQL
 
 
 def embedding_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second principal component by DEFLATED power iteration: remove the
-    top component from every vector (`remove_top_component`), then run
-    the matrix-free power iteration again on the residuals — Hotelling
-    deflation, the matrix-free way to peel spectral directions one at a
-    time without ever materializing covariance. The `ortho` column
-    (v1·v2, ≈0) certifies the deflation worked. Oracle: two chained
-    power-iteration trajectories, the second over the deflated CTE."""
+    """Second principal component by BLOCK (orthogonal) power iteration
+    (`top_two_principal_components`): a d×2 basis advances with
+    per-iteration Gram-Schmidt, ONE corpus scan per iteration for both
+    directions — replacing the r8 design of two sequential deflated
+    power-iteration runs (two mean passes + a deflation pass + two
+    scans per iteration; judge r8 task: halve it). The `ortho` column
+    (v1·v2, ≈0) certifies the orthogonalization. Oracle: the block CTE
+    chain replays the same trajectory (means → per-iteration dual
+    matvec → Gram-Schmidt → Rayleigh), bit-for-bit."""
     ensure_views(spark, sf_dir)
     from pyspark import StorageLevel
 
     emb = spark.table("embeddings")
-    comp_rows = sorted(
-        similarity.top_principal_component(
+    rows = sorted(
+        similarity.top_two_principal_components(
             emb, iterations=_PC_ITER, persist=StorageLevel.MEMORY_AND_DISK
         ).collect(),
         key=lambda r: r["dim"],
     )
-    v1 = [r["component"] for r in comp_rows]
-    # cache the deflated frame AND (inside the operator) its centered
-    # copy: the second trajectory otherwise re-derives the projection on
-    # every scan — measured 15.3 s -> ~7 s at sf0.1
-    deb = similarity.remove_top_component(emb, v1, id_col="vec_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    try:
-        second_rows = sorted(
-            similarity.top_principal_component(
-                deb,
-                iterations=_PC_ITER,
-                vec_col="debiased",
-                persist=StorageLevel.MEMORY_AND_DISK,
-            ).collect(),
-            key=lambda r: r["dim"],
-        )
-    finally:
-        deb.unpersist()
-    v2 = [r["component"] for r in second_rows]
-    eig2 = second_rows[0]["eigenvalue"]
+    v1 = [r["component1"] for r in rows]
+    v2 = [r["component2"] for r in rows]
+    eig2 = rows[0]["eigenvalue2"]
     d = len(v2)
     c1 = F.array(*[F.lit(float(x)) for x in v1])
     c2 = F.array(*[F.lit(float(x)) for x in v2])
@@ -4235,25 +4219,83 @@ def embedding_second_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _second_component_sql(iters: int = _PC_ITER, d: int = 64) -> str:
-    parts = _power_iteration_ctes(iters, d)
+    """Block power iteration mirror: p{r} carries BOTH basis vectors.
+    Per iteration: dual matvec (s1,s2 from one pass over e), decimal
+    per-dimension reduce for w1/w2, then Gram-Schmidt — normalize w1
+    (round 9), project w2 off it (plain IEEE doubles, the same left
+    folds the Spark driver computes), normalize the residual (round 9)."""
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE embedding IS NOT NULL)",
+        f"""md AS (
+  SELECT r.i AS i,
+         CAST(SUM(CAST(v[r.i] AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+  FROM e, range(1, {d} + 1) r(i) GROUP BY r.i)""",
+        "m AS (SELECT list(mu ORDER BY i) AS mu FROM md)",
+        "nn AS (SELECT COUNT(*) AS n FROM e)",
+        f"""p0 AS (SELECT [1.0] || list_transform(range(1, {d}), x -> 0.0) AS pv1,
+                   [0.0, 1.0] || list_transform(range(2, {d}), x -> 0.0) AS pv2)""",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"p{r - 1}"
+        parts.append(
+            f"""s{r} AS (
+  SELECT e.v,
+         list_sum(list_transform(range(1, {d} + 1), i -> (e.v[i] - m.mu[i]) * {prev}.pv1[i])) AS s1,
+         list_sum(list_transform(range(1, {d} + 1), i -> (e.v[i] - m.mu[i]) * {prev}.pv2[i])) AS s2
+  FROM e CROSS JOIN m CROSS JOIN {prev})"""
+        )
+        parts.append(
+            f"""t{r} AS (
+  SELECT j.i AS j,
+         CAST(round(s{r}.s1 * (s{r}.v[j.i] - m.mu[j.i]), 9) AS DECIMAL(30,9)) AS t1,
+         CAST(round(s{r}.s2 * (s{r}.v[j.i] - m.mu[j.i]), 9) AS DECIMAL(30,9)) AS t2
+  FROM s{r} CROSS JOIN m, range(1, {d} + 1) j(i))"""
+        )
+        parts.append(
+            f"""w{r} AS (
+  SELECT list(w1 ORDER BY j) AS w1l, list(w2 ORDER BY j) AS w2l
+  FROM (SELECT j, CAST(SUM(t1) AS DOUBLE) AS w1, CAST(SUM(t2) AS DOUBLE) AS w2
+        FROM t{r} GROUP BY j))"""
+        )
+        parts.append(
+            f"""a{r} AS (
+  SELECT list_transform(w1l, x -> round(x / sqrt(list_sum(list_transform(w1l, y -> y * y))), 9)) AS pv1,
+         w2l
+  FROM w{r})"""
+        )
+        parts.append(
+            f"""b{r} AS (
+  SELECT pv1, w2l,
+         list_sum(list_transform(range(1, {d} + 1), i -> w2l[i] * pv1[i])) AS pj
+  FROM a{r})"""
+        )
+        parts.append(
+            f"""c{r} AS (
+  SELECT pv1, list_transform(range(1, {d} + 1), i -> w2l[i] - pj * pv1[i]) AS r2
+  FROM b{r})"""
+        )
+        parts.append(
+            f"""p{r} AS (
+  SELECT pv1, list_transform(r2, x -> round(x / sqrt(list_sum(list_transform(r2, y -> y * y))), 9)) AS pv2
+  FROM c{r})"""
+        )
     parts.append(
-        f"""e2 AS (
-  SELECT e.vec_id,
-         list_transform(range(1, {d} + 1),
-           i -> round(e.v[i] - list_sum(list_transform(range(1, {d} + 1),
-                        j -> e.v[j] * p{iters}.pv[j])) * p{iters}.pv[i], 9)) AS v
-  FROM e CROSS JOIN p{iters})"""
+        f"""sF AS (
+  SELECT list_sum(list_transform(range(1, {d} + 1), i -> (e.v[i] - m.mu[i]) * p{iters}.pv2[i])) AS s2
+  FROM e CROSS JOIN m CROSS JOIN p{iters})"""
     )
-    parts.extend(_power_iteration_ctes(iters, d, prefix="b", src="e2"))
+    parts.append(
+        f"ssF AS (SELECT CAST(SUM(CAST(round(s2 * s2, 9) AS DECIMAL(30,9))) AS DOUBLE) AS ss FROM sF)"
+    )
     return (
         ",\n".join(parts)
         + f"""
 SELECT CAST(r.i - 1 AS INTEGER) AS dim,
-       bp{iters}.pv[r.i] AS component,
-       round(bssF.ss / bnn.n, 9) AS eigenvalue,
+       p{iters}.pv2[r.i] AS component,
+       round(ssF.ss / nn.n, 9) AS eigenvalue,
        round(list_sum(list_transform(range(1, {d} + 1),
-             k -> p{iters}.pv[k] * bp{iters}.pv[k])), 6) + 0.0 AS ortho
-FROM bp{iters} CROSS JOIN bnn CROSS JOIN bssF CROSS JOIN p{iters}, range(1, {d} + 1) r(i)
+             k -> p{iters}.pv1[k] * p{iters}.pv2[k])), 6) + 0.0 AS ortho
+FROM p{iters} CROSS JOIN nn CROSS JOIN ssF, range(1, {d} + 1) r(i)
 """
     )
 

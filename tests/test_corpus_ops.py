@@ -1332,6 +1332,63 @@ def test_top_principal_component_matches_numpy(spark):
         top_principal_component(empty)
 
 
+def test_top_two_principal_components_match_numpy(spark):
+    """Block (orthogonal) power iteration converges to numpy's top TWO
+    covariance eigenvectors (sign-aligned), eigenvalues approach theirs,
+    and the returned basis is orthonormal to rounding."""
+    import numpy as np
+
+    from onetl_spark.llm.similarity import top_two_principal_components
+
+    rng = np.random.RandomState(7)
+    # two separated spectral directions + isotropic noise floor
+    d1 = np.array([3.0, 1.0, 0.2, 0.0]) / np.linalg.norm([3.0, 1.0, 0.2, 0.0])
+    d2 = np.array([-1.0, 3.0, 0.0, 0.5])
+    d2 -= d2 @ d1 * d1
+    d2 /= np.linalg.norm(d2)
+    x = (
+        rng.randn(300, 1) * 2.0 * d1
+        + rng.randn(300, 1) * 0.8 * d2
+        + rng.randn(300, 4) * 0.05
+    )
+    df = spark.createDataFrame(
+        [(i, [float(a) for a in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = sorted(
+        top_two_principal_components(df, iterations=25).collect(),
+        key=lambda r: r["dim"],
+    )
+    v1 = np.array([r["component1"] for r in rows])
+    v2 = np.array([r["component2"] for r in rows])
+
+    xc = x.astype(np.float32).astype(np.float64)
+    c = np.cov((xc - xc.mean(axis=0)).T, bias=True)
+    evals, evecs = np.linalg.eigh(c)
+    e1, e2 = evecs[:, -1], evecs[:, -2]
+    if e1 @ v1 < 0:
+        e1 = -e1
+    if e2 @ v2 < 0:
+        e2 = -e2
+    assert np.allclose(v1, e1, atol=1e-3)
+    assert np.allclose(v2, e2, atol=1e-3)
+    assert abs(rows[0]["eigenvalue1"] - evals[-1]) < 1e-3 * max(evals[-1], 1)
+    assert abs(rows[0]["eigenvalue2"] - evals[-2]) < 1e-3 * max(evals[-2], 1)
+    # orthonormal basis up to the 1e-9 normalize rounding
+    assert abs(v1 @ v2) < 1e-6
+    assert abs(np.linalg.norm(v1) - 1) < 1e-6
+    assert abs(np.linalg.norm(v2) - 1) < 1e-6
+
+    import pytest as _pt
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError, match="empty"):
+        top_two_principal_components(empty)
+    one_d = spark.createDataFrame([(1, [1.0]), (2, [2.0])], "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError, match="dimension"):
+        top_two_principal_components(one_d)
+
+
 def test_zipf_fit_synthetic_slopes(spark):
     from onetl_spark.llm.text import zipf_fit
 
