@@ -533,7 +533,17 @@ def weighted_median(
     ).filter(
         F.col("_v").isNotNull() & F.col("_w").isNotNull() & (F.col("_w") != 0)
     )
-    neg = t.filter(F.col("_w") < 0).limit(1).count()
+    # Eager guard on the RAW weight column, not the cast projection: the
+    # bare `weight < 0` predicate pushes to the source scan (parquet
+    # row-group min stats skip everything on non-negative data), so the
+    # validation job is metadata-bound instead of a second full read —
+    # the difference between a footer pass and a table scan at 100 TB.
+    neg = (
+        df.select(F.col(weight_col))
+        .filter(F.col(weight_col) < 0)
+        .limit(1)
+        .count()
+    )
     if neg:
         raise ValueError("weighted_median: weights must be non-negative")
     counts = t.groupBy(*[F.col(c) for c in group_cols], F.col("_v")).agg(
