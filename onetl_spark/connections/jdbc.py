@@ -343,7 +343,7 @@ class JDBCConnection(BaseDBConnection):
             if is_call:
                 stmt = conn.prepareCall(statement)
                 jvm_types = self.spark._jvm.java.sql.Types
-                for pos, type_name, _name in out_params:
+                for pos, type_name, _name, _stype in out_params:
                     stmt.registerOutParameter(pos, getattr(jvm_types, type_name))
                 has_rs = stmt.execute()
             else:
@@ -359,6 +359,15 @@ class JDBCConnection(BaseDBConnection):
 
     @staticmethod
     def _normalize_out_params(options: Any) -> list[tuple[int, str, str]]:
+        """Each entry normalizes to (position, java.sql.Types field name,
+        column name). DECIMAL/NUMERIC accept an explicit ``(p,s)`` suffix
+        — ``(1, "DECIMAL(31,6)")`` — which types the OUT column exactly;
+        without it the column falls back to decimal(38,18), which lacks
+        integral room past 20 digits (same failure mode the r9 Derby
+        type matrix exposed in ``fetch``; OUT params have no ResultSet
+        metadata to read the true precision from, so callers must say)."""
+        import re as _re
+
         raw = None
         if isinstance(options, dict):
             raw = options.get("out_params")
@@ -366,9 +375,20 @@ class JDBCConnection(BaseDBConnection):
             raw = getattr(options, "out_params", None)
         out = []
         for p in raw or []:
-            pos, type_name = int(p[0]), str(p[1]).upper()
+            pos, type_name = int(p[0]), str(p[1]).upper().replace(" ", "")
             name = str(p[2]) if len(p) > 2 and p[2] else f"OUT_{pos}"
-            out.append((pos, type_name, name))
+            m = _re.fullmatch(r"(NUMERIC|DECIMAL)\((\d+),(\d+)\)", type_name)
+            if m:
+                prec, scale = int(m.group(2)), int(m.group(3))
+                if not (0 < prec <= 38 and 0 <= scale <= prec):
+                    raise ValueError(
+                        f"out_params: invalid decimal precision/scale {type_name!r}"
+                        " (need 0 < p <= 38, 0 <= s <= p)"
+                    )
+                type_name = m.group(1)  # registerOutParameter takes the base type
+                out.append((pos, type_name, name, f"decimal({prec},{scale})"))
+            else:
+                out.append((pos, type_name, name, None))
         return out
 
     # java.sql.Types names → Spark types for OUT parameter columns
@@ -386,13 +406,16 @@ class JDBCConnection(BaseDBConnection):
     }
 
     def _out_params_to_df(self, stmt, out_params) -> DataFrame:
-        types = [self._TYPE_NAME_TO_SPARK.get(t, "string") for _, t, _ in out_params]
+        types = [
+            stype or self._TYPE_NAME_TO_SPARK.get(t, "string")
+            for _, t, _, stype in out_params
+        ]
         schema = ", ".join(
-            f"`{name}` {t}" for (_, _, name), t in zip(out_params, types)
+            f"`{name}` {t}" for (_, _, name, _), t in zip(out_params, types)
         )
         row = tuple(
             self._jdbc_value_to_py(stmt.getObject(pos), t)
-            for (pos, _, _), t in zip(out_params, types)
+            for (pos, _, _, _), t in zip(out_params, types)
         )
         return self.spark.createDataFrame([row], schema)
 

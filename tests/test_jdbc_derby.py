@@ -306,3 +306,44 @@ def test_fetch_type_matrix(derby):
         assert all(r3[c] is None for c in df.columns if c != "PK")
     finally:
         derby.execute("DROP TABLE TYPE_MATRIX")
+
+
+def test_out_param_decimal_precision(derby):
+    """OUT params carry no ResultSet metadata, so `DECIMAL(p,s)` in the
+    type name pins the Spark column type exactly; bare DECIMAL keeps the
+    (38,18) fallback. Derby can't host a live OUT DECIMAL procedure
+    (no JDK static matches fill(BigDecimal[], BigDecimal)), so the
+    registerOutParameter leg is covered by the INTEGER test above and
+    the value-conversion leg is driven here with a stub statement."""
+    from decimal import Decimal
+
+    norm = derby._normalize_out_params(
+        {"out_params": [(1, "DECIMAL(31, 6)", "big"), (2, "DECIMAL"), (3, "INTEGER")]}
+    )
+    # base java.sql.Types name survives for registerOutParameter
+    assert [(p, t, n) for p, t, n, _ in norm] == [
+        (1, "DECIMAL", "big"), (2, "DECIMAL", "OUT_2"), (3, "INTEGER", "OUT_3")
+    ]
+    assert [s for _, _, _, s in norm] == ["decimal(31,6)", None, None]
+
+    class _Stmt:
+        def getObject(self, pos):
+            return {
+                1: Decimal("1234567890123456789012345.123456"),
+                2: Decimal("1.5"),
+                3: 7,
+            }[pos]
+
+    out = derby._out_params_to_df(_Stmt(), norm)
+    types = dict(out.dtypes)
+    assert types["big"] == "decimal(31,6)"
+    assert types["OUT_2"] == "decimal(38,18)"
+    assert types["OUT_3"] == "int"
+    row = out.collect()[0]
+    assert row["big"] == Decimal("1234567890123456789012345.123456")
+    assert row["OUT_2"] == Decimal("1.5") and row["OUT_3"] == 7
+
+    with pytest.raises(ValueError, match="precision/scale"):
+        derby._normalize_out_params({"out_params": [(1, "DECIMAL(40,2)")]})
+    with pytest.raises(ValueError, match="precision/scale"):
+        derby._normalize_out_params({"out_params": [(1, "DECIMAL(10,11)")]})
