@@ -1567,7 +1567,9 @@ def top_two_principal_components(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("_i", "_x")
     )
-    mu_rows = (
+    # collect unsorted + sort the d rows driver-side: an orderBy before a
+    # d-row collect costs a range exchange plus its sampling job per pass
+    mu_rows = sorted(
         dims.groupBy("_i")
         .agg(
             (
@@ -1576,8 +1578,8 @@ def top_two_principal_components(
             ).alias("_mu"),
             F.count(F.lit(1)).alias("_n"),
         )
-        .orderBy("_i")
-        .collect()
+        .collect(),
+        key=lambda r: r["_i"],
     )
     if not mu_rows:
         raise ValueError("top_two_principal_components: empty input")
@@ -1634,21 +1636,24 @@ def top_two_principal_components(
                 .cast("decimal(30,9)")
                 .alias("_t2"),
             )
-            red = (
+            red = sorted(
                 terms.groupBy("_j")
                 .agg(
                     F.sum("_t1").cast("double").alias("_w1"),
                     F.sum("_t2").cast("double").alias("_w2"),
                 )
-                .orderBy("_j")
-                .collect()
+                .collect(),
+                key=lambda r: r["_j"],
             )
             w1 = [r["_w1"] for r in red]
             w2 = [r["_w2"] for r in red]
             # Gram-Schmidt scalars: IEEE-double left folds (engine-identical)
             n1 = math.sqrt(_fold_sum([x * x for x in w1]))
-            # v1_new needs the ENGINE round; v2's residual is built from
-            # v1_new, so round v1 first, then orthogonalize against it
+            # v1_new needs the ENGINE round (Python round-half-even and
+            # even decimal-half-up can differ from Spark's BigDecimal
+            # path in the last ulp); v2's residual is built FROM the
+            # rounded v1, so the tiny 1-row round-trip per vector is the
+            # price of bit-exact oracle parity — not worth fusing.
             v1 = list(
                 spark.range(1)
                 .select(

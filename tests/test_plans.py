@@ -795,3 +795,29 @@ def test_scd2_pit_join_no_cartesian(tables):
 
     plan = executed_plan(events_scd2_point_in_time(tables, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_block_power_iteration_scan_and_job_shape(tables):
+    """The block iteration's contract is ONE corpus-scan job per
+    iteration advancing BOTH directions (the whole point vs the deflated
+    two-run design, which needed two scans/iteration plus a deflation
+    pass and a second mean pass). Guard the total job count: means +
+    iterations x (1 reduce + 2 one-row normalize collects) + 1 Rayleigh
+    pass. A regression that re-introduces a per-direction scan or an
+    extra corpus pass blows through the bound."""
+    from onetl_spark.llm.similarity import top_two_principal_components
+
+    emb = tables.table("embeddings")
+    tracker = tables.sparkContext.statusTracker()
+    j0 = len(tracker.getJobIdsForGroup(None) or [])
+    df = top_two_principal_components(emb, iterations=2)
+    j1 = len(tracker.getJobIdsForGroup(None) or [])
+    # corpus passes = mean + iters reduces + rayleigh = iters + 2; AQE
+    # materializes ≤3 stage-jobs per pass (scan/widen, shuffle agg,
+    # result) + 2 one-row normalize collects per iteration. iters=2 →
+    # 3*4 + 2*2 = 16 observed; bound 20 leaves slack while a regression
+    # to per-direction scans (2 reduces/iteration) lands at 25+.
+    assert j1 - j0 <= 20, f"block iteration ran {j1 - j0} jobs (bound 20)"
+    # epilogue is a d-row range projection — no further corpus scans
+    plan = executed_plan(df)
+    assert "FileScan" not in plan and "CartesianProduct" not in plan
