@@ -1432,7 +1432,9 @@ def top_principal_component(
         ).alias("_i", "_x")
     )
     # n and d fall out of the mean pass for free — no extra first()/count()
-    mu_rows = (
+    # collect unsorted + sort the d rows driver-side: an orderBy before a
+    # d-row collect costs a range exchange plus its sampling job per pass
+    mu_rows = sorted(
         dims.groupBy("_i")
         .agg(
             (
@@ -1441,8 +1443,8 @@ def top_principal_component(
             ).alias("_mu"),
             F.count(F.lit(1)).alias("_n"),
         )
-        .orderBy("_i")
-        .collect()
+        .collect(),
+        key=lambda r: r["_i"],
     )
     if not mu_rows:
         raise ValueError("top_principal_component: empty input")
@@ -1485,11 +1487,11 @@ def top_principal_component(
                 .cast("decimal(30,9)")
                 .alias("_t"),
             )
-            red = (
+            red = sorted(
                 terms.groupBy("_j")
                 .agg(F.sum("_t").cast("double").alias("_w"))
-                .orderBy("_j")
-                .collect()
+                .collect(),
+                key=lambda r: r["_j"],
             )
             w = [r["_w"] for r in red]
             # normalize + round as SPARK expressions (1 row) so the rounding
@@ -1771,7 +1773,7 @@ def geometric_median(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("_i", "_x")
     )
-    mu_rows = (
+    mu_rows = sorted(
         dims.groupBy("_i")
         .agg(
             (
@@ -1779,8 +1781,8 @@ def geometric_median(
                 / F.count(F.lit(1))
             ).alias("_mu")
         )
-        .orderBy("_i")
-        .collect()
+        .collect(),
+        key=lambda r: r["_i"],
     )
     if not mu_rows:
         raise ValueError("geometric_median: empty input")
@@ -1816,7 +1818,7 @@ def geometric_median(
         staged = (
             xs.select("_v", dist_expr(y).alias("_d")).filter(F.col("_d") > 0)
         )
-        numer = (
+        numer = sorted(
             staged.select(
                 F.posexplode("_v").alias("_j", "_xj"), F.col("_d")
             )
@@ -1828,8 +1830,8 @@ def geometric_median(
             )
             .groupBy("_j")
             .agg(F.sum("_t").cast("double").alias("_w"))
-            .orderBy("_j")
-            .collect()
+            .collect(),
+            key=lambda r: r["_j"],
         )
         denom = (
             staged.select(
