@@ -347,3 +347,45 @@ def test_out_param_decimal_precision(derby):
         derby._normalize_out_params({"out_params": [(1, "DECIMAL(40,2)")]})
     with pytest.raises(ValueError, match="precision/scale"):
         derby._normalize_out_params({"out_params": [(1, "DECIMAL(10,11)")]})
+
+
+def test_partitioned_scan_null_and_negative_keys_not_lost(derby):
+    """NULL and negative partition keys are the classic silent-row-loss
+    foot-gun of predicate-partitioned JDBC scans (`MOD(col,n) = i`
+    excludes NULL from EVERY slice). The synthesized partition column
+    rides Spark's own range partitioner, whose first slice carries
+    `... OR col IS NULL` and whose first/last slices are unbounded — so
+    NULLs and out-of-[0,n) mod values (sign-following MOD on negatives)
+    must all land somewhere. Lock that in live for mod + range modes."""
+    df0 = derby.spark.createDataFrame(
+        [(i, i) for i in range(-30, 30)] + [(1000 + i, None) for i in range(5)],
+        "PK int, K int",
+    )
+    derby.write_df_to_target(df0, "PKEYS", JDBCWriteOptions(if_exists="replace_entire_table"))
+
+    expected_pks = sorted(r["PK"] for r in df0.collect())
+    # Derby has no hash builtin (hash mode raises NotImplementedError by
+    # design); mod is the mode whose sign-following MOD() makes negatives
+    # interesting
+    df = derby.read_source_as_df(
+        "PKEYS",
+        options=JDBCReadOptions(
+            num_partitions=4, partition_column="K", partitioning_mode="mod"
+        ),
+    )
+    rows = df.collect()
+    assert len(rows) == 65, "mod: lost rows"
+    assert sorted(r["PK"] for r in rows) == expected_pks
+    assert sum(1 for r in rows if r["K"] is None) == 5, "mod: NULL keys lost"
+
+    # range mode with auto bound-fill: min/max probe sees only non-NULL
+    # bounds, the first Spark slice still catches the NULLs
+    df = derby.read_source_as_df(
+        "PKEYS",
+        options=JDBCReadOptions(
+            num_partitions=3, partition_column="K", partitioning_mode="range"
+        ),
+    )
+    rows = df.collect()
+    assert len(rows) == 65 and sum(1 for r in rows if r["K"] is None) == 5
+    derby.execute("DROP TABLE PKEYS")
