@@ -1818,6 +1818,12 @@ def geometric_median(
         staged = (
             xs.select("_v", dist_expr(y).alias("_d")).filter(F.col("_d") > 0)
         )
+        # ONE corpus pass per iteration: the inverse-distance total rides
+        # the same per-dimension aggregation — after posexplode every
+        # source row appears exactly once per _j, and the decimal terms
+        # are order-independent, so each group's Σ round(1/d, 9) IS the
+        # global denominator (bit-identical for every j; the separate
+        # denom pass re-scanned the un-persisted corpus)
         numer = sorted(
             staged.select(
                 F.posexplode("_v").alias("_j", "_xj"), F.col("_d")
@@ -1827,19 +1833,19 @@ def geometric_median(
                 F.round(F.col("_xj") / F.col("_d"), 9)
                 .cast("decimal(30,9)")
                 .alias("_t"),
+                F.round(F.lit(1.0) / F.col("_d"), 9)
+                .cast("decimal(30,9)")
+                .alias("_iw"),
             )
             .groupBy("_j")
-            .agg(F.sum("_t").cast("double").alias("_w"))
+            .agg(
+                F.sum("_t").cast("double").alias("_w"),
+                F.sum("_iw").cast("double").alias("_den"),
+            )
             .collect(),
             key=lambda r: r["_j"],
         )
-        denom = (
-            staged.select(
-                F.round(F.lit(1.0) / F.col("_d"), 9).cast("decimal(30,9)").alias("_iw")
-            )
-            .agg(F.sum("_iw").cast("double").alias("_den"))
-            .collect()[0]["_den"]
-        )
+        denom = numer[0]["_den"] if numer else None
         if not numer or not denom:
             break  # every point sits at the estimate — converged exactly
         w = [r["_w"] for r in numer]
