@@ -931,22 +931,28 @@ def weighted_sssp(
             dist.join(ed, dist["node"] == ed["_s"])
             .select(F.col("_d").alias("node"), (F.col("dist") + F.col("_w")).alias("dist"))
         )
+        # convergence detection rides the SAME min-aggregation: old rows
+        # are tagged, so each node's prior distance falls out as
+        # min(dist WHERE old) — a node improved iff it is new (_od NULL)
+        # or its min dropped. The previous separate nxt⋈dist probe was a
+        # second node-keyed shuffle per round; the filter below scans the
+        # just-checkpointed partitions with no exchange at all.
         nxt = (
-            dist.unionAll(relaxed)
+            dist.select("node", "dist", F.lit(True).alias("_old"))
+            .unionAll(relaxed.select("node", "dist", F.lit(False).alias("_old")))
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("_old"), F.col("dist"))).alias("_od"),
+            )
             .localCheckpoint(eager=True)
         )
         improved = (
-            nxt.alias("n")
-            .join(dist.alias("o"), "node", "left")
-            .filter(
-                F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist"))
-            )
+            nxt.filter(F.col("_od").isNull() | (F.col("dist") < F.col("_od")))
             .limit(1)
             .count()
         )
-        dist = nxt
+        dist = nxt.select("node", "dist")
         if not improved:
             log.info("weighted_sssp: converged after %d round(s)", it + 1)
             break
