@@ -1065,7 +1065,7 @@ def logrank_test(
     ).filter(
         F.col("_t").isNotNull() & F.col("_e").isNotNull() & F.col("_g").isNotNull()
     )
-    groups = [r["_g"] for r in s.select("_g").distinct().orderBy("_g").collect()]
+    groups = sorted(r["_g"] for r in s.select("_g").distinct().collect())
     if len(groups) != 2:
         raise ValueError(
             f"logrank_test: group_col must have exactly 2 levels, got {groups}"
