@@ -1,0 +1,196 @@
+"""Pairwise-preference operators — the data-prep family for
+preference-tuned model training (RLHF reward modeling, DPO pair
+construction) and for ranking entities from head-to-head outcomes.
+
+New operator class relative to the reference (onetl has no analytics
+operators at all — reference scope is connection/reader/writer
+machinery, `onetl/db/db_reader.py` etc.); this extends the repo's
+LLM-pipeline surface the same way the graph/stats families do.
+
+Scale posture: the fit iterates over the PAIR relation (item²-bounded,
+sparse — never the raw comparison log), per-iteration joins key on the
+item id, and every accumulation is an exact-decimal sum of round-9
+terms so a SQL engine replays the trajectory bit-for-bit (the
+power-iteration discipline from `llm/similarity.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Denominator floor for the MM update: two items whose strengths both
+#: round to 0.0 would otherwise divide by zero (ANSI abort). Mirrored
+#: verbatim in oracle SQL via greatest().
+_EPS = 1e-9
+
+
+def pairwise_outcomes(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Ordered head-to-head win counts from grouped scored observations:
+    within each ``group_col`` (an order, a query, an annotation task),
+    every pair of rows with DIFFERENT items and strictly different
+    scores records one win for the higher-scored item. Ties are dropped
+    (they carry no preference signal in the Bradley-Terry likelihood).
+
+    Returns ``(winner, loser, wins)`` with one row per ordered pair.
+
+    Scale: the self-join keys on ``group_col``, so multiplicity is
+    per-group-size-squared — bounded by design for order/query-shaped
+    groups — and the output collapses to the item-pair relation
+    immediately (map-side combined).
+    """
+    a = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(item_col).alias("_i"),
+        F.col(score_col).alias("_s"),
+    ).filter(F.col("_g").isNotNull() & F.col("_i").isNotNull() & F.col("_s").isNotNull())
+    b = (
+        a.select(
+            F.col("_g"),
+            F.col("_i").alias("_j"),
+            F.col("_s").alias("_t"),
+        )
+    )
+    return (
+        a.join(b, "_g")
+        .filter((F.col("_i") != F.col("_j")) & (F.col("_s") > F.col("_t")))
+        .groupBy(F.col("_i").alias("winner"), F.col("_j").alias("loser"))
+        .agg(F.count(F.lit(1)).alias("wins"))
+    )
+
+
+def bradley_terry(
+    outcomes: DataFrame,
+    iterations: int = 5,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    wins_col: str = "wins",
+) -> DataFrame:
+    """Bradley-Terry strength fit from ordered win counts by the MM
+    (minorization-maximization) fixed point (Hunter, "MM algorithms for
+    generalized Bradley-Terry models", Annals of Statistics 2004):
+
+        p_i  <-  W_i / sum_j ( n_ij / (p_i + p_j) )
+
+    with W_i the item's total wins and n_ij the pair's total decisive
+    comparisons, then rescaled each iteration so the strengths sum to
+    the item count (mean 1 — pins the model's free scale).
+
+    Exactness contract: the per-pair terms ``round(n_ij/(p_i+p_j), 9)``
+    accumulate as exact decimals (order-independent), the raw update
+    and the rescale round to 9 as engine expressions, and the
+    denominator is floored at ``1e-9`` (two all-loss items would
+    otherwise hit 0/0 — the floor is part of the spec and mirrored in
+    the oracle). Items present only as losers converge to strength 0.
+
+    Returns ``(item, strength, wins, comparisons)`` — ``comparisons``
+    counts the item's decisive games in either direction.
+
+    Scale: each iteration is two item-keyed joins over the sparse pair
+    relation plus one item aggregation; the strengths frame is
+    ``localCheckpoint``-ed per round (the iterative-graph posture) so
+    the plan stays flat.
+    """
+    if iterations < 1:
+        raise ValueError("bradley_terry: iterations must be >= 1")
+    # symmetrize once: per unordered pair both directions carry n_ij
+    ordered = outcomes.select(
+        F.col(winner_col).alias("_w"),
+        F.col(loser_col).alias("_l"),
+        F.col(wins_col).cast("long").alias("_n"),
+    )
+    neg = ordered.filter(F.col("_n") < 0).limit(1).count()
+    if neg:
+        raise ValueError("bradley_terry: win counts must be non-negative")
+    pairs = (
+        ordered.select(F.col("_w").alias("_i"), F.col("_l").alias("_j"), F.col("_n"))
+        .unionAll(
+            ordered.select(F.col("_l").alias("_i"), F.col("_w").alias("_j"), F.col("_n"))
+        )
+        .groupBy("_i", "_j")
+        .agg(F.sum("_n").alias("_nij"))
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ordered.groupBy(F.col("_w").alias("_i"))
+        .agg(F.sum("_n").alias("_wins"))
+    )
+    items = (
+        pairs.select("_i")
+        .distinct()
+        .join(totals, "_i", "left")
+        .select("_i", F.coalesce(F.col("_wins"), F.lit(0)).alias("_wins"))
+        .localCheckpoint(eager=True)
+    )
+    k = items.count()
+    if not k:
+        raise ValueError("bradley_terry: no decisive comparisons")
+
+    strengths = items.select("_i", F.lit(1.0).alias("_p"))
+    for _ in range(iterations):
+        si = (
+            pairs.join(strengths.select(F.col("_i"), F.col("_p").alias("_pi")), "_i")
+            .join(
+                strengths.select(
+                    F.col("_i").alias("_j"), F.col("_p").alias("_pj")
+                ),
+                "_j",
+            )
+            .select(
+                "_i",
+                F.round(
+                    F.col("_nij").cast("double")
+                    / F.greatest(F.lit(_EPS), F.col("_pi") + F.col("_pj")),
+                    9,
+                )
+                .cast("decimal(30,9)")
+                .alias("_t"),
+            )
+            .groupBy("_i")
+            .agg(F.sum("_t").cast("double").alias("_s"))
+        )
+        raw = (
+            items.join(si, "_i")
+            .select(
+                "_i",
+                F.round(
+                    F.col("_wins").cast("double")
+                    / F.greatest(F.lit(_EPS), F.col("_s")),
+                    9,
+                ).alias("_r"),
+            )
+        )
+        total = raw.agg(
+            F.sum(F.col("_r").cast("decimal(30,9)")).cast("double").alias("_t")
+        )
+        strengths = (
+            raw.crossJoin(F.broadcast(total))
+            .select(
+                "_i",
+                F.round(
+                    (F.col("_r") * F.lit(float(k)))
+                    / F.greatest(F.lit(_EPS), F.col("_t")),
+                    9,
+                ).alias("_p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    comparisons = (
+        pairs.groupBy("_i").agg(F.sum("_nij").alias("_cmp"))
+    )
+    return (
+        strengths.join(items, "_i")
+        .join(comparisons, "_i")
+        .select(
+            F.col("_i").alias("item"),
+            F.col("_p").alias("strength"),
+            F.col("_wins").cast("long").alias("wins"),
+            F.col("_cmp").cast("long").alias("comparisons"),
+        )
+    )

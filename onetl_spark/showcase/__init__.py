@@ -123,4 +123,11 @@ def _modules():
         mods.append(llm)
     except ImportError:  # pragma: no cover
         pass
+    # r9 additions register LAST: their never-green entries must sort
+    # BEHIND the existing verification debt (ties in _debt_ordered break
+    # by registry index), so a new module never displaces older
+    # never-checked queries out of the driver window
+    from onetl_spark.showcase import preference
+
+    mods.append(preference)
     return mods
