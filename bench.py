@@ -17,6 +17,9 @@ import sys
 import time
 
 HEADLINE = [
+    "brand_bradley_terry",
+    "brand_bt_upset_rate",
+    "doc_preference_pairs",
     "source_fightin_words",
     "orders_price_date_skyline",
     "events_revenue_bridge",

@@ -98,12 +98,17 @@ def bradley_terry(
     """
     if iterations < 1:
         raise ValueError("bradley_terry: iterations must be >= 1")
-    # symmetrize once: per unordered pair both directions carry n_ij
+    # Materialize the ordered win counts ONCE: the caller's plan usually
+    # hides an expensive comparison-log aggregation (pairwise_outcomes'
+    # group-keyed self-join), and the guard + symmetrize + totals below
+    # would otherwise re-run it three times. The relation is item²-
+    # bounded — small by construction — so this is the cheap side of the
+    # trade at any scale.
     ordered = outcomes.select(
         F.col(winner_col).alias("_w"),
         F.col(loser_col).alias("_l"),
         F.col(wins_col).cast("long").alias("_n"),
-    )
+    ).localCheckpoint(eager=True)
     neg = ordered.filter(F.col("_n") < 0).limit(1).count()
     if neg:
         raise ValueError("bradley_terry: win counts must be non-negative")

@@ -148,7 +148,10 @@ def brand_bt_upset_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("double").alias("s"),
         )
     )
-    duels = pairwise_outcomes(lp, "g", "item", "s")
+    # duels feed the fit AND the majority comparison — materialize the
+    # item²-bounded relation once instead of re-running the order-keyed
+    # self-join for each consumer
+    duels = pairwise_outcomes(lp, "g", "item", "s").localCheckpoint(eager=True)
     fit = bradley_terry(duels, iterations=_BT_ITER).select("item", "strength")
     # unordered majority pairs: keep i < j, net wins decide the majority
     d1 = duels.select(
