@@ -343,8 +343,16 @@ class JDBCConnection(BaseDBConnection):
             if is_call:
                 stmt = conn.prepareCall(statement)
                 jvm_types = self.spark._jvm.java.sql.Types
-                for pos, type_name, _name, _stype in out_params:
-                    stmt.registerOutParameter(pos, getattr(jvm_types, type_name))
+                for pos, type_name, _name, stype in out_params:
+                    jtype = getattr(jvm_types, type_name)
+                    if stype and type_name in ("DECIMAL", "NUMERIC"):
+                        # JDBC requires the (pos, type, scale) overload for
+                        # DECIMAL/NUMERIC — without it drivers like Oracle
+                        # truncate the OUT value to scale 0.
+                        scale = int(stype.rsplit(",", 1)[1].rstrip(")"))
+                        stmt.registerOutParameter(pos, jtype, scale)
+                    else:
+                        stmt.registerOutParameter(pos, jtype)
                 has_rs = stmt.execute()
             else:
                 stmt = conn.createStatement()
@@ -358,9 +366,10 @@ class JDBCConnection(BaseDBConnection):
             conn.close()
 
     @staticmethod
-    def _normalize_out_params(options: Any) -> list[tuple[int, str, str]]:
-        """Each entry normalizes to (position, java.sql.Types field name,
-        column name). DECIMAL/NUMERIC accept an explicit ``(p,s)`` suffix
+    def _normalize_out_params(options: Any) -> list[tuple[int, str, str, str | None]]:
+        """Each entry normalizes to a 4-tuple (position, java.sql.Types
+        field name, column name, Spark type string or None).
+        DECIMAL/NUMERIC accept an explicit ``(p,s)`` suffix
         — ``(1, "DECIMAL(31,6)")`` — which types the OUT column exactly;
         without it the column falls back to decimal(38,18), which lacks
         integral room past 20 digits (same failure mode the r9 Derby

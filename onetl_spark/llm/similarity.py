@@ -1768,6 +1768,20 @@ def geometric_median(
     spark = embeddings.sparkSession
     embeddings = embeddings.filter(F.col(vec_col).isNotNull())
 
+    # Contract: fixed dimensionality. The one-scan-per-iteration fusion
+    # takes the global inverse-distance denominator from dimension 0's
+    # group, which equals the whole-relation sum only when every vector
+    # is non-empty and the same length — ragged input must fail loudly,
+    # not shift the estimate. One no-shuffle 1-row aggregate validates.
+    sz = embeddings.agg(
+        F.min(F.size(vec_col)).alias("_lo"), F.max(F.size(vec_col)).alias("_hi")
+    ).collect()[0]
+    if sz["_lo"] is not None and (sz["_lo"] != sz["_hi"] or sz["_lo"] == 0):
+        raise ValueError(
+            "geometric_median: embedding arrays must be non-empty and "
+            f"fixed-length (saw sizes {sz['_lo']}..{sz['_hi']})"
+        )
+
     dims = embeddings.select(
         F.posexplode(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))

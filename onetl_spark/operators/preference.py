@@ -109,9 +109,9 @@ def bradley_terry(
         F.col(loser_col).alias("_l"),
         F.col(wins_col).cast("long").alias("_n"),
     ).localCheckpoint(eager=True)
-    neg = ordered.filter(F.col("_n") < 0).limit(1).count()
-    if neg:
-        raise ValueError("bradley_terry: win counts must be non-negative")
+    bad = ordered.filter(F.col("_n").isNull() | (F.col("_n") < 0)).limit(1).count()
+    if bad:
+        raise ValueError("bradley_terry: win counts must be non-negative and non-null")
     pairs = (
         ordered.select(F.col("_w").alias("_i"), F.col("_l").alias("_j"), F.col("_n"))
         .unionAll(

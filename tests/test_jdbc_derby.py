@@ -349,6 +349,46 @@ def test_out_param_decimal_precision(derby):
         derby._normalize_out_params({"out_params": [(1, "DECIMAL(10,11)")]})
 
 
+def test_out_param_decimal_registers_scale(derby, monkeypatch):
+    """JDBC requires the 3-arg ``registerOutParameter(pos, type, scale)``
+    overload for DECIMAL/NUMERIC OUT params — drivers like Oracle and
+    older Postgres truncate the OUT value to scale 0 when registered
+    without a scale. Derby can't host a live OUT DECIMAL procedure, so
+    drive the REAL ``execute()`` registration loop through a recording
+    connection and assert the scale from ``DECIMAL(p,s)`` reaches the
+    3-arg overload while non-decimal types keep the 2-arg form."""
+    from decimal import Decimal
+
+    calls = []
+
+    class _Stmt:
+        def registerOutParameter(self, pos, jtype, scale=None):
+            calls.append((pos, scale))
+
+        def execute(self):
+            return False
+
+        def getObject(self, pos):
+            return {1: Decimal("12.345678"), 2: 9}[pos]
+
+    class _Conn:
+        def prepareCall(self, statement):
+            return _Stmt()
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(derby, "_driver_connection", lambda: _Conn())
+    out = derby.execute(
+        "{call FAKE(?, ?)}",
+        options={"out_params": [(1, "DECIMAL(31,6)", "big"), (2, "INTEGER")]},
+    )
+    assert calls == [(1, 6), (2, None)]
+    row = out.collect()[0]
+    assert row["big"] == Decimal("12.345678") and row["OUT_2"] == 9
+    assert dict(out.dtypes)["big"] == "decimal(31,6)"
+
+
 def test_partitioned_scan_null_and_negative_keys_not_lost(derby):
     """NULL and negative partition keys are the classic silent-row-loss
     foot-gun of predicate-partitioned JDBC scans (`MOD(col,n) = i`
