@@ -530,6 +530,8 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "methodology": "fixed order; per-query JVM-warm median-of-3 (one untimed compile run); cache cleared between runs; canary re-timed every 25 queries for session-drift normalization",
+                "closes_round": _current_round(),
+                "naming_note": "this file is named for the round it CLOSES (newest committed CORRECTNESS round + 1); the driver's stdout-captured BENCH_r{N}.json for the same run may carry the previous round's number",
                 "canary": {"query": CANARY, "timings": canary_track},
                 "testdata_fingerprint": _testdata_fingerprint(sf_dir),
             },
@@ -552,6 +554,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "full": full_name,
+                "closes_round": _current_round(),
             },
             separators=(",", ":"),
         ),
