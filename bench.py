@@ -315,6 +315,16 @@ HEADLINE = [
     "user_value_theil_decomposition",
     "user_spend_lorenz",
     "user_capture_recapture",
+    # r10 additions: retrieval-eval + unicode-hygiene classes
+    # (auto-included per the BENCH_NOTES inclusion rule)
+    "ann_recall_by_label",
+    "ann_mrr",
+    "ivf_quantization_ledger",
+    "ivf_probe_sweep",
+    "doc_script_mix_profile",
+    "doc_unicode_hygiene_audit",
+    "doc_confusable_screen",
+    "doc_nfc_normalization_delta",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

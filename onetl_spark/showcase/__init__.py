@@ -123,11 +123,13 @@ def _modules():
         mods.append(llm)
     except ImportError:  # pragma: no cover
         pass
-    # r9 additions register LAST: their never-green entries must sort
+    # r9+ additions register LAST: their never-green entries must sort
     # BEHIND the existing verification debt (ties in _debt_ordered break
     # by registry index), so a new module never displaces older
     # never-checked queries out of the driver window
-    from onetl_spark.showcase import preference
+    from onetl_spark.showcase import hygiene, preference, retrieval
 
     mods.append(preference)
+    mods.append(retrieval)
+    mods.append(hygiene)
     return mods

@@ -1,0 +1,267 @@
+"""Retrieval-eval showcase — the ANN self-evaluation suite
+(`llm/retrieval_eval.py`) as driver-checkable queries. A NEW operator
+class for round 10 (VERDICT r9 #4 candidate (a)): `ann_ivf_recall` gave
+one aggregate recall number; this family adds the per-slice breakdown,
+rank quality (MRR), the per-cell quantization-loss ledger, and the
+nprobe sweep — the four tables an IVF deployment actually tunes with.
+
+Oracle strategy: the shared CTE chain replays ivf_assign's broadcast
+argmax (ROW_NUMBER over ccos DESC, centroid_id ASC — identical
+tie-breaks), the panel probe ranking, and the brute-force top-k with
+the same 9-dp rounding the Spark operators apply, so every recall/MRR/
+loss value hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.llm.retrieval_eval import (
+    mrr_eval,
+    probe_sweep,
+    quantization_ledger,
+    recall_by_slice,
+)
+from onetl_spark.showcase.util import ensure_views
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+_K = 10
+_PANEL = "vec_id % 25 = 3"
+_CENTROIDS = "vec_id % 64 = 7"
+_PROBES = (1, 2, 4)
+
+
+def _cos(va: str, vb: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, len({va})+1), "
+        f"i -> CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({va}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({vb}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)"
+    )
+
+
+def _base_ctes(max_probe: int = 1, with_slice: bool = False) -> str:
+    """Shared oracle scaffolding: centroids, argmax assignment, panel,
+    probe ranking (top max_probe cells per query), IVF candidates with
+    the admitting probe_rank, and exact brute-force top-k."""
+    slice_sel = ", label AS slice" if with_slice else ""
+    return f"""
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE {_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, centroid_id
+  FROM (SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_cos('v.embedding', 'c.cvec')} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings v CROSS JOIN centroids c)
+  WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec{slice_sel}
+  FROM embeddings WHERE {_PANEL}
+), qprobe AS (
+  SELECT query_id, qvec, centroid_id, rn AS probe_rank
+  FROM (SELECT q.query_id, q.qvec, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos('q.qvec', 'c.cvec')} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM q CROSS JOIN centroids c)
+  WHERE rn <= {max_probe}
+), cands AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         {_cos('v.embedding', 'p.qvec')} AS cos_sim,
+         p.probe_rank
+  FROM embeddings v
+  JOIN assigned a ON a.vec_id = v.vec_id
+  JOIN qprobe p ON p.centroid_id = a.centroid_id
+  WHERE v.vec_id <> p.query_id
+), exact AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos('v.embedding', 'q.qvec')} DESC,
+                                           v.vec_id ASC) AS rn
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id)
+  WHERE rn <= {_K}
+)"""
+
+
+def ann_recall_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of single-probe IVF per label slice
+    (`llm/retrieval_eval.py recall_by_slice`): the per-slice breakdown
+    that catches one corpus segment going unfindable while aggregate
+    recall looks healthy. Panel = every 25th vector; deterministic
+    tie-breaks make the slice means engine-exact."""
+    ensure_views(spark, sf_dir)
+    return recall_by_slice(
+        spark.table("embeddings"), _PANEL, k=_K, slice_col="label",
+        centroid_filter=_CENTROIDS,
+    ).orderBy("slice")
+
+
+ORACLE_SQL["ann_recall_by_label"] = f"""
+WITH {_base_ctes(1, with_slice=True).strip()},
+approx AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        FROM cands)
+  WHERE rn <= {_K}
+), hits AS (
+  SELECT query_id, COUNT(*) AS n
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY query_id
+), per_query AS (
+  SELECT q.slice, round(COALESCE(hits.n, 0) / {float(_K)}, 9) AS r
+  FROM q LEFT JOIN hits USING (query_id)
+)
+SELECT slice,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(CAST(SUM(CAST(r AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 9) AS mean_recall,
+       round(MIN(r), 9) AS min_recall
+FROM per_query
+GROUP BY slice
+ORDER BY slice
+"""
+
+SPARK_QUERIES["ann_recall_by_label"] = ann_recall_by_label
+
+
+def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of each panel query's TRUE nearest neighbour
+    inside the IVF top-10 (`llm/retrieval_eval.py mrr_eval`): position
+    quality, not just set overlap — rr = 0 when the NN's cell wasn't
+    probed. Panel-bounded per-query rows."""
+    ensure_views(spark, sf_dir)
+    return mrr_eval(
+        spark.table("embeddings"), _PANEL, k=_K, centroid_filter=_CENTROIDS,
+    ).orderBy("query_id")
+
+
+ORACLE_SQL["ann_mrr"] = f"""
+WITH {_base_ctes(1).strip()},
+nn AS (
+  SELECT query_id, neighbor_id AS nn_id
+  FROM (SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos('v.embedding', 'q.qvec')} DESC,
+                                           v.vec_id ASC) AS rn
+        FROM embeddings v CROSS JOIN q
+        WHERE v.vec_id <> q.query_id)
+  WHERE rn = 1
+), approx_ranked AS (
+  SELECT query_id, neighbor_id, rn AS approx_rank
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        FROM cands)
+  WHERE rn <= {_K}
+)
+SELECT nn.query_id, nn.nn_id,
+       CAST(COALESCE(ar.approx_rank, 0) AS INT) AS approx_rank,
+       round(CASE WHEN ar.approx_rank IS NULL THEN 0.0
+                  ELSE 1.0 / ar.approx_rank END, 9) AS rr
+FROM nn LEFT JOIN approx_ranked ar
+  ON nn.query_id = ar.query_id AND nn.nn_id = ar.neighbor_id
+ORDER BY nn.query_id
+"""
+
+SPARK_QUERIES["ann_mrr"] = ann_mrr
+
+
+def ivf_quantization_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell quantization-loss ledger
+    (`llm/retrieval_eval.py quantization_ledger`): membership,
+    corpus share, and mean/max ``1 - cos(v, centroid)`` per IVF cell —
+    the imbalance-and-loss table that says where cluster-restricted
+    search loses recall. One corpus pass, centroid-bounded output."""
+    ensure_views(spark, sf_dir)
+    return quantization_ledger(
+        spark.table("embeddings"), centroid_filter=_CENTROIDS,
+    ).orderBy("centroid_id")
+
+
+ORACLE_SQL["ivf_quantization_ledger"] = f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE {_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, centroid_id
+  FROM (SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_cos('v.embedding', 'c.cvec')} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM embeddings v CROSS JOIN centroids c)
+  WHERE rn = 1
+), losses AS (
+  SELECT a.centroid_id,
+         round(1.0 - {_cos('v.embedding', 'c.cvec')}, 9) AS loss
+  FROM assigned a
+  JOIN embeddings v ON v.vec_id = a.vec_id
+  JOIN centroids c ON c.centroid_id = a.centroid_id
+), cells AS (
+  SELECT centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         round(CAST(SUM(CAST(loss AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 9) AS mean_loss,
+         round(MAX(loss), 9) AS max_loss
+  FROM losses
+  GROUP BY centroid_id
+)
+SELECT centroid_id, n_vecs,
+       round(CAST(n_vecs AS DOUBLE) / t.total, 9) AS corpus_share,
+       mean_loss, max_loss
+FROM cells CROSS JOIN (SELECT CAST(SUM(n_vecs) AS DOUBLE) AS total FROM cells) t
+ORDER BY centroid_id
+"""
+
+SPARK_QUERIES["ivf_quantization_ledger"] = ivf_quantization_ledger
+
+
+def ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean recall@10 vs nprobe ∈ {{1,2,4}}
+    (`llm/retrieval_eval.py probe_sweep`): the latency/recall operating
+    curve. Candidates are scored ONCE at nprobe=4 and each sweep point
+    filters by the admitting probe rank — no re-scoring per point."""
+    ensure_views(spark, sf_dir)
+    return probe_sweep(
+        spark.table("embeddings"), _PANEL, k=_K, probes=_PROBES,
+        centroid_filter=_CENTROIDS,
+    ).orderBy("nprobe")
+
+
+ORACLE_SQL["ivf_probe_sweep"] = f"""
+WITH {_base_ctes(max(_PROBES)).strip()},
+probes(nprobe) AS (VALUES {', '.join(f'({p})' for p in _PROBES)}),
+swept AS (
+  SELECT nprobe, query_id, neighbor_id
+  FROM (SELECT pr.nprobe, c.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id, pr.nprobe
+                                  ORDER BY c.cos_sim DESC, c.neighbor_id ASC) AS rn
+        FROM cands c JOIN probes pr ON c.probe_rank <= pr.nprobe)
+  WHERE rn <= {_K}
+), hits AS (
+  SELECT s.nprobe, s.query_id, COUNT(*) AS n
+  FROM swept s JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY s.nprobe, s.query_id
+), per_query AS (
+  SELECT pr.nprobe, q.query_id,
+         round(COALESCE(h.n, 0) / {float(_K)}, 9) AS r
+  FROM q CROSS JOIN probes pr
+  LEFT JOIN hits h ON h.nprobe = pr.nprobe AND h.query_id = q.query_id
+)
+SELECT CAST(nprobe AS INT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(CAST(SUM(CAST(r AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*), 9) AS mean_recall,
+       round(MIN(r), 9) AS min_recall
+FROM per_query
+GROUP BY nprobe
+ORDER BY nprobe
+"""
+
+SPARK_QUERIES["ivf_probe_sweep"] = ivf_probe_sweep

@@ -828,3 +828,53 @@ def test_block_power_iteration_scan_and_job_shape(tables):
     # epilogue is a d-row range projection — no further corpus scans
     plan = executed_plan(df)
     assert "FileScan" not in plan and "CartesianProduct" not in plan
+
+
+def test_retrieval_eval_plan_shapes(tables):
+    """Retrieval-eval family (r10): exact top-k must ride the partial
+    WindowGroupLimit (map-side top-k — nothing corpus-sized shuffles),
+    centroid/panel relations must join as broadcasts, and the only
+    allowed nested-loop joins are broadcast ones (bounded panel or the
+    1-row total); a plain CartesianProduct is a scale killer."""
+    from onetl_spark.llm.retrieval_eval import (
+        probe_sweep,
+        quantization_ledger,
+        recall_by_slice,
+    )
+
+    emb = tables.table("embeddings")
+    for df in (
+        recall_by_slice(emb, "vec_id % 25 = 3", k=5),
+        probe_sweep(emb, "vec_id % 25 = 3", k=5, probes=(1, 2)),
+    ):
+        plan = executed_plan(df)
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+
+    plan = executed_plan(quantization_ledger(emb))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hygiene_single_scan_no_shuffle_blowup(tables):
+    """Hygiene family (r10): each audit is ONE scan of documents with
+    pure column expressions — the executed plan must contain exactly one
+    parquet scan, no join of any kind, and stay inside whole-stage
+    codegen (regexp_count/regexp_replace are JVM expressions, not UDFs)."""
+    from onetl_spark.llm.hygiene import (
+        combining_mark_audit,
+        confusable_screen,
+        control_char_audit,
+        script_profile,
+    )
+
+    docs = tables.table("documents")
+    for op in (script_profile, control_char_audit, confusable_screen,
+               combining_mark_audit):
+        plan = executed_plan(op(docs))
+        assert plan.count("Scan parquet") == 1, op.__name__
+        assert "Join" not in plan and "CartesianProduct" not in plan, op.__name__
+        # '*(n)' prefixes mark whole-stage-codegen stages in executedPlan
+        assert "*(1)" in plan, op.__name__
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
