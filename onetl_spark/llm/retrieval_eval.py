@@ -238,9 +238,10 @@ def quantization_ledger(
     One corpus pass: ``ivf_assign``'s broadcast argmax (its exact
     tie-break semantics, not a re-implementation), a broadcast rejoin to
     the centroid set to score only the N ASSIGNED pairs (not N×C), then
-    a centroid-keyed aggregate. corpus_share comes from a window over
-    the centroid-bounded aggregate — no second corpus pass. Returns one
-    row per non-empty cell:
+    a centroid-keyed aggregate. corpus_share divides by a 1-row
+    broadcast total over the centroid-bounded cells relation (Spark's
+    ReuseExchange dedupes the shared aggregate, so the corpus is still
+    scanned once — plan-guarded). Returns one row per non-empty cell:
     ``(centroid_id, n_vecs, corpus_share, mean_loss, max_loss)``.
     """
     centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
