@@ -852,9 +852,14 @@ def test_retrieval_eval_plan_shapes(tables):
         assert "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
 
-    plan = executed_plan(quantization_ledger(emb))
+    df = quantization_ledger(emb)
+    plan = executed_plan(df)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+    # the cells checkpoint must cut the corpus-share fan-out: the final
+    # plan reads the materialized cells, never re-scanning the corpus
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_hygiene_single_scan_no_shuffle_blowup(tables):
