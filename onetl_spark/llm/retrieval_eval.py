@@ -43,10 +43,27 @@ __all__ = [
 
 def _panel(embeddings: DataFrame, query_filter: str, id_col: str, vec_col: str,
            slice_col: str | None = None) -> DataFrame:
+    """Materialized query panel. The panel filter is a modulo predicate —
+    NOT parquet-pushable — so every lazy reference would re-read the
+    corpus' id+vector columns; each operator here references the panel
+    2-3 times (exact arm, probe arm, outer grid). localCheckpoint makes
+    those references read the panel-bounded relation instead (measured:
+    7 corpus-scale scans -> 2 per operator)."""
     cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")]
     if slice_col:
         cols.append(F.col(slice_col).alias("slice"))
-    return embeddings.filter(query_filter).select(*cols)
+    return embeddings.filter(query_filter).select(*cols).localCheckpoint(eager=True)
+
+
+def _centroids(embeddings: DataFrame, centroid_filter: str, id_col: str,
+               vec_col: str) -> DataFrame:
+    """Materialized centroid set (the codebook). It feeds 2-3 consumers
+    per operator (corpus assignment, query probe ranking, loss rejoin)
+    and must be broadcastable anyway — checkpointing it once replaces
+    repeated corpus re-scans with reads of the codebook itself."""
+    return ivf_seed_centroids(
+        embeddings, centroid_filter, id_col, vec_col
+    ).localCheckpoint(eager=True)
 
 
 def _qprobe(queries: DataFrame, centroids: DataFrame, max_probe: int = 1) -> DataFrame:
@@ -124,7 +141,7 @@ def recall_by_slice(
         embeddings, queries.select("query_id", "qvec"), k=k,
         id_col=id_col, vec_col=vec_col,
     )
-    centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    centroids = _centroids(embeddings, centroid_filter, id_col, vec_col)
     approx = _approx_candidates(
         embeddings, queries.select("query_id", "qvec"), centroids, 1, id_col, vec_col,
     )
@@ -189,7 +206,7 @@ def mrr_eval(
         topk_per_query(embeddings, queries, k=1, id_col=id_col, vec_col=vec_col)
         .select("query_id", F.col("neighbor_id").alias("nn_id"))
     )
-    centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    centroids = _centroids(embeddings, centroid_filter, id_col, vec_col)
     approx = _approx_candidates(embeddings, queries, centroids, 1, id_col, vec_col)
     approx_ranked = (
         approx.withColumn(
@@ -246,7 +263,7 @@ def quantization_ledger(
     Returns one row per non-empty cell:
     ``(centroid_id, n_vecs, corpus_share, mean_loss, max_loss)``.
     """
-    centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    centroids = _centroids(embeddings, centroid_filter, id_col, vec_col)
     clustered = ivf_assign(
         embeddings, id_col=id_col, vec_col=vec_col, centroids=centroids, carry_vec=True,
     )
@@ -311,7 +328,7 @@ def probe_sweep(
         raise ValueError("probe_sweep: probes must be positive ints")
     queries = _panel(embeddings, query_filter, id_col, vec_col)
     exact = topk_per_query(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
-    centroids = ivf_seed_centroids(embeddings, centroid_filter, id_col, vec_col)
+    centroids = _centroids(embeddings, centroid_filter, id_col, vec_col)
     cands = _approx_candidates(
         embeddings, queries, centroids, probes[-1], id_col, vec_col,
     )

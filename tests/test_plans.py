@@ -851,6 +851,11 @@ def test_retrieval_eval_plan_shapes(tables):
         assert "WindowGroupLimit" in plan and "Partial" in plan
         assert "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
+        # panel + centroid materialization caps corpus scans at the two
+        # required passes (exact top-k arm, IVF assignment arm); the
+        # modulo panel filter is not parquet-pushable, so lazy panel
+        # references would each re-read the corpus (was 7 scans)
+        assert plan.count("Scan parquet") <= 2
 
     df = quantization_ledger(emb)
     plan = executed_plan(df)
