@@ -148,3 +148,24 @@ def test_probe_sweep_validates_probes(spark, planted):
         probe_sweep(planted, "vec_id % 2 = 1", probes=())
     with pytest.raises(ValueError, match="probes"):
         probe_sweep(planted, "vec_id % 2 = 1", probes=(0, 2))
+
+
+def test_recall_by_slice_consistent_with_ivf_recall_eval(spark, testdata):
+    """Cross-operator invariant on real testdata: the query-count-weighted
+    mean of per-slice recalls must equal the plain mean of
+    ivf_recall_eval's per-query recalls for the same panel, k, and
+    centroid set — the slice breakdown is a partition of the same
+    measurements, not a different metric."""
+    from onetl_spark.llm.similarity import ivf_recall_eval
+
+    emb = spark.table("embeddings")
+    panel_ids = [r["vec_id"] for r in emb.filter("vec_id % 25 = 3").select("vec_id").collect()]
+    per_query = ivf_recall_eval(emb, panel_ids, k=5).collect()
+    overall = sum(r["recall"] for r in per_query) / len(per_query)
+
+    sliced = recall_by_slice(emb, "vec_id % 25 = 3", k=5, slice_col="label").collect()
+    weighted = sum(r["mean_recall"] * r["n_queries"] for r in sliced) / sum(
+        r["n_queries"] for r in sliced
+    )
+    assert sum(r["n_queries"] for r in sliced) == len(per_query)
+    assert abs(weighted - overall) < 1e-9
