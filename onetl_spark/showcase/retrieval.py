@@ -29,7 +29,13 @@ SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict = {}
 
 _K = 10
-_PANEL = "vec_id % 25 = 3"
+# Panel = every 25th vector, SIZE-CAPPED at 500 queries: an evaluation
+# panel must not grow with the corpus or the exact brute-force arm turns
+# O(panel x corpus) = quadratic — the scale-curve harness measured
+# alpha -> 0.92 with an uncapped fractional panel. The cap is inactive at
+# the committed sf0.01/sf0.1 data (2,000 vectors < 12,500), so oracle
+# values are unchanged; at sf1+ it pins the exact arm to O(500 x corpus).
+_PANEL = "vec_id % 25 = 3 AND vec_id < 12500"
 _CENTROIDS = "vec_id % 64 = 7"
 _PROBES = (1, 2, 4)
 

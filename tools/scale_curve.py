@@ -52,6 +52,9 @@ FAMILIES = {
     "ecdf_drift": ("events_value_anderson_darling", "events"),
     "streaming_join": ("streaming_left_outer_join", "events"),
     "kmeans": ("embedding_kmeans_clusters", "embeddings"),
+    # r10 additions
+    "retrieval_eval": ("ann_recall_by_label", "embeddings"),
+    "unicode_hygiene": ("doc_script_mix_profile", "documents"),
 }
 
 
@@ -127,8 +130,16 @@ def main() -> None:
             "times_sec": times, "exponents": exps,
         }
 
-    out = {"rows": rows, "families": results, "reps": reps}
     path = os.path.join(REPO, "SCALE_CURVE.json")
+    out = {"rows": rows, "families": results, "reps": reps}
+    if only is not None and os.path.exists(path):
+        # partial run: merge into the existing curve instead of clobbering
+        # the families not re-measured
+        with open(path) as f:
+            prev = json.load(f)
+        merged = dict(prev.get("families", {}))
+        merged.update(results)
+        out = {"rows": rows, "families": merged, "reps": reps}
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\nwrote {path}\n")
