@@ -325,6 +325,7 @@ HEADLINE = [
     "doc_unicode_hygiene_audit",
     "doc_confusable_screen",
     "doc_nfc_normalization_delta",
+    "semantic_near_dup_banded",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from onetl_spark.spark_utils import widen_small_scan
+
+log = logging.getLogger(__name__)
 
 
 def dot(a, b):
@@ -240,21 +243,136 @@ def lsh_plane_component(p: int, d: int) -> float:
     return (h % 2001 - 1000) / 1000.0
 
 
-def sign_lsh_bucket(vec_col, dim: int, n_planes: int = 8):
+def sign_lsh_bucket(vec_col, dim: int, n_planes: int = 8, plane_offset: int = 0):
     """Sign-random-projection bucket id (0..2^n_planes-1). Plane values are
-    Python-precomputed constants, so the projection is a pure per-row
-    multiply-add chain (codegen-friendly, no per-row hashing)."""
-    bits = []
-    for p in range(n_planes):
-        proj = None
-        for d in range(dim):
-            term = F.element_at(vec_col, d + 1).cast("double") * F.lit(lsh_plane_component(p, d))
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    Python-precomputed constants embedded as ARRAY literals and folded
+    with higher-order functions — a chained multiply-add expression tree
+    (n_planes × dim terms) blows janino's 64 KB generated-method limit
+    past ~1k terms and silently drops the whole stage to interpreted
+    eval; the HOF form keeps the plan O(1)-sized regardless of plane
+    count. Arithmetic is bit-identical to the chained form: the fold is
+    the same left-to-right order and IEEE ``0.0 + t0 == t0``.
+    ``plane_offset`` selects a disjoint plane family — band b of a banded
+    scheme uses planes [b*r, (b+1)*r)."""
+    planes_lit = F.array(
+        *[
+            F.array(
+                *[F.lit(lsh_plane_component(plane_offset + p, d)) for d in range(dim)]
+            )
+            for p in range(n_planes)
+        ]
+    )
+    projs = F.transform(
+        planes_lit,
+        lambda plane: F.aggregate(
+            F.zip_with(vec_col, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+    weights_lit = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    weighted = F.zip_with(
+        projs, weights_lit,
+        lambda x, w: F.when(x > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, b: acc + b)
+
+
+def banded_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    bands: int = 6,
+    planes_per_band: int = 4,
+    max_bucket_size: int = 512,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via BANDED sign-LSH — the linear
+    scale path for semantic dedup, mirroring the MinHash-banding posture
+    the text side uses (`llm/dedup.py minhash_lsh_pairs`).
+
+    Why this exists: the cluster-blocked variant
+    (`semantic_near_dup_pairs`) scores the corpus against a centroid set
+    that grows as corpus/64, so its assignment arm is O(N²/64) — the r10
+    scale harness measured α = 1.22 at sf1 (SCALE_CURVE.json). Here each
+    vector lands in ``bands`` buckets keyed by sign-random-projection
+    bits (deterministic md5-derived hyperplanes, disjoint plane family
+    per band), candidate pairs share a (band, bucket) key, and buckets
+    above ``max_bucket_size`` are anti-joined out and LOGGED (the
+    standard web-dedup recall knob — never silent). With the cap, pair
+    work is bounded by bands × N × cap: LINEAR in the corpus.
+
+    Recall is tunable: a pair at cosine angle θ collides in one band
+    with (1 − θ/π)^r and anywhere with 1 − (1 − p)^bands — raise
+    ``bands`` for recall, ``planes_per_band`` for precision. Every
+    surviving candidate is verified exactly (cosine ≥ threshold), so
+    precision of REPORTED pairs is 1; only recall is approximate.
+
+    Returns ``(a_id, b_id, cos_sim)``, deduplicated across bands.
+    """
+    if bands < 1 or planes_per_band < 1:
+        raise ValueError("banded_near_dup_pairs: bands and planes_per_band must be >= 1")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("_band"),
+                sign_lsh_bucket(
+                    F.col(vec_col), dim, planes_per_band,
+                    plane_offset=b * planes_per_band,
+                ).alias("_bkt"),
+            )
+            for b in range(bands)
+        ]
+    )
+    rows = (
+        widen_small_scan(embeddings)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            norm(F.col(vec_col)).alias("_norm"),
+            F.explode(buckets).alias("_bb"),
+        )
+        .select("_id", "_vec", "_norm", "_bb._band", "_bb._bkt")
+        .persist()
+    )
+    oversized = (
+        rows.groupBy("_band", "_bkt")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .select("_band", "_bkt")
+        .localCheckpoint(eager=True)
+    )
+    n_oversized = oversized.count()
+    if n_oversized:
+        log.warning(
+            "banded_near_dup_pairs: dropped %d LSH buckets larger than %d members; "
+            "recall is reduced for mass-duplicated regions — run exact dedup first",
+            n_oversized,
+            max_bucket_size,
+        )
+        rows = rows.join(F.broadcast(oversized), ["_band", "_bkt"], "left_anti")
+    left = rows.select(
+        "_band", "_bkt",
+        F.col("_id").alias("a_id"), F.col("_vec").alias("_av"), F.col("_norm").alias("_an"),
+    )
+    right = rows.select(
+        "_band", "_bkt",
+        F.col("_id").alias("b_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"),
+    )
+    return (
+        left.join(right, ["_band", "_bkt"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 9,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
 
 
 def lsh_bucket_topk(

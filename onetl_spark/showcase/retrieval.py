@@ -271,3 +271,78 @@ ORDER BY nprobe
 """
 
 SPARK_QUERIES["ivf_probe_sweep"] = ivf_probe_sweep
+
+
+def semantic_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH near-duplicate pairs
+    (`llm/similarity.py banded_near_dup_pairs`) — the LINEAR scale path
+    for semantic dedup. The cluster-blocked `semantic_near_dup` scores
+    the corpus against a corpus/64-sized centroid set (O(N²/64)
+    assignment; scale harness measured α = 1.22); here candidates share
+    a (band, sign-projection-bucket) key, over-full buckets are dropped
+    under a logged cap, and pair work is bounded by bands × N × cap.
+    Every reported pair is exactly verified (cos ≥ threshold)."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.similarity import banded_near_dup_pairs
+
+    return banded_near_dup_pairs(
+        spark.table("embeddings"), threshold=0.3,
+        bands=_ND_BANDS, planes_per_band=_ND_PLANES,
+    ).orderBy("a_id", "b_id")
+
+
+# planes_per_band is the LSH scale knob (~log2(corpus/target_bucket)):
+# 4 planes = 16 buckets/band collapses at sf1 (20k vectors -> every bucket
+# over the 512 cap -> all dropped, empty result); 8 planes = 256
+# buckets/band keeps buckets ~N/256, cap-binding only past ~130k vectors.
+_ND_BANDS = 6
+_ND_PLANES = 8
+
+
+def _banded_near_dup_sql(bands: int = _ND_BANDS, planes_per_band: int = _ND_PLANES,
+                         cap: int = 512, threshold: float = 0.3) -> str:
+    from onetl_spark.llm.similarity import lsh_plane_component
+
+    def bucket_expr(band: int) -> str:
+        bits = []
+        for j in range(planes_per_band):
+            p = band * planes_per_band + j
+            comps = [lsh_plane_component(p, d) for d in range(64)]
+            proj = " + ".join(
+                f"CAST(embedding[{d + 1}] AS DOUBLE) * ({comps[d]!r})"
+                for d in range(64)
+            )
+            bits.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(bits)
+
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS id, embedding, {b} AS band, ({bucket_expr(b)}) AS bkt FROM embeddings"
+        for b in range(bands)
+    )
+    return f"""
+WITH rows_all AS MATERIALIZED (
+{band_rows}
+), sizes AS (
+  SELECT band, bkt, COUNT(*) AS bn FROM rows_all GROUP BY band, bkt
+), kept AS (
+  SELECT r.* FROM rows_all r JOIN sizes s ON r.band = s.band AND r.bkt = s.bkt
+  WHERE s.bn <= {cap}
+)
+SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+       round(list_sum(list_transform(range(1, len(a.embedding)+1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)
+           AS cos_sim
+FROM kept a JOIN kept b ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id
+WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+            (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)
+      >= {threshold}
+ORDER BY a_id, b_id
+"""
+
+
+SPARK_QUERIES["semantic_near_dup_banded"] = semantic_near_dup_banded
+ORACLE_SQL["semantic_near_dup_banded"] = _banded_near_dup_sql()

@@ -888,3 +888,21 @@ def test_hygiene_single_scan_no_shuffle_blowup(tables):
         # '*(n)' prefixes mark whole-stage-codegen stages in executedPlan
         assert "*(1)" in plan, op.__name__
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_banded_near_dup_plan_bounded(tables):
+    """Banded sign-LSH near-dup (r10): the pair join must key on
+    (band, bucket) — never a cartesian — and the bucket expression must
+    stay a compact HOF fold (array literals), not a chained multiply-add
+    tree that blows janino's method limit into interpreted fallback."""
+    from onetl_spark.llm.similarity import banded_near_dup_pairs
+
+    emb = tables.table("embeddings")
+    df = banded_near_dup_pairs(emb, bands=4, planes_per_band=4)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "_bkt" in plan  # bucket key present in the join
+    # both pair-join sides must read the persisted bucketed rows — the
+    # cached relation's stored child plan still PRINTS its parquet scan,
+    # so count InMemoryTableScan, not scan strings
+    assert plan.count("InMemoryTableScan") >= 2

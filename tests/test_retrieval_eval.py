@@ -169,3 +169,61 @@ def test_recall_by_slice_consistent_with_ivf_recall_eval(spark, testdata):
     )
     assert sum(r["n_queries"] for r in sliced) == len(per_query)
     assert abs(weighted - overall) < 1e-9
+
+
+def test_banded_near_dup_finds_planted_duplicates(spark):
+    """Identical vectors share every band bucket, so exact duplicates are
+    found with recall 1 regardless of plane draw; orthogonal vectors at
+    cos 0 never pass the threshold."""
+    import math
+
+    from onetl_spark.llm.similarity import banded_near_dup_pairs
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    base = unit(1.0, 0.2, 0.0, 0.3)
+    near = unit(1.0, 0.21, 0.01, 0.3)     # cosine ~0.9998
+    rows = [
+        (1, base, 0), (2, list(base), 0),  # exact duplicate pair
+        (3, near, 0),                      # near-duplicate of 1/2
+        (4, unit(0.0, 0.0, 1.0, 0.0), 1),  # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {(r["a_id"], r["b_id"]): r["cos_sim"] for r in banded_near_dup_pairs(
+        emb, threshold=0.9, bands=6, planes_per_band=4, dim=4,
+    ).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    # pairs are unordered-unique and never include the unrelated vector
+    assert all(a < b for a, b in got)
+    assert not any(4 in pair for pair in got)
+
+
+def test_banded_near_dup_bucket_cap_drops_and_logs(spark, caplog):
+    """A mass-duplicated region must hit the logged cap, not the
+    quadratic self-join: 30 identical vectors with cap 10 -> their bucket
+    is dropped in every band and no pairs return (recall knob, loudly)."""
+    import logging
+
+    from onetl_spark.llm.similarity import banded_near_dup_pairs
+
+    rows = [(i, [1.0, 0.5, 0.25, 0.125], 0) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with caplog.at_level(logging.WARNING):
+        out = banded_near_dup_pairs(
+            emb, threshold=0.5, bands=4, planes_per_band=4,
+            max_bucket_size=10, dim=4,
+        ).collect()
+    assert out == []
+    assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_banded_near_dup_validation(spark):
+    from onetl_spark.llm.similarity import banded_near_dup_pairs
+
+    emb = spark.createDataFrame([(1, [1.0], 0)], "vec_id long, embedding array<float>, label int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        banded_near_dup_pairs(emb, bands=0)

@@ -55,6 +55,18 @@ FAMILIES = {
     # r10 additions
     "retrieval_eval": ("ann_recall_by_label", "embeddings"),
     "unicode_hygiene": ("doc_script_mix_profile", "documents"),
+    # r10 second batch: next cost tier + known quadratic-in-block shapes
+    "minhash_lsh": ("dedup_minhash_lsh", "documents"),
+    "semantic_near_dup": ("semantic_near_dup", "embeddings"),
+    "corpus_pipeline": ("training_corpus_pipeline", "documents"),
+    "sessionization": ("events_sessionization", "events"),
+    "bm25": ("corpus_bm25_topk", "documents"),
+    "winnowing": ("doc_winnow_overlap", "documents"),
+    "scd2": ("user_state_scd2", "events"),
+    "tpch_join_heavy": ("q9_profit_by_nation_year", "lineitem"),
+    "streaming_stateful": ("streaming_value_histogram", "events"),
+    "lm_transfer": ("source_lm_transfer_matrix", "documents"),
+    "semantic_near_dup_banded": ("semantic_near_dup_banded", "embeddings"),
 }
 
 
