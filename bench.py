@@ -326,6 +326,7 @@ HEADLINE = [
     "doc_confusable_screen",
     "doc_nfc_normalization_delta",
     "semantic_near_dup_banded",
+    "doc_sanitize_report",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -34,6 +34,7 @@ __all__ = [
     "confusable_screen",
     "combining_mark_audit",
     "nfc_normalize_latin1",
+    "sanitize_text",
     "NFC_LATIN1_PAIRS",
 ]
 
@@ -210,3 +211,27 @@ def nfc_normalize_latin1(col: Column) -> Column:
     for decomposed, composed in NFC_LATIN1_PAIRS:
         out = F.replace(out, F.lit(decomposed), F.lit(composed))
     return out
+
+
+def sanitize_text(col: Column) -> Column:
+    """The FIX side of the audits above, composed as one column
+    expression (single pass, JVM regexp, no UDF):
+
+    1. drop zero-width characters and bidi controls (the spoofing and
+       watermark channels `control_char_audit` counts);
+    2. drop C0 controls other than tab/LF/CR;
+    3. collapse odd space variants (NBSP, en/em/thin/ideographic) to a
+       plain space;
+    4. compose the Latin-1 NFC subset (`nfc_normalize_latin1`).
+
+    Residual combining marks and confusables are NOT touched — they
+    change meaning, so they are audit-and-quarantine decisions, not
+    silent rewrites (TR#36 §3.5's distinction between normalization and
+    filtering). Idempotent by construction: every output class is
+    disjoint from every pattern's match set.
+    """
+    out = F.regexp_replace(col, F.lit(ZERO_WIDTH), F.lit(""))
+    out = F.regexp_replace(out, F.lit(BIDI_CONTROLS), F.lit(""))
+    out = F.regexp_replace(out, F.lit(C0_CONTROLS), F.lit(""))
+    out = F.regexp_replace(out, F.lit(ODD_SPACES), F.lit(" "))
+    return nfc_normalize_latin1(out)

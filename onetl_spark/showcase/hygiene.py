@@ -343,3 +343,81 @@ ORDER BY lang
 """
 
 SPARK_QUERIES["doc_nfc_normalization_delta"] = doc_nfc_normalization_delta
+
+
+def doc_sanitize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fix-side of the hygiene class (`llm/hygiene.py sanitize_text`):
+    strip zero-width/bidi/C0 characters, collapse odd spaces, compose the
+    Latin-1 NFC subset — then PROVE the cleaning per language: documents
+    changed, characters removed, and a built-in idempotence check
+    (sanitizing twice must equal once; the re-audit of sanitized text
+    must count zero strippable characters). Meaning-changing classes
+    (confusables, residual marks) are audit-only by design."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.hygiene import sanitize_text
+
+    deco = _decorated(spark)
+    cleaned = deco.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("_len0"),
+        sanitize_text(F.col("text")).alias("_clean"),
+        sanitize_text(sanitize_text(F.col("text"))).alias("_clean2"),
+    )
+    audit = control_char_audit(
+        cleaned.select("doc_id", "lang", "_len0", "_clean", "_clean2",
+                       F.col("_clean").alias("text"))
+    )
+    return (
+        audit.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("_len0") != F.length("_clean")).cast("int"))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.col("_len0") - F.length("_clean")).cast("long").alias("chars_removed"),
+            F.sum((F.col("_clean") != F.col("_clean2")).cast("int"))
+            .cast("long")
+            .alias("n_not_idempotent"),
+            F.sum(
+                F.col("n_zero_width") + F.col("n_bidi") + F.col("n_control")
+            ).cast("long").alias("strippable_after"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sanitize_sql(col: str) -> str:
+    out = f"regexp_replace({col}, '{_ZW_CLS}', '', 'g')"
+    out = f"regexp_replace({out}, '{_BIDI_CLS}', '', 'g')"
+    out = f"regexp_replace({out}, '{_C0_CLS}', '', 'g')"
+    out = f"regexp_replace({out}, '{_SPACE_CLS}', ' ', 'g')"
+    return _nfc_replace_sql(out)
+
+
+ORACLE_SQL["doc_sanitize_report"] = f"""
+WITH {_DECO_SQL.strip().rstrip()}
+, cleaned AS (
+  SELECT doc_id, lang, length(text) AS len0,
+         {_sanitize_sql('text')} AS clean,
+         {_sanitize_sql(_sanitize_sql('text'))} AS clean2
+  FROM deco
+), audited AS (
+  SELECT lang, len0, clean, clean2,
+         len(regexp_extract_all(clean, '{_ZW_CLS}')) +
+         len(regexp_extract_all(clean, '{_BIDI_CLS}')) +
+         len(regexp_extract_all(clean, '{_C0_CLS}')) AS strippable
+  FROM cleaned
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN len0 <> length(clean) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(len0 - length(clean)) AS BIGINT) AS chars_removed,
+       CAST(SUM(CASE WHEN clean <> clean2 THEN 1 ELSE 0 END) AS BIGINT) AS n_not_idempotent,
+       CAST(SUM(strippable) AS BIGINT) AS strippable_after
+FROM audited
+GROUP BY lang
+ORDER BY lang
+"""
+
+SPARK_QUERIES["doc_sanitize_report"] = doc_sanitize_report

@@ -115,3 +115,34 @@ def test_nfc_normalize_latin1_values(spark):
     assert [r["t"] for r in out] == [
         "caf" + E_ACUTE, "pi" + N_TILDE + "a", "no marks",
     ]
+
+
+def test_sanitize_text_strips_and_composes(spark):
+    from onetl_spark.llm.hygiene import sanitize_text
+
+    rows = _docs(spark, [
+        f"a{ZWSP}b{RLO}c{PDF}d\x07e",     # invisibles + control stripped
+        f"x{NBSP}y{IDEO_SPACE}z",          # odd spaces -> plain space
+        f"cafe{ACUTE} pin{TILDE}a",        # NFC subset composed
+        "already clean",
+    ])
+    out = [r["t"] for r in rows.select(sanitize_text(F.col("text")).alias("t")).collect()]
+    assert out[0] == "abcde"
+    assert out[1] == "x y z"
+    assert out[2] == "caf" + E_ACUTE + " pi" + N_TILDE + "a"
+    assert out[3] == "already clean"
+
+
+def test_sanitize_text_idempotent_and_audit_clean(spark):
+    from onetl_spark.llm.hygiene import control_char_audit, sanitize_text
+
+    dirty = _docs(spark, [
+        f"{ZWSP}{RLO}mixed{PDF} {NBSP}stuff\x1b e{ACUTE}",
+        f"{ZWNJ}{IDEO_SPACE}more{ACUTE}",
+    ])
+    once = dirty.select("doc_id", sanitize_text(F.col("text")).alias("text"))
+    twice = once.select("doc_id", sanitize_text(F.col("text")).alias("text2"))
+    joined = once.join(twice, "doc_id").collect()
+    assert all(r["text"] == r["text2"] for r in joined)
+    audited = control_char_audit(once).collect()
+    assert all(r["n_zero_width"] == r["n_bidi"] == r["n_control"] == 0 for r in audited)
