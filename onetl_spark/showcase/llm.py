@@ -267,6 +267,14 @@ LIMIT 10
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT within-label near-dup pairs (salted blocked self-join).
+    Guaranteed-complete within each label, and therefore quadratic in
+    label-block size BY CONSTRUCTION — the r10 scale screen measured
+    108.9x wall-clock for 10x data (SCALE_SCREEN.json): every pair must
+    be examined for the completeness guarantee to hold. This is the
+    exactness baseline; the linear production path is
+    `semantic_near_dup_banded` (banded sign-LSH, logged recall caps),
+    with this query as its ground truth for recall evaluation."""
     ensure_views(spark, sf_dir)
     return similarity.near_dup_pairs_by_label(spark.table("embeddings"), threshold=0.3)
 
@@ -1091,8 +1099,11 @@ ORACLE_SQL["top_terms_by_lang"] = TOP_TERMS_SQL
 
 
 def semantic_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-blocked embedding near-dups with 2-probe assignment —
-    no metadata label needed."""
+    """Cluster-blocked embedding near-dups with 2-probe assignment — no
+    metadata label needed. The centroid set grows as corpus/64, so the
+    assignment arm is O(N²/64): the r10 scale harness measured α = 1.22
+    (SCALE_CURVE.json). Kept as the exact-within-cells variant; the
+    linear scale path is `semantic_near_dup_banded`."""
     ensure_views(spark, sf_dir)
     return similarity.semantic_near_dup_pairs(
         spark.table("embeddings"), threshold=0.3, nprobe=2

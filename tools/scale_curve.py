@@ -67,6 +67,12 @@ FAMILIES = {
     "streaming_stateful": ("streaming_value_histogram", "events"),
     "lm_transfer": ("source_lm_transfer_matrix", "documents"),
     "semantic_near_dup_banded": ("semantic_near_dup_banded", "embeddings"),
+    # r10 screen graduates (flagged >12x by tools/scale_screen.py)
+    "exact_label_near_dup": ("embedding_near_dup_pairs", "embeddings"),
+    "dim_health": ("embedding_dim_health", "embeddings"),
+    "seq_mining": ("frequent_event_sequences", "events"),
+    "pq_topk": ("ann_pq_topk", "embeddings"),
+    "ann_mrr": ("ann_mrr", "embeddings"),
 }
 
 

@@ -17,7 +17,9 @@ exceeds ABS_FLOOR seconds (a slow-but-tiny query is not a scale risk).
 Flagged queries graduate to scale_curve.py for a median-of-N,
 3-point exponent before any conclusion is drawn.
 
-Usage: python tools/scale_screen.py [--flag-ratio 8] [--abs-floor 3]
+Usage: python tools/scale_screen.py [--flag-ratio 12] [--abs-floor 3]
+NOTE the baseline: a LINEAR query over a 10x-growing table shows ~10x —
+the default flag of 12x means "beyond linear plus margin", not "slow".
 Writes SCALE_SCREEN.json; prints flagged queries.
 """
 
@@ -36,7 +38,7 @@ SFS = ["sf0.1", "sf1"]
 
 
 def main() -> None:
-    flag_ratio = 8.0
+    flag_ratio = 12.0
     abs_floor = 3.0
     args = sys.argv[1:]
     while args:
