@@ -327,6 +327,7 @@ HEADLINE = [
     "doc_nfc_normalization_delta",
     "semantic_near_dup_banded",
     "doc_sanitize_report",
+    "banded_near_dup_recall",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

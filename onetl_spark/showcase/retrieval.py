@@ -346,3 +346,84 @@ ORDER BY a_id, b_id
 
 SPARK_QUERIES["semantic_near_dup_banded"] = semantic_near_dup_banded
 ORACLE_SQL["semantic_near_dup_banded"] = _banded_near_dup_sql()
+
+
+def banded_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LINEAR banded near-dup path against its exact
+    ground truth — the measurement that justifies (or vetoes) swapping
+    the quadratic exact variant out of a pipeline. Ground truth =
+    `near_dup_pairs_by_label` (exact, complete within each label);
+    predictions = `semantic_near_dup_banded`'s pair set restricted to
+    same-label pairs (the slice where truth is complete, so recall is
+    well-defined). Precision on that slice is 1 by construction — every
+    banded pair is exactly cosine-verified — so the one number that
+    matters is recall, reported with the band/plane operating point
+    implied by the showcase constants. Returns one row:
+    ``(n_truth_pairs, n_found, recall)``."""
+    ensure_views(spark, sf_dir)
+    from onetl_spark.llm.similarity import banded_near_dup_pairs, near_dup_pairs_by_label
+
+    emb = spark.table("embeddings")
+    # both pair relations feed two consumers (overlap join + totals) —
+    # checkpoint the bounded outputs so the expensive builds run once
+    truth = (
+        near_dup_pairs_by_label(emb, threshold=0.3)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
+    labels = emb.select(F.col("vec_id").alias("a_id"), F.col("label").alias("_la"))
+    labels_b = emb.select(F.col("vec_id").alias("b_id"), F.col("label").alias("_lb"))
+    pred = (
+        banded_near_dup_pairs(emb, threshold=0.3, bands=_ND_BANDS,
+                              planes_per_band=_ND_PLANES)
+        .join(F.broadcast(labels), "a_id")
+        .join(F.broadcast(labels_b), "b_id")
+        .filter(F.col("_la") == F.col("_lb"))
+        .select("a_id", "b_id")
+    )
+    hit = truth.join(pred, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    tot = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    return tot.crossJoin(F.broadcast(hit)).select(
+        "n_truth_pairs",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_truth_pairs"), 9
+        ).alias("recall"),
+    )
+
+
+def _banded_recall_sql() -> str:
+    banded = _banded_near_dup_sql()
+    # reuse the banded pipeline as a subquery; truth = exact label join
+    return f"""
+WITH banded AS MATERIALIZED (
+  SELECT a_id, b_id FROM ({banded})
+), truth AS MATERIALIZED (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 9)
+        >= 0.3
+), pred AS (
+  SELECT banded.a_id, banded.b_id
+  FROM banded
+  JOIN embeddings ea ON ea.vec_id = banded.a_id
+  JOIN embeddings eb ON eb.vec_id = banded.b_id
+  WHERE ea.label = eb.label
+), hit AS (
+  SELECT COUNT(*) AS n FROM truth JOIN pred USING (a_id, b_id)
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+       CAST(hit.n AS BIGINT) AS n_found,
+       round(CAST(hit.n AS DOUBLE) / (SELECT COUNT(*) FROM truth), 9) AS recall
+FROM hit
+"""
+
+
+SPARK_QUERIES["banded_near_dup_recall"] = banded_near_dup_recall
+ORACLE_SQL["banded_near_dup_recall"] = _banded_recall_sql()
