@@ -328,6 +328,10 @@ HEADLINE = [
     "semantic_near_dup_banded",
     "doc_sanitize_report",
     "banded_near_dup_recall",
+    # r10 additions: DSIR importance-resampling class (auto-included)
+    "dsir_importance_scores",
+    "dsir_selection_report",
+    "dsir_composition_shift",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -906,3 +906,35 @@ def test_banded_near_dup_plan_bounded(tables):
     # cached relation's stored child plan still PRINTS its parquet scan,
     # so count InMemoryTableScan, not scan strings
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_dsir_plan_shapes(tables):
+    """DSIR family (r10): the B-row log-ratio table must BROADCAST onto
+    the per-doc features (the corpus side never re-shuffles for the
+    model join), scoring must re-scan the corpus at most once (the
+    ratio build is localCheckpoint-materialized — lazy references were
+    re-deriving it from 5 extra corpus scans), and the global top-k must
+    compile to TakeOrderedAndProject: a partition-less row_number window
+    is a one-task global sort (Spark only inserts WindowGroupLimit for
+    windows WITH a partition spec)."""
+    from onetl_spark.llm.selection import (
+        bucket_log_ratio,
+        dsir_importance,
+        dsir_select,
+        hashed_ngram_features,
+    )
+
+    docs = tables.table("documents")
+    raw = hashed_ngram_features(docs)
+    target = hashed_ngram_features(docs.filter(F.col("lang") == "en"))
+    scores = dsir_importance(raw, bucket_log_ratio(target, raw))
+    plan = executed_plan(scores)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 1, plan.count("Scan parquet")
+
+    sel = dsir_select(scores, k=10)
+    plan = executed_plan(sel)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
