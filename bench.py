@@ -332,6 +332,9 @@ HEADLINE = [
     "dsir_importance_scores",
     "dsir_selection_report",
     "dsir_composition_shift",
+    # r10 additions: changepoint/drift-monitoring class (auto-included)
+    "events_cusum_drift",
+    "events_value_changepoint",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

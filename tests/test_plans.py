@@ -938,3 +938,26 @@ def test_dsir_plan_shapes(tables):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_changepoint_windows_are_key_partitioned(tables):
+    """Changepoint family (r10): all window work must ride key-partitioned
+    windows over the grid-sized daily pre-aggregate — never a
+    partition-less window (SinglePartition exchange = one-task global
+    sort), never a join back to the event-sized input."""
+    from onetl_spark.operators.changepoint import cusum_excursions, single_changepoint
+
+    daily = (
+        tables.table("events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+    for df in (
+        cusum_excursions(daily, ["event_type"], "day", "v"),
+        single_changepoint(daily, ["event_type"], "day", "v"),
+    ):
+        plan = executed_plan(df)
+        assert "Exchange SinglePartition" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Scan parquet") == 1
+        assert "windowspecdefinition(event_type" in plan
