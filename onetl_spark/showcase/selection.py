@@ -45,14 +45,20 @@ _SQL_MD5LONG = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared Spark pipeline: per-doc DSIR log importance weights.
 
-    Target and raw are separate scans by design — in production DSIR the
-    target corpus is a different (small) table from the raw pool; the
-    pushed `lang = 'en'` filter here stands in for that.
+    Featurize ONCE (the tokenize+hash pass is the hot loop) with the
+    lang label carried, materialize, then derive the target model, the
+    raw model, and the scoring input all from the checkpointed feature
+    relation — the DSIR paper's featurize-once / fit / score shape.
+    When the target corpus is a separate table (the production case),
+    pass its own `hashed_ngram_features` relation instead.
     """
     ensure_views(spark, sf_dir)
     docs = spark.table("documents")
-    raw_feats = hashed_ngram_features(docs, buckets=_B)
-    target_feats = hashed_ngram_features(docs.filter(F.col("lang") == "en"), buckets=_B)
+    feats = hashed_ngram_features(
+        docs, buckets=_B, carry_cols=["lang"]
+    ).localCheckpoint(eager=True)
+    raw_feats = feats.drop("lang")
+    target_feats = feats.filter(F.col("lang") == "en").drop("lang")
     ratio = bucket_log_ratio(target_feats, raw_feats, buckets=_B)
     return dsir_importance(raw_feats, ratio)
 

@@ -73,6 +73,9 @@ FAMILIES = {
     "seq_mining": ("frequent_event_sequences", "events"),
     "pq_topk": ("ann_pq_topk", "embeddings"),
     "ann_mrr": ("ann_mrr", "embeddings"),
+    # r10 third batch: the session's new classes
+    "dsir": ("dsir_importance_scores", "documents"),
+    "changepoint": ("events_cusum_drift", "events"),
 }
 
 
