@@ -335,6 +335,7 @@ HEADLINE = [
     # r10 additions: changepoint/drift-monitoring class (auto-included)
     "events_cusum_drift",
     "events_value_changepoint",
+    "streaming_rolling_drift",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

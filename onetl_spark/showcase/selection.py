@@ -54,13 +54,24 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ensure_views(spark, sf_dir)
     docs = spark.table("documents")
-    feats = hashed_ngram_features(
-        docs, buckets=_B, carry_cols=["lang"]
-    ).localCheckpoint(eager=True)
-    raw_feats = feats.drop("lang")
-    target_feats = feats.filter(F.col("lang") == "en").drop("lang")
-    ratio = bucket_log_ratio(target_feats, raw_feats, buckets=_B)
-    return dsir_importance(raw_feats, ratio)
+    # model pass: ONE corpus scan reduced straight to the ≤B×|lang|
+    # (bucket, lang) aggregate, materialized TINY (a localCheckpoint of
+    # the corpus-sized per-doc feature relation measured 100+ MB heap
+    # and made bench timings bimodal — ContextCleaner churn); both model
+    # inputs derive from the checkpointed aggregate by filtering
+    # (bucket_log_ratio re-aggregates, so sums-of-sums are exact)
+    by_lang = (
+        hashed_ngram_features(docs, buckets=_B, carry_cols=["lang"])
+        .groupBy("bucket", "lang")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    target_feats = by_lang.filter(F.col("lang") == "en").select("bucket", "cnt")
+    raw_agg = by_lang.select("bucket", "cnt")
+    ratio = bucket_log_ratio(target_feats, raw_agg, buckets=_B)
+    # scoring pass: the second (and last) corpus scan, streamed — no
+    # corpus-sized materialization anywhere in the pipeline
+    return dsir_importance(hashed_ngram_features(docs, buckets=_B), ratio)
 
 
 def _score_ctes() -> str:

@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from onetl_spark.file.format.parquet import Parquet
 from onetl_spark.showcase.sessions import SESSION_GAP_MIN
@@ -675,3 +676,182 @@ FROM (
 
 SPARK_QUERIES["streaming_type_topk_values"] = streaming_type_topk_values
 ORACLE_SQL["streaming_type_topk_values"] = STREAMING_TOPK_SQL
+
+
+_DRIFT_MAX_DAYS = 64   # production state bound; inactive at the 30-day window
+_DRIFT_KSIG = 0.5
+_DRIFT_ALARM = 4.0
+
+
+def streaming_rolling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (`streaming/ops.py stateful_daily_stats`):
+    per-event_type rolling grid of daily sufficient statistics
+    (n, Σx, Σx²) in exact integer micro-units — commutative merges, so
+    the final state is micro-batch-split-independent and equals the
+    batch daily aggregate exactly. Drift analytics (two-sided CUSUM
+    peaks on the daily-mean series + within-day variance) run as plain
+    BATCH arithmetic over the emitted grid (`operators/changepoint.py
+    cusum_excursions`): the state holds statistics, not conclusions."""
+    from onetl_spark.operators.changepoint import cusum_excursions
+    from onetl_spark.streaming.ops import stateful_daily_stats
+
+    events = _events_stream(spark, sf_dir)
+    prepped = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_micro"),
+        F.round(F.col("value") * F.col("value") * 1e6, 0).cast("long").alias("sq_micro"),
+    )
+    updates = stateful_daily_stats(
+        prepped, key_cols=["event_type"], max_days=_DRIFT_MAX_DAYS
+    )
+    sink = _run_to_table(updates, "update")
+    final = sink.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("days", "day_n", "day_sum_micro", "day_sq_micro"), "n_total"
+        ).alias("_g")
+    )
+    grid = (
+        final.select(
+            "event_type",
+            F.explode(
+                F.arrays_zip(
+                    F.col("_g.days").alias("day"),
+                    F.col("_g.day_n").alias("n"),
+                    F.col("_g.day_sum_micro").alias("s"),
+                    F.col("_g.day_sq_micro").alias("q"),
+                )
+            ).alias("_c"),
+        )
+        .select(
+            "event_type",
+            F.col("_c.day").alias("day"),
+            F.col("_c.n").alias("n"),
+            (F.col("_c.s") / F.lit(1e6) / F.col("_c.n")).alias("v"),
+            F.round(
+                F.col("_c.q") / F.lit(1e6) / F.col("_c.n")
+                - (F.col("_c.s") / F.lit(1e6) / F.col("_c.n"))
+                * (F.col("_c.s") / F.lit(1e6) / F.col("_c.n")),
+                9,
+            ).alias("_var_d"),
+        )
+        .localCheckpoint(eager=True)  # grid-sized; consumed by 3 arms
+    )
+    cus = cusum_excursions(grid, ["event_type"], "day", "v", k_sigma=_DRIFT_KSIG)
+
+    def _peak(col: str, peak_alias: str, day_alias: str, extra: list[str]) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(F.desc(col), F.asc("day"))
+        return (
+            cus.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "event_type",
+                *extra,
+                F.col(col).alias(peak_alias),
+                F.col("day").alias(day_alias),
+            )
+        )
+
+    pos = _peak("cusum_pos", "peak_pos", "peak_pos_day", ["mu", "sigma"])
+    neg = _peak("cusum_neg", "peak_neg", "peak_neg_day", [])
+    per_key = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum(F.col("_var_d").cast("decimal(38,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_within_day_var"),
+    )
+    return (
+        pos.join(neg, "event_type")
+        .join(per_key, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "mu",
+            "sigma",
+            "peak_pos",
+            "peak_pos_day",
+            "peak_neg",
+            "peak_neg_day",
+            "avg_within_day_var",
+            (
+                F.greatest("peak_pos", "peak_neg")
+                > F.lit(_DRIFT_ALARM) * F.col("sigma")
+            ).alias("drift_alarm"),
+        )
+    )
+
+
+_DRIFT_MU = "sx_n / n"
+_DRIFT_SIGMA = f"sqrt(greatest(0.0, sxx_n / n - ({_DRIFT_MU}) * ({_DRIFT_MU})))"
+
+STREAMING_DRIFT_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) AS day,
+         COUNT(*) AS dn,
+         SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS s,
+         SUM(CAST(round(value * value * 1000000.0) AS BIGINT)) AS q
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), kept AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY day DESC) AS drk
+                 FROM daily) WHERE drk <= {_DRIFT_MAX_DAYS}
+), grid AS (
+  SELECT event_type, day, dn,
+         (s / 1000000.0) / dn AS v,
+         round(q / 1000000.0 / dn
+               - ((s / 1000000.0) / dn) * ((s / 1000000.0) / dn), 9) AS var_d
+  FROM kept
+), pre AS (
+  SELECT event_type, day, v, var_d,
+         COUNT(*) OVER wall AS n,
+         CAST(SUM(CAST(v AS DECIMAL(27,9))) OVER wall AS DOUBLE) AS sx_n,
+         CAST(SUM(CAST(v * v AS DECIMAL(30,9))) OVER wall AS DOUBLE) AS sxx_n,
+         ROW_NUMBER() OVER w AS i,
+         CAST(SUM(CAST(v AS DECIMAL(27,9))) OVER w AS DOUBLE) AS sx_i
+  FROM grid
+  WINDOW wall AS (PARTITION BY event_type),
+         w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pq AS (
+  SELECT event_type, day,
+         round({_DRIFT_MU}, 9) AS mu,
+         round({_DRIFT_SIGMA}, 9) AS sigma,
+         sx_i - i * ({_DRIFT_MU} + {_DRIFT_KSIG!r} * {_DRIFT_SIGMA}) AS p,
+         i * ({_DRIFT_MU} - {_DRIFT_KSIG!r} * {_DRIFT_SIGMA}) - sx_i AS q
+  FROM pre
+), cus AS (
+  SELECT event_type, day, mu, sigma,
+         round(p - least(0.0, MIN(p) OVER w), 9) AS cusum_pos,
+         round(q - least(0.0, MIN(q) OVER w), 9) AS cusum_neg
+  FROM pq
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pos AS (
+  SELECT event_type, mu, sigma, cusum_pos AS peak_pos, day AS peak_pos_day
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY cusum_pos DESC, day ASC) AS rn
+        FROM cus) WHERE rn = 1
+), neg AS (
+  SELECT event_type, cusum_neg AS peak_neg, day AS peak_neg_day
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY cusum_neg DESC, day ASC) AS rn
+        FROM cus) WHERE rn = 1
+), per_key AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         round(CAST(SUM(CAST(var_d AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 9)
+           AS avg_within_day_var
+  FROM grid GROUP BY event_type
+)
+SELECT p.event_type, k.n_days, p.mu, p.sigma, p.peak_pos, p.peak_pos_day,
+       g.peak_neg, g.peak_neg_day, k.avg_within_day_var,
+       greatest(p.peak_pos, g.peak_neg) > {_DRIFT_ALARM!r} * p.sigma AS drift_alarm
+FROM pos p
+JOIN neg g ON g.event_type = p.event_type
+JOIN per_key k ON k.event_type = p.event_type
+"""
+
+SPARK_QUERIES["streaming_rolling_drift"] = streaming_rolling_drift
+ORACLE_SQL["streaming_rolling_drift"] = STREAMING_DRIFT_SQL

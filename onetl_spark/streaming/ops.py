@@ -313,3 +313,115 @@ def stateful_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_daily_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    day_col: str = "day",
+    micro_col: str = "v_micro",
+    sq_micro_col: str = "sq_micro",
+    max_days: int = 64,
+) -> DataFrame:
+    """Custom stateful operator: per-key rolling grid of DAILY sufficient
+    statistics ``(n, Σx, Σx²)`` in integer micro-units, maintained in
+    ``applyInPandasWithState`` — the streaming substrate for drift/
+    changepoint monitoring: downstream analytics (CUSUM, changepoint,
+    z-scores) are plain batch arithmetic OVER the emitted grid, so the
+    state holds statistics, not conclusions.
+
+    Order-independence (the oracle-checkability property this suite
+    requires): integer sums are commutative/associative, and day
+    retention keeps the ``max_days`` LARGEST day keys of the set seen —
+    a set operation — so the final state per key is identical under any
+    micro-batch split, as long as no late row arrives for an already-
+    evicted day (the cap is a production state bound: size it to the
+    lateness horizon; it never binds in the committed test window of 30
+    days). State per key is ≤ max_days × 4 scalars forever.
+
+    Inputs must be pre-projected by the caller: ``day_col`` a sortable
+    day string, ``micro_col``/``sq_micro_col`` int64 micro-units
+    (``round(value·10⁶)``) — exact commutative addition; int64 holds
+    per-day totals up to ~9.2e18 micro-units (≈9.2e12 in value units).
+    Emits one row per key per micro-batch: the full grid as parallel
+    arrays plus ``n_total`` (monotone — take the max-n row for the
+    final state).
+    """
+    if max_days < 1:
+        raise ValueError("stateful_daily_stats: max_days must be >= 1")
+    output_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType) for c in key_cols]
+        + [
+            T.StructField("days", T.ArrayType(T.StringType())),
+            T.StructField("day_n", T.ArrayType(T.LongType())),
+            T.StructField("day_sum_micro", T.ArrayType(T.LongType())),
+            T.StructField("day_sq_micro", T.ArrayType(T.LongType())),
+            T.StructField("n_total", T.LongType()),
+        ],
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("days", T.ArrayType(T.StringType())),
+            T.StructField("ns", T.ArrayType(T.LongType())),
+            T.StructField("sums", T.ArrayType(T.LongType())),
+            T.StructField("sqs", T.ArrayType(T.LongType())),
+        ],
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            days, ns, sums, sqs = state.get
+            grid = {
+                d: [int(n), int(s), int(q)]
+                for d, n, s, q in zip(days, ns, sums, sqs)
+            }
+        else:
+            grid = {}
+        for pdf in pdfs:
+            agg = pdf.groupby(day_col).agg(
+                n=(micro_col, "size"),
+                s=(micro_col, "sum"),
+                q=(sq_micro_col, "sum"),
+            )
+            for d, row in agg.iterrows():
+                cell = grid.setdefault(str(d), [0, 0, 0])
+                cell[0] += int(row["n"])
+                cell[1] += int(row["s"])
+                cell[2] += int(row["q"])
+        kept = sorted(grid)[-max_days:]
+        state.update(
+            (
+                kept,
+                [grid[d][0] for d in kept],
+                [grid[d][1] for d in kept],
+                [grid[d][2] for d in kept],
+            )
+        )
+        yield pd.DataFrame(
+            [
+                [
+                    *key,
+                    kept,
+                    [grid[d][0] for d in kept],
+                    [grid[d][1] for d in kept],
+                    [grid[d][2] for d in kept],
+                    int(sum(grid[d][0] for d in kept)),
+                ]
+            ],
+            columns=[
+                *key_cols,
+                "days",
+                "day_n",
+                "day_sum_micro",
+                "day_sq_micro",
+                "n_total",
+            ],
+        )
+
+    return df.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

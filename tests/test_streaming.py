@@ -927,3 +927,48 @@ def test_stateful_topk_accumulates_across_batches(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stateful_topk(_file_stream(spark, src), ["user"], "value", k=0)
+
+
+def test_stateful_daily_stats_accumulates_across_batches(spark, tmp_path):
+    """The per-key daily (n, Σ, Σ²) grid survives micro-batch boundaries
+    and the final state equals the batch daily aggregate exactly —
+    integer micro-unit sums are commutative, the order-independence
+    property the streaming_rolling_drift oracle relies on. Day retention
+    keeps the max_days LARGEST day keys."""
+    from onetl_spark.streaming.ops import stateful_daily_stats
+
+    src = tmp_path / "ds-src"
+    src.mkdir()
+    # batch 1: two days; batch 2 adds to day 2 and introduces day 3
+    _write_batch_file(spark, tmp_path, src, "00",
+                      [(1, "u1", "2026-01-01 10:00:00", 1.5),
+                       (2, "u1", "2026-01-02 10:01:00", 2.0)], 1_000_000_000)
+    _write_batch_file(spark, tmp_path, src, "01",
+                      [(3, "u1", "2026-01-02 10:02:00", 4.0),
+                       (4, "u1", "2026-01-03 10:03:00", 3.0)], 1_000_000_100)
+
+    prepped = _file_stream(spark, src).select(
+        "user",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("value") * 1e6, 0).cast("long").alias("v_micro"),
+        F.round(F.col("value") * F.col("value") * 1e6, 0).cast("long").alias("sq_micro"),
+    )
+    grid = stateful_daily_stats(prepped, key_cols=["user"], max_days=2)
+    _run_append(grid, tmp_path, "ds_sink", output_mode="update")
+    rows = {r["n_total"]: r for r in spark.table("ds_sink").collect()}
+    assert set(rows) == {2, 3}  # batch1 kept 2 days; batch2 evicted day 1
+    b1 = rows[2]
+    assert list(b1["days"]) == ["2026-01-01", "2026-01-02"]
+    assert list(b1["day_sum_micro"]) == [1_500_000, 2_000_000]
+    assert list(b1["day_sq_micro"]) == [2_250_000, 4_000_000]
+    b2 = rows[3]
+    # max_days=2 keeps the two LARGEST days; day 2 accumulated across batches
+    assert list(b2["days"]) == ["2026-01-02", "2026-01-03"]
+    assert list(b2["day_n"]) == [2, 1]
+    assert list(b2["day_sum_micro"]) == [6_000_000, 3_000_000]
+    assert list(b2["day_sq_micro"]) == [20_000_000, 9_000_000]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stateful_daily_stats(prepped, key_cols=["user"], max_days=0)
