@@ -5236,8 +5236,14 @@ def source_loo_lm_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ll_loo") / F.col("n_ho"), 6).alias(
                 "ll_loo_per_token"
             ),
-            F.round(
-                (F.col("ll_full") - F.col("ll_loo")) / F.col("n_ho"), 6
+            (
+                F.round(
+                    (F.col("ll_full") - F.col("ll_loo")) / F.col("n_ho"), 6
+                )
+                # -0.0 + 0.0 == +0.0: the delta rounds to zero once the
+                # corpus is large enough (first seen at sf1), and the two
+                # engines disagree on the zero's sign
+                + F.lit(0.0)
             ).alias("value_per_token"),
         )
         .orderBy("source")
@@ -5283,7 +5289,7 @@ base AS (
 SELECT source, CAST(ns AS BIGINT) AS n_tokens_removed,
        round(fullm.ll_full / fullm.n_ho, 6) AS ll_full_per_token,
        round(loo.ll_loo / fullm.n_ho, 6) AS ll_loo_per_token,
-       round((fullm.ll_full - loo.ll_loo) / fullm.n_ho, 6) AS value_per_token
+       round((fullm.ll_full - loo.ll_loo) / fullm.n_ho, 6) + 0.0 AS value_per_token
 FROM loo CROSS JOIN fullm ORDER BY source
 """
 
