@@ -40,7 +40,15 @@ __all__ = ["cusum_excursions", "single_changepoint"]
 
 
 def _prefix_cols(key_cols: list[str], order_col: str, value_col: str, scale: int):
-    """Shared windows + exact prefix/total aggregates."""
+    """Shared windows + exact prefix/total aggregates.
+
+    Also returns ``bad`` — a per-key flag (max over the partition) set
+    when any value or order entry is NULL. NULLs would silently skew the
+    baseline (COUNT counts the row, SUM skips it) and scramble the
+    ordering, so callers wrap an output column in :func:`_guarded`; the
+    check rides the existing partition window (the ``gini_coefficient``
+    raise-at-execution convention — no dedicated validation scan).
+    """
     w_all = W.partitionBy(*key_cols)
     w_run = (
         W.partitionBy(*key_cols)
@@ -49,7 +57,20 @@ def _prefix_cols(key_cols: list[str], order_col: str, value_col: str, scale: int
     )
     x_dec = F.col(value_col).cast(f"decimal(27,{scale})")
     xx_dec = (F.col(value_col) * F.col(value_col)).cast(f"decimal(30,{scale})")
-    return w_all, w_run, x_dec, xx_dec
+    bad = F.max(
+        (F.col(value_col).isNull() | F.col(order_col).isNull()).cast("int")
+    ).over(w_all)
+    return w_all, w_run, x_dec, xx_dec, bad
+
+
+def _guarded(col, bad_col, op_name: str):
+    """Raise at execution time when the series carried a NULL."""
+    return F.when(
+        bad_col == 1,
+        F.raise_error(
+            F.lit(f"{op_name}: value and order columns must be non-null")
+        ).cast("double"),
+    ).otherwise(col)
 
 
 def cusum_excursions(
@@ -75,7 +96,9 @@ def cusum_excursions(
     """
     if k_sigma < 0:
         raise ValueError("k_sigma must be non-negative")
-    w_all, w_run, x_dec, xx_dec = _prefix_cols(key_cols, order_col, value_col, scale)
+    w_all, w_run, x_dec, xx_dec, bad = _prefix_cols(
+        key_cols, order_col, value_col, scale
+    )
 
     # stage 1: one level of window functions (Spark forbids nesting a
     # window expression inside another window's argument)
@@ -83,6 +106,7 @@ def cusum_excursions(
         *key_cols,
         order_col,
         value_col,
+        bad.alias("_bad"),
         F.count(F.lit(1)).over(w_all).alias("_n"),
         F.sum(x_dec).over(w_all).cast("double").alias("_sx"),
         F.sum(xx_dec).over(w_all).cast("double").alias("_sxx"),
@@ -99,7 +123,7 @@ def cusum_excursions(
         *key_cols,
         order_col,
         value_col,
-        mu.alias("_mu"),
+        _guarded(mu, F.col("_bad"), "cusum_excursions").alias("_mu"),
         sigma.alias("_sigma"),
         (F.col("_run") - F.col("_i") * (mu + k)).alias("_p"),
         (F.col("_i") * (mu - k) - F.col("_run")).alias("_q"),
@@ -143,7 +167,9 @@ def single_changepoint(
     series is constant). Keys with a single point have no valid split
     and emit no row.
     """
-    w_all, w_run, x_dec, xx_dec = _prefix_cols(key_cols, order_col, value_col, scale)
+    w_all, w_run, x_dec, xx_dec, bad = _prefix_cols(
+        key_cols, order_col, value_col, scale
+    )
 
     n = F.count(F.lit(1)).over(w_all)
     sx_n = F.sum(x_dec).over(w_all).cast("double")
@@ -160,7 +186,9 @@ def single_changepoint(
         F.col(order_col).alias("split_at"),
         i.alias("_i"),
         n.alias("n_points"),
-        F.round(sse_left + sse_right, scale).alias("sse_split"),
+        _guarded(
+            F.round(sse_left + sse_right, scale), bad, "single_changepoint"
+        ).alias("sse_split"),
         F.round(sse_total, scale).alias("sse_total"),
         F.round(sx_i / i, scale).alias("pre_mean"),
         F.round((sx_n - sx_i) / (n - i), scale).alias("post_mean"),

@@ -104,3 +104,22 @@ def test_changepoint_brute_force_equivalence(spark):
     assert row["split_at"] == best_i
     assert row["sse_split"] == pytest.approx(costs[best_i], abs=1e-6)
     assert row["sse_total"] == pytest.approx(sse(values), abs=1e-6)
+
+
+def test_null_values_raise_not_skew(spark):
+    """A NULL value or order entry must abort, not silently skew the
+    baseline (COUNT counts the row while SUM skips it)."""
+    from pyspark.sql import functions as F
+
+    base = _series(spark, [1.0, 2.0, 3.0, 4.0])
+    with_null_x = base.select(
+        "k", "t", F.when(F.col("t") == 2, None).otherwise(F.col("x")).alias("x")
+    )
+    with_null_t = base.select(
+        "k", F.when(F.col("t") == 1, None).otherwise(F.col("t")).alias("t"), "x"
+    )
+    for broken in (with_null_x, with_null_t):
+        with pytest.raises(Exception, match="non-null"):
+            cusum_excursions(broken, ["k"], "t", "x").collect()
+        with pytest.raises(Exception, match="non-null"):
+            single_changepoint(broken, ["k"], "t", "x").collect()

@@ -18,6 +18,8 @@ Flagged queries graduate to scale_curve.py for a median-of-N,
 3-point exponent before any conclusion is drawn.
 
 Usage: python tools/scale_screen.py [--flag-ratio 12] [--abs-floor 3]
+       [--only name1,name2]   # screen a subset (e.g. queries added after
+                              # a full screen); merges into SCALE_SCREEN.json
 NOTE the baseline: a LINEAR query over a 10x-growing table shows ~10x —
 the default flag of 12x means "beyond linear plus margin", not "slow".
 Writes SCALE_SCREEN.json; prints flagged queries.
@@ -40,6 +42,7 @@ SFS = ["sf0.1", "sf1"]
 def main() -> None:
     flag_ratio = 12.0
     abs_floor = 3.0
+    only = None
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
@@ -47,6 +50,8 @@ def main() -> None:
             flag_ratio = float(args.pop(0))
         elif a == "--abs-floor":
             abs_floor = float(args.pop(0))
+        elif a == "--only":
+            only = set(args.pop(0).split(","))
 
     from pyspark.sql import SparkSession
 
@@ -66,6 +71,8 @@ def main() -> None:
 
     queries = entry.queries()
     names = [n for n in bench.HEADLINE if n in queries]
+    if only:
+        names = [n for n in names if n in only]
     timings: dict[str, dict] = {}
     errors: dict[str, dict] = {}
 
@@ -92,16 +99,28 @@ def main() -> None:
                 flagged.append((name, t[SFS[0]], t[SFS[1]], round(ratio, 2)))
     flagged.sort(key=lambda x: -x[3])
 
-    out = {
-        "flag_ratio": flag_ratio,
-        "abs_floor": abs_floor,
-        "timings": timings,
-        "errors": errors,
-        "flagged": [
+    out_path = os.path.join(REPO, "SCALE_SCREEN.json")
+    if only and os.path.exists(out_path):
+        # subset run: merge the new readings into the existing full screen
+        with open(out_path) as f:
+            out = json.load(f)
+        out["timings"].update(timings)
+        out.setdefault("errors", {}).update(errors)
+        prior = [f for f in out.get("flagged", []) if f["query"] not in timings]
+        out["flagged"] = prior + [
             {"query": n, "sf0.1": a, "sf1": b, "ratio": r} for n, a, b, r in flagged
-        ],
-    }
-    with open(os.path.join(REPO, "SCALE_SCREEN.json"), "w") as f:
+        ]
+    else:
+        out = {
+            "flag_ratio": flag_ratio,
+            "abs_floor": abs_floor,
+            "timings": timings,
+            "errors": errors,
+            "flagged": [
+                {"query": n, "sf0.1": a, "sf1": b, "ratio": r} for n, a, b, r in flagged
+            ],
+        }
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
 
     print(f"\nscreened {len(timings)} queries; {len(errors)} errored; "
