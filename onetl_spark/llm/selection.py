@@ -138,14 +138,22 @@ def bucket_log_ratio(
 
         log_ratio = ln((t_b + 1) / (T + B)) − ln((r_b + 1) / (R + B))
 
-    (add-1 smoothing over the fixed B-bucket space, so buckets unseen in
-    either corpus still get a finite ratio). Inputs are the
+    (add-1 smoothing over the fixed B-bucket space). Inputs are the
     ``hashed_ngram_features`` relations of the target and raw corpora.
 
-    Both sides reduce to ≤B rows before the full outer join; the two
-    grand totals ride along as 1-row broadcast crossJoins. The log is
-    rounded to ``scale`` dp here — downstream sums then add identical
-    decimals on every engine.
+    Emits ALL ``B`` buckets, not just the observed ones: add-1 smoothing
+    assigns unseen buckets the nonzero ratio ``ln((R+B)/(T+B))``, and a
+    fitted table restricted to observed buckets would silently DROP those
+    terms when scoring a corpus the model was not fitted on (the
+    production shape: fit once, score new pools — an inner bucket join in
+    :func:`dsir_importance` is complete because every bucket is present).
+    An EMPTY corpus likewise degrades to pure smoothing (totals coalesce
+    to 0) instead of nulling every ratio.
+
+    Both sides reduce to ≤B rows broadcast onto the static bucket range;
+    the two grand totals ride along as 1-row broadcast crossJoins. The
+    log is rounded to ``scale`` dp here — downstream sums then add
+    identical decimals on every engine.
     """
     # Materialize the two ≤B-row bucket aggregates: each is consumed
     # twice (the ratio join and its grand total) and a lazy reference
@@ -162,10 +170,13 @@ def bucket_log_ratio(
         .agg(F.sum("cnt").alias("raw_cnt"))
         .localCheckpoint(eager=True)
     )
-    t_total = t.select(F.sum("target_cnt").alias("_T"))
-    r_total = r.select(F.sum("raw_cnt").alias("_R"))
+    t_total = t.select(F.coalesce(F.sum("target_cnt"), F.lit(0)).alias("_T"))
+    r_total = r.select(F.coalesce(F.sum("raw_cnt"), F.lit(0)).alias("_R"))
+    spark = target_feats.sparkSession
+    all_buckets = spark.range(buckets).select(F.col("id").alias("bucket"))
     joined = (
-        t.join(r, "bucket", "full_outer")
+        all_buckets.join(F.broadcast(t), "bucket", "left")
+        .join(F.broadcast(r), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("target_cnt", F.lit(0)).alias("target_cnt"),
@@ -196,10 +207,17 @@ def dsir_importance(
 
         log_weight = Σ_b cnt_b · log_ratio_b
 
-    ``ratio`` (≤B rows) is broadcast onto the per-doc features; the only
-    shuffle is the groupBy back to document grain. The weighted sum runs
-    in bounded-precision decimals (decimal(20,s) × decimal(10,0) keeps
-    scale exactly within 38 digits) — order-independent, engine-exact.
+    ``ratio`` (B rows — :func:`bucket_log_ratio` emits the full bucket
+    space, so the inner join is complete for any corpus) is broadcast
+    onto the per-doc features; the only shuffle is the groupBy back to
+    document grain. The weighted sum runs in bounded-precision decimals
+    (decimal(20,s) × decimal(10,0) keeps scale exactly within 38
+    digits) — order-independent, engine-exact.
+
+    Documents with no tokens (empty or NULL text) have no feature rows
+    and therefore no output row here — their mathematical weight is 0,
+    but this operator cannot know the id universe; left-join these
+    scores from the pool if empty documents must stay selectable.
     """
     joined = doc_feats.join(F.broadcast(ratio.select("bucket", "log_ratio")), "bucket")
     return (

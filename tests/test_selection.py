@@ -47,16 +47,18 @@ def test_bucket_log_ratio_hand_case(spark):
     r_counts = {r["bucket"]: r["cnt"] for r in rf.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()}
     T, R = sum(t_counts.values()), sum(r_counts.values())
     out = {r["bucket"]: r for r in bucket_log_ratio(tf, rf, buckets=b).collect()}
-    assert set(out) == set(r_counts)
+    # the fitted table covers the FULL bucket space: unseen buckets carry
+    # the pure-smoothing ratio so out-of-sample scoring never drops terms
+    assert set(out) == set(range(b))
     for bucket, row in out.items():
         expect = round(
             math.log((t_counts.get(bucket, 0) + 1) / (T + b))
-            - math.log((r_counts[bucket] + 1) / (R + b)),
+            - math.log((r_counts.get(bucket, 0) + 1) / (R + b)),
             9,
         )
         assert row["log_ratio"] == pytest.approx(expect, abs=1e-12)
         assert row["target_cnt"] == t_counts.get(bucket, 0)
-        assert row["raw_cnt"] == r_counts[bucket]
+        assert row["raw_cnt"] == r_counts.get(bucket, 0)
 
 
 def test_importance_orders_target_like_docs_first(spark):
@@ -109,3 +111,36 @@ def test_validation_errors(spark):
         dsir_select(scores, k=0)
     with pytest.raises(ValueError):
         dsir_select(scores, k=1, temperature=0.0)
+
+
+def test_empty_target_corpus_degrades_to_smoothing(spark):
+    """An empty target corpus must yield finite pure-smoothing ratios
+    (totals coalesce to 0), not NULL scores that scramble selection."""
+    b = 16
+    raw = _docs(spark, [(1, "x x"), (2, "y")])
+    rf = hashed_ngram_features(raw, buckets=b)
+    empty = rf.filter(F.lit(False))
+    ratio = bucket_log_ratio(empty, rf, buckets=b)
+    rows = ratio.collect()
+    assert len(rows) == b
+    assert all(r["log_ratio"] is not None for r in rows)
+    scores = dsir_importance(rf, ratio).collect()
+    assert scores and all(r["log_weight"] is not None for r in scores)
+
+
+def test_out_of_sample_scoring_keeps_unseen_bucket_terms(spark):
+    """Scoring a corpus the model was NOT fitted on must include the
+    smoothed contribution of buckets unseen at fit time."""
+    b = 64
+    fit = _docs(spark, [(1, "x x")])
+    ff = hashed_ngram_features(fit, buckets=b)
+    ratio = bucket_log_ratio(ff, ff, buckets=b)
+    new = _docs(spark, [(9, "zebra quark")])
+    nf = hashed_ngram_features(new, buckets=b)
+    fit_buckets = {r["bucket"] for r in ff.select("bucket").collect()}
+    new_buckets = {r["bucket"] for r in nf.select("bucket").collect()}
+    assert new_buckets - fit_buckets, "test needs genuinely unseen buckets"
+    out = dsir_importance(nf, ratio).collect()
+    assert len(out) == 1
+    # every feature of the new doc contributes (n_feats complete)
+    assert out[0]["n_feats"] == sum(r["cnt"] for r in nf.collect())
