@@ -14,6 +14,13 @@ that the driver demonstrably accepts.
 Usage: python tools/driver_parity.py [N] [--sf /root/testdata/sf0.01]
        python tools/driver_parity.py --sweep-complex-types
 
+``--oracle-timeout SECS`` interrupts a DuckDB oracle that exceeds the
+budget and records the query as ORACLE-SLOW instead of blocking the
+sweep — for large-SF value-parity runs where a handful of exact oracles
+are inherently quadratic (all-pairs Jaccard, brute-force ANN ground
+truth) while the Spark side stays banded/bucketed. An ORACLE-SLOW row is
+an explicit coverage gap, not a pass.
+
 The sweep mode builds EVERY registered query's DataFrame (lazy — plan
 analysis only, no execution) and fails if any output column is an
 array/struct/map: the driver's canonicalizer sorts result rows with
@@ -138,6 +145,7 @@ def sweep_complex_types(spark, mod, sf_dir):
 def main():
     n = 50
     sf_dir = "/root/testdata/sf0.01"
+    oracle_timeout = None
     args = sys.argv[1:]
     only = None
     exec_only = False
@@ -163,6 +171,8 @@ def main():
             # kendall n(n-1), long×decimal) surface systematically instead
             # of one advice finding at a time.
             ansi = True
+        elif a == "--oracle-timeout":
+            oracle_timeout = float(args.pop(0))
         elif a == "--exec-only":
             # Execute each Spark query fully (collect) but skip the DuckDB
             # oracle. The ANSI failure mode is a Spark RUNTIME ABORT, not a
@@ -201,6 +211,7 @@ def main():
         names = [x for x in names if x in only]
 
     failures = []
+    slow = []
     for i, name in enumerate(names):
         t0 = time.time()
         status = "OK"
@@ -220,13 +231,33 @@ def main():
                 status = "EXEC-OK" if exec_only else "ROWS-ONLY"
             else:
                 con = duck_con(sf_dir)
-                tbl = con.execute(sql).arrow()
-                o_cols = tbl.column_names
-                o_rows = list(zip(*(tbl.column(c).to_pylist() for c in o_cols)))
+                tbl = None
+                if oracle_timeout:
+                    import threading
+
+                    timer = threading.Timer(oracle_timeout, con.interrupt)
+                    timer.start()
+                    try:
+                        tbl = con.execute(sql).arrow()
+                    except duckdb.InterruptException:
+                        status = "ORACLE-SLOW"
+                        detail = f"oracle exceeded {oracle_timeout:.0f}s budget"
+                    finally:
+                        timer.cancel()
+                else:
+                    tbl = con.execute(sql).arrow()
+                o_cols = tbl.column_names if tbl is not None else []
+                o_rows = (
+                    list(zip(*(tbl.column(c).to_pylist() for c in o_cols)))
+                    if tbl is not None
+                    else []
+                )
                 if not o_cols:
                     o_rows = []
                 con.close()
-                if sorted(s_cols) != sorted(o_cols):
+                if status == "ORACLE-SLOW":
+                    pass
+                elif sorted(s_cols) != sorted(o_cols):
                     status = "SCHEMA"
                     detail = f"spark={sorted(s_cols)} oracle={sorted(o_cols)}"
                 elif len(s_rows) != len(o_rows):
@@ -243,13 +274,17 @@ def main():
             status = "ERROR"
             detail = f"{type(e).__name__}: {e}"
         dt = time.time() - t0
-        mark = "  " if status in ("OK", "ROWS-ONLY", "EXEC-OK") else "!!"
-        print(f"{mark} [{i:2d}] {name:38s} {status:9s} {dt:5.1f}s {detail[:300]}")
+        ok_statuses = ("OK", "ROWS-ONLY", "EXEC-OK", "ORACLE-SLOW")
+        mark = "  " if status in ok_statuses else "!!"
+        print(f"{mark} [{i:2d}] {name:38s} {status:11s} {dt:5.1f}s {detail[:300]}")
         sys.stdout.flush()
-        if status not in ("OK", "ROWS-ONLY", "EXEC-OK"):
+        if status not in ok_statuses:
             failures.append((name, status, detail))
+        if status == "ORACLE-SLOW":
+            slow.append(name)
 
-    print(f"\n{len(names) - len(failures)}/{len(names)} clean")
+    print(f"\n{len(names) - len(failures) - len(slow)}/{len(names)} clean"
+          + (f"; {len(slow)} oracle-slow (skipped): {slow}" if slow else ""))
     for name, status, detail in failures:
         print(f"FAIL {name}: {status} {detail[:500]}")
     spark.stop()
