@@ -1456,13 +1456,28 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_dup_sql() -> str:
+    # Mirrors hamming_near_dup_pairs EXACTLY — including the multi-index
+    # banding and the over-capacity-band drop (the same QUALIFY cap the
+    # MinHash-LSH oracles carry). An idealized all-pairs oracle matches
+    # only while no band exceeds LSH_MAX_BUCKET; on a low-entropy corpus
+    # at sf1 the cap binds (by design, logged) and the idealized form
+    # diverged 230k vs 627k pairs — the sf1 parity sweep caught it.
     sim = _simhash_sql().strip().rstrip(";")
+    n_bands = 4  # max_dist 3 + 1; width = 48 // 4 = 12 bits per band
     return f"""
-WITH sigs AS ({sim})
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+WITH sigs AS ({sim}), bands AS (
+  SELECT doc_id, simhash, band_idx,
+         (simhash >> (band_idx * 12)) & 4095 AS band_bits
+  FROM sigs CROSS JOIN (SELECT unnest(range({n_bands})) AS band_idx)
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_bits) <= {LSH_MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+              AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
 """
 
 
