@@ -297,10 +297,13 @@ def semantic_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets/band keeps buckets ~N/256, cap-binding only past ~130k vectors.
 _ND_BANDS = 6
 _ND_PLANES = 8
+# recall-eval population cap (inactive below sf~2: see banded_near_dup_recall)
+_RECALL_CAP = 4000
 
 
 def _banded_near_dup_sql(bands: int = _ND_BANDS, planes_per_band: int = _ND_PLANES,
-                         cap: int = 512, threshold: float = 0.3) -> str:
+                         cap: int = 512, threshold: float = 0.3,
+                         source: str = "embeddings") -> str:
     from onetl_spark.llm.similarity import lsh_plane_component
 
     def bucket_expr(band: int) -> str:
@@ -316,7 +319,7 @@ def _banded_near_dup_sql(bands: int = _ND_BANDS, planes_per_band: int = _ND_PLAN
         return " + ".join(bits)
 
     band_rows = "\nUNION ALL\n".join(
-        f"SELECT vec_id AS id, embedding, {b} AS band, ({bucket_expr(b)}) AS bkt FROM embeddings"
+        f"SELECT vec_id AS id, embedding, {b} AS band, ({bucket_expr(b)}) AS bkt FROM {source}"
         for b in range(bands)
     )
     return f"""
@@ -359,11 +362,20 @@ def banded_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded pair is exactly cosine-verified — so the one number that
     matters is recall, reported with the band/plane operating point
     implied by the showcase constants. Returns one row:
-    ``(n_truth_pairs, n_found, recall)``."""
+    ``(n_truth_pairs, n_found, recall)``.
+
+    The evaluation POPULATION is size-capped (``vec_id < _RECALL_CAP``),
+    the retrieval-eval panel rule: the exact ground-truth arm is
+    quadratic within label groups, so an uncapped eval re-grows with the
+    corpus — the wide-net scale screen measured 8.6 s -> 181 s on 10x
+    data before the cap. Inactive at the committed sf0.01/sf0.1 data
+    (500/2,000 vectors < 4,000), so oracle values are unchanged; at sf1+
+    it pins the exact arm to a fixed 4,000-vector population while the
+    production banded path stays evaluated at that population's scale."""
     ensure_views(spark, sf_dir)
     from onetl_spark.llm.similarity import banded_near_dup_pairs, near_dup_pairs_by_label
 
-    emb = spark.table("embeddings")
+    emb = spark.table("embeddings").filter(F.col("vec_id") < _RECALL_CAP)
     # both pair relations feed two consumers (overlap join + totals) —
     # checkpoint the bounded outputs so the expensive builds run once
     truth = (
@@ -395,14 +407,17 @@ def banded_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _banded_recall_sql() -> str:
-    banded = _banded_near_dup_sql()
-    # reuse the banded pipeline as a subquery; truth = exact label join
+    # the banded pipeline runs over the SAME capped eval population as the
+    # Spark side (cap inactive at committed SFs — see banded_near_dup_recall)
+    banded = _banded_near_dup_sql(source="eval_emb")
     return f"""
-WITH banded AS MATERIALIZED (
+WITH eval_emb AS MATERIALIZED (
+  SELECT * FROM embeddings WHERE vec_id < {_RECALL_CAP}
+), banded AS MATERIALIZED (
   SELECT a_id, b_id FROM ({banded})
 ), truth AS MATERIALIZED (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
-  FROM embeddings a JOIN embeddings b
+  FROM eval_emb a JOIN eval_emb b
     ON a.label = b.label AND a.vec_id < b.vec_id
   WHERE round(list_sum(list_transform(range(1, len(a.embedding)+1),
                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
@@ -412,8 +427,8 @@ WITH banded AS MATERIALIZED (
 ), pred AS (
   SELECT banded.a_id, banded.b_id
   FROM banded
-  JOIN embeddings ea ON ea.vec_id = banded.a_id
-  JOIN embeddings eb ON eb.vec_id = banded.b_id
+  JOIN eval_emb ea ON ea.vec_id = banded.a_id
+  JOIN eval_emb eb ON eb.vec_id = banded.b_id
   WHERE ea.label = eb.label
 ), hit AS (
   SELECT COUNT(*) AS n FROM truth JOIN pred USING (a_id, b_id)
