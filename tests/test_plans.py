@@ -811,15 +811,24 @@ def test_block_power_iteration_scan_and_job_shape(tables):
     from onetl_spark.llm.similarity import top_two_principal_components
 
     emb = tables.table("embeddings")
-    tracker = tables.sparkContext.statusTracker()
+    sc = tables.sparkContext
+    tracker = sc.statusTracker()
 
-    def jobs_for(iters):
-        j0 = len(tracker.getJobIdsForGroup(None) or [])
+    # Count jobs in a DEDICATED job group per probe: the default-group id
+    # list rides the status tracker's bounded retention window
+    # (spark.ui.retainedJobs), so late in a long suite old ids evict while
+    # new ones append and a before/after length delta can go NEGATIVE
+    # (observed: iters=1 "cost" -89 jobs once the suite's cumulative job
+    # count crossed the window). A fresh group holds only this probe's
+    # ~25 jobs — far inside the window, eviction-immune.
+    def jobs_for(iters, tag):
+        sc.setJobGroup(tag, "job-shape probe")
         df = top_two_principal_components(emb, iterations=iters)
-        return df, len(tracker.getJobIdsForGroup(None) or []) - j0
+        return df, len(tracker.getJobIdsForGroup(tag) or [])
 
-    _, j_one = jobs_for(1)
-    df, j_three = jobs_for(3)
+    _, j_one = jobs_for(1, "pca-probe-1")
+    df, j_three = jobs_for(3, "pca-probe-3")
+    sc.setJobGroup("pca-probe-epilogue", "job-shape probe epilogue")
     per_iter = (j_three - j_one) / 2
     assert per_iter <= 6, (
         f"block iteration costs {per_iter} jobs/iteration "
