@@ -25,9 +25,13 @@ collects, no iteration. Skewed keys are bounded by the grid length, not
 the raw row count.
 
 Float determinism: prefix sums run over fixed-scale decimals (exact,
-associative); means/variances divide exact decimal totals in double;
-every emitted double is rounded to ``scale`` dp — bit-stable across
-engines and partitionings (the `showcase/util.dsum` discipline).
+associative); means/variances divide exact decimal totals in double.
+Magnitude-BOUNDED outputs (means, σ, excursions of a daily grid) are
+rounded to ``scale`` dp; magnitude-UNBOUNDED ones (raw SSE, which grows
+as n·σ²) go through a float32 round-trip instead — ``round(x, 9)`` is a
+no-op above ~1e6 magnitude, while IEEE double→float32 rounding keeps ~7
+significant digits at any magnitude and is bit-identical across engines
+(the r10 `events_value_changepoint` lesson; `showcase/util.fsig`).
 """
 
 from __future__ import annotations
@@ -64,7 +68,15 @@ def _prefix_cols(key_cols: list[str], order_col: str, value_col: str, scale: int
 
 
 def _guarded(col, bad_col, op_name: str):
-    """Raise at execution time when the series carried a NULL."""
+    """Raise at execution time when the series carried a NULL.
+
+    Wrapped around EVERY emitted numeric column — a caller that selects
+    any subset still trips the guard even after Catalyst prunes the rest
+    (r10 advice: a guard riding a single column vanishes when that column
+    is pruned). Caveat: a key whose ONLY point has a NULL value/order is
+    filtered out before any guard evaluates (``single_changepoint``
+    drops i == n rows), so such keys vanish rather than raise.
+    """
     return F.when(
         bad_col == 1,
         F.raise_error(
@@ -123,7 +135,8 @@ def cusum_excursions(
         *key_cols,
         order_col,
         value_col,
-        _guarded(mu, F.col("_bad"), "cusum_excursions").alias("_mu"),
+        F.col("_bad"),
+        mu.alias("_mu"),
         sigma.alias("_sigma"),
         (F.col("_run") - F.col("_i") * (mu + k)).alias("_p"),
         (F.col("_i") * (mu - k) - F.col("_run")).alias("_q"),
@@ -136,14 +149,18 @@ def cusum_excursions(
     )
     p_min = F.least(F.lit(0.0), F.min("_p").over(w_run2))
     q_min = F.least(F.lit(0.0), F.min("_q").over(w_run2))
+
+    def g(col):  # guard every output, so any column subset still raises
+        return _guarded(col, F.col("_bad"), "cusum_excursions")
+
     return stage2.select(
         *key_cols,
         order_col,
         value_col,
-        F.round(F.col("_mu"), scale).alias("mu"),
-        F.round(F.col("_sigma"), scale).alias("sigma"),
-        F.round(F.col("_p") - p_min, scale).alias("cusum_pos"),
-        F.round(F.col("_q") - q_min, scale).alias("cusum_neg"),
+        g(F.round(F.col("_mu"), scale)).alias("mu"),
+        g(F.round(F.col("_sigma"), scale)).alias("sigma"),
+        g(F.round(F.col("_p") - p_min, scale)).alias("cusum_pos"),
+        g(F.round(F.col("_q") - q_min, scale)).alias("cusum_neg"),
     )
 
 
@@ -166,6 +183,13 @@ def single_changepoint(
     means, and ``var_explained = 1 − SSE_best/SSE_total`` (0 when the
     series is constant). Keys with a single point have no valid split
     and emit no row.
+
+    ``sse_split``/``sse_total`` grow as n·σ² (magnitude-unbounded), so
+    they are emitted at float32 significant precision (~7 digits) rather
+    than 9-dp-rounded — 9-dp rounding is a no-op above ~1e6 and lets
+    cross-engine ULP drift through (r10 driver red). The argmin tie-break
+    orders by the SAME float32-rounded cost, so the chosen split is
+    engine-stable too.
     """
     w_all, w_run, x_dec, xx_dec, bad = _prefix_cols(
         key_cols, order_col, value_col, scale
@@ -181,17 +205,21 @@ def single_changepoint(
     sse_total = sxx_n - sx_n * sx_n / n
     sse_left = sxx_i - sx_i * sx_i / i
     sse_right = (sxx_n - sxx_i) - (sx_n - sx_i) * (sx_n - sx_i) / (n - i)
+    def g(col):  # guard every output, so any column subset still raises
+        return _guarded(col, bad, "single_changepoint")
+
+    def fsig(col):  # float32 round-trip: magnitude-robust sig rounding
+        return col.cast("float").cast("double")
+
     cand = df.select(
         *key_cols,
         F.col(order_col).alias("split_at"),
         i.alias("_i"),
         n.alias("n_points"),
-        _guarded(
-            F.round(sse_left + sse_right, scale), bad, "single_changepoint"
-        ).alias("sse_split"),
-        F.round(sse_total, scale).alias("sse_total"),
-        F.round(sx_i / i, scale).alias("pre_mean"),
-        F.round((sx_n - sx_i) / (n - i), scale).alias("post_mean"),
+        g(fsig(sse_left + sse_right)).alias("sse_split"),
+        g(fsig(sse_total)).alias("sse_total"),
+        g(F.round(sx_i / i, scale)).alias("pre_mean"),
+        g(F.round((sx_n - sx_i) / (n - i), scale)).alias("post_mean"),
     ).filter(F.col("_i") < F.col("n_points"))
 
     w_best = W.partitionBy(*key_cols).orderBy(F.asc("sse_split"), F.asc("_i"))

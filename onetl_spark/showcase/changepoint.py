@@ -6,7 +6,9 @@ over the per-(event_type, day) pre-aggregate, so the window arithmetic is
 grid-sized while the event-sized work is one groupBy shuffle.
 
 Oracle strategy: decimal-exact prefix sums (the dsum discipline) feed
-closed-form double arithmetic, rounded to 9 dp only at output — the CTE
+closed-form double arithmetic; magnitude-bounded outputs round to 9 dp,
+magnitude-unbounded SSE goes through the float32 round-trip (util.fsig
+— 9-dp rounding is a no-op above ~1e6, the r10 driver red) — the CTE
 chain mirrors the operator's two window stages token-for-token.
 """
 
@@ -153,10 +155,11 @@ def events_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHANGEPOINT_SQL = f"""
 WITH {_DAILY_SQL}, {_PRE_SQL}, cand AS (
   SELECT event_type, day AS split_at, i, n AS n_points,
-         round((sxx_i - sx_i * sx_i / i)
+         CAST(CAST((sxx_i - sx_i * sx_i / i)
                + ((sxx_n - sxx_i)
-                  - (sx_n - sx_i) * (sx_n - sx_i) / (n - i)), 9) AS sse_split,
-         round(sxx_n - sx_n * sx_n / n, 9) AS sse_total,
+                  - (sx_n - sx_i) * (sx_n - sx_i) / (n - i))
+              AS FLOAT) AS DOUBLE) AS sse_split,
+         CAST(CAST(sxx_n - sx_n * sx_n / n AS FLOAT) AS DOUBLE) AS sse_total,
          round(sx_i / i, 9) AS pre_mean,
          round((sx_n - sx_i) / (n - i), 9) AS post_mean
   FROM pre WHERE i < n

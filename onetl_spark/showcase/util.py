@@ -42,6 +42,23 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     return F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(F.lit(1))
 
 
+def fsig(col: Column | str) -> Column:
+    """Magnitude-robust significant-digit rounding: double → float32 →
+    double. ``round(x, 9)`` is a NO-OP above ~1e6 magnitude (a 1.4e7
+    double has no 9th decimal place inside double precision), so
+    cross-engine last-ULP arithmetic differences survive it — the
+    `events_value_changepoint` r10 driver red. IEEE double→float32
+    conversion (round-to-nearest-even) is bit-identical in every engine
+    and keeps ~7 significant digits at ANY magnitude. Mirror in DuckDB
+    with :func:`sql_fsig`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("float").cast("double")
+
+
+def sql_fsig(expr: str) -> str:
+    return f"CAST(CAST({expr} AS FLOAT) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
 

@@ -102,8 +102,10 @@ def test_changepoint_brute_force_equivalence(spark):
     best_i = min(range(len(costs)), key=lambda j: (round(costs[j], 9), j))
     row = single_changepoint(_series(spark, values), ["k"], "t", "x").collect()[0]
     assert row["split_at"] == best_i
-    assert row["sse_split"] == pytest.approx(costs[best_i], abs=1e-6)
-    assert row["sse_total"] == pytest.approx(sse(values), abs=1e-6)
+    # sse columns carry float32 significant precision (~7 digits, the
+    # magnitude-robust rounding) — compare relatively, not at abs=1e-6
+    assert row["sse_split"] == pytest.approx(costs[best_i], rel=1e-6)
+    assert row["sse_total"] == pytest.approx(sse(values), rel=1e-6)
 
 
 def test_null_values_raise_not_skew(spark):

@@ -75,7 +75,13 @@ def norm(v):
             return ("f", "NaN")
         if v == int(v) and abs(v) < 2**53:
             return ("f", f"{v:.1f}")
-        return ("f", f"{v:.10g}")
+        # FULL precision (repr = shortest round-trip). The old f"{v:.10g}"
+        # canonicalized to 10 significant digits and systematically
+        # under-reported last-ULP drift the driver's hash rejects
+        # (r10: events_value_changepoint said clean here, red at the
+        # driver). 377/378 already passed the judge's strict full-
+        # precision sweep, so this upgrade is free.
+        return ("f", repr(v))
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
     if isinstance(v, (list, tuple)):
@@ -235,14 +241,26 @@ def main():
                 if oracle_timeout:
                     import threading
 
-                    timer = threading.Timer(oracle_timeout, con.interrupt)
+                    # done-flag instead of relying on cancel() timing: an
+                    # interrupt firing between .arrow() returning and
+                    # cancel() would hit an idle/closing connection (and
+                    # raise in the timer thread after close).
+                    done = threading.Event()
+
+                    def _interrupt():
+                        if not done.is_set():
+                            con.interrupt()
+
+                    timer = threading.Timer(oracle_timeout, _interrupt)
                     timer.start()
                     try:
                         tbl = con.execute(sql).arrow()
+                        done.set()
                     except duckdb.InterruptException:
                         status = "ORACLE-SLOW"
                         detail = f"oracle exceeded {oracle_timeout:.0f}s budget"
                     finally:
+                        done.set()
                         timer.cancel()
                 else:
                     tbl = con.execute(sql).arrow()
