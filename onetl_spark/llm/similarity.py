@@ -108,6 +108,8 @@ def near_dup_pairs_by_label(
     vec_col: str = "embedding",
     block_col: str = "label",
     salt_groups: int = 8,
+    max_bucket_rows: int = 100_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking groups
     (block_col keeps the pair join off the full cross product).
@@ -131,7 +133,35 @@ def near_dup_pairs_by_label(
     (Σ |block|²); salting spreads it, it doesn't shrink it. If a hot
     block dominates the corpus, switch to ``lsh_bucket_topk``-style
     sign-LSH blocking or MinHash banding to cut candidate counts.
+
+    RUNTIME GUARD: because the cost is exact-by-construction quadratic,
+    a salt-bucket holding more than ``max_bucket_rows`` rows (block size
+    ≳ salt_groups·max_bucket_rows, i.e. ≥ ~10¹¹ candidate pairs per
+    block at the default) raises at execution time instead of silently
+    launching a corpus-scale cross product. The check rides a window
+    over the join key itself, so in the at-scale SortMergeJoin regime
+    the window's exchange IS the join's right-side exchange (no
+    dedicated validation scan — the gini convention) and it fires
+    BEFORE any pair is formed; only in the small-data broadcast-join
+    regime does it cost one extra (then small) shuffle. Pass
+    ``allow_quadratic=True`` (or raise ``max_bucket_rows``) to
+    deliberately run bigger blocks; `banded_near_dup_pairs` /
+    `minhash_lsh` are the linear-cost paths.
     """
+    b_norm = norm(F.col("b_vec"))
+    if not allow_quadratic:
+        bucket_n = F.count(F.lit(1)).over(W.partitionBy("_blk", "_gb"))
+        b_norm = F.when(
+            bucket_n > max_bucket_rows,
+            F.raise_error(
+                F.lit(
+                    f"near_dup_pairs_by_label: a {block_col} block exceeds "
+                    f"~{salt_groups}×{max_bucket_rows} rows — exact all-pairs "
+                    "at this size is quadratic; use banded_near_dup_pairs / "
+                    "minhash_lsh, or pass allow_quadratic=True"
+                )
+            ).cast("double"),
+        ).otherwise(b_norm)
     left = embeddings.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
@@ -144,9 +174,17 @@ def near_dup_pairs_by_label(
     right = embeddings.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
-        norm(F.col(vec_col)).alias("b_norm"),
         F.col(block_col).alias("_blk"),
         F.pmod(F.hash(F.col(id_col)), F.lit(salt_groups)).alias("_gb"),
+    ).select(
+        "b_id",
+        "b_vec",
+        "_blk",
+        "_gb",
+        # guarded norm: the bucket-count window partitions by the join
+        # key, so its exchange is the join's own right-side shuffle and
+        # the cap fires BEFORE any pair is formed
+        b_norm.alias("b_norm"),
     )
     return (
         left.join(right, ["_blk", "_gb"])
@@ -625,6 +663,8 @@ def semantic_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt_groups: int = 8,
+    max_bucket_rows: int = 100_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs blocked by IVF clusters instead of a
     metadata label: the scale path when no natural blocking column exists.
@@ -635,6 +675,12 @@ def semantic_near_dup_pairs(
     inside a cluster, so cost is Σ|cluster|²·nprobe² instead of N².
     Pairs that meet in several shared clusters are de-duplicated (their
     cos_sim is identical, so ``distinct`` is exact).
+
+    NOTE the centroid set here grows as corpus/64 (measured α=1.22 at
+    sf1) — this variant is exact-by-construction ground truth. The
+    inherited ``max_bucket_rows`` guard makes a corpus-scale launch
+    raise instead of running O(N²/64); `banded_near_dup_pairs` is the
+    measured-linear production path (α=0.30).
     """
     assigned = multiprobe_assign(embeddings, nprobe, centroid_filter, id_col, vec_col)
     pairs = near_dup_pairs_by_label(
@@ -644,6 +690,8 @@ def semantic_near_dup_pairs(
         vec_col=vec_col,
         block_col="centroid_id",
         salt_groups=salt_groups,
+        max_bucket_rows=max_bucket_rows,
+        allow_quadratic=allow_quadratic,
     )
     return pairs.distinct()
 

@@ -123,6 +123,24 @@ def test_blocked_pair_join_is_salted(tables):
     plan = optimized_plan(near_dup_pairs_by_label(emb))
     assert "_gb" in plan  # salt key present in the join
     assert "CartesianProduct" not in plan
+    # the quadratic guard's bucket-count window partitions by the join
+    # key, so in the at-scale SortMergeJoin regime (the one the guard
+    # exists for) it rides the join's own right-side exchange — zero
+    # extra shuffles; in the small-data broadcast regime it may add at
+    # most one (the corpus is broadcast-small there anyway)
+    spark = emb.sparkSession
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        guarded = executed_plan(near_dup_pairs_by_label(emb))
+        free = executed_plan(near_dup_pairs_by_label(emb, allow_quadratic=True))
+        assert "SortMergeJoin" in guarded
+        assert guarded.count("Exchange") == free.count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    guarded_bc = executed_plan(near_dup_pairs_by_label(emb))
+    free_bc = executed_plan(near_dup_pairs_by_label(emb, allow_quadratic=True))
+    assert guarded_bc.count("Exchange") <= free_bc.count("Exchange") + 1
 
 
 def test_bruteforce_topk_is_take_ordered(tables):
