@@ -539,8 +539,20 @@ def main() -> None:
     # all recorded parsed:null). The printed line stays ~500 chars —
     # totals + per-family subtotals + the side-file pointer — so the
     # driver's last-line JSON parse always succeeds.
-    full_name = f"BENCH_r{_current_round():02d}_full.json"
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
+    # named for the round this run CLOSES, in a namespace the driver's
+    # stdout-captured BENCH_r{N}.json never touches — and NEVER clobber:
+    # an existing file (e.g. the driver's own run of this script at round
+    # close) gets a letter-suffixed sibling instead of being overwritten
+    # (r10 verdict: the r9-close baseline survived only in git history)
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    stem = f"BENCH_close_r{_current_round():02d}_full"
+    full_name = f"{stem}.json"
+    full_path = os.path.join(repo_dir, full_name)
+    suffix = ord("b")
+    while os.path.exists(full_path):
+        full_name = f"{stem}{chr(suffix)}.json"
+        full_path = os.path.join(repo_dir, full_name)
+        suffix += 1
     with open(full_path, "w") as f:
         json.dump(
             {
@@ -552,7 +564,7 @@ def main() -> None:
                 "cpus": cpus,
                 "methodology": "fixed order; per-query JVM-warm median-of-3 (one untimed compile run); cache cleared between runs; canary re-timed every 25 queries for session-drift normalization",
                 "closes_round": _current_round(),
-                "naming_note": "this file is named for the round it CLOSES (newest committed CORRECTNESS round + 1); the driver's stdout-captured BENCH_r{N}.json for the same run may carry the previous round's number",
+                "naming_note": "BENCH_close_r{N}_full.json is named for the round it CLOSES (newest committed CORRECTNESS round + 1) and is never overwritten (an existing file gets a letter-suffixed sibling); the driver's stdout-captured BENCH_r{N}.json for the same run may carry a different round number",
                 "canary": {"query": CANARY, "timings": canary_track},
                 "testdata_fingerprint": _testdata_fingerprint(sf_dir),
             },

@@ -1447,12 +1447,15 @@ SPARK_QUERIES["wav_roundtrip_energy"] = wav_roundtrip_energy
 ORACLE_SQL["wav_roundtrip_energy"] = _wav_roundtrip_sql()
 
 
+_SIMHASH_MAX_DIST = 3  # shared by the Spark query AND its oracle banding
+
+
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs within Hamming distance 3 via multi-index banding —
     the pigeonhole equi-join, never an N² comparison."""
     ensure_views(spark, sf_dir)
     sigs = dedup.simhash_signatures(spark.table("documents"))
-    return dedup.hamming_near_dup_pairs(sigs, max_dist=3)
+    return dedup.hamming_near_dup_pairs(sigs, max_dist=_SIMHASH_MAX_DIST)
 
 
 def _simhash_near_dup_sql() -> str:
@@ -1463,11 +1466,17 @@ def _simhash_near_dup_sql() -> str:
     # at sf1 the cap binds (by design, logged) and the idealized form
     # diverged 230k vs 627k pairs — the sf1 parity sweep caught it.
     sim = _simhash_sql().strip().rstrip(";")
-    n_bands = 4  # max_dist 3 + 1; width = 48 // 4 = 12 bits per band
+    # derive banding from the operator's own constants so the oracle can
+    # never silently desync from hamming_near_dup_pairs (r10 advice):
+    # n_bands = max_dist + 1 disjoint bands over SIMHASH_BITS
+    max_dist = _SIMHASH_MAX_DIST
+    n_bands = max_dist + 1
+    width = dedup.SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
     return f"""
 WITH sigs AS ({sim}), bands AS (
   SELECT doc_id, simhash, band_idx,
-         (simhash >> (band_idx * 12)) & 4095 AS band_bits
+         (simhash >> (band_idx * {width})) & {mask} AS band_bits
   FROM sigs CROSS JOIN (SELECT unnest(range({n_bands})) AS band_idx)
   QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_bits) <= {LSH_MAX_BUCKET}
 ), cand AS (
@@ -1477,7 +1486,7 @@ WITH sigs AS ({sim}), bands AS (
   JOIN bands b ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
               AND a.doc_id < b.doc_id
 )
-SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 3
+SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {max_dist}
 """
 
 

@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from onetl_spark.showcase.util import davg, dsum, ensure_views, sql_davg, sql_dsum
+from onetl_spark.showcase.util import (
+    davg,
+    dsum,
+    ensure_views,
+    fsig,
+    sql_davg,
+    sql_dsum,
+    sql_fsig,
+)
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,7 +226,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         branded.join(avg_qty, branded.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
-        .agg((dsum("l_extendedprice", 8) / 7.0).alias("avg_yearly"))
+        # magnitude > 1e6 → 9-dp rounding is inert; float32 round-trip is
+        # the engine-stable significant rounding (magnitude lint, r11)
+        .agg(fsig(dsum("l_extendedprice", 8) / 7.0).alias("avg_yearly"))
     )
 
 
@@ -230,7 +240,7 @@ WITH branded AS (
 ), avg_qty AS (
   SELECT l_partkey AS _pk, {sql_davg('l_quantity')} AS _avg_qty
   FROM branded GROUP BY l_partkey)
-SELECT {sql_dsum('l_extendedprice', 8)} / 7.0 AS avg_yearly
+SELECT {sql_fsig(sql_dsum('l_extendedprice', 8) + ' / 7.0')} AS avg_yearly
 FROM branded JOIN avg_qty ON l_partkey = _pk
 WHERE l_quantity < 0.2 * _avg_qty
 """

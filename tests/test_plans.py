@@ -844,17 +844,22 @@ def test_block_power_iteration_scan_and_job_shape(tables):
         df = top_two_principal_components(emb, iterations=iters)
         return df, len(tracker.getJobIdsForGroup(tag) or [])
 
-    _, j_one = jobs_for(1, "pca-probe-1")
-    df, j_three = jobs_for(3, "pca-probe-3")
-    sc.setJobGroup("pca-probe-epilogue", "job-shape probe epilogue")
-    per_iter = (j_three - j_one) / 2
-    assert per_iter <= 6, (
-        f"block iteration costs {per_iter} jobs/iteration "
-        f"(iters=1: {j_one}, iters=3: {j_three}; one-scan contract is ~5)"
-    )
-    # epilogue is a d-row range projection — no further corpus scans
-    plan = executed_plan(df)
-    assert "FileScan" not in plan and "CartesianProduct" not in plan
+    try:
+        _, j_one = jobs_for(1, "pca-probe-1")
+        df, j_three = jobs_for(3, "pca-probe-3")
+        sc.setJobGroup("pca-probe-epilogue", "job-shape probe epilogue")
+        per_iter = (j_three - j_one) / 2
+        assert per_iter <= 6, (
+            f"block iteration costs {per_iter} jobs/iteration "
+            f"(iters=1: {j_one}, iters=3: {j_three}; one-scan contract is ~5)"
+        )
+        # epilogue is a d-row range projection — no further corpus scans
+        plan = executed_plan(df)
+        assert "FileScan" not in plan and "CartesianProduct" not in plan
+    finally:
+        # drop the group so later jobs on this thread don't inherit it
+        # (a lingering group would poison any later group-based probe)
+        sc.setJobGroup(None, None)
 
 
 def test_retrieval_eval_plan_shapes(tables):

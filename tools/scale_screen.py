@@ -100,25 +100,38 @@ def main() -> None:
     flagged.sort(key=lambda x: -x[3])
 
     out_path = os.path.join(REPO, "SCALE_SCREEN.json")
+    # every flag entry records the thresholds it was computed under, so a
+    # merged file can't silently mix regimes (r10 advice)
+    new_flags = [
+        {
+            "query": n,
+            "sf0.1": a,
+            "sf1": b,
+            "ratio": r,
+            "flag_ratio": flag_ratio,
+            "abs_floor": abs_floor,
+        }
+        for n, a, b, r in flagged
+    ]
     if only and os.path.exists(out_path):
         # subset run: merge the new readings into the existing full screen
         with open(out_path) as f:
             out = json.load(f)
         out["timings"].update(timings)
         out.setdefault("errors", {}).update(errors)
-        prior = [f for f in out.get("flagged", []) if f["query"] not in timings]
-        out["flagged"] = prior + [
-            {"query": n, "sf0.1": a, "sf1": b, "ratio": r} for n, a, b, r in flagged
-        ]
+        # drop prior flags for anything re-screened this run — including
+        # queries that ERRORED (they land in `errors`, not `timings`; a
+        # stale flag surviving an error reads as a still-open scale risk)
+        rescreened = set(timings) | set(errors)
+        prior = [f for f in out.get("flagged", []) if f["query"] not in rescreened]
+        out["flagged"] = prior + new_flags
     else:
         out = {
             "flag_ratio": flag_ratio,
             "abs_floor": abs_floor,
             "timings": timings,
             "errors": errors,
-            "flagged": [
-                {"query": n, "sf0.1": a, "sf1": b, "ratio": r} for n, a, b, r in flagged
-            ],
+            "flagged": new_flags,
         }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
