@@ -336,6 +336,10 @@ HEADLINE = [
     "events_cusum_drift",
     "events_value_changepoint",
     "streaming_rolling_drift",
+    # r11 additions: model-eval calibration class (auto-included)
+    "events_score_reliability",
+    "events_score_calibration_report",
+    "events_calibration_drift_weekly",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -25,13 +25,16 @@ collects, no iteration. Skewed keys are bounded by the grid length, not
 the raw row count.
 
 Float determinism: prefix sums run over fixed-scale decimals (exact,
-associative); means/variances divide exact decimal totals in double.
-Magnitude-BOUNDED outputs (means, σ, excursions of a daily grid) are
-rounded to ``scale`` dp; magnitude-UNBOUNDED ones (raw SSE, which grows
-as n·σ²) go through a float32 round-trip instead — ``round(x, 9)`` is a
-no-op above ~1e6 magnitude, while IEEE double→float32 rounding keeps ~7
-significant digits at any magnitude and is bit-identical across engines
-(the r10 `events_value_changepoint` lesson; `showcase/util.fsig`).
+associative; ``scale`` sets the decimal precision); means/variances
+divide exact decimal totals in double. EVERY emitted double (means, σ,
+excursions, SSE) takes a float32 round-trip rather than round-9: these
+quantities scale with the data, and the decimal→double cast that feeds
+them differs across engines in its last ULP — a RELATIVE ~1e-13 drift
+that crosses any fixed absolute rounding grid once magnitudes grow
+(r10 `events_value_changepoint` at 1.4e7; r11 sf1 strict parity caught
+σ/excursions at 1e4). IEEE double→float32 rounding keeps ~7 significant
+digits at any magnitude and is bit-identical across engines
+(`showcase/util.fsig`).
 """
 
 from __future__ import annotations
@@ -65,6 +68,12 @@ def _prefix_cols(key_cols: list[str], order_col: str, value_col: str, scale: int
         (F.col(value_col).isNull() | F.col(order_col).isNull()).cast("int")
     ).over(w_all)
     return w_all, w_run, x_dec, xx_dec, bad
+
+
+def _fsig(col):
+    """Float32 round-trip: engine-stable significant rounding (~7 digits)
+    at ANY magnitude — see `showcase/util.fsig` for the full rationale."""
+    return col.cast("float").cast("double")
 
 
 def _guarded(col, bad_col, op_name: str):
@@ -153,14 +162,20 @@ def cusum_excursions(
     def g(col):  # guard every output, so any column subset still raises
         return _guarded(col, F.col("_bad"), "cusum_excursions")
 
+    # float32 round-trip, not round(x, scale): these outputs scale with
+    # the data (mu, σ, excursions ~ n·σ), and their inputs carry a
+    # decimal→double cast whose last ULP differs across engines — a
+    # RELATIVE ~1e-13 drift that crosses the 0.5e-9 absolute rounding
+    # boundary once magnitudes reach ~1e4 (sf1 strict-parity finding).
+    # fsig's tolerance is relative (~3e-8), so it is magnitude-immune.
     return stage2.select(
         *key_cols,
         order_col,
         value_col,
-        g(F.round(F.col("_mu"), scale)).alias("mu"),
-        g(F.round(F.col("_sigma"), scale)).alias("sigma"),
-        g(F.round(F.col("_p") - p_min, scale)).alias("cusum_pos"),
-        g(F.round(F.col("_q") - q_min, scale)).alias("cusum_neg"),
+        g(_fsig(F.col("_mu"))).alias("mu"),
+        g(_fsig(F.col("_sigma"))).alias("sigma"),
+        g(_fsig(F.col("_p") - p_min)).alias("cusum_pos"),
+        g(_fsig(F.col("_q") - q_min)).alias("cusum_neg"),
     )
 
 
@@ -184,12 +199,11 @@ def single_changepoint(
     series is constant). Keys with a single point have no valid split
     and emit no row.
 
-    ``sse_split``/``sse_total`` grow as n·σ² (magnitude-unbounded), so
-    they are emitted at float32 significant precision (~7 digits) rather
-    than 9-dp-rounded — 9-dp rounding is a no-op above ~1e6 and lets
-    cross-engine ULP drift through (r10 driver red). The argmin tie-break
-    orders by the SAME float32-rounded cost, so the chosen split is
-    engine-stable too.
+    All emitted doubles (SSE ~ n·σ², segment means ~ data scale) carry
+    float32 significant precision (~7 digits) rather than 9-dp rounding —
+    see the module docstring for why fixed-absolute rounding is not
+    engine-stable at scale. The argmin tie-break orders by the SAME
+    float32-rounded cost, so the chosen split is engine-stable too.
     """
     w_all, w_run, x_dec, xx_dec, bad = _prefix_cols(
         key_cols, order_col, value_col, scale
@@ -208,18 +222,19 @@ def single_changepoint(
     def g(col):  # guard every output, so any column subset still raises
         return _guarded(col, bad, "single_changepoint")
 
-    def fsig(col):  # float32 round-trip: magnitude-robust sig rounding
-        return col.cast("float").cast("double")
-
+    # ALL magnitude-unbounded outputs (SSE ~ n·σ², means ~ data scale)
+    # take the float32 round-trip — see cusum_excursions for why round-9
+    # is not engine-stable once the decimal→double cast ULP exceeds the
+    # absolute rounding grid
     cand = df.select(
         *key_cols,
         F.col(order_col).alias("split_at"),
         i.alias("_i"),
         n.alias("n_points"),
-        g(fsig(sse_left + sse_right)).alias("sse_split"),
-        g(fsig(sse_total)).alias("sse_total"),
-        g(F.round(sx_i / i, scale)).alias("pre_mean"),
-        g(F.round((sx_n - sx_i) / (n - i), scale)).alias("post_mean"),
+        g(_fsig(sse_left + sse_right)).alias("sse_split"),
+        g(_fsig(sse_total)).alias("sse_total"),
+        g(_fsig(sx_i / i)).alias("pre_mean"),
+        g(_fsig((sx_n - sx_i) / (n - i))).alias("post_mean"),
     ).filter(F.col("_i") < F.col("n_points"))
 
     w_best = W.partitionBy(*key_cols).orderBy(F.asc("sse_split"), F.asc("_i"))

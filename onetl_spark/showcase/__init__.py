@@ -127,11 +127,19 @@ def _modules():
     # BEHIND the existing verification debt (ties in _debt_ordered break
     # by registry index), so a new module never displaces older
     # never-checked queries out of the driver window
-    from onetl_spark.showcase import changepoint, hygiene, preference, retrieval, selection
+    from onetl_spark.showcase import (
+        calibration,
+        changepoint,
+        hygiene,
+        preference,
+        retrieval,
+        selection,
+    )
 
     mods.append(preference)
     mods.append(retrieval)
     mods.append(hygiene)
     mods.append(selection)
     mods.append(changepoint)
+    mods.append(calibration)
     return mods

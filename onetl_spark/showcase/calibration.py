@@ -1,0 +1,187 @@
+"""Model-eval calibration showcase — `operators/calibration.py` as
+driver-checkable queries. A NEW operator class: the scoring family
+(roc_auc, auc_delong) measures DISCRIMINATION; these measure whether the
+score's VALUE is trustworthy as a probability — the gate a model-filtered
+100-TB corpus needs before thresholding classifier scores.
+
+Prediction setup shared by all three queries: the event ``value`` min-max
+normalized by the corpus max is the "predicted purchase probability";
+``event_type = 'purchase'`` is the outcome. The normalization constant is
+a 1-row broadcast (Spark) / scalar subquery (oracle) — identical doubles,
+so every row's score divides identically in both engines.
+
+Oracle strategy: per-row terms round to 9 dp then decimal-sum and STAY
+decimal through every re-aggregation (the calibration operator's
+determinism contract); combined bin terms carry the n_b/N weight before
+rounding so magnitudes stay ≤ 1 (magnitude-aware discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.operators.calibration import (
+    calibration_by_group,
+    calibration_report,
+    reliability_bins,
+)
+from onetl_spark.showcase.util import ensure_views
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+_N_BINS = 10
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    mx = ev.agg(F.max("value").alias("_mx"))
+    return ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("value") / F.col("_mx")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.col("ts"),
+    )
+
+
+_SCORED_SQL = """
+scored AS (
+  SELECT value / (SELECT MAX(value) FROM events) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)"""
+
+# shared per-bin CTE (mirrors operators/calibration.py _bin_relation:
+# 9-dp-rounded decimal sums kept DECIMAL; bin = least(B-1, floor(p·B)))
+_BINS_SQL = f"""
+bins AS (
+  SELECT LEAST({_N_BINS - 1}, CAST(FLOOR(score * {_N_BINS}) AS INT)) AS bin,
+         COUNT(*) AS n,
+         SUM(CAST(round(score, 9) AS DECIMAL(38,9))) AS sp,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         SUM(CAST(round((score - label) * (score - label), 9)
+             AS DECIMAL(38,9))) AS sq
+  FROM scored GROUP BY 1
+)"""
+
+
+def events_purchase_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of normalized event value as a purchase
+    probability: per score decile the mean prediction, the empirical
+    purchase rate, and the calibration gap."""
+    return reliability_bins(_scored(spark, sf_dir), n_bins=_N_BINS)
+
+
+RELIABILITY_SQL = f"""
+WITH {_SCORED_SQL}, {_BINS_SQL}
+SELECT bin, n, n_pos,
+       round(CAST(sp AS DOUBLE) / n, 9) + 0.0 AS mean_pred,
+       round(CAST(n_pos AS DOUBLE) / n, 9) + 0.0 AS event_rate,
+       round(CAST(n_pos AS DOUBLE) / n - CAST(sp AS DOUBLE) / n, 9) + 0.0 AS gap
+FROM bins
+"""
+
+
+def events_purchase_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row calibration report: ECE, MCE, Brier and its Murphy
+    decomposition (reliability − resolution + uncertainty) for the
+    value-predicts-purchase score."""
+    return calibration_report(_scored(spark, sf_dir), n_bins=_N_BINS)
+
+
+_REPORT_CORE = """
+tot AS (
+  SELECT SUM(n) AS nt, SUM(n_pos) AS pt, SUM(sq) AS sqt FROM bins
+), per_bin AS (
+  SELECT b.n, b.n_pos, t.nt, t.pt, t.sqt,
+         CAST(round((CAST(b.n AS DOUBLE) / t.nt)
+               * abs(CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n), 9)
+              AS DECIMAL(38,9)) AS ece_t,
+         abs(CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n) AS absgap,
+         CAST(round((CAST(b.n AS DOUBLE) / t.nt)
+               * (CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n)
+               * (CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n), 9)
+              AS DECIMAL(38,9)) AS rel_t,
+         CAST(round((CAST(b.n AS DOUBLE) / t.nt)
+               * (CAST(b.n_pos AS DOUBLE) / b.n - CAST(t.pt AS DOUBLE) / t.nt)
+               * (CAST(b.n_pos AS DOUBLE) / b.n - CAST(t.pt AS DOUBLE) / t.nt), 9)
+              AS DECIMAL(38,9)) AS res_t
+  FROM bins b CROSS JOIN tot t
+)
+SELECT CAST(MAX(nt) AS BIGINT) AS n,
+       round(CAST(MAX(pt) AS DOUBLE) / MAX(nt), 9) + 0.0 AS base_rate,
+       round(CAST(SUM(ece_t) AS DOUBLE), 9) + 0.0 AS ece,
+       round(MAX(absgap), 9) + 0.0 AS mce,
+       round(CAST(MAX(sqt) AS DOUBLE) / MAX(nt), 9) + 0.0 AS brier,
+       round(CAST(SUM(rel_t) AS DOUBLE), 9) + 0.0 AS reliability,
+       round(CAST(SUM(res_t) AS DOUBLE), 9) + 0.0 AS resolution,
+       round((CAST(MAX(pt) AS DOUBLE) / MAX(nt))
+             * (1.0 - CAST(MAX(pt) AS DOUBLE) / MAX(nt)), 9) + 0.0 AS uncertainty
+"""
+
+CALIBRATION_SQL = f"""
+WITH {_SCORED_SQL}, {_BINS_SQL}, {_REPORT_CORE}
+FROM per_bin
+"""
+
+
+def events_calibration_drift_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly calibration grid — ECE/Brier per ISO week of the event
+    stream: the time-sliced view a drift monitor (CUSUM over the weekly
+    ece series) consumes to catch "the score went stale"."""
+    scored = _scored(spark, sf_dir).withColumn(
+        "week", F.date_trunc("week", F.col("ts")).cast("date")
+    )
+    return calibration_by_group(scored, ["week"], n_bins=_N_BINS)
+
+
+WEEKLY_SQL = f"""
+WITH {_SCORED_SQL}, bins AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         LEAST({_N_BINS - 1}, CAST(FLOOR(score * {_N_BINS}) AS INT)) AS bin,
+         COUNT(*) AS n,
+         SUM(CAST(round(score, 9) AS DECIMAL(38,9))) AS sp,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         SUM(CAST(round((score - label) * (score - label), 9)
+             AS DECIMAL(38,9))) AS sq
+  FROM scored GROUP BY 1, 2
+), tot AS (
+  SELECT week, SUM(n) AS nt, SUM(n_pos) AS pt, SUM(sq) AS sqt
+  FROM bins GROUP BY week
+), per_bin AS (
+  SELECT b.week, b.n, b.n_pos, t.nt, t.pt, t.sqt,
+         CAST(round((CAST(b.n AS DOUBLE) / t.nt)
+               * abs(CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n), 9)
+              AS DECIMAL(38,9)) AS ece_t,
+         abs(CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n) AS absgap,
+         CAST(round((CAST(b.n AS DOUBLE) / t.nt)
+               * (CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n)
+               * (CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n), 9)
+              AS DECIMAL(38,9)) AS rel_t,
+         CAST(round((CAST(b.n AS DOUBLE) / t.nt)
+               * (CAST(b.n_pos AS DOUBLE) / b.n - CAST(t.pt AS DOUBLE) / t.nt)
+               * (CAST(b.n_pos AS DOUBLE) / b.n - CAST(t.pt AS DOUBLE) / t.nt), 9)
+              AS DECIMAL(38,9)) AS res_t
+  FROM bins b JOIN tot t USING (week)
+)
+SELECT week, CAST(MAX(nt) AS BIGINT) AS n,
+       round(CAST(MAX(pt) AS DOUBLE) / MAX(nt), 9) + 0.0 AS base_rate,
+       round(CAST(SUM(ece_t) AS DOUBLE), 9) + 0.0 AS ece,
+       round(MAX(absgap), 9) + 0.0 AS mce,
+       round(CAST(MAX(sqt) AS DOUBLE) / MAX(nt), 9) + 0.0 AS brier,
+       round(CAST(SUM(rel_t) AS DOUBLE), 9) + 0.0 AS reliability,
+       round(CAST(SUM(res_t) AS DOUBLE), 9) + 0.0 AS resolution,
+       round((CAST(MAX(pt) AS DOUBLE) / MAX(nt))
+             * (1.0 - CAST(MAX(pt) AS DOUBLE) / MAX(nt)), 9) + 0.0 AS uncertainty
+FROM per_bin GROUP BY week
+"""
+
+
+SPARK_QUERIES["events_score_reliability"] = events_purchase_reliability
+ORACLE_SQL["events_score_reliability"] = RELIABILITY_SQL
+SPARK_QUERIES["events_score_calibration_report"] = events_purchase_calibration
+ORACLE_SQL["events_score_calibration_report"] = CALIBRATION_SQL
+SPARK_QUERIES["events_calibration_drift_weekly"] = events_calibration_drift_weekly
+ORACLE_SQL["events_calibration_drift_weekly"] = WEEKLY_SQL

@@ -6,10 +6,12 @@ over the per-(event_type, day) pre-aggregate, so the window arithmetic is
 grid-sized while the event-sized work is one groupBy shuffle.
 
 Oracle strategy: decimal-exact prefix sums (the dsum discipline) feed
-closed-form double arithmetic; magnitude-bounded outputs round to 9 dp,
-magnitude-unbounded SSE goes through the float32 round-trip (util.fsig
-— 9-dp rounding is a no-op above ~1e6, the r10 driver red) — the CTE
-chain mirrors the operator's two window stages token-for-token.
+closed-form double arithmetic; every emitted double goes through the
+float32 round-trip (util.fsig) because these statistics scale with the
+data and the decimal→double cast ULP makes any fixed absolute rounding
+engine-unstable at scale (r10 driver red at 1.4e7; r11 sf1 strict parity
+at 1e4) — the CTE chain mirrors the operator's window stages
+token-for-token.
 """
 
 from __future__ import annotations
@@ -111,15 +113,15 @@ _SIGMA = f"sqrt(greatest(0.0, sxx_n / n - ({_MU}) * ({_MU})))"
 CUSUM_SQL = f"""
 WITH {_DAILY_SQL}, {_PRE_SQL}, pq AS (
   SELECT event_type, day,
-         round({_MU}, 9) AS mu,
-         round({_SIGMA}, 9) AS sigma,
+         CAST(CAST({_MU} AS FLOAT) AS DOUBLE) AS mu,
+         CAST(CAST({_SIGMA} AS FLOAT) AS DOUBLE) AS sigma,
          sx_i - i * ({_MU} + {_K_SIGMA!r} * {_SIGMA}) AS p,
          i * ({_MU} - {_K_SIGMA!r} * {_SIGMA}) - sx_i AS q
   FROM pre
 ), cus AS (
   SELECT event_type, day, mu, sigma,
-         round(p - least(0.0, MIN(p) OVER w), 9) AS cusum_pos,
-         round(q - least(0.0, MIN(q) OVER w), 9) AS cusum_neg
+         CAST(CAST(p - least(0.0, MIN(p) OVER w) AS FLOAT) AS DOUBLE) AS cusum_pos,
+         CAST(CAST(q - least(0.0, MIN(q) OVER w) AS FLOAT) AS DOUBLE) AS cusum_neg
   FROM pq
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -160,8 +162,8 @@ WITH {_DAILY_SQL}, {_PRE_SQL}, cand AS (
                   - (sx_n - sx_i) * (sx_n - sx_i) / (n - i))
               AS FLOAT) AS DOUBLE) AS sse_split,
          CAST(CAST(sxx_n - sx_n * sx_n / n AS FLOAT) AS DOUBLE) AS sse_total,
-         round(sx_i / i, 9) AS pre_mean,
-         round((sx_n - sx_i) / (n - i), 9) AS post_mean
+         CAST(CAST(sx_i / i AS FLOAT) AS DOUBLE) AS pre_mean,
+         CAST(CAST((sx_n - sx_i) / (n - i) AS FLOAT) AS DOUBLE) AS post_mean
   FROM pre WHERE i < n
 ), best AS (
   SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type

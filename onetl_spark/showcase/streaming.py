@@ -817,15 +817,15 @@ WITH daily AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), pq AS (
   SELECT event_type, day,
-         round({_DRIFT_MU}, 9) AS mu,
-         round({_DRIFT_SIGMA}, 9) AS sigma,
+         CAST(CAST({_DRIFT_MU} AS FLOAT) AS DOUBLE) AS mu,
+         CAST(CAST({_DRIFT_SIGMA} AS FLOAT) AS DOUBLE) AS sigma,
          sx_i - i * ({_DRIFT_MU} + {_DRIFT_KSIG!r} * {_DRIFT_SIGMA}) AS p,
          i * ({_DRIFT_MU} - {_DRIFT_KSIG!r} * {_DRIFT_SIGMA}) - sx_i AS q
   FROM pre
 ), cus AS (
   SELECT event_type, day, mu, sigma,
-         round(p - least(0.0, MIN(p) OVER w), 9) AS cusum_pos,
-         round(q - least(0.0, MIN(q) OVER w), 9) AS cusum_neg
+         CAST(CAST(p - least(0.0, MIN(p) OVER w) AS FLOAT) AS DOUBLE) AS cusum_pos,
+         CAST(CAST(q - least(0.0, MIN(q) OVER w) AS FLOAT) AS DOUBLE) AS cusum_neg
   FROM pq
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

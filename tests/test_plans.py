@@ -993,3 +993,35 @@ def test_changepoint_windows_are_key_partitioned(tables):
         assert "CartesianProduct" not in plan
         assert plan.count("Scan parquet") == 1
         assert "windowspecdefinition(event_type" in plan
+
+
+def test_calibration_plan_shapes(tables):
+    """Calibration family (r11): the corpus aggregates into the bin grid
+    with a map-side partial pass before ONE exchange; the grand-totals
+    join onto the 10-row grid is a broadcast; no sort-merge join, no
+    window, no plain cartesian product anywhere."""
+    from pyspark.sql import functions as F
+
+    from onetl_spark.operators.calibration import (
+        calibration_by_group,
+        calibration_report,
+        reliability_bins,
+    )
+
+    ev = tables.table("events")
+    mx = ev.agg(F.max("value").alias("_mx"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("value") / F.col("_mx")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    )
+    for df in (
+        reliability_bins(scored),
+        calibration_report(scored),
+        calibration_by_group(scored, ["week"]),
+    ):
+        plan = executed_plan(df)
+        assert "partial" in plan.lower()  # map-side combine before shuffle
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan
