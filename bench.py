@@ -340,6 +340,9 @@ HEADLINE = [
     "events_score_reliability",
     "events_score_calibration_report",
     "events_calibration_drift_weekly",
+    # r11 additions: cross-batch incremental dedup class (auto-included)
+    "incremental_dedup_verdicts",
+    "incremental_dedup_report",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -738,6 +738,197 @@ def incremental_dedup(
     )
 
 
+def minhash_signature_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
+    """The persisted signature-store relation ``(id, sig)`` a daily-ingest
+    pipeline keeps between batches: ``num_perm`` longs per document
+    (~256 bytes at the default) — the historical TEXT is never needed
+    again. Feed yesterday's store plus today's fresh rows back in as
+    ``store`` for :func:`incremental_minhash_dedup` (the HWM-style state
+    the exact-fingerprint :func:`incremental_dedup` keeps as a
+    fingerprint table, upgraded to NEAR-duplicate semantics)."""
+    return minhash_signature_df(df, text_col, id_col, num_perm).select(
+        F.col("_id").alias(id_col), F.col("_sig").alias("sig")
+    )
+
+
+def _banded_sigs(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    def _band_key(b):
+        return F.md5(F.array_join(F.slice("sig", b * rows + 1, rows), ","))
+
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_key)
+        ).alias("band_id", "band_key"),
+    )
+
+
+def incremental_minhash_dedup(
+    new_batch: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+    max_bucket_size: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate verdicts: today's ``new_batch`` against
+    the persisted :func:`minhash_signature_store` — the daily-ingest shape
+    a 100-TB pipeline actually runs (the corpus is deduplicated ONCE;
+    every increment dedups only against stored signatures + itself).
+
+    Returns one row per batch document::
+
+        (id, verdict, match_id, est_jaccard)
+
+    - ``dup_of_history`` — ≥1 shared LSH band with a stored signature and
+      signature-agreement ≥ threshold; ``match_id`` = the historical doc
+      (highest agreement, ties → smallest id).
+    - ``dup_in_batch`` — not a history dup, but agrees ≥ threshold with
+      an EARLIER (smaller-id) batch document sharing a band — the earlier
+      copy is the survivor that enters the store.
+    - ``fresh`` — neither; its signature is the store increment.
+
+    Similarity is the MinHash ESTIMATE (fraction of agreeing
+    permutations, an exact multiple of 1/num_perm — integer arithmetic,
+    bit-identical across engines): unlike :func:`minhash_lsh_pairs` no
+    exact-Jaccard verification is possible, because the historical text
+    is gone by design — only signatures persist. Precision is tuned by
+    ``num_perm``; banding recall by ``bands``.
+
+    Scale shape: the store contributes ``bands`` band keys per historical
+    doc to the candidate equi-join — no text, no shingles. Over-capacity
+    (band_id, band_key) buckets are dropped from BOTH sides under the
+    same logged cap as :func:`minhash_lsh_pairs` (bucket membership is
+    counted over the UNION of store and batch, so a boilerplate key hot
+    on either side is capped consistently — and the ORACLE must mirror
+    this cap, the r10 simhash lesson).
+    """
+    rows = num_perm // bands
+    batch_sigs = minhash_signature_store(
+        new_batch, text_col, id_col, num_perm
+    ).localCheckpoint(eager=True)  # consumed by banding + both verify arms
+    store_sigs = store.select(F.col(id_col), F.col("sig"))
+
+    b_bands = _banded_sigs(batch_sigs, id_col, bands, rows)
+    s_bands = _banded_sigs(store_sigs, id_col, bands, rows)
+
+    oversized = (
+        b_bands.select("band_id", "band_key")
+        .unionAll(s_bands.select("band_id", "band_key"))
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket_size)
+        .select("band_id", "band_key")
+        .localCheckpoint(eager=True)
+    )
+    n_oversized = oversized.count()
+    if n_oversized:
+        log.warning(
+            "incremental_minhash_dedup: dropped %d LSH buckets larger than %d "
+            "members (union of store + batch); recall is reduced for "
+            "mass-duplicated documents — run exact dedup first",
+            n_oversized,
+            max_bucket_size,
+        )
+        b_bands = b_bands.join(
+            F.broadcast(oversized), ["band_id", "band_key"], "left_anti"
+        )
+        s_bands = s_bands.join(
+            F.broadcast(oversized), ["band_id", "band_key"], "left_anti"
+        )
+
+    est = F.aggregate(
+        F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(num_perm))
+
+    def _verified(cand: DataFrame, right_sigs: DataFrame) -> DataFrame:
+        """candidate (a_id, b_id) pairs → best (max est, min b_id) per a."""
+        a = batch_sigs.select(F.col(id_col).alias("a_id"), F.col("sig").alias("a_sig"))
+        b = right_sigs.select(F.col(id_col).alias("b_id"), F.col("sig").alias("b_sig"))
+        scored = (
+            cand.join(a, "a_id")
+            .join(b, "b_id")
+            .select("a_id", "b_id", est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        return scored.groupBy("a_id").agg(
+            F.max(
+                F.struct(
+                    F.col("est_jaccard"),
+                    (-F.col("b_id")).alias("_nb"),
+                    F.col("b_id").alias("b_id"),
+                )
+            ).alias("_m")
+        ).select(
+            "a_id",
+            F.col("_m.b_id").alias("match_id"),
+            F.col("_m.est_jaccard").alias("est_jaccard"),
+        )
+
+    hist_cand = (
+        b_bands.select(F.col(id_col).alias("a_id"), "band_id", "band_key")
+        .join(
+            s_bands.select(F.col(id_col).alias("b_id"), "band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    hist_best = _verified(hist_cand, store_sigs)
+
+    l = b_bands.select(F.col(id_col).alias("b_id"), "band_id", "band_key")
+    r = b_bands.select(F.col(id_col).alias("a_id"), "band_id", "band_key")
+    batch_cand = (
+        l.join(r, ["band_id", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+        .distinct()
+    )  # (later doc, earlier candidate): the earlier copy is the survivor
+    batch_best = _verified(batch_cand, batch_sigs)
+
+    return (
+        batch_sigs.select(F.col(id_col))
+        .join(
+            hist_best.select(
+                F.col("a_id").alias(id_col),
+                F.col("match_id").alias("_hm"),
+                F.col("est_jaccard").alias("_he"),
+            ),
+            id_col,
+            "left",
+        )
+        .join(
+            batch_best.select(
+                F.col("a_id").alias(id_col),
+                F.col("match_id").alias("_bm"),
+                F.col("est_jaccard").alias("_be"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("_hm").isNotNull(), F.lit("dup_of_history"))
+            .when(F.col("_bm").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("fresh"))
+            .alias("verdict"),
+            F.coalesce(F.col("_hm"), F.col("_bm")).alias("match_id"),
+            F.when(F.col("_hm").isNotNull(), F.col("_he"))
+            .otherwise(F.col("_be"))
+            .alias("est_jaccard"),
+        )
+    )
+
+
 def dedup_keep_best(
     df: DataFrame,
     score_col,

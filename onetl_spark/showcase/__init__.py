@@ -131,6 +131,7 @@ def _modules():
         calibration,
         changepoint,
         hygiene,
+        incremental,
         preference,
         retrieval,
         selection,
@@ -142,4 +143,5 @@ def _modules():
     mods.append(selection)
     mods.append(changepoint)
     mods.append(calibration)
+    mods.append(incremental)
     return mods

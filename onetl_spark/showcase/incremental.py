@@ -1,0 +1,173 @@
+"""Cross-batch incremental dedup showcase — `llm/dedup.py
+minhash_signature_store` / `incremental_minhash_dedup` as driver-checkable
+queries. A NEW operator class: every existing dedup query deduplicates one
+fixed corpus; this is the DAILY-INGEST shape — today's batch against the
+signature store persisted from all previous batches (the HWM-style
+stateful pipeline a 100-TB crawl actually runs, with near-dup semantics
+the exact-fingerprint `incremental_dedup` lacks).
+
+Batch simulation: ``doc_id % 5 = 0`` is today's batch (~20%), the rest is
+the historical corpus whose TEXT is gone — only its minhash signatures
+persist. Similarity is the signature-agreement estimate (exact multiples
+of 1/num_perm — integer arithmetic, bit-identical across engines).
+
+Oracle strategy: the signature CTE chain reuses the exact constants of
+the minhash oracles (`showcase/llm.py`); the union-population bucket cap
+is mirrored with the same GROUP BY + anti-join the operator applies (the
+r10 simhash lesson: every algorithm knob appears in the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onetl_spark.llm.dedup import (
+    LSH_BANDS,
+    LSH_MAX_BUCKET,
+    LSH_ROWS,
+    NUM_PERM,
+    incremental_minhash_dedup,
+    minhash_signature_store,
+)
+from onetl_spark.showcase.llm import _sql_sig_entries, SQL_MD5LONG, SQL_SHINGLES, SQL_TOKENS
+from onetl_spark.showcase.util import ensure_views
+
+SPARK_QUERIES: dict = {}
+ORACLE_SQL: dict = {}
+
+_THRESHOLD = 0.5
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    return batch, history
+
+
+def incremental_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verdicts for today's batch against the persisted
+    store: dup_of_history / dup_in_batch / fresh, with the best match and
+    its signature-agreement estimate."""
+    batch, history = _split(spark, sf_dir)
+    store = minhash_signature_store(history)
+    return incremental_minhash_dedup(batch, store, threshold=_THRESHOLD)
+
+
+def _sig_sql(source_pred: str) -> str:
+    """(doc_id, sig) CTE body over documents rows matching source_pred."""
+    return f"""
+  SELECT doc_id, {_sql_sig_entries()} AS sig
+  FROM (
+    SELECT doc_id,
+           list_transform(sh, s -> {SQL_MD5LONG.format(x='s')} % 1000000007) AS h
+    FROM (
+      SELECT doc_id, {SQL_SHINGLES} AS sh
+      FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents WHERE {source_pred})
+    )
+  )"""
+
+
+_EST = f"len(list_filter(range(1, {NUM_PERM + 1}), i -> sa.sig[i] = sb.sig[i])) / {float(NUM_PERM)}"
+
+_VERDICTS_CORE = f"""
+bsig AS ({_sig_sql('doc_id % 5 = 0')}
+), ssig AS ({_sig_sql('doc_id % 5 <> 0')}
+), bbands AS (
+  SELECT doc_id, b AS band_id,
+         md5(array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], ',')) AS band_key
+  FROM bsig CROSS JOIN range(0, {LSH_BANDS}) t(b)
+), sbands AS (
+  SELECT doc_id, b AS band_id,
+         md5(array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], ',')) AS band_key
+  FROM ssig CROSS JOIN range(0, {LSH_BANDS}) t(b)
+), oversized AS (
+  -- union-population bucket cap, mirrored from the operator
+  SELECT band_id, band_key FROM (
+    SELECT band_id, band_key, COUNT(*) AS c FROM (
+      SELECT band_id, band_key FROM bbands
+      UNION ALL SELECT band_id, band_key FROM sbands
+    ) GROUP BY 1, 2
+  ) WHERE c > {LSH_MAX_BUCKET}
+), bb AS (
+  SELECT b.* FROM bbands b ANTI JOIN oversized o
+    ON b.band_id = o.band_id AND b.band_key = o.band_key
+), sb AS (
+  SELECT s.* FROM sbands s ANTI JOIN oversized o
+    ON s.band_id = o.band_id AND s.band_key = o.band_key
+), hist_cand AS (
+  SELECT DISTINCT bb.doc_id AS a_id, sb.doc_id AS b_id
+  FROM bb JOIN sb ON bb.band_id = sb.band_id AND bb.band_key = sb.band_key
+), hist_best AS (
+  SELECT a_id, b_id AS match_id, est FROM (
+    SELECT a_id, b_id, est,
+           ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY est DESC, b_id ASC) AS rn
+    FROM (
+      SELECT c.a_id, c.b_id, {_EST} AS est
+      FROM hist_cand c
+      JOIN bsig sa ON sa.doc_id = c.a_id
+      JOIN ssig sb ON sb.doc_id = c.b_id
+    ) WHERE est >= {_THRESHOLD}
+  ) WHERE rn = 1
+), batch_cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+  FROM bb l JOIN bb r ON l.band_id = r.band_id AND l.band_key = r.band_key
+  WHERE r.doc_id < l.doc_id
+), batch_best AS (
+  SELECT a_id, b_id AS match_id, est FROM (
+    SELECT a_id, b_id, est,
+           ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY est DESC, b_id ASC) AS rn
+    FROM (
+      SELECT c.a_id, c.b_id, {_EST} AS est
+      FROM batch_cand c
+      JOIN bsig sa ON sa.doc_id = c.a_id
+      JOIN bsig sb ON sb.doc_id = c.b_id
+    ) WHERE est >= {_THRESHOLD}
+  ) WHERE rn = 1
+), verdicts AS (
+  SELECT b.doc_id,
+         CASE WHEN h.match_id IS NOT NULL THEN 'dup_of_history'
+              WHEN p.match_id IS NOT NULL THEN 'dup_in_batch'
+              ELSE 'fresh' END AS verdict,
+         COALESCE(h.match_id, p.match_id) AS match_id,
+         CASE WHEN h.match_id IS NOT NULL THEN h.est ELSE p.est END AS est_jaccard
+  FROM bsig b
+  LEFT JOIN hist_best h ON h.a_id = b.doc_id
+  LEFT JOIN batch_best p ON p.a_id = b.doc_id
+)"""
+
+VERDICTS_SQL = f"""
+WITH {_VERDICTS_CORE}
+SELECT doc_id, verdict, match_id, est_jaccard FROM verdicts
+"""
+
+
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-level ingest report: document count and mean match strength
+    per verdict — the number a daily pipeline logs and alerts on (a
+    dup_of_history spike = the crawler is re-fetching old ground)."""
+    v = incremental_dedup_verdicts(spark, sf_dir)
+    return v.groupBy("verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # est values are exact multiples of 1/num_perm (exact in binary),
+        # so the plain sum is order-independent; round at output only
+        (F.round(F.sum("est_jaccard") / F.count("est_jaccard"), 9) + F.lit(0.0)).alias(
+            "avg_est_jaccard"
+        ),
+    )
+
+
+REPORT_SQL = f"""
+WITH {_VERDICTS_CORE}
+SELECT verdict, COUNT(*) AS n_docs,
+       round(SUM(est_jaccard) / COUNT(est_jaccard), 9) + 0.0 AS avg_est_jaccard
+FROM verdicts GROUP BY verdict
+"""
+
+
+SPARK_QUERIES["incremental_dedup_verdicts"] = incremental_dedup_verdicts
+ORACLE_SQL["incremental_dedup_verdicts"] = VERDICTS_SQL
+SPARK_QUERIES["incremental_dedup_report"] = incremental_dedup_report
+ORACLE_SQL["incremental_dedup_report"] = REPORT_SQL

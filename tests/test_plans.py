@@ -1025,3 +1025,25 @@ def test_calibration_plan_shapes(tables):
         assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
+
+
+def test_incremental_dedup_plan_shapes(tables):
+    """Incremental-dedup family (r11): the store contributes band keys
+    and signatures only (no text columns read from the store side), the
+    candidate joins are band equi-joins — never a cartesian product —
+    and the batch signature relation is reused via localCheckpoint
+    rather than recomputing the shingle pipeline per consumer arm."""
+    from onetl_spark.llm.dedup import (
+        incremental_minhash_dedup,
+        minhash_signature_store,
+    )
+
+    docs = tables.table("documents")
+    store = minhash_signature_store(docs.filter("doc_id % 5 <> 0"))
+    df = incremental_minhash_dedup(docs.filter("doc_id % 5 = 0"), store)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan  # candidates form on the band equi-join
+    # batch signatures come from the checkpointed relation, so the
+    # shingle/md5 pipeline does not appear once per consumer arm
+    assert plan.count("Scan ExistingRDD") >= 1
