@@ -76,6 +76,9 @@ FAMILIES = {
     # r10 third batch: the session's new classes
     "dsir": ("dsir_importance_scores", "documents"),
     "changepoint": ("events_cusum_drift", "events"),
+    # r11 new classes
+    "calibration": ("events_score_calibration_report", "events"),
+    "incremental_dedup": ("incremental_dedup_verdicts", "documents"),
 }
 
 
@@ -86,6 +89,7 @@ def table_rows(spark, sf_dir: str, table: str) -> int:
 
 
 def main() -> None:
+    global SFS
     reps = 2
     only = None
     args = sys.argv[1:]
@@ -95,6 +99,11 @@ def main() -> None:
             reps = int(args.pop(0))
         elif a == "--families":
             only = set(args.pop(0).split(","))
+        elif a == "--sfs":
+            # e.g. --sfs sf0.1,sf1,sf3 for a higher third scale point
+            # (r10 verdict task 5: adjudicate near-linear shapes with a
+            # larger leg instead of extrapolating from sf1)
+            SFS = args.pop(0).split(",")
 
     from pyspark.sql import SparkSession
 
@@ -165,15 +174,14 @@ def main() -> None:
         json.dump(out, f, indent=1)
     print(f"\nwrote {path}\n")
 
-    print("| family | query | table | sf0.01 | sf0.1 | sf1 | a(0.01->0.1) | a(0.1->1) |")
-    print("|---|---|---|---|---|---|---|---|")
+    legs = [f"a({lo.replace('sf','')}->{hi.replace('sf','')})" for lo, hi in zip(SFS, SFS[1:])]
+    print("| family | query | table | " + " | ".join(SFS + legs) + " |")
+    print("|---" * (3 + len(SFS) + len(legs)) + "|")
     for fam, r in results.items():
         t = r["times_sec"]
         e = r["exponents"]
-        print(
-            f"| {fam} | {r['query']} | {r['driving_table']} | {t['sf0.01']} | "
-            f"{t['sf0.1']} | {t['sf1']} | {e['sf0.01->sf0.1']} | {e['sf0.1->sf1']} |"
-        )
+        cells = [str(t[sf]) for sf in SFS] + [str(e[f"{lo}->{hi}"]) for lo, hi in zip(SFS, SFS[1:])]
+        print(f"| {fam} | {r['query']} | {r['driving_table']} | " + " | ".join(cells) + " |")
 
 
 if __name__ == "__main__":
