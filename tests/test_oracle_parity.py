@@ -8,11 +8,14 @@ SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01).
 
 from __future__ import annotations
 
-import math
 import os
+import sys
 
 import duckdb
 import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from driver_parity import norm  # typed, full-precision — the r11 tool upgrade
 
 ENTRY_PATH = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
 
@@ -37,22 +40,13 @@ def duckdb_con(sf_dir):
     return con
 
 
-def normalize(value):
-    if isinstance(value, float):
-        if math.isnan(value):
-            return "NaN"
-        return f"{value:.10g}"
-    if hasattr(value, "isoformat"):
-        return value.isoformat()
-    if isinstance(value, list):
-        return tuple(normalize(v) for v in value)
-    return value
-
-
 def rows_to_multiset(columns, rows):
+    # norm() type-tags every value (None sorts as ("n",), floats compare
+    # at full repr precision) — the same canonicalization the parity tool
+    # uses, so this file and tools/driver_parity.py can never disagree
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     return sorted(
-        tuple(normalize(row[i]) for i in order)
+        tuple(norm(row[i]) for i in order)
         for row in rows
     )
 
