@@ -343,6 +343,8 @@ HEADLINE = [
     # r11 additions: cross-batch incremental dedup class (auto-included)
     "incremental_dedup_verdicts",
     "incremental_dedup_report",
+    "streaming_incremental_dedup",
+    "events_calibration_drift_cusum",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

@@ -179,8 +179,91 @@ FROM per_bin GROUP BY week
 """
 
 
+def events_calibration_drift_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-class composition: per-user-segment weekly ECE series
+    (`calibration_by_group`) fed into the two-sided CUSUM monitor
+    (`operators/changepoint.py cusum_excursions`) — the complete
+    "is the model's calibration drifting, WHERE and WHEN, per segment"
+    pipeline a scoring service runs over its ingest logs. Grid-sized
+    end-to-end after the one corpus shuffle: segments × weeks rows."""
+    from onetl_spark.operators.changepoint import cusum_excursions
+
+    ensure_views(spark, sf_dir)
+    ev = spark.table("events")
+    mx = ev.agg(F.max("value").alias("_mx"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("value") / F.col("_mx")).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.pmod(F.col("user_id"), F.lit(4)).alias("segment"),
+    )
+    weekly = calibration_by_group(
+        scored, ["segment", "week"], n_bins=_N_BINS
+    ).select("segment", "week", "ece")
+    return cusum_excursions(weekly, ["segment"], "week", "ece")
+
+
+_SEG_WEEKLY_SQL = f"""
+scored AS (
+  SELECT value / (SELECT MAX(value) FROM events) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+         user_id % 4 AS segment
+  FROM events
+), bins AS (
+  SELECT segment, week,
+         LEAST({_N_BINS - 1}, CAST(FLOOR(score * {_N_BINS}) AS INT)) AS bin,
+         COUNT(*) AS n,
+         SUM(CAST(round(score, 9) AS DECIMAL(38,9))) AS sp,
+         CAST(SUM(label) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1, 2, 3
+), tot AS (
+  SELECT segment, week, SUM(n) AS nt FROM bins GROUP BY 1, 2
+), weekly AS (
+  SELECT b.segment, b.week,
+         round(CAST(SUM(CAST(round((CAST(b.n AS DOUBLE) / t.nt)
+               * abs(CAST(b.n_pos AS DOUBLE) / b.n - CAST(b.sp AS DOUBLE) / b.n), 9)
+              AS DECIMAL(38,9))) AS DOUBLE), 9) + 0.0 AS ece
+  FROM bins b JOIN tot t ON t.segment = b.segment AND t.week = b.week
+  GROUP BY 1, 2
+)"""
+
+_CUS_MU = "sx_n / n"
+_CUS_SIGMA = f"sqrt(greatest(0.0, sxx_n / n - ({_CUS_MU}) * ({_CUS_MU})))"
+
+DRIFT_CUSUM_SQL = f"""
+WITH {_SEG_WEEKLY_SQL}, pre AS (
+  SELECT segment, week, ece,
+         COUNT(*) OVER wall AS n,
+         CAST(SUM(CAST(ece AS DECIMAL(27,9))) OVER wall AS DOUBLE) AS sx_n,
+         CAST(SUM(CAST(ece * ece AS DECIMAL(30,9))) OVER wall AS DOUBLE) AS sxx_n,
+         ROW_NUMBER() OVER w AS i,
+         CAST(SUM(CAST(ece AS DECIMAL(27,9))) OVER w AS DOUBLE) AS sx_i
+  FROM weekly
+  WINDOW wall AS (PARTITION BY segment),
+         w AS (PARTITION BY segment ORDER BY week
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pq AS (
+  SELECT segment, week, ece,
+         CAST(CAST({_CUS_MU} AS FLOAT) AS DOUBLE) AS mu,
+         CAST(CAST({_CUS_SIGMA} AS FLOAT) AS DOUBLE) AS sigma,
+         sx_i - i * ({_CUS_MU} + 0.5 * {_CUS_SIGMA}) AS p,
+         i * ({_CUS_MU} - 0.5 * {_CUS_SIGMA}) - sx_i AS q
+  FROM pre
+)
+SELECT segment, week, ece, mu, sigma,
+       CAST(CAST(p - least(0.0, MIN(p) OVER w) AS FLOAT) AS DOUBLE) AS cusum_pos,
+       CAST(CAST(q - least(0.0, MIN(q) OVER w) AS FLOAT) AS DOUBLE) AS cusum_neg
+FROM pq
+WINDOW w AS (PARTITION BY segment ORDER BY week
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 SPARK_QUERIES["events_score_reliability"] = events_purchase_reliability
 ORACLE_SQL["events_score_reliability"] = RELIABILITY_SQL
+SPARK_QUERIES["events_calibration_drift_cusum"] = events_calibration_drift_cusum
+ORACLE_SQL["events_calibration_drift_cusum"] = DRIFT_CUSUM_SQL
 SPARK_QUERIES["events_score_calibration_report"] = events_purchase_calibration
 ORACLE_SQL["events_score_calibration_report"] = CALIBRATION_SQL
 SPARK_QUERIES["events_calibration_drift_weekly"] = events_calibration_drift_weekly

@@ -19,6 +19,8 @@ r10 simhash lesson: every algorithm knob appears in the oracle).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -167,7 +169,89 @@ FROM verdicts GROUP BY verdict
 """
 
 
+def _stage_doc_batches(sf_dir: str) -> str:
+    """Stage the documents table as TWO parquet files in one stream-source
+    directory — history first (older mtime), today's batch second — so the
+    file stream (maxFilesPerTrigger=1, oldest-first) replays the exact
+    split the batch queries use, as two deterministic micro-batches."""
+    import duckdb
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(sf_dir, "documents.parquet")
+    base = os.path.join(
+        repo, ".scratch", "stream_src_docs", os.path.basename(os.path.normpath(sf_dir))
+    )
+    hist = os.path.join(base, "0_history.parquet")
+    batch = os.path.join(base, "1_batch.parquet")
+    stamp = os.path.getmtime(src)
+    if (
+        os.path.exists(hist)
+        and os.path.exists(batch)
+        and os.path.getmtime(base) >= stamp
+    ):
+        return base
+    os.makedirs(base, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') WHERE doc_id % 5 <> 0) "
+        f"TO '{hist}' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') WHERE doc_id % 5 = 0) "
+        f"TO '{batch}' (FORMAT PARQUET)"
+    )
+    con.close()
+    os.utime(hist, (stamp, stamp))
+    os.utime(batch, (stamp + 1000, stamp + 1000))
+    os.utime(base, (stamp, stamp))
+    return base
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup loop as a REAL streaming pipeline
+    (`streaming/incremental.py`): a document file stream replayed as two
+    deterministic micro-batches through ``foreachBatch`` with an external
+    parquet signature store — batch 0 (history) bootstraps the store,
+    batch 1 (today) emits verdicts and appends its fresh signatures.
+    Same output contract — and the SAME ORACLE — as
+    `incremental_dedup_verdicts`: the streaming pipeline must reproduce
+    the batch operator's verdicts exactly."""
+    import tempfile
+
+    from onetl_spark.file.format.parquet import Parquet
+    from onetl_spark.streaming.incremental import incremental_dedup_batch_fn
+    from onetl_spark.streaming.reader import StreamDFReader
+    from onetl_spark.streaming.writer import StreamDFWriter, StreamWriteOptions
+
+    ensure_views(spark, sf_dir)
+    source = _stage_doc_batches(sf_dir)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    scratch = os.path.join(repo, ".scratch")
+    os.makedirs(scratch, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="inc_dedup_stream_", dir=scratch)
+    store_dir = os.path.join(work, "store")
+    verdict_dir = os.path.join(work, "verdicts")
+
+    stream = StreamDFReader(
+        spark=spark,
+        format=Parquet(),
+        source_path=source,
+        df_schema=spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema,
+        options={"maxFilesPerTrigger": "1"},
+    ).run()
+    query = StreamDFWriter(
+        foreach_batch=incremental_dedup_batch_fn(
+            store_dir, verdict_dir, threshold=_THRESHOLD
+        ),
+        options=StreamWriteOptions(trigger={"availableNow": True}),
+    ).run(stream)
+    query.awaitTermination()
+    return spark.read.parquet(verdict_dir)
+
+
 SPARK_QUERIES["incremental_dedup_verdicts"] = incremental_dedup_verdicts
 ORACLE_SQL["incremental_dedup_verdicts"] = VERDICTS_SQL
 SPARK_QUERIES["incremental_dedup_report"] = incremental_dedup_report
 ORACLE_SQL["incremental_dedup_report"] = REPORT_SQL
+SPARK_QUERIES["streaming_incremental_dedup"] = streaming_incremental_dedup
+ORACLE_SQL["streaming_incremental_dedup"] = VERDICTS_SQL

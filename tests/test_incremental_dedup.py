@@ -86,3 +86,33 @@ def test_threshold_filters_weak_matches(spark):
     weak = _docs(spark, [(10, "the quick brown fox discusses revenue projections")])
     out = incremental_minhash_dedup(weak, store, threshold=0.9).collect()[0]
     assert out["verdict"] == "fresh"
+
+
+def test_foreach_batch_fn_bootstrap_then_verdicts(spark, tmp_path):
+    """The streaming foreachBatch callback: batch 0 seeds the store with
+    no verdicts; batch 1 emits verdicts against it and appends only the
+    fresh signatures; batch 2 then matches batch-1 fresh docs as
+    history — the store is a real cross-batch accumulator."""
+    import os
+
+    from onetl_spark.streaming.incremental import incremental_dedup_batch_fn
+
+    store = str(tmp_path / "store")
+    sink = str(tmp_path / "verdicts")
+    fn = incremental_dedup_batch_fn(store, sink)
+
+    fn(_docs(spark, [(1, _BASE), (2, _OTHER)]), 0)  # bootstrap
+    assert not os.path.exists(sink)
+    assert spark.read.parquet(os.path.join(store, "sigs")).count() == 2
+
+    fresh_text = "entirely novel content about deep sea exploration vessels"
+    fn(_docs(spark, [(10, _NEAR), (11, fresh_text)]), 1)
+    v = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert v[10]["verdict"] == "dup_of_history" and v[10]["match_id"] == 1
+    assert v[11]["verdict"] == "fresh"
+    # only the fresh signature extended the store
+    assert spark.read.parquet(os.path.join(store, "sigs")).count() == 3
+
+    fn(_docs(spark, [(20, fresh_text)]), 2)
+    v2 = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert v2[20]["verdict"] == "dup_of_history" and v2[20]["match_id"] == 11
