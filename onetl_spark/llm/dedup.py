@@ -777,6 +777,7 @@ def incremental_minhash_dedup(
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
     max_bucket_size: int = LSH_MAX_BUCKET,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate verdicts: today's ``new_batch`` against
     the persisted :func:`minhash_signature_store` — the daily-ingest shape
@@ -811,9 +812,17 @@ def incremental_minhash_dedup(
     this cap, the r10 simhash lesson).
     """
     rows = num_perm // bands
-    batch_sigs = minhash_signature_store(
-        new_batch, text_col, id_col, num_perm
-    ).localCheckpoint(eager=True)  # consumed by banding + both verify arms
+    if batch_sigs is None:
+        batch_sigs = minhash_signature_store(new_batch, text_col, id_col, num_perm)
+    else:
+        # caller-provided (id, sig) relation — a streaming ingest loop
+        # computes signatures ONCE per batch and shares them between this
+        # operator and its store append (the shingle+md5 pipeline is the
+        # batch side's dominant cost)
+        batch_sigs = batch_sigs.select(F.col(id_col), F.col("sig"))
+    batch_sigs = batch_sigs.localCheckpoint(
+        eager=True
+    )  # consumed by banding + both verify arms
     store_sigs = store.select(F.col(id_col), F.col("sig"))
 
     b_bands = _banded_sigs(batch_sigs, id_col, bands, rows)

@@ -79,6 +79,12 @@ def incremental_dedup_batch_fn(
             ).parquet(sig_path)
             return
         store = spark.read.parquet(sig_path)
+        # compute the batch signatures ONCE and share them between the
+        # verdict operator and the store append (the shingle+md5 pipeline
+        # is the batch side's dominant cost)
+        sigs = minhash_signature_store(
+            batch_df, text_col, id_col, num_perm
+        ).localCheckpoint(eager=True)
         verdicts = incremental_minhash_dedup(
             batch_df,
             store,
@@ -88,11 +94,10 @@ def incremental_dedup_batch_fn(
             num_perm=num_perm,
             bands=bands,
             max_bucket_size=max_bucket_size,
+            batch_sigs=sigs,
         ).localCheckpoint(eager=True)  # consumed twice: sink + fresh filter
         verdicts.write.mode("append").parquet(verdict_dir)
         fresh = verdicts.filter(verdicts.verdict == "fresh").select(id_col)
-        minhash_signature_store(batch_df, text_col, id_col, num_perm).join(
-            fresh, id_col, "semi"
-        ).write.mode("append").parquet(sig_path)
+        sigs.join(fresh, id_col, "semi").write.mode("append").parquet(sig_path)
 
     return fn
