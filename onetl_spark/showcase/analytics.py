@@ -6471,10 +6471,20 @@ f1 AS (
   SELECT b FROM ob CROSS JOIN no GROUP BY b, no.n
   HAVING COUNT(*) * 1000 >= 3 * no.n
 ), obf AS (SELECT ok, b FROM ob WHERE b IN (SELECT b FROM f1)),
+-- equality on ok stays ALONE in each ON clause, inequalities in WHERE:
+-- with "ON a.ok = c.ok AND a.b < c.b" DuckDB chose a PIECEWISE_MERGE_JOIN
+-- on the INEQUALITY (a cross-order range join, quadratic in the corpus —
+-- the r11 sf0.3 600s ceiling); split this way it hash-joins on ok and
+-- the basket-local C(k,3) fan-out stays linear
+p2 AS (
+  SELECT a.ok, a.b AS b1, c.b AS b2
+  FROM obf a JOIN obf c ON a.ok = c.ok
+  WHERE a.b < c.b
+),
 t AS (
-  SELECT a.b AS b1, c.b AS b2, d.b AS b3, CAST(COUNT(*) AS BIGINT) AS n_orders_with
-  FROM obf a JOIN obf c ON a.ok = c.ok AND a.b < c.b
-             JOIN obf d ON a.ok = d.ok AND c.b < d.b
+  SELECT p2.b1, p2.b2, d.b AS b3, CAST(COUNT(*) AS BIGINT) AS n_orders_with
+  FROM p2 JOIN obf d ON p2.ok = d.ok
+  WHERE p2.b2 < d.b
   GROUP BY 1, 2, 3
 )
 SELECT b1, b2, b3, n_orders_with,

@@ -96,12 +96,12 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pr_iter_sql(prev: str, cur: str) -> str:
     return f"""
-i{cur} AS (SELECT d.dst AS node, SUM(r{prev}.r // od.od) AS m
+i{cur} AS MATERIALIZED (SELECT d.dst AS node, SUM(r{prev}.r // od.od) AS m
            FROM dir d
            JOIN r{prev} ON r{prev}.node = d.src
            JOIN od ON od.src = d.src
            GROUP BY d.dst),
-r{cur} AS (SELECT nodes.node,
+r{cur} AS MATERIALIZED (SELECT nodes.node,
                   (15 * {_PR_SCALE}) // (100 * nn.n)
                   + (85 * COALESCE(i{cur}.m, 0)) // 100 AS r
            FROM nodes CROSS JOIN nn
@@ -111,12 +111,12 @@ r{cur} AS (SELECT nodes.node,
 
 PAGERANK_SQL = f"""
 WITH {_EDGES_SQL},
-dir AS (SELECT u AS src, v AS dst FROM ed
+dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
         UNION ALL SELECT v AS src, u AS dst FROM ed),
 nodes AS (SELECT DISTINCT src AS node FROM dir),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
-od AS (SELECT src, COUNT(*) AS od FROM dir GROUP BY src),
-r0 AS (SELECT node, {_PR_SCALE} // nn.n AS r FROM nodes, nn),
+od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM dir GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, {_PR_SCALE} // nn.n AS r FROM nodes, nn),
 {_pr_iter_sql("0", "1")},
 {_pr_iter_sql("1", "2")},
 {_pr_iter_sql("2", "3")}
@@ -154,7 +154,7 @@ def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BFS_HOPS_SQL = f"""
 WITH RECURSIVE {_EDGES_SQL},
-dir AS (SELECT u AS src, v AS dst FROM ed
+dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
         UNION ALL SELECT v AS src, u AS dst FROM ed),
 nodes AS (SELECT DISTINCT src AS node FROM dir),
 seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {_BFS_SEEDS}),
@@ -195,7 +195,7 @@ def supplier_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANDOM_WALKS_SQL = f"""
 WITH RECURSIVE {_EDGES_SQL},
-dir AS (SELECT u AS src, v AS dst FROM ed
+dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
         UNION ALL SELECT v AS src, u AS dst FROM ed),
 ranked AS (
   SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rank
@@ -507,7 +507,7 @@ def part_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HARMONIC_SQL = f"""
 WITH RECURSIVE {_PART_EDGES_SQL.strip()},
-dir AS (SELECT u AS src, v AS dst FROM ed
+dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
         UNION ALL SELECT v AS src, u AS dst FROM ed),
 nodes AS (SELECT DISTINCT src AS node FROM dir),
 seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {_HARM_SEEDS}),
@@ -643,12 +643,17 @@ def customer_supplier_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hits_half_sql(prev: str, cur: str, key: str, out_key: str) -> str:
+    # AS MATERIALIZED on every half-step: each step's relations are
+    # referenced more than once, and DuckDB INLINES plain CTEs — chained
+    # six deep that re-evaluates the whole upstream pipeline per
+    # reference (exponential re-computation; the r10/r11 600s+ sf1
+    # oracle ceiling). Materialization changes no values.
     return f"""
-{cur}r AS (SELECT p.{out_key} AS node, SUM({prev}.s) AS raw
+{cur}r AS MATERIALIZED (SELECT p.{out_key} AS node, SUM({prev}.s) AS raw
            FROM pairs p JOIN {prev} ON {prev}.node = p.{key}
            GROUP BY 1),
-{cur}t AS (SELECT COALESCE(SUM(raw), 0) AS t FROM {cur}r),
-{cur} AS (SELECT nodes.node,
+{cur}t AS MATERIALIZED (SELECT COALESCE(SUM(raw), 0) AS t FROM {cur}r),
+{cur} AS MATERIALIZED (SELECT nodes.node,
                  CAST(CASE WHEN t = 0 THEN 0
                       ELSE (COALESCE(raw, 0) * {_HITS_SCALE}) // t END AS BIGINT) AS s
           FROM nodes LEFT JOIN {cur}r USING (node) CROSS JOIN {cur}t)
@@ -656,14 +661,14 @@ def _hits_half_sql(prev: str, cur: str, key: str, out_key: str) -> str:
 
 
 HITS_SQL = f"""
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
   GROUP BY 1, 2 HAVING COUNT(*) >= {_HITS_MIN}
 ),
-nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+nodes AS MATERIALIZED (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
-h0 AS (SELECT node, {_HITS_SCALE} // nn.n AS s FROM nodes, nn),
+h0 AS MATERIALIZED (SELECT node, {_HITS_SCALE} // nn.n AS s FROM nodes, nn),
 {_hits_half_sql("h0", "a1", "src", "dst")},
 {_hits_half_sql("a1", "h1", "dst", "src")},
 {_hits_half_sql("h1", "a2", "src", "dst")},
@@ -732,7 +737,7 @@ def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINKPRED_SQL = f"""
 WITH {_EDGES_SQL},
-bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+bidir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
 cand AS (
   SELECT w1.src AS a, w2.src AS b, CAST(COUNT(*) AS BIGINT) AS cn
@@ -810,7 +815,7 @@ def supplier_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RICH_CLUB_SQL = f"""
 WITH {_EDGES_SQL},
-bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+bidir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
 dd AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS dn FROM deg GROUP BY deg),
 em AS (
@@ -872,7 +877,7 @@ def supplier_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 POWERLAW_SQL = f"""
 WITH {_EDGES_SQL},
-bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+bidir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM bidir GROUP BY src),
 g AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
@@ -918,12 +923,12 @@ def supplier_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _prw_iter_sql(prev: str, cur: str) -> str:
     return f"""
-i{cur} AS (SELECT d.dst AS node, SUM((r{prev}.r * d.w) // sw.sw) AS m
+i{cur} AS MATERIALIZED (SELECT d.dst AS node, SUM((r{prev}.r * d.w) // sw.sw) AS m
            FROM dirw d
            JOIN r{prev} ON r{prev}.node = d.src
            JOIN sw ON sw.src = d.src
            GROUP BY d.dst),
-r{cur} AS (SELECT nodes.node,
+r{cur} AS MATERIALIZED (SELECT nodes.node,
                   (15 * {_PR_SCALE}) // (100 * nn.n)
                   + (85 * COALESCE(i{cur}.m, 0)) // 100 AS r
            FROM nodes CROSS JOIN nn
@@ -938,12 +943,12 @@ edw AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, CAST(COUNT(*) AS BIGINT) AS w
         WHERE a.l_suppkey < b.l_suppkey
         GROUP BY 1, 2
         HAVING COUNT(*) >= {_MIN_COOCCUR}),
-dirw AS (SELECT u AS src, v AS dst, w FROM edw
+dirw AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM edw
          UNION ALL SELECT v AS src, u AS dst, w FROM edw),
 nodes AS (SELECT DISTINCT src AS node FROM dirw),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
-sw AS (SELECT src, SUM(w) AS sw FROM dirw GROUP BY src),
-r0 AS (SELECT node, {_PR_SCALE} // nn.n AS r FROM nodes, nn),
+sw AS MATERIALIZED (SELECT src, SUM(w) AS sw FROM dirw GROUP BY src),
+r0 AS MATERIALIZED (SELECT node, {_PR_SCALE} // nn.n AS r FROM nodes, nn),
 {_prw_iter_sql("0", "1")},
 {_prw_iter_sql("1", "2")},
 {_prw_iter_sql("2", "3")}
@@ -994,7 +999,7 @@ def supplier_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DIAMETER_SQL = f"""
 WITH RECURSIVE {_EDGES_SQL},
-dir AS (SELECT u AS src, v AS dst FROM ed
+dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
         UNION ALL SELECT v AS src, u AS dst FROM ed),
 nodes AS (SELECT DISTINCT src AS node FROM dir),
 seed AS (SELECT MIN(node) AS node FROM nodes),
@@ -1039,7 +1044,7 @@ def part_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ADAMIC_ADAR_SQL = f"""
 WITH {_PART_EDGES_SQL},
-bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+bidir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
 wedge AS (
   SELECT w1.src AS a, w2.src AS b, w1.dst AS n
@@ -1094,7 +1099,7 @@ lab AS (
   FROM supplier JOIN nation ON s_nationkey = n_nationkey
 ),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM ed),
-bidir AS (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
+bidir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed UNION ALL SELECT v, u FROM ed),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
 node_c AS (
   SELECT deg.src, deg.deg, lab.c FROM deg JOIN lab ON deg.src = lab.id
@@ -1146,15 +1151,15 @@ def supplier_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFram
 
 def _ppr_iter_sql(prev: str, cur: str) -> str:
     return f"""
-pi{cur} AS (SELECT d.dst AS node, SUM(pr{prev}.r // od.od) AS m
+pi{cur} AS MATERIALIZED (SELECT d.dst AS node, SUM(pr{prev}.r // od.od) AS m
             FROM dir d
             JOIN pr{prev} ON pr{prev}.node = d.src
             JOIN od ON od.src = d.src
             GROUP BY d.dst),
-pdang{cur} AS (SELECT COALESCE(SUM(pr{prev}.r), 0) AS s
+pdang{cur} AS MATERIALIZED (SELECT COALESCE(SUM(pr{prev}.r), 0) AS s
                FROM pr{prev} LEFT JOIN od ON od.src = pr{prev}.node
                WHERE od.src IS NULL),
-pr{cur} AS (SELECT m.node,
+pr{cur} AS MATERIALIZED (SELECT m.node,
                    (CASE WHEN m.is_seed = 1
                          THEN (15 * {_PR_SCALE}) // (100 * ns.n) ELSE 0 END)
                    + (85 * (COALESCE(pi{cur}.m, 0)
@@ -1168,14 +1173,14 @@ pr{cur} AS (SELECT m.node,
 
 PPR_SQL = f"""
 WITH {_EDGES_SQL},
-dir AS (SELECT u AS src, v AS dst FROM ed
+dir AS MATERIALIZED (SELECT u AS src, v AS dst FROM ed
         UNION ALL SELECT v AS src, u AS dst FROM ed),
 nodes AS (SELECT DISTINCT src AS node FROM dir),
-marked AS (SELECT node, CASE WHEN node % 20 = 0 THEN 1 ELSE 0 END AS is_seed
+marked AS MATERIALIZED (SELECT node, CASE WHEN node % 20 = 0 THEN 1 ELSE 0 END AS is_seed
            FROM nodes),
 ns AS (SELECT COUNT(*) AS n FROM marked WHERE is_seed = 1),
-od AS (SELECT src, COUNT(*) AS od FROM dir GROUP BY src),
-pr0 AS (SELECT node, CASE WHEN is_seed = 1 THEN {_PR_SCALE} // ns.n
+od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM dir GROUP BY src),
+pr0 AS MATERIALIZED (SELECT node, CASE WHEN is_seed = 1 THEN {_PR_SCALE} // ns.n
                           ELSE 0 END AS r
         FROM marked CROSS JOIN ns),
 {_ppr_iter_sql("0", "1")},

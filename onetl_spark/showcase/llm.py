@@ -210,14 +210,28 @@ WITH tok AS (
   SELECT doc_id, {SQL_TOKENS} AS w FROM documents
 ), sh AS (
   SELECT doc_id, {SQL_SHINGLES} AS shingles FROM tok
-), p AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-               (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))), 9) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), sz AS (
+  SELECT doc_id, len(shingles) AS size FROM sh
+), inv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), common AS (
+  -- inverted-index candidates, mirroring ngram_jaccard_pairs: only pairs
+  -- that SHARE a shingle can reach any positive Jaccard, so this is
+  -- exactly equivalent to all-pairs — the r10/r11 naive a.doc_id<b.doc_id
+  -- pair join was a corpus-quadratic PIECEWISE_MERGE_JOIN in DuckDB
+  -- (the 600s+ sf1 oracle ceiling); the shingle equality stays ALONE in
+  -- the ON clause so DuckDB hash-joins it
+  SELECT l.doc_id AS a_id, r.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM inv l JOIN inv r ON l.s = r.s
+  WHERE l.doc_id < r.doc_id
+  GROUP BY 1, 2
 )
-SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.6
+SELECT a_id, b_id,
+       round(n_common * 1.0 / (sa.size + sb.size - n_common), 9) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = a_id
+JOIN sz sb ON sb.doc_id = b_id
+WHERE round(n_common * 1.0 / (sa.size + sb.size - n_common), 9) >= 0.6
 """
 
 
