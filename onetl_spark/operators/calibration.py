@@ -94,13 +94,20 @@ def reliability_bins(
 ) -> DataFrame:
     """Reliability-diagram relation: one row per non-empty score bin with
     ``(bin, n, n_pos, mean_pred, event_rate, gap)``; ``gap = event_rate −
-    mean_pred`` (positive = model under-confident in that bin)."""
+    mean_pred`` (positive = model under-confident in that bin).
+
+    The validity guard is GLOBAL: a bad row anywhere in the corpus trips
+    every emitted bin (a 1-row broadcast of ``max(_bad)`` onto the grid,
+    the `_grid_report` pattern), so a caller that filters to other bins
+    still cannot collect past an invalid input."""
     bins = _bin_relation(df, score_col, label_col, n_bins, [])
+    gbad = bins.groupBy().agg(F.max("_anybad").alias("_gbad"))
+    bins = bins.crossJoin(F.broadcast(gbad))
     mean_pred = F.col("_sp").cast("double") / F.col("n")
     rate = F.col("n_pos").cast("double") / F.col("n")
 
     def g(col, name, typ="double"):
-        return _guard(col, F.col("_anybad"), "reliability_bins", typ).alias(name)
+        return _guard(col, F.col("_gbad"), "reliability_bins", typ).alias(name)
 
     return bins.select(
         "bin",

@@ -71,9 +71,18 @@ def _prefix_cols(key_cols: list[str], order_col: str, value_col: str, scale: int
 
 
 def _fsig(col):
-    """Float32 round-trip: engine-stable significant rounding (~7 digits)
-    at ANY magnitude — see `showcase/util.fsig` for the full rationale."""
-    return col.cast("float").cast("double")
+    """Composed engine-stable rounding: ``round(float32(x), 9) + 0.0``.
+
+    The float32 round-trip is RELATIVE (~7 significant digits at any
+    magnitude — see `showcase/util.fsig`), so alone it cannot
+    canonicalize near-zero cancellation outputs: when a CUSUM excursion
+    or SSE term is mathematically ~0, engine A computes 0.0 and engine B
+    ~2e-12, and float32 preserves both distinctly. Composing an ABSOLUTE
+    9-dp rounding after it maps the near-zero band onto one grid, and the
+    trailing + 0.0 kills the -0.0/0.0 split a rounded difference can
+    leave behind. Mirror in SQL with `showcase/util.sql_fsig`.
+    """
+    return F.round(col.cast("float").cast("double"), 9) + F.lit(0.0)
 
 
 def _guarded(col, bad_col, op_name: str):

@@ -26,7 +26,7 @@ from onetl_spark.operators.calibration import (
     calibration_report,
     reliability_bins,
 )
-from onetl_spark.showcase.util import ensure_views
+from onetl_spark.showcase.util import ensure_views, sql_fsig
 
 SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict = {}
@@ -245,15 +245,15 @@ WITH {_SEG_WEEKLY_SQL}, pre AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), pq AS (
   SELECT segment, week, ece,
-         CAST(CAST({_CUS_MU} AS FLOAT) AS DOUBLE) AS mu,
-         CAST(CAST({_CUS_SIGMA} AS FLOAT) AS DOUBLE) AS sigma,
+         {sql_fsig(_CUS_MU)} AS mu,
+         {sql_fsig(_CUS_SIGMA)} AS sigma,
          sx_i - i * ({_CUS_MU} + 0.5 * {_CUS_SIGMA}) AS p,
          i * ({_CUS_MU} - 0.5 * {_CUS_SIGMA}) - sx_i AS q
   FROM pre
 )
 SELECT segment, week, ece, mu, sigma,
-       CAST(CAST(p - least(0.0, MIN(p) OVER w) AS FLOAT) AS DOUBLE) AS cusum_pos,
-       CAST(CAST(q - least(0.0, MIN(q) OVER w) AS FLOAT) AS DOUBLE) AS cusum_neg
+       {sql_fsig('p - least(0.0, MIN(p) OVER w)')} AS cusum_pos,
+       {sql_fsig('q - least(0.0, MIN(q) OVER w)')} AS cusum_neg
 FROM pq
 WINDOW w AS (PARTITION BY segment ORDER BY week
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

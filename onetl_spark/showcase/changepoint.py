@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from onetl_spark.operators.changepoint import cusum_excursions, single_changepoint
-from onetl_spark.showcase.util import dsum, ensure_views, sql_dsum
+from onetl_spark.showcase.util import dsum, ensure_views, sql_dsum, sql_fsig
 
 SPARK_QUERIES: dict = {}
 ORACLE_SQL: dict = {}
@@ -113,15 +113,15 @@ _SIGMA = f"sqrt(greatest(0.0, sxx_n / n - ({_MU}) * ({_MU})))"
 CUSUM_SQL = f"""
 WITH {_DAILY_SQL}, {_PRE_SQL}, pq AS (
   SELECT event_type, day,
-         CAST(CAST({_MU} AS FLOAT) AS DOUBLE) AS mu,
-         CAST(CAST({_SIGMA} AS FLOAT) AS DOUBLE) AS sigma,
+         {sql_fsig(_MU)} AS mu,
+         {sql_fsig(_SIGMA)} AS sigma,
          sx_i - i * ({_MU} + {_K_SIGMA!r} * {_SIGMA}) AS p,
          i * ({_MU} - {_K_SIGMA!r} * {_SIGMA}) - sx_i AS q
   FROM pre
 ), cus AS (
   SELECT event_type, day, mu, sigma,
-         CAST(CAST(p - least(0.0, MIN(p) OVER w) AS FLOAT) AS DOUBLE) AS cusum_pos,
-         CAST(CAST(q - least(0.0, MIN(q) OVER w) AS FLOAT) AS DOUBLE) AS cusum_neg
+         {sql_fsig('p - least(0.0, MIN(p) OVER w)')} AS cusum_pos,
+         {sql_fsig('q - least(0.0, MIN(q) OVER w)')} AS cusum_neg
   FROM pq
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -157,13 +157,12 @@ def events_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHANGEPOINT_SQL = f"""
 WITH {_DAILY_SQL}, {_PRE_SQL}, cand AS (
   SELECT event_type, day AS split_at, i, n AS n_points,
-         CAST(CAST((sxx_i - sx_i * sx_i / i)
+         {sql_fsig('''(sxx_i - sx_i * sx_i / i)
                + ((sxx_n - sxx_i)
-                  - (sx_n - sx_i) * (sx_n - sx_i) / (n - i))
-              AS FLOAT) AS DOUBLE) AS sse_split,
-         CAST(CAST(sxx_n - sx_n * sx_n / n AS FLOAT) AS DOUBLE) AS sse_total,
-         CAST(CAST(sx_i / i AS FLOAT) AS DOUBLE) AS pre_mean,
-         CAST(CAST((sx_n - sx_i) / (n - i) AS FLOAT) AS DOUBLE) AS post_mean
+                  - (sx_n - sx_i) * (sx_n - sx_i) / (n - i))''')} AS sse_split,
+         {sql_fsig('sxx_n - sx_n * sx_n / n')} AS sse_total,
+         {sql_fsig('sx_i / i')} AS pre_mean,
+         {sql_fsig('(sx_n - sx_i) / (n - i)')} AS post_mean
   FROM pre WHERE i < n
 ), best AS (
   SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type

@@ -28,6 +28,7 @@ from onetl_spark.llm.dedup import (
     LSH_BANDS,
     LSH_MAX_BUCKET,
     LSH_ROWS,
+    MOD,
     NUM_PERM,
     incremental_minhash_dedup,
     minhash_signature_store,
@@ -64,7 +65,7 @@ def _sig_sql(source_pred: str) -> str:
   SELECT doc_id, {_sql_sig_entries()} AS sig
   FROM (
     SELECT doc_id,
-           list_transform(sh, s -> {SQL_MD5LONG.format(x='s')} % 1000000007) AS h
+           list_transform(sh, s -> {SQL_MD5LONG.format(x='s')} % {MOD}) AS h
     FROM (
       SELECT doc_id, {SQL_SHINGLES} AS sh
       FROM (SELECT doc_id, {SQL_TOKENS} AS w FROM documents WHERE {source_pred})
@@ -175,11 +176,20 @@ def _stage_doc_batches(sf_dir: str) -> str:
     file stream (maxFilesPerTrigger=1, oldest-first) replays the exact
     split the batch queries use, as two deterministic micro-batches."""
     import duckdb
+    import hashlib
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     src = os.path.join(sf_dir, "documents.parquet")
+    # key the cache by the ABSOLUTE source path, not just the basename:
+    # two roots sharing a basename (/root/testdata/sf1 vs
+    # .scratch/testdata/sf1) must not alias to one staged split, or the
+    # mtime check can silently serve the wrong corpus
+    src_key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:10]
     base = os.path.join(
-        repo, ".scratch", "stream_src_docs", os.path.basename(os.path.normpath(sf_dir))
+        repo,
+        ".scratch",
+        "stream_src_docs",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{src_key}",
     )
     hist = os.path.join(base, "0_history.parquet")
     batch = os.path.join(base, "1_batch.parquet")

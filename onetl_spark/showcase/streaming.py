@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from onetl_spark.file.format.parquet import Parquet
 from onetl_spark.showcase.sessions import SESSION_GAP_MIN
-from onetl_spark.showcase.util import dsum, sql_dsum
+from onetl_spark.showcase.util import dsum, sql_dsum, sql_fsig
 from onetl_spark.streaming.ops import (
     deduplicate_stream,
     sessionize,
@@ -817,15 +817,15 @@ WITH daily AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ), pq AS (
   SELECT event_type, day,
-         CAST(CAST({_DRIFT_MU} AS FLOAT) AS DOUBLE) AS mu,
-         CAST(CAST({_DRIFT_SIGMA} AS FLOAT) AS DOUBLE) AS sigma,
+         {sql_fsig(_DRIFT_MU)} AS mu,
+         {sql_fsig(_DRIFT_SIGMA)} AS sigma,
          sx_i - i * ({_DRIFT_MU} + {_DRIFT_KSIG!r} * {_DRIFT_SIGMA}) AS p,
          i * ({_DRIFT_MU} - {_DRIFT_KSIG!r} * {_DRIFT_SIGMA}) - sx_i AS q
   FROM pre
 ), cus AS (
   SELECT event_type, day, mu, sigma,
-         CAST(CAST(p - least(0.0, MIN(p) OVER w) AS FLOAT) AS DOUBLE) AS cusum_pos,
-         CAST(CAST(q - least(0.0, MIN(q) OVER w) AS FLOAT) AS DOUBLE) AS cusum_neg
+         {sql_fsig('p - least(0.0, MIN(p) OVER w)')} AS cusum_pos,
+         {sql_fsig('q - least(0.0, MIN(q) OVER w)')} AS cusum_neg
   FROM pq
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -30,7 +30,6 @@ dependency-free).
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -44,6 +43,28 @@ from onetl_spark.llm.dedup import (
 )
 
 __all__ = ["incremental_dedup_batch_fn"]
+
+
+def _store_exists(spark, path: str) -> bool:
+    """Hadoop-FS store probe: does ``path`` exist and contain at least one
+    parquet part, for ANY Hadoop URI (file://, hdfs://, s3a://…)?
+
+    A driver-local ``os.path.isdir`` probe silently reports "missing" for
+    every non-local store URI, so each batch would re-bootstrap and
+    OVERWRITE the accumulated store — data loss, not a perf nit. Resolving
+    the filesystem from the path through the JVM gateway uses whatever
+    Hadoop filesystems the cluster has configured.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if not fs.exists(jpath) or not fs.getFileStatus(jpath).isDirectory():
+        return False
+    for status in fs.listStatus(jpath):
+        if status.getPath().getName().endswith(".parquet"):
+            return True
+    return False
 
 
 def incremental_dedup_batch_fn(
@@ -65,14 +86,12 @@ def incremental_dedup_batch_fn(
             options=StreamWriteOptions(trigger={"availableNow": True}),
         ).run(doc_stream)
     """
-    sig_path = os.path.join(store_dir, "sigs")
+    # posixpath-style join keeps URI store_dirs (hdfs://, s3a://) intact
+    sig_path = store_dir.rstrip("/") + "/sigs"
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        exists = os.path.isdir(sig_path) and any(
-            f.endswith(".parquet") for f in os.listdir(sig_path)
-        )
-        if not exists:
+        if not _store_exists(spark, sig_path):
             # bootstrap: the first corpus seeds the store, no verdicts
             minhash_signature_store(batch_df, text_col, id_col, num_perm).write.mode(
                 "overwrite"

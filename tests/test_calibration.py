@@ -101,3 +101,11 @@ def test_validation_guard_fires_on_any_column(spark):
                 calibration_report(df).select(col).collect()
         with pytest.raises(Exception, match="scores must be"):
             reliability_bins(df).select("event_rate").collect()
+
+
+def test_reliability_guard_is_global_across_bins(spark):
+    """A bad row in one bin must trip the guard even when the caller
+    filters to OTHER bins (the max(_bad) broadcast onto the grid)."""
+    bad = _scored(spark, [(0.5, 1), (1.5, 0)])  # bad row lands in bin 9
+    with pytest.raises(Exception, match="scores must be"):
+        reliability_bins(bad).filter("bin = 5").select("mean_pred").collect()

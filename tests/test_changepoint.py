@@ -99,7 +99,15 @@ def test_changepoint_brute_force_equivalence(spark):
         return sum((v - m) ** 2 for v in seg)
 
     costs = [sse(values[:i]) + sse(values[i:]) for i in range(1, len(values))]
-    best_i = min(range(len(costs)), key=lambda j: (round(costs[j], 9), j))
+    # tie-break with the operator's own quantization (round(float32, 9)),
+    # not raw doubles: costs that tie on one grid but not the other would
+    # otherwise disagree on split_at
+    import numpy as np
+
+    def qcost(j):
+        return round(float(np.float32(costs[j])), 9) + 0.0
+
+    best_i = min(range(len(costs)), key=lambda j: (qcost(j), j))
     row = single_changepoint(_series(spark, values), ["k"], "t", "x").collect()[0]
     assert row["split_at"] == best_i
     # sse columns carry float32 significant precision (~7 digits, the

@@ -116,3 +116,26 @@ def test_foreach_batch_fn_bootstrap_then_verdicts(spark, tmp_path):
     fn(_docs(spark, [(20, fresh_text)]), 2)
     v2 = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
     assert v2[20]["verdict"] == "dup_of_history" and v2[20]["match_id"] == 11
+
+
+def test_foreach_batch_store_probe_is_filesystem_agnostic(spark, tmp_path):
+    """The store-exists probe must work for URI-style Hadoop paths, not
+    just driver-local filesystem paths: with a ``file://`` store URI an
+    ``os.path.isdir`` probe reports "missing" on every batch and the
+    bootstrap branch OVERWRITES the accumulated store — silent data
+    loss. Batch 1 must take the verdict branch, not re-seed."""
+    from onetl_spark.streaming.incremental import incremental_dedup_batch_fn
+
+    store = "file://" + str(tmp_path / "store")
+    sink = str(tmp_path / "verdicts")
+    fn = incremental_dedup_batch_fn(store, sink)
+
+    fn(_docs(spark, [(1, _BASE)]), 0)  # bootstrap via the file:// URI
+    assert spark.read.parquet(store + "/sigs").count() == 1
+
+    fn(_docs(spark, [(10, _NEAR), (11, _OTHER)]), 1)
+    v = {r["doc_id"]: r for r in spark.read.parquet(sink).collect()}
+    assert v[10]["verdict"] == "dup_of_history" and v[10]["match_id"] == 1
+    assert v[11]["verdict"] == "fresh"
+    # the store ACCUMULATED (1 seed + 1 fresh) — it was not re-seeded
+    assert spark.read.parquet(store + "/sigs").count() == 2
