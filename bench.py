@@ -345,6 +345,14 @@ HEADLINE = [
     "incremental_dedup_report",
     "streaming_incremental_dedup",
     "events_calibration_drift_cusum",
+    # r12 additions: incremental decontamination, sketch-store ingest
+    # monitoring, EL+dedup composition (auto-included)
+    "incremental_decon_verdicts",
+    "incremental_decon_report",
+    "el_incremental_dedup_pipeline",
+    "ingest_hll_series",
+    "ingest_monitor_cusum",
+    "streaming_ingest_monitor",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

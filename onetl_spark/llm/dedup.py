@@ -499,6 +499,77 @@ def benchmark_contamination(
     )
 
 
+def contamination_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Persistable per-document shingle index ``(id, g)`` — the store
+    side of INCREMENTAL decontamination: once the corpus is ingested its
+    text is gone, but this inverted index (one row per distinct hashed
+    shingle per document, ~8 bytes each) lets every FUTURE benchmark
+    set be checked against the full corpus without re-reading a byte of
+    text. The inverse of :func:`benchmark_contamination`'s flow, where
+    the corpus is at hand and the benchmark is fixed.
+
+    Shingles are de-duplicated per document (``word_shingles`` emits
+    distinct grams), so the index is a set relation and
+    ``incremental_decontamination(contamination_index(corpus), bench)``
+    equals ``benchmark_contamination(corpus, bench)`` row for row.
+    """
+    return corpus.select(
+        F.col(id_col),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("g"),
+    )
+
+
+def incremental_decontamination(
+    index: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Score every ALREADY-INGESTED corpus document against a NEWLY
+    ARRIVED benchmark set using only the persisted shingle index — the
+    day-2 decontamination loop (a new eval suite is released; which
+    training documents must now be quarantined?).
+
+    Returns the :func:`benchmark_contamination` contract per indexed
+    document: (id, matched_shingles, total_shingles, overlap_ratio,
+    contaminated).
+
+    Scale shape: the new benchmark collapses to a broadcast DISTINCT
+    hashed-shingle set; the index — the big side, but already just
+    hashes — is left-joined in place and the per-doc counts map-side
+    combine into one hash aggregate on ``id``. The corpus text is never
+    re-read; nothing the size of the corpus shuffles.
+    """
+    bench = (
+        benchmark.select(F.explode(shingle_hashes(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    counts = (
+        index.join(F.broadcast(bench), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("matched_shingles"),
+            F.count(F.lit(1)).alias("total_shingles"),
+        )
+    )
+    ratio = F.round(F.col("matched_shingles") / F.col("total_shingles"), 9)
+    return counts.select(
+        F.col(id_col),
+        "matched_shingles",
+        "total_shingles",
+        ratio.alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
 def remove_repeated_segments(
     df: DataFrame,
     text_col: str = "text",

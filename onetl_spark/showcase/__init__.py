@@ -132,6 +132,7 @@ def _modules():
         changepoint,
         hygiene,
         incremental,
+        ingest,
         preference,
         retrieval,
         selection,
@@ -144,4 +145,5 @@ def _modules():
     mods.append(changepoint)
     mods.append(calibration)
     mods.append(incremental)
+    mods.append(ingest)
     return mods

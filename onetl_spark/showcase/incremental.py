@@ -259,9 +259,137 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(verdict_dir)
 
 
+def incremental_decon_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decontamination (`llm/dedup.py contamination_index` /
+    `incremental_decontamination`): the corpus was ingested long ago —
+    only its persisted shingle index remains — and a NEW benchmark set
+    (every 4th document plays the just-released eval suite) arrives to
+    be checked against it. The inverse flow of
+    `benchmark_decontamination`, where the corpus text is at hand."""
+    from onetl_spark.llm.dedup import (
+        contamination_index,
+        incremental_decontamination,
+    )
+
+    ensure_views(spark, sf_dir)
+    docs = spark.table("documents")
+    index = contamination_index(docs.filter(F.col("doc_id") % 4 != 0))
+    bench = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "text")
+    return incremental_decontamination(index, bench, threshold=0.2)
+
+
+DECON_VERDICTS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(sh, s -> {SQL_MD5LONG.format(x='s')} % {MOD}) AS h
+  FROM (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tok)
+), bench AS (
+  SELECT DISTINCT unnest(h) AS g FROM hs WHERE doc_id % 4 = 0
+), grams AS (
+  SELECT doc_id, unnest(h) AS g FROM hs WHERE doc_id % 4 <> 0
+), counts AS (
+  SELECT grams.doc_id,
+         CAST(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS matched_shingles,
+         COUNT(*) AS total_shingles
+  FROM grams LEFT JOIN bench ON grams.g = bench.g
+  GROUP BY grams.doc_id
+)
+SELECT doc_id, matched_shingles, total_shingles,
+       round(matched_shingles * 1.0 / total_shingles, 9) AS overlap_ratio,
+       round(matched_shingles * 1.0 / total_shingles, 9) >= 0.2 AS contaminated
+FROM counts
+"""
+
+
+def incremental_decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine report per corpus source: how much of each source's
+    already-ingested data the new benchmark set invalidates — the number
+    that decides whether a retrain is needed."""
+    v = incremental_decon_verdicts(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source")
+    return (
+        v.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            # per-doc ratios are 9-dp rounded already: decimal-sum them
+            (
+                F.round(
+                    F.sum(F.col("overlap_ratio").cast("decimal(38,9)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1)),
+                    9,
+                )
+                + F.lit(0.0)
+            ).alias("avg_overlap"),
+        )
+    )
+
+
+DECON_REPORT_SQL = f"""
+WITH verdicts AS ({DECON_VERDICTS_SQL})
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN v.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(CAST(SUM(CAST(v.overlap_ratio AS DECIMAL(38,9))) AS DOUBLE)
+             / COUNT(*), 9) + 0.0 AS avg_overlap
+FROM verdicts v JOIN documents d ON d.doc_id = v.doc_id
+GROUP BY d.source
+"""
+
+
+def el_incremental_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EL surface (SURVEY §2.1/§2.9) composed with the LLM dedup
+    operators — the first registry query exercising both halves of the
+    engine in one flow: DBReader pulls today's batch and the historical
+    corpus through the Hive-dialect connection (column pruning + WHERE
+    pushdown rendered into the scan SQL), the incremental-dedup verdicts
+    are written through DBWriter (replace_entire_table) to a managed
+    table, and the result is read back with a third DBReader. Same
+    output contract — and the SAME ORACLE — as
+    `incremental_dedup_verdicts`."""
+    from onetl_spark.connections.catalog import drop_table_completely
+    from onetl_spark.connections.sparksql import (
+        SparkSQLConnection,
+        SparkSQLWriteOptions,
+    )
+    from onetl_spark.db import DBReader, DBWriter
+
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    batch = DBReader(
+        conn, source="documents", columns=["doc_id", "text"],
+        where="doc_id % 5 = 0",
+    ).run()
+    history = DBReader(
+        conn, source="documents", columns=["doc_id", "text"],
+        where="doc_id % 5 <> 0",
+    ).run()
+    verdicts = incremental_minhash_dedup(
+        batch, minhash_signature_store(history), threshold=_THRESHOLD
+    )
+    target = "showcase_el_dedup_pipeline"
+    drop_table_completely(spark, target)
+    DBWriter(
+        conn, target, options=SparkSQLWriteOptions(if_exists="replace_entire_table")
+    ).run(verdicts)
+    return DBReader(conn, source=target).run()
+
+
 SPARK_QUERIES["incremental_dedup_verdicts"] = incremental_dedup_verdicts
 ORACLE_SQL["incremental_dedup_verdicts"] = VERDICTS_SQL
 SPARK_QUERIES["incremental_dedup_report"] = incremental_dedup_report
 ORACLE_SQL["incremental_dedup_report"] = REPORT_SQL
 SPARK_QUERIES["streaming_incremental_dedup"] = streaming_incremental_dedup
 ORACLE_SQL["streaming_incremental_dedup"] = VERDICTS_SQL
+SPARK_QUERIES["incremental_decon_verdicts"] = incremental_decon_verdicts
+ORACLE_SQL["incremental_decon_verdicts"] = DECON_VERDICTS_SQL
+SPARK_QUERIES["incremental_decon_report"] = incremental_decon_report
+ORACLE_SQL["incremental_decon_report"] = DECON_REPORT_SQL
+SPARK_QUERIES["el_incremental_dedup_pipeline"] = el_incremental_dedup_pipeline
+ORACLE_SQL["el_incremental_dedup_pipeline"] = VERDICTS_SQL

@@ -1838,3 +1838,60 @@ def test_mix31_matches_python_reference_and_sql(spark):
     # INT-typed inputs (the explode(sequence) case) must not overflow
     df2 = spark.createDataFrame([(9999, 200)], "a int, b int")
     assert df2.select(mix31(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"] == ref(9999, 200)
+
+
+def test_incremental_decontamination_equals_direct(spark):
+    """incremental_decontamination over the persisted shingle index must
+    equal benchmark_contamination run directly over the corpus text —
+    the index is a lossless set relation for this purpose."""
+    from onetl_spark.llm.dedup import (
+        contamination_index,
+        incremental_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over dogs"),
+            (2, "completely different words entirely here now"),
+            (3, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dogs"), (101, "a b c d")],
+        "doc_id long, text string",
+    )
+    direct = sorted(
+        benchmark_contamination(corpus, bench, threshold=0.4).collect()
+    )
+    via_index = sorted(
+        incremental_decontamination(
+            contamination_index(corpus), bench, threshold=0.4
+        ).collect()
+    )
+    assert via_index == direct
+
+
+def test_incremental_decontamination_new_benchmark_waves(spark):
+    """The day-2 flow: the index is built ONCE; two benchmark waves
+    arrive later and each is scored against it without corpus text."""
+    from onetl_spark.llm.dedup import (
+        contamination_index,
+        incremental_decontamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    index = contamination_index(corpus)
+    wave1 = spark.createDataFrame(
+        [(900, "alpha beta gamma")], "doc_id long, text string"
+    )
+    wave2 = spark.createDataFrame(
+        [(901, "epsilon zeta eta theta")], "doc_id long, text string"
+    )
+    out1 = {r["doc_id"]: r for r in incremental_decontamination(index, wave1).collect()}
+    out2 = {r["doc_id"]: r for r in incremental_decontamination(index, wave2).collect()}
+    assert out1[1]["contaminated"] and not out1[2]["contaminated"]
+    assert out2[2]["overlap_ratio"] == 1.0 and not out2[1]["contaminated"]

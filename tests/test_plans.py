@@ -1047,3 +1047,43 @@ def test_incremental_dedup_plan_shapes(tables):
     # batch signatures come from the checkpointed relation, so the
     # shingle/md5 pipeline does not appear once per consumer arm
     assert plan.count("Scan ExistingRDD") >= 1
+
+
+def test_ingest_series_plan_shapes(tables):
+    """Sketch-store ingest series (r12): corpus rows are touched by ONE
+    map-side-combined register aggregation; everything downstream (dense
+    grid, cumulative window, estimates, lag) is grid-sized; the bucket
+    relation joins by broadcast; unused event columns never reach the
+    scan."""
+    from onetl_spark.operators.sketch_store import hll_ingest_series
+
+    ev = tables.table("events").withColumn("day", F.col("ts").cast("date"))
+    df = hll_ingest_series(ev, "day", ["event_type"], "user_id")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+    # every events scan prunes to (ts, event_type, user_id)
+    for seg in plan.split("ReadSchema:")[1:]:
+        line = seg.splitlines()[0]
+        if "event_type" in line:  # an events scan
+            assert "props" not in line and "value" not in line
+
+
+def test_incremental_decon_plan_shapes(tables):
+    """Incremental decontamination (r12): the new benchmark collapses to
+    a broadcast distinct shingle set — the index (the corpus-sized side)
+    is never shuffled by the join; per-doc counts map-side combine."""
+    from onetl_spark.llm.dedup import (
+        contamination_index,
+        incremental_decontamination,
+    )
+
+    docs = tables.table("documents")
+    index = contamination_index(docs.filter("doc_id % 4 <> 0"))
+    bench = docs.filter("doc_id % 4 = 0").select("doc_id", "text")
+    df = incremental_decontamination(index, bench)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
