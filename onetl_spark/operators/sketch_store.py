@@ -11,7 +11,7 @@ the whole cumulative series is a RELATION, not a driver loop:
 
 - :func:`hll_ingest_series` — per (group, batch) time series of the
   cumulative distinct estimate, the per-batch new-distinct delta, and
-  the returning-key rate, computed declaratively: one groupBy to the
+  the returning-key rate, computed declaratively: one aggregation to the
   per-batch registers, a dense (batch × group × bucket) grid (constant
   size: batches × groups × m — independent of corpus rows), and ONE
   running-max window for the cumulative registers.
@@ -22,13 +22,14 @@ incremental/HWM direction (`strategy/incremental.py`,
 streaming twin with an external persisted register store lives in
 `streaming/ingest.py`.
 
-Scale posture (100 TB): corpus rows are touched exactly once by the
-per-(batch, group) register aggregation (map-side combined to ≤
-batches×groups×m partials per partition); everything downstream — the
-dense grid, the cumulative window, the estimates, the lag — runs on the
-grid, whose size is batches × groups × 2^b rows (30 days × 100 sources
-× 256 = 768k rows for a petabyte corpus). No joins against the corpus,
-no collects, no iteration.
+Scale posture (100 TB): the corpus is scanned EXACTLY ONCE — the
+register aggregation carries per-bucket row counts, so batch keys,
+group keys, row totals, the dense grid, the cumulative window, the
+estimates, and the lag all derive from the grid-sized register relation
+(batches × groups × 2^b rows: 30 days × 100 sources × 256 = 768k rows
+for a petabyte corpus). The one corpus-sized operation is map-side
+combined to ≤ batches×groups×m partials per partition before its single
+shuffle. No joins against the corpus, no collects, no iteration.
 
 Float determinism: registers and their harmonic sums are EXACT integers
 (each term 2^(W+1-rho), summed as decimal); the only doubles are the
@@ -46,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from onetl_spark.operators.sketches import _hll_alpha, _HLL_HASH_BITS, hll_registers_by
+from onetl_spark.operators.sketches import _hll_alpha, _HLL_HASH_BITS
 
 __all__ = ["hll_ingest_series", "hll_cumulative_registers", "hll_grid_estimate"]
 
@@ -56,32 +57,73 @@ def _fsig(col):
     return F.round(col.cast("float").cast("double"), 9) + F.lit(0.0)
 
 
-def hll_cumulative_registers(
+def _batch_registers(
     df: DataFrame,
     batch_col: str,
     group_cols: Sequence[str],
     value_col: str,
-    b: int = 8,
+    b: int,
 ) -> DataFrame:
-    """Dense cumulative register grid: for every (batch, group, bucket)
-    the max rho over ALL batches ≤ this one — i.e. the register table of
-    the union of every batch so far, per group, at every point of the
-    series, in one window pass.
+    """Observed per-(batch, group, bucket) registers WITH row counts —
+    the single corpus aggregation everything else derives from.
 
     Rows with a NULL batch key, group key, or value are excluded (a NULL
     key is not a batch; a NULL value is not a key observation — the same
     rule `hll_registers_by` applies to values).
     """
+    from onetl_spark.llm.text import md5_long
+
     m = 1 << b
+    w_bits = _HLL_HASH_BITS - b
     keep = F.col(value_col).isNotNull() & F.col(batch_col).isNotNull()
     for g in group_cols:
         keep = keep & F.col(g).isNotNull()
-    staged = df.filter(keep)
-    regs = hll_registers_by(staged, value_col, [batch_col, *group_cols], b=b)
-    spark = df.sparkSession
+    staged = df.filter(keep).select(
+        batch_col,
+        *group_cols,
+        md5_long(F.col(value_col).cast("string")).alias("_h"),
+    )
+    bucket = F.pmod(F.col("_h"), F.lit(m)).cast("int")
+    w = F.expr(f"_h div {m}")
+    rho = (
+        F.when(w == F.lit(0), F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    return (
+        staged.select(batch_col, *group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(batch_col, *group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"), F.count(F.lit(1)).alias("_n_rows"))
+    )
+
+
+def _dense_cumulative(
+    regs: DataFrame,
+    batch_col: str,
+    group_cols: Sequence[str],
+    b: int,
+) -> DataFrame:
+    """Dense cumulative register grid from the observed registers: for
+    every (batch, group, bucket) the max rho over ALL batches ≤ this one
+    — the register table of the union of every batch so far, per group,
+    at every point of the series, in one window pass. The batch and
+    group key lists come from the (grid-sized) register relation itself;
+    per-bucket row counts of the CURRENT batch ride along un-accumulated
+    so the caller's estimate aggregation can emit batch totals without a
+    second corpus pass."""
+    m = 1 << b
+    spark = regs.sparkSession
+    # the register relation feeds THREE consumers (the grid join and the
+    # batch/group key lists); column pruning makes the subtrees
+    # non-identical so Catalyst cannot reuse the exchange — without this
+    # the corpus would be scanned once per consumer (measured: 3 scans).
+    # The relation is grid-sized (≤ batches×groups×m rows), so pinning it
+    # is cheap and bounds the corpus work to exactly one pass (the
+    # incremental_minhash_dedup localCheckpoint convention).
+    regs = regs.localCheckpoint(eager=True)
     # constant-size grid: batches × groups × m, independent of corpus rows
-    batches = staged.select(batch_col).distinct()
-    groups = staged.select(*group_cols).distinct()
+    batches = regs.select(batch_col).distinct()
+    groups = regs.select(*group_cols).distinct()
     buckets = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
     grid = batches.crossJoin(groups).crossJoin(F.broadcast(buckets))
     dense = grid.join(regs, [batch_col, *group_cols, "bucket"], "left").select(
@@ -89,6 +131,7 @@ def hll_cumulative_registers(
         *group_cols,
         "bucket",
         F.coalesce("rho", F.lit(0)).alias("rho"),
+        F.coalesce("_n_rows", F.lit(0)).alias("_n_rows"),
     )
     w_cum = (
         W.partitionBy(*group_cols, "bucket")
@@ -96,7 +139,27 @@ def hll_cumulative_registers(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return dense.select(
-        batch_col, *group_cols, "bucket", F.max("rho").over(w_cum).alias("rho")
+        batch_col,
+        *group_cols,
+        "bucket",
+        F.max("rho").over(w_cum).alias("rho"),
+        "_n_rows",
+    )
+
+
+def hll_cumulative_registers(
+    df: DataFrame,
+    batch_col: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Dense cumulative register grid over raw rows — see
+    `_dense_cumulative` for the grid/window semantics and
+    `_batch_registers` for the NULL rules."""
+    regs = _batch_registers(df, batch_col, group_cols, value_col, b)
+    return _dense_cumulative(regs, batch_col, group_cols, b).select(
+        batch_col, *group_cols, "bucket", "rho"
     )
 
 
@@ -109,15 +172,21 @@ def hll_grid_estimate(
     """Per-(batch, group) distinct estimate over a dense register grid —
     the `hll_estimate` expression (exact decimal harmonic sum, standard
     linear-counting correction) applied grid-wise in one aggregation.
-    The estimate is emitted through the composed fsig rounding."""
+    The estimate is emitted through the composed fsig rounding. When the
+    grid carries an ``_n_rows`` column (`_dense_cumulative`), the batch
+    row totals are aggregated in the same pass as ``batch_rows``."""
     m = 1 << b
     w_bits = _HLL_HASH_BITS - b
     alpha = _hll_alpha(m)
     term = F.pow(F.lit(2.0), F.lit(w_bits + 1) - F.col("rho")).cast("decimal(38,0)")
-    agg = cum_registers.groupBy(batch_col, *group_cols).agg(
+    aggs = [
         F.sum(term).alias("_s"),
         F.sum((F.col("rho") == 0).cast("long")).alias("_z"),
-    )
+    ]
+    with_rows = "_n_rows" in cum_registers.columns
+    if with_rows:
+        aggs.append(F.sum("_n_rows").alias("batch_rows"))
+    agg = cum_registers.groupBy(batch_col, *group_cols).agg(*aggs)
     raw = (
         F.lit(alpha)
         * F.lit(float(m))
@@ -130,7 +199,10 @@ def hll_grid_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_z")),
     ).otherwise(raw)
     return agg.select(
-        batch_col, *group_cols, _fsig(est).alias("cum_distinct")
+        batch_col,
+        *group_cols,
+        *(["batch_rows"] if with_rows else []),
+        _fsig(est).alias("cum_distinct"),
     )
 
 
@@ -163,21 +235,19 @@ def hll_ingest_series(
     ``new_distinct`` and ``returning_rate`` are computed FROM the
     fsig-quantized ``cum_distinct`` values (not the raw doubles), so
     any engine reproducing ``cum_distinct`` reproduces the whole series.
+
+    The corpus is scanned EXACTLY ONCE: the register aggregation carries
+    per-bucket row counts, and batch keys, group keys, and row totals
+    all derive from the grid-sized register relation.
     """
-    keep = F.col(value_col).isNotNull() & F.col(batch_col).isNotNull()
-    for g in group_cols:
-        keep = keep & F.col(g).isNotNull()
-    staged = df.filter(keep)
-    cum = hll_cumulative_registers(df, batch_col, group_cols, value_col, b=b)
+    regs = _batch_registers(df, batch_col, group_cols, value_col, b)
+    cum = _dense_cumulative(regs, batch_col, group_cols, b)
     est = hll_grid_estimate(cum, batch_col, group_cols, b=b)
-    rows = staged.groupBy(batch_col, *group_cols).agg(
-        F.count(F.lit(1)).alias("batch_rows")
-    )
     w_lag = W.partitionBy(*group_cols).orderBy(batch_col)
-    series = est.join(rows, [batch_col, *group_cols], "left").select(
+    series = est.select(
         batch_col,
         *group_cols,
-        F.coalesce("batch_rows", F.lit(0)).alias("batch_rows"),
+        "batch_rows",
         "cum_distinct",
         _fsig(
             F.col("cum_distinct") - F.lag("cum_distinct", 1, 0.0).over(w_lag)

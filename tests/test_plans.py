@@ -1061,12 +1061,16 @@ def test_ingest_series_plan_shapes(tables):
     df = hll_ingest_series(ev, "day", ["event_type"], "user_id")
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
-    assert "partial" in plan.lower()  # map-side combine before the shuffle
-    # every events scan prunes to (ts, event_type, user_id)
-    for seg in plan.split("ReadSchema:")[1:]:
-        line = seg.splitlines()[0]
-        if "event_type" in line:  # an events scan
-            assert "props" not in line and "value" not in line
+    # the corpus is scanned exactly ONCE: the register relation is
+    # checkpointed (its three consumers read the pinned RDD), so no
+    # events parquet scan may appear in the final plan at all
+    events_scans = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "event_type" in seg.splitlines()[0]
+    ]
+    assert events_scans == [], events_scans
+    assert plan.count("Scan ExistingRDD") >= 3
 
 
 def test_incremental_decon_plan_shapes(tables):
