@@ -353,6 +353,10 @@ HEADLINE = [
     "ingest_hll_series",
     "ingest_monitor_cusum",
     "streaming_ingest_monitor",
+    # r12 additions: differentially-private release class (auto-included)
+    "dp_active_users_by_type",
+    "dp_value_sum_by_type",
+    "dp_release_audit",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

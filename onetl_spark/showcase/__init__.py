@@ -134,6 +134,7 @@ def _modules():
         incremental,
         ingest,
         preference,
+        privacy,
         retrieval,
         selection,
     )
@@ -146,4 +147,5 @@ def _modules():
     mods.append(calibration)
     mods.append(incremental)
     mods.append(ingest)
+    mods.append(privacy)
     return mods

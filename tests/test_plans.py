@@ -1091,3 +1091,43 @@ def test_incremental_decon_plan_shapes(tables):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_dp_release_plan_shapes(tables):
+    """DP releases (r12): the count release bounds contributions on the
+    (already tiny) distinct-unit relation; the sum release pays ONE
+    corpus exchange (hash by user) with both cap windows riding it —
+    the (user, type) row-cap window's clustering is satisfied by the
+    user partitioning, so it costs a sort, not a second shuffle — zero
+    joins, the release aggregate map-side combines onto the group grid,
+    and the events scan never reads unused columns (props/ts)."""
+    from onetl_spark.operators.privacy import dp_count_release, dp_sum_release
+
+    ev = tables.table("events").filter(
+        "user_id IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL"
+    )
+    plan = executed_plan(
+        dp_count_release(ev, ["event_type"], "user_id", 1.0, 3)
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the grid agg
+    for seg in plan.split("ReadSchema:")[1:]:
+        head = seg.splitlines()[0]
+        assert "props" not in head and "ts" not in head, head
+
+    plan2 = executed_plan(
+        dp_sum_release(
+            ev.filter("value IS NOT NULL"),
+            ["event_type"], "user_id", "value", "event_id",
+            1.0, 0.0, 100.0, 3, 5,
+        )
+    )
+    assert "CartesianProduct" not in plan2
+    # join-free: both caps are windows on one user-hash exchange
+    for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert op not in plan2, op
+    assert plan2.count("Exchange hashpartitioning(user_id") == 1, plan2
+    assert plan2.count("Window") >= 2
+    for seg in plan2.split("ReadSchema:")[1:]:
+        head = seg.splitlines()[0]
+        assert "props" not in head, head
