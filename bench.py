@@ -357,6 +357,10 @@ HEADLINE = [
     "dp_active_users_by_type",
     "dp_value_sum_by_type",
     "dp_release_audit",
+    # r12 additions: incremental ANN index maintenance (auto-included)
+    "incremental_ann_verdicts",
+    "incremental_ann_drift_report",
+    "streaming_ann_index",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

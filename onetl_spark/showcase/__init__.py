@@ -128,6 +128,7 @@ def _modules():
     # by registry index), so a new module never displaces older
     # never-checked queries out of the driver window
     from onetl_spark.showcase import (
+        ann_index,
         calibration,
         changepoint,
         hygiene,
@@ -148,4 +149,5 @@ def _modules():
     mods.append(incremental)
     mods.append(ingest)
     mods.append(privacy)
+    mods.append(ann_index)
     return mods

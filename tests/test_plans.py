@@ -1131,3 +1131,23 @@ def test_dp_release_plan_shapes(tables):
     for seg in plan2.split("ReadSchema:")[1:]:
         head = seg.splitlines()[0]
         assert "props" not in head, head
+
+
+def test_ann_store_plan_shapes(tables):
+    """Incremental ANN store (r12): each batch meets the centroids as a
+    broadcast of a k-row table (never a shuffled corpus-vs-corpus join),
+    the store folds stay k×d-sized, and the corpus is scanned once per
+    batch — the verdict union reads the checkpoint-pinned assignment
+    RDDs, so no embeddings parquet scan survives into the final plan."""
+    from onetl_spark.llm.ann_store import incremental_ann_assign
+
+    df = incremental_ann_assign(tables.table("embeddings"), n_batches=3, k=4)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    scans = [
+        seg.splitlines()[0]
+        for seg in plan.split("ReadSchema:")[1:]
+        if "embedding" in seg.splitlines()[0]
+    ]
+    assert scans == [], scans
+    assert plan.count("Scan ExistingRDD") >= 3
