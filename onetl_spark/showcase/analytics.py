@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from onetl_spark.llm.text import mix31_sql
-from onetl_spark.showcase.util import dsum, ensure_views, sql_dsum
+from onetl_spark.showcase.util import dsum, ensure_views, sql_dec, sql_dsum, sql_round_hu
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -508,7 +508,7 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANOMALY_SQL = """
+ANOMALY_SQL = f"""
 WITH daily AS (
   SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
@@ -516,7 +516,7 @@ WITH daily AS (
 ), roll AS (
   SELECT day, v,
          CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s,
-         CAST(SUM(CAST(v * v AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2,
+         CAST(SUM({sql_dec('v * v')}) OVER w AS DOUBLE) AS s2,
          CAST(COUNT(*) OVER w AS DOUBLE) AS n
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -526,8 +526,8 @@ WITH daily AS (
   FROM roll
 )
 SELECT day, v,
-       ROUND(s / n, 9) AS mean_7d,
-       ROUND(CASE WHEN var > 0 THEN (v - s / n) / SQRT(var) ELSE 0.0 END, 9) AS zscore,
+       {sql_round_hu('s / n')} AS mean_7d,
+       {sql_round_hu('CASE WHEN var > 0 THEN (v - s / n) / SQRT(var) ELSE 0.0 END')} AS zscore,
        CASE WHEN var > 0 THEN ABS((v - s / n) / SQRT(var)) > 2.0 ELSE FALSE END AS anomaly
 FROM vv
 """
@@ -1327,7 +1327,13 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-SEASONAL_DECOMP_SQL = """
+_TREND = sql_round_hu(
+    "CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER w7 AS DOUBLE) / (COUNT(*) OVER w7)"
+)
+_SEASONAL = sql_round_hu(
+    f"CAST(SUM({sql_dec('detr', 9)}) OVER wd AS DOUBLE) / COUNT(detr) OVER wd"
+)
+SEASONAL_DECOMP_SQL = f"""
 WITH daily AS (
   SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
@@ -1335,8 +1341,7 @@ WITH daily AS (
 ), t AS (
   SELECT event_type, day, v,
          CASE WHEN COUNT(*) OVER w7 = 7
-              THEN round(CAST(SUM(CAST(v AS DECIMAL(38,6))) OVER w7 AS DOUBLE)
-                         / (COUNT(*) OVER w7), 9)
+              THEN {_TREND}
          END AS trend
   FROM daily
   WINDOW w7 AS (PARTITION BY event_type ORDER BY day
@@ -1346,14 +1351,13 @@ WITH daily AS (
 ), s AS (
   SELECT *,
          CASE WHEN detr IS NOT NULL THEN
-           round(CAST(SUM(CAST(detr AS DECIMAL(38,9))) OVER wd AS DOUBLE)
-                 / COUNT(detr) OVER wd, 9)
+           {_SEASONAL}
          END AS seasonal
   FROM d
   WINDOW wd AS (PARTITION BY event_type, date_part('dow', day))
 )
 SELECT event_type, day, v, trend, seasonal,
-       round(v - trend - seasonal, 9) AS residual
+       {sql_round_hu('v - trend - seasonal')} AS residual
 FROM s
 """
 
@@ -2262,7 +2266,7 @@ def user_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BURSTINESS_SQL = """
+BURSTINESS_SQL = f"""
 WITH t AS (
   SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
@@ -2285,9 +2289,9 @@ m AS (
 )
 SELECT user_id,
        CAST(n_i AS BIGINT) AS n_gaps,
-       round(mu / 1000000.0, 9) AS mean_gap_s,
-       round(sigma / NULLIF(mu, 0), 9) AS cv_gap,
-       round((sigma - mu) / NULLIF(sigma + mu, 0), 9) AS burstiness
+       {sql_round_hu('mu / 1000000.0')} AS mean_gap_s,
+       {sql_round_hu('sigma / NULLIF(mu, 0)')} AS cv_gap,
+       {sql_round_hu('(sigma - mu) / NULLIF(sigma + mu, 0)')} AS burstiness
 FROM e
 """
 
@@ -3095,27 +3099,26 @@ def events_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANOVA_SQL = """
+ANOVA_SQL = f"""
 WITH g AS (
   SELECT event_type,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
-         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+         CAST(SUM({sql_dec('value * value')}) AS DOUBLE) AS s2
   FROM events GROUP BY event_type
 ), tot AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
          CAST(SUM(n) AS BIGINT) AS n_total,
          CAST(SUM(CAST(round(s, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s_total,
          CAST(SUM(CAST(round(s2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS q_total,
-         CAST(SUM(CAST(round(s * s / n, 9) AS DECIMAL(38,9))) AS DOUBLE) AS between_raw
+         CAST(SUM({sql_dec(sql_round_hu('s * s / n'), 9)}) AS DOUBLE) AS between_raw
   FROM g
 )
 SELECT k, n_total,
-       round(between_raw - s_total * s_total / n_total, 6) AS ss_between,
-       round(q_total - between_raw, 6) AS ss_within,
+       {sql_round_hu('between_raw - s_total * s_total / n_total', 6)} AS ss_between,
+       {sql_round_hu('q_total - between_raw', 6)} AS ss_within,
        CASE WHEN k > 1 AND n_total > k THEN
-         round(((between_raw - s_total * s_total / n_total) / (k - 1))
-               / ((q_total - between_raw) / (n_total - k)), 6)
+         {sql_round_hu('((between_raw - s_total * s_total / n_total) / (k - 1)) / ((q_total - between_raw) / (n_total - k))', 6)}
        END AS f_stat
 FROM tot
 """

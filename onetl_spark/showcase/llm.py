@@ -20,7 +20,7 @@ from onetl_spark.llm.dedup import (
     SIMHASH_BITS,
     perm_constants,
 )
-from onetl_spark.showcase.util import ensure_views
+from onetl_spark.showcase.util import ensure_views, sql_round_hu
 
 # ---------------------------------------------------------------------------
 # shared oracle SQL fragments (mirror onetl_spark/llm/text.py exactly)
@@ -88,16 +88,13 @@ WITH t AS (
   FROM documents
 ), f AS (
   SELECT doc_id, len(w) AS n_tokens,
-         round(n_alpha * 1.0 / greatest(n_chars, 1), 9) AS alpha_ratio,
-         round(n_punct * 1.0 / greatest(n_chars, 1), 9) AS punct_ratio,
+         {sql_round_hu('n_alpha * 1.0 / greatest(n_chars, 1)')} AS alpha_ratio,
+         {sql_round_hu('n_punct * 1.0 / greatest(n_chars, 1)')} AS punct_ratio,
          len(list_intersect(list_distinct(w), {_EN})) AS stopword_hits
   FROM t
 )
 SELECT doc_id, n_tokens, alpha_ratio, stopword_hits,
-       round(0.4 * least(n_tokens / 100.0, 1.0)
-           + 0.3 * alpha_ratio
-           + 0.2 * least(stopword_hits / 5.0, 1.0)
-           + 0.1 * (1 - least(punct_ratio * 5, 1.0)), 9) AS quality
+       {sql_round_hu("0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * alpha_ratio + 0.2 * least(stopword_hits / 5.0, 1.0) + 0.1 * (1 - least(punct_ratio * 5, 1.0))")} AS quality
 FROM f
 """
 
@@ -563,10 +560,7 @@ WITH RECURSIVE qt AS (
 ),
 q AS (
   SELECT doc_id, lang, text, fp,
-         round(0.4 * least(len(w) / 100.0, 1.0)
-             + 0.3 * round(n_alpha * 1.0 / greatest(n_chars, 1), 9)
-             + 0.2 * least(len(list_intersect(list_distinct(w), {_EN})) / 5.0, 1.0)
-             + 0.1 * (1 - least(round(n_punct * 1.0 / greatest(n_chars, 1), 9) * 5, 1.0)), 9)
+         {sql_round_hu("0.4 * least(len(w) / 100.0, 1.0) + 0.3 * " + sql_round_hu('n_alpha * 1.0 / greatest(n_chars, 1)') + " + 0.2 * least(len(list_intersect(list_distinct(w), " + _EN + ")) / 5.0, 1.0) + 0.1 * (1 - least(" + sql_round_hu('n_punct * 1.0 / greatest(n_chars, 1)') + " * 5, 1.0))")}
            AS quality
   FROM qt
 ),
@@ -1808,11 +1802,11 @@ WITH words AS (
 ), total AS (
   SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM cf
 ), scored AS (
-  SELECT tf._id, tf.tf, round(ln(cf.cf * 1.0 / total.n_total), 9) AS _lp
+  SELECT tf._id, tf.tf, {sql_round_hu('ln(cf.cf * 1.0 / total.n_total)')} AS _lp
   FROM tf JOIN cf ON tf._w = cf._w CROSS JOIN total
 )
 SELECT _id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
-       round(CAST(SUM(CAST(_lp AS DECIMAL(20,9)) * CAST(tf AS DECIMAL(10,0))) AS DOUBLE) / SUM(tf), 9) AS mean_logprob
+       {sql_round_hu('CAST(SUM(CAST(_lp AS DECIMAL(20,9)) * CAST(tf AS DECIMAL(10,0))) AS DOUBLE) / SUM(tf)')} AS mean_logprob
 FROM scored GROUP BY _id
 """
 
@@ -2563,8 +2557,7 @@ WITH d AS (
   SELECT bg, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY bg
 ), scored AS (
   SELECT tf._id, tf.tf,
-         round(ln(0.7 * (c12.c12 * 1.0 / cf1.c)
-                  + 0.3 * (cf2.c * 1.0 / tot.n_total)), 9) AS _lp
+         {sql_round_hu('ln(0.7 * (c12.c12 * 1.0 / cf1.c) + 0.3 * (cf2.c * 1.0 / tot.n_total))')} AS _lp
   FROM tf
   JOIN c12 USING (bg)
   JOIN cf cf1 ON cf1.u = string_split(tf.bg, ' ')[1]
@@ -2572,7 +2565,7 @@ WITH d AS (
   CROSS JOIN tot
 )
 SELECT _id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-       round(CAST(SUM(CAST(_lp AS DECIMAL(20,9)) * CAST(tf AS DECIMAL(10,0))) AS DOUBLE) / SUM(tf), 9) AS mean_logprob
+       {sql_round_hu('CAST(SUM(CAST(_lp AS DECIMAL(20,9)) * CAST(tf AS DECIMAL(10,0))) AS DOUBLE) / SUM(tf)')} AS mean_logprob
 FROM scored GROUP BY _id
 """
 

@@ -61,16 +61,31 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 
 def _stage_source_dir(sf_dir: str) -> str:
     """The file-stream source requires a DIRECTORY; stage the events
-    parquet into a scratch dir (symlink — no data copy) keyed by sf."""
+    parquet into a scratch dir (symlink — no data copy).
+
+    Three hard-won rules (a RELATIVE ``--sf .scratch/testdata/sf1`` made
+    13 streaming queries fail their sf1 sweep with dangling links):
+    the symlink target must be ABSOLUTE (a relative target resolves
+    against the link's own directory, not the caller's CWD); the cache
+    dir is keyed by a hash of the absolute source path, not just the sf
+    basename (two roots sharing a basename must not alias — the
+    `_stage_doc_batches` lesson); and a dangling link is healed, since
+    ``os.path.exists`` is False for it but the link inode still blocks
+    ``os.symlink``."""
+    import hashlib
+
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    src_key = hashlib.md5(src.encode()).hexdigest()[:10]
     base = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".scratch",
         "stream_src",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{src_key}",
     )
     os.makedirs(base, exist_ok=True)
     link = os.path.join(base, "events.parquet")
-    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.remove(link)  # dangling leftover from a pre-fix run
     if not os.path.exists(link):
         try:
             os.symlink(src, link)

@@ -24,6 +24,7 @@ from onetl_spark.showcase.util import (
     sql_davg,
     sql_dsum,
     sql_fsig,
+    sql_round_hu,
 )
 
 
@@ -618,10 +619,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q2_SQL = """
+Q2_SQL = f"""
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         MIN(round(l_extendedprice / l_quantity, 6)) AS unit_cost
+         MIN({sql_round_hu('l_extendedprice / l_quantity', 6)}) AS unit_cost
   FROM lineitem GROUP BY 1, 2
 ), offers AS (
   SELECT s.s_name, n.n_name, c.l_partkey, p.p_type, c.unit_cost

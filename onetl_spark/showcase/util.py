@@ -30,8 +30,9 @@ def ensure_views(spark: SparkSession, sf_dir: str) -> None:
 
 def dsum(col: Column | str, scale: int = 6) -> Column:
     """Deterministic double sum: per-row decimal cast → exact decimal sum →
-    double result. Mirror in DuckDB with
-    ``CAST(SUM(CAST(x AS DECIMAL(38,scale))) AS DOUBLE)``."""
+    double result. Mirror in DuckDB with :func:`sql_dsum` (VARCHAR
+    round-trip — the direct DECIMAL→DOUBLE cast there is not correctly
+    rounded past 2^53 scaled units)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
 
@@ -66,8 +67,47 @@ def sql_fsig(expr: str) -> str:
 
 
 def sql_dsum(expr: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    """DuckDB mirror of :func:`dsum` — via a VARCHAR round-trip: DuckDB's
+    direct DECIMAL→DOUBLE cast divides the scaled int128 in floating
+    point (two roundings) and lands 1 ULP off the correctly-rounded
+    result once ``|value| * 10^scale`` exceeds 2^53; Spark's
+    BigDecimal→double IS correctly rounded, so big sf1 aggregates
+    diverged in the last ULP (q1 ``sum_charge``, r12 sf1 sweep).
+    decimal→VARCHAR prints the exact digits and VARCHAR→DOUBLE is a
+    correctly-rounded strtod — provably monotone: cells where the
+    engines already agreed were already correctly rounded and keep
+    their value."""
+    return (
+        f"CAST(CAST(SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,{scale})))"
+        " AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def sql_davg(expr: str, scale: int = 6) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,{scale}))) AS DOUBLE) / COUNT(*)"
+    return f"{sql_dsum(expr, scale)} / COUNT(*)"
+
+
+def sql_dec(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of Spark's per-row double→DECIMAL cast: Spark parses
+    the SHORTEST DECIMAL REPR (BigDecimal.valueOf) and rounds ties
+    HALF_UP; DuckDB's direct cast rounds the EXACT BINARY expansion.
+    VARCHAR→DECIMAL parses the shortest repr with away-from-zero ties
+    (probe-verified) — identical to Spark at every input."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,{scale}))"
+
+
+def sql_round_hu(expr: str, n: int = 9) -> str:
+    """DuckDB mirror of Spark ``round(x, n)`` — Spark rounds the SHORTEST
+    DECIMAL REPR of the double (BigDecimal.valueOf) HALF_UP, DuckDB's
+    ``round(DOUBLE, n)`` rounds the EXACT BINARY expansion, so a double a
+    hair below a half-boundary whose shortest repr READS "…5" rounds up
+    in Spark and down in DuckDB (~0.1% of rows at sf1 magnitudes — the
+    r10 'round() boundary' residual). Mimic Spark exactly: double →
+    VARCHAR (DuckDB prints shortest round-trip repr) → DECIMAL(38,20)
+    (exact for any |x| ≥ 1e-3 shortest repr; above that, vanishing
+    double-rounding band) → round() on DECIMAL (ties away from zero =
+    HALF_UP, probe-verified) → VARCHAR → correctly-rounded DOUBLE."""
+    return (
+        f"CAST(CAST(round(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,20)), {n})"
+        " AS VARCHAR) AS DOUBLE)"
+    )
