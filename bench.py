@@ -361,6 +361,14 @@ HEADLINE = [
     "incremental_ann_verdicts",
     "incremental_ann_drift_report",
     "streaming_ann_index",
+    # r12 additions: incremental SCD2 dimension store, incremental
+    # referential-integrity monitoring (auto-included)
+    "incremental_scd2_state",
+    "incremental_scd2_audit",
+    "streaming_scd2_store",
+    "incremental_ri_verdicts",
+    "incremental_ri_report",
+    "streaming_ri_monitor",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

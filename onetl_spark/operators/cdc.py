@@ -151,6 +151,197 @@ def merge_aggregate_state(
     return merged.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
 
+def _scd2_collapse(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tie_break: Sequence[str],
+) -> DataFrame:
+    """Run-collapse a unified (seed ∪ batch) change relation.
+
+    ``events`` carries ``_w`` (run weight: 1 per raw change row, the old
+    run's ``n_events`` on a seed row) and ``_seed`` (1 on the re-entered
+    current run). Ordering is ``(ts, _seed DESC, *tie_break)`` — the seed
+    sorts first on a (never expected) timestamp tie so the continuing run
+    keeps its original start. Output columns: ``_run``, ``_chg`` kept for
+    the audit aggregate.
+    """
+    keys = _cols(key_cols)
+    order = [F.col(ts_col).asc(), F.col("_seed").desc()] + [
+        F.col(c).asc() for c in tie_break
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return events.withColumn(
+        "_chg",
+        F.when(F.row_number().over(w) == 1, 1)
+        .when(~F.lag(value_col).over(w).eqNullSafe(F.col(value_col)), 1)
+        .otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def _scd2_seed_union(
+    store: DataFrame,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tie_break: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Split the store into pass-through rows and the seed∪batch change
+    relation for the keys this batch touches.
+
+    Returns ``(pass_through, events)``: closed history rows and current
+    rows of untouched keys flow through untouched (a union, no shuffle);
+    only ``touched current ∪ batch`` enters the windowed collapse.
+    """
+    keys = list(key_cols)
+    batch_keys = batch.select(*keys).distinct()
+    current = store.filter(F.col("is_current"))
+    closed = store.filter(~F.col("is_current"))
+    untouched = current.join(batch_keys, keys, "left_anti")
+    touched = current.join(batch_keys, keys, "left_semi")
+    tb_null = [
+        F.lit(None).cast(batch.schema[c].dataType).alias(c) for c in tie_break
+    ]
+    seeds = touched.select(
+        *keys,
+        F.col("effective_from").alias(ts_col),
+        F.col("value").alias(value_col),
+        F.col("n_events").cast("long").alias("_w"),
+        F.lit(1).alias("_seed"),
+        *tb_null,
+    )
+    ev = batch.select(
+        *keys,
+        F.col(ts_col),
+        F.col(value_col),
+        F.lit(1).cast("long").alias("_w"),
+        F.lit(0).alias("_seed"),
+        *[F.col(c) for c in tie_break],
+    )
+    return closed.unionByName(untouched), seeds.unionByName(ev)
+
+
+def scd2_apply_batch(
+    store: DataFrame | None,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tie_break: Sequence[str] = (),
+) -> DataFrame:
+    """Apply one time-ordered change batch to a persisted SCD2 store.
+
+    The day-2 shape of warehouse dimension maintenance (reference spec:
+    the incremental-load surface of onetl's strategy machinery,
+    ``onetl/strategy/incremental_strategy.py`` — each window the
+    IncrementalStrategy captures lands here as ``batch``): the store is
+    the output of :func:`onetl_spark.operators.temporal.scd2_intervals`
+    persisted from every previous batch (columns ``*key_cols, value,
+    effective_from, effective_to, is_current, n_events``); the batch is a
+    raw change feed whose timestamps are all ≥ the store's (the
+    incremental-strategy window guarantee). ``store=None`` bootstraps.
+
+    INVARIANT (the correctness contract, unit-proven): applying batches
+    in time order reproduces ``scd2_intervals`` over the concatenated
+    full history exactly — closed rows never change, a continuing run
+    keeps its ``effective_from`` and accumulates ``n_events``, a value
+    change closes the current run at the first changed event's ts.
+
+    Scale shape (100 TB dimension, daily batch): closed history and
+    untouched current rows PASS THROUGH — a union, never shuffled,
+    never windowed. Only ``(current rows of touched keys) ∪ batch``
+    enters the two per-key windows, so the windowed relation is
+    batch-sized, not store-sized; the touched/untouched split is a
+    semi/anti join against the batch's (tiny, broadcastable) distinct
+    key set.
+    """
+    from onetl_spark.operators.temporal import scd2_intervals
+
+    if store is None:
+        return scd2_intervals(batch, key_cols, ts_col, value_col, tie_break)
+    keys = list(key_cols)
+    pass_through, events = _scd2_seed_union(
+        store, batch, keys, ts_col, value_col, tie_break
+    )
+    flagged = _scd2_collapse(events, keys, ts_col, value_col, tie_break)
+    runs = flagged.groupBy(*_cols(keys), F.col("_run")).agg(
+        F.min(value_col).alias("value"),
+        F.min(ts_col).alias("effective_from"),
+        F.sum("_w").alias("n_events"),
+    )
+    w2 = Window.partitionBy(*_cols(keys)).orderBy("_run")
+    merged = runs.select(
+        *keys,
+        F.col("value"),
+        F.col("effective_from"),
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        F.lead("effective_from").over(w2).isNull().alias("is_current"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+    cols = [*keys, "value", "effective_from", "effective_to", "is_current", "n_events"]
+    return pass_through.select(*cols).unionByName(merged.select(*cols))
+
+
+def scd2_batch_audit(
+    store: DataFrame | None,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tie_break: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key change verdicts for one batch against the current store —
+    the load-audit row a dimension pipeline logs before committing
+    :func:`scd2_apply_batch`'s result.
+
+    One row per key present in the batch: ``verdict`` (``new_key`` —
+    first appearance ever; ``changed`` — at least one new run opened;
+    ``unchanged`` — every event continued the current run),
+    ``n_runs_opened`` (runs whose ``effective_from`` falls in this
+    batch; for a new key that includes its first run) and ``n_events``.
+
+    Cost: the same batch-sized collapse as the apply step, then one
+    per-key aggregate — history is never touched beyond the semi-join
+    for the seeds.
+    """
+    keys = list(key_cols)
+    if store is None:
+        spark_cols = [
+            *keys,
+            F.col(ts_col),
+            F.col(value_col),
+            F.lit(1).cast("long").alias("_w"),
+            F.lit(0).alias("_seed"),
+            *[F.col(c) for c in tie_break],
+        ]
+        events = batch.select(*spark_cols)
+    else:
+        _, events = _scd2_seed_union(
+            store, batch, keys, ts_col, value_col, tie_break
+        )
+    flagged = _scd2_collapse(events, keys, ts_col, value_col, tie_break)
+    per_key = flagged.groupBy(*_cols(keys)).agg(
+        F.max("_run").alias("_n_runs"),
+        F.max("_seed").alias("_had_seed"),
+        F.sum(F.lit(1) - F.col("_seed")).cast("long").alias("n_events"),
+    )
+    opened = (F.col("_n_runs") - F.col("_had_seed")).cast("long")
+    return per_key.select(
+        *keys,
+        F.when(F.col("_had_seed") == 0, F.lit("new_key"))
+        .when(opened > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("verdict"),
+        opened.alias("n_runs_opened"),
+        F.col("n_events"),
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

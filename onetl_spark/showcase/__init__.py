@@ -137,6 +137,8 @@ def _modules():
         preference,
         privacy,
         retrieval,
+        ri_monitor,
+        scd2_store,
         selection,
     )
 
@@ -150,4 +152,6 @@ def _modules():
     mods.append(ingest)
     mods.append(privacy)
     mods.append(ann_index)
+    mods.append(scd2_store)
+    mods.append(ri_monitor)
     return mods

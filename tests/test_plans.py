@@ -1151,3 +1151,65 @@ def test_ann_store_plan_shapes(tables):
     ]
     assert scans == [], scans
     assert plan.count("Scan ExistingRDD") >= 3
+
+
+def test_scd2_apply_batch_plan_shapes(tables):
+    """Incremental SCD2 store (r12): every window partitions by the
+    dimension key (no global-order window anywhere), the touched-key
+    split resolves as broadcast semi/anti joins against the batch's
+    tiny distinct-key relation — the store side is never shuffled for
+    the split — and no cartesian product appears."""
+    import re
+
+    from onetl_spark.operators.cdc import scd2_apply_batch
+    from onetl_spark.operators.temporal import scd2_intervals
+
+    ev = tables.table("events").select("user_id", "ts", "event_type", "event_id")
+    cut = F.to_timestamp(F.lit("2024-01-15"))
+    store = scd2_intervals(
+        ev.filter(F.col("ts") < cut), ["user_id"], "ts", "event_type", ["event_id"]
+    )
+    df = scd2_apply_batch(
+        store, ev.filter(F.col("ts") >= cut), ["user_id"], "ts", "event_type",
+        ["event_id"],
+    )
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    w_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert w_specs and all("user_id" in ws for ws in w_specs)
+    # the pass-through split is a broadcast semi/anti join — the store
+    # relation must not pay an exchange to meet the batch key set
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftSemi") >= 1 and plan.count("LeftAnti") >= 1
+
+
+def test_ri_store_plan_shapes(tables):
+    """Incremental referential integrity (r12): every join is a key
+    equi-join (no cartesian), the final-status collapse is a map-side
+    combined max_by hash aggregate — never a window sort — and the fact
+    scan reads only the id and reference columns."""
+    from onetl_spark.operators.ri_store import ri_apply_batch, ri_final_status
+
+    cust = tables.table("customer").select("c_custkey")
+    orders = tables.table("orders").select("o_orderkey", "o_custkey")
+    key_store, pending, log = None, None, None
+    for k in range(3):
+        key_store, pending, events = ri_apply_batch(
+            key_store,
+            pending,
+            cust.filter(F.col("c_custkey") % 4 == k),
+            orders.filter(F.col("o_orderkey") % 3 == k),
+            "c_custkey",
+            "o_orderkey",
+            "o_custkey",
+            k,
+        )
+        log = events if log is None else log.unionByName(events)
+    df = ri_final_status(log)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "max_by" in plan and "partial_max_by" in plan
+    for seg in plan.split("ReadSchema:")[1:]:
+        head = seg.splitlines()[0]
+        assert "o_totalprice" not in head and "o_orderdate" not in head, head
