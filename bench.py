@@ -369,6 +369,7 @@ HEADLINE = [
     "incremental_ri_verdicts",
     "incremental_ri_report",
     "streaming_ri_monitor",
+    "el_scd2_dimension_pipeline",
 ]
 
 # Methodology (round 2+): fixed query order (list above), one untimed

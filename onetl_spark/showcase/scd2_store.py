@@ -285,9 +285,72 @@ def streaming_scd2_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _store_out(spark.read.parquet(store_dir))
 
 
+def el_scd2_dimension_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EL surface (SURVEY §2.1/§2.3/§2.9) composed with the new
+    dimension-store operator — the first registry query driving the
+    STRATEGY machinery end-to-end into an incremental operator: three
+    successive loads run ``DBReader`` under ``IncrementalStrategy`` with
+    a ``ColumnDateTimeHWM`` on ``ts`` (exclusive-start window, HWM saved
+    on success) while a visibility horizon WHERE simulates data arriving
+    at the Jan 11 / Jan 21 cutoffs, each captured window folds into the
+    SCD2 store via ``scd2_apply_batch``, the final store is written
+    through ``DBWriter`` (replace_entire_table) and read back with a
+    third ``DBReader``. The HWM windows reproduce the fixed-cutoff
+    batches exactly (no sampled rows exist between a window's max ts
+    and its horizon), so this shares the full-history oracle with
+    `incremental_scd2_state`."""
+    from onetl_spark.connections.catalog import drop_table_completely
+    from onetl_spark.connections.sparksql import (
+        SparkSQLConnection,
+        SparkSQLWriteOptions,
+    )
+    from onetl_spark.db import DBReader, DBWriter
+    from onetl_spark.hwm.store import MemoryHWMStore
+    from onetl_spark.hwm.types import ColumnDateTimeHWM
+    from onetl_spark.strategy import IncrementalStrategy
+
+    ensure_views(spark, sf_dir)
+    conn = SparkSQLConnection(spark)
+    horizons = [
+        f"ts < TIMESTAMP '{_CUT1}'",
+        f"ts < TIMESTAMP '{_CUT2}'",
+        None,
+    ]
+    store = None
+    with MemoryHWMStore():
+        for horizon in horizons:
+            where = (
+                _USER_PRED if horizon is None else f"{_USER_PRED} AND {horizon}"
+            )
+            reader = DBReader(
+                conn,
+                source="events",
+                columns=["user_id", "ts", "event_type", "event_id"],
+                where=where,
+                hwm=ColumnDateTimeHWM(
+                    name="showcase_scd2_dimension", expression="ts"
+                ),
+            )
+            with IncrementalStrategy():
+                batch = reader.run()
+            store = scd2_apply_batch(store, batch, _KEYS, _TS, _VALUE, _TIE)
+            # commit each window the way a real load would: the next
+            # window's semi/anti joins read the materialized store, not a
+            # re-executed three-deep plan chain
+            store = store.localCheckpoint(eager=True)
+    target = "showcase_el_scd2_dimension"
+    drop_table_completely(spark, target)
+    DBWriter(
+        conn, target, options=SparkSQLWriteOptions(if_exists="replace_entire_table")
+    ).run(_store_out(store))
+    return DBReader(conn, source=target).run()
+
+
 SPARK_QUERIES["incremental_scd2_state"] = incremental_scd2_state
 ORACLE_SQL["incremental_scd2_state"] = STATE_SQL
 SPARK_QUERIES["incremental_scd2_audit"] = incremental_scd2_audit
 ORACLE_SQL["incremental_scd2_audit"] = AUDIT_SQL
 SPARK_QUERIES["streaming_scd2_store"] = streaming_scd2_store
 ORACLE_SQL["streaming_scd2_store"] = STATE_SQL
+SPARK_QUERIES["el_scd2_dimension_pipeline"] = el_scd2_dimension_pipeline
+ORACLE_SQL["el_scd2_dimension_pipeline"] = STATE_SQL
