@@ -2257,23 +2257,39 @@ def kmeans_assign(
         F.col("_v").alias("_cv"),
     )
 
-    def d2_expr():
-        return F.aggregate(
-            F.zip_with("_v", "_cv", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, e: acc + e,
+    # Assignment is a PER-ROW argmin over the k-struct centroid array
+    # (1-row broadcast), not a crossJoin + corpus groupBy: the former
+    # shape shuffled every corpus row — with the full vector inside the
+    # GROUPING KEY — once per iteration (guide §2.3: never shuffle the
+    # payload to make a decision a map-side expression can make). The
+    # array_min comparator is the same lexicographic (d, j) struct
+    # ordering F.min used, and the per-dim squared-distance fold is the
+    # identical left-to-right expression, so assignments and distances
+    # are bit-identical. Per iteration the only shuffle left is the
+    # map-side-combined k×d mean aggregate.
+    def amin_expr():
+        return F.array_min(
+            F.transform(
+                "_cs",
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with("_v", c["_cv"], lambda x, cc: (x - cc) * (x - cc)),
+                        F.lit(0.0),
+                        lambda acc, e: acc + e,
+                    ).alias("d"),
+                    c["_j"].alias("j"),
+                ),
+            )
         )
 
+    def carr_expr(c):
+        # deterministic k-struct array: sorted by _j (unique), 1 row
+        return c.agg(F.array_sort(F.collect_list(F.struct("_j", "_cv"))).alias("_cs"))
+
     for _ in range(iters):
-        pairs = pts.crossJoin(F.broadcast(cents))
         assign = (
-            pairs.select(
-                "_id",
-                "_v",
-                F.struct(d2_expr().alias("d"), F.col("_j").alias("j")).alias("_dj"),
-            )
-            .groupBy("_id", "_v")
-            .agg(F.min("_dj")["j"].alias("_j"))
+            pts.crossJoin(F.broadcast(carr_expr(cents)))
+            .select("_id", "_v", amin_expr()["j"].alias("_j"))
         )
         dims = assign.select(
             "_j", F.posexplode("_v").alias("_i", "_x")
@@ -2292,13 +2308,8 @@ def kmeans_assign(
         )
 
     return (
-        pts.crossJoin(F.broadcast(cents))
-        .select(
-            "_id",
-            F.struct(d2_expr().alias("d"), F.col("_j").alias("j")).alias("_dj"),
-        )
-        .groupBy("_id")
-        .agg(F.min("_dj").alias("_m"))
+        pts.crossJoin(F.broadcast(carr_expr(cents)))
+        .select("_id", amin_expr().alias("_m"))
         .select(
             F.col("_id").alias(id_col),
             F.col("_m")["j"].alias("cluster"),

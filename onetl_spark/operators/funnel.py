@@ -227,6 +227,13 @@ def frequent_sequences(
         )
         .filter(F.col("_idx") <= max_events_per_entity)
     )
+    # materialize the capped ranked sequence once: the k-1 growth joins
+    # plus the seed each re-reference it, and without a checkpoint every
+    # reference replays the corpus window (3 windows for k=3, measured).
+    # The checkpoint also preserves the window's hash(entity) partitioning,
+    # so the entity-keyed growth joins below need NO new exchange at all
+    # (guide §2.4: establish the partitioning once, reuse it)
+    ranked = ranked.localCheckpoint(eager=True)
     cur = ranked.select("_e", F.col("_idx").alias("_last"), F.col("_it").alias("pattern"))
     for _ in range(k - 1):
         nxt = ranked.select(

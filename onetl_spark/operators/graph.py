@@ -235,14 +235,22 @@ def pagerank_fixed_point(
 
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank_fp"))
     for _ in range(iterations):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left",
-        ).select("node", "rank_fp", "out_deg")
-        # dangling nodes spread their mass uniformly; scalar-sized agg
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        # checkpoint the degree-annotated ranks once per iteration: both
+        # the dangling aggregate and the contribution pass read it, and
+        # the former driver-side `collect()` of the dangling sum ran a
+        # SECOND full job per iteration that re-executed this join before
+        # the contribution pass rebuilt it again (guide §5: the driver
+        # should do no data work; §2.4: don't compute the same join twice)
+        with_deg = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+            .select("node", "rank_fp", "out_deg")
+            .localCheckpoint(eager=True)
+        )
+        # dangling nodes spread their mass uniformly; the scalar rides a
+        # 1-row broadcast instead of a collect — `div` truncation equals
+        # the former Python `//` because the rank sum is non-negative
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("_dang")
         )
         contribs = (
             e.join(
@@ -255,9 +263,13 @@ def pagerank_fixed_point(
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.coalesce(F.col("in_mass"), F.lit(0)) + F.lit(dangling // n)).alias("in_total"),
+                (
+                    F.coalesce(F.col("in_mass"), F.lit(0))
+                    + F.expr(f"_dang div {n}")
+                ).alias("in_total"),
             )
             .select(
                 "node",
@@ -370,7 +382,12 @@ def bfs_hops(
         if not nxt.limit(1).count():
             log.info("bfs_hops frontier empty after %d hop(s)", h - 1)
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # every frontier is already checkpointed — the visited set stays a
+        # LAZY union of those materialized RDDs (≤ max_hops parts, nothing
+        # to recompute). Re-checkpointing the union copied the whole
+        # visited set again every hop: O(V·hops) extra materialized rows
+        # plus one extra blocking job per hop, for zero information.
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
 
@@ -840,7 +857,9 @@ def multi_source_distances(
         if not nxt.limit(1).count():
             log.info("multi_source_distances: frontiers empty after %d hop(s)", h - 1)
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # same as bfs_hops: frontiers are checkpointed, the visited union
+        # stays lazy — no per-hop re-materialization of the whole set
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
 
@@ -1238,13 +1257,16 @@ def personalized_pagerank_fixed_point(
         .alias("rank_fp"),
     )
     for _ in range(iterations):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "rank_fp", "out_deg")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        # same collect-free dangling pattern as pagerank_fixed_point: one
+        # checkpointed degree join feeds both consumers, the scalar rides
+        # a 1-row broadcast (`div` == `//` on the non-negative sum)
+        with_deg = (
+            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
+            .select("node", "rank_fp", "out_deg")
+            .localCheckpoint(eager=True)
+        )
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("_dang")
         )
         contribs = (
             e.join(
@@ -1257,13 +1279,14 @@ def personalized_pagerank_fixed_point(
         )
         ranks = (
             marked.join(contribs, marked["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "_seed",
                 (
                     F.coalesce(F.col("in_mass"), F.lit(0))
                     + F.when(
-                        F.col("_seed") == 1, F.lit(dangling // n_seeds)
+                        F.col("_seed") == 1, F.expr(f"_dang div {n_seeds}")
                     ).otherwise(F.lit(0))
                 ).alias("in_total"),
             )

@@ -169,6 +169,10 @@ def bradley_terry(
                     9,
                 ).alias("_r"),
             )
+            # item-sized; feeds BOTH the rescale total and the update —
+            # un-checkpointed, the pair joins + aggregation above run twice
+            # per iteration (once under the total's broadcast branch)
+            .localCheckpoint(eager=True)
         )
         total = raw.agg(
             F.sum(F.col("_r").cast("decimal(30,9)")).cast("double").alias("_t")

@@ -742,19 +742,28 @@ def calibration_bins(
         F.col(score_col).cast("double").alias("_s"),
         F.col(label_col).cast("long").alias("_y"),
     ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
-    bad = t.filter(
-        ~F.col("_y").isin(0, 1) | (F.col("_s") < 0) | (F.col("_s") > 1)
-    ).limit(1).count()
-    if bad:
-        raise ValueError(
-            "calibration_bins: label must be 0/1 and score within [0, 1]"
-        )
     b = F.least(F.floor(F.col("_s") * bins).cast("int"), F.lit(bins - 1))
+    # The range guard rides the bin aggregate (no dedicated corpus scan),
+    # and the bin-sized grid is checkpointed eagerly: the tot/ece fan-out
+    # below re-references `per` three times, and without materialization
+    # each branch re-runs the whole upstream corpus pipeline (measured 16
+    # parquet scans in markov_calibration's plan). Post-checkpoint every
+    # consumer reads <= `bins` rows. Bad rows can land in out-of-range
+    # bins, but any bad row makes this raise, so the kept grid is
+    # identical to the unguarded aggregate whenever it is returned.
     per = t.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.round(F.col("_s"), 9).cast("decimal(30,9)")).alias("_ssum"),
         F.sum("_y").alias("_pos"),
-    )
+        F.max(
+            (~F.col("_y").isin(0, 1) | (F.col("_s") < 0) | (F.col("_s") > 1)).cast("int")
+        ).alias("_bad"),
+    ).localCheckpoint(eager=True)
+    if per.filter(F.col("_bad") == 1).limit(1).count():
+        raise ValueError(
+            "calibration_bins: label must be 0/1 and score within [0, 1]"
+        )
+    per = per.drop("_bad")
     tot = per.agg(F.sum("_n").alias("_tot"))
     j = per.crossJoin(F.broadcast(tot))
     mean_score = F.col("_ssum").cast("double") / F.col("_n").cast("double")

@@ -2325,6 +2325,11 @@ def markov_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "is_train", F.pmod(md5_long(F.col("event_id").cast("string")), F.lit(2)) == 0
         )
+        # one materialized pass: the train (probs) and test (scored)
+        # branches both consume this window output; un-checkpointed each
+        # replays the corpus lag-window (the before-plan scanned events
+        # 16x across the fan-out — see plans/r12)
+        .localCheckpoint(eager=True)
     )
     probs = (
         trans.filter("is_train")
@@ -6121,7 +6126,10 @@ def events_value_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"_e{p10}"
             )
         )
-    emp = stitched.agg(*aggs)
+    # the 9 per-decile branches below each re-reference this 1-row
+    # aggregate; materialize it once or every branch replays the stitched
+    # cumsum windows (measured: 18 Window nodes in the un-checkpointed plan)
+    emp = stitched.agg(*aggs).localCheckpoint(eager=True)
     nn = F.lit(float(n))
     mu = F.lit(m["_s"]) / nn
     var = (F.lit(m["_q"]) - F.lit(m["_s"]) * F.lit(m["_s"]) / nn) / (nn - F.lit(1.0))

@@ -703,12 +703,24 @@ def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
     both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    w1 = both.select(F.col("dst").alias("n"), F.col("src").alias("a"))
-    w2 = both.select(F.col("dst").alias("n"), F.col("src").alias("b"))
+    # attach each endpoint's degree to the EDGE relation (edge-sized, one
+    # join) and carry it through the wedge join, instead of joining deg
+    # onto the candidate-pair set afterwards — the pair set is the wedge
+    # closure, orders of magnitude larger than the edge set on any dense
+    # graph, and the former plan shuffled it twice more for the two degree
+    # joins (guide §2.3: shuffle the small relation, not the big one).
+    # deg is unique per node, so (a, b, da, db) groups == (a, b) groups.
+    both_deg = (
+        both.join(deg, "src")
+        .select(F.col("dst").alias("n"), F.col("src").alias("node"), "deg")
+        .localCheckpoint(eager=True)
+    )
+    w1 = both_deg.select("n", F.col("node").alias("a"), F.col("deg").alias("da"))
+    w2 = both_deg.select("n", F.col("node").alias("b"), F.col("deg").alias("db"))
     cand = (
         w1.join(w2, "n")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .groupBy("a", "b", "da", "db")
         .agg(F.count(F.lit(1)).alias("cn"))
         .join(
             e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
@@ -716,19 +728,15 @@ def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     )
-    scored = (
-        cand.join(deg.select(F.col("src").alias("a"), F.col("deg").alias("da")), "a")
-        .join(deg.select(F.col("src").alias("b"), F.col("deg").alias("db")), "b")
-        .select(
-            "a",
-            "b",
-            "cn",
-            F.round(
-                F.col("cn").cast("double")
-                / (F.col("da") + F.col("db") - F.col("cn")),
-                9,
-            ).alias("jaccard"),
-        )
+    scored = cand.select(
+        "a",
+        "b",
+        "cn",
+        F.round(
+            F.col("cn").cast("double")
+            / (F.col("da") + F.col("db") - F.col("cn")),
+            9,
+        ).alias("jaccard"),
     )
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("a").asc(), F.col("b").asc()

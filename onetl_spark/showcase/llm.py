@@ -4875,7 +4875,10 @@ def doc_length_qq_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = side(_QQ_SRC_A, "_a")
     b = side(_QQ_SRC_B, "_b")
-    both = a.crossJoin(b)
+    # 1-row join of the two decile aggregates, referenced by all 9 output
+    # branches below — materialize once so each branch does not replay
+    # both sides' cumulative-sum windows (same fix as events_value_qq_normal)
+    both = a.crossJoin(b).localCheckpoint(eager=True)
     rows = None
     for p10 in range(1, 10):
         r = both.select(

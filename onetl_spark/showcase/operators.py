@@ -1854,6 +1854,11 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("lat_days").isNotNull())
     )
+    # exact_ntile's global-index core makes 3 passes over its input
+    # (quantile probe, bucket counts, bucket window); materialize the
+    # narrow (3-column) join output once so the fact⋈orders join does not
+    # run 3× (guide §2.4 / the "decide with small rows" rule of §8)
+    j = j.localCheckpoint(eager=True)
     t = exact_ntile(j, 10, "lat_days", ("l_orderkey", "l_linenumber"), tile_col="decile")
     return (
         t.groupBy("decile")

@@ -29,6 +29,14 @@ def main() -> None:
     ap.add_argument("--round", default="r12")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--exec",
+        action="store_true",
+        dest="execute",
+        help="execute the query (noop sink) first and dump the AQE-final "
+        "plan — shows ReusedExchange and runtime join strategy choices "
+        "the initial plan cannot",
+    )
     args = ap.parse_args()
 
     out_dir = os.path.join(REPO, "plans", args.round)
@@ -50,9 +58,16 @@ def main() -> None:
 
     for name in names:
         df = queries[name](spark, args.sf)
+        if args.execute:
+            # collect() drives the DataFrame's OWN QueryExecution (a noop
+            # write would plan a separate one), so the dump below shows the
+            # AQE-final plan with ReusedExchange / runtime join rewrites
+            df.collect()
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
+        if args.execute:
+            spark.catalog.clearCache()
         path = os.path.join(out_dir, f"{name}_{args.tag}.txt")
         with open(path, "w") as f:
             f.write(plan)
