@@ -604,11 +604,22 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
     degree-join per endpoint + a 1-row moment aggregate — no windows,
     no driver loops.
     """
-    both = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # materialize the symmetrized edge list once: it feeds the degree
+    # aggregate AND the moment join, and callers commonly pass an edge
+    # relation hiding an expensive pair-generation self-join — without a
+    # checkpoint that upstream re-ran for every reference (the before-plan
+    # scanned the base tables 24x). deg (node-sized) fans out to both
+    # endpoints, so it is materialized too.
+    both = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
     )
-    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d")).select(
-        F.col("u").alias("node"), "d"
+    deg = (
+        both.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select(F.col("u").alias("node"), "d")
+        .localCheckpoint(eager=True)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))

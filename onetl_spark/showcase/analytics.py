@@ -3195,7 +3195,14 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     from pyspark.sql import Window as W
 
-    li = spark.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    # three consumers (freq + both pair sides): materialize the distinct
+    # basket relation once instead of re-running the scan+distinct shuffle
+    li = (
+        spark.table("lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     freq = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count(F.lit(1)).alias("nf")
     )
@@ -3207,6 +3214,9 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= _COP_MIN)
+        # both orientations below re-reference this aggregated pair
+        # relation — checkpoint so the wedge join + groupBy run once
+        .localCheckpoint(eager=True)
     )
     both = pairs.unionAll(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "co")
@@ -4500,6 +4510,9 @@ def order_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
+        # four consumers (order count, singletons, both pair sides) — one
+        # materialized pass instead of four lineitem⋈part join replays
+        .localCheckpoint(eager=True)
     )
     n_orders = ob.select("ok").distinct().count()
     single = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
@@ -5762,8 +5775,12 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / F.lit(float(k)), 9).cast("decimal(38,9)").alias("v"),
     )
     for _ in range(_STATIONARY_ITERS):
+        # broadcast the k-row vector (k = event types, attribute-bounded):
+        # both sides are checkpointed RDDs with no stats, so the planner
+        # fell back to a sort-merge join — 3 exchanges per step ×12 steps
+        # of 1-2-task stages, pure scheduling latency on a 5-row relation
         v = (
-            v.join(p, v["state"] == p["src"])
+            p.join(F.broadcast(v), v["state"] == p["src"])
             .groupBy(F.col("dst").alias("state"))
             .agg(
                 F.sum(
@@ -6437,6 +6454,11 @@ def order_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
         .distinct()
+        # (order, brand)-sized; feeds the order count, the frequent-
+        # singleton filter AND the pruned basket relation — without the
+        # checkpoint each reference re-ran the lineitem⋈part join+distinct
+        # (the before-plan scanned the base tables 24x)
+        .localCheckpoint(eager=True)
     )
     n_orders = ob.select("ok").distinct().count()
     f1 = (
@@ -6445,7 +6467,8 @@ def order_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n1") * 1000 >= 3 * F.lit(n_orders))
         .select("b")
     )
-    obf = ob.join(F.broadcast(f1), "b").select("ok", "b")
+    # the Apriori triple join reads this three times (a/c/d)
+    obf = ob.join(F.broadcast(f1), "b").select("ok", "b").localCheckpoint(eager=True)
     a = obf.select("ok", F.col("b").alias("b1"))
     c = obf.select("ok", F.col("b").alias("b2"))
     d = obf.select("ok", F.col("b").alias("b3"))

@@ -859,7 +859,9 @@ def supplier_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge aggregate; the log terms round to 12 and accumulate as exact
     decimals."""
     ensure_views(spark, sf_dir)
-    e = _supplier_edges(spark, sf_dir)
+    # both orientations reference e — checkpoint so the pair-generation
+    # self-join behind _supplier_edges runs once, not twice
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
     both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     g = deg.agg(

