@@ -15,8 +15,14 @@ def main() -> None:
     da, db = json.load(open(a)), json.load(open(b))
     qa, qb = da["queries"], db["queries"]
     common = sorted(set(qa) & set(qb))
-    ca = da.get("canary", [])
-    cb = db.get("canary", [])
+    def canary_timings(d):
+        c = d.get("canary", [])
+        if isinstance(c, dict):
+            c = c.get("timings", [])
+        return [x for x in c if isinstance(x, (int, float))]
+
+    ca = canary_timings(da)
+    cb = canary_timings(db)
 
     def med(xs):
         xs = sorted(xs)
