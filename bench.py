@@ -391,7 +391,7 @@ WARMUP = [
 def build_spark(cpus: int):
     from pyspark.sql import SparkSession
 
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("onetl_spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
@@ -401,8 +401,15 @@ def build_spark(cpus: int):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.warehouse.dir", os.path.join(os.path.dirname(__file__), ".scratch", "bench-wh"))
-        .getOrCreate()
     )
+    # Session-config A/B hook (r13 optimization round): extra conf pairs as
+    # "k=v;k=v" — additions-only, defaults above unchanged when unset, so
+    # the driver's bench invocation is untouched unless it sets the var.
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
+    return builder.getOrCreate()
 
 
 def execute_fully(df) -> None:
@@ -610,6 +617,13 @@ def main() -> None:
     for name, sec in timings.items():
         fam = _family(name)
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
+    # canary stats in the one-line JSON (additions-only, r12 verdict item
+    # 10): lets the driver's round-over-round comparison normalize for
+    # host/session drift without opening the side file
+    canary_sorted = sorted(canary_track)
+    canary_median = (
+        round(canary_sorted[len(canary_sorted) // 2], 3) if canary_sorted else None
+    )
     print(
         json.dumps(
             {
@@ -622,6 +636,10 @@ def main() -> None:
                 "cpus": cpus,
                 "full": full_name,
                 "closes_round": _current_round(),
+                "canary_query": CANARY,
+                "canary_median": canary_median,
+                "canary_min": canary_sorted[0] if canary_sorted else None,
+                "canary_max": canary_sorted[-1] if canary_sorted else None,
             },
             separators=(",", ":"),
         ),

@@ -207,7 +207,9 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket_size)
         .select("band_id", "band_key")
-        .localCheckpoint(eager=True)
+        # lazy: the count() below materializes the checkpoint in the
+        # SAME job (eager + count was two scheduling round-trips)
+        .localCheckpoint(eager=False)
     )
     n_oversized = oversized.count()
     if n_oversized:
@@ -286,7 +288,8 @@ def _shingle_inverted_index(
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("_s")
-            .localCheckpoint(eager=True)
+            # lazy: materialized by the count() below in one job
+            .localCheckpoint(eager=False)
         )
         n_hot = hot.count()
         if n_hot:
@@ -892,7 +895,7 @@ def incremental_minhash_dedup(
         # batch side's dominant cost)
         batch_sigs = batch_sigs.select(F.col(id_col), F.col("sig"))
     batch_sigs = batch_sigs.localCheckpoint(
-        eager=True
+        eager=False
     )  # consumed by banding + both verify arms
     store_sigs = store.select(F.col(id_col), F.col("sig"))
 
@@ -906,7 +909,7 @@ def incremental_minhash_dedup(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket_size)
         .select("band_id", "band_key")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_oversized = oversized.count()
     if n_oversized:
@@ -1160,7 +1163,7 @@ def minhash_calibration(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket_size)
         .select("band_id", "band_key")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     if oversized.count():
         log.warning("minhash_calibration: dropped oversized LSH buckets (cap %d)", max_bucket_size)

@@ -52,7 +52,7 @@ def _panel(embeddings: DataFrame, query_filter: str, id_col: str, vec_col: str,
     cols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")]
     if slice_col:
         cols.append(F.col(slice_col).alias("slice"))
-    return embeddings.filter(query_filter).select(*cols).localCheckpoint(eager=True)
+    return embeddings.filter(query_filter).select(*cols).localCheckpoint(eager=False)
 
 
 def _centroids(embeddings: DataFrame, centroid_filter: str, id_col: str,
@@ -63,7 +63,7 @@ def _centroids(embeddings: DataFrame, centroid_filter: str, id_col: str,
     repeated corpus re-scans with reads of the codebook itself."""
     return ivf_seed_centroids(
         embeddings, centroid_filter, id_col, vec_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
 
 def _qprobe(queries: DataFrame, centroids: DataFrame, max_probe: int = 1) -> DataFrame:
@@ -287,7 +287,7 @@ def quantization_ledger(
     # as corpus/64, so an empty-partitionBy window here would funnel a
     # corpus-scale relation through one partition. Materialize cells ONCE:
     # it feeds two consumers and is bounded by the output size.
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.localCheckpoint(eager=False)
     total = cells.agg(F.sum("n_vecs").alias("_total"))
     return cells.crossJoin(F.broadcast(total)).select(
         "centroid_id",

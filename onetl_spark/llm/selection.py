@@ -163,12 +163,12 @@ def bucket_log_ratio(
     t = (
         target_feats.groupBy("bucket")
         .agg(F.sum("cnt").alias("target_cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     r = (
         raw_feats.groupBy("bucket")
         .agg(F.sum("cnt").alias("raw_cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     t_total = t.select(F.coalesce(F.sum("target_cnt"), F.lit(0)).alias("_T"))
     r_total = r.select(F.coalesce(F.sum("raw_cnt"), F.lit(0)).alias("_R"))

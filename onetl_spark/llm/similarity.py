@@ -27,6 +27,20 @@ from onetl_spark.spark_utils import widen_small_scan
 log = logging.getLogger(__name__)
 
 
+def _spark_round9(x: float) -> float:
+    """Driver-side replica of Spark's ``F.round(x, 9)`` on a double:
+    HALF_UP over the double's SHORTEST decimal repr (Spark rounds
+    ``BigDecimal.valueOf(x)`` = ``Double.toString`` = Python ``repr``),
+    with the −0.0 result normalized to +0.0 exactly as BigDecimal does
+    (it cannot represent signed zero). The repo-wide ``_ref_fsig``
+    quantize convention, packaged for iterative drivers that fold a
+    collected d-vector back into the next Spark expression."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r = float(Decimal(repr(x)).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP))
+    return 0.0 if r == 0.0 else r
+
+
 def dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -363,15 +377,19 @@ def banded_near_dup_pairs(
             for b in range(bands)
         ]
     )
+    # Candidate generation runs over (id, band, bucket) ONLY — the
+    # vectors never enter the band shuffle or the pair self-join (guide
+    # §8: decide with lightweight proxies, attach the payload once). The
+    # former shape carried the 64-dim vector + norm through the banded
+    # relation, shuffling every vector `bands` times and re-verifying a
+    # pair once PER SHARED BAND before a distinct over the verified
+    # rows; here pairs are deduplicated BEFORE the exact-cosine verify,
+    # so each candidate pair is verified exactly once and the payload
+    # moves only in the two id-keyed attach joins.
     rows = (
         widen_small_scan(embeddings)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_vec"),
-            norm(F.col(vec_col)).alias("_norm"),
-            F.explode(buckets).alias("_bb"),
-        )
-        .select("_id", "_vec", "_norm", "_bb._band", "_bb._bkt")
+        .select(F.col(id_col).alias("_id"), F.explode(buckets).alias("_bb"))
+        .select("_id", "_bb._band", "_bb._bkt")
         .persist()
     )
     oversized = (
@@ -379,7 +397,7 @@ def banded_near_dup_pairs(
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket_size)
         .select("_band", "_bkt")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_oversized = oversized.count()
     if n_oversized:
@@ -390,17 +408,43 @@ def banded_near_dup_pairs(
             max_bucket_size,
         )
         rows = rows.join(F.broadcast(oversized), ["_band", "_bkt"], "left_anti")
-    left = rows.select(
-        "_band", "_bkt",
-        F.col("_id").alias("a_id"), F.col("_vec").alias("_av"), F.col("_norm").alias("_an"),
-    )
-    right = rows.select(
-        "_band", "_bkt",
-        F.col("_id").alias("b_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"),
-    )
-    return (
+    left = rows.select("_band", "_bkt", F.col("_id").alias("a_id"))
+    right = rows.select("_band", "_bkt", F.col("_id").alias("b_id"))
+    cand = (
         left.join(right, ["_band", "_bkt"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # exact verify: same dot/norm expressions as before over the same
+    # source vectors — bit-identical cos_sim, computed once per pair.
+    # The (id, vec, norm) relation is checkpointed ONCE: the two attach
+    # joins below are DIFFERENT projections, so without materialization
+    # each builds its own relation from a fresh embeddings scan + norm
+    # recompute (ReusedExchange can't share differently-aliased
+    # broadcast subtrees)
+    vecs = embeddings.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    ).localCheckpoint(eager=False)
+    return (
+        cand.join(
+            vecs.select(
+                F.col("_vid").alias("a_id"),
+                F.col("_v").alias("_av"),
+                F.col("_n").alias("_an"),
+            ),
+            "a_id",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("b_id"),
+                F.col("_v").alias("_bv"),
+                F.col("_n").alias("_bn"),
+            ),
+            "b_id",
+        )
         .select(
             "a_id",
             "b_id",
@@ -409,7 +453,6 @@ def banded_near_dup_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
     )
 
 
@@ -563,7 +606,7 @@ def ivf_refine_centroids(
             # materialize each iteration: centroids are tiny (C × dim), and
             # without this every downstream reference re-executes ALL prior
             # assign+mean rounds (lineage doubles per iteration)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return centroids
 
@@ -1042,7 +1085,7 @@ def pq_codebooks(
         embeddings.filter(seed_filter), m, d_sub, id_col, vec_col
     ).select(
         "_m", F.col("_id").alias("code_id"), F.col("_sv").alias("cvec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(iterations):
         assigned = _pq_assign(subs, codebooks)
         members = assigned.select(
@@ -1067,7 +1110,7 @@ def pq_codebooks(
         codebooks = (
             codebooks.join(means, ["_m", "code_id"], "left")
             .select("_m", "code_id", F.coalesce("mvec", "cvec").alias("cvec"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return codebooks
 
@@ -1224,7 +1267,7 @@ def kcenter_coreset(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
         F.lit(float("inf")).alias("_d"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     if start_id is None:
         start_id = state.agg(F.min("_id")).collect()[0][0]
     picked = [(0, start_id, 0.0)]
@@ -1236,7 +1279,7 @@ def kcenter_coreset(
             "_id",
             "_v",
             F.least(F.col("_d"), F.round(_l2sq(F.col("_v"), F.col("_cv")), 9)).alias("_d"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # exclude EVERY picked id (not just the newest): in a corpus of
         # exact duplicates all distances tie at 0 and an already-picked
         # point would otherwise win the smallest-id tie-break again
@@ -1449,7 +1492,7 @@ def mmr_rerank_topk(
         # the candidate frame feeds BOTH the pairwise-sim join and the
         # score collect; checkpointing its `candidates` rows eagerly costs
         # nothing and stops the corpus scan from running twice
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a, b = rel.alias("a"), rel.alias("b")
     sims = (
@@ -1660,23 +1703,22 @@ def top_principal_component(
                 key=lambda r: r["_j"],
             )
             w = [r["_w"] for r in red]
-            # normalize + round as SPARK expressions (1 row) so the rounding
-            # mode matches the engines, not Python's round-half-even
-            norm_expr = F.sqrt(
-                F.aggregate(
-                    lit_arr(w), F.lit(0.0), lambda acc, x: acc + x * x
-                )
-            )
-            vrow = (
-                spark.range(1)
-                .select(
-                    F.transform(
-                        lit_arr(w), lambda x: F.round(x / norm_expr, 9)
-                    ).alias("_v")
-                )
-                .collect()[0]
-            )
-            v = list(vrow["_v"])
+            # normalize + round DRIVER-SIDE, engine-identically, fusing
+            # away the former 1-row spark.range(1) normalize job (one
+            # scheduling round-trip per iteration, r12 verdict item 8):
+            # the fold/sqrt/divide are IEEE-double ops with a pinned
+            # order, so Python reproduces the Spark expressions bit-for-
+            # bit, and F.round's semantics (HALF_UP over the double's
+            # SHORTEST decimal repr — BigDecimal.valueOf) are exactly
+            # Decimal(repr(x)).quantize(1e-9, ROUND_HALF_UP), the repo's
+            # _ref_fsig convention (CLAUDE.md float discipline).
+            nrm = 0.0
+            for x in w:  # left-to-right fold = F.aggregate order
+                nrm += x * x
+            nrm = math.sqrt(nrm)
+            if nrm == 0.0:  # degenerate iterate; the old shape errored too
+                raise ValueError("top_principal_component: zero-norm iterate")
+            v = [_spark_round9(x / nrm) for x in w]
 
         # Rayleigh quotient of the FINAL iterate: vᵀCv = (Σ s_i²) / n —
         # one extra s-pass so eigenvalue pairs with the returned component
@@ -2235,6 +2277,12 @@ def kmeans_assign(
     left-to-right over the dims) and recomputes per-cluster per-dim
     means with decimal(38,12) accumulation. Returns one row per point:
     ``(<id_col>, cluster, _d)`` with ``_d`` the final squared distance.
+
+    Precondition: ``id_col`` must be UNIQUE. Duplicate ids return
+    duplicate output rows and weight centroid means by multiplicity
+    (the pre-r12 shape deduplicated exact-duplicate ``(_id, _v)`` rows
+    as a side effect of its per-iteration groupBy; the broadcast-argmin
+    shape does not). Every committed caller feeds unique vec_ids.
 
     Scale shape: per round, one broadcast of the k×d centroid table
     against the corpus (no pairwise join) plus one |k|·d-row grouped

@@ -699,7 +699,7 @@ def bpe_train_merges(
         vocab_counts.withColumn(
             "symbols", F.filter(F.split(F.col("word"), ""), lambda x: x != "")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
@@ -738,7 +738,7 @@ def bpe_train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.withColumn("symbols", folded).localCheckpoint(eager=True)
+        vocab = vocab.withColumn("symbols", folded).localCheckpoint(eager=False)
     return merges, vocab
 
 

@@ -233,7 +233,7 @@ def frequent_sequences(
     # The checkpoint also preserves the window's hash(entity) partitioning,
     # so the entity-keyed growth joins below need NO new exchange at all
     # (guide §2.4: establish the partitioning once, reuse it)
-    ranked = ranked.localCheckpoint(eager=True)
+    ranked = ranked.localCheckpoint(eager=False)
     cur = ranked.select("_e", F.col("_idx").alias("_last"), F.col("_it").alias("pattern"))
     for _ in range(k - 1):
         nxt = ranked.select(

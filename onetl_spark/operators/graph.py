@@ -102,7 +102,7 @@ def triangle_count(
     """
     canon = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     both = canon.unionAll(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )
@@ -203,13 +203,29 @@ def pagerank_fixed_point(
             F.max(F.col("w").isNull().cast("int")).alias("_wnull"),
         )
     # every iteration joins the edge set; without materialization the
-    # upstream (e.g. a pair-generation self-join) re-runs per iteration
-    e = e.localCheckpoint(eager=True)
+    # upstream (e.g. a pair-generation self-join) re-runs per iteration.
+    # lazy: the weight-guard collect / node count below materializes the
+    # checkpoint in its own job — eager paid a separate scheduling
+    # round-trip first
+    e = e.localCheckpoint(eager=False)
     if edge_weight is not None:
-        bad = e.filter(
-            (F.col("_wnull") == 1) | (F.col("_wmin") < 1)
-        ).limit(1).collect()
-        if bad:
+        # aggregate probe (one full-scan job that also materializes the
+        # lazy checkpoint); the row lookup for the error message runs
+        # only on the raise path, where cost is irrelevant
+        any_bad = int(
+            e.agg(
+                F.coalesce(
+                    F.max(
+                        ((F.col("_wnull") == 1) | (F.col("_wmin") < 1)).cast("int")
+                    ),
+                    F.lit(0),
+                ).alias("_b")
+            ).first()["_b"]
+        )
+        if any_bad:
+            bad = e.filter(
+                (F.col("_wnull") == 1) | (F.col("_wmin") < 1)
+            ).limit(1).collect()
             raise ValueError(
                 f"edge_weight must be a positive integer; found min weight "
                 f"{bad[0]['_wmin']!r} (null={bool(bad[0]['_wnull'])}) on edge "
@@ -220,16 +236,17 @@ def pagerank_fixed_point(
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_fp"))
 
+    # lazy: materialized inside iteration 1's dangling-broadcast job
     out_deg = (
         e.groupBy("src")
         .agg(F.sum("w").alias("out_deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     base = (damping_den - damping_num) * scale // (damping_den * n)
 
@@ -244,7 +261,9 @@ def pagerank_fixed_point(
         with_deg = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
             .select("node", "rank_fp", "out_deg")
-            .localCheckpoint(eager=True)
+            # lazy: the dangling-broadcast build is the first consumer and
+            # materializes it; the contribution pass reads the persisted copy
+            .localCheckpoint(eager=False)
         )
         # dangling nodes spread their mass uniformly; the scalar rides a
         # 1-row broadcast instead of a collect — `div` truncation equals
@@ -277,7 +296,9 @@ def pagerank_fixed_point(
                     f"CAST({base} + ({damping_num} * in_total) div {damping_den} AS LONG)"
                 ).alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the next iteration's broadcast job (or the caller's
+            # action, for the last round) materializes it
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -295,23 +316,45 @@ def connected_components(
     over the *edge set*, never over any corpus the edges were derived
     from) and converges in O(log^2 n) iterations — on near-duplicate
     graphs, whose components are shallow, typically 2–4. Convergence is
-    detected by edge-set fixpoint (an ``exceptAll`` probe, edge-set-sized).
-    Rounds are ``localCheckpoint``-ed so the plan does not grow with the
-    iteration count.
+    detected by edge-set fixpoint: each round's LAZY ``localCheckpoint``
+    is materialized by a single probe aggregate computing (row count,
+    order-independent xor-hash) in ONE job — the separate eager-
+    checkpoint + count() pair cost two scheduling round-trips per round
+    — and the authoritative ``exceptAll`` check runs only when both
+    count and hash match (in practice exactly once, at the fixpoint;
+    hash equality alone is never trusted for convergence).
     """
+
+    def _probe(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            # bit_xor over per-row xxhash64 is order/partitioning-
+            # independent and overflow-free (no ANSI sum-overflow risk);
+            # edge sets are distinct, so xor cancellation needs a true
+            # hash collision — and exceptAll still confirms exactly
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0).cast("long")
+            ).alias("_h"),
+        ).first()
+        return int(row["_n"]), int(row["_h"])
+
     cur = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
-    ).localCheckpoint(eager=True)
-    cur_cnt = cur.count()
+    ).localCheckpoint(eager=False)
+    cur_cnt, cur_hash = _probe(cur)
 
     for it in range(max_iter):
-        nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(eager=True)
-        nxt_cnt = nxt.count()
-        if nxt_cnt == cur_cnt and nxt.exceptAll(cur).limit(1).count() == 0:
+        nxt = _canonical(_small_star(_large_star(cur))).localCheckpoint(eager=False)
+        nxt_cnt, nxt_hash = _probe(nxt)
+        if (
+            nxt_cnt == cur_cnt
+            and nxt_hash == cur_hash
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        ):
             cur = nxt
             log.info("connected_components converged after %d iteration(s)", it + 1)
             break
-        cur, cur_cnt = nxt, nxt_cnt
+        cur, cur_cnt, cur_hash = nxt, nxt_cnt, nxt_hash
     else:
         log.warning(
             "connected_components stopped at max_iter=%d without a fixpoint",
@@ -361,13 +404,13 @@ def bfs_hops(
         nbrs.unionAll(nbrs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     visited = (
         sources.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for h in range(1, max_hops + 1):
@@ -377,9 +420,13 @@ def bfs_hops(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("long"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if not nxt.limit(1).count():
+        # FULL count, not limit(1): every partition must materialize for
+        # the next hop anyway, and a limit probe over a lazy checkpoint
+        # executes in escalating partition waves that compute (not read)
+        # the frontier when it is empty — the convergence case
+        if not nxt.count():
             log.info("bfs_hops frontier empty after %d hop(s)", h - 1)
             break
         # every frontier is already checkpointed — the visited set stays a
@@ -452,7 +499,7 @@ def random_walks(
                 ),
                 F.lit(0),
             ),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         degrees = ranked.groupBy("src").agg(F.sum("_w").alias("deg"))
         hop_cond = lambda pick: (
             (pick["_at"] == ranked["src"])
@@ -463,7 +510,7 @@ def random_walks(
         ranked = (
             nbrs.distinct()
             .withColumn("rank", F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         degrees = ranked.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         hop_cond = lambda pick: (pick["_at"] == ranked["src"]) & (
@@ -474,7 +521,7 @@ def random_walks(
         F.col(node).alias("walk_id"),
         F.lit(0).cast("long").alias("step"),
         F.col(node).alias("node"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out = cur
     for step in range(1, walk_len + 1):
         pick = cur.join(degrees, cur["node"] == degrees["src"]).select(
@@ -499,7 +546,7 @@ def random_walks(
                 F.lit(step).cast("long").alias("step"),
                 F.col("dst").alias("node"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         out = out.unionAll(cur)
     return out
@@ -545,12 +592,12 @@ def label_propagation(
     # the supplier co-occurrence bench query)
     raw = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     e = raw.filter(
         F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
     )
     adj = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    adj = adj.localCheckpoint(eager=True)
+    adj = adj.localCheckpoint(eager=False)
 
     # EVERY non-NULL endpoint of the input gets a label — including the
     # surviving side of an edge whose partner is NULL. Nodes whose
@@ -559,7 +606,7 @@ def label_propagation(
     # and unioned at the end, not a per-round join: every node in adj
     # has >= 1 labeled neighbor each round, so the vote argmax already
     # covers the entire adj node set.
-    adj_nodes = adj.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    adj_nodes = adj.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=False)
     singletons = (
         raw.select(F.col("u").alias("node"))
         .unionAll(raw.select(F.col("v").alias("node")))
@@ -583,7 +630,7 @@ def label_propagation(
                 F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m")
             )
             .select("node", (-F.col("m.nl")).alias("community"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.unionAll(singletons)
 
@@ -613,13 +660,13 @@ def degree_assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -
     both = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     deg = (
         both.groupBy("u")
         .agg(F.count(F.lit(1)).alias("d"))
         .select(F.col("u").alias("node"), "d")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dy"))
@@ -682,7 +729,7 @@ def kcore_nodes(
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_edges = cur.count()
     for it in range(max_iter):
@@ -691,7 +738,7 @@ def kcore_nodes(
         nxt = (
             cur.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
         cur = nxt
@@ -784,14 +831,17 @@ def ktruss_edges(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the count() below materializes the checkpoint in the
+        # same job (eager + count paid two scheduling round-trips
+        # per peel round — the fixed cost that dominates this loop)
+        .localCheckpoint(eager=False)
     )
     n_edges = cur.count()
     for it in range(max_iter):
         sup = _edge_support(cur)
         nxt = (
             cur.join(sup.filter(F.col("support") >= need), ["u", "v"], "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
             if need > 0
             else cur
         )
@@ -847,13 +897,13 @@ def multi_source_distances(
         nbrs.unionAll(nbrs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     visited = (
         seeds.select(F.col(node).alias("seed"))
         .distinct()
         .select("seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = visited
     for h in range(1, max_hops + 1):
@@ -863,9 +913,11 @@ def multi_source_distances(
             .distinct()
             .join(visited.select("seed", "node"), ["seed", "node"], "left_anti")
             .withColumn("dist", F.lit(h).cast("long"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if not nxt.limit(1).count():
+        # FULL count — same rationale as bfs_hops: one materializing job,
+        # no limit-probe partition waves on the lazy checkpoint
+        if not nxt.count():
             log.info("multi_source_distances: frontiers empty after %d hop(s)", h - 1)
             break
         # same as bfs_hops: frontiers are checkpointed, the visited union
@@ -946,15 +998,26 @@ def weighted_sssp(
     ed = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), w_col.alias("_w")
     )
-    neg = ed.filter(F.col("_w") < 0).limit(1).count()
+    # checkpoint FIRST (lazy), then probe: the probe's job materializes
+    # the checkpoint, so the (often expensive) upstream edge build runs
+    # once — probing the raw relation before an eager checkpoint paid the
+    # full upstream twice (once for the probe, once to materialize)
+    ed = ed.localCheckpoint(eager=False)
+    # aggregate probe, not filter+limit: one full-scan job materializes
+    # the checkpoint AND yields the guard flag (a near-empty limit probe
+    # on a lazy checkpoint pays escalating compute waves)
+    neg = (
+        ed.agg(
+            F.coalesce(F.max((F.col("_w") < 0).cast("int")), F.lit(0)).alias("_neg")
+        ).first()["_neg"]
+    )
     if neg:
         raise ValueError("weighted_sssp: negative edge weights are not supported")
-    ed = ed.localCheckpoint(eager=True)
     dist = (
         sources.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for it in range(max_iter):
         relaxed = (
@@ -975,12 +1038,26 @@ def weighted_sssp(
                 F.min("dist").alias("dist"),
                 F.min(F.when(F.col("_old"), F.col("dist"))).alias("_od"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        improved = (
-            nxt.filter(F.col("_od").isNull() | (F.col("dist") < F.col("_od")))
-            .limit(1)
-            .count()
+        # ONE full-scan aggregate materializes the lazy checkpoint AND
+        # yields the convergence flag. A limit(1) probe here is a trap on
+        # a lazy checkpoint: CollectLimit executes in escalating partition
+        # waves (1, 4, 16, ...), and when the filter is near-empty (every
+        # converging round) each wave COMPUTES fresh partitions instead of
+        # reading cached ones — measured 1.4-1.9x on the sssp/harmonic
+        # bench queries vs this single-job probe.
+        improved = int(
+            nxt.agg(
+                F.coalesce(
+                    F.max(
+                        (
+                            F.col("_od").isNull() | (F.col("dist") < F.col("_od"))
+                        ).cast("int")
+                    ),
+                    F.lit(0),
+                ).alias("_i")
+            ).first()["_i"]
         )
         dist = nxt.select("node", "dist")
         if not improved:
@@ -1036,17 +1113,19 @@ def hits_fixed_point(
         raise ValueError(
             "hits_fixed_point: scale must be in [1, 3e9] (see overflow contract)"
         )
+    # lazy checkpoints: the count() below materializes BOTH (edge set,
+    # node set) in one job — eager+eager+count was three sequential jobs
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
@@ -1115,7 +1194,7 @@ def adamic_adar(edges: DataFrame, top_k: int = 20) -> DataFrame:
     desc, pair asc). A shared neighbor has degree ≥ 2 by construction,
     so ``ln(deg)`` is never 0.
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     both = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1169,7 +1248,8 @@ def partition_modularity(
     degree aggregate — no wedge/pair blowup, community count is
     attribute-bounded.
     """
-    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    # lazy: the count() materializes the checkpoint in the same job
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     lab = labels.select(
         F.col(labels.columns[0]).alias("_id"), F.col(label_col).alias("_c")
     )
@@ -1231,21 +1311,24 @@ def personalized_pagerank_fixed_point(
     join + a scalar dangling aggregate — identical cost shape to
     global PageRank. Returns ``(node, rank_fp)``.
     """
+    # lazy checkpoints: the seed count below materializes the whole
+    # (edge set, node set, seed set) chain in ONE job — three eager
+    # checkpoints + count paid four sequential scheduling round-trips
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     seed_nodes = (
         nodes.join(seeds.select(F.col("node")).distinct(), "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
@@ -1254,7 +1337,7 @@ def personalized_pagerank_fixed_point(
         )
     out_deg = (
         e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     base = (damping_den - damping_num) * scale // (damping_den * n_seeds)
     marked = nodes.join(
@@ -1274,7 +1357,9 @@ def personalized_pagerank_fixed_point(
         with_deg = (
             ranks.join(out_deg, ranks["node"] == out_deg["src"], "left")
             .select("node", "rank_fp", "out_deg")
-            .localCheckpoint(eager=True)
+            # lazy: the dangling-broadcast build is the first consumer and
+            # materializes it; the contribution pass reads the persisted copy
+            .localCheckpoint(eager=False)
         )
         dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
             F.coalesce(F.sum("rank_fp"), F.lit(0)).alias("_dang")
@@ -1312,6 +1397,6 @@ def personalized_pagerank_fixed_point(
                 .cast("long")
                 .alias("rank_fp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks

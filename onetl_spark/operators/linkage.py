@@ -38,7 +38,7 @@ def _cap_blocks(df: DataFrame, max_block_size: int, side: str, op: str) -> DataF
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_block_size)
         .select("_blk")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n = oversized.count()
     if n:

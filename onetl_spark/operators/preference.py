@@ -103,7 +103,12 @@ def bradley_terry(
     # group-keyed self-join), and the guard + symmetrize + totals below
     # would otherwise re-run it three times. The relation is item²-
     # bounded — small by construction — so this is the cheap side of the
-    # trade at any scale.
+    # trade at any scale. Checkpoints here stay EAGER deliberately: the
+    # r13 lazy-checkpoint sweep A/B'd this operator both ways and the
+    # lazy shape measured 1.5-1.6x SLOWER solo (brand_bradley_terry
+    # 3.18->4.68s, brand_bt_upset_rate 3.57->5.74s, matched canaries) —
+    # the per-iteration broadcast(total) builds interleave with the
+    # checkpoint chain badly when materialization is deferred.
     ordered = outcomes.select(
         F.col(winner_col).alias("_w"),
         F.col(loser_col).alias("_l"),
@@ -170,8 +175,12 @@ def bradley_terry(
                 ).alias("_r"),
             )
             # item-sized; feeds BOTH the rescale total and the update —
-            # un-checkpointed, the pair joins + aggregation above run twice
-            # per iteration (once under the total's broadcast branch)
+            # un-checkpointed, the pair joins + aggregation above re-run
+            # under the total's broadcast branch each iteration and the
+            # cost COMPOUNDS across iterations (r13 A/B: removing this
+            # checkpoint took brand_bradley_terry 4.4s -> 36.2s and
+            # brand_bt_upset_rate 4.1s -> 27.0s solo — the r12 verdict
+            # asked for this evidence; the checkpoint stays)
             .localCheckpoint(eager=True)
         )
         total = raw.agg(

@@ -742,24 +742,37 @@ def calibration_bins(
         F.col(score_col).cast("double").alias("_s"),
         F.col(label_col).cast("long").alias("_y"),
     ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
-    b = F.least(F.floor(F.col("_s") * bins).cast("int"), F.lit(bins - 1))
+    # the bin cast is guarded by the SAME validity predicate the range
+    # guard uses: an out-of-range/NaN score must surface as the
+    # documented ValueError below, not as an ANSI CAST error raised
+    # while the aggregate computes floor(huge*bins)::int (ADVICE r12) —
+    # bad rows are parked in bin `bins-1`, and any bad row raises before
+    # the grid is returned, so the kept grid is identical
+    s_valid = (F.col("_s") >= 0) & (F.col("_s") <= 1) & ~F.isnan(F.col("_s"))
+    b = F.when(
+        s_valid,
+        F.least(F.floor(F.col("_s") * bins).cast("int"), F.lit(bins - 1)),
+    ).otherwise(F.lit(bins - 1))
     # The range guard rides the bin aggregate (no dedicated corpus scan),
     # and the bin-sized grid is checkpointed eagerly: the tot/ece fan-out
     # below re-references `per` three times, and without materialization
     # each branch re-runs the whole upstream corpus pipeline (measured 16
     # parquet scans in markov_calibration's plan). Post-checkpoint every
-    # consumer reads <= `bins` rows. Bad rows can land in out-of-range
-    # bins, but any bad row makes this raise, so the kept grid is
-    # identical to the unguarded aggregate whenever it is returned.
+    # consumer reads <= `bins` rows.
     per = t.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.round(F.col("_s"), 9).cast("decimal(30,9)")).alias("_ssum"),
         F.sum("_y").alias("_pos"),
-        F.max(
-            (~F.col("_y").isin(0, 1) | (F.col("_s") < 0) | (F.col("_s") > 1)).cast("int")
-        ).alias("_bad"),
-    ).localCheckpoint(eager=True)
-    if per.filter(F.col("_bad") == 1).limit(1).count():
+        F.max((~F.col("_y").isin(0, 1) | ~s_valid).cast("int")).alias("_bad"),
+    ).localCheckpoint(eager=False)
+    # aggregate probe on the bin grid (materializes the lazy checkpoint in
+    # the same job; a limit(1) filter probe would execute in escalating
+    # partition waves over the unmaterialized checkpoint)
+    if int(
+        per.agg(
+            F.coalesce(F.max("_bad"), F.lit(0)).alias("_b")
+        ).first()["_b"]
+    ):
         raise ValueError(
             "calibration_bins: label must be 0/1 and score within [0, 1]"
         )
@@ -919,7 +932,7 @@ def distribution_distance(
             F.coalesce("_nr", F.lit(0)).alias("_nr"),
             F.coalesce("_nc", F.lit(0)).alias("_nc"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(F.sum("_nr").alias("_tr"), F.sum("_nc").alias("_tc")).collect()[0]
     tr, tc = tot["_tr"], tot["_tc"]
@@ -985,7 +998,7 @@ def calibration_report(
             .agg(F.count(F.lit(1)).alias(n_alias), F.sum("_y").alias(p_alias))
         )
     ref = side(df_ref, "_nr", "_pr")
-    cur = side(df_cur, "_nc", "_pc").localCheckpoint(eager=True)
+    cur = side(df_cur, "_nc", "_pc").localCheckpoint(eager=False)
     n_cur_total = cur.agg(F.sum("_nc")).collect()[0][0]
     if not n_cur_total:
         raise ValueError("calibration_report: current period is empty")

@@ -380,7 +380,7 @@ def skyline_2d(
         .filter(F.col("_p").isNotNull() & F.col("_d").isNotNull())
         .groupBy("_p")
         .agg(F.max("_d").alias("_d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(

@@ -120,7 +120,7 @@ def _dense_cumulative(
     # The relation is grid-sized (≤ batches×groups×m rows), so pinning it
     # is cheap and bounds the corpus work to exactly one pass (the
     # incremental_minhash_dedup localCheckpoint convention).
-    regs = regs.localCheckpoint(eager=True)
+    regs = regs.localCheckpoint(eager=False)
     # constant-size grid: batches × groups × m, independent of corpus rows
     batches = regs.select(batch_col).distinct()
     groups = regs.select(*group_cols).distinct()

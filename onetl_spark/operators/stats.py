@@ -70,7 +70,7 @@ def ks_two_sample(
             F.coalesce("_na", F.lit(0)).alias("_na"),
             F.coalesce("_nb", F.lit(0)).alias("_nb"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from onetl_spark.operators.ranking import stitched_cumsums
 
@@ -143,7 +143,7 @@ def mann_whitney_u(
             F.coalesce("_na", F.lit(0)).alias("_na"),
             F.coalesce("_nb", F.lit(0)).alias("_nb"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from onetl_spark.operators.ranking import stitched_cumsums
 
@@ -217,7 +217,7 @@ def cramers_v(
         )
         .groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).alias("_o"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ra = cells.groupBy("_a").agg(F.sum("_o").alias("_rt"))
     cb = cells.groupBy("_b").agg(F.sum("_o").alias("_ct"))
@@ -301,7 +301,7 @@ def association_lift(
     items = (
         df.select(*b, F.col(item_col).alias("_it"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     baskets = items.select(*basket_cols).distinct()
     n_baskets = baskets.count()
@@ -368,7 +368,7 @@ def spearman_correlation(
         F.col(col_a).cast("double").alias("_a"),
         F.col(col_b).cast("double").alias("_b"),
     ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=False)
 
     from onetl_spark.operators.ranking import stitched_cumsums
 
@@ -376,7 +376,7 @@ def spearman_correlation(
         counts = (
             pairs.groupBy(col)
             .agg(F.count(F.lit(1)).alias("_nv"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         stitched, _totals = stitched_cumsums(counts, col, ("_nv",), buckets)
         return stitched.select(
@@ -605,7 +605,7 @@ def roc_auc(
             F.count(F.lit(1)).alias("_nv"),
             F.sum("_y").alias("_na"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from onetl_spark.operators.ranking import stitched_cumsums
 
@@ -908,7 +908,7 @@ def kendall_tau_b(
         )
         .groupBy("_x", "_y")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = cells.select(
         F.col("_x").alias("_x1"), F.col("_y").alias("_y1"), F.col("_c").alias("_c1")
@@ -1168,10 +1168,10 @@ def kruskal_wallis(
     gcounts = (
         base.groupBy("_v", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = gcounts.groupBy("_v").agg(F.sum("_c").alias("_nv")).localCheckpoint(
-        eager=True
+        eager=False
     )
     from onetl_spark.operators.ranking import stitched_cumsums
 
@@ -1189,7 +1189,7 @@ def kruskal_wallis(
             + F.col("_nv").cast("decimal(14,0)")
             + F.lit(1)
         ).alias("_r2"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Σ nv·(2r̄)² — exact integer, the global rank second moment (×4)
     s2_row = ranked.agg(F.sum(F.col("_nvd") * F.col("_r2") * F.col("_r2")).alias("_s2"))
     per_g = (
@@ -1373,7 +1373,7 @@ def tukey_hsd(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
             F.sum(v.cast("decimal(38,6)")).cast("double").alias("_s"),
             F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("_q"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = g.agg(
         F.count(F.lit(1)).alias("_k"),
@@ -1464,7 +1464,7 @@ def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
     cells = (
         base.groupBy("_a", "_b")
         .agg(F.count(F.lit(1)).alias("_n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = cells.agg(F.sum("_n").alias("n"))
     diag = cells.filter(F.col("_a") == F.col("_b")).agg(
@@ -1525,7 +1525,7 @@ def durbin_watson(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
         F.col(order_col).cast("decimal(38,0)").alias("_x"),
         F.col(value_col).cast("decimal(38,0)").alias("_y"),
     ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
-    pts = pts.localCheckpoint(eager=True)
+    pts = pts.localCheckpoint(eager=False)
     m = pts.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_x").cast("double").alias("sx"),
@@ -1547,7 +1547,7 @@ def durbin_watson(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
             - (F.col("intercept") + F.col("slope") * F.col("_x").cast("double"))
         ).alias("_e"),
     )
-    resid = resid.localCheckpoint(eager=True)
+    resid = resid.localCheckpoint(eager=False)
     den_row = resid.agg(
         F.sum(F.round(F.col("_e") * F.col("_e"), 9).cast("decimal(38,9)"))
         .cast("double")
@@ -1605,7 +1605,7 @@ def runs_test(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
         F.col(order_col).cast("long").alias("_t"),
         F.col(value_col).cast("double").alias("_y"),
     ).filter(F.col("_t").isNotNull() & F.col("_y").isNotNull())
-    pts = pts.localCheckpoint(eager=True)
+    pts = pts.localCheckpoint(eager=False)
     n_row = pts.agg(F.count(F.lit(1)).alias("_n"))
     vcounts = pts.groupBy("_y").agg(F.count(F.lit(1)).alias("_c"))
     wv = W.orderBy("_y").rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -1780,7 +1780,7 @@ def pr_auc(
     counts = (
         s.groupBy("_v")
         .agg(F.count(F.lit(1)).alias("_nv"), F.sum("_y").alias("_na"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from onetl_spark.operators.ranking import stitched_cumsums
 
@@ -1836,7 +1836,7 @@ def info_gain(
         ],
         y.alias("_y"),
     ).filter(F.col("_y").isNotNull())
-    base = base.localCheckpoint(eager=True)
+    base = base.localCheckpoint(eager=False)
     tot = base.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_r")
     ).collect()[0]
@@ -1972,7 +1972,7 @@ def friedman_test(
         )
         .groupBy("_b", "_t")
         .agg(F.sum(F.col("_v").cast("decimal(38,6)")).cast("double").alias("_v"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     k = cell.select("_t").distinct().count()
     if k < 2:
@@ -1982,7 +1982,7 @@ def friedman_test(
             F.col("_cnt") == k
         )
     )
-    kept = cell.join(complete.select("_b"), "_b").localCheckpoint(eager=True)
+    kept = cell.join(complete.select("_b"), "_b").localCheckpoint(eager=False)
     n = kept.select("_b").distinct().count()
     if n == 0:
         raise ValueError("friedman_test: no complete blocks")
@@ -2000,7 +2000,7 @@ def friedman_test(
                 + F.lit(1)
             ).alias("_r2")
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     rbar2 = k + 1  # doubled mid-rank
     den_row = r2.agg(
         F.sum(
@@ -2188,7 +2188,7 @@ def _ecdf_segment_grid(
             F.coalesce("_na", F.lit(0)).alias("_na"),
             F.coalesce("_nb", F.lit(0)).alias("_nb"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     qs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(counts.stat.approxQuantile("_v", qs, 0.001)))
@@ -2349,7 +2349,7 @@ def cramer_von_mises(
             F.coalesce("_na", F.lit(0)).alias("_na"),
             F.coalesce("_nb", F.lit(0)).alias("_nb"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from onetl_spark.operators.ranking import stitched_cumsums
 
@@ -2413,7 +2413,7 @@ def auc_delong(
             F.sum("_y").alias("_np"),
             F.sum(1 - F.col("_y")).alias("_nn"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from onetl_spark.operators.ranking import stitched_cumsums
 
@@ -2496,7 +2496,7 @@ def anderson_darling_2s(
             F.coalesce("_na", F.lit(0)).alias("_na"),
             F.coalesce("_nb", F.lit(0)).alias("_nb"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from onetl_spark.operators.ranking import stitched_cumsums
 

@@ -2329,7 +2329,7 @@ def markov_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branches both consume this window output; un-checkpointed each
         # replays the corpus lag-window (the before-plan scanned events
         # 16x across the fan-out — see plans/r12)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     probs = (
         trans.filter("is_train")
@@ -3201,7 +3201,7 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     freq = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.count(F.lit(1)).alias("nf")
@@ -3216,7 +3216,7 @@ def part_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("co") >= _COP_MIN)
         # both orientations below re-reference this aggregated pair
         # relation — checkpoint so the wedge join + groupBy run once
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     both = pairs.unionAll(
         pairs.select(F.col("j").alias("i"), F.col("i").alias("j"), "co")
@@ -3910,7 +3910,7 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         rev.groupBy("_v")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_w").alias("_wv"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     stitched, totals = stitched_cumsums(counts, "_v", ("_n", "_wv"), 32)
     tot_w = totals["_wv"]
@@ -4512,7 +4512,7 @@ def order_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # four consumers (order count, singletons, both pair sides) — one
         # materialized pass instead of four lineitem⋈part join replays
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_orders = ob.select("ok").distinct().count()
     single = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
@@ -5463,7 +5463,7 @@ def events_type_share_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ts") < split, 1).otherwise(0)).alias("n1t"),
             F.sum(F.when(F.col("ts") >= split, 1).otherwise(0)).alias("n2t"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = g.agg(F.sum("n1t").alias("_n1"), F.sum("n2t").alias("_n2"))
     t = g.crossJoin(F.broadcast(tot))
@@ -5764,7 +5764,7 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_type").alias("dst"),
             (F.col("n").cast("double") / F.col("tn").cast("double")).alias("pr"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     states = p.select(F.col("src").alias("state")).distinct()
     k = states.count()
@@ -5775,12 +5775,17 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) / F.lit(float(k)), 9).cast("decimal(38,9)").alias("v"),
     )
     for _ in range(_STATIONARY_ITERS):
-        # broadcast the k-row vector (k = event types, attribute-bounded):
-        # both sides are checkpointed RDDs with no stats, so the planner
-        # fell back to a sort-merge join — 3 exchanges per step ×12 steps
-        # of 1-2-task stages, pure scheduling latency on a 5-row relation
+        # broadcast the INVARIANT side: p is the checkpointed k²-row
+        # transition matrix, identical in all 12 steps, so its single
+        # BroadcastExchange is built once and ReusedExchange-shared by
+        # every step. Broadcasting the per-step vector instead (the r12
+        # shape) built 12 DIFFERENT broadcast relations, each a
+        # sequential driver-collect job barrier gated on the previous
+        # step's aggregate — measured 1.38s (r11) → 2.4-3.1s (r12).
+        # The explicit hint is still required: both sides are
+        # checkpointed RDDs with no stats, so auto-broadcast never fires.
         v = (
-            p.join(F.broadcast(v), v["state"] == p["src"])
+            v.join(F.broadcast(p), v["state"] == p["src"])
             .groupBy(F.col("dst").alias("state"))
             .agg(
                 F.sum(
@@ -6016,7 +6021,7 @@ def interarrival_ks_exponential(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         gaps.groupBy("_v")
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.sum("_cnt").alias("_n"),
@@ -6121,7 +6126,7 @@ def events_value_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.table("events").filter(v.isNotNull()).select(v.alias("_v"))
     counts = (
         base.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt")).localCheckpoint(
-            eager=True
+            eager=False
         )
     )
     m = base.agg(
@@ -6146,7 +6151,7 @@ def events_value_qq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 9 per-decile branches below each re-reference this 1-row
     # aggregate; materialize it once or every branch replays the stitched
     # cumsum windows (measured: 18 Window nodes in the un-checkpointed plan)
-    emp = stitched.agg(*aggs).localCheckpoint(eager=True)
+    emp = stitched.agg(*aggs).localCheckpoint(eager=False)
     nn = F.lit(float(n))
     mu = F.lit(m["_s"]) / nn
     var = (F.lit(m["_q"]) - F.lit(m["_s"]) * F.lit(m["_s"]) / nn) / (nn - F.lit(1.0))
@@ -6236,7 +6241,7 @@ def events_ses_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day"), F.lit("2024-01-01").cast("date")
         ).alias("t"),
         "y",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a, b = idx.alias("a"), idx.alias("b")
     t0 = idx.agg(F.min("t").alias("_t0"))
     w_arr = F.array(*[F.lit(w) for w in _SES_W])
@@ -6330,7 +6335,7 @@ def orders_month_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("orders")
         .groupBy(F.month("o_orderdate").alias("month"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = g.agg(F.sum("n").alias("_t"), F.count(F.lit(1)).alias("_k"))
     j = g.crossJoin(F.broadcast(tot))
@@ -6458,7 +6463,7 @@ def order_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         # singleton filter AND the pruned basket relation — without the
         # checkpoint each reference re-ran the lineitem⋈part join+distinct
         # (the before-plan scanned the base tables 24x)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_orders = ob.select("ok").distinct().count()
     f1 = (
@@ -6468,7 +6473,7 @@ def order_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b")
     )
     # the Apriori triple join reads this three times (a/c/d)
-    obf = ob.join(F.broadcast(f1), "b").select("ok", "b").localCheckpoint(eager=True)
+    obf = ob.join(F.broadcast(f1), "b").select("ok", "b").localCheckpoint(eager=False)
     a = obf.select("ok", F.col("b").alias("b1"))
     c = obf.select("ok", F.col("b").alias("b2"))
     d = obf.select("ok", F.col("b").alias("b3"))

@@ -70,7 +70,7 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     days, and the classic 4σ alarm flag."""
     cus = cusum_excursions(
         _daily(spark, sf_dir), ["event_type"], "day", "v", k_sigma=_K_SIGMA
-    ).localCheckpoint(eager=True)  # grid-sized; consumed by 3 arms below
+    ).localCheckpoint(eager=False)  # grid-sized; consumed by 3 arms below
 
     def _peak(col: str, peak_alias: str, day_alias: str, extra: list[str]) -> DataFrame:
         w = W.partitionBy("event_type").orderBy(F.desc(col), F.asc("day"))

@@ -142,7 +142,7 @@ def supplier_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the co-occurrence self-join ONCE: both the seed
     # selection and the BFS adjacency list read it (without this the
     # lineage recomputes the edge join per consumer)
-    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -183,7 +183,7 @@ def supplier_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE that replays the identical hash-chosen hops."""
     from onetl_spark.operators.graph import random_walks
 
-    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -493,7 +493,7 @@ def part_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays it declaratively with a recursive CTE + MIN(d)."""
     from onetl_spark.operators.graph import harmonic_centrality
 
-    e = _part_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _part_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -567,7 +567,7 @@ def part_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     as chained MATERIALIZED CTEs — identical at the fixpoint."""
     from onetl_spark.operators.graph import weighted_sssp
 
-    e = _part_weighted_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _part_weighted_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = e.select(F.col("src").alias("node")).distinct()
     seeds = nodes.orderBy("node").limit(_SSSP_SEEDS)
     return weighted_sssp(e, seeds, max_iter=_SSSP_ROUNDS)
@@ -700,7 +700,7 @@ def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer counts make the scores exact rationals; deterministic
     tie-break (score desc, pair asc) pins the global top-k."""
     ensure_views(spark, sf_dir)
-    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=False)
     both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # attach each endpoint's degree to the EDGE relation (edge-sized, one
@@ -713,7 +713,7 @@ def supplier_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     both_deg = (
         both.join(deg, "src")
         .select(F.col("dst").alias("n"), F.col("src").alias("node"), "deg")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w1 = both_deg.select("n", F.col("node").alias("a"), F.col("deg").alias("da"))
     w2 = both_deg.select("n", F.col("node").alias("b"), F.col("deg").alias("db"))
@@ -779,7 +779,7 @@ def supplier_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges), so the fact-scale work is two aggregates regardless of graph
     size. Thresholds with N_k < 2 drop (φ undefined)."""
     ensure_views(spark, sf_dir)
-    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=False)
     both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     dd = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("_dn"))
@@ -861,7 +861,7 @@ def supplier_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, sf_dir)
     # both orientations reference e — checkpoint so the pair-generation
     # self-join behind _supplier_edges runs once, not twice
-    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=False)
     both = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     g = deg.agg(
@@ -984,7 +984,7 @@ def supplier_diameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from onetl_spark.operators.graph import bfs_hops
 
     ensure_views(spark, sf_dir)
-    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _supplier_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))

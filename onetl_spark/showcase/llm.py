@@ -531,7 +531,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         scored.join(fp_survivors, ["fp", "doc_id"])
         .select("doc_id", "lang", "quality")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # near-dup removal over the exact-deduped survivors only
@@ -4878,7 +4878,7 @@ def doc_length_qq_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row join of the two decile aggregates, referenced by all 9 output
     # branches below — materialize once so each branch does not replay
     # both sides' cumulative-sum windows (same fix as events_value_qq_normal)
-    both = a.crossJoin(b).localCheckpoint(eager=True)
+    both = a.crossJoin(b).localCheckpoint(eager=False)
     rows = None
     for p10 in range(1, 10):
         r = both.select(

@@ -1858,7 +1858,7 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (quantile probe, bucket counts, bucket window); materialize the
     # narrow (3-column) join output once so the fact⋈orders join does not
     # run 3× (guide §2.4 / the "decide with small rows" rule of §8)
-    j = j.localCheckpoint(eager=True)
+    j = j.localCheckpoint(eager=False)
     t = exact_ntile(j, 10, "lat_days", ("l_orderkey", "l_linenumber"), tile_col="decile")
     return (
         t.groupBy("decile")
@@ -1925,7 +1925,7 @@ def priority_region_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderpriority").alias("priority"), F.col("r_name").alias("region"))
     )
     cells = j.groupBy("priority", "region").agg(F.count(F.lit(1)).alias("o"))
-    cells = cells.localCheckpoint(eager=True)
+    cells = cells.localCheckpoint(eager=False)
     rm = cells.groupBy("priority").agg(F.sum("o").alias("_r"))
     cm = cells.groupBy("region").agg(F.sum("o").alias("_c"))
     nn = cells.agg(F.sum("o").alias("_n"))
@@ -2089,7 +2089,7 @@ def events_weekly_psi_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("week", "bucket")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wk_tot = b.groupBy("week").agg(F.sum("_c").alias("_wt"))
     ref = (

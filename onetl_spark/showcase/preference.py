@@ -151,7 +151,7 @@ def brand_bt_upset_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duels feed the fit AND the majority comparison — materialize the
     # item²-bounded relation once instead of re-running the order-keyed
     # self-join for each consumer
-    duels = pairwise_outcomes(lp, "g", "item", "s").localCheckpoint(eager=True)
+    duels = pairwise_outcomes(lp, "g", "item", "s").localCheckpoint(eager=False)
     fit = bradley_terry(duels, iterations=_BT_ITER).select("item", "strength")
     # unordered majority pairs: keep i < j, net wins decide the majority
     d1 = duels.select(

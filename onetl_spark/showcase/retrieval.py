@@ -381,7 +381,7 @@ def banded_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         near_dup_pairs_by_label(emb, threshold=0.3)
         .select("a_id", "b_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = emb.select(F.col("vec_id").alias("a_id"), F.col("label").alias("_la"))
     labels_b = emb.select(F.col("vec_id").alias("b_id"), F.col("label").alias("_lb"))

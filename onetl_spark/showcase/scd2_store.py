@@ -337,7 +337,7 @@ def el_scd2_dimension_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             # commit each window the way a real load would: the next
             # window's semi/anti joins read the materialized store, not a
             # re-executed three-deep plan chain
-            store = store.localCheckpoint(eager=True)
+            store = store.localCheckpoint(eager=False)
     target = "showcase_el_scd2_dimension"
     drop_table_completely(spark, target)
     DBWriter(

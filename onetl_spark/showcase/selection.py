@@ -64,7 +64,7 @@ def _scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_ngram_features(docs, buckets=_B, carry_cols=["lang"])
         .groupBy("bucket", "lang")
         .agg(F.sum("cnt").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     target_feats = by_lang.filter(F.col("lang") == "en").select("bucket", "cnt")
     raw_agg = by_lang.select("bucket", "cnt")

@@ -744,17 +744,15 @@ def test_brand_triples_prune_is_broadcast_no_cartesian(tables):
     from onetl_spark.showcase.analytics import order_brand_triples
 
     plan = executed_plan(order_brand_triples(tables, SF_DIR))
+    # r12: the broadcast singleton-frequent prune executes inside the
+    # checkpointed basket relation's build job (the final plan reads the
+    # pruned LogicalRDD), so the guards that carry weight here are the
+    # negative ones: the triple growth joins must never degenerate into
+    # a nested loop / cartesian over the basket relation. (A positive
+    # "some equi-join exists" assert was dropped as tautological —
+    # ADVICE r12.)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # r12: the broadcast singleton-frequent prune now executes inside the
-    # checkpointed basket relation's build job (the final plan reads the
-    # pruned LogicalRDD), so assert instead that the triple growth joins
-    # stay key-equi joins — never a nested loop over the basket relation
-    assert (
-        "SortMergeJoin" in plan
-        or "ShuffledHashJoin" in plan
-        or "BroadcastHashJoin" in plan
-    )
 
 
 def test_permutation_test_shuffles_only_on_b(tables):
