@@ -377,19 +377,21 @@ def banded_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    # Candidate generation runs over (id, band, bucket) ONLY — the
-    # vectors never enter the band shuffle or the pair self-join (guide
-    # §8: decide with lightweight proxies, attach the payload once). The
-    # former shape carried the 64-dim vector + norm through the banded
-    # relation, shuffling every vector `bands` times and re-verifying a
-    # pair once PER SHARED BAND before a distinct over the verified
-    # rows; here pairs are deduplicated BEFORE the exact-cosine verify,
-    # so each candidate pair is verified exactly once and the payload
-    # moves only in the two id-keyed attach joins.
+    # r13 note: a dedupe-candidates-before-verify rewrite (ids-only band
+    # relation, pairs .distinct(), vectors attached by two id-joins) was
+    # A/B'd per the r12 verdict and REVERTED: it measured 1.8x slower at
+    # sf0.1 AND 1.25-1.5x slower at sf1 (matched canaries) — the extra
+    # join/distinct stages cost more than the band-carried vector bytes
+    # save at these scales. Evidence: .scratch/r13 + OPTIMIZATION_r13.md.
     rows = (
         widen_small_scan(embeddings)
-        .select(F.col(id_col).alias("_id"), F.explode(buckets).alias("_bb"))
-        .select("_id", "_bb._band", "_bb._bkt")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            norm(F.col(vec_col)).alias("_norm"),
+            F.explode(buckets).alias("_bb"),
+        )
+        .select("_id", "_vec", "_norm", "_bb._band", "_bb._bkt")
         .persist()
     )
     oversized = (
@@ -408,43 +410,17 @@ def banded_near_dup_pairs(
             max_bucket_size,
         )
         rows = rows.join(F.broadcast(oversized), ["_band", "_bkt"], "left_anti")
-    left = rows.select("_band", "_bkt", F.col("_id").alias("a_id"))
-    right = rows.select("_band", "_bkt", F.col("_id").alias("b_id"))
-    cand = (
+    left = rows.select(
+        "_band", "_bkt",
+        F.col("_id").alias("a_id"), F.col("_vec").alias("_av"), F.col("_norm").alias("_an"),
+    )
+    right = rows.select(
+        "_band", "_bkt",
+        F.col("_id").alias("b_id"), F.col("_vec").alias("_bv"), F.col("_norm").alias("_bn"),
+    )
+    return (
         left.join(right, ["_band", "_bkt"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
-    # exact verify: same dot/norm expressions as before over the same
-    # source vectors — bit-identical cos_sim, computed once per pair.
-    # The (id, vec, norm) relation is checkpointed ONCE: the two attach
-    # joins below are DIFFERENT projections, so without materialization
-    # each builds its own relation from a fresh embeddings scan + norm
-    # recompute (ReusedExchange can't share differently-aliased
-    # broadcast subtrees)
-    vecs = embeddings.select(
-        F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_n"),
-    ).localCheckpoint(eager=False)
-    return (
-        cand.join(
-            vecs.select(
-                F.col("_vid").alias("a_id"),
-                F.col("_v").alias("_av"),
-                F.col("_n").alias("_an"),
-            ),
-            "a_id",
-        )
-        .join(
-            vecs.select(
-                F.col("_vid").alias("b_id"),
-                F.col("_v").alias("_bv"),
-                F.col("_n").alias("_bn"),
-            ),
-            "b_id",
-        )
         .select(
             "a_id",
             "b_id",
@@ -453,6 +429,7 @@ def banded_near_dup_pairs(
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .distinct()
     )
 
 
