@@ -398,6 +398,14 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # r13 config A/B (two stall-filtered windows, 16-query set,
+        # geomean 0.84, full 404/404 parity sweep under the flag —
+        # PARITY_r13_shj_sweep.log): let the planner pick shuffled-hash
+        # over sort-merge when its size conditions hold. Scale-rational
+        # (guide §3.1: skip both sort passes when a build partition fits;
+        # SMJ fallback and AQE skew handling unaffected), not a local
+        # tune — sort elimination grows with shuffled bytes.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.warehouse.dir", os.path.join(os.path.dirname(__file__), ".scratch", "bench-wh"))

@@ -192,7 +192,7 @@ def main():
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("driver-parity")
         .config("spark.sql.shuffle.partitions", "16")
@@ -201,8 +201,15 @@ def main():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .config("spark.sql.ansi.enabled", str(ansi).lower())
-        .getOrCreate()
     )
+    # same opt-in hook as bench.py: lets a parity sweep validate a
+    # candidate session flag (e.g. preferSortMergeJoin=false) before it
+    # is adopted; unset = exactly the historical session
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     mod = load_entry()
